@@ -1,0 +1,168 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (SURVEY §2.10):
+  * exact (hash-groupBy), n-gram Jaccard (shingle join), MinHash+LSH
+  * (banded signatures), and SimHash (hamming-banded bit signatures).
+  *
+  * Scale design: signatures (MinHash/SimHash) are pure per-row column
+  * expressions — no shuffle until the candidate-pair join, which only
+  * shuffles (docId, bucket) pairs, never document text. The verify step
+  * joins shingles for *candidate pairs only*. This is the standard
+  * LSH-at-scale shape: 100 TB of text never crosses the network.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * surviving (minimum) id and the duplicate count. `min` keeps the
+    * choice deterministic, unlike `dropDuplicates`.
+    */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("h"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-n-gram shingles per document: (id, shingle). */
+  def shingleTable(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("id"),
+      explode(array_distinct(
+        TextAnalysis.wordShingles(TextAnalysis.tokens(text), n))).as("sh"))
+
+  /** Exact n-gram Jaccard similarity join: pairs (a < b) with
+    * |A∩B| / |A∪B| ≥ threshold. `maxDF` drops shingles appearing in more
+    * than that many documents before pairing — the standard stop-shingle
+    * guard that keeps the self-join from going quadratic on boilerplate.
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double, maxDF: Long): DataFrame = {
+    val sh = shingleTable(docs, id, text, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDF).select("sh"),
+      "sh")
+    val common = rare.as("a")
+      .join(rare.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signatures: permutation p's hash is min over shingles of
+    * xxhash64(p, shingle), computed as one hash-aggregate over the exploded
+    * shingle table (64 `min` aggregates in a single pass). Shaped this way
+    * deliberately: a per-row HOF expression gets inlined by CollapseProject
+    * into every band struct (16× recomputation); the aggregate materializes
+    * the signature once, and map-side partial mins mean the shuffle carries
+    * one 64-long row per document. Returns (id, sig: array<long>).
+    */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+      n: Int, perms: Int): DataFrame = {
+    val sh = shingleTable(docs, id, text, n)
+    val aggs = (0 until perms).map(p =>
+      min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+  }
+
+  /** Banded signatures for LSH: (id, band, bucket) rows; docs sharing any
+    * bucket are candidate near-duplicates. bands × rowsPerBand = perms.
+    */
+  def minhashBuckets(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    minhashSignatures(docs, id, text, n, bands * rowsPerBand)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** LSH candidate pairs (a < b), deduplicated across bands. */
+  def minhashCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+  /** Full MinHash-LSH near-dedup: bucket → candidates → exact-Jaccard
+    * verification restricted to the candidate pairs.
+    */
+  def minhashDedup(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val cands = minhashCandidates(minhashBuckets(docs, id, text, n))
+    val sh = shingleTable(docs, id, text, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cands
+      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Packed 64-bit SimHash. Votes: bit b of xxhash64(token) contributes
+    * +1 (set) or -1 (clear); final bit = 1 iff the vote sum is positive.
+    */
+  def simhash64(toks: Column): Column = {
+    val votes = aggregate(
+      transform(toks, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftrightunsigned", h, b)
+            .bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, banded on
+    * four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ some chunk is equal),
+    * verified with bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(id.as("id"),
+      simhash64(TextAnalysis.tokens(text)).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk"),
+          call_function("shiftrightunsigned", col("sig"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("ck")))).as("cc"))
+      .select(col("id"), col("sig"),
+        col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `Array[Float]` embedding column:
+  * brute-force cosine top-k as the exact baseline, plus a random-hyperplane
+  * LSH bucketed variant as the scale path (queries only compare against
+  * their hash bucket instead of the full corpus).
+  *
+  * All vector math is higher-order-function expressions (`zip_with` +
+  * `aggregate`) over `array<double>` — codegen'd, no UDF serialization,
+  * and the left-to-right fold order is deterministic, which keeps results
+  * reproducible and oracle-comparable.
+  */
+object EmbeddingSearch {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Corpus projected to (vec_id, v: array<double>, nrm: self-dot). */
+  def prepared(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+
+  /** Exact top-k neighbors for each query row (queries ⊂ corpus, selected
+    * by `queryPred`). The query side is broadcast — the corpus streams
+    * through once, so the cost is one scan regardless of corpus size;
+    * ranking is a per-query-partition window (top-k, never a global sort).
+    */
+  def bruteForceTopK(embs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val e = prepared(embs)
+    val q = e.filter(queryPred).select(
+      col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (fixed seed) for sign-bucket LSH. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit): _*)
+
+  /** Sign-pattern bucket id: bit i = (v · plane_i) > 0. */
+  def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeLit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k: compare only within the query's hyperplane bucket. With
+    * b planes the corpus splits into 2^b buckets, so each query scores
+    * ~corpus/2^b rows — at 100 TB, bucketing is a pre-shuffle on the
+    * bucket id and each bucket is a co-partitioned local join. Recall is
+    * tunable via fewer planes (bigger buckets) or multiple tables.
+    */
+  def lshTopK(embs: DataFrame, queryPred: Column, k: Int,
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val e = prepared(embs).withColumn("bucket", bucketOf(col("v"), planes))
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: vectors in the
+    * same bucket with cosine ≥ threshold (a < b).
+    */
+  def cosineDupPairs(embs: DataFrame, threshold: Double,
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val e = prepared(embs).withColumn("bucket", bucketOf(col("v"), planes))
+    e.as("a").join(e.as("b"),
+      col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.v"), col("b.v")) / sqrt(col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, stopword-profile language ID, and normalization
+  * fingerprints. Everything here is a column expression built from
+  * codegen'd built-ins (no UDFs) — per-row, no shuffle, so the operators
+  * scan-scale linearly at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Tiny per-language stopword profiles for the heuristic language ID.
+    * Order matters: ties resolve to the earlier language.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "y", "que", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "von", "ein", "eine", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"),
+  )
+
+  /** Count of tokens contained in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Argmax over the language profiles, ties broken by profile order —
+    * expressed as a when-chain so a SQL oracle can mirror it verbatim.
+    */
+  def languageId(toks: Column): Column = {
+    val scores = langProfiles.map { case (l, ws) => l -> hitCount(toks, ws) }
+    val chain = scores.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((lang, sc), i)) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        val isMax = rest.foldLeft(lit(true))((c, o) => c && sc >= o)
+        Some(acc.fold(when(isMax, lang))(_.when(isMax, lang)))
+    }
+    chain.get.otherwise(langProfiles.last._1)
+  }
+
+  /** Stopword ratio (English profile), ∈ [0,1]. */
+  def stopwordRatio(toks: Column): Column =
+    hitCount(toks, langProfiles.head._2).cast("double") / size(toks)
+
+  /** Unique-token ratio — low values flag repetitive/spammy documents. */
+  def uniqueRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Heuristic quality score ∈ [0,1]: stopword density + length credit +
+    * lexical diversity. Weights mirror common pretraining-filter recipes.
+    */
+  def qualityScore(toks: Column): Column =
+    stopwordRatio(toks) * 0.4 +
+      least(lit(1.0), size(toks).cast("double") / 50.0) * 0.3 +
+      uniqueRatio(toks) * 0.3
+
+  /** Normalization fingerprint: md5 of lower-cased, whitespace-collapsed
+    * text — the exact-dedup key that survives cosmetic edits.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (the unit for Jaccard/MinHash near-dedup). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+}

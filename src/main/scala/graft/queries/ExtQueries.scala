@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Gate, Tables}
+import graft.ext.{Dedup, EmbeddingSearch, Multimodal, TextAnalysis}
+
+/** Gates for the training-data-pipeline extension surface (SURVEY §2.10):
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * SQL-expressible ops carry exact DuckDB oracles; the hash-based ops
+  * (MinHash/SimHash/LSH use Spark's xxhash64, which DuckDB cannot mirror)
+  * are rows-only gates exercised further in ScalaTest.
+  */
+object ExtQueries {
+
+  // ---- exact dedup -------------------------------------------------------
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy("h")
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  // ---- token statistics --------------------------------------------------
+  private def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        avg("n_chars").as("avg_chars"))
+      .orderBy("source")
+
+  private val tokenStatsSql =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT)
+      |         AS total_tokens,
+      |       avg(n_chars) AS avg_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- normalization fingerprint ----------------------------------------
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- quality score -----------------------------------------------------
+  private def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(TextAnalysis.stopwordRatio(toks), 6).as("stop_ratio"),
+      round(TextAnalysis.uniqueRatio(toks), 6).as("uniq_ratio"),
+      round(TextAnalysis.qualityScore(toks), 6).as("quality"),
+    ).orderBy("doc_id")
+  }
+
+  private val enList = TextAnalysis.langProfiles.head._2
+    .map(w => s"'$w'").mkString(", ")
+
+  private val qualityScoreSql =
+    s"""WITH t AS (SELECT doc_id,
+       |             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(toks) AS INTEGER) AS n_tokens,
+       |       round(CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE)
+       |             / len(toks), 6) AS stop_ratio,
+       |       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+       |         AS uniq_ratio,
+       |       round(CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE)
+       |               / len(toks) * 0.4
+       |             + least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.3
+       |             + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3,
+       |             6) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- heuristic language ID --------------------------------------------
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.languageId(toks).as("predicted"),
+    ).orderBy("doc_id")
+  }
+
+  /** The when-chain argmax, generated from the same profile list the Spark
+    * side uses so the two can never drift apart.
+    */
+  private val langIdSql: String = {
+    val profs = TextAnalysis.langProfiles
+    def score(ws: Seq[String]) =
+      s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val scoreCols = profs.map { case (l, ws) => s"${score(ws)} AS s_$l" }
+      .mkString(",\n            ")
+    val cases = profs.zipWithIndex.init.map { case ((l, _), i) =>
+      val conds = profs.drop(i + 1).map { case (o, _) => s"s_$l >= s_$o" }
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |            $scoreCols
+       |      FROM t)
+       |SELECT doc_id, lang,
+       |       CASE $cases
+       |         ELSE '${profs.last._1}' END AS predicted
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- n-gram Jaccard near-dedup (planted near-dupes) --------------------
+  /** Corpus = documents plus a perturbed copy of every 10th doc — the
+    * planted near-duplicates both engines must find at jaccard ≥ 0.5.
+    */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id").as("id"), lower(trim(col("text"))).as("t"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("id"),
+          concat(lower(trim(col("text"))), lit(" zq zr")).as("t")))
+  }
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(dupCorpus(s, d), col("id"), col("t"),
+      n = 3, threshold = 0.5, maxDF = 20)
+      .orderBy("id_a", "id_b")
+
+  private val ngramJaccardSql =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lower(trim(text)) || ' zq zr'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks FROM corpus),
+      |sh0 AS (SELECT id,
+      |          CASE WHEN len(toks) >= 3
+      |            THEN list_transform(range(len(toks) - 2),
+      |                   i -> array_to_string(toks[i+1:i+3], ' '))
+      |            ELSE [array_to_string(toks, ' ')] END AS shs
+      |        FROM tok),
+      |sh AS (SELECT id, unnest(list_distinct(shs)) AS sh FROM sh0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+      |rare AS (SELECT s.id, s.sh FROM sh s JOIN dfreq USING (sh)
+      |         WHERE df <= 20),
+      |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      |           FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id
+      |           GROUP BY 1, 2)
+      |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM (
+      |  SELECT common.id_a, common.id_b, common.common,
+      |         sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |         CAST(common.common AS DOUBLE)
+      |           / (sa.n_sh + sb.n_sh - common.common) AS jaccard
+      |  FROM common
+      |  JOIN sizes sa ON sa.id = common.id_a
+      |  JOIN sizes sb ON sb.id = common.id_b)
+      |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- MinHash LSH / SimHash (rows-only: Spark xxhash64 has no DuckDB
+  // twin) ------------------------------------------------------------------
+  private def minhashDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashDedup(dupCorpus(s, d), col("id"), col("t"),
+      n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def simhashDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(dupCorpus(s, d), col("id"), col("t"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search -------------------------------------------------
+  private def embedTopK(s: SparkSession, d: String): DataFrame =
+    EmbeddingSearch.bruteForceTopK(Tables.embeddings(s, d),
+      col("vec_id") < 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val embedTopKSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def lshTopK(s: SparkSession, d: String): DataFrame =
+    EmbeddingSearch.lshTopK(Tables.embeddings(s, d),
+      col("vec_id") < 10, k = 5, nPlanes = 4)
+      .orderBy("query_id", "rank")
+
+  // ---- multimodal --------------------------------------------------------
+  private def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.toMedia(Tables.documents(s, d))
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_hash"),
+        col("meta.origin").as("origin"))
+      .orderBy("doc_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |       md5(text) AS content_hash,
+      |       source AS origin
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(s,
+      Multimodal.toMedia(Tables.documents(s, d)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("top_bin"),
+        round(element_at(col("histogram"), 1), 6).as("hist_0"))
+      .orderBy("doc_id")
+
+  def gates: Seq[Gate] = Seq(
+    Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    Gate("q_token_stats", tokenStats, Some(tokenStatsSql)),
+    Gate("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    Gate("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    Gate("q_lang_id", langId, Some(langIdSql)),
+    Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Gate("q_minhash_dedup", minhashDedup, None),
+    Gate("q_simhash_dedup", simhashDedup, None),
+    Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
+    Gate("q_embed_lsh_topk", lshTopK, None),
+    Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    Gate("q_multimodal_features", multimodalFeatures, None),
+  )
+}

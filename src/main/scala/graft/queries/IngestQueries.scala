@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Gate, Tables}
+import graft.billing.{HivePaths, Ingest}
+
+/** Ingestion-path gates: the J1 dedup anti-join, T6 backfill pruning,
+  * S5/S6 hive-path round-trip, and an S1/S8/S9 CSV write→glob-read cycle
+  * (rows-only — the oracle runs over parquet, not our CSV side-products).
+  */
+object IngestQueries {
+
+  // J1 — dedup anti-join: staged = all events, existing = every third row;
+  // new rows are exactly those without a natural-key match.
+  private def dedupAnti(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val existing = events.filter(col("event_id") % 3 === 0)
+    Ingest.newRows(events, existing, Seq("ts", "user_id", "event_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("event_id")
+  }
+
+  private val dedupAntiSql =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM events d
+      |  WHERE d.event_id % 3 = 0 AND d.ts = e.ts
+      |    AND d.user_id = e.user_id AND d.event_id = e.event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // T6 — backfill window: partition-column predicate over the billing shape.
+  private def backfillWindow(s: SparkSession, d: String): DataFrame =
+    Ingest.backfill(EventsBilling(s, d), "2024-01-10", "2024-01-20")
+      .groupBy("year", "month", "day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("credit_usage"), 2).as("total_credit_usage"))
+      .orderBy("year", "month", "day")
+
+  private val backfillWindowSql =
+    s"""${EventsBilling.cte}
+       |SELECT year, month, day, count(*) AS n,
+       |       round(sum(credit_usage), 2) AS total_credit_usage
+       |FROM billing
+       |WHERE make_date(year, month, day)
+       |      BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+       |GROUP BY year, month, day ORDER BY year, month, day""".stripMargin
+
+  // S5/S6/F7 — hive path build + regex parse round-trip.
+  private def hivePaths(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val paths = e.select(
+      HivePaths.pathFor(year(col("ts")), month(col("ts")),
+        dayofmonth(col("ts"))).as("path")).distinct()
+    paths.select(col("path"),
+      HivePaths.yearOf(col("path")).as("year"),
+      HivePaths.monthOf(col("path")).as("month"),
+      HivePaths.dayOf(col("path")).as("day"))
+      .orderBy("path")
+  }
+
+  private val hivePathsSql =
+    """WITH p AS (SELECT DISTINCT concat(
+      |    'year=', CAST(year(ts) AS VARCHAR),
+      |    '/month=', lpad(CAST(month(ts) AS VARCHAR), 2, '0'),
+      |    '/day=', lpad(CAST(day(ts) AS VARCHAR), 2, '0')) AS path
+      |  FROM events)
+      |SELECT path,
+      |       CAST(regexp_extract(path, 'year=(\d+)', 1) AS INTEGER) AS year,
+      |       CAST(regexp_extract(path, 'month=(\d+)', 1) AS INTEGER) AS month,
+      |       CAST(regexp_extract(path, 'day=(\d+)', 1) AS INTEGER) AS day
+      |FROM p ORDER BY path""".stripMargin
+
+  // S1/S8/S9 — CSV sink + glob re-scan with the fixed schema (rows-only
+  // gate: exercises header handling and explicit-schema reads end-to-end).
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_csv_").toString
+    val billing = EventsBilling(s, d)
+    billing.write.mode("overwrite").option("header", "true").csv(out)
+    Ingest.readCsv(s, s"$out/part-*.csv")
+      .groupBy("operation_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("operation_type")
+  }
+
+  def gates: Seq[Gate] = Seq(
+    Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
+    Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
+    Gate("q_hive_paths", hivePaths, Some(hivePathsSql)),
+    Gate("q_csv_roundtrip", csvRoundtrip, None),
+  )
+}
