@@ -1,0 +1,71 @@
+package graft.billing
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+class AggregatesSpec extends SparkSpec {
+
+  private def rec(ts: String, user: String, usage: Double, success: Boolean,
+      region: String = "us", tier: String = "free", op: String = "read",
+      res: String = "r1", rtype: String = "compute"): Schemas.BillingRecord =
+    Schemas.BillingRecord(Timestamp.valueOf(ts), res, user, usage, region,
+      tier, op, success, rtype, s"i-$ts-$user-$res", "USD",
+      ts.take(4).toInt, ts.slice(5, 7).toInt, ts.slice(8, 10).toInt)
+
+  private val fixture: DataFrame = spark.createDataFrame(Seq(
+    rec("2025-04-23 10:00:00", "u1", 2.0, success = true, res = "r1"),
+    rec("2025-04-23 11:00:00", "u1", 4.0, success = false, res = "r2"),
+    rec("2025-04-23 12:00:00", "u2", -1.0, success = true, res = "r1"),
+    rec("2025-04-24 09:00:00", "u2", 10.0, success = false, res = "r3"),
+  ))
+
+  test("A1: daily rollup — hand-computed micro-fixture") {
+    val got = Aggregates.daily(fixture).orderBy("day").collect()
+    assert(got.length == 2)
+    val d23 = got(0)
+    assert(d23.getAs[Int]("day") == 23)
+    assert(d23.getAs[Long]("transaction_count") == 3L)
+    assert(d23.getAs[Double]("total_credit_usage") == 5.0)
+    assert(d23.getAs[Long]("unique_users") == 2L)
+    assert(d23.getAs[Long]("unique_resources") == 2L)
+    assert(d23.getAs[Long]("successful_operations") == 2L)
+    assert(d23.getAs[Long]("failed_operations") == 1L)
+    val d24 = got(1)
+    assert(d24.getAs[Long]("transaction_count") == 1L)
+    assert(d24.getAs[Long]("successful_operations") == 0L)
+  }
+
+  test("A2: user rollup — activity span and distinct counts") {
+    val got = Aggregates.user(fixture).orderBy("user_id").collect()
+    val u1 = got(0)
+    assert(u1.getAs[String]("user_id") == "u1")
+    assert(u1.getAs[Long]("resources_used") == 2L)
+    assert(u1.getAs[Timestamp]("first_activity") ==
+      Timestamp.valueOf("2025-04-23 10:00:00"))
+    assert(u1.getAs[Timestamp]("last_activity") ==
+      Timestamp.valueOf("2025-04-23 11:00:00"))
+    val u2 = got(1)
+    assert(u2.getAs[Long]("transaction_count") == 2L)
+    assert(u2.getAs[Double]("avg_credit_usage") == 4.5)
+  }
+
+  test("A3/A4: service and region rollups group correctly") {
+    assert(Aggregates.service(fixture).count() == 1) // one (tier,rtype,op)
+    val region = Aggregates.region(fixture).collect()(0)
+    assert(region.getAs[Long]("operation_count") == 4L)
+    assert(region.getAs[Long]("unique_users") == 2L)
+  }
+
+  test("approx variant tracks exact counts at small scale") {
+    val exact = Aggregates.user(fixture).orderBy("user_id").collect()
+    val approx = Aggregates.userApprox(fixture).orderBy("user_id").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getAs[Long]("transaction_count") ==
+        a.getAs[Long]("transaction_count"))
+      // HLL at rsd=0.05 is exact for tiny cardinalities
+      assert(e.getAs[Long]("resources_used") == a.getAs[Long]("resources_used"))
+    }
+  }
+}

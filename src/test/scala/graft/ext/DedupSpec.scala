@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 base docs; d0b/d1b are near-dups of d0/d1; d7 is an exact dup of d6.
+  private lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "spark shuffles data between stages when keys move across partitions"),
+    (2L, "completely different content about cooking pasta with fresh basil"),
+    (3L, "another unrelated doc that talks about mountain hiking in spring"),
+    (4L, "yet more filler text describing database query optimization rules"),
+    (5L, "totally unique sentence with distinctive vocabulary choices here"),
+    (6L, "same exact text appears twice in this tiny corpus for testing"),
+    (7L, "same exact text appears twice in this tiny corpus for testing"),
+    (10L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (11L, "spark shuffles data between stages when keys move across machines"),
+  ).toDF("id", "t")
+
+  test("exact dedup groups duplicate texts deterministically") {
+    val groups = Dedup.exactGroups(docs, col("t"), col("id"))
+    assert(groups.count() == 9) // 10 docs, one exact dup pair
+    val dup = groups.filter(col("n_copies") === 2).collect()(0)
+    assert(dup.getAs[Long]("keeper_id") == 6L)
+  }
+
+  test("n-gram jaccard finds planted near-dups and nothing else") {
+    val pairs = Dedup.jaccardPairs(docs, col("id"), col("t"),
+      n = 3, threshold = 0.5, maxDF = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 10L), (1L, 11L), (6L, 7L)))
+  }
+
+  test("minhash-LSH dedup agrees with exact jaccard on planted dups") {
+    val pairs = Dedup.minhashDedup(docs, col("id"), col("t"),
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 10L), (1L, 11L), (6L, 7L)))
+  }
+
+  test("minhash candidates are a superset of true near-dup pairs") {
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashBuckets(docs, col("id"), col("t")))
+      .as[(Long, Long)].collect().toSet
+    assert(Set((0L, 10L), (1L, 11L), (6L, 7L)).subsetOf(cands))
+  }
+
+  test("simhash: exact dups and bag-of-words reorderings at distance 0") {
+    // SimHash over the token multiset is order-invariant: a shuffled copy
+    // must collide exactly; a single-word swap on a short doc legitimately
+    // flips many bits (few votes per bit), so near-dup detection via
+    // simhash is only meaningful for long docs / tiny relative edits.
+    val reordered = docs.unionAll(Seq(
+      (20L, "dog lazy the near jumps fox brown quick the over bank river the"),
+    ).toDF("id", "t"))
+    val pairs = Dedup.simhashPairs(reordered, col("id"), col("t"),
+      maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((6L, 7L)) == 0)
+    assert(byPair((0L, 20L)) == 0, s"reordering must collide: $byPair")
+  }
+
+  test("dedup idempotence: appending the dedup output to itself is empty") {
+    val deduped = docs.dropDuplicates("t")
+    val again = graft.billing.Ingest.newRows(deduped, deduped, Seq("t"))
+    assert(again.count() == 0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.toMedia(Seq(
+      (1L, "hello world", "en", "srcA", 11L),
+      (2L, "", "en", "srcB", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("media schema: binary payload + typed metadata struct") {
+    val f = media.schema("payload")
+    assert(f.dataType.typeName == "binary")
+    assert(media.select("meta.format").as[String].collect()(0) == "utf8-text")
+  }
+
+  test("decode stub: histogram is L1-normalized and deterministic") {
+    val h1 = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    val h2 = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(h1.toSeq == h2.toSeq)
+    assert(math.abs(h1.sum - 1.0) < 1e-12)
+  }
+
+  test("extractFeatures: mapPartitions path handles empty payloads") {
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 11)
+    assert(feats(1).n_bytes == 0)
+    assert(feats(0).histogram.length == 16)
+  }
+
+  test("sampleSlices emits strided byte windows") {
+    val slices = Multimodal.sampleSlices(media.filter(col("doc_id") === 1),
+      sliceLen = 4, stride = 4, maxSlices = 2)
+      .select("slice_no", "bytes").collect()
+    assert(slices.length == 2)
+    assert(new String(slices(0).getAs[Array[Byte]]("bytes"), "UTF-8") == "hell")
+    assert(new String(slices(1).getAs[Array[Byte]]("bytes"), "UTF-8") == "o wo")
+  }
+}
