@@ -1,7 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashAgg, SimHashAgg}
 
 /** Deduplication family for training-data pipelines (SURVEY §2.10):
   * exact (hash-groupBy), n-gram Jaccard (shingle join), MinHash+LSH
@@ -36,7 +38,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double, maxDF: Long): DataFrame = {
-    val sh = shingleTable(docs, id, text, n)
+    // The shingle table feeds three consumers (sizes, doc-frequency, the
+    // pair self-join) — persist it so the tokenize/shingle subtree runs
+    // once instead of being recomputed per branch.
+    val sh = shingleTable(docs, id, text, n).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -66,22 +71,30 @@ object Dedup {
     * one 64-long row per document. Returns (id, sig: array<long>).
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
-      n: Int, perms: Int): DataFrame = {
-    val sh = shingleTable(docs, id, text, n)
-    val aggs = (0 until perms).map(p =>
-      min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
-  }
+      n: Int, perms: Int): DataFrame =
+    signaturesFromShingles(shingleTable(docs, id, text, n), perms)
+
+  /** Signature aggregation over an existing (id, sh) shingle table —
+    * one [[MinHashAgg]] typed aggregate (k mins in a single buffer; the
+    * k-separate-min spelling costs ~20 s of codegen compilation).
+    */
+  def signaturesFromShingles(sh: DataFrame, perms: Int): DataFrame =
+    sh.groupBy("id")
+      .agg(udaf(new MinHashAgg(perms), Encoders.STRING)(col("sh")).as("sig"))
 
   /** Banded signatures for LSH: (id, band, bucket) rows; docs sharing any
     * bucket are candidate near-duplicates. bands × rowsPerBand = perms.
     */
   def minhashBuckets(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    minhashSignatures(docs, id, text, n, bands * rowsPerBand)
-      .select(col("id"),
+    bucketsFromSignatures(
+      minhashSignatures(docs, id, text, n, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** Banding over an existing (id, sig) signature frame. */
+  def bucketsFromSignatures(sig: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
@@ -102,9 +115,13 @@ object Dedup {
     * verification restricted to the candidate pairs.
     */
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val cands = minhashCandidates(minhashBuckets(docs, id, text, n))
-    val sh = shingleTable(docs, id, text, n)
+      n: Int = 3, threshold: Double = 0.6,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // One persisted shingle table feeds the signature aggregation AND the
+    // candidate verification — the tokenize/shingle subtree runs once.
+    val sh = shingleTable(docs, id, text, n).persist()
+    val cands = minhashCandidates(bucketsFromSignatures(
+      signaturesFromShingles(sh, bands * rowsPerBand), bands, rowsPerBand))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cands
       .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
@@ -120,26 +137,14 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Packed 64-bit SimHash. Votes: bit b of xxhash64(token) contributes
-    * +1 (set) or -1 (clear); final bit = 1 iff the vote sum is positive.
+  /** Per-document 64-bit SimHash signatures over the token multiset
+    * (order-invariant), via the [[SimHashAgg]] typed aggregate.
     */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftrightunsigned", h, b)
-            .bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+      explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy("id")
+      .agg(udaf(new SimHashAgg, Encoders.STRING)(col("tok")).as("sig"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, banded on
     * four 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ some chunk is equal),
@@ -147,8 +152,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(id.as("id"),
-      simhash64(TextAnalysis.tokens(text)).as("sig"))
+    val sigs = simhashSignatures(docs, id, text)
     val chunks = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
@@ -156,6 +160,9 @@ object Dedup {
             .bitwiseAND(lit(0xFFFFL)).as("ck")))).as("cc"))
       .select(col("id"), col("sig"),
         col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+      // both sides of the self-join would otherwise recompute the
+      // aggregate-HOF simhash expression for every row
+      .persist()
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
