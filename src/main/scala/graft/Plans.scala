@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.functions._
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    for (q <- args) {
+      println(s"########## $q")
+      SparkEntry.queries(q)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Similarity search over an `Array[Float]` embedding column:
   * brute-force cosine top-k as the exact baseline, plus a random-hyperplane
@@ -16,8 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingSearch {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (the HOF spelling
+    * `aggregate(zip_with(..))` runs interpreted per element; same fold
+    * order, bit-identical results).
+    */
   def dot(a: Column, b: Column): Column =
+    Bridge.toColumn(
+      graft.functions.DotProduct(Bridge.toExpr(a), Bridge.toExpr(b)))
+
+  /** HOF spelling kept for comparison/benchmarks. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
