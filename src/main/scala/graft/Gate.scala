@@ -18,5 +18,6 @@ object Gate {
   def all: Seq[Gate] =
     queries.CoreQueries.gates ++
       queries.IngestQueries.gates ++
-      queries.ExtQueries.gates
+      queries.ExtQueries.gates ++
+      queries.ScaleQueries.gates
 }

@@ -1,0 +1,35 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF with full probing equals brute force exactly") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val model = IvfIndex.build(embs, k = 4)
+    val ivf = IvfIndex.search(model, col("vec_id") < 5, k = 3, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("IVF with partial probing returns k ranked cells-local neighbors") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val model = IvfIndex.build(embs, k = 8)
+    val res = IvfIndex.search(model, col("vec_id") < 3, k = 5, nProbe = 2)
+      .collect()
+    assert(res.length == 15) // 3 queries × k
+    // ranks are 1..k per query and cosines are non-increasing
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+}
