@@ -72,10 +72,35 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  // §2.9 — streaming: event-time windowed aggregation with a watermark,
+  // driven through a real file-source stream + memory sink (rows-only;
+  // streaming has no DuckDB twin). The CSV staging keeps the gate
+  // self-contained; AvailableNow drains synchronously.
+  private def streamWindow(s: SparkSession, d: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("gate_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gate_ckpt_").toString
+    EventsBilling(s, d).limit(5000)
+      .write.mode("overwrite").option("header", "true").csv(in)
+    val stream = s.readStream.option("header", "true")
+      .schema(graft.billing.Schemas.billing).csv(in)
+    val q = graft.streaming.StreamingIngest.windowedCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gate_stream_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("gate_stream_out")
+      .select(col("window.start").cast("string").as("window_start"),
+        col("operation_type"), col("n"),
+        round(col("total_credit_usage"), 2).as("total_credit_usage"))
+      .orderBy("window_start", "operation_type")
+  }
+
   def gates: Seq[Gate] = Seq(
     Gate("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
     Gate("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, None),
+    Gate("q_stream_window", streamWindow, None),
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.functions._
+import graft.billing.{HivePaths, Ingest}
+import graft.ext.TextAnalysis
+import graft.functions.Hash64
+
+/** Property-based invariants (SURVEY §5.2): roundtrips and idempotence
+  * laws the engine must satisfy for arbitrary inputs. Spark-level
+  * properties sample a bounded number of cases (each case is a tiny job);
+  * pure functions get the full default 100.
+  */
+object GraftProperties extends Properties("graft") {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val dates = for {
+    y <- Gen.choose(1970, 2100)
+    m <- Gen.choose(1, 12)
+    d <- Gen.choose(1, 28)
+  } yield (y, m, d)
+
+  property("hivePathRoundtrip") = Prop.forAllNoShrink(Gen.listOfN(8, dates)) {
+    ds =>
+      val got = ds.toDF("y", "m", "d")
+        .select(HivePaths.pathFor(col("y"), col("m"), col("d")).as("p"))
+        .select(HivePaths.yearOf(col("p")), HivePaths.monthOf(col("p")),
+          HivePaths.dayOf(col("p")))
+        .as[(Int, Int, Int)].collect().toList
+      got == ds
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  property("fingerprintWhitespaceCaseInvariance") =
+    Prop.forAllNoShrink(Gen.listOfN(6, text)) { ts =>
+      val mangled = ts.map(t => "  " + t.toUpperCase.replace(" ", "\t  "))
+      val fp = (xs: List[String]) => xs.toDF("t")
+        .select(TextAnalysis.fingerprint(col("t"))).as[String].collect().toList
+      fp(ts) == fp(mangled)
+    }
+
+  property("dedupAppendIdempotence") =
+    Prop.forAllNoShrink(Gen.listOfN(10, Gen.choose(0, 5))) { keys =>
+      val staged = keys.zipWithIndex.map { case (k, i) => (s"k$k", i) }
+        .toDF("k", "payload")
+      val first = staged.dropDuplicates("k")
+      // re-appending the same batch on the same key yields nothing new
+      Ingest.newRows(staged, first, Seq("k")).count() == 0
+    }
+
+  property("hash64SeedIndependence") = Prop.forAll(word, word) { (a, b) =>
+    // different seeds decorrelate; equal input+seed is deterministic
+    (Hash64.seeded(1, a) == Hash64.seeded(1, a)) &&
+      (a == b || Hash64.seeded(1, a) != Hash64.seeded(1, b) ||
+        Hash64.seeded(2, a) != Hash64.seeded(2, b))
+  }
+
+  property("minhashContainment") = Prop.forAllNoShrink(
+    Gen.listOfN(20, word), Gen.listOfN(3, word)) { (base, extra) =>
+    // signature of (A ∪ B) is element-wise ≤ signature of A
+    val agg = new graft.functions.MinHashAgg(16)
+    val sigA = base.distinct.foldLeft(agg.zero)(agg.reduce)
+    val sigAB = (base ++ extra).distinct.foldLeft(agg.zero)(agg.reduce)
+    sigA.zip(sigAB).forall { case (a, ab) => ab <= a }
+  }
+}
