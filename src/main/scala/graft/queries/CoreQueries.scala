@@ -74,6 +74,17 @@ object CoreQueries {
        |       epoch_ms(max("timestamp")) AS last_activity_ms
        |FROM billing GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // A2 at the 100 TB design point: HLL sketches instead of exact
+  // distincts — no Expand, one pass, mergeable (rows-only gate; approx
+  // counts have no DuckDB twin).
+  private def userRollupApprox(s: SparkSession, d: String): DataFrame =
+    Aggregates.userApprox(EventsBilling(s, d)).select(
+      col("user_id"), col("transaction_count"),
+      r2(col("total_credit_usage")).as("total_credit_usage"),
+      col("resources_used"), col("resource_types_used"),
+      col("operation_types"), col("regions_used"),
+    ).orderBy("user_id")
+
   // A3 — service rollup.
   private def serviceRollup(s: SparkSession, d: String): DataFrame =
     Aggregates.service(EventsBilling(s, d)).select(
@@ -417,6 +428,7 @@ object CoreQueries {
   def gates: Seq[Gate] = Seq(
     Gate("q_daily_rollup", dailyRollup, Some(dailyRollupSql)),
     Gate("q_user_rollup", userRollup, Some(userRollupSql)),
+    Gate("q_user_rollup_approx", userRollupApprox, None),
     Gate("q_service_rollup", serviceRollup, Some(serviceRollupSql)),
     Gate("q_region_rollup", regionRollup, Some(regionRollupSql)),
     Gate("q_global_agg", globalAgg, Some(globalAggSql)),
