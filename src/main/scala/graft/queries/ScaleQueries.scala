@@ -96,7 +96,41 @@ object ScaleQueries {
       .orderBy("window_start", "operation_type")
   }
 
+  // As-of join: each error event matched to the user's most recent click
+  // at or before it. DuckDB's native ASOF JOIN is the oracle; the Spark
+  // side is the union+window composition (one shuffle on the key).
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    // collapse right-side ties (same user, same ts) to make the match
+    // unique — mirrored in the oracle CTE
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("ts").as("cts"), col("click_id"))
+    graft.operators.AsOfJoin.backward(errors, clicks, Seq("user_id"),
+      "ts", "cts", Seq("click_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("click_id"),
+        unix_millis(col("cts_matched")).as("click_ms"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql =
+    """WITH l AS (SELECT user_id, ts, event_id FROM events
+      |           WHERE event_type = 'error'),
+      |     r AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click'
+      |           GROUP BY user_id, ts)
+      |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+      |       r.click_id, epoch_ms(r.cts) AS click_ms
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.cts
+      |ORDER BY l.event_id""".stripMargin
+
   def gates: Seq[Gate] = Seq(
+    Gate("q_asof_join", asofJoin, Some(asofJoinSql)),
     Gate("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
     Gate("q_salted_join", saltedJoin, Some(saltedJoinSql)),
