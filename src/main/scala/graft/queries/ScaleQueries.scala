@@ -129,7 +129,45 @@ object ScaleQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.cts
       |ORDER BY l.event_id""".stripMargin
 
+  // Gap-based sessionization (batch twin of the stateful streaming op).
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.Sessionize.Event]
+    graft.streaming.Sessionize.sessionizeBatch(events, gapSeconds = 600)
+      .toDF()
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  private val sessionizeSql =
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT *, sum(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      |    AS session_id
+      |  FROM x)
+      |SELECT user_id,
+      |       epoch_ms(min(ts)) AS session_start_ms,
+      |       epoch_ms(max(ts)) AS session_end_ms,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS total_value
+      |FROM y GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   def gates: Seq[Gate] = Seq(
+    Gate("q_sessionize", sessionize, Some(sessionizeSql)),
     Gate("q_asof_join", asofJoin, Some(asofJoinSql)),
     Gate("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
