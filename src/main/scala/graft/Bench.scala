@@ -20,6 +20,9 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // operators persist() reusable subtrees; drop them between queries
+      // so 48 gates don't accumulate cached partitions in one session
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
