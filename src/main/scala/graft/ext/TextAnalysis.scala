@@ -67,7 +67,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Word n-gram shingles (the unit for Jaccard/MinHash near-dedup). */
+  /** BPE-style pre-tokenization: the GPT-2 pre-tokenizer shape — leading-
+    * space word pieces, number runs, punctuation runs — as a pure regex
+    * extraction (no lookarounds, so RE2-based engines match Java exactly
+    * and the DuckDB oracle can mirror it).
+    */
+  val bpePattern: String =
+    "'[a-z]+| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Winnowing document fingerprints (the rolling-hash scheme of MOSS):
+    * hash every character k-gram, then keep the minimum hash of each
+    * sliding window of `w` consecutive k-gram hashes. Guarantees any
+    * shared substring of length ≥ w+k−1 contributes a shared fingerprint
+    * — the classic local-similarity sketch.
+    *
+    * Shape note: the window minima are computed by `zip_with`-reducing w
+    * shifted slices of the gram-hash array — linear in document length
+    * (w re-evaluations of the gram array), NOT the naive
+    * per-window-slice transform, which re-evaluates the gram hashes per
+    * window and goes quadratic.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val grams = when(length(norm) >= k,
+      transform(sequence(lit(0), length(norm) - k),
+        i => xxhash64(norm.substr(i + 1, lit(k)))))
+      .otherwise(array(xxhash64(norm)))
+    val nWin = greatest(size(grams) - (w - 1), lit(1))
+    val shifted = (0 until w).map(l => slice(grams, lit(l + 1), nWin))
+    val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    array_distinct(mins)
+  }
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -228,7 +228,33 @@ object ExtQueries {
         round(element_at(col("histogram"), 1), 6).as("hist_0"))
       .orderBy("doc_id")
 
+  // ---- BPE-style token counting (oracle: same RE2-compatible regex) ---
+  private def bpeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.bpeTokenCount(col("text"))).as("total_bpe_tokens"))
+      .orderBy("source")
+
+  private val bpeTokensSql =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(len(regexp_extract_all(lower(text),
+       |         '${TextAnalysis.bpePattern.replace("'", "''")}'))) AS BIGINT)
+       |         AS total_bpe_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- winnowing fingerprints (rows-only: xxhash64 has no DuckDB twin)
+  private def winnowing(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        element_at(array_sort(col("fps")), 1).as("min_fp"))
+      .orderBy("doc_id")
+
   def gates: Seq[Gate] = Seq(
+    Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    Gate("q_winnow_fp", winnowing, None),
     Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Gate("q_token_stats", tokenStats, Some(tokenStatsSql)),
     Gate("q_fingerprint", fingerprint, Some(fingerprintSql)),
