@@ -204,6 +204,31 @@ object ExtQueries {
       col("vec_id") < 10, k = 5, nPlanes = 4)
       .orderBy("query_id", "rank")
 
+  // ---- embedding-cosine near-dup (exact all-pairs; oracle-matched) -------
+  private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+    val e = EmbeddingSearch.prepared(Tables.embeddings(s, d))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("a.v"), col("b.v")) /
+          sqrt(col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val embedDupPairsSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_dot_product(a.v, b.v)
+      |         / sqrt(list_dot_product(a.v, a.v)
+      |                * list_dot_product(b.v, b.v)), 6) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |        / sqrt(list_dot_product(a.v, a.v)
+      |               * list_dot_product(b.v, b.v)) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- multimodal --------------------------------------------------------
   private def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.toMedia(Tables.documents(s, d))
@@ -264,6 +289,7 @@ object ExtQueries {
     Gate("q_minhash_dedup", minhashDedup, None),
     Gate("q_simhash_dedup", simhashDedup, None),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
+    Gate("q_embed_dup_pairs", embedDupPairs, Some(embedDupPairsSql)),
     Gate("q_embed_lsh_topk", lshTopK, None),
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Gate("q_multimodal_features", multimodalFeatures, None),
