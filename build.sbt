@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // dozens of whole-stage-codegen'd queries in one JVM overflow the
+  // default 240m code cache; once full the JIT disables itself and hot
+  // loops drop to the interpreter (10-50x slowdowns, run-to-run chaos)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // typed aggregates (MinHash/SimHash) run via ObjectHashAggregate,
+      // whose default sort-fallback kicks in at 128 groups/partition —
+      // far below our per-doc signature groupBys
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -40,8 +40,11 @@ object Dedup {
       n: Int, threshold: Double, maxDF: Long): DataFrame = {
     // The shingle table feeds three consumers (sizes, doc-frequency, the
     // pair self-join) — persist it so the tokenize/shingle subtree runs
-    // once instead of being recomputed per branch.
-    val sh = shingleTable(docs, id, text, n).persist()
+    // once instead of being recomputed per branch. Shingles join as
+    // xxhash64 longs, not strings: the common/df counts are identical
+    // (collisions are 2^-64) and the shuffle carries 8-byte keys.
+    val sh = shingleTable(docs, id, text, n)
+      .select(col("id"), xxhash64(col("sh")).as("sh")).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -122,10 +125,12 @@ object Dedup {
     val sh = shingleTable(docs, id, text, n).persist()
     val cands = minhashCandidates(bucketsFromSignatures(
       signaturesFromShingles(sh, bands * rowsPerBand), bands, rowsPerBand))
+    // verification joins run on hashed shingles (8-byte keys, same counts)
+    val shH = sh.select(col("id"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cands
-      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .join(shH.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(shH.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
