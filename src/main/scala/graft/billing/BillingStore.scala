@@ -67,11 +67,42 @@ final case class BillingStore(root: String) {
   def rebuildAggregates(spark: SparkSession): Unit = {
     val r = raw(spark).cache()
     try {
-      Aggregates.daily(r).write.mode("overwrite").parquet(aggPath("daily"))
+      // daily_aggs is day-partitioned so refreshDailyForDays can later
+      // overwrite single partitions (and day-window reads prune)
+      Aggregates.daily(r).write.mode("overwrite")
+        .partitionBy("year", "month", "day").parquet(aggPath("daily"))
       Aggregates.user(r).write.mode("overwrite").parquet(aggPath("user"))
       Aggregates.service(r).write.mode("overwrite").parquet(aggPath("service"))
       Aggregates.region(r).write.mode("overwrite").parquet(aggPath("region"))
     } finally r.unpersist()
+  }
+
+  /** Incremental daily-rollup maintenance: recompute ONLY the
+    * (year,month,day) partitions the batch touched and overwrite just
+    * those output partitions (dynamic partition overwrite = per-partition
+    * MERGE). The reference rebuilds every aggregate from all history each
+    * run (`aggregates.py:31,96,163,226`) — correct, but a 100 TB
+    * non-starter; day-keyed rollups only ever change for appended days,
+    * so this reads the touched days (partition-pruned) and writes the
+    * touched partitions, leaving history untouched. Exactness is
+    * preserved (including COUNT(DISTINCT)) because the day is the full
+    * grouping key: each partition's aggregate depends only on that
+    * partition's rows.
+    */
+  def refreshDailyForDays(spark: SparkSession, touchedDays: DataFrame): Unit = {
+    val days = touchedDays.select("year", "month", "day").distinct()
+    val affected = raw(spark).join(
+      org.apache.spark.sql.functions.broadcast(days),
+      Seq("year", "month", "day"))
+    val out = Aggregates.daily(affected)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode("overwrite")
+      .partitionBy("year", "month", "day").parquet(aggPath("daily"))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** T4: last-wins ledger upsert, rewritten in place (the ledger is tiny —

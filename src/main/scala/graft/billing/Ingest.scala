@@ -26,6 +26,33 @@ object Ingest {
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(paths: _*)
 
+  /** Schema drift report: diff an inferred file schema against the fixed
+    * billing DDL. The reference binds inferred columns to the DDL *by
+    * position with implicit casts* (`ingest.py:249-257`), which silently
+    * absorbs drift; this surfaces it instead (new columns, missing
+    * columns, type changes) so an operator can decide.
+    */
+  final case class SchemaDrift(added: Seq[String], missing: Seq[String],
+      retyped: Seq[(String, String, String)]) {
+    def isDrifted: Boolean =
+      added.nonEmpty || missing.nonEmpty || retyped.nonEmpty
+  }
+
+  def schemaDrift(spark: SparkSession, paths: String*): SchemaDrift = {
+    val inferred = readCsvInferred(spark, paths: _*).schema
+    val fixed = Schemas.billing
+    val inf = inferred.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val fix = fixed.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    SchemaDrift(
+      added = inferred.fieldNames.filterNot(fix.contains).toSeq,
+      missing = fixed.fieldNames.filterNot(inf.contains).toSeq,
+      retyped = fixed.fields.toSeq.flatMap { f =>
+        inf.get(f.name)
+          .filter(_ != f.dataType.simpleString)
+          .map(t => (f.name, f.dataType.simpleString, t))
+      })
+  }
+
   /** S4/S6: Hive-partitioned tree `root/year=YYYY/month=MM/day=DD/` CSVs.
     * Spark's built-in partition discovery materializes year/month/day as
     * int columns and prunes them at the scan — this single call replaces

@@ -1,0 +1,84 @@
+package graft.billing
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+class BillingStoreSpec extends SparkSpec {
+
+  private def rec(ts: String, res: String, user: String,
+      usage: Double): Schemas.BillingRecord =
+    Schemas.BillingRecord(Timestamp.valueOf(ts), res, user, usage,
+      "us", "free", "read", true, "compute", s"i-$res", "USD",
+      ts.take(4).toInt, ts.slice(5, 7).toInt, ts.slice(8, 10).toInt)
+
+  private def df(rs: Schemas.BillingRecord*): DataFrame =
+    spark.createDataFrame(rs)
+
+  test("incremental daily refresh equals full rebuild after an append") {
+    val store = BillingStore(tmpDir("inc_store"))
+    store.appendDedup(spark, df(
+      rec("2025-04-23 10:00:00", "r1", "u1", 2.0),
+      rec("2025-04-24 10:00:00", "r2", "u1", 3.0)))
+    store.rebuildAggregates(spark)
+
+    // a second batch touches only day 24 and adds day 25
+    val batch = df(
+      rec("2025-04-24 12:00:00", "r3", "u2", 5.0),
+      rec("2025-04-25 09:00:00", "r4", "u2", 7.0))
+    store.appendDedup(spark, batch)
+    store.refreshDailyForDays(spark, batch.toDF())
+
+    val incremental = spark.read.parquet(store.aggPath("daily"))
+      .orderBy("year", "month", "day")
+      .select("year", "month", "day", "transaction_count",
+        "total_credit_usage", "unique_users")
+      .collect().toSeq
+
+    // full rebuild from scratch must agree
+    val full = Aggregates.daily(store.raw(spark))
+      .orderBy("year", "month", "day")
+      .select("year", "month", "day", "transaction_count",
+        "total_credit_usage", "unique_users")
+      .collect().toSeq
+    assert(incremental == full)
+    assert(incremental.length == 3)
+    assert(incremental(1).getAs[Long]("transaction_count") == 2L)
+  }
+
+  test("untouched day partitions are not rewritten by the refresh") {
+    val store = BillingStore(tmpDir("inc_store2"))
+    val b1 = df(rec("2025-04-23 10:00:00", "r1", "u1", 2.0))
+    store.appendDedup(spark, b1)
+    store.rebuildAggregates(spark)
+    val d23 = new java.io.File(
+      s"${store.aggPath("daily")}/year=2025/month=4/day=23")
+    val before = d23.listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    val b2 = df(rec("2025-04-24 10:00:00", "r2", "u1", 3.0))
+    store.appendDedup(spark, b2)
+    store.refreshDailyForDays(spark, b2.toDF())
+    val after = d23.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "day=23 files must be untouched")
+    assert(new java.io.File(
+      s"${store.aggPath("daily")}/year=2025/month=4/day=24").exists())
+  }
+
+  test("schema drift report: added, missing, retyped columns") {
+    val dir = tmpDir("drift")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "drifted.csv"),
+      "timestamp,resource_id,user_id,credit_usage,region,service_tier," +
+        "operation_type,success,resource_type,invoice_id,currency,year," +
+        "month,day,extra_col\n" +
+        "2025-04-23 10:00:00,r1,u1,notanumber,us,free,read,true,c,i1,USD," +
+        "2025,4,23,boom\n")
+    val drift = Ingest.schemaDrift(spark, s"$dir/*.csv")
+    assert(drift.isDrifted)
+    assert(drift.added == Seq("extra_col"))
+    assert(drift.missing.isEmpty)
+    assert(drift.retyped.exists(r =>
+      r._1 == "credit_usage" && r._2 == "double"))
+  }
+}
