@@ -294,7 +294,7 @@ object CoreQueries {
   private val windowTopNSql =
     """WITH c AS (SELECT event_type, user_id, count(*) AS n
       |           FROM events GROUP BY event_type, user_id)
-      |SELECT event_type, user_id, n, rn FROM
+      |SELECT event_type, user_id, n, CAST(rn AS INTEGER) AS rn FROM
       |  (SELECT *, row_number() OVER
       |     (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn FROM c)
       |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin

@@ -196,7 +196,7 @@ object ExtQueries {
       |                                ORDER BY cos DESC, vec_id) AS rank
       |      FROM p)
       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
-      |       CAST(rank AS BIGINT) AS rank
+      |       CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def lshTopK(s: SparkSession, d: String): DataFrame =
