@@ -19,5 +19,6 @@ object Gate {
     queries.CoreQueries.gates ++
       queries.IngestQueries.gates ++
       queries.ExtQueries.gates ++
+      queries.DataOpsQueries.gates ++
       queries.ScaleQueries.gates
 }

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training-data pipelines: deterministic
+  * splits, weighted source mixing, and benchmark decontamination.
+  *
+  * Determinism rule: every assignment derives from a content/id hash
+  * (md5), never from `rand()` — re-runs, retries, and cluster re-plans
+  * all produce byte-identical datasets, and an external system (or the
+  * DuckDB oracle) can reproduce the assignment independently.
+  */
+object DataOps {
+
+  /** Deterministic split assignment from the md5 of an id column: the
+    * first two hex chars give a uniform value in [0, 256); cut points at
+    * `trainPct`/`valPct` of 256, compared as hex strings (lowercase hex
+    * sorts numerically, so any SQL engine can mirror the assignment with
+    * a plain string comparison). Stable under any re-partitioning.
+    */
+  def splitOf(id: Column, trainPct: Double = 0.8,
+      valPct: Double = 0.1): Column = {
+    val bucket = substring(md5(id.cast("string")), 1, 2)
+    val trainCut = f"${(trainPct * 256).toInt}%02x"
+    val valCut = f"${((trainPct + valPct) * 256).toInt}%02x"
+    when(bucket < trainCut, "train")
+      .when(bucket < valCut, "val")
+      .otherwise("test")
+  }
+
+  def stratifiedSplit(df: DataFrame, id: Column, trainPct: Double = 0.8,
+      valPct: Double = 0.1): DataFrame =
+    df.withColumn("split", splitOf(id, trainPct, valPct))
+
+  /** Weighted mixing: keep each row with probability `weight(source)`,
+    * decided by a second, independent hash byte — deterministic
+    * downsampling per source (weights > 1 are capped at keep-all; true
+    * upsampling is an explode-by-ceil extension).
+    */
+  def weightedMix(df: DataFrame, id: Column, source: Column,
+      weights: Map[String, Double]): DataFrame = {
+    // independent hash byte (chars 3-4), hex-string compared like splitOf
+    val bucket = substring(md5(id.cast("string")), 3, 2)
+    val keepExpr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit("zz")) { case (acc, (src, w)) =>
+        // w >= 1 must keep-all: "zz" sorts above every hex bucket, whereas
+        // f"${256}%02x" would yield the 3-char "100" and drop buckets >= "10"
+        val cut = if (w >= 1.0) "zz" else f"${(w * 256).toInt}%02x"
+        when(source === src, lit(cut)).otherwise(acc)
+      }
+    df.filter(bucket < keepExpr)
+  }
+
+  /** Benchmark decontamination: flag documents sharing any word n-gram
+    * with the benchmark corpus. The benchmark shingle set is tiny
+    * relative to the corpus → broadcast semi/left join; corpus text never
+    * shuffles. Returns the input plus (contaminated, n_hits).
+    */
+  def decontaminate(docs: DataFrame, docId: Column, docText: Column,
+      bench: DataFrame, benchText: Column, n: Int = 7): DataFrame = {
+    val docSh = Dedup.shingleTable(docs, docId, docText, n)
+    val benchSh = bench.select(
+      explode(array_distinct(
+        TextAnalysis.wordShingles(TextAnalysis.tokens(benchText), n)))
+        .as("sh")).distinct()
+    val hits = docSh.join(broadcast(benchSh), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.join(hits.withColumnRenamed("id", "__hit_id"),
+        docId === col("__hit_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .drop("__hit_id")
+  }
+}

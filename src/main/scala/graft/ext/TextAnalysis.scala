@@ -103,6 +103,38 @@ object TextAnalysis {
     val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
     array_distinct(mins)
   }
+  /** PII scrubbing: regex redaction of emails, IPv4 addresses, and
+    * NANP-style phone numbers. Patterns avoid lookarounds so RE2-based
+    * engines (and the DuckDB oracle) agree with Java's regex exactly.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phoneRe = "\\+?[0-9]{1,2}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Gopher-style repetition/shape signals used by pretraining filters:
+    * duplicate word-n-gram fraction, mean word length, and
+    * non-alphanumeric symbol ratio.
+    */
+  def dupNgramRatio(toks: Column, n: Int): Column = {
+    val sh = wordShingles(toks, n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
+
+  def meanWordLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks)
+
+  def symbolRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+      .cast("double") / greatest(length(text), lit(1))
+
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Gate, Tables}
+import graft.ext.{DataOps, TextAnalysis}
+
+/** Gates for the dataset-assembly operators (training-data pipelines):
+  * deterministic train/val/test splitting, weighted source mixing,
+  * benchmark decontamination, PII scrubbing, and Gopher-style repetition
+  * signals. All five are hash/regex-deterministic, so every gate carries an
+  * exact DuckDB oracle (md5 and RE2-compatible regexes match across engines).
+  */
+object DataOpsQueries {
+
+  // ---- deterministic train/val/test split --------------------------------
+  private def splitAssign(s: SparkSession, d: String): DataFrame =
+    DataOps.stratifiedSplit(Tables.documents(s, d), col("doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split")
+
+  private val trainCut = f"${(0.8 * 256).toInt}%02x"
+  private val valCut = f"${(0.9 * 256).toInt}%02x"
+
+  private val splitAssignSql =
+    s"""WITH t AS (
+       |  SELECT *,
+       |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |                < '$trainCut' THEN 'train'
+       |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |                < '$valCut' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs,
+       |       count(DISTINCT source) AS n_sources,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM t GROUP BY split ORDER BY split""".stripMargin
+
+  // ---- weighted source mixing --------------------------------------------
+  /** srcN gets weight ((N % 4) + 1) * 0.25 — exercises downsampling at
+    * 0.25 / 0.5 / 0.75 and the keep-all (w = 1.0) path.
+    */
+  private val mixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
+
+  private def weightedMix(s: SparkSession, d: String): DataFrame =
+    DataOps.weightedMix(Tables.documents(s, d), col("doc_id"),
+        col("source"), mixWeights)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+
+  private val weightedMixSql =
+    """WITH m AS (
+      |  SELECT source,
+      |         CAST(substring(source, 4) AS INTEGER) % 4 AS k,
+      |         substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS b
+      |  FROM documents)
+      |SELECT source, count(*) AS n_kept FROM m
+      |WHERE b < CASE k WHEN 0 THEN '40' WHEN 1 THEN '80'
+      |                 WHEN 2 THEN 'c0' ELSE 'zz' END
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- benchmark decontamination -----------------------------------------
+  /** Benchmark corpus = every 25th document; any doc sharing a 7-word
+    * shingle with it (including the planted members themselves) is flagged.
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 25 === 0).select("text")
+    DataOps.decontaminate(docs, col("doc_id"), col("text"),
+        bench, col("text"), n = 7)
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 7
+      |           THEN list_transform(range(len(toks) - 6),
+      |                  i -> array_to_string(toks[i+1:i+7], ' '))
+      |           ELSE [array_to_string(toks, ' ')] END AS shs
+      |  FROM tok),
+      |docsh AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sh0),
+      |benchsh AS (SELECT DISTINCT sh FROM docsh WHERE doc_id % 25 = 0),
+      |hits AS (SELECT d.doc_id, count(*) AS n_hits
+      |         FROM docsh d JOIN benchsh USING (sh) GROUP BY 1)
+      |SELECT doc.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+      |       coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
+  // ---- PII scrubbing ------------------------------------------------------
+  /** The raw corpus is synthetic word salad, so each row gets deterministic
+    * planted PII (email + IPv4 + phone built from doc_id) that both engines
+    * construct identically; the gate hash-compares the redacted text.
+    */
+  private def plantedSpark(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 203.0.113."),
+        (col("doc_id") % 200 + 1).cast("string"),
+        lit(" or call +1 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("planted"))
+
+  private def piiScrub(s: SparkSession, d: String): DataFrame =
+    plantedSpark(s, d)
+      .select(col("doc_id"),
+        md5(TextAnalysis.scrubPii(col("planted"))).as("h"),
+        (length(col("planted")) -
+          length(TextAnalysis.scrubPii(col("planted")))).as("len_delta"))
+      .orderBy("doc_id")
+
+  private val piiScrubSql = {
+    def q(re: String) = re.replace("'", "''")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || doc_id
+       |           || '@mail.example.com from 203.0.113.'
+       |           || (doc_id % 200 + 1)
+       |           || ' or call +1 415-555-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, planted,
+       |         regexp_replace(regexp_replace(regexp_replace(planted,
+       |           '${q(TextAnalysis.emailRe)}', '<EMAIL>', 'g'),
+       |           '${q(TextAnalysis.ipv4Re)}', '<IP>', 'g'),
+       |           '${q(TextAnalysis.phoneRe)}', '<PHONE>', 'g') AS scrubbed
+       |  FROM p)
+       |SELECT doc_id, md5(scrubbed) AS h,
+       |       CAST(len(planted) - len(scrubbed) AS INTEGER) AS len_delta
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Gopher-style repetition / shape signals ---------------------------
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      round(TextAnalysis.dupNgramRatio(toks, 2), 6).as("dup2_ratio"),
+      round(TextAnalysis.meanWordLen(toks), 6).as("mean_word_len"),
+      round(TextAnalysis.symbolRatio(col("text")), 6).as("symbol_ratio"),
+    ).orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH tok AS (
+      |  SELECT doc_id, text,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, text, toks,
+      |         CASE WHEN len(toks) >= 2
+      |           THEN list_transform(range(len(toks) - 1),
+      |                  i -> array_to_string(toks[i+1:i+2], ' '))
+      |           ELSE [array_to_string(toks, ' ')] END AS shs
+      |  FROM tok)
+      |SELECT doc_id,
+      |       round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs), 6)
+      |         AS dup2_ratio,
+      |       round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+      |             / len(toks), 6) AS mean_word_len,
+      |       round(CAST(len(text)
+      |               - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+      |               AS DOUBLE)
+      |             / greatest(len(text), 1), 6) AS symbol_ratio
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  def gates: Seq[Gate] = Seq(
+    Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
+    Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),
+    Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Gate("q_repetition", repetition, Some(repetitionSql)),
+  )
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = (0L until 400L)
+    .map(i => (i, s"src${i % 4}", s"document number $i body text"))
+    .toDF("id", "source", "t")
+
+  test("split assignment is deterministic and roughly 80/10/10") {
+    val counts = DataOps.stratifiedSplit(docs, col("id"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 400)
+    assert(counts("train") > 280 && counts("train") < 360)
+    assert(counts("val") > 10 && counts("test") > 10)
+    // re-running (fresh plan, different partitioning) gives identical rows
+    val again = DataOps.stratifiedSplit(docs.repartition(7), col("id"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("split is assigned per-id, independent of other rows") {
+    val full = DataOps.stratifiedSplit(docs, col("id"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val subset = DataOps.stratifiedSplit(docs.filter(col("id") < 50), col("id"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
+  test("weighted mix keeps all rows at weight 1.0 and none at 0.0") {
+    val w = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5, "src3" -> 0.5)
+    val kept = DataOps.weightedMix(docs, col("id"), col("source"), w)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("src0") == 100) // w=1.0 must keep ALL (the "100"-hex bug)
+    assert(!kept.contains("src1"))
+    val mid = kept("src2") + kept("src3")
+    assert(mid > 60 && mid < 140) // ~50% of 200, hash-uniform
+  }
+
+  test("weighted mix keeps sources absent from the weight map") {
+    val kept = DataOps.weightedMix(docs, col("id"), col("source"),
+        Map("src0" -> 0.5))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("src1") == 100 && kept("src2") == 100 && kept("src3") == 100)
+  }
+
+  test("decontamination flags exactly the docs sharing a 7-gram with bench") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta something else here"),
+      (2L, "totally clean document with no overlap whatsoever in words"),
+    ).toDF("id", "t")
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta").toDF("bt")
+    val out = DataOps.decontaminate(corpus, col("id"), col("t"),
+        bench, col("bt"), n = 7)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> true, 1L -> true, 2L -> false))
+  }
+
+  test("PII scrubbing redacts email, IPv4, and phone, leaving prose intact") {
+    val out = Seq(
+      "mail me at jane.doe+x@corp.example.org thanks",
+      "server at 10.0.42.7 timed out",
+      "call +1 415-555-0042 today",
+      "no pii here at all, just words and 42 numbers",
+    ).toDF("t").select(TextAnalysis.scrubPii(col("t")).as("s"))
+      .as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> thanks")
+    assert(out(1) == "server at <IP> timed out")
+    assert(out(2) == "call <PHONE> today")
+    assert(out(3) == "no pii here at all, just words and 42 numbers")
+  }
+
+  test("repetition signals: dup-2gram ratio, mean word length, symbol ratio") {
+    val row = Seq("ab ab ab ab").toDF("t").select(
+      TextAnalysis.dupNgramRatio(TextAnalysis.tokens(col("t")), 2).as("d"),
+      TextAnalysis.meanWordLen(TextAnalysis.tokens(col("t"))).as("m"),
+      TextAnalysis.symbolRatio(lit("a,b!c")).as("s"),
+    ).as[(Double, Double, Double)].collect()(0)
+    // 3 bigrams, all identical -> 1 - 1/3
+    assert(math.abs(row._1 - (1.0 - 1.0 / 3)) < 1e-9)
+    assert(row._2 == 2.0)
+    assert(math.abs(row._3 - 0.4) < 1e-9)
+  }
+}
