@@ -22,17 +22,26 @@ object Bench {
     // absorb JVM/codegen/parquet-reader init outside the timed queries
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted so timings are position-stable as gates get added
+    // (Map iteration order reshuffles whenever the key set changes);
+    // SPARK_GRAFT_ONLY=substr[,substr...] narrows the run for iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       // operators persist() reusable subtrees; drop them between queries
-      // so 48 gates don't accumulate cached partitions in one session
+      // so ~60 gates don't accumulate cached partitions in one session,
+      // and collect the garbage OUTSIDE the next gate's timed window —
+      // GC debt from a heavy neighbor otherwise lands on whoever runs next
       spark.catalog.clearCache()
+      System.gc()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -52,6 +52,31 @@ object DataOps {
     df.filter(bucket < keepExpr)
   }
 
+  /** Generalizes [[weightedMix]] to weights above 1 (true upsampling):
+    * each row is emitted `floor(w)` times plus one more when its hash
+    * byte falls under the fractional remainder — so expected multiplicity
+    * is exactly w, deterministically per id. Emits a `copy_idx` column
+    * (1..copies) so downstream shuffles can distinguish the copies.
+    * Sources absent from the map default to weight 1 (one copy).
+    */
+  def weightedResample(df: DataFrame, id: Column, source: Column,
+      weights: Map[String, Double]): DataFrame = {
+    val bucket = substring(md5(id.cast("string")), 3, 2)
+    val sorted = weights.toSeq.sortBy(_._1)
+    val base = sorted.foldLeft(lit(1)) { case (acc, (src, w)) =>
+      when(source === src, lit(w.toInt)).otherwise(acc)
+    }
+    val fracCut = sorted.foldLeft(lit("00")) { case (acc, (src, w)) =>
+      when(source === src, lit(f"${((w - w.toInt) * 256).toInt}%02x"))
+        .otherwise(acc)
+    }
+    df.withColumn("__copies",
+        base + when(bucket < fracCut, 1).otherwise(0))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Benchmark decontamination: flag documents sharing any word n-gram
     * with the benchmark corpus. The benchmark shingle set is tiny
     * relative to the corpus → broadcast semi/left join; corpus text never

@@ -177,4 +177,49 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over near-dup pairs — the step that turns pair
+    * lists into dedup decisions (keep one doc per component, not per pair).
+    *
+    * Min-label propagation ("hash-to-min"): every node starts labeled with
+    * its own id; each round a node takes the min of its label and its
+    * neighbors' labels; fixpoint when the label sum stops decreasing
+    * (labels only ever decrease, so the sum is a monotone convergence
+    * witness — no join against the previous iteration needed). Each round
+    * shuffles only (id, label) pairs: at 100 TB the per-round traffic is
+    * 16 bytes × |V|+|E|, independent of document size. Rounds ≈ component
+    * diameter; near-dup components are near-cliques, so 2-3 rounds in
+    * practice (the alternating large-star/small-star variant gets
+    * O(log n) worst case and drops in here if ever needed).
+    *
+    * `nodes` must expose `id`; `pairs` must expose `id_a`,`id_b`.
+    * Returns (id, cluster) with cluster = min id of the component.
+    */
+  def dupClusters(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      .unionAll(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("cluster")).persist()
+    var prevSum = labels.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels, edges("t") === labels("id"))
+        .select(col("s").as("id"), col("cluster"))
+      // persist() doubles as the lineage cut — without it the plan
+      // deepens by two joins per round and re-executes from round 0
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist()
+      val s = next.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
-import graft.ext.{DataOps, TextAnalysis}
+import graft.ext.{DataOps, Dedup, EmbeddingSearch, TextAnalysis}
 
 /** Gates for the dataset-assembly operators (training-data pipelines):
   * deterministic train/val/test splitting, weighted source mixing,
@@ -63,6 +63,82 @@ object DataOpsQueries {
       |WHERE b < CASE k WHEN 0 THEN '40' WHEN 1 THEN '80'
       |                 WHEN 2 THEN 'c0' ELSE 'zz' END
       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- deterministic up/down resampling ----------------------------------
+  /** srcN gets weight (N % 5) * 0.75 — exercises drop-all (0), fractional
+    * downsample (0.75), and true upsampling (1.5, 2.25, 3.0).
+    */
+  private val resampleWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 5) * 0.75).toMap
+
+  private def weightedResample(s: SparkSession, d: String): DataFrame =
+    DataOps.weightedResample(Tables.documents(s, d), col("doc_id"),
+        col("source"), resampleWeights)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("source")
+
+  private val weightedResampleSql =
+    """WITH m AS (
+      |  SELECT source, doc_id,
+      |         CAST(substring(source, 4) AS INTEGER) % 5 AS k,
+      |         substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id,
+      |         CASE k WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 3 ELSE 0 END
+      |         + CASE WHEN b < CASE k WHEN 1 THEN 'c0' WHEN 2 THEN '80'
+      |                              WHEN 3 THEN '40' ELSE '00' END
+      |                THEN 1 ELSE 0 END AS copies
+      |  FROM m)
+      |SELECT source, CAST(sum(copies) AS BIGINT) AS n_rows,
+      |       count(*) AS n_docs
+      |FROM c WHERE copies > 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- duplicate-cluster resolution (connected components) ---------------
+  /** Corpus = embeddings plus an exact copy of every vector at id+10000:
+    * each original pairs with its clone (cos = 1), and the naturally
+    * near-dup pairs (cos >= 0.45) bridge clones into components of 4+,
+    * so cluster labels genuinely propagate across multi-hop paths.
+    */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val base = EmbeddingSearch.prepared(Tables.embeddings(s, d))
+    val corpus = base.unionAll(
+      base.withColumn("vec_id", col("vec_id") + 10000))
+    val pairs = corpus.as("a")
+      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("a.v"), col("b.v")) /
+          sqrt(col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    Dedup.dupClusters(corpus.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
+  private val dupClustersSql =
+    """WITH RECURSIVE
+      |corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS t
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v)
+      |          / sqrt(list_dot_product(a.v, a.v)
+      |                 * list_dot_product(b.v, b.v)) >= 0.45),
+      |edges AS (SELECT s, t FROM p UNION ALL SELECT t, s FROM p),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM corpus
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id)
+      |SELECT id AS vec_id, min(r) AS cluster, min(r) = id AS is_keeper
+      |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   // ---- benchmark decontamination -----------------------------------------
   /** Benchmark corpus = every 25th document; any doc sharing a 7-word
@@ -178,6 +254,8 @@ object DataOpsQueries {
   def gates: Seq[Gate] = Seq(
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
     Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),
+    Gate("q_weighted_resample", weightedResample, Some(weightedResampleSql)),
+    Gate("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Gate("q_repetition", repetition, Some(repetitionSql)),

@@ -48,6 +48,19 @@ class DataOpsSpec extends SparkSpec {
     assert(kept("src1") == 100 && kept("src2") == 100 && kept("src3") == 100)
   }
 
+  test("weighted resample: integer weights give exact copy counts") {
+    val w = Map("src0" -> 2.0, "src1" -> 0.0, "src2" -> 1.5)
+    val out = DataOps.weightedResample(docs, col("id"), col("source"), w)
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("src0") == 200) // exactly 2 copies each of 100 rows
+    assert(!counts.contains("src1")) // weight 0 drops all
+    assert(counts("src2") > 110 && counts("src2") < 190) // ~150
+    assert(counts("src3") == 100) // absent from map -> 1 copy
+    // copy_idx distinguishes copies: (id, copy_idx) is unique
+    assert(out.select("id", "copy_idx").distinct().count() == out.count())
+  }
+
   test("decontamination flags exactly the docs sharing a 7-gram with bench") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

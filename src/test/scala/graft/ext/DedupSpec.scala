@@ -70,4 +70,15 @@ class DedupSpec extends SparkSpec {
     val again = graft.billing.Ingest.newRows(deduped, deduped, Seq("t"))
     assert(again.count() == 0)
   }
+
+  test("dup clusters: min-label propagation over a multi-hop chain") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // chain 1-2-3-7 (diameter 3, forces >1 round), isolated 4, pair 5-6
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
 }
