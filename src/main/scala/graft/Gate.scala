@@ -20,5 +20,6 @@ object Gate {
       queries.IngestQueries.gates ++
       queries.ExtQueries.gates ++
       queries.DataOpsQueries.gates ++
+      queries.AnalyticsQueries.gates ++
       queries.ScaleQueries.gates
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Gate, Tables}
+
+/** Multi-dimensional and statistical aggregation surface: CUBE / ROLLUP
+  * (grouping-set expansion), pivot, moment statistics, and exact
+  * interpolated percentiles — the ad-hoc-analytics operators a user of the
+  * reference's DuckDB file would reach for next (`duckdb -ui` over the
+  * aggregate tables, reference README.md:294-310).
+  *
+  * Scale notes: CUBE/ROLLUP plan a single Expand + hash aggregate (one
+  * shuffle for all grouping sets); pivot is a plain hash aggregate with a
+  * fixed column budget; moment stats merge associatively (partial+final);
+  * exact percentiles need a per-group sort — `q_approx_percentiles` is the
+  * mergeable-sketch variant that replaces it at 100 TB.
+  */
+object AnalyticsQueries {
+
+  // ---- CUBE over two dimensions ------------------------------------------
+  private def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val cubeAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  // ---- ROLLUP over a date hierarchy --------------------------------------
+  private def rollupDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"), col("o_totalprice"))
+      .rollup("y", "m")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("gid"), col("y").asc_nulls_first,
+        col("m").asc_nulls_first)
+
+  private val rollupDateSql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       CAST(month(o_orderdate) AS INTEGER) AS m,
+      |       CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS BIGINT)
+      |         AS gid,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+      |ORDER BY gid, y NULLS FIRST, m NULLS FIRST""".stripMargin
+
+  // ---- pivot --------------------------------------------------------------
+  /** Explicit value list — at scale an unbounded `pivot(col)` would first
+    * run a distinct scan and can explode the column budget; pinning the
+    * values also pins the output schema for the oracle.
+    */
+  private def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
+  private val pivotStatusSql =
+    """SELECT o_orderpriority,
+      |       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F",
+      |       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O",
+      |       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin
+
+  // ---- moment statistics --------------------------------------------------
+  private def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
+  private val statsAggSql =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |       round(var_samp(l_quantity), 6) AS var_qty,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- exact interpolated percentiles ------------------------------------
+  /** Exact `percentile` (linear interpolation) matches DuckDB's
+    * `quantile_cont` definition; needs a per-group sort, so at 100 TB the
+    * sketch-based `q_approx_percentiles` below is the scale path.
+    */
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Mergeable-sketch percentiles (no per-group sort; partial+final
+    * aggregation like any other agg). Accuracy-bounded, not exact, so the
+    * gate is rows-only — the exact twin above is the correctness anchor.
+    */
+  private def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("approx_qty"))
+      .orderBy("l_returnflag")
+
+  // ---- gates --------------------------------------------------------------
+  def gates: Seq[Gate] = Seq(
+    Gate("q_cube", cubeAgg, Some(cubeAggSql)),
+    Gate("q_rollup_date", rollupDate, Some(rollupDateSql)),
+    Gate("q_pivot", pivotStatus, Some(pivotStatusSql)),
+    Gate("q_stats_agg", statsAgg, Some(statsAggSql)),
+    Gate("q_percentiles", percentiles, Some(percentilesSql)),
+    Gate("q_approx_percentiles", approxPercentiles, None),
+  )
+}
