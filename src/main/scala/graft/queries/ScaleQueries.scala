@@ -96,6 +96,50 @@ object ScaleQueries {
       .orderBy("window_start", "operation_type")
   }
 
+  // Stream-stream join: clicks joined to errors within 5 minutes, both
+  // sides watermarked, run via file streams + AvailableNow into a memory
+  // sink. The timestamp hand-off to CSV goes as unix_micros longs (CSV
+  // timestamp formatting would truncate microseconds).
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val dirC = java.nio.file.Files.createTempDirectory("gate_ssj_c_").toString
+    val dirE = java.nio.file.Files.createTempDirectory("gate_ssj_e_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gate_ssj_ck_").toString
+    // deterministic user subset (mirrored in the oracle) keeps the gate's
+    // cost in the streaming machinery, not the CSV hand-off
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 3 === 0)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    ev.filter(col("event_type") === "click").drop("event_type")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dirC)
+    ev.filter(col("event_type") === "error").drop("event_type")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dirE)
+    def readSide(dir: String) = s.readStream
+      .option("header", "true")
+      .schema("user_id LONG, event_id LONG, us LONG")
+      .csv(dir)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.StreamingJoins
+      .clickErrorPairs(readSide(dirC), readSide(dirE), windowSec = 300)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gate_ssj_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("gate_ssj_out").orderBy("user_id", "click_id", "error_id")
+  }
+
+  private val streamJoinSql =
+    """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |       epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'click' AND user_id % 3 = 0) c
+      |JOIN (SELECT * FROM events
+      |      WHERE event_type = 'error' AND user_id % 3 = 0) e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+      |ORDER BY c.user_id, click_id, error_id""".stripMargin
+
   // As-of join: each error event matched to the user's most recent click
   // at or before it. DuckDB's native ASOF JOIN is the oracle; the Spark
   // side is the union+window composition (one shuffle on the key).
@@ -174,5 +218,6 @@ object ScaleQueries {
     Gate("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, None),
     Gate("q_stream_window", streamWindow, None),
+    Gate("q_stream_join", streamJoin, Some(streamJoinSql)),
   )
 }

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins (Structured Streaming's symmetric hash join).
+  *
+  * Scale design: both inputs carry watermarks and the join condition
+  * bounds BOTH event times, so each side's buffered state is dropped as
+  * soon as the other side's watermark passes the bound — state stays
+  * O(join window × arrival rate) no matter how long the streams run.
+  * An unbounded condition (or missing watermark) would buffer the whole
+  * stream forever; Spark accepts it for inner joins, so the discipline
+  * has to live in the operator, which is why this module exists.
+  */
+object StreamingJoins {
+
+  /** Pairs every click with the same user's errors arriving within
+    * `windowSec` seconds after it. Inputs need (user_id, event_id, ts);
+    * with `Trigger.AvailableNow` over finite input the inner-join output
+    * equals the batch join — which is what lets a DuckDB oracle check a
+    * genuinely streaming plan.
+    */
+  def clickErrorPairs(clicks: DataFrame, errors: DataFrame,
+      windowSec: Int): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val e = errors
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("ets"))
+      .withWatermark("ets", "10 minutes")
+    c.join(e, expr(
+      s"user_id = e_user AND ets >= cts AND ets <= cts + interval $windowSec seconds"))
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        (unix_micros(col("ets")) - unix_micros(col("cts"))).as("delta_us"))
+  }
+}
