@@ -17,6 +17,12 @@ object Bench {
         "4000000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on tmpfs when available: this host's
+      // buffered-write path throttles to ~40 MB/s (direct I/O does 330),
+      // which both slows shuffles and makes timings swing run-to-run
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_local"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/parquet-reader init outside the timed queries
