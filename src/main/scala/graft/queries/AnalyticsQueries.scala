@@ -135,6 +135,54 @@ object AnalyticsQueries {
         array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("approx_qty"))
       .orderBy("l_returnflag")
 
+  // ---- generator (UDTF surface): explode + re-aggregate ------------------
+  /** Token frequency via `explode` — the generator expression surface
+    * (reference needs none, SURVEY §2.10; built-in generators are the
+    * documented UDTF story). Generators multiply rows before the shuffle,
+    * so the filter goes BEFORE explode where possible (here: length
+    * filter on the token applies after, but the source projection prunes
+    * to one column before the 30-40x row multiplication).
+    */
+  private def explodeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 6)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+      .orderBy(desc("n"), col("tok"))
+
+  private val explodeTokensSql =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |        AS tok
+      |      FROM documents)
+      |WHERE len(tok) >= 6
+      |GROUP BY tok HAVING count(*) >= 20
+      |ORDER BY n DESC, tok""".stripMargin
+
+  // ---- collection aggregates ---------------------------------------------
+  /** `collect_list`/`collect_set` assemble per-group arrays; both engines
+    * produce them in partition-dependent order, so the gate (like any
+    * sane consumer) wraps them in `array_sort` — the unsorted spelling is
+    * nondeterministic BY CONTRACT on both engines.
+    */
+  private def collectAgg(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        // joined to strings because the hash-compare harness (like most
+        // downstream tabular tooling) can't hash array cells
+        array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("doc_ids"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+      .orderBy("source")
+
+  private val collectAggSql =
+    """SELECT source,
+      |       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+      |       array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- gates --------------------------------------------------------------
   def gates: Seq[Gate] = Seq(
     Gate("q_cube", cubeAgg, Some(cubeAggSql)),
@@ -143,5 +191,7 @@ object AnalyticsQueries {
     Gate("q_stats_agg", statsAgg, Some(statsAggSql)),
     Gate("q_percentiles", percentiles, Some(percentilesSql)),
     Gate("q_approx_percentiles", approxPercentiles, None),
+    Gate("q_explode_tokens", explodeTokens, Some(explodeTokensSql)),
+    Gate("q_collect_agg", collectAgg, Some(collectAggSql)),
   )
 }
