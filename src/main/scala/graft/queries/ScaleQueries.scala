@@ -140,6 +140,42 @@ object ScaleQueries {
       | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
       |ORDER BY c.user_id, click_id, error_id""".stripMargin
 
+  // Streaming dedup: the same event file is delivered twice (two files in
+  // the source dir — the at-least-once redelivery case); dropDuplicates
+  // keyed by event_id holds seen-keys in the state store across
+  // micro-batches, and the downstream complete-mode aggregation sees each
+  // event exactly once. This is the reference's J1 anti-join dedup
+  // (ingest.py:248-257) recast as streaming state.
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("gate_sdd_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gate_sdd_ck_").toString
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 5 === 0)
+      .select(col("user_id"), col("event_id"), col("value"))
+    ev.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/a")
+    ev.coalesce(1).write.mode("append")
+      .option("header", "true").csv(s"$dir/a")
+    val stream = s.readStream.option("header", "true")
+      .schema("user_id LONG, event_id LONG, value DOUBLE")
+      .csv(s"$dir/a")
+      .dropDuplicates("event_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("gate_sdd_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("gate_sdd_out").orderBy("user_id")
+  }
+
+  private val streamDedupSql =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum(value), 2) AS total
+      |FROM events WHERE user_id % 5 = 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // As-of join: each error event matched to the user's most recent click
   // at or before it. DuckDB's native ASOF JOIN is the oracle; the Spark
   // side is the union+window composition (one shuffle on the key).
@@ -219,5 +255,6 @@ object ScaleQueries {
     Gate("q_ivf_topk", ivfTopK, None),
     Gate("q_stream_window", streamWindow, None),
     Gate("q_stream_join", streamJoin, Some(streamJoinSql)),
+    Gate("q_stream_dedup", streamDedup, Some(streamDedupSql)),
   )
 }
