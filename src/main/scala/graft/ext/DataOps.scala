@@ -77,6 +77,25 @@ object DataOps {
       .drop("__copies")
   }
 
+  /** Sequence packing for training: documents are laid out in a
+    * deterministic md5-shuffled order inside `buckets` shards, and each
+    * doc is assigned to the pack its starting token offset falls in —
+    * GPT-style "concatenate everything, split at `budget` tokens"
+    * preprocessing, where a doc crossing a boundary belongs to the pack
+    * it starts in. Packs never cross buckets; at scale the bucket count
+    * scales with the cluster (each bucket is one sort partition), and
+    * the whole layout re-derives bit-identically from (seed, id).
+    */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+      budget: Int, buckets: Int = 16, seed: String = "s1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pack_bucket").orderBy("pack_key")
+    df.withColumn("pack_bucket", pmod(id, lit(buckets)))
+      .withColumn("pack_key", md5(concat(lit(seed), id.cast("string"))))
+      .withColumn("pack_id",
+        floor((sum(nTokens).over(w) - nTokens) / budget))
+  }
+
   /** Benchmark decontamination: flag documents sharing any word n-gram
     * with the benchmark corpus. The benchmark shingle set is tiny
     * relative to the corpus → broadcast semi/left join; corpus text never

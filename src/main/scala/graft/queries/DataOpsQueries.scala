@@ -97,6 +97,41 @@ object DataOpsQueries {
       |FROM c WHERE copies > 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- sequence packing ---------------------------------------------------
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", TextAnalysis.bpeTokenCount(col("text")))
+    DataOps.packSequences(docs, col("doc_id"), col("n_tok"),
+        budget = 512, buckets = 16, seed = "s1")
+      .groupBy("pack_bucket", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("pack_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("pack_bucket", "pack_id")
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '__BPE__'))
+      |           AS INTEGER) AS n_tok,
+      |         doc_id % 16 AS pack_bucket,
+      |         md5('s1' || CAST(doc_id AS VARCHAR)) AS pack_key
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tok, pack_bucket,
+      |         CAST(floor((sum(n_tok) OVER (PARTITION BY pack_bucket
+      |                       ORDER BY pack_key) - n_tok) / 512)
+      |           AS BIGINT) AS pack_id
+      |  FROM t)
+      |SELECT pack_bucket, pack_id, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      |       min(doc_id) AS first_doc
+      |FROM p GROUP BY pack_bucket, pack_id
+      |ORDER BY pack_bucket, pack_id""".stripMargin
+      .replace("'__BPE__'",
+        s"'${TextAnalysis.bpePattern.replace("'", "''")}'")
+
   // ---- duplicate-cluster resolution (connected components) ---------------
   /** Corpus = embeddings plus an exact copy of every vector at id+10000:
     * each original pairs with its clone (cos = 1), and the naturally
@@ -255,6 +290,7 @@ object DataOpsQueries {
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
     Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     Gate("q_weighted_resample", weightedResample, Some(weightedResampleSql)),
+    Gate("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Gate("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),

@@ -61,6 +61,30 @@ class DataOpsSpec extends SparkSpec {
     assert(out.select("id", "copy_idx").distinct().count() == out.count())
   }
 
+  test("sequence packing: offsets are contiguous and repartition-stable") {
+    val withTok = docs.withColumn("n_tok", lit(10) + (col("id") % 7))
+    val packed = DataOps.packSequences(withTok, col("id"), col("n_tok"),
+      budget = 100, buckets = 4, seed = "t")
+    // within a bucket, pack ids are dense from 0 and each pack's docs
+    // START inside the pack's token window
+    val stats = packed.groupBy("pack_bucket", "pack_id")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tok"))
+      .collect()
+    val byBucket = stats.groupBy(_.getAs[Long]("pack_bucket"))
+    byBucket.foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq)
+    }
+    // byte-identical under different input partitioning
+    val again = DataOps.packSequences(withTok.repartition(13), col("id"),
+      col("n_tok"), budget = 100, buckets = 4, seed = "t")
+      .select("id", "pack_bucket", "pack_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val first = packed.select("id", "pack_bucket", "pack_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(first == again)
+  }
+
   test("decontamination flags exactly the docs sharing a 7-gram with bench") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
