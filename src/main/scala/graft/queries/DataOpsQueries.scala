@@ -286,11 +286,97 @@ object DataOpsQueries {
       |             / greatest(len(text), 1), 6) AS symbol_ratio
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---- full dataset-assembly pipeline (flagship composition) -------------
+  /** The whole training-data pipeline as ONE query: PII scrub → quality
+    * filter (length / stopword density / lexical diversity) → exact dedup
+    * (min-id keeper) → benchmark decontamination (7-gram overlap) →
+    * deterministic split → per-split stats. Every stage is one of the
+    * engine's operators; the oracle replays the identical chain in SQL.
+    */
+  private def assembleDataset(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ctext", TextAnalysis.scrubPii(col("text")))
+    val toks = TextAnalysis.tokens(col("ctext"))
+    val quality = docs
+      .withColumn("n_tok", size(toks))
+      .filter(size(toks) >= 15 &&
+        TextAnalysis.stopwordRatio(toks) >= 0.02 &&
+        TextAnalysis.uniqueRatio(toks) >= 0.35)
+    val keepers = quality.groupBy(md5(col("ctext")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    // feeds decontaminate twice (shingle table + final join) — persist so
+    // the scrub/tokenize/filter subtree runs once
+    val deduped = quality.join(keepers, "doc_id").persist()
+    val bench = docs.filter(col("doc_id") % 25 === 0).select("ctext")
+    val finalDocs = DataOps.decontaminate(deduped, col("doc_id"),
+        col("ctext"), bench, col("ctext"), n = 7)
+      .filter(!col("contaminated"))
+    DataOps.stratifiedSplit(finalDocs, col("doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("split")
+  }
+
+  private val assembleDatasetSql = {
+    def q(re: String) = re.replace("'", "''")
+    val enList = TextAnalysis.langProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH clean AS (
+       |  SELECT doc_id, source,
+       |         regexp_replace(regexp_replace(regexp_replace(text,
+       |           '${q(TextAnalysis.emailRe)}', '<EMAIL>', 'g'),
+       |           '${q(TextAnalysis.ipv4Re)}', '<IP>', 'g'),
+       |           '${q(TextAnalysis.phoneRe)}', '<PHONE>', 'g') AS ctext
+       |  FROM documents),
+       |tok AS (
+       |  SELECT *, regexp_split_to_array(lower(trim(ctext)), '\\s+') AS toks
+       |  FROM clean),
+       |quality AS (
+       |  SELECT *, len(toks) AS n_tok FROM tok
+       |  WHERE len(toks) >= 15
+       |    AND CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE)
+       |          / len(toks) >= 0.02
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.35),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(ctext)),
+       |deduped AS (
+       |  SELECT q.* FROM quality q JOIN keepers USING (doc_id)),
+       |shing AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 7
+       |           THEN list_transform(range(len(toks) - 6),
+       |                  i -> array_to_string(toks[i+1:i+7], ' '))
+       |           ELSE [array_to_string(toks, ' ')] END AS shs
+       |  FROM tok),
+       |benchsh AS (
+       |  SELECT DISTINCT unnest(list_distinct(shs)) AS sh FROM shing
+       |  WHERE doc_id % 25 = 0),
+       |dirty AS (
+       |  SELECT DISTINCT s.doc_id
+       |  FROM (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM shing) s
+       |  JOIN benchsh USING (sh)),
+       |final AS (
+       |  SELECT d.* FROM deduped d LEFT JOIN dirty ON d.doc_id = dirty.doc_id
+       |  WHERE dirty.doc_id IS NULL)
+       |SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |              < '$trainCut' THEN 'train'
+       |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |              < '$valCut' THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |       count(DISTINCT source) AS n_sources
+       |FROM final GROUP BY split ORDER BY split""".stripMargin
+  }
+
   def gates: Seq[Gate] = Seq(
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
     Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     Gate("q_weighted_resample", weightedResample, Some(weightedResampleSql)),
     Gate("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    Gate("q_assemble_dataset", assembleDataset, Some(assembleDatasetSql)),
     Gate("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),
