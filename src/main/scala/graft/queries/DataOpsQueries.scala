@@ -294,14 +294,19 @@ object DataOpsQueries {
     * engine's operators; the oracle replays the identical chain in SQL.
     */
   private def assembleDataset(s: SparkSession, d: String): DataFrame = {
+    // materialize scrub + tokenization as columns: the three filter
+    // ratios would otherwise each re-run the regex scrub and the split
+    // (Catalyst doesn't CSE HOF subtrees across filter conjuncts)
     val docs = Tables.documents(s, d)
       .withColumn("ctext", TextAnalysis.scrubPii(col("text")))
-    val toks = TextAnalysis.tokens(col("ctext"))
+      .withColumn("toks", TextAnalysis.tokens(col("ctext")))
+    val toks = col("toks")
     val quality = docs
       .withColumn("n_tok", size(toks))
       .filter(size(toks) >= 15 &&
         TextAnalysis.stopwordRatio(toks) >= 0.02 &&
         TextAnalysis.uniqueRatio(toks) >= 0.35)
+      .drop("toks")
     val keepers = quality.groupBy(md5(col("ctext")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     // feeds decontaminate twice (shingle table + final join) — persist so
