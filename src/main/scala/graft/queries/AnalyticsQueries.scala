@@ -183,6 +183,31 @@ object AnalyticsQueries {
       |       array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- histogram binning --------------------------------------------------
+  /** Fixed-grid histogram via `width_bucket` — binning is a pure per-row
+    * expression, so the whole histogram is one partial+final aggregate
+    * over integer bins (the distributed-histogram shape that needs no
+    * sort and no sketch at any scale).
+    */
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(width_bucket(col("l_extendedprice"),
+        lit(0d), lit(110000d), lit(22)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** DuckDB has no `width_bucket`; the mirror spells out its ANSI
+    * semantics (0 below range, count+1 at-or-above the upper bound,
+    * else floor((x-lo)/width)+1).
+    */
+  private val histogramSql =
+    """SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
+      |                 WHEN l_extendedprice >= 110000 THEN 23
+      |                 ELSE floor(l_extendedprice / 5000) + 1 END
+      |            AS BIGINT) AS bin,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin
+
   // ---- gates --------------------------------------------------------------
   def gates: Seq[Gate] = Seq(
     Gate("q_cube", cubeAgg, Some(cubeAggSql)),
@@ -192,6 +217,7 @@ object AnalyticsQueries {
     Gate("q_percentiles", percentiles, Some(percentilesSql)),
     Gate("q_approx_percentiles", approxPercentiles, None),
     Gate("q_explode_tokens", explodeTokens, Some(explodeTokensSql)),
+    Gate("q_histogram", histogram, Some(histogramSql)),
     Gate("q_collect_agg", collectAgg, Some(collectAggSql)),
   )
 }
