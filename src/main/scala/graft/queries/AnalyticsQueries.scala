@@ -132,7 +132,13 @@ object AnalyticsQueries {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_quantity"),
-        array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("approx_qty"))
+        array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("aq"))
+      // flattened to scalar columns: the harness hash/sort layer (like most
+      // tabular consumers) can't order by an array-typed cell
+      .select(col("l_returnflag"),
+        round(element_at(col("aq"), 1), 6).as("approx_p25"),
+        round(element_at(col("aq"), 2), 6).as("approx_p50"),
+        round(element_at(col("aq"), 3), 6).as("approx_p90"))
       .orderBy("l_returnflag")
 
   // ---- generator (UDTF surface): explode + re-aggregate ------------------

@@ -253,6 +253,30 @@ object ExtQueries {
         round(element_at(col("histogram"), 1), 6).as("hist_0"))
       .orderBy("doc_id")
 
+  /** The stub decoder is a deterministic byte-nibble histogram and the
+    * driver corpus is pure ASCII (verified: octet_length == length for
+    * every row), so DuckDB can mirror it per-character — making the whole
+    * mapPartitions decode path hash-checkable, not just rows-counted.
+    */
+  private val multimodalFeaturesSql =
+    """WITH ch AS (SELECT doc_id, ascii(unnest(split(text, ''))) // 16 AS bin
+      |            FROM documents),
+      |h AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY doc_id, bin),
+      |tb AS (SELECT doc_id, bin AS top_bin,
+      |              row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY c DESC, bin) AS rn
+      |       FROM h),
+      |h0 AS (SELECT doc_id, sum(CASE WHEN bin = 0 THEN c ELSE 0 END) AS c0
+      |       FROM h GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_bytes,
+      |       CAST(coalesce(tb.top_bin, 0) AS INTEGER) AS top_bin,
+      |       round(coalesce(h0.c0, 0) / greatest(1, length(d.text)), 6)
+      |         AS hist_0
+      |FROM documents d
+      |LEFT JOIN tb ON tb.doc_id = d.doc_id AND tb.rn = 1
+      |LEFT JOIN h0 ON h0.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- BPE-style token counting (oracle: same RE2-compatible regex) ---
   private def bpeTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -292,6 +316,7 @@ object ExtQueries {
     Gate("q_embed_dup_pairs", embedDupPairs, Some(embedDupPairsSql)),
     Gate("q_embed_lsh_topk", lshTopK, None),
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
-    Gate("q_multimodal_features", multimodalFeatures, None),
+    Gate("q_multimodal_features", multimodalFeatures,
+      Some(multimodalFeaturesSql)),
   )
 }

@@ -73,8 +73,9 @@ object IngestQueries {
       |       CAST(regexp_extract(path, 'day=(\d+)', 1) AS INTEGER) AS day
       |FROM p ORDER BY path""".stripMargin
 
-  // S1/S8/S9 — CSV sink + glob re-scan with the fixed schema (rows-only
-  // gate: exercises header handling and explicit-schema reads end-to-end).
+  // S1/S8/S9 — CSV sink + glob re-scan with the fixed schema. The oracle
+  // aggregates the *source* relation directly: a correct write→read cycle
+  // must preserve every row, so the CSV side-trip has to be value-invisible.
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = Files.createTempDirectory("graft_csv_").toString
     val billing = EventsBilling(s, d)
@@ -85,10 +86,16 @@ object IngestQueries {
       .orderBy("operation_type")
   }
 
+  private val csvRoundtripSql =
+    s"""${EventsBilling.cte}
+       |SELECT operation_type, count(*) AS n
+       |FROM billing GROUP BY operation_type ORDER BY operation_type"""
+      .stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
     Gate("q_hive_paths", hivePaths, Some(hivePathsSql)),
-    Gate("q_csv_roundtrip", csvRoundtrip, None),
+    Gate("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
   )
 }

@@ -73,13 +73,17 @@ object ScaleQueries {
   }
 
   // §2.9 — streaming: event-time windowed aggregation with a watermark,
-  // driven through a real file-source stream + memory sink (rows-only;
-  // streaming has no DuckDB twin). The CSV staging keeps the gate
-  // self-contained; AvailableNow drains synchronously.
+  // driven through a real file-source stream + memory sink. The oracle
+  // mirrors BOTH the tumbling-window aggregate and the append-mode
+  // emission rule (only windows closed by the final watermark =
+  // max(event time) − delay are released), so the watermark semantics
+  // themselves are hash-checked against SQL. Deterministic user subset
+  // (mirrored in the oracle) instead of LIMIT, which has no stable row
+  // choice to mirror.
   private def streamWindow(s: SparkSession, d: String): DataFrame = {
     val in = java.nio.file.Files.createTempDirectory("gate_stream_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("gate_ckpt_").toString
-    EventsBilling(s, d).limit(5000)
+    EventsBilling(s, d).filter(col("user_id").cast("long") % 7 === 0)
       .write.mode("overwrite").option("header", "true").csv(in)
     val stream = s.readStream.option("header", "true")
       .schema(graft.billing.Schemas.billing).csv(in)
@@ -95,6 +99,20 @@ object ScaleQueries {
         round(col("total_credit_usage"), 2).as("total_credit_usage"))
       .orderBy("window_start", "operation_type")
   }
+
+  private val streamWindowSql =
+    s"""${EventsBilling.cte},
+       |f AS (SELECT * FROM billing WHERE CAST(user_id AS BIGINT) % 7 = 0),
+       |w AS (SELECT date_trunc('hour', "timestamp") AS ws, operation_type,
+       |             count(*) AS n,
+       |             round(sum(credit_usage), 2) AS total_credit_usage
+       |      FROM f GROUP BY 1, 2),
+       |m AS (SELECT max("timestamp") AS mx FROM f)
+       |SELECT CAST(ws AS VARCHAR) AS window_start, operation_type, n,
+       |       total_credit_usage
+       |FROM w, m
+       |WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+       |ORDER BY window_start, operation_type""".stripMargin
 
   // Stream-stream join: clicks joined to errors within 5 minutes, both
   // sides watermarked, run via file streams + AvailableNow into a memory
@@ -253,7 +271,7 @@ object ScaleQueries {
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
     Gate("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, None),
-    Gate("q_stream_window", streamWindow, None),
+    Gate("q_stream_window", streamWindow, Some(streamWindowSql)),
     Gate("q_stream_join", streamJoin, Some(streamJoinSql)),
     Gate("q_stream_dedup", streamDedup, Some(streamDedupSql)),
   )
