@@ -114,23 +114,28 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-  /** Full MinHash-LSH near-dedup: bucket → candidates → exact-Jaccard
-    * verification restricted to the candidate pairs.
+  /** Exact-Jaccard verification of candidate pairs (id_a, id_b) against a
+    * shingle table (id, sh): keeps pairs whose true Jaccard ≥ threshold.
+    * The intersection count ignores shingles with document frequency >
+    * maxDF (set sizes still count them) — the same stop-shingle-suppressed
+    * jaccard [[jaccardPairs]] computes, so sketch candidates verified here
+    * land on identical values. The joins run on xxhash64'd shingles —
+    * 8-byte keys, identical counts (collisions are 2^-64) — so the shuffle
+    * never carries shingle text.
     */
-  def minhashDedup(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.6,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    // One persisted shingle table feeds the signature aggregation AND the
-    // candidate verification — the tokenize/shingle subtree runs once.
-    val sh = shingleTable(docs, id, text, n).persist()
-    val cands = minhashCandidates(bucketsFromSignatures(
-      signaturesFromShingles(sh, bands * rowsPerBand), bands, rowsPerBand))
-    // verification joins run on hashed shingles (8-byte keys, same counts)
+  def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      threshold: Double, maxDF: Long = Long.MaxValue): DataFrame = {
     val shH = sh.select(col("id"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val rare =
+      if (maxDF == Long.MaxValue) shH
+      else shH.join(
+        shH.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDF).select("sh"),
+        "sh")
     val common = cands
-      .join(shH.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(shH.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .join(rare.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(rare.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
@@ -140,6 +145,21 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dedup: bucket → candidates → exact-Jaccard
+    * verification restricted to the candidate pairs.
+    */
+  def minhashDedup(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.6,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      maxDF: Long = Long.MaxValue): DataFrame = {
+    // One persisted shingle table feeds the signature aggregation AND the
+    // candidate verification — the tokenize/shingle subtree runs once.
+    val sh = shingleTable(docs, id, text, n).persist()
+    val cands = minhashCandidates(bucketsFromSignatures(
+      signaturesFromShingles(sh, bands * rowsPerBand), bands, rowsPerBand))
+    verifyJaccard(cands, sh, threshold, maxDF)
   }
 
   /** Per-document 64-bit SimHash signatures over the token multiset
@@ -176,6 +196,39 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Full SimHash near-dedup: chunk-banded candidate generation (pairs
+    * sharing any 8-bit signature chunk, pre-filtered to hamming ≤
+    * maxHamming) → exact-Jaccard verification, mirroring [[minhashDedup]].
+    * Eight 8-bit chunks pigeonhole-guarantee a candidate for every pair
+    * within hamming 7 — which (measured on the driver corpus) covers every
+    * true jaccard-0.5 pair, so the verified output IS the true pair set
+    * and the gate is oracle-checkable. The hamming pre-filter keeps the
+    * expensive shingle-join verify off random chunk collisions (a random
+    * pair sits at hamming ≈ 32 ± 4; P(≤ 8) is negligible).
+    */
+  def simhashDedup(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.5, maxHamming: Int = 8,
+      maxDF: Long = Long.MaxValue): DataFrame = {
+    val sh = shingleTable(docs, id, text, n).persist()
+    val sigs = simhashSignatures(docs, id, text)
+    val chunks = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(7)),
+        c => struct(c.as("chunk"),
+          call_function("shiftrightunsigned", col("sig"), c * 8)
+            .bitwiseAND(lit(0xFFL)).as("ck")))).as("cc"))
+      .select(col("id"), col("sig"),
+        col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+      .persist()
+    val cands = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold, maxDF)
   }
 
   /** Connected components over near-dup pairs — the step that turns pair

@@ -92,12 +92,21 @@ object TextAnalysis {
     * per-window-slice transform, which re-evaluates the gram hashes per
     * window and goes quadratic.
     */
-  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+  /** 48-bit gram hash both engines can compute — the leading 12 hex chars
+    * of md5 as a signed BIGINT (DuckDB: `('0x'||substr(md5(g),1,12))::BIGINT`).
+    * xxhash64 (the default winnowing hash) has no DuckDB twin; swapping
+    * this in makes the whole winnowing pipeline oracle-checkable.
+    */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4,
+      hash: Column => Column = xxhash64(_)): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
     val grams = when(length(norm) >= k,
       transform(sequence(lit(0), length(norm) - k),
-        i => xxhash64(norm.substr(i + 1, lit(k)))))
-      .otherwise(array(xxhash64(norm)))
+        i => hash(norm.substr(i + 1, lit(k)))))
+      .otherwise(array(hash(norm)))
     val nWin = greatest(size(grams) - (w - 1), lit(1))
     val shifted = (0 until w).map(l => slice(grams, lit(l + 1), nWin))
     val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
 
@@ -126,20 +126,37 @@ object AnalyticsQueries {
 
   /** Mergeable-sketch percentiles (no per-group sort; partial+final
     * aggregation like any other agg). Accuracy-bounded, not exact, so the
-    * gate is rows-only — the exact twin above is the correctness anchor.
+    * gate emits the exact values (oracle-matched) plus booleans asserting
+    * the sketch landed within one quantity unit of them — the sketch's
+    * rank error at accuracy=10000 is well under a unit on this column.
     */
-  private def approxPercentiles(s: SparkSession, d: String): DataFrame =
+  private def approxPercentiles(s: SparkSession, d: String): DataFrame = {
+    def ok(a: Column, e: Column) = abs(a - e) <= 1.0
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_quantity"),
-        array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("aq"))
-      // flattened to scalar columns: the harness hash/sort layer (like most
-      // tabular consumers) can't order by an array-typed cell
+      .agg(
+        percentile_approx(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("aq"),
+        expr("percentile(l_quantity, 0.25)").as("e25"),
+        expr("percentile(l_quantity, 0.5)").as("e50"),
+        expr("percentile(l_quantity, 0.9)").as("e90"))
       .select(col("l_returnflag"),
-        round(element_at(col("aq"), 1), 6).as("approx_p25"),
-        round(element_at(col("aq"), 2), 6).as("approx_p50"),
-        round(element_at(col("aq"), 3), 6).as("approx_p90"))
+        round(col("e25"), 6).as("p25_qty"),
+        round(col("e50"), 6).as("p50_qty"),
+        round(col("e90"), 6).as("p90_qty"),
+        ok(element_at(col("aq"), 1), col("e25")).as("p25_ok"),
+        ok(element_at(col("aq"), 2), col("e50")).as("p50_ok"),
+        ok(element_at(col("aq"), 3), col("e90")).as("p90_ok"))
       .orderBy("l_returnflag")
+  }
+
+  private val approxPercentilesSql =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |       true AS p25_ok, true AS p50_ok, true AS p90_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- generator (UDTF surface): explode + re-aggregate ------------------
   /** Token frequency via `explode` — the generator expression surface
@@ -221,7 +238,8 @@ object AnalyticsQueries {
     Gate("q_pivot", pivotStatus, Some(pivotStatusSql)),
     Gate("q_stats_agg", statsAgg, Some(statsAggSql)),
     Gate("q_percentiles", percentiles, Some(percentilesSql)),
-    Gate("q_approx_percentiles", approxPercentiles, None),
+    Gate("q_approx_percentiles", approxPercentiles,
+      Some(approxPercentilesSql)),
     Gate("q_explode_tokens", explodeTokens, Some(explodeTokensSql)),
     Gate("q_histogram", histogram, Some(histogramSql)),
     Gate("q_collect_agg", collectAgg, Some(collectAggSql)),

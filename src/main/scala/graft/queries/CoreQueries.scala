@@ -75,15 +75,42 @@ object CoreQueries {
        |FROM billing GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // A2 at the 100 TB design point: HLL sketches instead of exact
-  // distincts — no Expand, one pass, mergeable (rows-only gate; approx
-  // counts have no DuckDB twin).
-  private def userRollupApprox(s: SparkSession, d: String): DataFrame =
-    Aggregates.userApprox(EventsBilling(s, d)).select(
-      col("user_id"), col("transaction_count"),
-      r2(col("total_credit_usage")).as("total_credit_usage"),
-      col("resources_used"), col("resource_types_used"),
-      col("operation_types"), col("regions_used"),
-    ).orderBy("user_id")
+  // distincts — no Expand, one pass, mergeable ([[Aggregates.userApprox]]
+  // is that pure shape). The gate runs sketch and exact side by side and
+  // hash-checks *accuracy*: each approx count must land within
+  // max(2, 10%) of its exact twin — booleans the oracle asserts true.
+  // (HLL++ answers exactly from its sparse representation at these
+  // cardinalities, so the slack is generous.)
+  private def userRollupApprox(s: SparkSession, d: String): DataFrame = {
+    def ok(a: Column, e: Column) =
+      abs(a - e) <= greatest(lit(2.0), e * 0.1)
+    EventsBilling(s, d).groupBy("user_id").agg(
+      count(lit(1)).as("transaction_count"),
+      sum("credit_usage").as("tcu"),
+      approx_count_distinct("resource_id", 0.05).as("a_res"),
+      countDistinct("resource_id").as("e_res"),
+      approx_count_distinct("resource_type", 0.05).as("a_rt"),
+      countDistinct("resource_type").as("e_rt"),
+      approx_count_distinct("operation_type", 0.05).as("a_op"),
+      countDistinct("operation_type").as("e_op"),
+      approx_count_distinct("region", 0.05).as("a_reg"),
+      countDistinct("region").as("e_reg"))
+      .select(col("user_id"), col("transaction_count"),
+        r2(col("tcu")).as("total_credit_usage"),
+        ok(col("a_res"), col("e_res")).as("resources_ok"),
+        ok(col("a_rt"), col("e_rt")).as("resource_types_ok"),
+        ok(col("a_op"), col("e_op")).as("operation_types_ok"),
+        ok(col("a_reg"), col("e_reg")).as("regions_ok"))
+      .orderBy("user_id")
+  }
+
+  private val userRollupApproxSql =
+    s"""${EventsBilling.cte}
+       |SELECT user_id, count(*) AS transaction_count,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       true AS resources_ok, true AS resource_types_ok,
+       |       true AS operation_types_ok, true AS regions_ok
+       |FROM billing GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // A3 — service rollup.
   private def serviceRollup(s: SparkSession, d: String): DataFrame =
@@ -428,7 +455,7 @@ object CoreQueries {
   def gates: Seq[Gate] = Seq(
     Gate("q_daily_rollup", dailyRollup, Some(dailyRollupSql)),
     Gate("q_user_rollup", userRollup, Some(userRollupSql)),
-    Gate("q_user_rollup_approx", userRollupApprox, None),
+    Gate("q_user_rollup_approx", userRollupApprox, Some(userRollupApproxSql)),
     Gate("q_service_rollup", serviceRollup, Some(serviceRollupSql)),
     Gate("q_region_rollup", regionRollup, Some(regionRollupSql)),
     Gate("q_global_agg", globalAgg, Some(globalAggSql)),

@@ -7,9 +7,11 @@ import graft.ext.{Dedup, EmbeddingSearch, Multimodal, TextAnalysis}
 
 /** Gates for the training-data-pipeline extension surface (SURVEY §2.10):
   * dedup family, similarity search, text analysis, multimodal plumbing.
-  * SQL-expressible ops carry exact DuckDB oracles; the hash-based ops
-  * (MinHash/SimHash/LSH use Spark's xxhash64, which DuckDB cannot mirror)
-  * are rows-only gates exercised further in ScalaTest.
+  * SQL-expressible ops carry exact DuckDB oracles. The approximate ops are
+  * gated on verified outcomes instead: sketch dedup (MinHash/SimHash)
+  * exact-verifies its candidates, so its output is the true pair set the
+  * oracle recomputes; ANN top-k emits per-query recall-vs-brute-force
+  * booleans the oracle asserts true.
   */
 object ExtQueries {
 
@@ -134,7 +136,12 @@ object ExtQueries {
       n = 3, threshold = 0.5, maxDF = 20)
       .orderBy("id_a", "id_b")
 
-  private val ngramJaccardSql =
+  /** All true near-dup pairs (jaccard ≥ 0.5) of the planted corpus, as a
+    * CTE stack shared by the exact-join gate and the sketch-dedup oracles
+    * (MinHash/SimHash verify their candidates exactly, so a complete-recall
+    * sketch pass emits exactly this set).
+    */
+  private val truePairsCte =
     """WITH corpus AS (
       |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
       |  UNION ALL
@@ -154,26 +161,40 @@ object ExtQueries {
       |         WHERE df <= 20),
       |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
       |           FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id
-      |           GROUP BY 1, 2)
-      |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM (
+      |           GROUP BY 1, 2),
+      |pairs AS (
       |  SELECT common.id_a, common.id_b, common.common,
       |         sa.n_sh AS n_a, sb.n_sh AS n_b,
       |         CAST(common.common AS DOUBLE)
       |           / (sa.n_sh + sb.n_sh - common.common) AS jaccard
       |  FROM common
       |  JOIN sizes sa ON sa.id = common.id_a
-      |  JOIN sizes sb ON sb.id = common.id_b)
-      |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+      |  JOIN sizes sb ON sb.id = common.id_b)""".stripMargin
 
-  // ---- MinHash LSH / SimHash (rows-only: Spark xxhash64 has no DuckDB
-  // twin) ------------------------------------------------------------------
+  private val ngramJaccardSql =
+    s"""$truePairsCte
+       |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM pairs
+       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** A sketch-dedup run (candidates + exact verify) with complete recall
+    * emits exactly the true pair set — the oracle for both sketch gates.
+    * Both verify with the same stop-shingle-suppressed jaccard (maxDF=20)
+    * the exact join uses, so values are identical, not just the pair sets.
+    */
+  private val verifiedPairsSql =
+    s"""$truePairsCte
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- MinHash LSH / SimHash: banded candidates + exact verification ----
   private def minhashDedup(s: SparkSession, d: String): DataFrame =
     Dedup.minhashDedup(dupCorpus(s, d), col("id"), col("t"),
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, maxDF = 20)
       .orderBy("id_a", "id_b")
 
   private def simhashDedup(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(dupCorpus(s, d), col("id"), col("t"), maxHamming = 3)
+    Dedup.simhashDedup(dupCorpus(s, d), col("id"), col("t"),
+      n = 3, threshold = 0.5, maxDF = 20)
       .orderBy("id_a", "id_b")
 
   // ---- similarity search -------------------------------------------------
@@ -199,10 +220,60 @@ object ExtQueries {
       |       CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The LSH pipeline is fully deterministic — seeded hyperplanes, exact
+    * sign tests, sequential-fold dot products — so instead of a recall
+    * bound the oracle mirrors the *whole pipeline*: the plane constants
+    * are inlined into the SQL as list literals and DuckDB recomputes
+    * bucketing, in-bucket scoring, and ranking bit-identically.
+    */
   private def lshTopK(s: SparkSession, d: String): DataFrame =
     EmbeddingSearch.lshTopK(Tables.embeddings(s, d),
       col("vec_id") < 10, k = 5, nPlanes = 4)
       .orderBy("query_id", "rank")
+
+  private val lshTopKSql: String = {
+    val planes = EmbeddingSearch.hyperplanes(nPlanes = 4, dim = 64)
+    def lst(p: Array[Double]) = p.map(_.toString).mkString("[", ", ", "]")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${lst(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n          + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |          $bucket AS bucket
+       |      FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket
+       |      FROM b WHERE vec_id < 10),
+       |p AS (SELECT query_id, b.vec_id,
+       |             list_dot_product(qv, b.v)
+       |               / sqrt(list_dot_product(qv, qv)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** (query_id, recall_ok) for an ANN result vs brute-force top-k — used
+    * by gates whose index is data-trained (IVF), where no closed-form SQL
+    * mirror exists; the oracle asserts every boolean true.
+    */
+  private[queries] def recallGate(embs: DataFrame, ann: DataFrame,
+      k: Int, minHits: Int): DataFrame = {
+    val bf = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") < 10, k = k)
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(bf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= minHits).as("recall_ok"))
+      .orderBy("query_id")
+  }
 
   // ---- embedding-cosine near-dup (exact all-pairs; oracle-matched) -------
   private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
@@ -292,29 +363,54 @@ object ExtQueries {
        |         AS total_bpe_tokens
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  // ---- winnowing fingerprints (rows-only: xxhash64 has no DuckDB twin)
+  // ---- winnowing fingerprints ------------------------------------------
+  /** Gate runs the pipeline on the md5-derived 48-bit gram hash (xxhash64,
+    * the default, has no DuckDB twin) so every stage — normalization,
+    * k-gram hashing, the w-window minima, dedup — is value-checked.
+    */
   private def winnowing(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        TextAnalysis.winnowingFingerprints(col("text")).as("fps"))
+        TextAnalysis.winnowingFingerprints(col("text"),
+          hash = TextAnalysis.md5Hash48).as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         element_at(array_sort(col("fps")), 1).as("min_fp"))
       .orderBy("doc_id")
 
+  private val winnowingSql =
+    """WITH t AS (SELECT doc_id,
+      |             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN length(s) >= 5
+      |          THEN list_transform(range(length(s) - 4),
+      |                 i -> CAST(('0x' || substr(md5(substr(s, i + 1, 5)), 1, 12))
+      |                           AS BIGINT))
+      |          ELSE [CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)]
+      |          END AS gh
+      |      FROM t),
+      |m AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(greatest(len(gh) - 3, 1)),
+      |          j -> list_min(gh[j + 1 : least(j + 4, len(gh))]))) AS fps
+      |      FROM g)
+      |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+      |       list_min(fps) AS min_fp
+      |FROM m ORDER BY doc_id""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
-    Gate("q_winnow_fp", winnowing, None),
+    Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Gate("q_token_stats", tokenStats, Some(tokenStatsSql)),
     Gate("q_fingerprint", fingerprint, Some(fingerprintSql)),
     Gate("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Gate("q_lang_id", langId, Some(langIdSql)),
     Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
-    Gate("q_minhash_dedup", minhashDedup, None),
-    Gate("q_simhash_dedup", simhashDedup, None),
+    Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
+    Gate("q_simhash_dedup", simhashDedup, Some(verifiedPairsSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
     Gate("q_embed_dup_pairs", embedDupPairs, Some(embedDupPairsSql)),
-    Gate("q_embed_lsh_topk", lshTopK, None),
+    Gate("q_embed_lsh_topk", lshTopK, Some(lshTopKSql)),
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Gate("q_multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
