@@ -45,10 +45,27 @@ object Bench {
       System.gc()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map for humans/logs — NOT the contract line.
+    println(results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("FULL_TIMINGS {", ",", "}"))
+    // The driver keeps only a bounded tail of stdout and parses the JSON
+    // there; with all ~70 queries inline the line ran ~2.9 KB and the
+    // opening brace fell off the buffer (round-1 BENCH parsed:null). The
+    // contract line therefore carries a representative headline subset,
+    // 3-decimal rounded, and is printed LAST so it always sits inside
+    // the tail. `value` remains the full-suite total.
+    val headline = Set(
+      "q_sql_surface", "q_join_revenue", "q_daily_rollup", "q_user_rollup",
+      "q_dedup_exact", "q_dedup_anti", "q_minhash_dedup", "q_simhash_dedup",
+      "q_ngram_jaccard", "q_dup_clusters", "q_embed_topk", "q_embed_lsh_topk",
+      "q_ivf_topk", "q_sessionize", "q_window_topn", "q_stream_window",
+      "q_stream_join", "q_pack_sequences", "q_assemble_dataset",
+      "q_salted_join", "q_token_stats", "q_histogram")
+    val qs = results.filter(r => headline(r._1))
+      .map { case (k, v) => f""""$k":${v}%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,7 +65,6 @@ object ScaleQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  // IVF ANN (rows-only: KMeans cells have no SQL twin).
   /** IVF ANN accuracy gate: recall@5 vs brute force per query, reduced to
     * a boolean the (seeded, deterministic) KMeans quantizer comfortably
     * clears — measured ≥ 4/5 hits per query at nProbe=10, gated at ≥ 3.
