@@ -14,6 +14,19 @@ final case class Gate(
 )
 
 object Gate {
+  /** Scratch dir for gate staging I/O (stream inputs, checkpoints, csv
+    * round-trips), on tmpfs when available: this host's buffered-write
+    * path throttles to ~40 MB/s (direct I/O does 330), and staging
+    * through /tmp puts that throttle inside the timed window.
+    */
+  def tmpDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm/graft_gates")
+    if (new java.io.File("/dev/shm").isDirectory) {
+      shm.mkdirs()
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+    } else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   /** Registry assembled from the per-module gate lists. */
   def all: Seq[Gate] =
     queries.CoreQueries.gates ++

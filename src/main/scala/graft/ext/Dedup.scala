@@ -31,6 +31,24 @@ object Dedup {
       explode(array_distinct(
         TextAnalysis.wordShingles(TextAnalysis.tokens(text), n))).as("sh"))
 
+  /** Distinct *hashed* word-n-gram shingles per document: (id, sh: long).
+    * Each gram is xxhash64'd directly from its token slice — the shingle
+    * string is never even concatenated, let alone stored or shuffled, so
+    * the exploded table and everything downstream (doc-frequency counts,
+    * signatures, pair joins, verification) carries 8-byte keys. All set
+    * arithmetic (distinct, intersection, df) is identical to the string
+    * table's up to 2^-64 collisions.
+    */
+  def hashedShingles(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(slice(toks, i + 1, lit(n)))))
+      .otherwise(array(xxhash64(toks)))
+    docs.select(id.as("id"), explode(array_distinct(grams)).as("sh"))
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
     * |A∩B| / |A∪B| ≥ threshold. `maxDF` drops shingles appearing in more
     * than that many documents before pairing — the standard stop-shingle
@@ -38,13 +56,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
       n: Int, threshold: Double, maxDF: Long): DataFrame = {
-    // The shingle table feeds three consumers (sizes, doc-frequency, the
-    // pair self-join) — persist it so the tokenize/shingle subtree runs
-    // once instead of being recomputed per branch. Shingles join as
-    // xxhash64 longs, not strings: the common/df counts are identical
-    // (collisions are 2^-64) and the shuffle carries 8-byte keys.
-    val sh = shingleTable(docs, id, text, n)
-      .select(col("id"), xxhash64(col("sh")).as("sh")).persist()
+    // The hashed shingle table feeds three consumers (sizes, doc-frequency,
+    // the pair self-join) — persist it so the tokenize/shingle subtree runs
+    // once instead of being recomputed per branch.
+    val sh = hashedShingles(docs, id, text, n).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -65,25 +80,27 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signatures: permutation p's hash is min over shingles of
-    * xxhash64(p, shingle), computed as one hash-aggregate over the exploded
-    * shingle table (64 `min` aggregates in a single pass). Shaped this way
-    * deliberately: a per-row HOF expression gets inlined by CollapseProject
-    * into every band struct (16× recomputation); the aggregate materializes
-    * the signature once, and map-side partial mins mean the shuffle carries
-    * one 64-long row per document. Returns (id, sig: array<long>).
+  /** MinHash signatures: permutation p's hash is a splitmix64 re-mix of
+    * the 8-byte gram hash, min'd per permutation in one hash-aggregate
+    * over the exploded hashed-shingle table (k mins in a single pass).
+    * Shaped this way deliberately: a per-row HOF expression gets inlined
+    * by CollapseProject into every band struct (16× recomputation); the
+    * aggregate materializes the signature once, and map-side partial mins
+    * mean the shuffle carries one 64-long row per document.
+    * Returns (id, sig: array<long>).
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
       n: Int, perms: Int): DataFrame =
-    signaturesFromShingles(shingleTable(docs, id, text, n), perms)
+    signaturesFromShingles(hashedShingles(docs, id, text, n), perms)
 
-  /** Signature aggregation over an existing (id, sh) shingle table —
-    * one [[MinHashAgg]] typed aggregate (k mins in a single buffer; the
-    * k-separate-min spelling costs ~20 s of codegen compilation).
+  /** Signature aggregation over an existing (id, sh: long) hashed shingle
+    * table — one [[MinHashAgg]] typed aggregate (k mins in a single
+    * buffer; the k-separate-min spelling costs ~20 s of codegen
+    * compilation).
     */
   def signaturesFromShingles(sh: DataFrame, perms: Int): DataFrame =
     sh.groupBy("id")
-      .agg(udaf(new MinHashAgg(perms), Encoders.STRING)(col("sh")).as("sig"))
+      .agg(udaf(new MinHashAgg(perms), Encoders.scalaLong)(col("sh")).as("sig"))
 
   /** Banded signatures for LSH: (id, band, bucket) rows; docs sharing any
     * bucket are candidate near-duplicates. bands × rowsPerBand = perms.
@@ -115,31 +132,38 @@ object Dedup {
       .distinct()
 
   /** Exact-Jaccard verification of candidate pairs (id_a, id_b) against a
-    * shingle table (id, sh): keeps pairs whose true Jaccard ≥ threshold.
-    * The intersection count ignores shingles with document frequency >
-    * maxDF (set sizes still count them) — the same stop-shingle-suppressed
-    * jaccard [[jaccardPairs]] computes, so sketch candidates verified here
-    * land on identical values. The joins run on xxhash64'd shingles —
-    * 8-byte keys, identical counts (collisions are 2^-64) — so the shuffle
-    * never carries shingle text.
+    * *hashed* shingle table (id, sh: long): keeps pairs whose true Jaccard
+    * ≥ threshold. The intersection count ignores shingles with document
+    * frequency > maxDF (set sizes still count them) — the same
+    * stop-shingle-suppressed jaccard [[jaccardPairs]] computes, so sketch
+    * candidates verified here land on identical values.
+    *
+    * Shape: per-doc shingle sets are collected into arrays and broadcast;
+    * each candidate pair is scored map-side with one `array_intersect` —
+    * no shuffle is proportional to |candidates| × |shingles per doc|,
+    * which is what made the join-per-shingle spelling quadratic-feeling
+    * (a sketch like token-SimHash can emit 100k+ candidates on templated
+    * corpora). The broadcast build side is docs × rare-shingle arrays; if
+    * that outgrows executor memory at extreme scale, shard the candidate
+    * list and verify per shard (the per-shard plan is unchanged).
     */
   def verifyJaccard(cands: DataFrame, sh: DataFrame,
       threshold: Double, maxDF: Long = Long.MaxValue): DataFrame = {
-    val shH = sh.select(col("id"), xxhash64(col("sh")).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare =
-      if (maxDF == Long.MaxValue) shH
-      else shH.join(
-        shH.groupBy("sh").agg(count(lit(1)).as("df"))
+      if (maxDF == Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDF).select("sh"),
         "sh")
-    val common = cands
-      .join(rare.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(rare.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = broadcast(sets.join(sizes, "id")
+      .select(col("id").as("id_a"), col("shs").as("shs_a"), col("n_sh").as("n_a")))
+    val b = broadcast(sets.join(sizes, "id")
+      .select(col("id").as("id_b"), col("shs").as("shs_b"), col("n_sh").as("n_b")))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")))
@@ -154,9 +178,10 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.6,
       bands: Int = 16, rowsPerBand: Int = 4,
       maxDF: Long = Long.MaxValue): DataFrame = {
-    // One persisted shingle table feeds the signature aggregation AND the
-    // candidate verification — the tokenize/shingle subtree runs once.
-    val sh = shingleTable(docs, id, text, n).persist()
+    // One persisted hashed-shingle table feeds the signature aggregation
+    // AND the candidate verification — the tokenize/shingle subtree runs
+    // once, and only 8-byte keys are ever stored or shuffled.
+    val sh = hashedShingles(docs, id, text, n).persist()
     val cands = minhashCandidates(bucketsFromSignatures(
       signaturesFromShingles(sh, bands * rowsPerBand), bands, rowsPerBand))
     verifyJaccard(cands, sh, threshold, maxDF)
@@ -211,7 +236,7 @@ object Dedup {
   def simhashDedup(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5, maxHamming: Int = 8,
       maxDF: Long = Long.MaxValue): DataFrame = {
-    val sh = shingleTable(docs, id, text, n).persist()
+    val sh = hashedShingles(docs, id, text, n).persist()
     val sigs = simhashSignatures(docs, id, text)
     val chunks = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(7)),

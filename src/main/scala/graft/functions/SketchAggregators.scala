@@ -29,24 +29,26 @@ object Hash64 {
 }
 
 /** k-permutation MinHash as ONE typed aggregate (SURVEY §2.10's
-  * `Aggregator[IN,BUF,OUT]` route). The k-separate-`min(xxhash64)` spelling
-  * generates enormous whole-stage code (~20 s of janino compilation for
-  * k=64 at first use); this buffer-based aggregate keeps codegen tiny and
-  * runs one byte-scan per shingle. Buffers merge associatively
-  * (element-wise min), so map-side partial aggregation works — the shuffle
-  * carries one k-long array per document.
+  * `Aggregator[IN,BUF,OUT]` route), over pre-hashed 8-byte shingles
+  * ([[graft.ext.Dedup.hashedShingles]]): permutation p is a splitmix64
+  * re-mix of the gram hash xor a per-permutation seed — k cheap integer
+  * mixes per shingle, no string bytes anywhere. The k-separate-
+  * `min(xxhash64)` spelling generates enormous whole-stage code (~20 s of
+  * janino compilation for k=64 at first use); this buffer-based aggregate
+  * keeps codegen tiny. Buffers merge associatively (element-wise min), so
+  * map-side partial aggregation works — the shuffle carries one k-long
+  * array per document.
   */
 final class MinHashAgg(perms: Int)
-    extends Aggregator[String, Array[Long], Seq[Long]] {
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
   private val seeds = Array.tabulate(perms)(p => Hash64.mix(p.toLong))
 
   override def zero: Array[Long] = Array.fill(perms)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], sh: String): Array[Long] = {
-    val b = Hash64.base(sh)
+  override def reduce(buf: Array[Long], sh: Long): Array[Long] = {
     var p = 0
     while (p < perms) {
-      val h = Hash64.mix(b ^ seeds(p))
+      val h = Hash64.mix(sh ^ seeds(p))
       if (h < buf(p)) buf(p) = h
       p += 1
     }

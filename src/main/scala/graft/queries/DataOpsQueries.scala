@@ -301,16 +301,19 @@ object DataOpsQueries {
       .withColumn("ctext", TextAnalysis.scrubPii(col("text")))
       .withColumn("toks", TextAnalysis.tokens(col("ctext")))
     val toks = col("toks")
+    // persist ABOVE the dedup fork: quality feeds both the keeper agg and
+    // the join back, so an un-cached plan runs the 3-regex scrub +
+    // tokenize twice more than needed
     val quality = docs
       .withColumn("n_tok", size(toks))
       .filter(size(toks) >= 15 &&
         TextAnalysis.stopwordRatio(toks) >= 0.02 &&
         TextAnalysis.uniqueRatio(toks) >= 0.35)
       .drop("toks")
+      .persist()
     val keepers = quality.groupBy(md5(col("ctext")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    // feeds decontaminate twice (shingle table + final join) — persist so
-    // the scrub/tokenize/filter subtree runs once
+    // feeds decontaminate twice (shingle table + final join)
     val deduped = quality.join(keepers, "doc_id").persist()
     val bench = docs.filter(col("doc_id") % 25 === 0).select("ctext")
     val finalDocs = DataOps.decontaminate(deduped, col("doc_id"),

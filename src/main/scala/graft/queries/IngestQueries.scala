@@ -77,7 +77,7 @@ object IngestQueries {
   // aggregates the *source* relation directly: a correct write→read cycle
   // must preserve every row, so the CSV side-trip has to be value-invisible.
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_csv_").toString
+    val out = graft.Gate.tmpDir("graft_csv_")
     val billing = EventsBilling(s, d)
     billing.write.mode("overwrite").option("header", "true").csv(out)
     Ingest.readCsv(s, s"$out/part-*.csv")

@@ -91,8 +91,8 @@ object ScaleQueries {
   // (mirrored in the oracle) instead of LIMIT, which has no stable row
   // choice to mirror.
   private def streamWindow(s: SparkSession, d: String): DataFrame = {
-    val in = java.nio.file.Files.createTempDirectory("gate_stream_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("gate_ckpt_").toString
+    val in = graft.Gate.tmpDir("gate_stream_")
+    val ckpt = graft.Gate.tmpDir("gate_ckpt_")
     EventsBilling(s, d).filter(col("user_id").cast("long") % 7 === 0)
       .write.mode("overwrite").option("header", "true").csv(in)
     val stream = s.readStream.option("header", "true")
@@ -129,9 +129,9 @@ object ScaleQueries {
   // sink. The timestamp hand-off to CSV goes as unix_micros longs (CSV
   // timestamp formatting would truncate microseconds).
   private def streamJoin(s: SparkSession, d: String): DataFrame = {
-    val dirC = java.nio.file.Files.createTempDirectory("gate_ssj_c_").toString
-    val dirE = java.nio.file.Files.createTempDirectory("gate_ssj_e_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("gate_ssj_ck_").toString
+    val dirC = graft.Gate.tmpDir("gate_ssj_c_")
+    val dirE = graft.Gate.tmpDir("gate_ssj_e_")
+    val ckpt = graft.Gate.tmpDir("gate_ssj_ck_")
     // deterministic user subset (mirrored in the oracle) keeps the gate's
     // cost in the streaming machinery, not the CSV hand-off
     val ev = Tables.events(s, d)
@@ -175,8 +175,8 @@ object ScaleQueries {
   // event exactly once. This is the reference's J1 anti-join dedup
   // (ingest.py:248-257) recast as streaming state.
   private def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("gate_sdd_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("gate_sdd_ck_").toString
+    val dir = graft.Gate.tmpDir("gate_sdd_")
+    val ckpt = graft.Gate.tmpDir("gate_sdd_ck_")
     val ev = Tables.events(s, d)
       .filter(col("user_id") % 5 === 0)
       .select(col("user_id"), col("event_id"), col("value"))

@@ -61,9 +61,11 @@ object GraftProperties extends Properties("graft") {
   property("minhashContainment") = Prop.forAllNoShrink(
     Gen.listOfN(20, word), Gen.listOfN(3, word)) { (base, extra) =>
     // signature of (A ∪ B) is element-wise ≤ signature of A
+    // (the aggregate consumes pre-hashed shingles — mirror that here)
     val agg = new graft.functions.MinHashAgg(16)
-    val sigA = base.distinct.foldLeft(agg.zero)(agg.reduce)
-    val sigAB = (base ++ extra).distinct.foldLeft(agg.zero)(agg.reduce)
+    def h(ws: List[String]) = ws.distinct.map(graft.functions.Hash64.base)
+    val sigA = h(base).foldLeft(agg.zero)(agg.reduce)
+    val sigAB = h(base ++ extra).foldLeft(agg.zero)(agg.reduce)
     sigA.zip(sigAB).forall { case (a, ab) => ab <= a }
   }
 }
