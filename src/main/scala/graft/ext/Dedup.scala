@@ -31,6 +31,13 @@ object Dedup {
       explode(array_distinct(
         TextAnalysis.wordShingles(TextAnalysis.tokens(text), n))).as("sh"))
 
+  /** (id, toks) tokenization projection — the shared upstream of shingle
+    * and signature derivations (persist it when a pipeline needs both, so
+    * the split/lower pass over the raw text runs once).
+    */
+  def tokenTable(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"), TextAnalysis.tokens(text).as("toks"))
+
   /** Distinct *hashed* word-n-gram shingles per document: (id, sh: long).
     * Each gram is xxhash64'd directly from its token slice — the shingle
     * string is never even concatenated, let alone stored or shuffled, so
@@ -40,13 +47,17 @@ object Dedup {
     * table's up to 2^-64 collisions.
     */
   def hashedShingles(docs: DataFrame, id: Column, text: Column,
-      n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(text)
+      n: Int): DataFrame =
+    hashedShinglesFromTokens(tokenTable(docs, id, text), n)
+
+  /** Hashed shingles off an existing (id, toks) token table. */
+  def hashedShinglesFromTokens(toksDf: DataFrame, n: Int): DataFrame = {
+    val toks = col("toks")
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => xxhash64(slice(toks, i + 1, lit(n)))))
       .otherwise(array(xxhash64(toks)))
-    docs.select(id.as("id"), explode(array_distinct(grams)).as("sh"))
+    toksDf.select(col("id"), explode(array_distinct(grams)).as("sh"))
   }
 
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with
@@ -191,8 +202,11 @@ object Dedup {
     * (order-invariant), via the [[SimHashAgg]] typed aggregate.
     */
   def simhashSignatures(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("id"),
-      explode(TextAnalysis.tokens(text)).as("tok"))
+    simhashSignaturesFromTokens(tokenTable(docs, id, text))
+
+  /** SimHash signatures off an existing (id, toks) token table. */
+  def simhashSignaturesFromTokens(toksDf: DataFrame): DataFrame =
+    toksDf.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy("id")
       .agg(udaf(new SimHashAgg, Encoders.STRING)(col("tok")).as("sig"))
 
@@ -236,8 +250,10 @@ object Dedup {
   def simhashDedup(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5, maxHamming: Int = 8,
       maxDF: Long = Long.MaxValue): DataFrame = {
-    val sh = hashedShingles(docs, id, text, n).persist()
-    val sigs = simhashSignatures(docs, id, text)
+    // one tokenize pass feeds both the signature and verification branches
+    val toksDf = tokenTable(docs, id, text).persist()
+    val sh = hashedShinglesFromTokens(toksDf, n).persist()
+    val sigs = simhashSignaturesFromTokens(toksDf)
     val chunks = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(7)),
         c => struct(c.as("chunk"),

@@ -26,13 +26,16 @@ object IvfIndex {
     * (cell, cv: array<double>).
     */
   def build(embs: DataFrame, k: Int, seed: Long = 42L,
-      sampleFraction: Double = 1.0): Model = {
+      sampleFraction: Double = 1.0, maxIter: Int = 10): Model = {
     val prepared = EmbeddingSearch.prepared(embs)
       .withColumn("features", array_to_vector(col("v")))
     val trainSet =
       if (sampleFraction < 1.0) prepared.sample(sampleFraction, seed)
       else prepared
-    val kmeans = new KMeans().setK(k).setSeed(seed)
+    // a coarse quantizer only has to be roughly balanced — capping the
+    // iterations halves index-build time with no recall change worth the
+    // name (re-measured per change; the gate pins the recall floor)
+    val kmeans = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = kmeans.fit(trainSet)
     val spark = embs.sparkSession

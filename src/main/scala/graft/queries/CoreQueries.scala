@@ -346,6 +346,29 @@ object CoreQueries {
       |         AS running
       |FROM events ORDER BY event_id""".stripMargin
 
+  // Offset windows (lag/lead): inter-event deltas per user — the
+  // session-analysis primitive the running/rank gates don't cover.
+  private def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("next_id", lead(col("event_id"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        (unix_millis(col("ts")) - coalesce(col("prev_ms"),
+          unix_millis(col("ts")))).as("gap_ms"),
+        coalesce(col("next_id"), lit(-1L)).as("next_id"))
+      .orderBy("event_id")
+  }
+
+  private val windowLagSql =
+    """SELECT event_id, user_id,
+      |       epoch_ms(ts) - coalesce(lag(epoch_ms(ts), 1) OVER
+      |         (PARTITION BY user_id ORDER BY ts, event_id), epoch_ms(ts))
+      |         AS gap_ms,
+      |       coalesce(lead(event_id, 1) OVER
+      |         (PARTITION BY user_id ORDER BY ts, event_id), -1) AS next_id
+      |FROM events ORDER BY event_id""".stripMargin
+
   // T4-style last-wins row per key (row_number dedup).
   private def latestPerUser(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -471,6 +494,7 @@ object CoreQueries {
     Gate("q_set_ops", setOps, Some(setOpsSql)),
     Gate("q_window_topn", windowTopN, Some(windowTopNSql)),
     Gate("q_window_running", windowRunning, Some(windowRunningSql)),
+    Gate("q_window_lag", windowLag, Some(windowLagSql)),
     Gate("q_latest_per_user", latestPerUser, Some(latestPerUserSql)),
     Gate("q_case_cast", caseCast, Some(caseCastSql)),
     Gate("q_null_handling", nullHandling, Some(nullHandlingSql)),

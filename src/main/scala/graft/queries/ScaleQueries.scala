@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
 import graft.ext.IvfIndex
-import graft.operators.SkewJoin
+import graft.operators.{RangeJoin, SkewJoin}
 
 /** Scale-technique gates: the ad-hoc SQL surface (reference entry point 3,
   * SURVEY §3.3) including the registered `graft_dot` extension function,
@@ -60,6 +60,66 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
 
   private val saltedJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       round(sum(l_quantity), 2) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Binned range join (point-in-interval): lineitems shipped inside a
+    * 7-day window after each sampled order's date. The naive spelling is
+    * a non-equi join (broadcast nested loop); [[RangeJoin.pointInterval]]
+    * turns it into an equi-join on a bin id — see the operator scaladoc
+    * for the 100 TB shape.
+    */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val li = Tables.lineitem(s, d)
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("pday"))
+    val win = Tables.orders(s, d).filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("sday"))
+      .withColumn("eday", col("sday") + 6)
+    RangeJoin.pointInterval(li, "pday", win, "sday", "eday", binWidth = 7)
+      .groupBy("win_id").agg(count(lit(1)).as("n_shipped"))
+      .orderBy("win_id")
+  }
+
+  private val rangeJoinSql =
+    """SELECT o_orderkey AS win_id, count(*) AS n_shipped
+      |FROM orders JOIN lineitem
+      |  ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 6 DAY
+      |WHERE o_orderkey % 1000 = 0
+      |GROUP BY win_id ORDER BY win_id""".stripMargin
+
+  /** Bucketed co-located join: both sides written bucketed+sorted on the
+    * join key, so the sort-merge join reads co-located buckets with NO
+    * exchange on either side (the `.explain` shows no Exchange below the
+    * join) — the storage-layout answer to repeated big-to-big joins at
+    * 100 TB. The oracle checks the result equals the plain join.
+    */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    // leave broadcast out of the picture so the bucket metadata, not the
+    // small-table fast path, is what the gate exercises
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    li.write.mode("overwrite").format("parquet")
+      .option("path", graft.Gate.tmpDir("gate_bkt_li_"))
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("gate_bkt_lineitem")
+    ord.write.mode("overwrite").format("parquet")
+      .option("path", graft.Gate.tmpDir("gate_bkt_ord_"))
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("gate_bkt_orders")
+    s.table("gate_bkt_lineitem")
+      .join(s.table("gate_bkt_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinSql =
     """SELECT o_orderpriority, count(*) AS n_items,
       |       round(sum(l_quantity), 2) AS total_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -280,6 +340,8 @@ object ScaleQueries {
     Gate("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
     Gate("q_salted_join", saltedJoin, Some(saltedJoinSql)),
+    Gate("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    Gate("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Gate("q_stream_window", streamWindow, Some(streamWindowSql)),
     Gate("q_stream_join", streamJoin, Some(streamJoinSql)),
