@@ -231,6 +231,55 @@ object AnalyticsQueries {
       |       count(*) AS n
       |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---- string similarity (edit distance) ---------------------------------
+  /** Pairwise `levenshtein` over 40-char prefixes of adjacent doc pairs —
+    * restricted to lang='en' so both engines count the same (ASCII)
+    * characters. A per-pair scalar, no shuffle beyond the pair join.
+    */
+  private def editDistance(s: SparkSession, d: String): DataFrame = {
+    val en = Tables.documents(s, d).filter(col("lang") === "en")
+    val a = en.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("ta"))
+    val b = en.filter(col("doc_id") % 20 === 1)
+      .select((col("doc_id") - 1).as("doc_id"),
+        substring(lower(col("text")), 1, 40).as("tb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"), levenshtein(col("ta"), col("tb")).as("dist"))
+      .orderBy("doc_id")
+  }
+
+  private val editDistanceSql =
+    """WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+      |a AS (SELECT doc_id, substr(lower(text), 1, 40) AS ta
+      |      FROM en WHERE doc_id % 20 = 0),
+      |b AS (SELECT doc_id - 1 AS doc_id, substr(lower(text), 1, 40) AS tb
+      |      FROM en WHERE doc_id % 20 = 1)
+      |SELECT doc_id, CAST(levenshtein(ta, tb) AS INTEGER) AS dist
+      |FROM a JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- JSON surface -------------------------------------------------------
+  /** `to_json` → `get_json_object`/`from_json` round-trip: the oracle
+    * computes the expected end values straight from the columns, so the
+    * whole serialize/extract/parse path is value-checked without tying
+    * the gate to either engine's JSON text formatting.
+    */
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("js",
+        to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
+      .select(col("doc_id"),
+        get_json_object(col("js"), "$.source").as("j_source"),
+        get_json_object(col("js"), "$.n_chars").cast("int").as("j_chars"),
+        (from_json(col("js"), org.apache.spark.sql.types.StructType
+          .fromDDL("doc_id BIGINT, source STRING, n_chars INT"))
+          .getField("doc_id") === col("doc_id")).as("id_ok"))
+      .orderBy("doc_id")
+
+  private val jsonRoundtripSql =
+    """SELECT doc_id, source AS j_source,
+      |       CAST(n_chars AS INTEGER) AS j_chars, true AS id_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- gates --------------------------------------------------------------
   def gates: Seq[Gate] = Seq(
     Gate("q_cube", cubeAgg, Some(cubeAggSql)),
@@ -243,5 +292,7 @@ object AnalyticsQueries {
     Gate("q_explode_tokens", explodeTokens, Some(explodeTokensSql)),
     Gate("q_histogram", histogram, Some(histogramSql)),
     Gate("q_collect_agg", collectAgg, Some(collectAggSql)),
+    Gate("q_edit_distance", editDistance, Some(editDistanceSql)),
+    Gate("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
   )
 }

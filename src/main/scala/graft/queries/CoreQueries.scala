@@ -369,6 +369,52 @@ object CoreQueries {
       |         (PARTITION BY user_id ORDER BY ts, event_id), -1) AS next_id
       |FROM events ORDER BY event_id""".stripMargin
 
+  // Time-series gap fill: per-user daily usage on a continuous day
+  // scaffold (sequence + explode), missing days forward-filled with
+  // last-observation-carried-forward (`last(..., ignoreNulls)` over an
+  // unbounded-preceding window) — the resample/interpolate primitive of
+  // metric pipelines. The scaffold explode multiplies rows BEFORE the
+  // window shuffle, but only for the deterministic user subset.
+  private def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = EventsBilling(s, d)
+      .filter(col("user_id").cast("long") % 40 === 0)
+      .groupBy(col("user_id"), to_date(col("timestamp")).as("day"))
+      .agg(round(sum("credit_usage"), 2).as("daily_usage"))
+    val scaffold = ev.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(ev, Seq("user_id", "day"), "left")
+      .withColumn("filled_usage",
+        last(col("daily_usage"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("daily_usage"), col("filled_usage"))
+      .orderBy("user_id", "day")
+  }
+
+  private val gapFillSql =
+    s"""${EventsBilling.cte},
+       |ev AS (SELECT user_id, CAST("timestamp" AS DATE) AS day,
+       |              round(sum(credit_usage), 2) AS daily_usage
+       |       FROM billing WHERE CAST(user_id AS BIGINT) % 40 = 0
+       |       GROUP BY 1, 2),
+       |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+       |      FROM ev GROUP BY 1),
+       |sc AS (SELECT user_id,
+       |              CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+       |                   AS DATE) AS day
+       |       FROM b)
+       |SELECT sc.user_id, CAST(sc.day AS VARCHAR) AS day, ev.daily_usage,
+       |       last_value(ev.daily_usage IGNORE NULLS) OVER
+       |         (PARTITION BY sc.user_id ORDER BY sc.day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS filled_usage
+       |FROM sc LEFT JOIN ev ON sc.user_id = ev.user_id AND sc.day = ev.day
+       |ORDER BY sc.user_id, day""".stripMargin
+
   // T4-style last-wins row per key (row_number dedup).
   private def latestPerUser(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -495,6 +541,7 @@ object CoreQueries {
     Gate("q_window_topn", windowTopN, Some(windowTopNSql)),
     Gate("q_window_running", windowRunning, Some(windowRunningSql)),
     Gate("q_window_lag", windowLag, Some(windowLagSql)),
+    Gate("q_gap_fill", gapFill, Some(gapFillSql)),
     Gate("q_latest_per_user", latestPerUser, Some(latestPerUserSql)),
     Gate("q_case_cast", caseCast, Some(caseCastSql)),
     Gate("q_null_handling", nullHandling, Some(nullHandlingSql)),
