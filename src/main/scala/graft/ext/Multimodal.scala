@@ -54,6 +54,17 @@ object Multimodal {
       })
   }
 
+  /** STUB resize (the "thumbnail" analogue): a fixed-length byte sketch of
+    * the payload — `outLen` evenly-spaced bytes (nearest-neighbor
+    * downsample in 1-D). Deterministic, so downstream joins/dedup on
+    * resized media stay testable; a real implementation would do pixel
+    * interpolation here with the same (bytes → fixed-size bytes) shape.
+    */
+  def resizeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
+    if (payload.isEmpty) new Array[Byte](outLen)
+    else Array.tabulate(outLen)(i => payload((i.toLong * payload.length / outLen).toInt))
+  }
+
   /** Byte-range sampling (the "frame sample" analogue): fixed-size slices
     * at a stride, as pure column expressions over the binary payload.
     */

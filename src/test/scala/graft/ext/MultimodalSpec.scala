@@ -34,6 +34,15 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).histogram.length == 16)
   }
 
+  test("resizeStub: fixed-length evenly-spaced byte sketch") {
+    val in = "abcdefgh".getBytes("UTF-8")
+    val out = Multimodal.resizeStub(in, 4)
+    assert(new String(out, "UTF-8") == "aceg")
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 4).length == 4)
+    // deterministic
+    assert(Multimodal.resizeStub(in, 4).sameElements(out))
+  }
+
   test("sampleSlices emits strided byte windows") {
     val slices = Multimodal.sampleSlices(media.filter(col("doc_id") === 1),
       sliceLen = 4, stride = 4, maxSlices = 2)
