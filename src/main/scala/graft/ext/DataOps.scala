@@ -103,11 +103,13 @@ object DataOps {
     */
   def decontaminate(docs: DataFrame, docId: Column, docText: Column,
       bench: DataFrame, benchText: Column, n: Int = 7): DataFrame = {
-    val docSh = Dedup.shingleTable(docs, docId, docText, n)
-    val benchSh = bench.select(
-      explode(array_distinct(
-        TextAnalysis.wordShingles(TextAnalysis.tokens(benchText), n)))
-        .as("sh")).distinct()
+    // hashed shingles both sides: membership is identical (2^-64
+    // collisions) and the broadcast set carries 8-byte keys, not 7-gram
+    // strings
+    val docSh = Dedup.hashedShingles(docs, docId, docText, n)
+    val benchSh = Dedup.hashedShingles(bench.select(lit(0L).as("__bid"),
+        benchText.as("__btext")), col("__bid"), col("__btext"), n)
+      .select("sh").distinct()
     val hits = docSh.join(broadcast(benchSh), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     docs.join(hits.withColumnRenamed("id", "__hit_id"),
