@@ -280,6 +280,34 @@ object AnalyticsQueries {
       |       CAST(n_chars AS INTEGER) AS j_chars, true AS id_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- heavy hitters (frequent-items sketch) ------------------------------
+  /** `stat.freqItems` (Karp/Shenker/Papadimitriou one-pass sketch) must
+    * surface every operation type the exact top-3 contains — the
+    * accuracy-boolean oracle pattern: the sketch's guarantee (no false
+    * negatives above the support threshold) is what gets hash-checked.
+    */
+  private def freqItems(s: SparkSession, d: String): DataFrame = {
+    val ev = EventsBilling(s, d)
+    val sketch = ev.stat.freqItems(Seq("operation_type"), 0.05)
+      .head.getSeq[String](0).toSet
+    val exactTop3 = ev.groupBy("operation_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("operation_type"))
+      .limit(3)
+    exactTop3.select(col("operation_type"), col("n"),
+      typedLit(sketch.toSeq.sorted).as("__s"))
+      .select(col("operation_type"), col("n"),
+        array_contains(col("__s"), col("operation_type")).as("found_ok"))
+      .orderBy("operation_type")
+  }
+
+  private val freqItemsSql =
+    s"""${EventsBilling.cte}
+       |SELECT operation_type, n, true AS found_ok FROM (
+       |  SELECT operation_type, count(*) AS n FROM billing
+       |  GROUP BY operation_type ORDER BY n DESC, operation_type LIMIT 3)
+       |ORDER BY operation_type""".stripMargin
+
   // ---- gates --------------------------------------------------------------
   def gates: Seq[Gate] = Seq(
     Gate("q_cube", cubeAgg, Some(cubeAggSql)),
@@ -294,5 +322,6 @@ object AnalyticsQueries {
     Gate("q_collect_agg", collectAgg, Some(collectAggSql)),
     Gate("q_edit_distance", editDistance, Some(editDistanceSql)),
     Gate("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    Gate("q_freq_items", freqItems, Some(freqItemsSql)),
   )
 }
