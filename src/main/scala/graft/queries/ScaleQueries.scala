@@ -133,7 +133,7 @@ object ScaleQueries {
     */
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
-    val model = IvfIndex.build(embs, k = 16)
+    val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
     val ann = IvfIndex.search(model, col("vec_id") < 10, k = 5, nProbe = 10)
     ExtQueries.recallGate(embs, ann, k = 5, minHits = 3)
   }
