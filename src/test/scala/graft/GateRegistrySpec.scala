@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-level invariants (no SparkSession needed): the driver's
+  * correctness gate hash-compares every query against DuckDB, so a gate
+  * without an oracle silently downgrades to a rows-only check — this spec
+  * makes that a test failure instead.
+  */
+class GateRegistrySpec extends AnyFunSuite {
+
+  test("gate names are unique") {
+    val names = Gate.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicates: ${names.diff(names.distinct).distinct}")
+  }
+
+  test("every gate carries a DuckDB oracle") {
+    val missing = Gate.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"gates without oracle: $missing")
+  }
+
+  test("oracle SQL never references the staging views only Spark sees") {
+    // oracles run in DuckDB over the raw parquet tables; a Spark-side
+    // temp-view name leaking into one would fail only at driver time
+    val views = Seq("lineitem_v", "embeddings_v", "gate_bkt_")
+    val bad = Gate.all
+      .filter(g => g.oracle.exists(o => views.exists(o.contains)))
+      .map(_.name)
+    assert(bad.isEmpty, s"oracles referencing Spark temp views: $bad")
+  }
+
+  test("SparkEntry exposes exactly the gate registry") {
+    assert(SparkEntry.queries.keySet == Gate.all.map(_.name).toSet)
+    assert(SparkEntry.oracleSql.keySet ==
+      Gate.all.filter(_.oracle.isDefined).map(_.name).toSet)
+  }
+}
