@@ -300,6 +300,38 @@ object ExtQueries {
       |               * list_dot_product(b.v, b.v)) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- vector centroid aggregate -----------------------------------------
+  /** Per-group embedding centroids via `ml.stat.Summarizer` — a true
+    * vector aggregate: one pass, a d-dim buffer per group, associative
+    * merge (no posexplode → d× row blowup → re-collect). The gate emits
+    * the first three centroid coordinates; DuckDB mirrors with per-index
+    * list averages.
+    */
+  private def embedCentroids(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val e = Tables.embeddings(s, d)
+      .withColumn("grp", (col("vec_id") % 8).cast("int"))
+      .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    e.groupBy("grp")
+      .agg(count(lit(1)).as("n"), Summarizer.mean(col("fv")).as("c"))
+      .select(col("grp"), col("n"),
+        round(element_at(vector_to_array(col("c"), "float64"), 1), 6).as("c0"),
+        round(element_at(vector_to_array(col("c"), "float64"), 2), 6).as("c1"),
+        round(element_at(vector_to_array(col("c"), "float64"), 3), 6).as("c2"))
+      .orderBy("grp")
+  }
+
+  private val embedCentroidsSql =
+    """WITH e AS (SELECT CAST(vec_id % 8 AS INTEGER) AS grp,
+      |                  embedding::DOUBLE[] AS v
+      |           FROM embeddings)
+      |SELECT grp, count(*) AS n,
+      |       round(avg(v[1]), 6) AS c0,
+      |       round(avg(v[2]), 6) AS c1,
+      |       round(avg(v[3]), 6) AS c2
+      |FROM e GROUP BY grp ORDER BY grp""".stripMargin
+
   // ---- multimodal --------------------------------------------------------
   private def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.toMedia(Tables.documents(s, d))
@@ -410,6 +442,7 @@ object ExtQueries {
     Gate("q_simhash_dedup", simhashDedup, Some(verifiedPairsSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
     Gate("q_embed_dup_pairs", embedDupPairs, Some(embedDupPairsSql)),
+    Gate("q_embed_centroids", embedCentroids, Some(embedCentroidsSql)),
     Gate("q_embed_lsh_topk", lshTopK, Some(lshTopKSql)),
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Gate("q_multimodal_features", multimodalFeatures,
