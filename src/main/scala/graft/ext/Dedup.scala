@@ -290,9 +290,15 @@ object Dedup {
     * Returns (id, cluster) with cluster = min id of the component.
     */
   def dupClusters(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      maxIter: Int = 25, parallelism: Option[Int] = None): DataFrame = {
+    // each round joins edges(t) ⋈ labels(id): pre-partitioning the cached
+    // edge list by the join key makes every round reuse that layout, and
+    // an explicit (small) partition count stops a hand-full-of-MB graph
+    // from paying 32-task scheduling overhead per round at test scale —
+    // at real scale leave it None and size via spark.sql.shuffle.partitions
+    val edges0 = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionAll(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+    val edges = parallelism.fold(edges0)(n => edges0.repartition(n, col("t")))
       .persist()
     // seed with min(own, min neighbor) — the first propagation round
     // fused into initialization, one fewer distributed iteration

@@ -160,7 +160,8 @@ object DataOpsQueries {
       .unionAll(basePairs.select(col("id_b").as("id_a"), (col("id_a") + off).as("id_b")))
       .unionAll(basePairs.select((col("id_a") + off).as("id_a"), (col("id_b") + off).as("id_b")))
       .unionAll(base.select(col("vec_id").as("id_a"), (col("vec_id") + off).as("id_b")))
-    Dedup.dupClusters(corpus.select(col("vec_id").as("id")), pairs)
+    Dedup.dupClusters(corpus.select(col("vec_id").as("id")), pairs,
+      parallelism = Some(8))
       .select(col("id").as("vec_id"), col("cluster"),
         (col("id") === col("cluster")).as("is_keeper"))
       .orderBy("vec_id")

@@ -150,7 +150,22 @@ object ScaleQueries {
   // themselves are hash-checked against SQL. Deterministic user subset
   // (mirrored in the oracle) instead of LIMIT, which has no stable row
   // choice to mirror.
-  private def streamWindow(s: SparkSession, d: String): DataFrame = {
+  /** Run `body` with a reduced shuffle-partition count: stateful
+    * streaming operators create one state store per shuffle partition
+    * and commit a delta file per store per batch — 32 stores for a few
+    * thousand rows is pure per-task and per-file overhead. Conf is
+    * restored afterwards; results are partition-count-invariant.
+    */
+  private def withStreamPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamWindow(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 8) { streamWindowImpl(s, d) }
+
+  private def streamWindowImpl(s: SparkSession, d: String): DataFrame = {
     val in = graft.Gate.tmpDir("gate_stream_")
     val ckpt = graft.Gate.tmpDir("gate_ckpt_")
     EventsBilling(s, d).filter(col("user_id").cast("long") % 7 === 0)
@@ -188,7 +203,10 @@ object ScaleQueries {
   // sides watermarked, run via file streams + AvailableNow into a memory
   // sink. The timestamp hand-off to CSV goes as unix_micros longs (CSV
   // timestamp formatting would truncate microseconds).
-  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+  private def streamJoin(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 8) { streamJoinImpl(s, d) }
+
+  private def streamJoinImpl(s: SparkSession, d: String): DataFrame = {
     val dirC = graft.Gate.tmpDir("gate_ssj_c_")
     val dirE = graft.Gate.tmpDir("gate_ssj_e_")
     val ckpt = graft.Gate.tmpDir("gate_ssj_ck_")
@@ -234,7 +252,10 @@ object ScaleQueries {
   // micro-batches, and the downstream complete-mode aggregation sees each
   // event exactly once. This is the reference's J1 anti-join dedup
   // (ingest.py:248-257) recast as streaming state.
-  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+  private def streamDedup(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 8) { streamDedupImpl(s, d) }
+
+  private def streamDedupImpl(s: SparkSession, d: String): DataFrame = {
     val dir = graft.Gate.tmpDir("gate_sdd_")
     val ckpt = graft.Gate.tmpDir("gate_sdd_ck_")
     val ev = Tables.events(s, d)
