@@ -50,14 +50,17 @@ object Dedup {
       n: Int): DataFrame =
     hashedShinglesFromTokens(tokenTable(docs, id, text), n)
 
-  /** Hashed shingles off an existing (id, toks) token table. */
+  /** Hashed shingles off an existing (id, toks) token table — the
+    * codegen'd [[graft.functions.ShingleHashes]] expression (one XXH64
+    * byte-scan per token, rolling gram combine, dedup inside the
+    * expression; the HOF spelling runs interpreted per gram and re-hashes
+    * every token n times).
+    */
   def hashedShinglesFromTokens(toksDf: DataFrame, n: Int): DataFrame = {
-    val toks = col("toks")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(slice(toks, i + 1, lit(n)))))
-      .otherwise(array(xxhash64(toks)))
-    toksDf.select(col("id"), explode(array_distinct(grams)).as("sh"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val grams = Bridge.toColumn(graft.functions.ShingleHashes(
+      Bridge.toExpr(col("toks")), n))
+    toksDf.select(col("id"), explode(grams).as("sh"))
   }
 
   /** Exact n-gram Jaccard similarity join: pairs (a < b) with

@@ -76,5 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName,
+        "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
+          ShingleHashes(exprs.head, n.asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_hashes(toks, n): n must be a literal, got $other")
+      }))
   }
 }
