@@ -39,12 +39,13 @@ object Dedup {
     docs.select(id.as("id"), TextAnalysis.tokens(text).as("toks"))
 
   /** Distinct *hashed* word-n-gram shingles per document: (id, sh: long).
-    * Each gram is xxhash64'd directly from its token slice — the shingle
-    * string is never even concatenated, let alone stored or shuffled, so
-    * the exploded table and everything downstream (doc-frequency counts,
-    * signatures, pair joins, verification) carries 8-byte keys. All set
-    * arithmetic (distinct, intersection, df) is identical to the string
-    * table's up to 2^-64 collisions.
+    * Grams are hashed by the codegen'd [[graft.functions.ShingleHashes]]
+    * expression (one XXH64 byte-scan per token, rolling window combine) —
+    * the shingle string is never even concatenated, let alone stored or
+    * shuffled, so the exploded table and everything downstream
+    * (doc-frequency counts, signatures, pair joins, verification) carries
+    * 8-byte keys. All set arithmetic (distinct, intersection, df) is
+    * identical to the string table's up to 2^-64 collisions.
     */
   def hashedShingles(docs: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
