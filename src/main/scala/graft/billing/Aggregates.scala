@@ -71,6 +71,43 @@ object Aggregates {
       countDistinct("operation_type").as("operation_types"),
     )
 
+  /** Mergeable partial state for the daily rollup — the incremental
+    * alternative to the reference's DELETE+INSERT full recompute
+    * (`aggregates.py:31`): at 100 TB, rebuilding every rollup from the
+    * whole fact history per ingest is the dominant cost, so each delta
+    * (one micro-batch / one ingested partition) reduces to per-day
+    * partials that [[mergeDaily]] folds into the stored state without
+    * rescanning history. Counts and sums merge exactly; distinct counts
+    * are carried as HLL sketches (`hll_sketch_agg`) — the only mergeable
+    * representation short of keeping the key sets themselves.
+    */
+  def dailyPartial(raw: DataFrame): DataFrame =
+    raw.groupBy("year", "month", "day").agg(
+      count(lit(1)).as("n"),
+      sum("credit_usage").as("total"),
+      sum(successInt).as("ok_n"),
+      hll_sketch_agg(col("user_id")).as("users_hll"),
+      hll_sketch_agg(col("resource_id")).as("resources_hll"),
+    )
+
+  /** Fold [[dailyPartial]] states (stored + any number of deltas) into the
+    * daily_aggs shape. Associative and commutative, so it also serves as
+    * the `foreachBatch` MERGE body for streaming ingest.
+    */
+  def mergeDaily(partials: DataFrame*): DataFrame =
+    partials.reduce(_ unionByName _)
+      .groupBy("year", "month", "day").agg(
+        sum("n").as("transaction_count"),
+        sum("total").as("total_credit_usage"),
+        (sum("total") / sum("n")).as("avg_credit_usage"),
+        sum("ok_n").as("successful_operations"),
+        (sum("n") - sum("ok_n")).as("failed_operations"),
+        hll_sketch_estimate(hll_union_agg(col("users_hll")))
+          .as("approx_users"),
+        hll_sketch_estimate(hll_union_agg(col("resources_hll")))
+          .as("approx_resources"),
+      )
+
   /** 100 TB-scale variant of [[user]]: HLL distincts — one pass, no Expand,
     * mergeable sketches (documented divergence from the exact reference
     * semantics; SURVEY §2.4).

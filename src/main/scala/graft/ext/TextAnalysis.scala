@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -15,6 +15,29 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** TF-IDF per (doc, term): tf = in-doc term count, idf = ln(N/df) over
+    * the corpus. Three relations off one token explode: tf groups by
+    * (doc, term); df reduces tf by term; the scalar doc count crossjoins
+    * as a broadcast literal. The tf⋈df join runs on the term key both
+    * sides were just shuffled on, and the explode is the only row
+    * multiplier — corpus-token-linear, no per-doc state, so the shape
+    * holds at 100 TB (df is vocabulary-sized; if the vocabulary itself
+    * outgrows a shuffle partition, raise partitions — no algorithm
+    * change).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+  }
 
   /** Tiny per-language stopword profiles for the heuristic language ID.
     * Order matters: ties resolve to the earlier language.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
 
@@ -308,6 +309,173 @@ object AnalyticsQueries {
        |  GROUP BY operation_type ORDER BY n DESC, operation_type LIMIT 3)
        |ORDER BY operation_type""".stripMargin
 
+  // ---- time-range rolling window ------------------------------------------
+  /** 7-day rolling usage per user via a RANGE frame over day numbers —
+    * the time-based frame the row-count frames (`q_window_running`) can't
+    * express when days are missing. Pre-aggregating to one row per
+    * (user, day) before the window keeps the frame scan proportional to
+    * active days, not raw events — at 100 TB the window input is the
+    * (tiny) daily rollup, never the fact table.
+    */
+  private def rollingWindow(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("user_id") % 50 === 0)
+      .groupBy(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("dnum"))
+      .agg(round(sum("value"), 2).as("day_total"))
+    val w = Window.partitionBy("user_id").orderBy("dnum").rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("dnum"), col("day_total"),
+      round(sum("day_total").over(w), 2).as("rolling_7d"))
+      .orderBy("user_id", "dnum")
+  }
+
+  private val rollingWindowSql =
+    """WITH dly AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |              AS INTEGER) AS dnum,
+      |         round(sum(value), 2) AS day_total
+      |  FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2)
+      |SELECT user_id, dnum, day_total,
+      |       round(sum(day_total) OVER (PARTITION BY user_id ORDER BY dnum
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+      |         AS rolling_7d
+      |FROM dly ORDER BY user_id, dnum""".stripMargin
+
+  // ---- ranking functions ---------------------------------------------------
+  /** The distribution-ranking window surface: dense_rank / ntile /
+    * percent_rank / cume_dist over per-customer revenue. The ordering
+    * carries a unique tie-break (custkey), so every rank is
+    * deterministic. This is an unpartitioned window — a single-reducer
+    * sort — which is fine exactly because it runs over an already
+    * aggregated (small) relation; ranking a fact table this way would
+    * serialize, so the pre-aggregation IS the scale design.
+    */
+  private def rankFuncs(s: SparkSession, d: String): DataFrame = {
+    val totals = Tables.orders(s, d)
+      .filter(col("o_custkey") % 100 === 0)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("total"))
+    val w = Window.orderBy(desc("total"), col("o_custkey"))
+    totals.select(col("o_custkey"), col("total"),
+      dense_rank().over(w).as("drank"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_custkey")
+  }
+
+  private val rankFuncsSql =
+    """WITH t AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+      |           FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1)
+      |SELECT o_custkey, total,
+      |       CAST(dense_rank() OVER w AS INTEGER) AS drank,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cdist
+      |FROM t WINDOW w AS (ORDER BY total DESC, o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---- z-score outlier detection ------------------------------------------
+  /** Per-group anomaly filter: |value − μ| > 3σ within each event type.
+    * Deliberately NOT a window over the fact rows (a per-type window
+    * partitions all data by a 5-value key = instant skew): group stats are
+    * one partial+final aggregate, then a broadcast join streams the facts
+    * through the filter with no second shuffle — the same two-pass shape
+    * works unchanged when the facts are 100 TB.
+    */
+  private def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    val z = (col("value") - col("mu")) / col("sd")
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs(z) > 3)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val zscoreOutliersSql =
+    """WITH st AS (SELECT event_type, avg(value) AS mu,
+      |                   stddev_samp(value) AS sd
+      |            FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, round(value, 2) AS value,
+      |       round((value - mu) / sd, 4) AS z
+      |FROM events e JOIN st USING (event_type)
+      |WHERE abs((value - mu) / sd) > 3
+      |ORDER BY event_id""".stripMargin
+
+  // ---- SCD2 change tracking ------------------------------------------------
+  /** Slowly-changing-dimension (type 2) derivation from an event stream:
+    * collapse each user's event-type timeline to change rows with
+    * [valid_from, valid_to) effective ranges and a current flag — the
+    * lag-detect-change / lead-close-interval composition. Same-timestamp
+    * ties are collapsed first so the change sequence is well defined on
+    * both engines. One shuffle on user_id serves both window passes.
+    */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") % 25 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_type").as("etype"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    ev.withColumn("prev", lag("etype", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("etype"))
+      .select(col("user_id"), col("etype"),
+        unix_millis(col("ts")).as("valid_from_ms"),
+        unix_millis(lead("ts", 1).over(w)).as("valid_to_ms"),
+        lead("ts", 1).over(w).isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_ms")
+  }
+
+  private val scd2Sql =
+    """WITH e AS (SELECT user_id, ts, max(event_type) AS etype
+      |           FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+      |     m AS (SELECT *, lag(etype) OVER
+      |             (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+      |     c AS (SELECT user_id, ts, etype FROM m
+      |           WHERE prev IS NULL OR prev <> etype)
+      |SELECT user_id, etype,
+      |       epoch_ms(ts) AS valid_from_ms,
+      |       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |         AS valid_to_ms,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         AS is_current
+      |FROM c ORDER BY user_id, valid_from_ms""".stripMargin
+
+  // ---- arg-max / arg-min aggregates ---------------------------------------
+  /** `max_by`/`min_by`: the one-pass argmax aggregate (vs the window
+    * row_number-top-1 of `q_window_topn` — no sort, no window state, plain
+    * partial+final agg). Both engines leave argmax ties implementation-
+    * defined, so the ordering value is an exact integer composite
+    * (price cents ⊕ orderkey) that is unique by construction.
+    */
+  private def maxBy(s: SparkSession, d: String): DataFrame = {
+    val rankKey = round(col("o_totalprice") * 100).cast("long") *
+      1000000000L + col("o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), rankKey.as("rank_key"))
+      .groupBy("o_orderpriority").agg(
+        max_by(col("o_orderkey"), col("rank_key")).as("top_order"),
+        round(max("o_totalprice"), 2).as("top_price"),
+        min_by(col("o_orderkey"), col("rank_key")).as("bottom_order"),
+        round(min("o_totalprice"), 2).as("bottom_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val maxBySql =
+    """WITH o AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT)
+      |                    * 1000000000 + o_orderkey AS rank_key
+      |           FROM orders)
+      |SELECT o_orderpriority,
+      |       arg_max(o_orderkey, rank_key) AS top_order,
+      |       round(max(o_totalprice), 2) AS top_price,
+      |       arg_min(o_orderkey, rank_key) AS bottom_order,
+      |       round(min(o_totalprice), 2) AS bottom_price
+      |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- gates --------------------------------------------------------------
   def gates: Seq[Gate] = Seq(
     Gate("q_cube", cubeAgg, Some(cubeAggSql)),
@@ -323,5 +491,10 @@ object AnalyticsQueries {
     Gate("q_edit_distance", editDistance, Some(editDistanceSql)),
     Gate("q_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     Gate("q_freq_items", freqItems, Some(freqItemsSql)),
+    Gate("q_rolling_window", rollingWindow, Some(rollingWindowSql)),
+    Gate("q_rank_funcs", rankFuncs, Some(rankFuncsSql)),
+    Gate("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
+    Gate("q_scd2", scd2, Some(scd2Sql)),
+    Gate("q_max_by", maxBy, Some(maxBySql)),
   )
 }

@@ -391,8 +391,45 @@ object DataOpsQueries {
        |FROM final GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---- column profiling ----------------------------------------------------
+  /** [[DataOps.profile]] over three heterogeneous lineitem columns
+    * (double / date / string) — null counts, exact distincts, stringified
+    * min/max, one output row per column.
+    */
+  private def profileCols(s: SparkSession, d: String): DataFrame =
+    DataOps.profile(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_shipdate", "l_returnflag"))
+      .orderBy("column")
+
+  private val profileColsSql =
+    """SELECT count(*) AS n_rows, 'l_quantity' AS "column",
+      |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_nulls,
+      |       count(DISTINCT l_quantity) AS n_distinct,
+      |       CAST(min(l_quantity) AS VARCHAR) AS vmin,
+      |       CAST(max(l_quantity) AS VARCHAR) AS vmax
+      |FROM lineitem
+      |UNION ALL
+      |SELECT count(*), 'l_shipdate',
+      |       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       count(DISTINCT l_shipdate),
+      |       CAST(min(l_shipdate) AS VARCHAR),
+      |       CAST(max(l_shipdate) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT count(*), 'l_returnflag',
+      |       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       count(DISTINCT l_returnflag),
+      |       CAST(min(l_returnflag) AS VARCHAR),
+      |       CAST(max(l_returnflag) AS VARCHAR)
+      |FROM lineitem
+      |ORDER BY "column"""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
+    Gate("q_profile", profileCols, Some(profileColsSql)),
     Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     Gate("q_weighted_resample", weightedResample, Some(weightedResampleSql)),
     Gate("q_pack_sequences", packSequences, Some(packSequencesSql)),

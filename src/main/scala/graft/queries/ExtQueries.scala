@@ -429,8 +429,48 @@ object ExtQueries {
       |       list_min(fps) AS min_fp
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- TF-IDF --------------------------------------------------------------
+  /** Top-3 TF-IDF terms per document (restricted to doc_id < 20 for the
+    * gate; document frequencies always come from the WHOLE corpus). The
+    * per-doc ranking orders by the ROUNDED score with the term as
+    * tie-break, so both engines rank identical values.
+    */
+  private def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("doc_id") < 20)
+      .withColumn("score", round(col("tfidf"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  private val tfidfTopSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |           AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, term, tf, df,
+      |              round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      |       FROM tf JOIN df USING (term), n
+      |       WHERE doc_id < 20),
+      |r AS (SELECT *, CAST(row_number() OVER
+      |        (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER)
+      |        AS rn
+      |      FROM sc)
+      |SELECT doc_id, rn, term, tf, df, score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Gate("q_token_stats", tokenStats, Some(tokenStatsSql)),

@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
+import graft.billing.Aggregates
 import graft.ext.IvfIndex
 import graft.operators.{RangeJoin, SkewJoin}
 
@@ -64,6 +65,72 @@ object ScaleQueries {
       |       round(sum(l_quantity), 2) AS total_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Incremental aggregate maintenance: the facts arrive as two deltas
+    * whose day ranges fully overlap (split by user parity), each delta
+    * reduces to mergeable per-day partials ([[Aggregates.dailyPartial]]),
+    * and [[Aggregates.mergeDaily]] folds them into the rollup WITHOUT
+    * rescanning the first delta — the 100 TB replacement for the
+    * reference's DELETE+INSERT full recompute. Counts/sums must equal the
+    * one-shot recompute exactly (hash-checked); the HLL distinct
+    * estimates must land within 5%+1 of exact (booleans the oracle pins
+    * true — the merged-sketch path has no exact SQL mirror).
+    */
+  private def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val data = EventsBilling(s, d)
+    val uid = col("user_id").cast("long")
+    val merged = Aggregates.mergeDaily(
+      Aggregates.dailyPartial(data.filter(uid % 2 === 0)),
+      Aggregates.dailyPartial(data.filter(uid % 2 === 1)))
+    val exact = Aggregates.daily(data)
+      .select(col("year"), col("month"), col("day"),
+        col("unique_users"), col("unique_resources"))
+    def close(est: Column, ex: Column) = abs(est - ex) <= ex * 0.05 + 1
+    merged.join(exact, Seq("year", "month", "day"))
+      .select(col("year"), col("month"), col("day"),
+        col("transaction_count"),
+        round(col("total_credit_usage"), 2).as("total_credit_usage"),
+        (round(col("total_credit_usage"), 2) / col("transaction_count"))
+          .as("avg_credit_usage"),
+        col("successful_operations"), col("failed_operations"),
+        close(col("approx_users"), col("unique_users")).as("users_ok"),
+        close(col("approx_resources"), col("unique_resources"))
+          .as("resources_ok"))
+      .orderBy("year", "month", "day")
+  }
+
+  private val incrementalAggSql =
+    s"""${EventsBilling.cte}
+       |SELECT year, month, day,
+       |       count(*) AS transaction_count,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       round(sum(credit_usage), 2) / count(*) AS avg_credit_usage,
+       |       CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS successful_operations,
+       |       CAST(sum(CASE WHEN success THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS failed_operations,
+       |       true AS users_ok, true AS resources_ok
+       |FROM billing GROUP BY year, month, day
+       |ORDER BY year, month, day""".stripMargin
+
+  /** Two-phase salted aggregation over a 3-value (maximally hot) grouping
+    * key: partial agg on (key, salt) spreads each hot key over 16
+    * reducers, final agg merges the 48 salted partials — the hot-key
+    * aggregation shape for when map-side combine is defeated. The oracle
+    * is the plain GROUP BY: salting must not change the result.
+    */
+  private def skewAgg(s: SparkSession, d: String): DataFrame =
+    SkewJoin.saltedCountSum(Tables.lineitem(s, d), Seq("l_returnflag"),
+      "l_quantity", salts = 16)
+      .select(col("l_returnflag"), col("n"),
+        round(col("total"), 2).as("total_qty"))
+      .orderBy("l_returnflag")
+
+  private val skewAggSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin
 
   /** Binned range join (point-in-interval): lineitems shipped inside a
     * 7-day window after each sampled order's date. The naive spelling is
@@ -417,6 +484,8 @@ object ScaleQueries {
     Gate("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
     Gate("q_salted_join", saltedJoin, Some(saltedJoinSql)),
+    Gate("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    Gate("q_skew_agg", skewAgg, Some(skewAggSql)),
     Gate("q_range_join", rangeJoin, Some(rangeJoinSql)),
     Gate("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),

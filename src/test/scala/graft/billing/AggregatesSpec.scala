@@ -37,6 +37,36 @@ class AggregatesSpec extends SparkSpec {
     assert(d24.getAs[Long]("successful_operations") == 0L)
   }
 
+  test("incremental: merged partials equal the one-shot daily rollup") {
+    val h1 = fixture.filter("user_id = 'u1'")
+    val h2 = fixture.filter("user_id = 'u2'")
+    val merged = Aggregates.mergeDaily(
+      Aggregates.dailyPartial(h1), Aggregates.dailyPartial(h2))
+      .orderBy("day").collect()
+    val exact = Aggregates.daily(fixture).orderBy("day").collect()
+    assert(merged.length == exact.length)
+    merged.zip(exact).foreach { case (m, e) =>
+      assert(m.getAs[Long]("transaction_count") ==
+        e.getAs[Long]("transaction_count"))
+      assert(math.abs(m.getAs[Double]("total_credit_usage") -
+        e.getAs[Double]("total_credit_usage")) < 1e-9)
+      assert(m.getAs[Long]("successful_operations") ==
+        e.getAs[Long]("successful_operations"))
+      assert(m.getAs[Long]("failed_operations") ==
+        e.getAs[Long]("failed_operations"))
+      // HLL is exact at these cardinalities
+      assert(m.getAs[Long]("approx_users") == e.getAs[Long]("unique_users"))
+    }
+  }
+
+  test("incremental: merge is associative across delivery orders") {
+    val parts = Seq("u1", "u2").map(u =>
+      Aggregates.dailyPartial(fixture.filter(s"user_id = '$u'")))
+    val ab = Aggregates.mergeDaily(parts: _*).orderBy("day").collect()
+    val ba = Aggregates.mergeDaily(parts.reverse: _*).orderBy("day").collect()
+    assert(ab.map(_.toSeq).toSeq == ba.map(_.toSeq).toSeq)
+  }
+
   test("A2: user rollup — activity span and distinct counts") {
     val got = Aggregates.user(fixture).orderBy("user_id").collect()
     val u1 = got(0)

@@ -98,6 +98,16 @@ class DataOpsSpec extends SparkSpec {
     assert(out == Map(0L -> true, 1L -> true, 2L -> false))
   }
 
+  test("profile: null counts, exact distincts, stringified min/max") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "a"),
+      (2L, null)).toDF("num", "s")
+    val got = DataOps.profile(df, Seq("num", "s")).orderBy("column")
+      .collect().map(_.toSeq)
+    assert(got.toSeq == Seq(
+      Seq(4L, "num", 1L, 2L, "1", "2"),
+      Seq(4L, "s", 1L, 2L, "a", "b")))
+  }
+
   test("PII scrubbing redacts email, IPv4, and phone, leaving prose intact") {
     val out = Seq(
       "mail me at jane.doe+x@corp.example.org thanks",

@@ -12,6 +12,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("the", "quick", "fox"))
   }
 
+  test("tfidf: corpus-wide df, natural-log idf, per-doc tf") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(docs, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // apple: only doc 1, tf=2, df=1 → 2·ln(3)
+    val apple = got((1L, "apple"))
+    assert(apple._3 == 2L && apple._4 == 1L)
+    assert(math.abs(apple._5 - 2 * math.log(3.0)) < 1e-12)
+    // banana in doc 2: tf=1, df=2 → ln(1.5)
+    val banana = got((2L, "banana"))
+    assert(banana._4 == 2L)
+    assert(math.abs(banana._5 - math.log(1.5)) < 1e-12)
+    // cherry in doc 3: tf=2, df=2
+    assert(got((3L, "cherry"))._3 == 2L)
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val got = Seq(
       ("a", "The  quick\tfox"),
