@@ -90,23 +90,37 @@ object Aggregates {
       hll_sketch_agg(col("resource_id")).as("resources_hll"),
     )
 
-  /** Fold [[dailyPartial]] states (stored + any number of deltas) into the
-    * daily_aggs shape. Associative and commutative, so it also serves as
-    * the `foreachBatch` MERGE body for streaming ingest.
+  /** Merge [[dailyPartial]] states into one partial state per day —
+    * partial in, partial out, so merged state can be stored and merged
+    * again (associative + commutative; the streaming `foreachBatch` fold
+    * in [[BillingStore.mergeIntoDailyPartials]] relies on both).
     */
-  def mergeDaily(partials: DataFrame*): DataFrame =
+  def mergeDailyPartials(partials: DataFrame*): DataFrame =
     partials.reduce(_ unionByName _)
       .groupBy("year", "month", "day").agg(
-        sum("n").as("transaction_count"),
-        sum("total").as("total_credit_usage"),
-        (sum("total") / sum("n")).as("avg_credit_usage"),
-        sum("ok_n").as("successful_operations"),
-        (sum("n") - sum("ok_n")).as("failed_operations"),
-        hll_sketch_estimate(hll_union_agg(col("users_hll")))
-          .as("approx_users"),
-        hll_sketch_estimate(hll_union_agg(col("resources_hll")))
-          .as("approx_resources"),
+        sum("n").as("n"),
+        sum("total").as("total"),
+        sum("ok_n").as("ok_n"),
+        hll_union_agg(col("users_hll")).as("users_hll"),
+        hll_union_agg(col("resources_hll")).as("resources_hll"),
       )
+
+  /** Project a partial state into the daily_aggs shape. */
+  def finalizeDaily(partials: DataFrame): DataFrame =
+    partials.select(col("year"), col("month"), col("day"),
+      col("n").as("transaction_count"),
+      col("total").as("total_credit_usage"),
+      (col("total") / col("n")).as("avg_credit_usage"),
+      col("ok_n").as("successful_operations"),
+      (col("n") - col("ok_n")).as("failed_operations"),
+      hll_sketch_estimate(col("users_hll")).as("approx_users"),
+      hll_sketch_estimate(col("resources_hll")).as("approx_resources"))
+
+  /** Fold [[dailyPartial]] states (stored + any number of deltas) into the
+    * daily_aggs shape.
+    */
+  def mergeDaily(partials: DataFrame*): DataFrame =
+    finalizeDaily(mergeDailyPartials(partials: _*))
 
   /** 100 TB-scale variant of [[user]]: HLL distincts — one pass, no Expand,
     * mergeable sketches (documented divergence from the exact reference

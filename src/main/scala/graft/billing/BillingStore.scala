@@ -17,6 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class BillingStore(root: String) {
   val rawPath = s"$root/raw_billing"
   val ledgerPath = s"$root/processed_files"
+  val dailyPartialsPath = s"$root/daily_partials"
   def aggPath(name: String) = s"$root/${name}_aggs"
 
   private def exists(spark: SparkSession, path: String): Boolean = {
@@ -104,6 +105,72 @@ final case class BillingStore(root: String) {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Dedup-append a batch AND fold its per-day [[Aggregates.dailyPartial]]
+    * state into the stored partials table — the fully incremental ingest
+    * step: cost ∝ batch rows + days touched, never ∝ history. Returns
+    * rows appended. [[dailyFromPartials]] serves the rollup at read time.
+    */
+  def appendIncremental(spark: SparkSession, staged: DataFrame): Long = {
+    val batch = Ingest.dedupWithinBatch(staged)
+    val existing =
+      if (exists(spark, rawPath)) {
+        val days = batch.select("year", "month", "day").distinct()
+        raw(spark).join(
+          org.apache.spark.sql.functions.broadcast(days),
+          Seq("year", "month", "day"))
+      } else raw(spark)
+    // localCheckpoint, NOT cache: fresh's plan reads rawPath (anti-join
+    // probe), and the append below invalidates path-based caches — a
+    // cached fresh would lazily RECOMPUTE against its own appended
+    // output and come back empty for the partials fold
+    val fresh = Ingest.newRows(batch, existing).localCheckpoint(true)
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        fresh.write.mode("append")
+          .partitionBy("year", "month", "day").parquet(rawPath)
+        mergeIntoDailyPartials(spark, fresh)
+      }
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Merge a delta's per-day partial state into the partials table:
+    * stored partials are read pruned to the delta's days (broadcast
+    * semi-shape), merged ([[Aggregates.mergeDailyPartials]] — exact
+    * counts/sums, HLL sketch unions), and ONLY those day partitions are
+    * overwritten (dynamic partition overwrite). The merged frame is
+    * local-checkpointed before the write because it reads the very
+    * partitions being replaced. (At production scale the same fold
+    * targets an ACID table format; the algebra is identical.)
+    */
+  def mergeIntoDailyPartials(spark: SparkSession, delta: DataFrame): Unit = {
+    val deltaParts = Aggregates.dailyPartial(delta)
+    val merged =
+      if (exists(spark, dailyPartialsPath)) {
+        val days = deltaParts.select("year", "month", "day").distinct()
+        val stored = spark.read.parquet(dailyPartialsPath).join(
+          org.apache.spark.sql.functions.broadcast(days),
+          Seq("year", "month", "day"))
+        Aggregates.mergeDailyPartials(stored, deltaParts)
+      } else deltaParts
+    val pinned = merged.localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try pinned.write.mode("overwrite")
+      .partitionBy("year", "month", "day").parquet(dailyPartialsPath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** The daily rollup served from the incrementally-maintained partials. */
+  def dailyFromPartials(spark: SparkSession): DataFrame =
+    Aggregates.finalizeDaily(spark.read.parquet(dailyPartialsPath))
 
   /** T4: last-wins ledger upsert, rewritten in place (the ledger is tiny —
     * one row per ingested file).

@@ -113,6 +113,64 @@ object ScaleQueries {
        |FROM billing GROUP BY year, month, day
        |ORDER BY year, month, day""".stripMargin
 
+  /** The fully incremental streaming lifecycle: two CSV deliveries whose
+    * rows overlap (day ≤ 15, then the full month) drain through ONE
+    * checkpointed stream at one-file-per-micro-batch; each batch
+    * dedup-appends and folds its per-day partials into the stored
+    * partials table — at no point is history rescanned or a rollup
+    * rebuilt from scratch. The served rollup
+    * ([[graft.billing.BillingStore.dailyFromPartials]]) must equal the
+    * one-shot batch rollup over the distinct rows (exact measures
+    * hash-checked; merged-HLL distincts within 5%+1, pinned true by the
+    * oracle).
+    */
+  private def streamIncremental(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 8) {
+      val in = graft.Gate.tmpDir("gate_sinc_in_")
+      val storeRoot = graft.Gate.tmpDir("gate_sinc_store_")
+      val ckpt = graft.Gate.tmpDir("gate_sinc_ck_")
+      val data = EventsBilling(s, d)
+        .filter(col("user_id").cast("long") % 13 === 0)
+      val store = graft.billing.BillingStore(s"$storeRoot/store")
+      data.filter(col("day") <= 15).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(in)
+      data.coalesce(1)
+        .write.mode("append").option("header", "true").csv(in)
+      graft.streaming.StreamingIngest.startIncremental(s, in, store, ckpt)
+        .awaitTermination()
+      val exact = graft.billing.Aggregates.daily(data)
+        .select(col("year"), col("month"), col("day"),
+          col("unique_users"), col("unique_resources"))
+      def close(est: Column, ex: Column) = abs(est - ex) <= ex * 0.05 + 1
+      store.dailyFromPartials(s)
+        .join(exact, Seq("year", "month", "day"))
+        .select(col("year"), col("month"), col("day"),
+          col("transaction_count"),
+          round(col("total_credit_usage"), 2).as("total_credit_usage"),
+          (round(col("total_credit_usage"), 2) / col("transaction_count"))
+            .as("avg_credit_usage"),
+          col("successful_operations"), col("failed_operations"),
+          close(col("approx_users"), col("unique_users")).as("users_ok"),
+          close(col("approx_resources"), col("unique_resources"))
+            .as("resources_ok"))
+        .orderBy("year", "month", "day")
+    }
+
+  private val streamIncrementalSql =
+    s"""${EventsBilling.cte},
+       |f AS (SELECT * FROM billing WHERE CAST(user_id AS BIGINT) % 13 = 0)
+       |SELECT year, month, day,
+       |       count(*) AS transaction_count,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       round(sum(credit_usage), 2) / count(*) AS avg_credit_usage,
+       |       CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS successful_operations,
+       |       CAST(sum(CASE WHEN success THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS failed_operations,
+       |       true AS users_ok, true AS resources_ok
+       |FROM f GROUP BY year, month, day
+       |ORDER BY year, month, day""".stripMargin
+
   /** Two-phase salted aggregation over a 3-value (maximally hot) grouping
     * key: partial agg on (key, salt) spreads each hot key over 16
     * reducers, final agg merges the 48 salted partials — the hot-key
@@ -490,6 +548,8 @@ object ScaleQueries {
     Gate("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
+    Gate("q_stream_incremental", streamIncremental,
+      Some(streamIncrementalSql)),
     Gate("q_stream_window", streamWindow, Some(streamWindowSql)),
     Gate("q_stream_join", streamJoin, Some(streamJoinSql)),
     Gate("q_stream_dedup", streamDedup, Some(streamDedupSql)),

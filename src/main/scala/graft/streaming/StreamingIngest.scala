@@ -39,6 +39,31 @@ object StreamingIngest {
       .start()
   }
 
+  /** Fully incremental drain: per micro-batch, dedup-append + fold the
+    * batch's per-day partial aggregates into the stored partials table
+    * ([[BillingStore.appendIncremental]]) — no history rescan and no
+    * full rollup rebuild, the 100 TB replacement for [[start]]'s
+    * reference-parity full recompute. `maxFilesPerTrigger=1` forces one
+    * micro-batch per file so every delivery exercises the merge (and the
+    * checkpoint's skip-seen-files) path separately.
+    */
+  def startIncremental(spark: SparkSession, inputDir: String,
+      store: BillingStore, checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .schema(Schemas.billing)
+      .csv(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.appendIncremental(batch.sparkSession, batch)
+        ()
+      }
+      .start()
+  }
+
   /** Event-time windowed rates with late-data handling — the streaming
     * capability the reference lacks entirely (its "late data" story is
     * full recompute). Watermark bounds state; append mode emits finalized

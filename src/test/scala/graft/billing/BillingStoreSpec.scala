@@ -47,6 +47,35 @@ class BillingStoreSpec extends SparkSpec {
     assert(incremental(1).getAs[Long]("transaction_count") == 2L)
   }
 
+  test("appendIncremental: overlapping deliveries fold to the exact rollup") {
+    val store = BillingStore(tmpDir("inc_store3"))
+    val d1 = df(
+      rec("2025-04-23 10:00:00", "r1", "u1", 2.0),
+      rec("2025-04-24 10:00:00", "r2", "u1", 3.0))
+    // delivery 2 redelivers r2's row and adds two more (one per day)
+    val d2 = df(
+      rec("2025-04-24 10:00:00", "r2", "u1", 3.0),
+      rec("2025-04-24 12:00:00", "r3", "u2", 5.0),
+      rec("2025-04-23 11:00:00", "r4", "u2", 7.0))
+    assert(store.appendIncremental(spark, d1) == 2L)
+    assert(store.appendIncremental(spark, d2) == 2L) // redelivery dropped
+
+    val got = store.dailyFromPartials(spark)
+      .orderBy("day")
+      .select("year", "month", "day", "transaction_count",
+        "total_credit_usage", "successful_operations", "approx_users")
+      .collect().toSeq
+    val exact = Aggregates.daily(store.raw(spark))
+      .orderBy("day")
+      .select("year", "month", "day", "transaction_count",
+        "total_credit_usage", "successful_operations", "unique_users")
+      .collect().toSeq
+    // HLL is exact at these cardinalities → rows identical
+    assert(got.map(_.toSeq) == exact.map(_.toSeq))
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("transaction_count") == 2L)
+  }
+
   test("untouched day partitions are not rewritten by the refresh") {
     val store = BillingStore(tmpDir("inc_store2"))
     val b1 = df(rec("2025-04-23 10:00:00", "r1", "u1", 2.0))
