@@ -281,6 +281,32 @@ object AnalyticsQueries {
       |       CAST(n_chars AS INTEGER) AS j_chars, true AS id_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- JSON property extraction -------------------------------------------
+  /** Semi-structured payloads: the driver's real `events.props` JSON
+    * column, extracted (`get_json_object` — a per-row codegen'd
+    * expression, no UDF), cast, filtered, and aggregated. At scale the
+    * extraction runs inside the scan's whole-stage-codegen pass; only
+    * (event_type, k) ints reach the shuffle.
+    */
+  private def propsJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") >= 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val propsJsonSql =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(props->>'k' AS INTEGER) AS k FROM events)
+      |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+      |FROM e WHERE k >= 10 GROUP BY event_type ORDER BY event_type"""
+      .stripMargin
+
   // ---- heavy hitters (frequent-items sketch) ------------------------------
   /** `stat.freqItems` (Karp/Shenker/Papadimitriou one-pass sketch) must
     * surface every operation type the exact top-3 contains — the
@@ -496,5 +522,6 @@ object AnalyticsQueries {
     Gate("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     Gate("q_scd2", scd2, Some(scd2Sql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),
+    Gate("q_props_json", propsJson, Some(propsJsonSql)),
   )
 }

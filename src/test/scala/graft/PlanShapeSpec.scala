@@ -34,4 +34,21 @@ class PlanShapeSpec extends SparkSpec {
   test("anti-join dedup plans a left-anti hash join") {
     assert(plan("q_dedup_anti").contains("LeftAnti"))
   }
+
+  test("z-score stats join broadcasts; no window over the fact rows") {
+    val p = plan("q_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"))
+  }
+
+  test("profiler plans no Expand (distincts are hash dedups)") {
+    assert(!plan("q_profile").contains("Expand"))
+  }
+
+  test("rolling window range frame runs over the pre-aggregated rows") {
+    val p = plan("q_rolling_window")
+    // one hash aggregate pair below the window, no sort of raw events
+    assert(p.contains("Window"))
+    assert(p.contains("HashAggregate"))
+  }
 }
