@@ -82,7 +82,35 @@ object AnalyticsQueries {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
       .stripMargin
 
-  // ---- moment statistics --------------------------------------------------
+  // ---- unpivot (melt) ------------------------------------------------------
+  /** The inverse of `q_pivot`: wide per-priority status sums melt back to
+    * long form via `unpivot` (Spark's melt; `stack` is the expression-
+    * level equivalent). Per-row reshape — no extra shuffle beyond the
+    * source aggregate.
+    */
+  private def unpivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .na.fill(0.0, Seq("F", "O", "P"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "revenue")
+      .orderBy("o_orderpriority", "status")
+
+  private val unpivotStatusSql =
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |         coalesce(round(sum(o_totalprice)
+      |           FILTER (o_orderstatus = 'F'), 2), 0) AS "F",
+      |         coalesce(round(sum(o_totalprice)
+      |           FILTER (o_orderstatus = 'O'), 2), 0) AS "O",
+      |         coalesce(round(sum(o_totalprice)
+      |           FILTER (o_orderstatus = 'P'), 2), 0) AS "P"
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, status, revenue
+      |FROM w UNPIVOT INCLUDE NULLS (revenue FOR status IN ("F", "O", "P"))
+      |ORDER BY o_orderpriority, status""".stripMargin
   private def statsAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -523,5 +551,6 @@ object AnalyticsQueries {
     Gate("q_scd2", scd2, Some(scd2Sql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),
     Gate("q_props_json", propsJson, Some(propsJsonSql)),
+    Gate("q_unpivot", unpivotStatus, Some(unpivotStatusSql)),
   )
 }

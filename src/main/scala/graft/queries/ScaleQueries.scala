@@ -216,6 +216,43 @@ object ScaleQueries {
       |WHERE o_orderkey % 1000 = 0
       |GROUP BY win_id ORDER BY win_id""".stripMargin
 
+  /** Interval-overlap join ([[RangeJoin.intervalOverlap]]): two sampled
+    * sets of order windows (10-day and 7-day), all overlapping pairs.
+    * The naive spelling is a nested-loop cross filter; binning makes it
+    * an equi-join on bin id with arithmetic pair dedup.
+    */
+  private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    def wins(mod: Int, days: Int, idCol: String, sCol: String, eCol: String) =
+      Tables.orders(s, d).filter(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as(idCol),
+          datediff(col("o_orderdate"), epoch).cast("long").as(sCol))
+        .withColumn(eCol, col(sCol) + days - 1)
+    val a = wins(200, 10, "a_id", "a_s", "a_e")
+    val b = wins(300, 7, "b_id", "b_s", "b_e")
+    RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", binWidth = 8)
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s")) + 1).as("overlap_days"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val intervalJoinSql =
+    """WITH a AS (SELECT o_orderkey AS a_id,
+      |                  date_diff('day', DATE '1970-01-01', o_orderdate)
+      |                    AS a_s
+      |           FROM orders WHERE o_orderkey % 200 = 0),
+      |     b AS (SELECT o_orderkey AS b_id,
+      |                  date_diff('day', DATE '1970-01-01', o_orderdate)
+      |                    AS b_s
+      |           FROM orders WHERE o_orderkey % 300 = 0)
+      |SELECT a_id, b_id,
+      |       least(a_s + 9, b_s + 6) - greatest(a_s, b_s) + 1
+      |         AS overlap_days
+      |FROM a JOIN b
+      |  ON a_s <= b_s + 6 AND b_s <= a_s + 9
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Bucketed co-located join: both sides written bucketed+sorted on the
     * join key, so the sort-merge join reads co-located buckets with NO
     * exchange on either side (the `.explain` shows no Exchange below the
@@ -545,6 +582,7 @@ object ScaleQueries {
     Gate("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Gate("q_skew_agg", skewAgg, Some(skewAggSql)),
     Gate("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    Gate("q_interval_join", intervalJoin, Some(intervalJoinSql)),
     Gate("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),

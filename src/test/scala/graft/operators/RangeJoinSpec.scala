@@ -40,4 +40,29 @@ class RangeJoinSpec extends SparkSpec {
     val got = RangeJoin.pointInterval(points, "p", ivals, "s", "e", 16)
     assert(got.count() == 1)
   }
+
+  test("interval overlap equals the naive cross filter, each pair once") {
+    val a = spark.range(60)
+      .select($"id".as("aid"), (($"id" * 83) % 400).as("as_"))
+      .withColumn("ae", $"as_" + ($"aid" * 11) % 30)
+    val b = spark.range(40)
+      .select($"id".as("bid"), (($"id" * 157) % 390).as("bs"))
+      .withColumn("be", $"bs" + ($"bid" * 13) % 25)
+    val naivePairs = a.join(b, $"as_" <= $"be" && $"bs" <= $"ae")
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val binned = RangeJoin.intervalOverlap(a, "as_", "ae", b, "bs", "be", 16)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: the arithmetic dedup must emit each pair EXACTLY
+    // once, so compare sorted sequences, not sets
+    assert(binned.sorted.toSeq == naivePairs.sorted.toSeq)
+  }
+
+  test("overlap pair sharing many bins dedups by first-overlap-bin") {
+    val aa = Seq((1L, 0L, 100L)).toDF("aid", "as_", "ae")
+    val bb = Seq((2L, 50L, 90L)).toDF("bid", "bs", "be")
+    val got = RangeJoin.intervalOverlap(aa, "as_", "ae", bb, "bs", "be", 8)
+    assert(got.count() == 1)
+  }
 }
