@@ -65,7 +65,9 @@ object Bench {
       "q_ngram_jaccard", "q_dup_clusters", "q_embed_topk", "q_embed_lsh_topk",
       "q_ivf_topk", "q_sessionize", "q_window_topn", "q_stream_window",
       "q_stream_join", "q_pack_sequences", "q_assemble_dataset",
-      "q_salted_join", "q_token_stats", "q_histogram")
+      "q_salted_join", "q_token_stats", "q_histogram",
+      "q_incremental_agg", "q_stream_incremental", "q_tfidf",
+      "q_interval_join")
     val qs = results.filter(r => headline(r._1))
       .map { case (k, v) => f""""$k":${v}%.3f""" }
       .mkString("{", ",", "}")

@@ -119,6 +119,29 @@ object DataOps {
       .drop("__hit_id")
   }
 
+  /** Data selection under a token budget: rank documents by a quality
+    * score (ties broken by id — fully deterministic), keep the prefix
+    * whose cumulative token count fits `budget`. A doc is kept iff the
+    * running sum INCLUDING it is within budget — the greedy best-first
+    * selection every curated-pretraining pipeline runs. The running sum
+    * is an unpartitioned window over (score desc, id), applied AFTER
+    * reducing each doc to (id, score, n_tokens) — at 100 TB the ordered
+    * scan runs over doc-metadata triples, never the text; a range-
+    * partitioned sort keeps it parallel (Spark plans exactly that for a
+    * global orderBy; the window's single partition is the documented
+    * local-mode simplification, same algebra).
+    */
+  def selectUnderBudget(df: DataFrame, id: Column, score: Column,
+      nTokens: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(id.as("id"), score.as("score"), nTokens.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Column profiler: per profiled column, null count, exact distinct
     * count, and min/max (stringified so heterogeneous column types share
     * one long-form output row shape). Counts/nulls/min/max ride ONE

@@ -391,6 +391,32 @@ object DataOpsQueries {
        |FROM final GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---- token-budget data selection ----------------------------------------
+  /** [[DataOps.selectUnderBudget]]: greedy best-first selection of
+    * documents (by n_chars, ties by id) until the 20k-token budget is
+    * exhausted; the running total including the doc must fit.
+    */
+  private def tokenBudget(s: SparkSession, d: String): DataFrame =
+    DataOps.selectUnderBudget(Tables.documents(s, d),
+      col("doc_id"), col("n_chars").cast("double"),
+      TextAnalysis.tokenCount(col("text")).cast("long"), budget = 20000L)
+      .select(col("id").as("doc_id"),
+        col("score").cast("long").as("n_chars"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenBudgetSql =
+    """WITH t AS (SELECT doc_id, n_chars,
+      |                  CAST(len(regexp_split_to_array(lower(trim(text)),
+      |                           '\s+')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_chars, n_tokens,
+      |             CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+      |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM t)
+      |SELECT doc_id, n_chars, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+
   // ---- column profiling ----------------------------------------------------
   /** [[DataOps.profile]] over three heterogeneous lineitem columns
     * (double / date / string) — null counts, exact distincts, stringified
@@ -430,6 +456,7 @@ object DataOpsQueries {
   def gates: Seq[Gate] = Seq(
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
     Gate("q_profile", profileCols, Some(profileColsSql)),
+    Gate("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     Gate("q_weighted_resample", weightedResample, Some(weightedResampleSql)),
     Gate("q_pack_sequences", packSequences, Some(packSequencesSql)),

@@ -261,9 +261,13 @@ object ScaleQueries {
     */
   private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     // leave broadcast out of the picture so the bucket metadata, not the
-    // small-table fast path, is what the gate exercises
+    // small-table fast path, is what the gate exercises; the even-key
+    // half keeps the (fixed-cost) bucketed-table writes cheap — the
+    // zero-Exchange plan shape is row-count-invariant
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      .filter(col("l_orderkey") % 2 === 0)
     val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .filter(col("o_orderkey") % 2 === 0)
     li.write.mode("overwrite").format("parquet")
       .option("path", graft.Gate.tmpDir("gate_bkt_li_"))
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
@@ -285,6 +289,7 @@ object ScaleQueries {
     """SELECT o_orderpriority, count(*) AS n_items,
       |       round(sum(l_quantity), 2) AS total_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey % 2 = 0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** IVF ANN accuracy gate: recall@5 vs brute force per query, reduced to

@@ -98,6 +98,17 @@ class DataOpsSpec extends SparkSpec {
     assert(out == Map(0L -> true, 1L -> true, 2L -> false))
   }
 
+  test("selectUnderBudget keeps the best-first prefix that fits") {
+    val d = Seq((1L, 5.0, 40L), (2L, 9.0, 50L), (3L, 7.0, 30L),
+      (4L, 9.0, 25L)).toDF("i", "q", "toks")
+    // order: (2: q=9, i=2), (4: q=9, i=4), (3: q=7), (1: q=5)
+    // cums:   50,            75,            105 > 100 → stop
+    val got = DataOps.selectUnderBudget(d, col("i"), col("q"),
+      col("toks"), budget = 100L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 50L, 4L -> 75L))
+  }
+
   test("profile: null counts, exact distincts, stringified min/max") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "a"),
       (2L, null)).toDF("num", "s")
