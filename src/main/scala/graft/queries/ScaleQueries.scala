@@ -469,6 +469,47 @@ object ScaleQueries {
        |FROM f GROUP BY year, month, day
        |ORDER BY year, month, day""".stripMargin
 
+  // Stream-static join: streaming orders enriched against the static
+  // customer dimension ([[graft.streaming.StreamingJoins.enrichWithDim]]).
+  // The dimension broadcasts per micro-batch — NO state store, constant
+  // memory for unbounded streams (the scale contrast with q_stream_join's
+  // symmetric hash join). Complete-mode rollup by market segment; the
+  // oracle is the plain batch join.
+  private def streamStatic(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) {
+      val dir = graft.Gate.tmpDir("gate_sst_")
+      val ckpt = graft.Gate.tmpDir("gate_sst_ck_")
+      Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      val stream = s.readStream.option("header", "true")
+        .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+        .csv(dir)
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val q = graft.streaming.StreamingJoins
+        .enrichWithDim(stream, dim, Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("gate_sst_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("gate_sst_out")
+        .select(col("c_mktsegment"), col("n_orders"),
+          round(col("revenue"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }
+
+  private val streamStaticSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 10 = 0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // Streaming dedup: the same event file is delivered twice (two files in
   // the source dir — the at-least-once redelivery case); dropDuplicates
   // keyed by event_id holds seen-keys in the state store across
@@ -596,5 +637,6 @@ object ScaleQueries {
     Gate("q_stream_window", streamWindow, Some(streamWindowSql)),
     Gate("q_stream_join", streamJoin, Some(streamJoinSql)),
     Gate("q_stream_dedup", streamDedup, Some(streamDedupSql)),
+    Gate("q_stream_static", streamStatic, Some(streamStaticSql)),
   )
 }

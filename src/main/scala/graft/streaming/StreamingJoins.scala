@@ -21,6 +21,17 @@ object StreamingJoins {
     * equals the batch join — which is what lets a DuckDB oracle check a
     * genuinely streaming plan.
     */
+  /** Stream-static join: streaming facts against a static dimension.
+    * The static side is broadcast per micro-batch (no state store at
+    * all — the scale-relevant contrast with a stream-stream join), so
+    * arbitrarily long streams enrich against a dimension with constant
+    * memory. The dimension is re-resolved each batch, which is also the
+    * standard slowly-refreshing-dimension pattern.
+    */
+  def enrichWithDim(facts: DataFrame, dim: DataFrame,
+      key: Seq[String]): DataFrame =
+    facts.join(broadcast(dim), key)
+
   def clickErrorPairs(clicks: DataFrame, errors: DataFrame,
       windowSec: Int): DataFrame = {
     val c = clicks
