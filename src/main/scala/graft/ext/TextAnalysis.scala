@@ -16,6 +16,29 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Corpus-unigram language-model scoring: each document's mean token
+    * log-probability under the corpus unigram distribution —
+    * Σ tf·ln(cnt/total) / Σ tf. The perplexity-style quality filter
+    * (gibberish and boilerplate score low / high in distinctive ways)
+    * computed with the same relations as [[tfidf]]: one explode, a term
+    * count reduction, a term-aligned join back, and the corpus total as
+    * a broadcast scalar. Corpus-token-linear.
+    */
+  def unigramLogProbs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = termCounts.agg(sum("cnt").as("total"))
+    tf.join(termCounts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        (sum(col("tf") * log(col("cnt").cast("double") / col("total"))) /
+          sum("tf")).as("mean_logprob"))
+  }
+
   /** TF-IDF per (doc, term): tf = in-doc term count, idf = ln(N/df) over
     * the corpus. Three relations off one token explode: tf groups by
     * (doc, term); df reduces tf by term; the scalar doc count crossjoins

@@ -468,9 +468,35 @@ object ExtQueries {
       |SELECT doc_id, rn, term, tf, df, score
       |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ---- unigram LM scoring --------------------------------------------------
+  /** Per-doc mean log-probability under the corpus unigram model; rounded
+    * to 6 decimals (the double-sum across engines agrees far below that).
+    */
+  private def docLogProb(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogProbs(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        round(col("mean_logprob"), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+
+  private val docLogProbSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |           AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       round(sum(tf * ln(CAST(cnt AS DOUBLE) / total)) / sum(tf), 6)
+      |         AS mean_logprob
+      |FROM tf JOIN tc USING (term), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
+    Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Gate("q_token_stats", tokenStats, Some(tokenStatsSql)),

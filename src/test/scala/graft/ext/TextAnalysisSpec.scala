@@ -31,6 +31,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((3L, "cherry"))._3 == 2L)
   }
 
+  test("unigram log-probs: hand-computed corpus model") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total=5
+    val got = TextAnalysis.unigramLogProbs(docs, "doc_id", "text")
+      .select("id", "n_tokens", "mean_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L)
+    // doc1: (2·ln(2/5) + 1·ln(2/5)) / 3 = ln(0.4)
+    assert(math.abs(got(1L)._3 - math.log(0.4)) < 1e-12)
+    // doc2: (ln(2/5) + ln(1/5)) / 2
+    assert(math.abs(got(2L)._3 -
+      (math.log(0.4) + math.log(0.2)) / 2) < 1e-12)
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val got = Seq(
       ("a", "The  quick\tfox"),
