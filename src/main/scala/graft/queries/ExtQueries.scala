@@ -348,6 +348,34 @@ object ExtQueries {
       |       source AS origin
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame-sampling analogue ([[Multimodal.sampleSlices]]): fixed-length
+    * byte slices at a stride over the binary payload. Restricted to
+    * ASCII (lang='en') docs so the oracle can mirror byte slicing with
+    * character substr — DuckDB has no BLOB substring.
+    */
+  private def multimodalSlices(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("lang") === "en" && col("doc_id") < 200)
+    Multimodal.sampleSlices(Multimodal.toMedia(docs),
+      sliceLen = 16, stride = 64, maxSlices = 4)
+      .select(col("doc_id"), col("slice_no"),
+        col("bytes").cast("string").as("chunk"))
+      .orderBy("doc_id", "slice_no")
+  }
+
+  private val multimodalSlicesSql =
+    """WITH m AS (SELECT doc_id, text FROM documents
+      |           WHERE lang = 'en' AND doc_id < 200),
+      |s AS (SELECT doc_id,
+      |             unnest(generate_series(0,
+      |               least(3, CAST(floor(length(text) / 64) AS INTEGER))))
+      |               AS slice_no,
+      |             text
+      |      FROM m)
+      |SELECT doc_id, CAST(slice_no AS INTEGER) AS slice_no,
+      |       substr(text, slice_no * 64 + 1, 16) AS chunk
+      |FROM s ORDER BY doc_id, slice_no""".stripMargin
+
   private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(s,
       Multimodal.toMedia(Tables.documents(s, d)))
@@ -513,5 +541,7 @@ object ExtQueries {
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Gate("q_multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
+    Gate("q_multimodal_slices", multimodalSlices,
+      Some(multimodalSlicesSql)),
   )
 }
