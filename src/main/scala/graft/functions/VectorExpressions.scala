@@ -86,5 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_shingle_hashes(toks, n): n must be a literal, got $other")
       }))
+    // opt-in BETWEEN-join rewrite (spark.graft.autoRangeJoin.binWidth)
+    e.injectOptimizerRule(graft.plans.AutoRangeJoinRule)
   }
 }

@@ -209,6 +209,28 @@ object ScaleQueries {
       .orderBy("win_id")
   }
 
+  /** The SAME query as q_range_join written the naive way — a plain
+    * `BETWEEN` join — with [[graft.plans.AutoRangeJoinRule]] switched on:
+    * the optimizer itself performs the binned-equi-join rewrite (see
+    * AutoRangeJoinSpec for the no-nested-loop plan assertion; the shared
+    * oracle checks the rewrite preserved semantics). The conf stays set
+    * for the session: the rule matches nothing but two-conjunct integral
+    * BETWEEN joins, which no other gate plans.
+    */
+  private def autoRangeJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.graft.autoRangeJoin.binWidth", "7")
+    val epoch = lit("1970-01-01")
+    val li = Tables.lineitem(s, d)
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("pday"))
+    val win = Tables.orders(s, d).filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("sday"))
+      .withColumn("eday", col("sday") + 6)
+    li.join(win, col("pday") >= col("sday") && col("pday") <= col("eday"))
+      .groupBy("win_id").agg(count(lit(1)).as("n_shipped"))
+      .orderBy("win_id")
+  }
+
   private val rangeJoinSql =
     """SELECT o_orderkey AS win_id, count(*) AS n_shipped
       |FROM orders JOIN lineitem
@@ -629,6 +651,7 @@ object ScaleQueries {
     Gate("q_skew_agg", skewAgg, Some(skewAggSql)),
     Gate("q_range_join", rangeJoin, Some(rangeJoinSql)),
     Gate("q_interval_join", intervalJoin, Some(intervalJoinSql)),
+    Gate("q_auto_range_join", autoRangeJoin, Some(rangeJoinSql)),
     Gate("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
