@@ -12,6 +12,13 @@ import graft.functions.Hash64
   * pure functions get the full default 100.
   */
 object GraftProperties extends Properties("graft") {
+  // most properties here spin a small Spark job per case; 40 cases each
+  // keeps the whole suite ~20 s while still sampling negatives, odd bin
+  // widths, and empty intervals
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
   private lazy val spark = TestSession.spark
   import spark.implicits._
 
@@ -67,5 +74,50 @@ object GraftProperties extends Properties("graft") {
     val sigA = h(base).foldLeft(agg.zero)(agg.reduce)
     val sigAB = h(base ++ extra).foldLeft(agg.zero)(agg.reduce)
     sigA.zip(sigAB).forall { case (a, ab) => ab <= a }
+  }
+
+  // binned joins vs the O(n·m) definition, arbitrary values incl.
+  // negatives and bin widths that do not divide anything evenly
+  private val ival = for {
+    s <- Gen.choose(-40L, 40L)
+    len <- Gen.choose(0L, 25L)
+  } yield (s, s + len)
+
+  property("pointIntervalEqualsNaive") = Prop.forAllNoShrink(
+    Gen.listOfN(30, Gen.choose(-50L, 60L)), Gen.listOfN(8, ival),
+    Gen.choose(1L, 20L)) { (ps, ivs, w) =>
+    val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("pid", "p")
+    val ivals = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF("iid", "s", "e")
+    val got = graft.operators.RangeJoin
+      .pointInterval(points, "p", ivals, "s", "e", w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val expected = (for {
+      (p, i) <- ps.zipWithIndex
+      ((s, e), j) <- ivs.zipWithIndex
+      if p >= s && p <= e
+    } yield (i.toLong, j.toLong)).sorted
+    got == expected
+  }
+
+  property("intervalOverlapEqualsNaive") = Prop.forAllNoShrink(
+    Gen.listOfN(10, ival), Gen.listOfN(10, ival),
+    Gen.choose(1L, 20L)) { (as, bs, w) =>
+    val a = as.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF("aid", "as_", "ae")
+    val b = bs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF("bid", "bs", "be")
+    val got = graft.operators.RangeJoin
+      .intervalOverlap(a, "as_", "ae", b, "bs", "be", w)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val expected = (for {
+      ((s1, e1), i) <- as.zipWithIndex
+      ((s2, e2), j) <- bs.zipWithIndex
+      if s1 <= e2 && s2 <= e1
+    } yield (i.toLong, j.toLong)).sorted
+    got == expected
   }
 }
