@@ -335,6 +335,30 @@ object AnalyticsQueries {
       |FROM e WHERE k >= 10 GROUP BY event_type ORDER BY event_type"""
       .stripMargin
 
+  // ---- regexp_extract_all + array fold ------------------------------------
+  /** Multi-match regex extraction (`regexp_extract_all`) folded with
+    * higher-order array functions — all codegen'd per-row expressions,
+    * no UDF, no extra shuffle. Counted by length (not numeric cast) so
+    * arbitrarily long digit runs can't overflow either engine.
+    */
+  private def regexExtract(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[0-9]+', 0)").as("nums"))
+      .select(col("doc_id"), size(col("nums")).as("n_numbers"),
+        expr("aggregate(transform(nums, x -> length(x)), 0, (a, x) -> a + x)")
+          .as("digit_chars"))
+      .orderBy("doc_id")
+
+  private val regexExtractSql =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+      |         AS n_numbers,
+      |       CAST(coalesce(list_sum(list_transform(
+      |              regexp_extract_all(text, '[0-9]+'),
+      |              x -> length(x))), 0) AS INTEGER) AS digit_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- heavy hitters (frequent-items sketch) ------------------------------
   /** `stat.freqItems` (Karp/Shenker/Papadimitriou one-pass sketch) must
     * surface every operation type the exact top-3 contains — the
@@ -552,5 +576,6 @@ object AnalyticsQueries {
     Gate("q_max_by", maxBy, Some(maxBySql)),
     Gate("q_props_json", propsJson, Some(propsJsonSql)),
     Gate("q_unpivot", unpivotStatus, Some(unpivotStatusSql)),
+    Gate("q_regex_extract", regexExtract, Some(regexExtractSql)),
   )
 }
