@@ -521,7 +521,45 @@ object CoreQueries {
   private val previewSql =
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 5"
 
+  // ---- typed cogroup -------------------------------------------------------
+  /** The typed `KeyValueGroupedDataset.cogroup` surface (SURVEY §1.4's
+    * "Dataset[T] at the API edge"): per customer, both sides' groups
+    * arrive as iterators in one function — arbitrary per-key logic the
+    * relational API can't express. This instance IS relationally
+    * expressible on purpose, so the oracle (a LEFT JOIN aggregate)
+    * value-checks the cogroup machinery itself. Scale shape: one shuffle
+    * per side on the key, no skewed window, per-group memory only.
+    */
+  private def cogroupAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val custs = Tables.customer(s, d).filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("b"))
+      .as[(Long, Double)].groupByKey(_._1)
+    custs.cogroup(orders) { case (k, cs, os) =>
+      cs.toSeq.headOption.iterator.map { c =>
+        val totals = os.map(_._2).toSeq
+        val total = BigDecimal(totals.sum)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (k, totals.size.toLong, total, c._2)
+      }
+    }.toDF("k", "n_orders", "total", "acctbal")
+      .orderBy("k")
+  }
+
+  private val cogroupAggSql =
+    """SELECT c_custkey AS k,
+      |       count(o.o_custkey) AS n_orders,
+      |       round(coalesce(sum(o.o_totalprice), 0), 2) AS total,
+      |       c_acctbal AS acctbal
+      |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |WHERE c_custkey % 50 = 0
+      |GROUP BY c_custkey, c_acctbal ORDER BY k""".stripMargin
+
   def gates: Seq[Gate] = Seq(
+    Gate("q_cogroup", cogroupAgg, Some(cogroupAggSql)),
     Gate("q_daily_rollup", dailyRollup, Some(dailyRollupSql)),
     Gate("q_user_rollup", userRollup, Some(userRollupSql)),
     Gate("q_user_rollup_approx", userRollupApprox, Some(userRollupApproxSql)),
