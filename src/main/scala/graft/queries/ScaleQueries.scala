@@ -125,7 +125,7 @@ object ScaleQueries {
     * oracle).
     */
   private def streamIncremental(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, 4) {
       val in = graft.Gate.tmpDir("gate_sinc_in_")
       val storeRoot = graft.Gate.tmpDir("gate_sinc_store_")
       val ckpt = graft.Gate.tmpDir("gate_sinc_ck_")
@@ -352,7 +352,7 @@ object ScaleQueries {
   }
 
   private def streamWindow(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s, 8) { streamWindowImpl(s, d) }
+    withStreamPartitions(s, 4) { streamWindowImpl(s, d) }
 
   private def streamWindowImpl(s: SparkSession, d: String): DataFrame = {
     val in = graft.Gate.tmpDir("gate_stream_")
@@ -393,7 +393,7 @@ object ScaleQueries {
   // sink. The timestamp hand-off to CSV goes as unix_micros longs (CSV
   // timestamp formatting would truncate microseconds).
   private def streamJoin(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s, 8) { streamJoinImpl(s, d) }
+    withStreamPartitions(s, 4) { streamJoinImpl(s, d) }
 
   private def streamJoinImpl(s: SparkSession, d: String): DataFrame = {
     val dirC = graft.Gate.tmpDir("gate_ssj_c_")
@@ -444,7 +444,7 @@ object ScaleQueries {
   // the rebuilt daily rollup must equal the plain batch rollup over the
   // distinct rows — which is exactly what the oracle computes.
   private def streamIngest(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s, 8) {
+    withStreamPartitions(s, 4) {
       val in = graft.Gate.tmpDir("gate_singest_in_")
       val storeRoot = graft.Gate.tmpDir("gate_singest_store_")
       val ckpt = graft.Gate.tmpDir("gate_singest_ck_")
@@ -539,7 +539,7 @@ object ScaleQueries {
   // event exactly once. This is the reference's J1 anti-join dedup
   // (ingest.py:248-257) recast as streaming state.
   private def streamDedup(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s, 8) { streamDedupImpl(s, d) }
+    withStreamPartitions(s, 4) { streamDedupImpl(s, d) }
 
   private def streamDedupImpl(s: SparkSession, d: String): DataFrame = {
     val dir = graft.Gate.tmpDir("gate_sdd_")
