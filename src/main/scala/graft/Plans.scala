@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.functions._
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.sql.session.timeZone","UTC")
