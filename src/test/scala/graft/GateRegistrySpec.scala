@@ -30,6 +30,12 @@ class GateRegistrySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"oracles referencing Spark temp views: $bad")
   }
 
+  test("every bench headline name is a live gate") {
+    val names = Gate.all.map(_.name).toSet
+    val dead = Bench.headline.filterNot(names)
+    assert(dead.isEmpty, s"headline entries with no gate: $dead")
+  }
+
   test("SparkEntry exposes exactly the gate registry") {
     assert(SparkEntry.queries.keySet == Gate.all.map(_.name).toSet)
     assert(SparkEntry.oracleSql.keySet ==
