@@ -245,11 +245,14 @@ object Dedup {
     * sharing any 8-bit signature chunk, pre-filtered to hamming ≤
     * maxHamming) → exact-Jaccard verification, mirroring [[minhashDedup]].
     * Eight 8-bit chunks pigeonhole-guarantee a candidate for every pair
-    * within hamming 7 — which (measured on the driver corpus) covers every
-    * true jaccard-0.5 pair, so the verified output IS the true pair set
-    * and the gate is oracle-checkable. The hamming pre-filter keeps the
-    * expensive shingle-join verify off random chunk collisions (a random
-    * pair sits at hamming ≈ 32 ± 4; P(≤ 8) is negligible).
+    * within hamming 7; true jaccard-0.5 pairs USUALLY sit inside that
+    * radius but are not guaranteed to (measured: full recall at sf0.01
+    * and sf0.1, 92/94 at sf0.001 — token-multiset SimHash is a weak
+    * discriminator, the documented contrast with MinHash), which is why
+    * the gate audits recall against the exact pair set instead of
+    * claiming equality. The hamming pre-filter keeps the expensive
+    * shingle-join verify off random chunk collisions (a random pair sits
+    * at hamming ≈ 32 ± 4; P(≤ 8) is negligible).
     */
   def simhashDedup(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5, maxHamming: Int = 8,
@@ -257,6 +260,21 @@ object Dedup {
     // one tokenize pass feeds both the signature and verification branches
     val toksDf = tokenTable(docs, id, text).persist()
     val sh = hashedShinglesFromTokens(toksDf, n).persist()
+    verifyJaccard(simhashCandidatesFromTokens(toksDf, maxHamming),
+      sh, threshold, maxDF)
+  }
+
+  /** Banded SimHash candidate pairs (pre-verification): pairs sharing any
+    * 8-bit signature chunk, hamming-filtered. Exposed separately so a
+    * recall audit can compare the candidate set against the exact pair
+    * set without paying for verification twice.
+    */
+  def simhashCandidates(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 8): DataFrame =
+    simhashCandidatesFromTokens(tokenTable(docs, id, text), maxHamming)
+
+  private[ext] def simhashCandidatesFromTokens(toksDf: DataFrame,
+      maxHamming: Int): DataFrame = {
     val sigs = simhashSignaturesFromTokens(toksDf)
     val chunks = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(7)),
@@ -266,14 +284,13 @@ object Dedup {
       .select(col("id"), col("sig"),
         col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
       .persist()
-    val cands = chunks.as("a")
+    chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.id") < col("b.id"))
       .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, sh, threshold, maxDF)
   }
 
   /** Connected components over near-dup pairs — the step that turns pair
