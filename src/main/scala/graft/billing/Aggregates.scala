@@ -71,50 +71,111 @@ object Aggregates {
       countDistinct("operation_type").as("operation_types"),
     )
 
-  /** Mergeable partial state for the daily rollup — the incremental
-    * alternative to the reference's DELETE+INSERT full recompute
-    * (`aggregates.py:31`): at 100 TB, rebuilding every rollup from the
-    * whole fact history per ingest is the dominant cost, so each delta
-    * (one micro-batch / one ingested partition) reduces to per-day
-    * partials that [[mergeDaily]] folds into the stored state without
-    * rescanning history. Counts and sums merge exactly; distinct counts
-    * are carried as HLL sketches (`hll_sketch_agg`) — the only mergeable
-    * representation short of keeping the key sets themselves.
-    */
-  def dailyPartial(raw: DataFrame): DataFrame =
-    raw.groupBy("year", "month", "day").agg(
-      count(lit(1)).as("n"),
-      sum("credit_usage").as("total"),
-      sum(successInt).as("ok_n"),
-      hll_sketch_agg(col("user_id")).as("users_hll"),
-      hll_sketch_agg(col("resource_id")).as("resources_hll"),
-    )
+  // --------------------------------------------------------------------
+  // Incremental maintenance: mergeable partial states for ALL FOUR
+  // rollups — the alternative to the reference's DELETE+INSERT full
+  // recompute (`aggregates.py:31,96,163,226`). At 100 TB, rebuilding
+  // every rollup from the whole fact history per ingest is the dominant
+  // cost; instead each delta (one micro-batch / one ingested partition)
+  // reduces to per-group partials that merge into stored state without
+  // rescanning history. Counts, sums, and min/max merge exactly;
+  // distinct counts are carried as HLL sketches (`hll_sketch_agg`) —
+  // the only mergeable representation short of keeping the key sets.
+  // --------------------------------------------------------------------
 
-  /** Merge [[dailyPartial]] states into one partial state per day —
-    * partial in, partial out, so merged state can be stored and merged
-    * again (associative + commutative; the streaming `foreachBatch` fold
-    * in [[BillingStore.mergeIntoDailyPartials]] relies on both).
+  /** What a rollup's mergeable state carries: grouping keys, the
+    * distinct-counted columns as (source, sketch name, estimate name),
+    * whether success/failure splits and the activity span are tracked,
+    * and the reference table's name for its count column.
     */
-  def mergeDailyPartials(partials: DataFrame*): DataFrame =
+  final case class RollupSpec(keys: Seq[String],
+      hlls: Seq[(String, String, String)],
+      withSuccess: Boolean, withSpan: Boolean, countName: String)
+
+  val dailySpec: RollupSpec = RollupSpec(Seq("year", "month", "day"),
+    Seq(("user_id", "users_hll", "approx_users"),
+      ("resource_id", "resources_hll", "approx_resources")),
+    withSuccess = true, withSpan = false, countName = "transaction_count")
+
+  val userSpec: RollupSpec = RollupSpec(Seq("user_id"),
+    Seq(("resource_id", "res_hll", "resources_used"),
+      ("resource_type", "rt_hll", "resource_types_used"),
+      ("operation_type", "op_hll", "operation_types"),
+      ("region", "reg_hll", "regions_used")),
+    withSuccess = false, withSpan = true, countName = "transaction_count")
+
+  val serviceSpec: RollupSpec = RollupSpec(
+    Seq("service_tier", "resource_type", "operation_type"),
+    Seq(("user_id", "users_hll", "unique_users")),
+    withSuccess = true, withSpan = false, countName = "operation_count")
+
+  val regionSpec: RollupSpec = RollupSpec(Seq("region"),
+    Seq(("user_id", "users_hll", "unique_users"),
+      ("resource_type", "rt_hll", "resource_types"),
+      ("operation_type", "op_hll", "operation_types")),
+    withSuccess = false, withSpan = false, countName = "operation_count")
+
+  /** Reduce a delta of raw billing rows to one mergeable partial row per
+    * group.
+    */
+  def partial(raw: DataFrame, spec: RollupSpec): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum("credit_usage").as("total")) ++
+        (if (spec.withSuccess) Seq(sum(successInt).as("ok_n")) else Nil) ++
+        (if (spec.withSpan)
+          Seq(min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
+        else Nil) ++
+        spec.hlls.map { case (c, sk, _) => hll_sketch_agg(col(c)).as(sk) }
+    raw.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge partial states into one partial per group — partial in,
+    * partial out, so merged state can be stored and merged again
+    * (associative + commutative; the streaming `foreachBatch` fold in
+    * [[BillingStore.mergeIntoDailyPartials]] relies on both).
+    */
+  def mergePartials(spec: RollupSpec)(partials: DataFrame*): DataFrame = {
+    val aggs =
+      Seq(sum("n").as("n"), sum("total").as("total")) ++
+        (if (spec.withSuccess) Seq(sum("ok_n").as("ok_n")) else Nil) ++
+        (if (spec.withSpan)
+          Seq(min("min_ts").as("min_ts"), max("max_ts").as("max_ts"))
+        else Nil) ++
+        spec.hlls.map { case (_, sk, _) => hll_union_agg(col(sk)).as(sk) }
     partials.reduce(_ unionByName _)
-      .groupBy("year", "month", "day").agg(
-        sum("n").as("n"),
-        sum("total").as("total"),
-        sum("ok_n").as("ok_n"),
-        hll_union_agg(col("users_hll")).as("users_hll"),
-        hll_union_agg(col("resources_hll")).as("resources_hll"),
-      )
+      .groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Project a partial state into the daily_aggs shape. */
-  def finalizeDaily(partials: DataFrame): DataFrame =
-    partials.select(col("year"), col("month"), col("day"),
-      col("n").as("transaction_count"),
+  /** Project a partial state into the rollup's served shape (distincts
+    * as HLL estimates; span as first/last activity).
+    */
+  def finalizePartials(spec: RollupSpec)(partials: DataFrame): DataFrame = {
+    val cols = spec.keys.map(col) ++ Seq(
+      col("n").as(spec.countName),
       col("total").as("total_credit_usage"),
-      (col("total") / col("n")).as("avg_credit_usage"),
-      col("ok_n").as("successful_operations"),
-      (col("n") - col("ok_n")).as("failed_operations"),
-      hll_sketch_estimate(col("users_hll")).as("approx_users"),
-      hll_sketch_estimate(col("resources_hll")).as("approx_resources"))
+      (col("total") / col("n")).as("avg_credit_usage")) ++
+      (if (spec.withSuccess)
+        Seq(col("ok_n").as("successful_operations"),
+          (col("n") - col("ok_n")).as("failed_operations"))
+      else Nil) ++
+      (if (spec.withSpan)
+        Seq(col("min_ts").as("first_activity"),
+          col("max_ts").as("last_activity"))
+      else Nil) ++
+      spec.hlls.map { case (_, sk, est) =>
+        hll_sketch_estimate(col(sk)).as(est)
+      }
+    partials.select(cols: _*)
+  }
+
+  /** Daily-rollup conveniences (the spec the streaming store folds). */
+  def dailyPartial(raw: DataFrame): DataFrame = partial(raw, dailySpec)
+
+  def mergeDailyPartials(partials: DataFrame*): DataFrame =
+    mergePartials(dailySpec)(partials: _*)
+
+  def finalizeDaily(partials: DataFrame): DataFrame =
+    finalizePartials(dailySpec)(partials)
 
   /** Fold [[dailyPartial]] states (stored + any number of deltas) into the
     * daily_aggs shape.

@@ -113,6 +113,90 @@ object ScaleQueries {
        |FROM billing GROUP BY year, month, day
        |ORDER BY year, month, day""".stripMargin
 
+  /** Incremental maintenance of the USER rollup — the same mergeable-
+    * partial algebra as q_incremental_agg applied to a different spec:
+    * min/max activity span merges exactly, the four distinct counts ride
+    * as HLL sketches. Deltas split by event parity (each user spans both
+    * deltas, so every group genuinely merges).
+    */
+  private def incrementalUser(s: SparkSession, d: String): DataFrame = {
+    val data = EventsBilling(s, d)
+    val spec = Aggregates.userSpec
+    val merged = Aggregates.finalizePartials(spec)(
+      Aggregates.mergePartials(spec)(
+        Aggregates.partial(data.filter(col("success")), spec),
+        Aggregates.partial(data.filter(!col("success")), spec)))
+    val exact = Aggregates.user(data).select(col("user_id"),
+      col("resources_used").as("e_res"),
+      col("resource_types_used").as("e_rt"),
+      col("operation_types").as("e_op"),
+      col("regions_used").as("e_reg"))
+    def ok(a: Column, e: Column) = abs(a - e) <= greatest(lit(2.0), e * 0.1)
+    merged.join(exact, "user_id")
+      .select(col("user_id"), col("transaction_count"),
+        round(col("total_credit_usage"), 2).as("total_credit_usage"),
+        (round(col("total_credit_usage"), 2) / col("transaction_count"))
+          .as("avg_credit_usage"),
+        unix_millis(col("first_activity")).as("first_activity_ms"),
+        unix_millis(col("last_activity")).as("last_activity_ms"),
+        ok(col("resources_used"), col("e_res")).as("res_ok"),
+        ok(col("resource_types_used"), col("e_rt")).as("rt_ok"),
+        ok(col("operation_types"), col("e_op")).as("op_ok"),
+        ok(col("regions_used"), col("e_reg")).as("reg_ok"))
+      .orderBy("user_id")
+  }
+
+  private val incrementalUserSql =
+    s"""${EventsBilling.cte}
+       |SELECT user_id, count(*) AS transaction_count,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       round(sum(credit_usage), 2) / count(*) AS avg_credit_usage,
+       |       epoch_ms(min("timestamp")) AS first_activity_ms,
+       |       epoch_ms(max("timestamp")) AS last_activity_ms,
+       |       true AS res_ok, true AS rt_ok, true AS op_ok, true AS reg_ok
+       |FROM billing GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Incremental maintenance of the SERVICE rollup (success splits merge
+    * exactly; user distincts as sketches), deltas split by user parity.
+    */
+  private def incrementalService(s: SparkSession, d: String): DataFrame = {
+    val data = EventsBilling(s, d)
+    val spec = Aggregates.serviceSpec
+    val uid = col("user_id").cast("long")
+    val merged = Aggregates.finalizePartials(spec)(
+      Aggregates.mergePartials(spec)(
+        Aggregates.partial(data.filter(uid % 2 === 0), spec),
+        Aggregates.partial(data.filter(uid % 2 === 1), spec)))
+    val exact = Aggregates.service(data).select(
+      col("service_tier"), col("resource_type"), col("operation_type"),
+      col("unique_users").as("e_users"))
+    def ok(a: Column, e: Column) = abs(a - e) <= greatest(lit(2.0), e * 0.1)
+    merged.join(exact,
+        Seq("service_tier", "resource_type", "operation_type"))
+      .select(col("service_tier"), col("resource_type"),
+        col("operation_type"), col("operation_count"),
+        round(col("total_credit_usage"), 2).as("total_credit_usage"),
+        (round(col("total_credit_usage"), 2) / col("operation_count"))
+          .as("avg_credit_usage"),
+        col("successful_operations"), col("failed_operations"),
+        ok(col("unique_users"), col("e_users")).as("users_ok"))
+      .orderBy("service_tier", "resource_type", "operation_type")
+  }
+
+  private val incrementalServiceSql =
+    s"""${EventsBilling.cte}
+       |SELECT service_tier, resource_type, operation_type,
+       |       count(*) AS operation_count,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       round(sum(credit_usage), 2) / count(*) AS avg_credit_usage,
+       |       CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS successful_operations,
+       |       CAST(sum(CASE WHEN success THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS failed_operations,
+       |       true AS users_ok
+       |FROM billing GROUP BY service_tier, resource_type, operation_type
+       |ORDER BY service_tier, resource_type, operation_type""".stripMargin
+
   /** The fully incremental streaming lifecycle: two CSV deliveries whose
     * rows overlap (day ≤ 15, then the full month) drain through ONE
     * checkpointed stream at one-file-per-micro-batch; each batch
@@ -648,6 +732,9 @@ object ScaleQueries {
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
     Gate("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     Gate("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    Gate("q_incremental_user", incrementalUser, Some(incrementalUserSql)),
+    Gate("q_incremental_service", incrementalService,
+      Some(incrementalServiceSql)),
     Gate("q_skew_agg", skewAgg, Some(skewAggSql)),
     Gate("q_range_join", rangeJoin, Some(rangeJoinSql)),
     Gate("q_interval_join", intervalJoin, Some(intervalJoinSql)),

@@ -59,6 +59,29 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("incremental: user-spec merge preserves activity span and counts") {
+    val spec = Aggregates.userSpec
+    val parts = Seq(
+      fixture.filter("day = 23"), fixture.filter("day = 24"))
+      .map(Aggregates.partial(_, spec))
+    val merged = Aggregates.finalizePartials(spec)(
+      Aggregates.mergePartials(spec)(parts: _*))
+      .orderBy("user_id").collect()
+    val exact = Aggregates.user(fixture).orderBy("user_id").collect()
+    merged.zip(exact).foreach { case (m, e) =>
+      assert(m.getAs[Long]("transaction_count") ==
+        e.getAs[Long]("transaction_count"))
+      assert(m.getAs[java.sql.Timestamp]("first_activity") ==
+        e.getAs[java.sql.Timestamp]("first_activity"))
+      assert(m.getAs[java.sql.Timestamp]("last_activity") ==
+        e.getAs[java.sql.Timestamp]("last_activity"))
+      // HLL exact at these cardinalities
+      assert(m.getAs[Long]("resources_used") ==
+        e.getAs[Long]("resources_used"))
+      assert(m.getAs[Long]("regions_used") == e.getAs[Long]("regions_used"))
+    }
+  }
+
   test("incremental: merge is associative across delivery orders") {
     val parts = Seq("u1", "u2").map(u =>
       Aggregates.dailyPartial(fixture.filter(s"user_id = '$u'")))
