@@ -62,6 +62,34 @@ object AnalyticsQueries {
       |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
       |ORDER BY gid, y NULLS FIRST, m NULLS FIRST""".stripMargin
 
+  // ---- explicit grouping sets ---------------------------------------------
+  /** Arbitrary GROUPING SETS (not the power set of CUBE nor the prefix
+    * chain of ROLLUP): per-flag totals, per-status totals, and the grand
+    * total in ONE Expand + hash aggregate — three rollups for one
+    * shuffle.
+    */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+        |         AS gid,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
   // ---- pivot --------------------------------------------------------------
   /** Explicit value list — at scale an unbounded `pivot(col)` would first
     * run a distinct scan and can explode the column budget; pinning the
@@ -577,5 +605,6 @@ object AnalyticsQueries {
     Gate("q_props_json", propsJson, Some(propsJsonSql)),
     Gate("q_unpivot", unpivotStatus, Some(unpivotStatusSql)),
     Gate("q_regex_extract", regexExtract, Some(regexExtractSql)),
+    Gate("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
   )
 }

@@ -23,7 +23,7 @@ class GateRegistrySpec extends AnyFunSuite {
   test("oracle SQL never references the staging views only Spark sees") {
     // oracles run in DuckDB over the raw parquet tables; a Spark-side
     // temp-view name leaking into one would fail only at driver time
-    val views = Seq("lineitem_v", "embeddings_v", "gate_bkt_")
+    val views = Seq("lineitem_v", "lineitem_gs", "embeddings_v", "gate_bkt_")
     val bad = Gate.all
       .filter(g => g.oracle.exists(o => views.exists(o.contains)))
       .map(_.name)
