@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default output strategy routes forked-process stdout
+// through its logger, gluing an "[info] " prefix onto the contract line
+// and breaking the parse (BENCH parsed:null in rounds 1-2). StdoutOutput
+// passes the child's stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,10 +59,14 @@ object Bench {
     // contract line therefore carries a representative headline subset,
     // 3-decimal rounded, and is printed LAST so it always sits inside
     // the tail. `value` remains the full-suite total.
+    // Explicit Locale.ROOT: the f interpolator formats via the JVM
+    // default locale, and a comma-decimal locale would emit invalid JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.filter(r => headline(r._1))
-      .map { case (k, v) => f""""$k":${v}%.3f""" }
+      .map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
