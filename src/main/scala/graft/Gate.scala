@@ -20,21 +20,40 @@ object Gate {
     * through /tmp puts that throttle inside the timed window.
     */
   def tmpDir(prefix: String): String = {
-    val shm = new java.io.File("/dev/shm/graft_gates")
+    val root = new java.io.File("/dev/shm/graft_gates")
     if (new java.io.File("/dev/shm").isDirectory) {
-      shm.mkdirs()
-      // staging dirs from finished runs would otherwise accumulate on the
-      // (size-capped) tmpfs across many verify/bench invocations — sweep
-      // anything older than an hour, best-effort
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
-      Option(shm.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.lastModified() < cutoff)
-        .foreach(f => scala.util.Try {
-          import scala.reflect.io.Directory
-          new Directory(f).deleteRecursively()
-        })
-      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+      // Namespace staging under this process's pid so a concurrent
+      // invocation (or one exceeding the sweep age) can never have a
+      // still-registered dir — bucketed table paths, stream checkpoints —
+      // deleted out from under it by another process's sweep.
+      val mine = new java.io.File(root, s"pid-${ProcessHandle.current().pid()}")
+      mine.mkdirs()
+      sweepDeadPidDirs(root, mine)
+      java.nio.file.Files.createTempDirectory(mine.toPath, prefix).toString
     } else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  /** Best-effort GC of staging left by finished JVMs: only `pid-N` dirs
+    * whose process is gone (or hour-stale unrecognized dirs from older
+    * layouts) are swept — never the live run's own namespace.
+    */
+  private def sweepDeadPidDirs(root: java.io.File, mine: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val PidDir = "pid-(\\d+)".r
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != mine.getName)
+      .filter { f =>
+        f.getName match {
+          case PidDir(pid) =>
+            val h = ProcessHandle.of(pid.toLong)
+            !h.isPresent || !h.get().isAlive
+          case _ => f.lastModified() < cutoff
+        }
+      }
+      .foreach(f => scala.util.Try {
+        import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively()
+      })
   }
 
   /** Registry assembled from the per-module gate lists. */

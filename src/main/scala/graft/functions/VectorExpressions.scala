@@ -80,11 +80,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName,
         "graft_shingle_hashes"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
-          ShingleHashes(exprs.head, n.asInstanceOf[Number].intValue())
-        case other => throw new IllegalArgumentException(
-          s"graft_shingle_hashes(toks, n): n must be a literal, got $other")
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_shingle_hashes(toks, n) takes 2 arguments, got ${exprs.length}")
+        // accept any foldable integral n (e.g. 1+2), not only a bare literal
+        val nExpr = exprs(1)
+        if (!nExpr.foldable) throw new IllegalArgumentException(
+          s"graft_shingle_hashes(toks, n): n must be foldable, got $nExpr")
+        nExpr.eval() match {
+          case n: Number => ShingleHashes(exprs.head, n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes(toks, n): n must be integral, got $other")
+        }
       }))
     // opt-in BETWEEN-join rewrite (spark.graft.autoRangeJoin.binWidth)
     e.injectOptimizerRule(graft.plans.AutoRangeJoinRule)

@@ -106,8 +106,13 @@ case class AutoRangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(spark.sessionState.conf.sessionLocalTimeZone)))
     val binI = AttributeReference("__graft_bin_i", LongType,
       nullable = gen.elementSchema.head.nullable)()
+    // An inverted interval (s > e) matches no point under the original
+    // BETWEEN, but Sequence with an explicit +1 step throws on start >
+    // stop — filter such rows out first (NULL bounds also drop here,
+    // matching the original condition's three-valued no-match).
+    val ivalFiltered = Filter(LessThanOrEqual(s, e), ivalSide)
     val ivalPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(binI), child = ivalSide)
+      qualifier = None, generatorOutput = Seq(binI), child = ivalFiltered)
     val (newLeft, newRight) =
       if (pointOnLeft) (pointPlan, ivalPlan) else (ivalPlan, pointPlan)
     val equiJoin = Join(newLeft, newRight, Inner,

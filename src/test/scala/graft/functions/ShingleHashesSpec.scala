@@ -55,4 +55,24 @@ class ShingleHashesSpec extends SparkSpec {
         |FROM sh_v""".stripMargin).as[Int].head()
     assert(n == 3)
   }
+
+  test("SQL builder: foldable n accepted, bad arity a readable error") {
+    Seq("a b c d").toDF("t").createOrReplaceTempView("sh_v2")
+    // foldable-but-not-literal n (1+1) must work
+    val n = spark.sql(
+      """SELECT size(graft_shingle_hashes(split(t, ' '), 1 + 1)) AS n
+        |FROM sh_v2""".stripMargin).as[Int].head()
+    assert(n == 3)
+    val oneArg = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes(split(t, ' ')) FROM sh_v2")
+        .collect()
+    }
+    assert(oneArg.getMessage.contains("takes 2 arguments"))
+    val nonFoldable = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_shingle_hashes(split(t, ' '), length(t)) FROM sh_v2")
+        .collect()
+    }
+    assert(nonFoldable.getMessage.contains("foldable"))
+  }
 }

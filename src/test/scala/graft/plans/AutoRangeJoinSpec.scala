@@ -49,6 +49,20 @@ class AutoRangeJoinSpec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("inverted intervals (s > e) are dropped, not crashed on") {
+    // Sequence(start, stop, step=1) throws on start > stop; the rewrite
+    // must pre-filter s <= e so an inverted row behaves like the naive
+    // join: it simply matches nothing. NULL bounds likewise.
+    val p2 = Seq((1L, 10L), (2L, 20L)).toDF("pid", "p")
+    val i2 = Seq((9L, Some(5L), Some(15L)), (8L, Some(40L), Some(12L)),
+      (7L, None, Some(15L))).toDF("iid", "s", "e")
+    val got = withBinWidth(16) {
+      p2.join(i2, $"p" >= $"s" && $"p" <= $"e")
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+    }
+    assert(got == Set((1L, 9L)))
+  }
+
   test("joins with extra conjuncts or equality are left untouched") {
     withBinWidth(16) {
       val extra = points.join(ivals,
