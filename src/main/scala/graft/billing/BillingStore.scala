@@ -52,13 +52,16 @@ final case class BillingStore(root: String) {
           org.apache.spark.sql.functions.broadcast(days),
           Seq("year", "month", "day"))
       } else raw(spark)
-    val fresh = Ingest.newRows(batch, existing).cache()
-    val n = fresh.count()
-    if (n > 0)
-      fresh.write.mode("append")
-        .partitionBy("year", "month", "day").parquet(rawPath)
-    fresh.unpersist()
-    n
+    // Observation fuses the returned row count into the write action —
+    // one pass over the anti-join instead of a count() materialization
+    // followed by a second (cached) pass for the write.
+    val obs = org.apache.spark.sql.Observation()
+    Ingest.newRows(batch, existing)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("append")
+      .partitionBy("year", "month", "day").parquet(rawPath)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** S10: full-recompute rollups, written with overwrite semantics exactly

@@ -542,12 +542,16 @@ object ScaleQueries {
       data.filter(col("day") <= 15).coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(in)
       graft.streaming.StreamingIngest.start(s, in, store, ckpt,
-        rebuildAggs = false)
+        aggs = graft.streaming.StreamingIngest.AggMaintenance.Defer)
         .awaitTermination()
-      // delivery 2: the full window — overlaps everything from delivery 1
+      // delivery 2: the full window — overlaps everything from delivery 1.
+      // Touched-day refresh (not full rebuild): delivery 2 spans every
+      // day, so daily_aggs comes out complete, via the path whose cost is
+      // ∝ batch days rather than ∝ history + all four rollups.
       data.coalesce(1)
         .write.mode("append").option("header", "true").csv(in)
-      graft.streaming.StreamingIngest.start(s, in, store, ckpt)
+      graft.streaming.StreamingIngest.start(s, in, store, ckpt,
+        aggs = graft.streaming.StreamingIngest.AggMaintenance.RefreshTouchedDaily)
         .awaitTermination()
       s.read.parquet(store.aggPath("daily")).select(
         col("year"), col("month"), col("day"), col("transaction_count"),

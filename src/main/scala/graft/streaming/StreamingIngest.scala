@@ -19,11 +19,28 @@ import graft.billing.{BillingStore, Schemas}
   */
 object StreamingIngest {
 
+  /** What to do with the stored rollups after each micro-batch append. */
+  sealed trait AggMaintenance
+  object AggMaintenance {
+    /** Reference-parity full recompute of all four rollups
+      * (`aggregates.py:31,96,163,226`) — correct, cost ∝ history.
+      */
+    case object Rebuild extends AggMaintenance
+    /** Recompute ONLY the daily-rollup partitions the batch touched
+      * ([[BillingStore.refreshDailyForDays]]) — cost ∝ batch days, the
+      * 100 TB shape for day-keyed rollups.
+      */
+    case object RefreshTouchedDaily extends AggMaintenance
+    /** Leave rollups stale (caller refreshes after the drain). */
+    case object Defer extends AggMaintenance
+  }
+
   /** Drain all currently-available CSV files under `inputDir` into the
-    * store, rebuilding the rollups once per micro-batch.
+    * store, maintaining the rollups per micro-batch according to `aggs`.
     */
   def start(spark: SparkSession, inputDir: String, store: BillingStore,
-      checkpointDir: String, rebuildAggs: Boolean = true): StreamingQuery = {
+      checkpointDir: String,
+      aggs: AggMaintenance = AggMaintenance.Rebuild): StreamingQuery = {
     val stream = spark.readStream
       .option("header", "true")
       .schema(Schemas.billing)
@@ -33,7 +50,14 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         store.appendDedup(batch.sparkSession, batch)
-        if (rebuildAggs) store.rebuildAggregates(batch.sparkSession)
+        aggs match {
+          case AggMaintenance.Rebuild =>
+            store.rebuildAggregates(batch.sparkSession)
+          case AggMaintenance.RefreshTouchedDaily =>
+            store.refreshDailyForDays(batch.sparkSession,
+              batch.select("year", "month", "day"))
+          case AggMaintenance.Defer => ()
+        }
         ()
       }
       .start()

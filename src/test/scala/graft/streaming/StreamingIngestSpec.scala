@@ -26,7 +26,7 @@ class StreamingIngestSpec extends SparkSpec {
     Files.writeString(Paths.get(in, "b1.csv"), Seq(header,
       csvLine("2025-04-23 10:00:00", "r1", "i1"),
       csvLine("2025-04-23 11:00:00", "r2", "i2")).mkString("\n"))
-    val q1 = StreamingIngest.start(spark, in, store, ckpt, rebuildAggs = true)
+    val q1 = StreamingIngest.start(spark, in, store, ckpt)
     q1.awaitTermination()
     assert(store.raw(spark).count() == 2)
     assert(spark.read.parquet(store.aggPath("daily")).count() == 1)
@@ -36,15 +36,41 @@ class StreamingIngestSpec extends SparkSpec {
     Files.writeString(Paths.get(in, "b2.csv"), Seq(header,
       csvLine("2025-04-23 10:00:00", "r1", "i1"),
       csvLine("2025-04-24 09:00:00", "r3", "i3")).mkString("\n"))
-    val q2 = StreamingIngest.start(spark, in, store, ckpt, rebuildAggs = true)
+    val q2 = StreamingIngest.start(spark, in, store, ckpt)
     q2.awaitTermination()
     assert(store.raw(spark).count() == 3)
     assert(spark.read.parquet(store.aggPath("daily")).count() == 2)
 
     // third run with nothing new: a no-op
-    val q3 = StreamingIngest.start(spark, in, store, ckpt, rebuildAggs = false)
+    val q3 = StreamingIngest.start(spark, in, store, ckpt,
+      StreamingIngest.AggMaintenance.Defer)
     q3.awaitTermination()
     assert(store.raw(spark).count() == 3)
+  }
+
+  test("RefreshTouchedDaily maintains the daily rollup per batch days") {
+    val in = tmpDir("stream_in3")
+    val storeDir = tmpDir("stream_store3")
+    val ckpt = tmpDir("stream_ckpt3")
+    val store = BillingStore(storeDir)
+    Files.writeString(Paths.get(in, "b1.csv"), Seq(header,
+      csvLine("2025-04-23 10:00:00", "r1", "i1"),
+      csvLine("2025-04-23 11:00:00", "r2", "i2")).mkString("\n"))
+    StreamingIngest.start(spark, in, store, ckpt,
+      StreamingIngest.AggMaintenance.RefreshTouchedDaily).awaitTermination()
+    val d1 = spark.read.parquet(store.aggPath("daily")).collect()
+    assert(d1.length == 1 && d1(0).getAs[Long]("transaction_count") == 2L)
+    // second delivery: a redelivered day-23 row plus a new day-24 row —
+    // the refresh recomputes day 23 (unchanged after dedup) and adds 24
+    Files.writeString(Paths.get(in, "b2.csv"), Seq(header,
+      csvLine("2025-04-23 10:00:00", "r1", "i1"),
+      csvLine("2025-04-24 09:00:00", "r3", "i3")).mkString("\n"))
+    StreamingIngest.start(spark, in, store, ckpt,
+      StreamingIngest.AggMaintenance.RefreshTouchedDaily).awaitTermination()
+    val d2 = spark.read.parquet(store.aggPath("daily"))
+      .orderBy("day").collect()
+    assert(d2.map(r => (r.getAs[Int]("day"),
+      r.getAs[Long]("transaction_count"))).toSeq == Seq((23, 2L), (24, 1L)))
   }
 
   test("raw store partition pruning: day filter reads one partition") {
@@ -56,7 +82,8 @@ class StreamingIngestSpec extends SparkSpec {
     Files.writeString(Paths.get(in, "b.csv"), Seq(header,
       csvLine("2025-04-23 10:00:00", "r1", "i1"),
       csvLine("2025-04-24 11:00:00", "r2", "i2")).mkString("\n"))
-    StreamingIngest.start(spark, in, store, ckpt, rebuildAggs = false)
+    StreamingIngest.start(spark, in, store, ckpt,
+      StreamingIngest.AggMaintenance.Defer)
       .awaitTermination()
     val pruned = store.raw(spark).filter($"day" === 24)
     assert(pruned.count() == 1)
