@@ -159,22 +159,53 @@ object Dedup {
     * which is what made the join-per-shingle spelling quadratic-feeling
     * (a sketch like token-SimHash can emit 100k+ candidates on templated
     * corpora). The broadcast build side is docs × rare-shingle arrays; if
-    * that outgrows executor memory at extreme scale, shard the candidate
-    * list and verify per shard (the per-shard plan is unchanged).
+    * that outgrows executor memory at extreme scale, pass `shards` > 1:
+    * candidates are hash-split into that many shards and each shard
+    * verifies against a broadcast map restricted (left-semi) to the docs
+    * its pairs actually reference — per-shard memory shrinks ~linearly in
+    * `shards` while the per-shard plan is unchanged. Results are the exact
+    * union of the per-shard results (the hash split partitions the pair
+    * set), so sharding never changes the output.
     */
   def verifyJaccard(cands: DataFrame, sh: DataFrame,
-      threshold: Double, maxDF: Long = Long.MaxValue): DataFrame = {
+      threshold: Double, maxDF: Long = Long.MaxValue,
+      shards: Int = 1): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val rare =
       if (maxDF == Long.MaxValue) sh
       else sh.join(
         sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDF).select("sh"),
         "sh")
-    val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = broadcast(sets.join(sizes, "id")
+    val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
+      .join(sizes, "id")
+    if (shards == 1) scoreCandidates(cands, sets, threshold)
+    else {
+      // persist the shared subtrees so the S shard plans don't recompute
+      // the groupBys / candidate generation S times
+      val setsP = sets.persist()
+      val candsP = cands.persist()
+      (0 until shards).map { k =>
+        val shardCands = candsP.filter(
+          pmod(xxhash64(col("id_a"), col("id_b")), lit(shards)) === k)
+        val ids = shardCands.select(col("id_a").as("id"))
+          .unionAll(shardCands.select(col("id_b").as("id"))).distinct()
+        scoreCandidates(shardCands,
+          setsP.join(ids, Seq("id"), "left_semi"), threshold)
+      }.reduce(_ unionAll _)
+    }
+  }
+
+  /** Map-side exact-Jaccard scoring of candidate pairs against a
+    * broadcast (id, shs, n_sh) doc-set frame — the per-shard inner plan
+    * of [[verifyJaccard]].
+    */
+  private def scoreCandidates(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = broadcast(sets
       .select(col("id").as("id_a"), col("shs").as("shs_a"), col("n_sh").as("n_a")))
-    val b = broadcast(sets.join(sizes, "id")
+    val b = broadcast(sets
       .select(col("id").as("id_b"), col("shs").as("shs_b"), col("n_sh").as("n_b")))
     cands.join(a, "id_a").join(b, "id_b")
       .withColumn("common",
@@ -192,14 +223,14 @@ object Dedup {
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.6,
       bands: Int = 16, rowsPerBand: Int = 4,
-      maxDF: Long = Long.MaxValue): DataFrame = {
+      maxDF: Long = Long.MaxValue, verifyShards: Int = 1): DataFrame = {
     // One persisted hashed-shingle table feeds the signature aggregation
     // AND the candidate verification — the tokenize/shingle subtree runs
     // once, and only 8-byte keys are ever stored or shuffled.
     val sh = hashedShingles(docs, id, text, n).persist()
     val cands = minhashCandidates(bucketsFromSignatures(
       signaturesFromShingles(sh, bands * rowsPerBand), bands, rowsPerBand))
-    verifyJaccard(cands, sh, threshold, maxDF)
+    verifyJaccard(cands, sh, threshold, maxDF, verifyShards)
   }
 
   /** Per-document 64-bit SimHash signatures over the token multiset
@@ -256,12 +287,12 @@ object Dedup {
     */
   def simhashDedup(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5, maxHamming: Int = 8,
-      maxDF: Long = Long.MaxValue): DataFrame = {
+      maxDF: Long = Long.MaxValue, verifyShards: Int = 1): DataFrame = {
     // one tokenize pass feeds both the signature and verification branches
     val toksDf = tokenTable(docs, id, text).persist()
     val sh = hashedShinglesFromTokens(toksDf, n).persist()
     verifyJaccard(simhashCandidatesFromTokens(toksDf, maxHamming),
-      sh, threshold, maxDF)
+      sh, threshold, maxDF, verifyShards)
   }
 
   /** Banded SimHash candidate pairs (pre-verification): pairs sharing any
@@ -349,5 +380,104 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round worst-case fallback to
+    * [[dupClusters]]'s plain min-label propagation, for graphs whose
+    * component diameter is large (propagation needs diameter rounds; the
+    * star operations contract paths exponentially).
+    *
+    * Edge set is kept canonically oriented (u > v, no self-loops,
+    * distinct). Each round:
+    *   - large-star: every node's strictly-larger neighbors re-attach to
+    *     the minimum of its closed neighborhood;
+    *   - small-star: every node's smaller-or-equal neighbors (and the
+    *     node itself) re-attach to that minimum.
+    * Both emit only larger→smaller edges, so the orientation invariant is
+    * maintained for free. Fixpoint = the edge set is a star per component
+    * centered on the component min; detected by an order-independent
+    * fingerprint (count, sum of per-edge xxhash64) going stable. Per-round
+    * shuffle is (u, v) long pairs only — 16 bytes × |E|, same traffic
+    * class as a propagation round, just O(log n) of them worst-case.
+    *
+    * `nodes` must expose `id`; `pairs` must expose `id_a`,`id_b`.
+    * Returns (id, cluster) with cluster = min id of the component.
+    */
+  def dupClustersStar(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50, parallelism: Option[Int] = None): DataFrame =
+    dupClustersStarWithRounds(nodes, pairs, maxIter, parallelism)._1
+
+  /** [[dupClustersStar]] plus the number of large-star/small-star rounds
+    * it took to converge — exposed for the O(log n) convergence property
+    * test.
+    */
+  private[graft] def dupClustersStarWithRounds(nodes: DataFrame,
+      pairs: DataFrame, maxIter: Int = 50,
+      parallelism: Option[Int] = None): (DataFrame, Int) = {
+    val canon0 = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // eager localCheckpoint, NOT persist: each star round's plan references
+    // the previous round's several times (und doubles it, ls/ss join it
+    // again), so without a hard lineage cut the analyzed plan grows
+    // exponentially with rounds and planning itself OOMs the driver.
+    // localCheckpoint materializes to executor-local storage and replaces
+    // the plan with the checkpointed RDD; dropped references are GC'd by
+    // the context cleaner.
+    var edges = parallelism.fold(canon0)(n => canon0.repartition(n, col("u")))
+      .localCheckpoint(true)
+
+    // order-independent set fingerprint: (|E|, XOR of xxhash64(u,v)) —
+    // XOR instead of sum because ANSI mode makes a full-range long sum
+    // overflow-throw; the edge set is distinct, so XOR is a faithful set
+    // hash and a silent change needs a 2^-64 collision
+    def fp(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = fp(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // large-star: neighbors x > u re-attach to m(u) = min closed nbhd
+      val und = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+        .withColumnRenamed("u", "c")
+      // no distinct here: duplicate (u,m) rows are absorbed by ss's
+      // groupBy/distinct below, and skipping the extra shuffle per round
+      // matters more than the temporarily larger row set (≤ 2|E|)
+      val ls = und.join(lsMin, und("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star: all smaller neighbors (and u itself) attach to min(v)
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+      val next = ss.localCheckpoint(true)
+      val cur = fp(next)
+      edges = next
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    // at fixpoint each non-min node carries exactly (u, componentMin);
+    // min(v) also tolerates a maxIter cutoff mid-contraction
+    val stars = edges.groupBy("u").agg(min(col("v")).as("cl"))
+    val labels = nodes
+      .join(stars, nodes("id") === col("u"), "left")
+      .select(col("id"), coalesce(col("cl"), col("id")).as("cluster"))
+    (labels, rounds)
   }
 }

@@ -138,8 +138,11 @@ object DataOpsQueries {
     * near-dup pairs (cos >= 0.45) bridge clones into components of 4+,
     * so cluster labels genuinely propagate across multi-hop paths.
     */
-  private def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val base = EmbeddingSearch.prepared(Tables.embeddings(s, d))
+  private def dupGraph(s: SparkSession, d: String,
+      everyNth: Int = 1): (DataFrame, DataFrame) = {
+    val base0 = EmbeddingSearch.prepared(Tables.embeddings(s, d))
+    val base = if (everyNth == 1) base0
+      else base0.filter(col("vec_id") % everyNth === 0)
     val corpus = base.unionAll(
       base.withColumn("vec_id", col("vec_id") + 10000))
     // clones preserve cosines, so the corpus pair set is the BASE pair set
@@ -160,8 +163,27 @@ object DataOpsQueries {
       .unionAll(basePairs.select(col("id_b").as("id_a"), (col("id_a") + off).as("id_b")))
       .unionAll(basePairs.select((col("id_a") + off).as("id_a"), (col("id_b") + off).as("id_b")))
       .unionAll(base.select(col("vec_id").as("id_a"), (col("vec_id") + off).as("id_b")))
-    Dedup.dupClusters(corpus.select(col("vec_id").as("id")), pairs,
-      parallelism = Some(8))
+    (corpus.select(col("vec_id").as("id")), pairs)
+  }
+
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val (nodes, pairs) = dupGraph(s, d)
+    Dedup.dupClusters(nodes, pairs, parallelism = Some(8))
+      .select(col("id").as("vec_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
+  /** Same graph construction on the even-id half of the corpus, resolved
+    * by the O(log n) large-star/small-star variant
+    * ([[Dedup.dupClustersStar]]) — gated against its own recursive-CTE
+    * oracle, proving the second component algorithm independently. Half
+    * corpus because the all-pairs cosine build is O(n²) and the
+    * capability proof doesn't need it twice at full size.
+    */
+  private def dupClustersStar(s: SparkSession, d: String): DataFrame = {
+    val (nodes, pairs) = dupGraph(s, d, everyNth = 2)
+    Dedup.dupClustersStar(nodes, pairs, parallelism = Some(8))
       .select(col("id").as("vec_id"), col("cluster"),
         (col("id") === col("cluster")).as("is_keeper"))
       .orderBy("vec_id")
@@ -173,6 +195,28 @@ object DataOpsQueries {
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS t
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v)
+      |          / sqrt(list_dot_product(a.v, a.v)
+      |                 * list_dot_product(b.v, b.v)) >= 0.45),
+      |edges AS (SELECT s, t FROM p UNION ALL SELECT t, s FROM p),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM corpus
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id)
+      |SELECT id AS vec_id, min(r) AS cluster, min(r) = id AS is_keeper
+      |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  private val dupClustersStarSql =
+    """WITH RECURSIVE
+      |corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id % 2 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings
+      |  WHERE vec_id % 2 = 0),
       |p AS (
       |  SELECT a.vec_id AS s, b.vec_id AS t
       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -462,6 +506,7 @@ object DataOpsQueries {
     Gate("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Gate("q_assemble_dataset", assembleDataset, Some(assembleDatasetSql)),
     Gate("q_dup_clusters", dupClusters, Some(dupClustersSql)),
+    Gate("q_dup_clusters_star", dupClustersStar, Some(dupClustersStarSql)),
     Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Gate("q_repetition", repetition, Some(repetitionSql)),

@@ -659,6 +659,53 @@ object ScaleQueries {
       |FROM events WHERE user_id % 5 = 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
+  // key's state only until the watermark passes its event time + delay —
+  // the unbounded-stream answer to q_stream_dedup's forever-growing
+  // dropDuplicates state (SCALE.md). maxFilesPerTrigger=1 forces the
+  // second delivery into a LATER micro-batch, so the dedup genuinely
+  // crosses batch/state boundaries; the 60-day delay exceeds the
+  // dataset's event-time span, so every duplicate lands within the
+  // watermark and the result is exactly the batch dedup the oracle
+  // computes. (True expiry — a dup arriving after its key's state is
+  // gone surviving — is deterministic only with hand-fed batches; that
+  // path is pinned in StreamingIngestSpec.)
+  private def streamDedupWm(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) { streamDedupWmImpl(s, d) }
+
+  private def streamDedupWmImpl(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gate_sdw_")
+    val ckpt = graft.Gate.tmpDir("gate_sdw_ck_")
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 7 === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    ev.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/a")
+    ev.coalesce(1).write.mode("append")
+      .option("header", "true").csv(s"$dir/a")
+    val stream = s.readStream.option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE")
+      .csv(s"$dir/a")
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("gate_sdw_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("gate_sdw_out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total"))
+      .orderBy("user_id")
+  }
+
+  private val streamDedupWmSql =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum(value), 2) AS total
+      |FROM events WHERE user_id % 7 = 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // As-of join: each error event matched to the user's most recent click
   // at or before it. DuckDB's native ASOF JOIN is the oracle; the Spark
   // side is the union+window composition (one shuffle on the key).
@@ -751,6 +798,7 @@ object ScaleQueries {
     Gate("q_stream_window", streamWindow, Some(streamWindowSql)),
     Gate("q_stream_join", streamJoin, Some(streamJoinSql)),
     Gate("q_stream_dedup", streamDedup, Some(streamDedupSql)),
+    Gate("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     Gate("q_stream_static", streamStatic, Some(streamStaticSql)),
   )
 }

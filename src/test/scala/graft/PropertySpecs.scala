@@ -121,3 +121,38 @@ object GraftProperties extends Properties("graft") {
     got == expected
   }
 }
+
+/** O(log n) convergence law for the large-star/small-star connected
+  * components ([[graft.ext.Dedup.dupClustersStar]]): a randomly-relabeled
+  * path graph has diameter n-1 — plain min-label propagation needs ~n
+  * rounds — yet the star alternation must label every node with the
+  * component min within log₂(n)+c rounds. Separate Properties object so
+  * these few heavy iterative-job cases don't inherit the 40-case default.
+  */
+object StarClusterProperties extends Properties("graftStarClusters") {
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  property("chainComponentsInLogRounds") = Prop.forAllNoShrink(
+    Gen.choose(24, 64), Gen.choose(0L, 1000000L)) { (n, seed) =>
+    val rnd = new scala.util.Random(seed)
+    // shuffled, stride-mangled ids: the path visits labels in random
+    // order, so min-propagation distance genuinely spans the chain
+    val ids = rnd.shuffle((0 until n).map(i => i.toLong * 7 + 3).toVector)
+    val nodes = ids.toDF("id")
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = graft.ext.Dedup.dupClustersStarWithRounds(
+      nodes, pairs, parallelism = Some(4))
+    val got = labels.as[(Long, Long)].collect()
+    val mn = ids.min
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 5
+    Prop(got.length == n) :| "all nodes labeled" &&
+      Prop(got.forall(_._2 == mn)) :| s"single component rooted at $mn" &&
+      Prop(rounds <= bound) :| s"rounds $rounds within log bound $bound"
+  }
+}

@@ -42,6 +42,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 10L), (1L, 11L), (6L, 7L)))
   }
 
+  test("sharded candidate verification yields identical pairs") {
+    val sh = Dedup.hashedShingles(docs, col("id"), col("t"), n = 3)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashBuckets(docs, col("id"), col("t")))
+    val unsharded = Dedup.verifyJaccard(cands, sh, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // 3 shards over a handful of candidates forces every shard plan to
+    // execute (incl. at least one multi-candidate shard) and the union to
+    // reassemble the exact same pair set with identical scores
+    val sharded = Dedup.verifyJaccard(cands, sh, threshold = 0.5, shards = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(unsharded.nonEmpty)
+    assert(sharded == unsharded)
+    val e2e = Dedup.minhashDedup(docs, col("id"), col("t"),
+      n = 3, threshold = 0.5, verifyShards = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(e2e == Set((0L, 10L), (1L, 11L), (6L, 7L)))
+  }
+
   test("minhash candidates are a superset of true near-dup pairs") {
     val cands = Dedup.minhashCandidates(
       Dedup.minhashBuckets(docs, col("id"), col("t")))
@@ -79,6 +100,18 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.dupClusters(nodes, pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dup clusters: large-star/small-star matches propagation") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // same graph as the propagation test: multi-hop chain, isolate, pair,
+    // plus duplicate/self edges the canonicalization must absorb
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (5L, 6L),
+      (1L, 2L), (4L, 4L)).toDF("id_a", "id_b")
+    val star = Dedup.dupClustersStar(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
       4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 }
