@@ -56,6 +56,25 @@ object Gate {
       })
   }
 
+  /** Run `body` with session confs temporarily set, restoring (or
+    * unsetting) each key afterwards — gates must not leak configuration
+    * into their neighbors.
+    */
+  def withConfs[A](s: SparkSession, confs: (String, String)*)(body: => A): A = {
+    // get(k) may THROW for unset keys without defaults, or return NULL
+    // for optional confs (e.g. adaptive.autoBroadcastJoinThreshold) —
+    // both mean "unset on exit"
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(Option(s.conf.get(k))).toOption.flatten
+    }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Registry assembled from the per-module gate lists. */
   def all: Seq[Gate] =
     queries.CoreQueries.gates ++

@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest neighbor (Jégou,
+  * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011): the vector is split into `m` subvectors, each encoded as
+  * the id of its nearest subspace centroid — d×4 bytes shrink to m small
+  * codes — and a query scores the whole corpus in the COMPRESSED domain
+  * via asymmetric distance computation (ADC): one k-entry distance table
+  * per subspace, approximate distance = m table lookups per corpus row.
+  *
+  * Scale shape: the exhaustive ADC scan reads only (vec_id, code) — at
+  * 100 TB a 64-dim float corpus is 256 GB of codes instead of 25 TB of
+  * vectors, streamed once per query batch with the (tiny) query-side
+  * distance tables broadcast. The exact re-rank then touches only the
+  * per-query shortlist. Everything after `build` is codegen'd HOF
+  * arithmetic on array columns — no UDFs, no driver loops over data.
+  * Complements [[IvfIndex]] (which prunes WHICH rows are scored; PQ
+  * shrinks WHAT a score costs — production systems compose them).
+  */
+object PqIndex {
+
+  /** `codebooks(j)`: k centroids for subspace j, each of length dsub.
+    * `encoded`: (vec_id, v, nrm, code: array<int>) with 1-based code ids
+    * (ready for `element_at`).
+    */
+  final case class Model(m: Int, dsub: Int,
+      codebooks: Seq[Seq[Seq[Double]]], encoded: DataFrame)
+
+  private def sq(c: Column): Column = c * c
+
+  /** Squared L2 distance between two array<double> columns. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => sq(x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Unit-normalized copy of `v` (nrm = ⟨v,v⟩ is already carried by
+    * [[EmbeddingSearch.prepared]]). PQ codebooks/codes live in the
+    * NORMALIZED space: squared-L2 ranking of unit vectors is exactly
+    * cosine ranking, so the ADC scan orders candidates the same way the
+    * exact cosine ground truth does — with raw vectors the |v|² term
+    * would leak into the approximate ranking.
+    */
+  private def unit(v: Column, nrm: Column): Column =
+    transform(v, x => x / sqrt(nrm))
+
+  /** Fit one KMeans codebook per subspace on a sample, then encode every
+    * vector map-side against the broadcast-literal codebooks.
+    */
+  def build(embs: DataFrame, m: Int = 4, k: Int = 32, seed: Long = 42L,
+      sampleFraction: Double = 0.25, maxIter: Int = 5): Model = {
+    val prepared = EmbeddingSearch.prepared(embs)
+    val dim = prepared.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // one persisted normalized sample feeds all m independent subspace fits
+    val train = (if (sampleFraction < 1.0) prepared.sample(sampleFraction, seed)
+      else prepared).select(unit(col("v"), col("nrm")).as("vn")).persist()
+    val codebooks = (0 until m).map { j =>
+      val feats = train
+        .select(array_to_vector(slice(col("vn"), j * dsub + 1, dsub))
+          .as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol("features").setPredictionCol("c")
+        .fit(feats)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    train.unpersist()
+    val vn = unit(col("v"), col("nrm"))
+    val code = array((0 until m).map(j => subCode(vn, codebooks(j),
+      j * dsub, dsub)): _*)
+    Model(m, dsub, codebooks, prepared.withColumn("code", code))
+  }
+
+  /** 1-based id of the nearest subspace centroid for one subvector —
+    * argmin over the codebook spelled as `array_position(d, array_min(d))`
+    * (first-minimum on ties: deterministic).
+    */
+  private def subCode(v: Column, codebook: Seq[Seq[Double]],
+      offset: Int, dsub: Int): Column = {
+    val sub = slice(v, offset + 1, dsub)
+    val dists = transform(typedLit(codebook), c => l2sq(c, sub))
+    array_position(dists, array_min(dists)).cast("int")
+  }
+
+  /** Per-query subspace distance tables over the NORMALIZED query:
+    * array (length m) of arrays (length k) — dt(j)(c) =
+    * ||q̂_j − centroid_{j,c}||².
+    */
+  private def distTables(qv: Column, qnrm: Column, model: Model): Column = {
+    val qn = unit(qv, qnrm)
+    array(model.codebooks.zipWithIndex.map { case (cb, j) =>
+      transform(typedLit(cb),
+        c => l2sq(c, slice(qn, j * model.dsub + 1, model.dsub)))
+    }: _*)
+  }
+
+  /** Top-k per query: exhaustive ADC scan over the codes (approximate
+    * ranking), shortlist of `shortlist × k` candidates, exact-cosine
+    * re-rank of the shortlist. Query side is broadcast; the corpus
+    * streams once.
+    */
+  def search(model: Model, queryPred: Column, k: Int,
+      shortlist: Int = 4): DataFrame = {
+    val q = model.encoded.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .withColumn("qdt", distTables(col("qv"), col("qnrm"), model))
+    val adc = aggregate(
+      zip_with(col("qdt"), col("code"),
+        (dt, c) => element_at(dt, c).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = model.encoded.join(broadcast(q),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = scored.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= k * shortlist)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("qv"), col("v")) /
+          sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+}

@@ -92,10 +92,35 @@ object IngestQueries {
        |FROM billing GROUP BY operation_type ORDER BY operation_type"""
       .stripMargin
 
+  // Columnar sink/scan roundtrip (ORC, Spark-built-in): same
+  // value-invisibility contract as the CSV roundtrip, but through a
+  // format with stripe-level min/max stats — the post-roundtrip date
+  // filter is pushed to the ORC scan (PushedFilters), which is the
+  // property that matters at 100 TB (CSV can never skip bytes; ORC and
+  // parquet skip whole stripes/row-groups).
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Gate.tmpDir("graft_orc_")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("l_shipdate") >= lit("1996-01-01"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT l_returnflag, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
     Gate("q_hive_paths", hivePaths, Some(hivePathsSql)),
     Gate("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    Gate("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
   )
 }

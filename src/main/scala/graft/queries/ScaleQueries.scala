@@ -398,6 +398,55 @@ object ScaleQueries {
       |WHERE l_orderkey % 2 = 0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Runtime bloom-filter join pruning: a selective filter on the
+    * creation (dim) side is turned by `InjectRuntimeFilter` into a
+    * `might_contain` predicate evaluated at the application (fact) side
+    * SCAN — fact rows that cannot join are dropped before the shuffle,
+    * which at 100 TB is the difference between shuffling the whole fact
+    * table and shuffling the ~0.3% that survives. Broadcast is disabled
+    * in-scope because a broadcast-able dim already prunes via the hash
+    * table — the bloom path exists precisely for dims too big to
+    * broadcast; thresholds are lowered in-scope because the injection
+    * heuristics are sized for TB-scale scans, not sf0.1 (the plan shape
+    * under these confs is pinned in PlanShapeSpec). Results are
+    * injection-invariant — the oracle checks the plain join.
+    */
+  private[graft] val runtimeFilterConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def runtimeFilterJoinFrame(s: SparkSession,
+      d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate").between("1996-01-01", "1996-01-31"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderdate")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderdate")
+  }
+
+  private def runtimeFilterJoin(s: SparkSession, d: String): DataFrame =
+    graft.Gate.withConfs(s, runtimeFilterConfs: _*) {
+      // eager localCheckpoint: planning is lazy, so without materializing
+      // INSIDE the conf scope the injection confs would be restored
+      // before the caller ever planned the frame and the bloom path
+      // would silently not run
+      runtimeFilterJoinFrame(s, d).localCheckpoint(true)
+    }
+
+  private val runtimeFilterJoinSql =
+    """SELECT o_orderdate, count(*) AS n_items,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-01-31'
+      |GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin
+
   /** IVF ANN accuracy gate: recall@5 vs brute force per query, reduced to
     * a boolean the (seeded, deterministic) KMeans quantizer comfortably
     * clears — measured ≥ 4/5 hits per query at nProbe=10, gated at ≥ 3.
@@ -412,6 +461,33 @@ object ScaleQueries {
   }
 
   private val ivfTopKSql =
+    """SELECT vec_id AS query_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** Product-quantization ANN accuracy gate ([[graft.ext.PqIndex]]):
+    * recall@5 vs brute force per query, after an exhaustive
+    * compressed-domain ADC scan (m=8 subspaces × 32 centroids over
+    * unit-normalized vectors; 40-bit codes) and exact-cosine re-rank of
+    * a 40k-candidate shortlist. The synthetic embeddings are near-random
+    * — true top-5 sit barely above the bulk — which is the WORST case
+    * for quantized search, hence the generous shortlist (measured at
+    * sf0.01: m=4/shortlist=4 recalls 1-3 of 5, m=8/shortlist=20 recalls
+    * 4-5; the 2000-vector sf0.1 corpus needs shortlist=40 to hold the
+    * ≥3 floor).
+    * Same checkable-contract shape as q_ivf_topk: the codebooks are
+    * data-trained, so accuracy-vs-brute-force is the oracle, pinned at
+    * the floor the seeded build comfortably clears.
+    */
+  private def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = graft.ext.PqIndex.build(embs, m = 8, k = 32,
+      sampleFraction = 0.5)
+    val ann = graft.ext.PqIndex.search(model, col("vec_id") < 10, k = 5,
+      shortlist = 40)
+    ExtQueries.recallGate(embs, ann, k = 5, minHits = 3)
+  }
+
+  private val pqTopKSql =
     """SELECT vec_id AS query_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
@@ -791,7 +867,9 @@ object ScaleQueries {
     Gate("q_interval_join", intervalJoin, Some(intervalJoinSql)),
     Gate("q_auto_range_join", autoRangeJoin, Some(rangeJoinSql)),
     Gate("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    Gate("q_runtime_filter_join", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
     Gate("q_stream_incremental", streamIncremental,
       Some(streamIncrementalSql)),

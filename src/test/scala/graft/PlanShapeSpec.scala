@@ -45,6 +45,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan("q_profile").contains("Expand"))
   }
 
+  test("runtime bloom filter injects might_contain on the fact side") {
+    Gate.withConfs(spark, queries.ScaleQueries.runtimeFilterConfs: _*) {
+      val p = queries.ScaleQueries.runtimeFilterJoinFrame(spark, d)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p.contains("bloom"), s"no bloom filter injected:\n$p")
+    }
+  }
+
   test("rolling window range frame runs over the pre-aggregated rows") {
     val p = plan("q_rolling_window")
     // one hash aggregate pair below the window, no sort of raw events

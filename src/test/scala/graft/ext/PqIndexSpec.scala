@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated directions in 8-dim space, several vectors near each
+  // (scaled copies share the direction → cosine ≈ 1 within a group)
+  private def corpus = {
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+    val rnd = new scala.util.Random(7)
+    (0 until 30).map { i =>
+      val d = dirs(i % 3)
+      val noise = d.map(x => x * (1.0 + 0.05 * rnd.nextGaussian()) +
+        0.02 * rnd.nextGaussian())
+      (i.toLong, noise.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codes are m small ints and group members share buckets mostly") {
+    val model = PqIndex.build(corpus, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    val codes = model.encoded.select("vec_id", "code")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 30)
+    assert(codes.values.forall(c => c.length == 2 &&
+      c.forall(x => x >= 1 && x <= 4)))
+    // same-direction vectors should quantize identically almost always
+    val byGroup = codes.groupBy(_._1 % 3).map { case (g, m) =>
+      g -> m.values.groupBy(identity).values.map(_.size).max
+    }
+    // majority, not unanimity: KMeans may legitimately split one
+    // direction across two centroids (k exceeds the group count)
+    assert(byGroup.values.forall(_ >= 6),
+      s"groups should be code-coherent: $byGroup")
+  }
+
+  test("ADC search recovers same-direction neighbors") {
+    val model = PqIndex.build(corpus, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    val got = PqIndex.search(model, col("vec_id") < 3, k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.length == 12) // 3 queries × k
+    // every returned neighbor shares the query's direction group
+    assert(got.forall { case (q, n) => q % 3 == n % 3 },
+      s"cross-direction neighbor leaked: ${got.mkString(",")}")
+  }
+}
