@@ -175,6 +175,65 @@ final case class BillingStore(root: String) {
   def dailyFromPartials(spark: SparkSession): DataFrame =
     Aggregates.finalizeDaily(spark.read.parquet(dailyPartialsPath))
 
+  /** Small-file compaction for the partitioned fact store: every append
+    * leaves one-file-per-task fragments in each touched (year,month,day)
+    * partition, and at 100 TB a few thousand daily deliveries turn day
+    * partitions into thousands of KB-sized files — the classic
+    * metadata/open-cost killer for every later scan. This rewrites ONLY
+    * the partitions holding more than `maxFilesPerPartition` files
+    * (discovered from the file index via `input_file_name`, no listing
+    * code), clustering each day's rows into one task → one file, and
+    * swaps them in with dynamic partition overwrite — untouched history
+    * partitions are never read or rewritten. Row content is unchanged by
+    * construction (a pure rewrite); the gate hash-checks that.
+    *
+    * Returns (partitions compacted, files before). No-op (0, 0) when
+    * nothing exceeds the threshold.
+    */
+  def compactRaw(spark: SparkSession,
+      maxFilesPerPartition: Int = 1): (Long, Long) = {
+    import org.apache.spark.sql.functions.{exists => _, _}
+    if (!exists(spark, rawPath)) return (0L, 0L)
+    // input_file_name is non-deterministic: project it before the
+    // aggregate (Spark rejects it as an aggregate-function argument)
+    val perPart = raw(spark)
+      .select(col("year"), col("month"), col("day"),
+        input_file_name().as("f"))
+      .groupBy("year", "month", "day")
+      .agg(countDistinct(col("f")).as("n_files"))
+      .filter(col("n_files") > maxFilesPerPartition)
+      .persist()
+    val stats = perPart.agg(
+      coalesce(count(lit(1)), lit(0L)).as("parts"),
+      coalesce(sum("n_files"), lit(0L)).as("files")).head()
+    val (parts, files) = (stats.getLong(0), stats.getLong(1))
+    if (parts > 0) {
+      val fragmented = raw(spark).join(
+        broadcast(perPart.select("year", "month", "day")),
+        Seq("year", "month", "day"))
+      // hash-cluster on the partition key: all rows of a day land in one
+      // task, so each rewritten partition holds exactly one file. The
+      // read must be materialized before the dynamic overwrite replaces
+      // the files it is reading from.
+      val compacted = fragmented
+        .repartition(col("year"), col("month"), col("day"))
+        .select(raw(spark).columns.map(col): _*)
+        .localCheckpoint(true)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try compacted.write.mode("overwrite")
+        .partitionBy("year", "month", "day").parquet(rawPath)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    perPart.unpersist()
+    (parts, files)
+  }
+
   /** T4: last-wins ledger upsert, rewritten in place (the ledger is tiny —
     * one row per ingested file).
     */

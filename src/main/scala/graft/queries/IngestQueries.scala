@@ -116,11 +116,87 @@ object IngestQueries {
       |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // Ingest resilience: a delivery containing malformed lines must not
+  // poison the load — PERMISSIVE mode + columnNameOfCorruptRecord
+  // captures each bad line as a row with the raw text in `_corrupt`, the
+  // load path filters them out and continues (the reference's
+  // read_csv_auto simply throws on the whole file). `corrupt_seen` pins
+  // that the malformed delivery really was read and quarantined — without
+  // it, silently skipping the bad file would also pass the aggregate.
+  private def csvPermissive(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Gate.tmpDir("graft_perm_")
+    EventsBilling(s, d).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    // malformed delivery: first line is consumed as the file's header,
+    // then one under-arity line (timestamp unparsable) and one over-arity
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-corrupt.csv"),
+      "garbage header line\n1,2,3\n" + ("x," * 20) + "x\n")
+    val withCorrupt = graft.billing.Schemas.billing
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val rows = s.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withCorrupt).csv(s"$out/*.csv")
+      .persist()
+    val nCorrupt = rows.filter(col("_corrupt").isNotNull).count()
+    rows.filter(col("_corrupt").isNull)
+      .groupBy("operation_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("corrupt_seen", lit(nCorrupt == 2))
+      .orderBy("operation_type")
+  }
+
+  private val csvPermissiveSql =
+    s"""${EventsBilling.cte}
+       |SELECT operation_type, count(*) AS n, true AS corrupt_seen
+       |FROM billing GROUP BY operation_type ORDER BY operation_type"""
+      .stripMargin
+
+  // Small-file compaction (BillingStore.compactRaw): three fragmented
+  // appends leave ~24 files per day partition; compaction rewrites each
+  // fragmented partition into one file via dynamic partition overwrite.
+  // The aggregate hash proves the rewrite changed no rows; files_ok pins
+  // the layout actually collapsed (and that compaction genuinely found
+  // fragmented partitions to rewrite).
+  private def compactStore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_compact_"))
+    val billing = EventsBilling(s, d)
+    (0 until 3).foreach { i =>
+      store.appendDedup(s,
+        billing.filter(col("user_id").cast("long") % 3 === i).repartition(8))
+    }
+    val (parts, files) = store.compactRaw(s)
+    val maxAfter = store.raw(s)
+      .select(col("year"), col("month"), col("day"),
+        input_file_name().as("f"))
+      .groupBy("year", "month", "day")
+      .agg(countDistinct(col("f")).as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    store.raw(s)
+      .groupBy("year", "month", "day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("credit_usage"), 2).as("total_credit_usage"))
+      .withColumn("files_ok",
+        lit(parts > 0 && files > parts && maxAfter == 1))
+      .orderBy("year", "month", "day")
+  }
+
+  private val compactStoreSql =
+    s"""${EventsBilling.cte}
+       |SELECT year, month, day, count(*) AS n,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       true AS files_ok
+       |FROM billing GROUP BY year, month, day
+       |ORDER BY year, month, day""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
     Gate("q_hive_paths", hivePaths, Some(hivePathsSql)),
     Gate("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Gate("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    Gate("q_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
+    Gate("q_compact_store", compactStore, Some(compactStoreSql)),
   )
 }

@@ -447,6 +447,62 @@ object ScaleQueries {
       |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-01-31'
       |GROUP BY o_orderdate ORDER BY o_orderdate""".stripMargin
 
+  /** Z-order layout gate ([[graft.operators.ZOrder]]): lineitem rewritten
+    * into 16 files clustered along the Morton curve of (l_orderkey,
+    * ship-day), then a 2-dim selective read. The aggregate is
+    * layout-invariant (the oracle checks it against the plain table);
+    * `pruned_ok` pins the point of the exercise — the per-file min/max
+    * index must let a 2-dim box predicate skip most files, which a
+    * single-column sort can only do for its own column.
+    */
+  private def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Gate.tmpDir("gate_zorder_")
+    val epoch = lit("1992-01-01")
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey").cast("long").as("l_orderkey"), col("l_quantity"),
+      datediff(col("l_shipdate"), epoch).cast("long").as("dayno"))
+    graft.operators.ZOrder.cluster(li, col("l_orderkey"), col("dayno"),
+      nFiles = 16)
+      .write.mode("overwrite").parquet(out)
+    val back = s.read.parquet(out)
+    // the box is DOMAIN-RELATIVE (a ~15% slice of each dimension) so the
+    // same selectivity — and so the same pruning claim — holds at every
+    // scale factor; integer division keeps the bounds exactly mirrorable
+    // in the oracle (DuckDB's // operator)
+    val maxes = back.agg(max("l_orderkey"), max("dayno")).head()
+    val (mk, md) = (maxes.getLong(0), maxes.getLong(1))
+    val (kLo, kHi, dLo, dHi) = (mk / 10, mk / 4, md * 45 / 100, md * 60 / 100)
+    val fileSpans = back
+      .select(input_file_name().as("f"), col("l_orderkey"), col("dayno"))
+      .groupBy("f")
+      .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"),
+        min("dayno").as("dmin"), max("dayno").as("dmax"))
+      .persist()
+    val total = fileSpans.count()
+    val overlapping = fileSpans
+      .filter(col("kmin") <= kHi && col("kmax") >= kLo &&
+        col("dmin") <= dHi && col("dmax") >= dLo)
+      .count()
+    back
+      .filter(col("l_orderkey").between(kLo, kHi) &&
+        col("dayno").between(dLo, dHi))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .withColumn("pruned_ok", lit(total == 16 && overlapping * 2 <= total))
+  }
+
+  private val zorderLayoutSql =
+    """WITH m AS (
+      |  SELECT max(l_orderkey) AS mk,
+      |         max(datediff('day', DATE '1992-01-01', l_shipdate)) AS md
+      |  FROM lineitem)
+      |SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+      |       true AS pruned_ok
+      |FROM lineitem, m
+      |WHERE l_orderkey BETWEEN mk // 10 AND mk // 4
+      |  AND datediff('day', DATE '1992-01-01', l_shipdate)
+      |      BETWEEN md * 45 // 100 AND md * 60 // 100""".stripMargin
+
   /** IVF ANN accuracy gate: recall@5 vs brute force per query, reduced to
     * a boolean the (seeded, deterministic) KMeans quantizer comfortably
     * clears — measured ≥ 4/5 hits per query at nProbe=10, gated at ≥ 3.
@@ -852,8 +908,53 @@ object ScaleQueries {
       |FROM y GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  /** The DECLARATIVE sessionization spelling: Spark's built-in
+    * `session_window(ts, gap)` dynamic-gap grouping, planned as a single
+    * aggregate over merged session windows — no custom state code at
+    * all, and the same operator works unchanged under Structured
+    * Streaming with a watermark. Complements q_sessionize (the
+    * flatMapGroupsWithState spelling with an explicit state machine):
+    * same session boundaries, hash-checked against the identical
+    * lag/cumsum oracle, with the one definitional difference that
+    * `window.end` is last-event-time + gap (mirrored in the oracle as
+    * max(ts) + gap).
+    */
+  private def sessionWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_ms")
+
+  private val sessionWindowAggSql =
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT *, sum(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      |    AS session_id
+      |  FROM x)
+      |SELECT user_id,
+      |       epoch_ms(min(ts)) AS session_start_ms,
+      |       epoch_ms(max(ts)) + 600000 AS session_end_ms,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS total_value
+      |FROM y GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_sessionize", sessionize, Some(sessionizeSql)),
+    Gate("q_session_window", sessionWindowAgg, Some(sessionWindowAggSql)),
     Gate("q_asof_join", asofJoin, Some(asofJoinSql)),
     Gate("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),
@@ -868,6 +969,7 @@ object ScaleQueries {
     Gate("q_auto_range_join", autoRangeJoin, Some(rangeJoinSql)),
     Gate("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Gate("q_runtime_filter_join", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
+    Gate("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),

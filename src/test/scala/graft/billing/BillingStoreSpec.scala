@@ -94,6 +94,33 @@ class BillingStoreSpec extends SparkSpec {
       s"${store.aggPath("daily")}/year=2025/month=4/day=24").exists())
   }
 
+  test("compaction: rows unchanged, one file per partition, no-op after") {
+    import org.apache.spark.sql.functions._
+    val store = BillingStore(tmpDir("compact_store"))
+    // two fragmented appends: 4 tasks each over 2 days
+    store.appendDedup(spark, df(
+      rec("2025-04-23 10:00:00", "r1", "u1", 2.0),
+      rec("2025-04-23 11:00:00", "r2", "u1", 3.0),
+      rec("2025-04-24 10:00:00", "r3", "u2", 5.0)).repartition(4))
+    store.appendDedup(spark, df(
+      rec("2025-04-23 12:00:00", "r4", "u2", 7.0),
+      rec("2025-04-24 11:00:00", "r5", "u1", 1.0)).repartition(4))
+    val before = store.raw(spark).orderBy("resource_id").collect().toSeq
+    val (parts, files) = store.compactRaw(spark)
+    assert(parts == 2 && files > parts)
+    val after = store.raw(spark).orderBy("resource_id").collect().toSeq
+    assert(after == before)
+    val perPart = store.raw(spark)
+      .select(col("year"), col("month"), col("day"),
+        input_file_name().as("f"))
+      .groupBy("year", "month", "day")
+      .agg(countDistinct(col("f")).as("nf"))
+      .collect().map(_.getAs[Long]("nf"))
+    assert(perPart.forall(_ == 1L))
+    // already compact → no partition qualifies, nothing rewritten
+    assert(store.compactRaw(spark) == ((0L, 0L)))
+  }
+
   test("schema drift report: added, missing, retyped columns") {
     val dir = tmpDir("drift")
     java.nio.file.Files.writeString(
