@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
+  /** Spread the low 32 bits of a long so bit i lands at bit 2i — the
+    * classic branchless "part1by1" mask cascade. Five shift/mask steps of
+    * plain integer arithmetic, all inside whole-stage codegen (the
+    * earlier HOF-fold spelling ran INTERPRETED — higher-order-function
+    * lambdas have no codegen — and cost ~7 s over a 600k-row write).
+    */
+  private def spread(x0: Column): Column = {
+    val steps = Seq(
+      16 -> 0x0000FFFF0000FFFFL,
+      8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL,
+      2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+    steps.foldLeft(x0) { case (x, (sh, m)) =>
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+    }
+  }
+
   /** Morton-interleave the low `bits` bits of two non-negative integral
     * columns into one long: a's bit i → output bit 2i, b's bit i →
     * output bit 2i+1. 21 bits each keeps the result inside a positive
@@ -26,16 +44,9 @@ object ZOrder {
     */
   def interleave(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
-      acc
-        .bitwiseOR(call_function("shiftleft",
-          call_function("shiftrightunsigned", al, i).bitwiseAND(lit(1L)),
-          i * 2))
-        .bitwiseOR(call_function("shiftleft",
-          call_function("shiftrightunsigned", bl, i).bitwiseAND(lit(1L)),
-          i * 2 + 1)))
+    val mask = lit((1L << bits) - 1)
+    spread(a.cast("long").bitwiseAND(mask))
+      .bitwiseOR(shiftleft(spread(b.cast("long").bitwiseAND(mask)), 1))
   }
 
   /** Rewrite `df` into `nFiles` files clustered along the Z-curve of the

@@ -161,11 +161,22 @@ object IngestQueries {
   // fragmented partitions to rewrite).
   private def compactStore(s: SparkSession, d: String): DataFrame = {
     val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_compact_"))
-    val billing = EventsBilling(s, d)
-    (0 until 3).foreach { i =>
-      store.appendDedup(s,
-        billing.filter(col("user_id").cast("long") % 3 === i).repartition(8))
-    }
+    // one week of data keeps the partition count (and so the number of
+    // deliberately-fragmented files) bounded: the gate is about layout
+    // mechanics, and 2 deliveries × 6 tasks × 7 day partitions already
+    // exercises them; the full-history spelling wrote ~2000 tiny files
+    // and spent 12 s proving the same thing
+    // manufacture the small-files state directly: an explicit
+    // repartition(6) (user-pinned counts are exempt from AQE coalescing,
+    // unlike the shuffle inside appendDedup, which AQE collapses to one
+    // task at small SFs) → 6 writer tasks × 7 day partitions = 6 files
+    // per partition. Append/dedup semantics are gated separately
+    // (q_dedup_anti, BillingStoreSpec); this gate is about layout repair.
+    EventsBilling(s, d)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day") <= 7)
+      .repartition(6)
+      .write.mode("append").partitionBy("year", "month", "day")
+      .parquet(store.rawPath)
     val (parts, files) = store.compactRaw(s)
     val maxAfter = store.raw(s)
       .select(col("year"), col("month"), col("day"),
@@ -187,7 +198,8 @@ object IngestQueries {
        |SELECT year, month, day, count(*) AS n,
        |       round(sum(credit_usage), 2) AS total_credit_usage,
        |       true AS files_ok
-       |FROM billing GROUP BY year, month, day
+       |FROM billing WHERE year = 2024 AND month = 1 AND day <= 7
+       |GROUP BY year, month, day
        |ORDER BY year, month, day""".stripMargin
 
   def gates: Seq[Gate] = Seq(

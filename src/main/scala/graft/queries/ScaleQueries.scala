@@ -465,24 +465,25 @@ object ScaleQueries {
       nFiles = 16)
       .write.mode("overwrite").parquet(out)
     val back = s.read.parquet(out)
-    // the box is DOMAIN-RELATIVE (a ~15% slice of each dimension) so the
-    // same selectivity — and so the same pruning claim — holds at every
-    // scale factor; integer division keeps the bounds exactly mirrorable
-    // in the oracle (DuckDB's // operator)
-    val maxes = back.agg(max("l_orderkey"), max("dayno")).head()
-    val (mk, md) = (maxes.getLong(0), maxes.getLong(1))
-    val (kLo, kHi, dLo, dHi) = (mk / 10, mk / 4, md * 45 / 100, md * 60 / 100)
-    val fileSpans = back
+    // one pass computes the per-file min/max index (16 rows — collected);
+    // domain maxes and the overlap count derive from it locally instead
+    // of two more full scans. The box is DOMAIN-RELATIVE (a ~15% slice of
+    // each dimension) so the same selectivity — and so the same pruning
+    // claim — holds at every scale factor; integer division keeps the
+    // bounds exactly mirrorable in the oracle (DuckDB's // operator).
+    val spans = back
       .select(input_file_name().as("f"), col("l_orderkey"), col("dayno"))
       .groupBy("f")
       .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"),
         min("dayno").as("dmin"), max("dayno").as("dmax"))
-      .persist()
-    val total = fileSpans.count()
-    val overlapping = fileSpans
-      .filter(col("kmin") <= kHi && col("kmax") >= kLo &&
-        col("dmin") <= dHi && col("dmax") >= dLo)
-      .count()
+      .collect()
+    val mk = spans.map(_.getAs[Long]("kmax")).max
+    val md = spans.map(_.getAs[Long]("dmax")).max
+    val (kLo, kHi, dLo, dHi) = (mk / 10, mk / 4, md * 45 / 100, md * 60 / 100)
+    val total = spans.length.toLong
+    val overlapping = spans.count(r =>
+      r.getAs[Long]("kmin") <= kHi && r.getAs[Long]("kmax") >= kLo &&
+        r.getAs[Long]("dmin") <= dHi && r.getAs[Long]("dmax") >= dLo).toLong
     back
       .filter(col("l_orderkey").between(kLo, kHi) &&
         col("dayno").between(dLo, dHi))
