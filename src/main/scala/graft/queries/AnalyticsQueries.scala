@@ -415,6 +415,66 @@ object AnalyticsQueries {
        |  GROUP BY operation_type ORDER BY n DESC, operation_type LIMIT 3)
        |ORDER BY operation_type""".stripMargin
 
+  // ---- mergeable frequency / membership sketches --------------------------
+  /** Count-min sketch (`stat.countMinSketch`, Cormode-Muthukrishnan):
+    * one-pass mergeable frequency sketch — the 100 TB shape for "how
+    * often does each key occur" when the key domain is too wide for an
+    * exact groupBy. The CMS guarantee is one-sided (estimate ≥ true
+    * count, ≤ true + ε·N with probability 1−δ); the gate emits the exact
+    * per-key counts plus both bound checks as booleans the oracle pins
+    * true — the sketch is seeded, so the run is deterministic.
+    */
+  private def cmsCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = EventsBilling(s, d)
+    val total = ev.count()
+    val eps = 0.001
+    val cms = ev.stat.countMinSketch(col("operation_type"),
+      eps = eps, confidence = 0.99, seed = 42)
+    val exact = ev.groupBy("operation_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = exact.map { case (op, n) =>
+      val est = cms.estimateCount(op)
+      (op, n, est >= n, est <= n + (eps * total).toLong)
+    }.toSeq
+    import s.implicits._
+    rows.toDF("operation_type", "n", "lower_ok", "upper_ok")
+      .orderBy("operation_type")
+  }
+
+  private val cmsCountsSql =
+    s"""${EventsBilling.cte}
+       |SELECT operation_type, count(*) AS n,
+       |       true AS lower_ok, true AS upper_ok
+       |FROM billing GROUP BY operation_type ORDER BY operation_type"""
+      .stripMargin
+
+  /** Bloom filter (`stat.bloomFilter`): one-pass mergeable membership
+    * sketch — at 100 TB the standard pre-filter handed to other scans
+    * (the manual counterpart of q_runtime_filter_join's automatic
+    * injection). No false negatives by construction (every present key
+    * must hit); the false-positive rate on a disjoint probe set must
+    * stay near the configured bound — both pinned as booleans.
+    */
+  private def bloomMembership(s: SparkSession, d: String): DataFrame = {
+    val ev = EventsBilling(s, d)
+    val present = ev.select(col("invoice_id")).distinct()
+    val nKeys = present.count()
+    val bf = ev.stat.bloomFilter(col("invoice_id"), nKeys, 0.01)
+    val hits = present.collect().map(_.getString(0)).count(bf.mightContain)
+    // disjoint probe set: invoice ids that cannot exist
+    val absentProbes = (0 until 20000).map(i => s"no-such-invoice-$i")
+    val fp = absentProbes.count(bf.mightContain)
+    import s.implicits._
+    Seq((nKeys, hits == nKeys, fp <= (absentProbes.size * 0.03).toInt))
+      .toDF("n_keys", "no_false_negatives", "fpr_ok")
+  }
+
+  private val bloomMembershipSql =
+    s"""${EventsBilling.cte}
+       |SELECT count(DISTINCT invoice_id) AS n_keys,
+       |       true AS no_false_negatives, true AS fpr_ok
+       |FROM billing""".stripMargin
+
   // ---- time-range rolling window ------------------------------------------
   /** 7-day rolling usage per user via a RANGE frame over day numbers —
     * the time-based frame the row-count frames (`q_window_running`) can't
@@ -520,7 +580,10 @@ object AnalyticsQueries {
     * ties are collapsed first so the change sequence is well defined on
     * both engines. One shuffle on user_id serves both window passes.
     */
-  private def scd2(s: SparkSession, d: String): DataFrame = {
+  /** SCD2 version table shared by q_scd2 and the point-in-time join:
+    * one row per (user, attribute-change), effective-dated.
+    */
+  private def scd2Versions(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("user_id") % 25 === 0)
       .groupBy(col("user_id"), col("ts"))
       .agg(max("event_type").as("etype"))
@@ -531,8 +594,10 @@ object AnalyticsQueries {
         unix_millis(col("ts")).as("valid_from_ms"),
         unix_millis(lead("ts", 1).over(w)).as("valid_to_ms"),
         lead("ts", 1).over(w).isNull.as("is_current"))
-      .orderBy("user_id", "valid_from_ms")
   }
+
+  private def scd2(s: SparkSession, d: String): DataFrame =
+    scd2Versions(s, d).orderBy("user_id", "valid_from_ms")
 
   private val scd2Sql =
     """WITH e AS (SELECT user_id, ts, max(event_type) AS etype
@@ -548,6 +613,44 @@ object AnalyticsQueries {
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         AS is_current
       |FROM c ORDER BY user_id, valid_from_ms""".stripMargin
+
+  // ---- temporal point-in-time join ----------------------------------------
+  /** Point-in-time (temporal) lookup: every event joined to the SCD2
+    * dimension version that was valid AT its event time — the warehouse
+    * op behind "which tier/attribute did the user have when this
+    * happened". Spelled as a backward as-of join on the version's
+    * valid-from (versions tile time per key, so latest-start-≤-ts IS the
+    * containing version — no between-join needed, one shuffle per side
+    * on the key). DuckDB's native ASOF LEFT JOIN is the oracle.
+    */
+  private def pitJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Versions(s, d)
+      .select(col("user_id"), col("etype"), col("valid_from_ms").as("vf"))
+    val ev = Tables.events(s, d).filter(col("user_id") % 25 === 0)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"))
+    graft.operators.AsOfJoin.backward(ev, dim, Seq("user_id"),
+      "ts_ms", "vf", Seq("etype"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("etype").as("etype_at_event"))
+      .orderBy("event_id")
+  }
+
+  private val pitJoinSql =
+    """WITH e AS (SELECT user_id, ts, max(event_type) AS etype
+      |           FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+      |     m AS (SELECT *, lag(etype) OVER
+      |             (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+      |     c AS (SELECT user_id, ts, etype FROM m
+      |           WHERE prev IS NULL OR prev <> etype),
+      |     dim AS (SELECT user_id, etype, epoch_ms(ts) AS vf FROM c),
+      |     ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+      |            FROM events WHERE user_id % 25 = 0)
+      |SELECT ev.event_id, ev.user_id, ev.ts_ms,
+      |       dim.etype AS etype_at_event
+      |FROM ev ASOF LEFT JOIN dim
+      |  ON ev.user_id = dim.user_id AND ev.ts_ms >= dim.vf
+      |ORDER BY ev.event_id""".stripMargin
 
   // ---- arg-max / arg-min aggregates ---------------------------------------
   /** `max_by`/`min_by`: the one-pass argmax aggregate (vs the window
@@ -601,6 +704,9 @@ object AnalyticsQueries {
     Gate("q_rank_funcs", rankFuncs, Some(rankFuncsSql)),
     Gate("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     Gate("q_scd2", scd2, Some(scd2Sql)),
+    Gate("q_pit_join", pitJoin, Some(pitJoinSql)),
+    Gate("q_cms_counts", cmsCounts, Some(cmsCountsSql)),
+    Gate("q_bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),
     Gate("q_props_json", propsJson, Some(propsJsonSql)),
     Gate("q_unpivot", unpivotStatus, Some(unpivotStatusSql)),
