@@ -195,4 +195,34 @@ object TextAnalysis {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
+
+  /** Token-bounded document chunking with overlap — the context-window
+    * prep step for training/retrieval: each document becomes
+    * ⌈(n − overlap·[n > size]) / stride⌉ chunks of up to `maxTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = maxTokens − overlap). Pure per-row array arithmetic
+    * (sequence → explode → slice → join): chunking 100 TB of text is one
+    * embarrassingly-parallel map with no shuffle at all.
+    *
+    * Returns (…df columns…, chunk_id, chunk_tokens, chunk_text); chunk
+    * ids are 0-based and dense per document. A document shorter than
+    * `maxTokens` yields exactly one chunk (its full text, normalized).
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, text: Column,
+      maxTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    val nChunks = greatest(
+      ceil((size(col("__toks")) - overlap).cast("double") / stride)
+        .cast("int"), lit(1))
+    df.withColumn("__toks", tokens(text))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)))
+      .withColumn("chunk_tokens", size(col("__chunk")))
+      .withColumn("chunk_text", concat_ws(" ", col("__chunk")))
+      .drop("__toks", "__chunk")
+  }
 }

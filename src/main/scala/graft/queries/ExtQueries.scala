@@ -549,7 +549,43 @@ object ExtQueries {
       |FROM tf JOIN tc USING (term), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- token-bounded chunking ---------------------------------------------
+  /** [[TextAnalysis.chunk]]: 64-token windows with 16-token overlap
+    * (stride 48) over the documents table — the context-window prep step
+    * for training/retrieval. Pure per-row array arithmetic, no shuffle;
+    * the oracle re-derives every chunk with DuckDB list slicing, so
+    * boundaries, overlap, and the short-doc single-chunk case are all
+    * value-checked.
+    */
+  private def chunkDocs(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.chunk(
+      Tables.documents(s, d).select("doc_id", "text"), col("text"),
+      maxTokens = 64, overlap = 16)
+      .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkDocsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |c AS (SELECT doc_id, toks,
+      |             greatest(CAST(ceil((n - 16) / 48.0) AS INT), 1)
+      |               AS n_chunks
+      |      FROM n),
+      |g AS (SELECT doc_id, toks,
+      |             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      |      FROM c),
+      |s AS (SELECT doc_id, chunk_id,
+      |             toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS chunk
+      |      FROM g)
+      |SELECT doc_id, chunk_id, len(chunk) AS chunk_tokens,
+      |       array_to_string(chunk, ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   def gates: Seq[Gate] = Seq(
+    Gate("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),

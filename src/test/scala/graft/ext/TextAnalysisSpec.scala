@@ -12,6 +12,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("the", "quick", "fox"))
   }
 
+  test("chunk: overlapping windows, full coverage, short-doc single chunk") {
+    // w=4, overlap=1 (stride 3): a 10-token doc → [t1-t4][t4-t7][t7-t10];
+    // docs at/below the window → exactly one chunk
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 4).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 5).map(i => s"t$i").mkString(" ")),
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, col("text"), maxTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 4, "t1 t2 t3 t4"), (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (2L, 0, 4, "t1 t2 t3 t4"),
+      (3L, 0, 4, "t1 t2 t3 t4"), (3L, 1, 2, "t4 t5"),
+      (4L, 0, 1, "solo")))
+  }
+
   test("tfidf: corpus-wide df, natural-log idf, per-doc tf") {
     val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
       (3L, "cherry cherry date")).toDF("doc_id", "text")
