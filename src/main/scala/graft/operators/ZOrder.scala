@@ -49,6 +49,30 @@ object ZOrder {
       .bitwiseOR(shiftleft(spread(b.cast("long").bitwiseAND(mask)), 1))
   }
 
+  /** Map a wide or skewed numeric column onto [0, 2^bits) bucket ranks
+    * via approx-quantile boundaries — the prep step [[interleave]] needs
+    * when a dimension doesn't already fit its bit budget (a raw 64-bit id
+    * or a power-law key would otherwise concentrate the curve). The
+    * boundaries come from one `approxQuantile` pass (driver-side list,
+    * bounded by 2^bits); the mapping itself is a when-chain of range
+    * tests — plain codegen'd comparisons, no UDF, no join.
+    */
+  def quantileBucket(df: DataFrame, c: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 10, s"bucket bits must be in [1,10], got $bits")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val cuts = df.select(c.cast("double").as("__qb"))
+      .stat.approxQuantile("__qb", probs, 1.0 / (4 * n))
+    // build the chain from the LARGEST cut inward so the smallest-cut
+    // test ends up outermost — evaluation then finds the first boundary
+    // the value fits under; duplicate cuts (heavy hitters) are collapsed
+    // by distinct, ties landing in one bucket
+    val dcuts = cuts.distinct.sorted
+    dcuts.zipWithIndex.reverse.foldLeft(lit(dcuts.length): Column) {
+      case (acc, (cut, i)) => when(c.cast("double") <= cut, lit(i)).otherwise(acc)
+    }
+  }
+
   /** Rewrite `df` into `nFiles` files clustered along the Z-curve of the
     * two dimensions: range-partition by the interleaved key (files own
     * contiguous curve segments), sort within each file (row groups own

@@ -605,6 +605,74 @@ object ScaleQueries {
        |WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
        |ORDER BY window_start, operation_type""".stripMargin
 
+  // Streaming sessionization via the built-in session_window: dynamic-gap
+  // sessions as a stateful streaming aggregate — state per OPEN session
+  // only, merged as events arrive, evicted once the watermark passes the
+  // session end. The oracle mirrors both the gap-session grouping AND the
+  // append-mode emission rule (only sessions closed by the final
+  // watermark = max(ts) − delay are released), so the session-state
+  // semantics are hash-checked like q_stream_window's tumbling windows.
+  private def streamSession(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) { streamSessionImpl(s, d) }
+
+  private def streamSessionImpl(s: SparkSession, d: String): DataFrame = {
+    val in = graft.Gate.tmpDir("gate_ssw_")
+    val ckpt = graft.Gate.tmpDir("gate_ssw_ck_")
+    // stage timestamps as unix_micros longs (CSV timestamp formatting
+    // would truncate sub-second precision)
+    Tables.events(s, d).filter(col("user_id") % 11 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(in)
+    val stream = s.readStream.option("header", "true")
+      .schema("user_id LONG, us LONG, value DOUBLE").csv(in)
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("gate_ssw_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("gate_ssw_out")
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  private val streamSessionSql =
+    """WITH f AS (SELECT user_id, ts, value FROM events
+      |           WHERE user_id % 11 = 0),
+      |x AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 600000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM f
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT *, sum(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+      |    AS session_id
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id,
+      |         epoch_ms(min(ts)) AS session_start_ms,
+      |         epoch_ms(max(ts)) + 600000 AS session_end_ms,
+      |         count(*) AS n_events,
+      |         round(sum(value), 2) AS total_value
+      |  FROM y GROUP BY user_id, session_id),
+      |m AS (SELECT epoch_ms(max(ts)) AS mx FROM f)
+      |SELECT user_id, session_start_ms, session_end_ms, n_events,
+      |       total_value
+      |FROM sess, m
+      |WHERE session_end_ms <= mx - 1800000
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   // Stream-stream join: clicks joined to errors within 5 minutes, both
   // sides watermarked, run via file streams + AvailableNow into a memory
   // sink. The timestamp hand-off to CSV goes as unix_micros longs (CSV
@@ -956,6 +1024,7 @@ object ScaleQueries {
   def gates: Seq[Gate] = Seq(
     Gate("q_sessionize", sessionize, Some(sessionizeSql)),
     Gate("q_session_window", sessionWindowAgg, Some(sessionWindowAggSql)),
+    Gate("q_stream_session", streamSession, Some(streamSessionSql)),
     Gate("q_asof_join", asofJoin, Some(asofJoinSql)),
     Gate("q_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Gate("q_sql_dot", sqlDot, Some(sqlDotSql)),

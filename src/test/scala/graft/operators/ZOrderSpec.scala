@@ -28,6 +28,30 @@ class ZOrderSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == got.length)
   }
 
+  test("quantileBucket balances a power-law column into 2^bits ranks") {
+    val rnd = new scala.util.Random(3)
+    // heavy-tailed: most mass tiny, rare huge values
+    val vals = Seq.fill(4000)(math.pow(10, rnd.nextDouble() * 6).toLong)
+    val df = vals.toDF("v")
+    val bucketed = df.select(
+      ZOrder.quantileBucket(df, col("v"), bits = 3).as("b"), col("v"))
+    val counts = bucketed.groupBy("b").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.keys.forall(b => b >= 0 && b <= 8))
+    // roughly balanced: every occupied bucket within 3x of the ideal 500
+    assert(counts.size >= 6, s"too few occupied buckets: $counts")
+    assert(counts.values.forall(n => n <= 1500), s"skewed buckets: $counts")
+    // monotone: bucket rank ordered like the value
+    val pairs = bucketed.as[(Int, Long)].collect()
+    val byB = pairs.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.map(_._2).min, xs.map(_._2).max) }.toSeq.sortBy(_._1)
+    byB.sliding(2).foreach {
+      case Seq((_, (_, hiPrev)), (_, (loNext, _))) =>
+        assert(hiPrev <= loNext, s"buckets not monotone: $byB")
+      case _ =>
+    }
+  }
+
   test("clustered layout shrinks per-file spans on both dimensions") {
     val rnd = new scala.util.Random(5)
     val rows = Seq.fill(4000)((rnd.nextInt(1 << 14).toLong,
