@@ -584,8 +584,52 @@ object ExtQueries {
       |       array_to_string(chunk, ' ') AS chunk_text
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- cluster keeper selection -------------------------------------------
+  /** The dedup DECISION end-to-end: near-dup pairs (MinHash-LSH, exact-
+    * verified) → connected components → per-cluster keeper chosen by a
+    * QUALITY policy (longest text, ties to the smallest id) instead of
+    * min-id — "keep the most complete copy", the policy real pipelines
+    * want. The argmax is a one-pass `max_by` on an exact integer
+    * composite (len ⊕ id), no window; the oracle recomputes components
+    * with a recursive CTE and the keeper with `arg_max`.
+    */
+  private def clusterKeepers(s: SparkSession, d: String): DataFrame = {
+    val corpus = dupCorpus(s, d).persist()
+    val pairs = Dedup.minhashDedup(corpus, col("id"), col("t"),
+      n = 3, threshold = 0.5, maxDF = 20)
+      .select("id_a", "id_b")
+    val clusters = Dedup.dupClusters(corpus.select("id"), pairs,
+      parallelism = Some(8))
+    clusters.join(corpus, "id")
+      .withColumn("len", length(col("t")).cast("long"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("id"), col("len") * 10000000L - col("id"))
+          .as("keeper_id"),
+        max("len").as("keeper_len"))
+      .orderBy("cluster")
+  }
+
+  private val clusterKeepersSql =
+    s"""${truePairsCte.replace("WITH corpus", "WITH RECURSIVE corpus")},
+       |verified AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS t FROM verified
+       |          UNION ALL SELECT id_b, id_a FROM verified),
+       |reach AS (
+       |  SELECT id, id AS r FROM corpus
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |lens AS (SELECT id, CAST(length(t) AS BIGINT) AS len FROM corpus)
+       |SELECT cluster, count(*) AS n_members,
+       |       arg_max(id, len * 10000000 - id) AS keeper_id,
+       |       max(len) AS keeper_len
+       |FROM lab JOIN lens USING (id)
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
+    Gate("q_cluster_keepers", clusterKeepers, Some(clusterKeepersSql)),
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),

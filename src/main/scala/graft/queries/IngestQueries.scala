@@ -153,6 +153,39 @@ object IngestQueries {
        |FROM billing GROUP BY operation_type ORDER BY operation_type"""
       .stripMargin
 
+  // Schema evolution on read: two parquet batches written with DIFFERENT
+  // column sets (a column added mid-stream, another retired) unify under
+  // mergeSchema=true into the superset schema with nulls where a batch
+  // lacked the column — the "upstream added a field" story the fixed-DDL
+  // reference cannot absorb (its read_csv_auto binds by position). The
+  // per-column non-null counts pin that values landed in the RIGHT
+  // columns, not merely that the read succeeded.
+  private def mergeSchema(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Gate.tmpDir("graft_ms_")
+    val ord = Tables.orders(s, d)
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/b1")
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_with_price"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val mergeSchemaSql =
+    """SELECT count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_with_price,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_with_priority,
+      |       round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END),
+      |             2) AS sum_price
+      |FROM orders""".stripMargin
+
   // Small-file compaction (BillingStore.compactRaw): three fragmented
   // appends leave ~24 files per day partition; compaction rewrites each
   // fragmented partition into one file via dynamic partition overwrite.
@@ -209,6 +242,7 @@ object IngestQueries {
     Gate("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Gate("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     Gate("q_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
+    Gate("q_merge_schema", mergeSchema, Some(mergeSchemaSql)),
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),
   )
 }
