@@ -95,6 +95,41 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric containment pairs: |A∩B| / |A| ≥ threshold — "document A
+    * is (mostly) contained in document B", which symmetric Jaccard
+    * misses whenever the containing document is much larger (a quoted
+    * article inside a long page scores near-zero Jaccard but
+    * containment ≈ 1). Same capped shingle self-join skeleton as
+    * [[jaccardPairs]]; emits BOTH directions (a_in_b distinguishes
+    * which side is contained), so a pair of near-equal docs appears
+    * twice. The `minShingles` floor drops trivially-short documents
+    * whose handful of shingles make containment meaningless.
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double, maxDF: Long,
+      minShingles: Int = 5): DataFrame = {
+    val sh = hashedShingles(docs, id, text, n).persist()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .filter(col("n_sh") >= minShingles)
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDF).select("sh"),
+      "sh")
+    val common = rare.as("a")
+      .join(rare.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("common").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"),
+        col("containment"))
+  }
+
   /** MinHash signatures: permutation p's hash is a splitmix64 re-mix of
     * the 8-byte gram hash, min'd per permutation in one hash-aggregate
     * over the exploded hashed-shingle table (k mins in a single pass).

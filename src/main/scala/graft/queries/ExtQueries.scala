@@ -584,6 +584,68 @@ object ExtQueries {
       |       array_to_string(chunk, ' ') AS chunk_text
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- asymmetric containment ---------------------------------------------
+  /** [[Dedup.containmentPairs]] over documents plus planted "quote
+    * pages" (every 20th document concatenated with its successor at id +
+    * 200000): the embedded originals score containment ≈ 1 in the page
+    * while symmetric Jaccard sits near |A|/(|A|+|B|) — the
+    * quoted-article case Jaccard-threshold dedup structurally misses.
+    * Exact directed computation, mirrored shingle-for-shingle in the
+    * oracle.
+    */
+  private def containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pages = docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(col("a.doc_id") % 20 === 0)
+      .select((col("a.doc_id") + 200000).as("id"),
+        concat(lower(trim(col("a.text"))), lit(" "),
+          lower(trim(col("b.text")))).as("t"))
+    val corpus = docs
+      .select(col("doc_id").as("id"), lower(trim(col("text"))).as("t"))
+      .unionAll(pages)
+    Dedup.containmentPairs(corpus, col("id"), col("t"),
+      n = 3, threshold = 0.8, maxDF = 20)
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val containmentSql =
+    """WITH base AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents),
+      |pages AS (
+      |  SELECT a.id + 200000 AS id, a.t || ' ' || b.t AS t
+      |  FROM base a JOIN base b ON b.id = a.id + 1
+      |  WHERE a.id % 20 = 0),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pages),
+      |tok AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks
+      |        FROM corpus),
+      |sh0 AS (SELECT id,
+      |          CASE WHEN len(toks) >= 3
+      |            THEN list_transform(range(len(toks) - 2),
+      |                   i -> array_to_string(toks[i+1:i+3], ' '))
+      |            ELSE [array_to_string(toks, ' ')] END AS shs
+      |        FROM tok),
+      |sh AS (SELECT id, unnest(list_distinct(shs)) AS sh FROM sh0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+      |          HAVING count(*) >= 5),
+      |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+      |rare AS (SELECT s.id, s.sh FROM sh s JOIN dfreq USING (sh)
+      |         WHERE df <= 20),
+      |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      |           FROM rare a JOIN rare b
+      |             ON a.sh = b.sh AND a.id <> b.id
+      |           GROUP BY 1, 2)
+      |SELECT common.id_a, common.id_b, common.common,
+      |       sa.n_sh AS n_a,
+      |       round(CAST(common.common AS DOUBLE) / sa.n_sh, 6)
+      |         AS containment
+      |FROM common
+      |JOIN sizes sa ON sa.id = common.id_a
+      |JOIN sizes sb ON sb.id = common.id_b
+      |WHERE CAST(common.common AS DOUBLE) / sa.n_sh >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---- cluster keeper selection -------------------------------------------
   /** The dedup DECISION end-to-end: near-dup pairs (MinHash-LSH, exact-
     * verified) → connected components → per-cluster keeper chosen by a
@@ -630,6 +692,7 @@ object ExtQueries {
   def gates: Seq[Gate] = Seq(
     Gate("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     Gate("q_cluster_keepers", clusterKeepers, Some(clusterKeepersSql)),
+    Gate("q_containment", containment, Some(containmentSql)),
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),

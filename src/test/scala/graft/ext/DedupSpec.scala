@@ -63,6 +63,22 @@ class DedupSpec extends SparkSpec {
     assert(e2e == Set((0L, 10L), (1L, 11L), (6L, 7L)))
   }
 
+  test("containment is asymmetric: quote inside a page, not the reverse") {
+    val page = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank and then a completely different second half about cooking " +
+      "pasta with fresh basil and olive oil on a warm summer evening"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, page),
+      (3L, "entirely unrelated content about mountain hiking in spring")
+    ).toDF("id", "t")
+    val got = Dedup.containmentPairs(corpus, col("id"), col("t"),
+      n = 3, threshold = 0.8, maxDF = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // doc 1 is contained in page 2; the page is NOT contained in doc 1
+    assert(got == Set((1L, 2L)))
+  }
+
   test("minhash candidates are a superset of true near-dup pairs") {
     val cands = Dedup.minhashCandidates(
       Dedup.minhashBuckets(docs, col("id"), col("t")))
