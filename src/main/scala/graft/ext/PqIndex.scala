@@ -74,10 +74,24 @@ object PqIndex {
         (j + 1) * dsub))
       lloyd(sub, k, maxIter, seed + j).map(_.toSeq).toSeq
     }
-    val vn = unit(col("v"), col("nrm"))
-    val code = array((0 until m).map(j => subCode(vn, codebooks(j),
-      j * dsub, dsub)): _*)
+    // encode via the codegen'd PqEncode expression — the corpus-sized hot
+    // path stays inside whole-stage codegen; the HOF spelling (hofCode)
+    // runs its lambdas interpreted and is kept only as the
+    // equivalence-test reference
+    import org.apache.spark.sql.graftbridge.Bridge
+    val flat = codebooks.flatten.flatten.toArray
+    val code = Bridge.toColumn(graft.functions.PqEncode(
+      Bridge.toExpr(col("v")), m, dsub, flat))
     Model(m, dsub, codebooks, prepared.withColumn("code", code))
+  }
+
+  /** The interpreted HOF spelling of the encoder — kept as the reference
+    * implementation for PqIndexSpec's codegen-equivalence test.
+    */
+  private[graft] def hofCode(model: Model): Column = {
+    val vn = unit(col("v"), col("nrm"))
+    array((0 until model.m).map(j =>
+      subCode(vn, model.codebooks(j), j * model.dsub, model.dsub)): _*)
   }
 
   private def dist2(a: Array[Double], b: Array[Double]): Double = {

@@ -40,6 +40,18 @@ class PqIndexSpec extends SparkSpec {
       s"groups should be code-coherent: $byGroup")
   }
 
+  test("codegen'd PqEncode matches the interpreted HOF encoder exactly") {
+    val model = PqIndex.build(corpus, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    val expr = model.encoded.select(col("vec_id"), col("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val hof = model.encoded
+      .select(col("vec_id"), PqIndex.hofCode(model).as("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(expr.size == 30)
+    assert(expr == hof)
+  }
+
   test("ADC search recovers same-direction neighbors") {
     val model = PqIndex.build(corpus, m = 2, k = 4,
       sampleFraction = 1.0, maxIter = 10)
