@@ -85,6 +85,14 @@ object PqIndex {
     Model(m, dsub, codebooks, prepared.withColumn("code", code))
   }
 
+  /** The interpreted HOF spelling of the ADC lookup — reference for
+    * PqIndexSpec's codegen-equivalence test.
+    */
+  private[graft] def hofAdc(code: Column, qdt: Column): Column =
+    aggregate(
+      zip_with(qdt, code, (dt, c) => element_at(dt, c).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
   /** The interpreted HOF spelling of the encoder — kept as the reference
     * implementation for PqIndexSpec's codegen-equivalence test.
     */
@@ -190,10 +198,14 @@ object PqIndex {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
       .withColumn("qdt", distTables(col("qv"), col("qnrm"), model))
-    val adc = aggregate(
-      zip_with(col("qdt"), col("code"),
-        (dt, c) => element_at(dt, c).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    // codegen'd ADC lookup (PqAdc) — the corpus×queries inner loop must
+    // not run as an interpreted HOF lambda; the HOF spelling lives in
+    // hofAdc as the equivalence-test reference
+    val adc = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.toColumn(graft.functions.PqAdc(
+        Bridge.toExpr(col("code")), Bridge.toExpr(col("qdt"))))
+    }
     val scored = model.encoded.join(broadcast(q),
         col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)

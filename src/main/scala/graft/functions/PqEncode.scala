@@ -118,3 +118,60 @@ case class PqEncode(child: Expression, m: Int, dsub: Int,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Asymmetric-distance lookup for the PQ scan: given a row's code array
+  * (1-based ids, array<int>) and the query's per-subspace distance
+  * tables (array<array<double>>), returns Σ_j dt(j)(code(j)−1) — the
+  * approximate distance, i.e. m array reads and adds per (corpus row ×
+  * query). This is THE compressed-domain inner loop (the reason PQ
+  * exists), so like [[PqEncode]] it must not run as an interpreted HOF
+  * lambda. Sum order and the 1-based indexing match the
+  * `aggregate(zip_with(dt, code, element_at))` spelling bit-for-bit.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+    right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<array<double>>), got " +
+        s"${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(codeAny: Any, dtAny: Any): Any = {
+    val code = codeAny.asInstanceOf[ArrayData]
+    val dt = dtAny.asInstanceOf[ArrayData]
+    val m = math.min(code.numElements(), dt.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += dt.getArray(j).getDouble(code.getInt(j) - 1)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, dt) => {
+      val j = ctx.freshName("j")
+      val mm = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |int $mm = java.lang.Math.min($code.numElements(), $dt.numElements());
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $mm; $j++) {
+         |  $s += $dt.getArray($j).getDouble($code.getInt($j) - 1);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -52,6 +52,21 @@ class PqIndexSpec extends SparkSpec {
     assert(expr == hof)
   }
 
+  test("codegen'd PqAdc matches the interpreted HOF lookup exactly") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val model = PqIndex.build(corpus, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    // fixed distance tables: dt(j)(c) = j*10 + c as doubles
+    val dt = typedLit(Seq(Seq(0.5, 1.5, 2.5, 3.5), Seq(10.5, 11.5, 12.5, 13.5)))
+    val both = model.encoded.select(
+      Bridge.toColumn(graft.functions.PqAdc(
+        Bridge.toExpr(col("code")), Bridge.toExpr(dt))).as("gen"),
+      PqIndex.hofAdc(col("code"), dt).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.length == 30)
+    assert(both.forall { case (g, h) => g == h })
+  }
+
   test("ADC search recovers same-direction neighbors") {
     val model = PqIndex.build(corpus, m = 2, k = 4,
       sampleFraction = 1.0, maxIter = 10)
