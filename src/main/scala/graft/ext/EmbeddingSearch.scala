@@ -30,6 +30,14 @@ object EmbeddingSearch {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Squared L2 distance between two array<double> columns (sequential
+    * fold — deterministic, shared by the quantizers in [[PqIndex]] and
+    * [[IvfIndex]]).
+    */
+  private[ext] def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,54 @@ object IvfIndex {
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "cv")
     Model(centroids, model.transform(prepared).drop("features"))
+  }
+
+  /** Persist the index: centroids (k tiny rows) plus the corpus-sized
+    * cell assignment as (vec_id, cell) parquet. Vectors are NOT
+    * duplicated — the corpus table remains the source of truth for `v`;
+    * [[load]] re-attaches them (same build-once/reuse design as
+    * [[PqIndex.save]]).
+    */
+  def save(model: Model, path: String): Unit = {
+    model.centroids.coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    model.assigned.select("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Assign new vectors to their nearest EXISTING centroid — the frozen
+    * quantizer's prediction spelled as a map-side argmin over the
+    * broadcast-literal centroid list (k rows collected to the driver —
+    * bounded by k, not the corpus). First-minimum tie-break matches
+    * ml.KMeans prediction order.
+    */
+  def assignNew(model: Model, embs: DataFrame): DataFrame = {
+    val cents: Seq[Seq[Double]] = model.centroids.orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("cv")).toSeq).toSeq
+    val dists = transform(typedLit(cents),
+      c => EmbeddingSearch.l2sq(c, col("v")))
+    EmbeddingSearch.prepared(embs).withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** In-memory append of newly-arrived vectors (quantizer unchanged). */
+  def append(model: Model, newEmbs: DataFrame): Model =
+    model.copy(assigned = model.assigned.unionByName(assignNew(model, newEmbs)))
+
+  /** Incrementally assign `newEmbs` with the frozen quantizer and append
+    * their cells to a saved index — only the delta is scanned/written.
+    */
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
+    assignNew(model, newEmbs).select("vec_id", "cell")
+      .write.mode("append").parquet(s"$path/cells")
+
+  /** Load a saved index; `embs` (the corpus plus appended rows)
+    * re-attaches vectors via an inner join on vec_id.
+    */
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    Model(centroids, EmbeddingSearch.prepared(embs).join(cells, "vec_id"))
   }
 
   /** Top-k per query, probing the `nProbe` nearest cells. */

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,11 +30,7 @@ object PqIndex {
   final case class Model(m: Int, dsub: Int,
       codebooks: Seq[Seq[Seq[Double]]], encoded: DataFrame)
 
-  private def sq(c: Column): Column = c * c
-
-  /** Squared L2 distance between two array<double> columns. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => sq(x - y)), lit(0.0), (acc, x) => acc + x)
+  private def l2sq(a: Column, b: Column): Column = EmbeddingSearch.l2sq(a, b)
 
   /** Unit-normalized copy of `v` (nrm = ⟨v,v⟩ is already carried by
     * [[EmbeddingSearch.prepared]]). PQ codebooks/codes live in the
@@ -74,15 +70,82 @@ object PqIndex {
         (j + 1) * dsub))
       lloyd(sub, k, maxIter, seed + j).map(_.toSeq).toSeq
     }
-    // encode via the codegen'd PqEncode expression — the corpus-sized hot
-    // path stays inside whole-stage codegen; the HOF spelling (hofCode)
-    // runs its lambdas interpreted and is kept only as the
-    // equivalence-test reference
+    Model(m, dsub, codebooks,
+      prepared.withColumn("code", codeColumn(m, dsub, codebooks)))
+  }
+
+  /** Codegen'd encode column for a codebook geometry — the corpus-sized
+    * hot path stays inside whole-stage codegen; the HOF spelling
+    * ([[hofCode]]) runs its lambdas interpreted and is kept only as the
+    * equivalence-test reference.
+    */
+  private def codeColumn(m: Int, dsub: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     val flat = codebooks.flatten.flatten.toArray
-    val code = Bridge.toColumn(graft.functions.PqEncode(
+    Bridge.toColumn(graft.functions.PqEncode(
       Bridge.toExpr(col("v")), m, dsub, flat))
-    Model(m, dsub, codebooks, prepared.withColumn("code", code))
+  }
+
+  /** Encode vectors against an EXISTING model's codebooks — no
+    * retraining; this is the incremental path for corpus appends. Output
+    * has the same (vec_id, v, nrm, code) shape as `Model.encoded`.
+    */
+  def encode(model: Model, embs: DataFrame): DataFrame =
+    EmbeddingSearch.prepared(embs).withColumn("code",
+      codeColumn(model.m, model.dsub, model.codebooks))
+
+  /** In-memory append of newly-arrived vectors (codebooks unchanged). */
+  def append(model: Model, newEmbs: DataFrame): Model =
+    model.copy(encoded = model.encoded.unionByName(encode(model, newEmbs)))
+
+  /** Persist the index: the m×k codebook centroids as one tiny parquet
+    * and the corpus-sized codes table as (vec_id, code) parquet. Vectors
+    * are deliberately NOT duplicated into the index — at 100 TB the
+    * corpus parquet stays the single source of truth for `v` and the
+    * index is its few-bytes-per-row compressed derivative (the point of
+    * PQ); [[load]] re-attaches vectors for the exact re-rank. Mirrors
+    * the reference's materialize-derived-tables design
+    * (pipeline/assets/aggregates.py:14-28): build once, reuse across
+    * queries instead of retraining per query.
+    */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    val cb = for {
+      (book, j) <- model.codebooks.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield (j, c, cent)
+    cb.toDF("subspace", "code_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    model.encoded.select("vec_id", "code")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Incrementally encode `newEmbs` with the model's frozen codebooks and
+    * append their codes to a saved index — build once, append forever;
+    * only the delta is scanned and written.
+    */
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
+    encode(model, newEmbs).select("vec_id", "code")
+      .write.mode("append").parquet(s"$path/codes")
+
+  /** Load a saved index. `embs` is the corpus table the index was built
+    * over (plus any rows appended via [[saveAppend]]); the inner join on
+    * vec_id re-attaches vectors for the exact re-rank, so codes whose
+    * vectors were deleted from the corpus drop out harmlessly, while
+    * corpus rows that were never encoded are invisible until appended.
+    */
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+    val codebooks = rows.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getAs[Int]("code_id"))
+        .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq)
+    require(codebooks.nonEmpty, s"no codebooks at $path")
+    val dsub = codebooks.head.head.length
+    val codes = spark.read.parquet(s"$path/codes")
+    Model(codebooks.length, dsub, codebooks,
+      EmbeddingSearch.prepared(embs).join(codes, "vec_id"))
   }
 
   /** The interpreted HOF spelling of the ADC lookup — reference for

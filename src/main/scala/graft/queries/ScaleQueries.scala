@@ -548,6 +548,67 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** ANN index persistence gate ([[graft.ext.PqIndex.save]]/`load`):
+    * build → save → load in a FRESH session → search. `persist_ok` pins
+    * the contract that matters at 100 TB — the loaded index answers
+    * queries row-identical to the in-memory one WITHOUT retraining
+    * (load collects only the m×k codebook rows; the corpus-sized codes
+    * stay parquet). The recall columns reuse q_pq_topk's
+    * accuracy-vs-brute-force contract.
+    */
+  private def pqPersist(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = graft.ext.PqIndex.build(embs, m = 8, k = 32,
+      sampleFraction = 0.5)
+    val dir = graft.Gate.tmpDir("gate_pq_persist_")
+    graft.ext.PqIndex.save(model, dir)
+    val mem = graft.ext.PqIndex.search(model, col("vec_id") < 10, k = 5,
+      shortlist = 40)
+    // fresh session: new analyzer/catalog state, shared context — proves
+    // nothing leaks through cached plans or temp views
+    val fresh = s.newSession()
+    val loaded = graft.ext.PqIndex.load(fresh, dir,
+      Tables.embeddings(fresh, d))
+    graft.ext.PqIndex.search(loaded, col("vec_id") < 10, k = 5,
+        shortlist = 40)
+      .write.mode("overwrite").parquet(s"$dir/ann_loaded")
+    val back = s.read.parquet(s"$dir/ann_loaded")
+    val same = mem.exceptAll(back).isEmpty && back.exceptAll(mem).isEmpty
+    ExtQueries.recallGate(embs, back, k = 5, minHits = 3)
+      .withColumn("persist_ok", lit(same))
+  }
+
+  private val pqPersistSql =
+    """SELECT vec_id AS query_id, true AS recall_ok, true AS persist_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** IVF persistence + INCREMENTAL append gate: build on 90% of the
+    * corpus, save, [[graft.ext.IvfIndex.saveAppend]] the remaining 10%
+    * (frozen quantizer, delta-only scan), load, search. `appended_ok`
+    * pins that the loaded assignment covers the full corpus — i.e. the
+    * append wrote exactly the delta and load stitched both; recall is
+    * the same brute-force contract as q_ivf_topk (queries include
+    * appended vectors: vec_id 0 arrives via the append path).
+    */
+  private def ivfPersist(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    val model = IvfIndex.build(base, k = 16, sampleFraction = 0.25)
+    val dir = graft.Gate.tmpDir("gate_ivf_persist_")
+    IvfIndex.save(model, dir)
+    IvfIndex.saveAppend(model, delta, dir)
+    val loaded = IvfIndex.load(s, dir, embs)
+    val covered = loaded.assigned.count() == embs.count()
+    val ann = IvfIndex.search(loaded, col("vec_id") < 10, k = 5, nProbe = 10)
+    ExtQueries.recallGate(embs, ann, k = 5, minHits = 3)
+      .withColumn("appended_ok", lit(covered))
+  }
+
+  private val ivfPersistSql =
+    """SELECT vec_id AS query_id, true AS recall_ok, true AS appended_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
   // §2.9 — streaming: event-time windowed aggregation with a watermark,
   // driven through a real file-source stream + memory sink. The oracle
   // mirrors BOTH the tumbling-window aggregate and the append-mode
@@ -1042,6 +1103,8 @@ object ScaleQueries {
     Gate("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
+    Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
+    Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
     Gate("q_stream_incremental", streamIncremental,
       Some(streamIncrementalSql)),

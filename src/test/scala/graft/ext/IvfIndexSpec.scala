@@ -18,6 +18,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("assignNew reproduces the trained quantizer's own assignment") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val model = IvfIndex.build(embs, k = 4)
+    val trained = model.assigned.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val rederived = IvfIndex.assignNew(model, embs)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(rederived == trained)
+  }
+
+  test("save/saveAppend/load: delta-only assignment, full coverage, same search") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val delta = embs.filter(col("vec_id") % 5 === 0)
+    val model = IvfIndex.build(base, k = 4)
+    val dir = graft.Gate.tmpDir("ivf_save_")
+    IvfIndex.save(model, dir)
+    IvfIndex.saveAppend(model, delta, dir)
+    val loaded = IvfIndex.load(spark, dir, embs)
+    assert(loaded.assigned.count() == embs.count())
+    // loaded assignment for base rows matches the trained model's
+    val baseCells = model.assigned.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val loadedCells = loaded.assigned.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    assert(baseCells.forall { case (id, c) => loadedCells(id) == c })
+    // full-probe search over the loaded index equals brute force on the
+    // full corpus (append path included)
+    val ivf = IvfIndex.search(loaded, col("vec_id") < 5, k = 3, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("IVF with partial probing returns k ranked cells-local neighbors") {
     val embs = Tables.embeddings(spark, sf0001)
     val model = IvfIndex.build(embs, k = 8)

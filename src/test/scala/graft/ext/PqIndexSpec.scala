@@ -67,6 +67,46 @@ class PqIndexSpec extends SparkSpec {
     assert(both.forall { case (g, h) => g == h })
   }
 
+  test("save/load roundtrip: identical codebooks, codes, and search results") {
+    val model = PqIndex.build(corpus, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    val dir = graft.Gate.tmpDir("pq_save_")
+    PqIndex.save(model, dir)
+    val loaded = PqIndex.load(spark, dir, corpus)
+    assert(loaded.m == model.m && loaded.dsub == model.dsub)
+    assert(loaded.codebooks == model.codebooks)
+    val codes = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("vec_id", "code").as[(Long, Seq[Int])].collect().toMap
+    assert(codes(loaded.encoded) == codes(model.encoded))
+    val res = (m: PqIndex.Model) =>
+      PqIndex.search(m, col("vec_id") < 3, k = 4)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(res(loaded) == res(model))
+  }
+
+  test("saveAppend encodes only the delta; load stitches base + delta") {
+    val base = corpus.filter(col("vec_id") < 24)
+    val delta = corpus.filter(col("vec_id") >= 24)
+    val model = PqIndex.build(base, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    val dir = graft.Gate.tmpDir("pq_append_")
+    PqIndex.save(model, dir)
+    PqIndex.saveAppend(model, delta, dir)
+    val loaded = PqIndex.load(spark, dir, corpus)
+    assert(loaded.encoded.count() == 30)
+    // appended codes must equal a direct encode with the frozen codebooks
+    val appended = loaded.encoded.filter(col("vec_id") >= 24)
+      .select("vec_id", "code").as[(Long, Seq[Int])].collect().toMap
+    val direct = PqIndex.encode(model, delta)
+      .select("vec_id", "code").as[(Long, Seq[Int])].collect().toMap
+    assert(appended == direct)
+    // in-memory append agrees with the persisted path
+    val inMem = PqIndex.append(model, delta).encoded
+      .select("vec_id", "code").as[(Long, Seq[Int])].collect().toMap
+    assert(inMem == loaded.encoded.select("vec_id", "code")
+      .as[(Long, Seq[Int])].collect().toMap)
+  }
+
   test("ADC search recovers same-direction neighbors") {
     val model = PqIndex.build(corpus, m = 2, k = 4,
       sampleFraction = 1.0, maxIter = 10)
