@@ -13,6 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitions present in the batch, and the dedup anti-join reads only
   * those partitions back (the reference's UNIQUE key can only collide
   * within a day, because `timestamp` is part of the key).
+  *
+  * Concurrency: every mutator serializes on the store's [[TableLock]] —
+  * without it, an append racing `compactRaw`'s dynamic partition
+  * overwrite can have its freshly-written file deleted by the partition
+  * swap (silently lost rows). Readers take no lock. Proven by
+  * BillingStoreConcurrencySpec: interleaved appends and compactions
+  * lose zero rows.
   */
 final case class BillingStore(root: String) {
   val rawPath = s"$root/raw_billing"
@@ -43,7 +50,8 @@ final case class BillingStore(root: String) {
     * partitions before the anti-join: at 100 TB the join probes days, not
     * the whole history.
     */
-  def appendDedup(spark: SparkSession, staged: DataFrame): Long = {
+  def appendDedup(spark: SparkSession, staged: DataFrame): Long =
+      TableLock.withLock(spark, root) {
     val batch = Ingest.dedupWithinBatch(staged)
     val existing =
       if (exists(spark, rawPath)) {
@@ -68,7 +76,8 @@ final case class BillingStore(root: String) {
     * like the reference's DELETE+INSERT. One cached pass over raw feeds
     * all four (the Spark analogue of "4 assets over one shared DB").
     */
-  def rebuildAggregates(spark: SparkSession): Unit = {
+  def rebuildAggregates(spark: SparkSession): Unit =
+      TableLock.withLock(spark, root) {
     val r = raw(spark).cache()
     try {
       // daily_aggs is day-partitioned so refreshDailyForDays can later
@@ -93,7 +102,8 @@ final case class BillingStore(root: String) {
     * grouping key: each partition's aggregate depends only on that
     * partition's rows.
     */
-  def refreshDailyForDays(spark: SparkSession, touchedDays: DataFrame): Unit = {
+  def refreshDailyForDays(spark: SparkSession, touchedDays: DataFrame): Unit =
+      TableLock.withLock(spark, root) {
     val days = touchedDays.select("year", "month", "day").distinct()
     val affected = raw(spark).join(
       org.apache.spark.sql.functions.broadcast(days),
@@ -114,7 +124,8 @@ final case class BillingStore(root: String) {
     * step: cost ∝ batch rows + days touched, never ∝ history. Returns
     * rows appended. [[dailyFromPartials]] serves the rollup at read time.
     */
-  def appendIncremental(spark: SparkSession, staged: DataFrame): Long = {
+  def appendIncremental(spark: SparkSession, staged: DataFrame): Long =
+      TableLock.withLock(spark, root) {
     val batch = Ingest.dedupWithinBatch(staged)
     val existing =
       if (exists(spark, rawPath)) {
@@ -148,7 +159,8 @@ final case class BillingStore(root: String) {
     * partitions being replaced. (At production scale the same fold
     * targets an ACID table format; the algebra is identical.)
     */
-  def mergeIntoDailyPartials(spark: SparkSession, delta: DataFrame): Unit = {
+  def mergeIntoDailyPartials(spark: SparkSession, delta: DataFrame): Unit =
+      TableLock.withLock(spark, root) {
     val deltaParts = Aggregates.dailyPartial(delta)
     val merged =
       if (exists(spark, dailyPartialsPath)) {
@@ -191,9 +203,11 @@ final case class BillingStore(root: String) {
     * nothing exceeds the threshold.
     */
   def compactRaw(spark: SparkSession,
-      maxFilesPerPartition: Int = 1): (Long, Long) = {
+      maxFilesPerPartition: Int = 1): (Long, Long) =
+      TableLock.withLock(spark, root) {
     import org.apache.spark.sql.functions.{exists => _, _}
-    if (!exists(spark, rawPath)) return (0L, 0L)
+    if (!exists(spark, rawPath)) (0L, 0L)
+    else {
     // input_file_name is non-deterministic: project it before the
     // aggregate (Spark rejects it as an aggregate-function argument)
     val perPart = raw(spark)
@@ -232,12 +246,14 @@ final case class BillingStore(root: String) {
     }
     perPart.unpersist()
     (parts, files)
+    }
   }
 
   /** T4: last-wins ledger upsert, rewritten in place (the ledger is tiny —
     * one row per ingested file).
     */
-  def upsertLedger(spark: SparkSession, updates: DataFrame): Unit = {
+  def upsertLedger(spark: SparkSession, updates: DataFrame): Unit =
+      TableLock.withLock(spark, root) {
     val merged = Ledger.upsert(ledger(spark), updates).cache()
     merged.count() // materialize before overwriting the input path
     merged.write.mode("overwrite").parquet(s"$ledgerPath.tmp")

@@ -1,0 +1,106 @@
+package graft.billing
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** The commit-protocol contract ([[TableLock]]): a dedup-append racing a
+  * compaction must never lose rows. Without the writer lock, compactRaw's
+  * dynamic partition overwrite can delete a file an append just committed
+  * into the same day partition — this spec interleaves both from separate
+  * threads and asserts the final store holds exactly the union of every
+  * appended batch.
+  */
+class BillingStoreConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(ts: String, res: String, user: String,
+      usage: Double): Schemas.BillingRecord =
+    Schemas.BillingRecord(Timestamp.valueOf(ts), res, user, usage,
+      "us", "free", "read", true, "compute", s"i-$res", "USD",
+      ts.take(4).toInt, ts.slice(5, 7).toInt, ts.slice(8, 10).toInt)
+
+  private def df(rs: Schemas.BillingRecord*): DataFrame =
+    spark.createDataFrame(rs)
+
+  test("racing appends and compactions lose zero rows") {
+    val store = BillingStore(tmpDir("conc_store"))
+    // seed both day partitions fragmented so the compactor has work
+    // from the first iteration
+    store.appendDedup(spark, df(
+      rec("2025-04-23 00:00:00", "seed23", "u0", 1.0),
+      rec("2025-04-24 00:00:00", "seed24", "u0", 1.0)).repartition(3))
+    val nBatches = 10
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (1 to nBatches).foreach { i =>
+        // every batch hits the SAME two day partitions the compactor is
+        // rewriting, fragmented across 3 tasks — the exact geometry of
+        // the lost-append race
+        store.appendDedup(spark, df(
+          rec(f"2025-04-23 ${i}%02d:00:00", s"a$i", "u1", 1.0),
+          rec(f"2025-04-24 ${i}%02d:00:00", s"b$i", "u2", 1.0))
+          .repartition(3))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() => {
+      try while (!stop.get()) {
+        store.compactRaw(spark)
+        Thread.sleep(5)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    compactor.start()
+    appender.start()
+    appender.join(300000)
+    stop.set(true)
+    compactor.join(300000)
+    assert(errs.isEmpty, s"worker failed: ${Option(errs.peek())}")
+    val ids = store.raw(spark).select("resource_id")
+      .as[String].collect().toSet
+    val expected = Set("seed23", "seed24") ++
+      (1 to nBatches).flatMap(i => Seq(s"a$i", s"b$i"))
+    assert(ids == expected,
+      s"lost=${expected -- ids} phantom=${ids -- expected}")
+    assert(store.raw(spark).count() == 2L + 2L * nBatches) // no dups either
+  }
+
+  test("a dead holder's lock is broken instead of waited out") {
+    val store = BillingStore(tmpDir("stale_lock"))
+    // forge a lock from a pid that cannot exist (kernel pid_max < 2^22)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store.root, "_writer.lock"),
+      s"99999999 ${System.currentTimeMillis()}")
+    assert(store.appendDedup(spark,
+      df(rec("2025-04-23 10:00:00", "r1", "u1", 2.0))) == 1L)
+    // the broken lock was re-acquired and released
+    assert(!new java.io.File(store.root, "_writer.lock").exists())
+  }
+
+  test("a live holder's lock is honored until timeout") {
+    val root = tmpDir("live_lock")
+    new java.io.File(root).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_writer.lock"),
+      s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
+    intercept[java.util.concurrent.TimeoutException] {
+      TableLock.withLock(spark, root, timeoutMs = 300)(())
+    }
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_writer.lock"))
+    // released → acquires immediately and runs the body
+    var ran = false
+    TableLock.withLock(spark, root, timeoutMs = 300) { ran = true }
+    assert(ran)
+  }
+
+  test("the lock is reentrant within a thread") {
+    val root = tmpDir("reentrant_lock")
+    val got = TableLock.withLock(spark, root) {
+      TableLock.withLock(spark, root, timeoutMs = 300) { 42 }
+    }
+    assert(got == 42)
+    assert(!new java.io.File(root, "_writer.lock").exists())
+  }
+}
