@@ -194,18 +194,26 @@ object Dedup {
     * which is what made the join-per-shingle spelling quadratic-feeling
     * (a sketch like token-SimHash can emit 100k+ candidates on templated
     * corpora). The broadcast build side is docs × rare-shingle arrays; if
-    * that outgrows executor memory at extreme scale, pass `shards` > 1:
-    * candidates are hash-split into that many shards and each shard
-    * verifies against a broadcast map restricted (left-semi) to the docs
-    * its pairs actually reference — per-shard memory shrinks ~linearly in
-    * `shards` while the per-shard plan is unchanged. Results are the exact
-    * union of the per-shard results (the hash split partitions the pair
-    * set), so sharding never changes the output.
+    * that outgrows executor memory at extreme scale, `shards` > 1 splits
+    * the candidates into that many hash shards and each shard verifies
+    * against a broadcast map restricted (left-semi) to the docs its pairs
+    * actually reference — per-shard memory shrinks ~linearly in `shards`
+    * while the per-shard plan is unchanged. Results are the exact union
+    * of the per-shard results (the hash split partitions the pair set),
+    * so sharding never changes the output.
+    *
+    * The default `shards = AutoShards` derives the count from the
+    * estimated broadcast payload (docs × overhead + total rare shingles ×
+    * bytes-per-entry, one cheap aggregate over the shingle table) against
+    * `autoBudgetBytes` — callers no longer have to predict the map size
+    * at an unknown scale factor; small corpora resolve to 1 and inherit
+    * the unsharded plan unchanged.
     */
   def verifyJaccard(cands: DataFrame, sh: DataFrame,
       threshold: Double, maxDF: Long = Long.MaxValue,
-      shards: Int = 1): DataFrame = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
+      shards: Int = AutoShards,
+      autoBudgetBytes: Long = 256L << 20): DataFrame = {
+    require(shards >= 0, s"shards must be >= 0 (0 = auto), got $shards")
     val rare =
       if (maxDF == Long.MaxValue) sh
       else sh.join(
@@ -215,21 +223,48 @@ object Dedup {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
       .join(sizes, "id")
-    if (shards == 1) scoreCandidates(cands, sets, threshold)
+    val resolved =
+      if (shards > 0) shards
+      else {
+        val st = rare.groupBy("id").agg(count(lit(1)).as("n"))
+          .agg(coalesce(count(lit(1)), lit(0L)).as("docs"),
+            coalesce(sum("n"), lit(0L)).as("tot")).head()
+        chooseShards(st.getLong(0), st.getLong(1), autoBudgetBytes)
+      }
+    if (resolved == 1) scoreCandidates(cands, sets, threshold)
     else {
       // persist the shared subtrees so the S shard plans don't recompute
       // the groupBys / candidate generation S times
       val setsP = sets.persist()
       val candsP = cands.persist()
-      (0 until shards).map { k =>
+      (0 until resolved).map { k =>
         val shardCands = candsP.filter(
-          pmod(xxhash64(col("id_a"), col("id_b")), lit(shards)) === k)
+          pmod(xxhash64(col("id_a"), col("id_b")), lit(resolved)) === k)
         val ids = shardCands.select(col("id_a").as("id"))
           .unionAll(shardCands.select(col("id_b").as("id"))).distinct()
         scoreCandidates(shardCands,
           setsP.join(ids, Seq("id"), "left_semi"), threshold)
       }.reduce(_ unionAll _)
     }
+  }
+
+  /** Sentinel for `shards`: derive the count from the estimated
+    * broadcast-map size (see [[chooseShards]]).
+    */
+  val AutoShards: Int = 0
+
+  /** Shard count for [[verifyJaccard]]'s broadcast verify: estimated
+    * payload = docs × ~80 B of per-entry overhead (row object, array
+    * header, size column) + total rare shingles × 16 B (8 B long plus
+    * array slack), divided by the budget and capped at 64 (beyond that
+    * the S-fold plan duplication costs more than the memory it saves —
+    * repartition the verify as a shuffle join instead at that scale).
+    */
+  private[ext] def chooseShards(docs: Long, totalShingles: Long,
+      budgetBytes: Long): Int = {
+    require(budgetBytes > 0, s"budget must be positive, got $budgetBytes")
+    val est = docs * 80L + totalShingles * 16L
+    math.min(64L, math.max(1L, (est + budgetBytes - 1) / budgetBytes)).toInt
   }
 
   /** Map-side exact-Jaccard scoring of candidate pairs against a
@@ -258,7 +293,7 @@ object Dedup {
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.6,
       bands: Int = 16, rowsPerBand: Int = 4,
-      maxDF: Long = Long.MaxValue, verifyShards: Int = 1): DataFrame = {
+      maxDF: Long = Long.MaxValue, verifyShards: Int = AutoShards): DataFrame = {
     // One persisted hashed-shingle table feeds the signature aggregation
     // AND the candidate verification — the tokenize/shingle subtree runs
     // once, and only 8-byte keys are ever stored or shuffled.
@@ -319,10 +354,20 @@ object Dedup {
     * claiming equality. The hamming pre-filter keeps the expensive
     * shingle-join verify off random chunk collisions (a random pair sits
     * at hamming ≈ 32 ± 4; P(≤ 8) is negligible).
+    *
+    * '''Prefer [[minhashDedup]] for Jaccard-threshold dedup.''' SimHash's
+    * banding is tuned to hamming space, not Jaccard space, and on
+    * templated corpora it is a weak discriminator: at sf0.1 it emits
+    * ~200k candidate pairs where MinHash emits ~800 for the same final
+    * recall (measured, SCALE.md), making this the slowest dedup gate at
+    * every scale factor — cost intrinsic to the sketch, not the plan.
+    * Reach for SimHash only when the similarity you want IS hamming
+    * distance on bit signatures (e.g. matching an external
+    * SimHash-fingerprint corpus).
     */
   def simhashDedup(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5, maxHamming: Int = 8,
-      maxDF: Long = Long.MaxValue, verifyShards: Int = 1): DataFrame = {
+      maxDF: Long = Long.MaxValue, verifyShards: Int = AutoShards): DataFrame = {
     // one tokenize pass feeds both the signature and verification branches
     val toksDf = tokenTable(docs, id, text).persist()
     val sh = hashedShinglesFromTokens(toksDf, n).persist()

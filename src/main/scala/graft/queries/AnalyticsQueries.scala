@@ -430,6 +430,11 @@ object AnalyticsQueries {
     val eps = 0.001
     val cms = ev.stat.countMinSketch(col("operation_type"),
       eps = eps, confidence = 0.99, seed = 42)
+    // driver collect is safe ONLY because operation_type is a handful of
+    // values (the gate's point is the sketch bounds, not the groupBy);
+    // probing a wide key domain this way would be a driver bottleneck —
+    // probe executor-side against a broadcast sketch instead, as
+    // q_bloom_membership does
     val exact = ev.groupBy("operation_type").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val rows = exact.map { case (op, n) =>
@@ -460,12 +465,21 @@ object AnalyticsQueries {
     val present = ev.select(col("invoice_id")).distinct()
     val nKeys = present.count()
     val bf = ev.stat.bloomFilter(col("invoice_id"), nKeys, 0.01)
-    val hits = present.collect().map(_.getString(0)).count(bf.mightContain)
+    // the 100 TB membership shape: broadcast the (few-MB) sketch and
+    // probe EXECUTOR-side as a column, aggregating the booleans — the
+    // key set itself never moves to the driver
+    val bcast = s.sparkContext.broadcast(bf)
+    val probe = udf((k: String) => bcast.value.mightContain(k))
+    def nHits(df: DataFrame, key: Column): Long =
+      df.agg(sum(when(probe(key), 1L).otherwise(0L))).head().getLong(0)
+    val hits = nHits(present, col("invoice_id"))
     // disjoint probe set: invoice ids that cannot exist
-    val absentProbes = (0 until 20000).map(i => s"no-such-invoice-$i")
-    val fp = absentProbes.count(bf.mightContain)
+    val nAbsent = 20000L
+    val fp = nHits(
+      s.range(nAbsent).select(
+        concat(lit("no-such-invoice-"), col("id")).as("k")), col("k"))
     import s.implicits._
-    Seq((nKeys, hits == nKeys, fp <= (absentProbes.size * 0.03).toInt))
+    Seq((nKeys, hits == nKeys, fp <= (nAbsent * 0.03).toLong))
       .toDF("n_keys", "no_false_negatives", "fpr_ok")
   }
 

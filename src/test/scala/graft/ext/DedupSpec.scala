@@ -63,6 +63,30 @@ class DedupSpec extends SparkSpec {
     assert(e2e == Set((0L, 10L), (1L, 11L), (6L, 7L)))
   }
 
+  test("auto-sharding: over-budget map shards, output unchanged") {
+    // the estimator math itself
+    assert(Dedup.chooseShards(docs = 10, totalShingles = 100,
+      budgetBytes = 256L << 20) == 1)
+    assert(Dedup.chooseShards(docs = 1000000, totalShingles = 100000000,
+      budgetBytes = 256L << 20) == 7) // ~1.68 GB over a 256 MB budget
+    assert(Dedup.chooseShards(docs = Int.MaxValue, totalShingles = 1L << 40,
+      budgetBytes = 256L << 20) == 64) // capped
+    // behavior: a budget smaller than this corpus's map forces the
+    // sharded plan, whose union must equal the unsharded result exactly
+    val sh = Dedup.hashedShingles(docs, col("id"), col("t"), n = 3)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashBuckets(docs, col("id"), col("t")))
+    val unsharded = Dedup.verifyJaccard(cands, sh, threshold = 0.5, shards = 1)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val auto = Dedup.verifyJaccard(cands, sh, threshold = 0.5,
+      shards = Dedup.AutoShards, autoBudgetBytes = 4096)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(unsharded.nonEmpty)
+    assert(auto == unsharded)
+  }
+
   test("containment is asymmetric: quote inside a page, not the reverse") {
     val page = "the quick brown fox jumps over the lazy dog near the river " +
       "bank and then a completely different second half about cooking " +
