@@ -226,9 +226,13 @@ object Dedup {
     val resolved =
       if (shards > 0) shards
       else {
-        val st = rare.groupBy("id").agg(count(lit(1)).as("n"))
-          .agg(coalesce(count(lit(1)), lit(0L)).as("docs"),
-            coalesce(sum("n"), lit(0L)).as("tot")).head()
+        // one shuffle-free global aggregate over the 8-byte shingle rows
+        // (partial-agg'd map-side): exact shingle count + approximate
+        // distinct docs — the numbers feed a ceil'd ESTIMATE, so a
+        // groupBy-exact doc count would buy nothing but a shuffle
+        val st = rare.agg(
+          coalesce(approx_count_distinct("id"), lit(0L)).as("docs"),
+          coalesce(count(lit(1)), lit(0L)).as("tot")).head()
         chooseShards(st.getLong(0), st.getLong(1), autoBudgetBytes)
       }
     if (resolved == 1) scoreCandidates(cands, sets, threshold)
