@@ -666,6 +666,80 @@ object AnalyticsQueries {
       |  ON ev.user_id = dim.user_id AND ev.ts_ms >= dim.vf
       |ORDER BY ev.event_id""".stripMargin
 
+  /** Blocked record linkage ([[graft.operators.FuzzyJoin]]): a corrupted
+    * copy of every 7th customer name (6th char deleted — head-of-string
+    * noise) linked back to the clean table by an equi-join on the LAST
+    * four characters (a block key that survives the corruption) and a
+    * Levenshtein ≤ 2 verify on candidates only — never a cross product.
+    * `recall_ok` pins that every corrupted row found its origin; the
+    * pair set itself is mirrored exactly (DuckDB ships the same
+    * levenshtein), including the occasional extra near-miss pair, which
+    * is what a linkage CANDIDATE set is.
+    */
+  private def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(substring(col("c_name"), 1, 5),
+          substring(col("c_name"), 7, 100000)).as("c_name"))
+    val nDirty = dirty.count()
+    val linked = graft.operators.FuzzyJoin.linkByBlocking(
+      cust, dirty, bk => substring(bk, -4, 4), "c_name", maxDistance = 2)
+      .persist()
+    val selfMatches = linked
+      .filter(col("a_c_custkey") === col("b_c_custkey")).count()
+    linked.select(col("a_c_custkey").as("clean_key"),
+        col("b_c_custkey").as("dirty_key"), col("edit_dist"))
+      .withColumn("recall_ok", lit(selfMatches == nDirty))
+      .orderBy("clean_key", "dirty_key")
+  }
+
+  private val fuzzyJoinSql =
+    """WITH dirty AS (
+      |  SELECT c_custkey AS dirty_key,
+      |         substr(c_name, 1, 5) || substr(c_name, 7) AS dname
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT c.c_custkey AS clean_key, d.dirty_key,
+      |       CAST(levenshtein(c.c_name, d.dname) AS INTEGER) AS edit_dist,
+      |       true AS recall_ok
+      |FROM customer c JOIN dirty d ON right(c.c_name, 4) = right(d.dname, 4)
+      |WHERE levenshtein(c.c_name, d.dname) <= 2
+      |ORDER BY clean_key, dirty_key""".stripMargin
+
+  /** [[graft.functions.TopKAgg]]: per-group top-k as ONE partial-
+    * aggregating pass — identical output to q_window_topn's ranking
+    * window, but groups × k longs cross the shuffle instead of every
+    * row being shuffled and sort-buffered (at 100 TB the window's
+    * shuffle IS the cost). Ordering (count desc, user asc) is packed
+    * into an exact integer composite key, the same trick as [[maxBy]].
+    */
+  private def topkAgg(s: SparkSession, d: String): DataFrame = {
+    val C = 1000000000L
+    val counts = Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    counts.select(col("event_type"),
+        (col("n") * C + (lit(C - 1) - col("user_id"))).as("key"))
+      .groupBy("event_type")
+      .agg(udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.Encoders.scalaLong)(col("key")).as("ks"))
+      .select(col("event_type"), posexplode(col("ks")))
+      .select(col("event_type"),
+        (lit(C - 1) - pmod(col("col"), lit(C))).as("user_id"),
+        expr(s"col div ${C}L").as("n"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("event_type", "rn")
+  }
+
+  // same relational contract as q_window_topn — the gate's point is that
+  // the aggregate path reproduces the window path bit-for-bit
+  private val topkAggSql =
+    """WITH c AS (SELECT event_type, user_id, count(*) AS n
+      |           FROM events GROUP BY event_type, user_id)
+      |SELECT event_type, user_id, n, CAST(rn AS INTEGER) AS rn FROM
+      |  (SELECT *, row_number() OVER
+      |     (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn FROM c)
+      |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
+
   // ---- arg-max / arg-min aggregates ---------------------------------------
   /** `max_by`/`min_by`: the one-pass argmax aggregate (vs the window
     * row_number-top-1 of `q_window_topn` — no sort, no window state, plain
@@ -722,6 +796,8 @@ object AnalyticsQueries {
     Gate("q_cms_counts", cmsCounts, Some(cmsCountsSql)),
     Gate("q_bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),
+    Gate("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),
+    Gate("q_topk_agg", topkAgg, Some(topkAggSql)),
     Gate("q_props_json", propsJson, Some(propsJsonSql)),
     Gate("q_unpivot", unpivotStatus, Some(unpivotStatusSql)),
     Gate("q_regex_extract", regexExtract, Some(regexExtractSql)),

@@ -235,6 +235,47 @@ object IngestQueries {
        |GROUP BY year, month, day
        |ORDER BY year, month, day""".stripMargin
 
+  /** Snapshot reconciliation ([[graft.operators.TableDiff]]): snapshot A
+    * is the first 20 days of events; snapshot B applies deterministic
+    * deletions (event_id % 97), value modifications (% 53), and five days
+    * of additions. The operator classifies every key from 16-byte digests
+    * after one full-outer shuffle; the oracle recomputes the same
+    * classification relationally from the raw columns — so the digest
+    * shortcut is proven equivalent to comparing the rows themselves.
+    */
+  private def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        dayofmonth(col("ts")).as("day"))
+    val snapA = ev.filter(col("day") <= 20)
+    val snapB = ev.filter(col("day") <= 25)
+      .filter(!(col("event_id") % 97 === 0 && col("day") <= 20))
+      .withColumn("value",
+        when(col("event_id") % 53 === 0 && col("day") <= 20,
+          col("value") + 1.0).otherwise(col("value")))
+    graft.operators.TableDiff.diffSummary(snapA, snapB, "event_id",
+        Seq("user_id", "value"))
+      .orderBy("status")
+  }
+
+  private val tableDiffSql =
+    """WITH a AS (SELECT event_id, user_id, value FROM events
+      |           WHERE day(ts) <= 20),
+      |b AS (SELECT event_id, user_id,
+      |             CASE WHEN event_id % 53 = 0 AND day(ts) <= 20
+      |                  THEN value + 1.0 ELSE value END AS value
+      |      FROM events
+      |      WHERE day(ts) <= 25
+      |        AND NOT (event_id % 97 = 0 AND day(ts) <= 20))
+      |SELECT CASE WHEN a.event_id IS NULL THEN 'added'
+      |            WHEN b.event_id IS NULL THEN 'removed'
+      |            WHEN a.user_id <> b.user_id OR a.value <> b.value
+      |              THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |       count(*) AS n
+      |FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
@@ -244,5 +285,6 @@ object IngestQueries {
     Gate("q_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
     Gate("q_merge_schema", mergeSchema, Some(mergeSchemaSql)),
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),
+    Gate("q_table_diff", tableDiff, Some(tableDiffSql)),
   )
 }

@@ -734,6 +734,68 @@ object ScaleQueries {
       |WHERE session_end_ms <= mx - 1800000
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  /** Custom keyed streaming state ([[graft.streaming.StatefulOps]]):
+    * per-user cumulative totals via `flatMapGroupsWithState`, delivered
+    * as two TIME-SPLIT files drained separately against one checkpoint —
+    * the per-user fold must survive the micro-batch boundary in the
+    * keyed state store (batch 2 resumes every user's total where batch 1
+    * left it). The oracle mirrors the whole computation as a running
+    * window over the same pre-aggregated rows; totals are integer cents
+    * so no float summation-tree ambiguity exists on either side.
+    */
+  private def streamStateful(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) { streamStatefulImpl(s, d) }
+
+  private def streamStatefulImpl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = graft.Gate.tmpDir("gate_sst_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sst_ck_")
+    val out = graft.Gate.tmpDir("gate_sst_out_")
+    // one row per (user, microsecond): unique event times make the
+    // event-time fold order unambiguous on both sides
+    val p = Tables.events(s, d).filter(col("user_id") % 23 === 0)
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val mm = p.agg(min("us"), max("us")).head()
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = graft.Gate.tmpDir("gate_sst_stage_")
+      df.coalesce(1).write.option("header", "true").mode("overwrite").csv(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, name))
+      ()
+    }
+    def drain(): Unit = {
+      val stream = s.readStream.option("header", "true")
+        .schema("user_id LONG, us LONG, cents LONG").csv(in)
+        .as[graft.streaming.StatefulOps.Event]
+      val q = graft.streaming.StatefulOps.runningTotals(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(p.filter(col("us") <= cut), "b1.csv"); drain()
+    stage(p.filter(col("us") > cut), "b2.csv"); drain()
+    s.read.parquet(out).orderBy("user_id", "us")
+  }
+
+  private val streamStatefulSql =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events WHERE user_id % 23 = 0 GROUP BY 1, 2)
+      |SELECT user_id, us,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS running_cents,
+      |       CAST(row_number() OVER w AS BIGINT) AS running_n
+      |FROM p
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us""".stripMargin
+
   // Stream-stream join: clicks joined to errors within 5 minutes, both
   // sides watermarked, run via file streams + AvailableNow into a memory
   // sink. The timestamp hand-off to CSV goes as unix_micros longs (CSV
@@ -1113,5 +1175,6 @@ object ScaleQueries {
     Gate("q_stream_dedup", streamDedup, Some(streamDedupSql)),
     Gate("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     Gate("q_stream_static", streamStatic, Some(streamStaticSql)),
+    Gate("q_stream_stateful", streamStateful, Some(streamStatefulSql)),
   )
 }
