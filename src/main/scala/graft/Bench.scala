@@ -82,5 +82,7 @@ object Bench {
     "q_stream_join", "q_pack_sequences", "q_assemble_dataset",
     "q_salted_join", "q_token_stats", "q_histogram",
     "q_incremental_agg", "q_stream_incremental", "q_tfidf",
-    "q_interval_join", "q_pq_topk", "q_zorder_layout", "q_dup_clusters_star")
+    "q_interval_join", "q_pq_topk", "q_zorder_layout", "q_dup_clusters_star",
+    "q_pq_persist", "q_ivf_persist", "q_stream_stateful", "q_topk_agg",
+    "q_fuzzy_join", "q_table_diff")
 }

@@ -229,8 +229,13 @@ object Dedup {
         // one shuffle-free global aggregate over the 8-byte shingle rows
         // (partial-agg'd map-side): exact shingle count + approximate
         // distinct docs — the numbers feed a ceil'd ESTIMATE, so a
-        // groupBy-exact doc count would buy nothing but a shuffle
-        val st = rare.agg(
+        // groupBy-exact doc count would buy nothing but a shuffle.
+        // Sized over `sh`, NOT `rare`: callers persist the shingle table
+        // (this aggregate reads cache), while `rare` would re-run the
+        // doc-frequency groupBy+join once extra just to size a buffer —
+        // and counting stop-shingles in only OVERestimates, which for a
+        // memory budget errs the safe way
+        val st = sh.agg(
           coalesce(approx_count_distinct("id"), lit(0L)).as("docs"),
           coalesce(count(lit(1)), lit(0L)).as("tot")).head()
         chooseShards(st.getLong(0), st.getLong(1), autoBudgetBytes)

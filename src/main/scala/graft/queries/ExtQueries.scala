@@ -660,7 +660,10 @@ object ExtQueries {
     val pairs = Dedup.minhashDedup(corpus, col("id"), col("t"),
       n = 3, threshold = 0.5, maxDF = 20)
       .select("id_a", "id_b")
-    val clusters = Dedup.dupClusters(corpus.select("id"), pairs,
+    // star contraction, not label propagation: same min-label components
+    // (pinned by DedupSpec/StarClusterProperties), O(log n) rounds — the
+    // chain-length-proportional propagation was this gate's cost center
+    val clusters = Dedup.dupClustersStar(corpus.select("id"), pairs,
       parallelism = Some(8))
     clusters.join(corpus, "id")
       .withColumn("len", length(col("t")).cast("long"))
