@@ -740,6 +740,48 @@ object AnalyticsQueries {
       |     (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn FROM c)
       |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
 
+  /** Ordered conversion funnel (signup → first later click → first later
+    * purchase): each stage is a min-timestamp aggregate joined to the
+    * previous stage with a strict event-time ordering filter — the
+    * sequential-pattern query behavioral analytics runs constantly, and
+    * one SQL window-less shape that stays cheap at scale (each stage's
+    * per-user frame SHRINKS, so the joins get more broadcastable as the
+    * funnel deepens; no per-user event-list materialization, no window
+    * sort over the fact table).
+    */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    import s.implicits._
+    Seq(("1_signup", s1.count()),
+      ("2_click_after_signup", s2.count()),
+      ("3_purchase_after_click", s3.count()))
+      .toDF("stage", "users").orderBy("stage")
+  }
+
+  private val funnelSql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |       JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT '1_signup' AS stage, (SELECT count(*) FROM s1) AS users
+      |UNION ALL
+      |SELECT '2_click_after_signup', (SELECT count(*) FROM s2)
+      |UNION ALL
+      |SELECT '3_purchase_after_click', (SELECT count(*) FROM s3)
+      |ORDER BY stage""".stripMargin
+
   // ---- arg-max / arg-min aggregates ---------------------------------------
   /** `max_by`/`min_by`: the one-pass argmax aggregate (vs the window
     * row_number-top-1 of `q_window_topn` — no sort, no window state, plain
@@ -798,6 +840,7 @@ object AnalyticsQueries {
     Gate("q_max_by", maxBy, Some(maxBySql)),
     Gate("q_fuzzy_join", fuzzyJoin, Some(fuzzyJoinSql)),
     Gate("q_topk_agg", topkAgg, Some(topkAggSql)),
+    Gate("q_funnel", funnel, Some(funnelSql)),
     Gate("q_props_json", propsJson, Some(propsJsonSql)),
     Gate("q_unpivot", unpivotStatus, Some(unpivotStatusSql)),
     Gate("q_regex_extract", regexExtract, Some(regexExtractSql)),

@@ -843,6 +843,69 @@ object ScaleQueries {
       | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
       |ORDER BY c.user_id, click_id, error_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER join
+    * ([[graft.streaming.StreamingJoins.clickErrorPairsOuter]]): same
+    * staging as q_stream_join, but unmatched clicks must ALSO emit (with
+    * null error) — and only once the global watermark has evicted their
+    * state, i.e. once "no match" is final. The oracle mirrors both the
+    * matched pairs and that emission rule (final watermark =
+    * min(max click ts, max error ts) − the 10-minute delay), so the
+    * outer join's state-eviction semantics are hash-checked, not just
+    * its happy path.
+    */
+  private def streamOuterJoin(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) { streamOuterJoinImpl(s, d) }
+
+  private def streamOuterJoinImpl(s: SparkSession, d: String): DataFrame = {
+    val dirC = graft.Gate.tmpDir("gate_soj_c_")
+    val dirE = graft.Gate.tmpDir("gate_soj_e_")
+    val ckpt = graft.Gate.tmpDir("gate_soj_ck_")
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 3 === 0)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    ev.filter(col("event_type") === "click").drop("event_type")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dirC)
+    ev.filter(col("event_type") === "error").drop("event_type")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dirE)
+    def readSide(dir: String) = s.readStream
+      .option("header", "true")
+      .schema("user_id LONG, event_id LONG, us LONG")
+      .csv(dir)
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.StreamingJoins
+      .clickErrorPairsOuter(readSide(dirC), readSide(dirE), windowSec = 300)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gate_soj_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("gate_soj_out").orderBy("user_id", "click_id", "error_id")
+  }
+
+  private val streamOuterJoinSql =
+    """WITH c AS (SELECT * FROM events
+      |           WHERE event_type = 'click' AND user_id % 3 = 0),
+      |e AS (SELECT * FROM events
+      |      WHERE event_type = 'error' AND user_id % 3 = 0),
+      |m AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+      |             - INTERVAL 10 MINUTE AS wm),
+      |matched AS (
+      |  SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |         epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+      |  FROM c JOIN e ON c.user_id = e.user_id
+      |   AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE),
+      |unmatched AS (
+      |  SELECT c.user_id, c.event_id AS click_id,
+      |         CAST(NULL AS BIGINT) AS error_id,
+      |         CAST(NULL AS BIGINT) AS delta_us
+      |  FROM c, m
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = c.user_id
+      |          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE)
+      |    AND c.ts + INTERVAL 5 MINUTE < wm)
+      |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+      |ORDER BY user_id, click_id, error_id""".stripMargin
+
   // The reference's whole incremental lifecycle (T1-T5) as one gate:
   // drain delivery 1 through the checkpointed file stream into the
   // partitioned store (foreachBatch → dedup-append → rollup rebuild),
@@ -1176,5 +1239,6 @@ object ScaleQueries {
     Gate("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     Gate("q_stream_static", streamStatic, Some(streamStaticSql)),
     Gate("q_stream_stateful", streamStateful, Some(streamStatefulSql)),
+    Gate("q_stream_outer_join", streamOuterJoin, Some(streamOuterJoinSql)),
   )
 }

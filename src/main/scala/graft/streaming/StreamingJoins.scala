@@ -33,7 +33,23 @@ object StreamingJoins {
     facts.join(broadcast(dim), key)
 
   def clickErrorPairs(clicks: DataFrame, errors: DataFrame,
-      windowSec: Int): DataFrame = {
+      windowSec: Int): DataFrame =
+    joinImpl(clicks, errors, windowSec, "inner")
+
+  /** Left-outer variant: matched pairs emit as they join; a click with
+    * no error in its window emits ONCE with null error — when the global
+    * watermark passes `cts + windowSec` and its buffered state is
+    * evicted (so "no match" has become final, not merely
+    * not-yet-arrived). Clicks the final watermark never clears stay
+    * unemitted; the gate's oracle mirrors exactly that emission rule,
+    * making the state-eviction semantics themselves hash-checked.
+    */
+  def clickErrorPairsOuter(clicks: DataFrame, errors: DataFrame,
+      windowSec: Int): DataFrame =
+    joinImpl(clicks, errors, windowSec, "leftOuter")
+
+  private def joinImpl(clicks: DataFrame, errors: DataFrame,
+      windowSec: Int, joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("cts"))
@@ -43,7 +59,8 @@ object StreamingJoins {
         col("ts").as("ets"))
       .withWatermark("ets", "10 minutes")
     c.join(e, expr(
-      s"user_id = e_user AND ets >= cts AND ets <= cts + interval $windowSec seconds"))
+      s"user_id = e_user AND ets >= cts AND ets <= cts + interval $windowSec seconds"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("error_id"),
         (unix_micros(col("ets")) - unix_micros(col("cts"))).as("delta_us"))
   }

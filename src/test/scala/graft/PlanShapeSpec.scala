@@ -59,4 +59,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("heap top-k partial-aggregates map-side and plans no Window") {
+    val p = plan("q_topk_agg")
+    // partial_topkagg below the exchange = groups × k longs shuffle
+    assert(p.contains("partial_topkagg"), s"no partial topkagg:\n$p")
+    assert(!p.contains("Window"))
+  }
+
+  test("fuzzy join hash-joins on the block key — never a cartesian") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join degenerated to a cross product:\n$p")
+    assert(p.contains("Join"))
+  }
+
+  test("table diff is one full-outer join over digests, not payloads") {
+    val df = SparkEntry.queries("q_table_diff")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"))
+    // the join carries 16-byte md5 digests; the raw text/props columns
+    // never reach the exchange
+    assert(!p.contains("props"))
+  }
 }
