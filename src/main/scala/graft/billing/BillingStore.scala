@@ -249,6 +249,33 @@ final case class BillingStore(root: String) {
     }
   }
 
+  /** Retention: drop fact-table day partitions STRICTLY older than
+    * (year, month, day). Partition-dir deletes under the writer lock —
+    * no data file is ever read or rewritten, and untouched days keep
+    * their files byte-identical (the same partition-granular contract as
+    * [[compactRaw]]). Returns the number of partitions dropped. The
+    * reference has no retention story at all (its DuckDB file only
+    * grows); at 100 TB dropping expired partitions by directory is the
+    * only shape that doesn't scan history to forget it.
+    */
+  def vacuumBefore(spark: SparkSession, year: Int, month: Int,
+      day: Int): Long = TableLock.withLock(spark, root) {
+    if (!exists(spark, rawPath)) 0L
+    else {
+      val cutoff = (year * 100 + month) * 100 + day
+      val old = raw(spark).select("year", "month", "day").distinct()
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        .filter { case (y, m, dd) => (y * 100 + m) * 100 + dd < cutoff }
+      val fs = new Path(rawPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      old.foreach { case (y, m, dd) =>
+        fs.delete(new Path(s"$rawPath/year=$y/month=$m/day=$dd"), true)
+      }
+      old.length.toLong
+    }
+  }
+
   /** T4: last-wins ledger upsert, rewritten in place (the ledger is tiny —
     * one row per ingested file).
     */

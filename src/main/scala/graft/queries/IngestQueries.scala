@@ -235,6 +235,37 @@ object IngestQueries {
        |GROUP BY year, month, day
        |ORDER BY year, month, day""".stripMargin
 
+  /** Retention gate ([[graft.billing.BillingStore.vacuumBefore]]): a
+    * week of day-partitioned store, vacuum everything before day 4 —
+    * partition-dir deletes, no rewrite. The surviving per-day aggregate
+    * is mirrored by the oracle; `dropped_ok` pins that exactly the
+    * expired partitions went away.
+    */
+  private def vacuumStore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_vacuum_"))
+    EventsBilling(s, d)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day") <= 7)
+      .write.mode("append").partitionBy("year", "month", "day")
+      .parquet(store.rawPath)
+    val dropped = store.vacuumBefore(s, 2024, 1, 4)
+    store.raw(s)
+      .groupBy("year", "month", "day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("credit_usage"), 2).as("total_credit_usage"))
+      .withColumn("dropped_ok", lit(dropped == 3L))
+      .orderBy("year", "month", "day")
+  }
+
+  private val vacuumStoreSql =
+    s"""${EventsBilling.cte}
+       |SELECT year, month, day, count(*) AS n,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       true AS dropped_ok
+       |FROM billing
+       |WHERE year = 2024 AND month = 1 AND day BETWEEN 4 AND 7
+       |GROUP BY year, month, day
+       |ORDER BY year, month, day""".stripMargin
+
   /** Snapshot reconciliation ([[graft.operators.TableDiff]]): snapshot A
     * is the first 20 days of events; snapshot B applies deterministic
     * deletions (event_id % 97), value modifications (% 53), and five days
@@ -286,5 +317,6 @@ object IngestQueries {
     Gate("q_merge_schema", mergeSchema, Some(mergeSchemaSql)),
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),
     Gate("q_table_diff", tableDiff, Some(tableDiffSql)),
+    Gate("q_vacuum_store", vacuumStore, Some(vacuumStoreSql)),
   )
 }

@@ -121,6 +121,25 @@ class BillingStoreSpec extends SparkSpec {
     assert(store.compactRaw(spark) == ((0L, 0L)))
   }
 
+  test("vacuum drops only expired partitions, untouched days keep files") {
+    val store = BillingStore(tmpDir("vacuum_store"))
+    store.appendDedup(spark, df(
+      rec("2025-04-23 10:00:00", "r1", "u1", 2.0),
+      rec("2025-04-24 10:00:00", "r2", "u1", 3.0),
+      rec("2025-04-25 10:00:00", "r3", "u2", 5.0)))
+    val d25 = new java.io.File(
+      s"${store.rawPath}/year=2025/month=4/day=25")
+    val before = d25.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(store.vacuumBefore(spark, 2025, 4, 25) == 2L)
+    val left = store.raw(spark).select("resource_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("r3"))
+    assert(d25.listFiles().map(f => f.getName -> f.lastModified).toMap
+      == before, "surviving partition must be byte-untouched")
+    // idempotent: nothing older remains
+    assert(store.vacuumBefore(spark, 2025, 4, 25) == 0L)
+  }
+
   test("schema drift report: added, missing, retyped columns") {
     val dir = tmpDir("drift")
     java.nio.file.Files.writeString(
