@@ -46,16 +46,21 @@ object IvfIndex {
   }
 
   /** Persist the index: centroids (k tiny rows) plus the corpus-sized
-    * cell assignment as (vec_id, cell) parquet. Vectors are NOT
-    * duplicated — the corpus table remains the source of truth for `v`;
-    * [[load]] re-attaches them (same build-once/reuse design as
-    * [[PqIndex.save]]).
+    * cell assignment as (vec_id, cell) parquet, PARTITIONED BY cell —
+    * the on-disk layout the IVF design promises: a probe of `nProbe`
+    * cells is nProbe co-located partition reads, and a filter on `cell`
+    * prunes at the file index instead of scanning the assignment.
+    * Vectors are NOT duplicated — the corpus table remains the source of
+    * truth for `v`; [[load]] re-attaches them (same build-once/reuse
+    * design as [[PqIndex.save]]).
     */
   def save(model: Model, path: String): Unit = {
     model.centroids.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     model.assigned.select("vec_id", "cell")
-      .write.mode("overwrite").parquet(s"$path/cells")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
   }
 
   /** Assign new vectors to their nearest EXISTING centroid — the frozen
@@ -82,7 +87,7 @@ object IvfIndex {
     */
   def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
     assignNew(model, newEmbs).select("vec_id", "cell")
-      .write.mode("append").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
 
   /** Load a saved index; `embs` (the corpus plus appended rows)
     * re-attaches vectors via an inner join on vec_id.
