@@ -41,6 +41,17 @@ object GraftProperties extends Properties("graft") {
   private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
   private val text = Gen.listOfN(12, word).map(_.mkString(" "))
 
+  property("topKAggEqualsSortTakeK") = Prop.forAllNoShrink(
+    Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+    Gen.choose(1, 8), Gen.choose(1, 5)) { (xs, k, parts) =>
+    val got = xs.toDF("x").repartition(parts)
+      .agg(org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopKAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)(col("x")))
+      .as[Seq[Long]].head().toList
+    got == xs.sorted.reverse.take(k)
+  }
+
   property("fingerprintWhitespaceCaseInvariance") =
     Prop.forAllNoShrink(Gen.listOfN(6, text)) { ts =>
       val mangled = ts.map(t => "  " + t.toUpperCase.replace(" ", "\t  "))
