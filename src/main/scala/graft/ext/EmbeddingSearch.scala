@@ -88,6 +88,29 @@ object EmbeddingSearch {
     * bucket id and each bucket is a co-partitioned local join. Recall is
     * tunable via fewer planes (bigger buckets) or multiple tables.
     */
+  /** Exact top-k for EXTERNAL query vectors — `queries` is its own
+    * (vec_id, embedding) frame, not a corpus subset, so nothing is
+    * self-excluded: a query identical to a corpus row ranks that row
+    * first, which is the correct lookup semantics. Same scale shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus streams once,
+    * per-query window top-k.
+    */
+  def bruteForceTopKFor(embs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val e = prepared(embs)
+    val q = prepared(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   def lshTopK(embs: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)

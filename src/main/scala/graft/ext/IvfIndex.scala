@@ -99,9 +99,27 @@ object IvfIndex {
   }
 
   /** Top-k per query, probing the `nProbe` nearest cells. */
-  def search(model: Model, queryPred: Column, k: Int, nProbe: Int): DataFrame = {
-    val q = model.assigned.filter(queryPred).select(
-      col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+  def search(model: Model, queryPred: Column, k: Int, nProbe: Int): DataFrame =
+    searchImpl(model,
+      model.assigned.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnrm")),
+      k, nProbe, excludeSelf = true)
+
+  /** Top-k for EXTERNAL query vectors — `queries` is its own
+    * (vec_id, embedding) frame, not a corpus subset; nothing is
+    * self-excluded, so a query identical to a corpus row ranks it first
+    * (lookup semantics). External queries need no cell assignment — the
+    * probes come from ranking the broadcast centroids per query.
+    */
+  def searchVectors(model: Model, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame =
+    searchImpl(model,
+      EmbeddingSearch.prepared(queries).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnrm")),
+      k, nProbe, excludeSelf = false)
+
+  private def searchImpl(model: Model, q: DataFrame, k: Int, nProbe: Int,
+      excludeSelf: Boolean): DataFrame = {
     // rank cells per query by centroid distance (centroids are tiny)
     val d2 = EmbeddingSearch.dot(col("qv"), col("qv")) -
       lit(2.0) * EmbeddingSearch.dot(col("qv"), col("cv")) +
@@ -113,7 +131,7 @@ object IvfIndex {
       .filter(col("cell_rank") <= nProbe)
       .select("query_id", "qv", "qnrm", "cell")
     val scored = model.assigned.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("cos",
         EmbeddingSearch.dot(col("qv"), col("v")) /
           sqrt(col("qnrm") * col("nrm")))

@@ -256,11 +256,30 @@ object PqIndex {
     * streams once.
     */
   def search(model: Model, queryPred: Column, k: Int,
-      shortlist: Int = 4): DataFrame = {
-    val q = model.encoded.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-      .withColumn("qdt", distTables(col("qv"), col("qnrm"), model))
+      shortlist: Int = 4): DataFrame =
+    searchImpl(model,
+      model.encoded.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")),
+      k, shortlist, excludeSelf = true)
+
+  /** Top-k for EXTERNAL query vectors — `queries` is its own
+    * (vec_id, embedding) frame, not a corpus subset; nothing is
+    * self-excluded, so a query identical to a corpus row ranks it first
+    * (lookup semantics). The distance tables are built from the raw
+    * query vectors, so external queries need no codes.
+    */
+  def searchVectors(model: Model, queries: DataFrame, k: Int,
+      shortlist: Int = 4): DataFrame =
+    searchImpl(model,
+      EmbeddingSearch.prepared(queries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")),
+      k, shortlist, excludeSelf = false)
+
+  private def searchImpl(model: Model, q0: DataFrame, k: Int,
+      shortlist: Int, excludeSelf: Boolean): DataFrame = {
+    val q = q0.withColumn("qdt", distTables(col("qv"), col("qnrm"), model))
     // codegen'd ADC lookup (PqAdc) — the corpus×queries inner loop must
     // not run as an interpreted HOF lambda; the HOF spelling lives in
     // hofAdc as the equivalence-test reference
@@ -269,8 +288,9 @@ object PqIndex {
       Bridge.toColumn(graft.functions.PqAdc(
         Bridge.toExpr(col("code")), Bridge.toExpr(col("qdt"))))
     }
-    val scored = model.encoded.join(broadcast(q),
-        col("vec_id") =!= col("query_id"))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    val scored = model.encoded.join(broadcast(q), joinCond)
       .withColumn("adc", adc)
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("vec_id").asc)

@@ -231,6 +231,38 @@ object ExtQueries {
       col("vec_id") < 10, k = 5)
       .orderBy("query_id", "rank")
 
+  /** External-query search ([[EmbeddingSearch.bruteForceTopKFor]]): the
+    * queries are their OWN vectors (reversed corpus embeddings under
+    * fresh negative ids), not corpus rows — the lookup path a user hits
+    * when searching with a new embedding. No self-exclusion; the oracle
+    * mirrors the construction with `list_reverse`.
+    */
+  private def embedQueryExt(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val queries = embs.filter(col("vec_id") < 5)
+      .select((-col("vec_id") - 1).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    EmbeddingSearch.bruteForceTopKFor(embs, queries, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  private val embedQueryExtSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |q AS (SELECT -vec_id - 1 AS query_id, list_reverse(ev) AS qv
+      |      FROM e WHERE vec_id < 5),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   private val embedTopKSql =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       |           FROM embeddings WHERE vec_id < 10),
@@ -709,6 +741,7 @@ object ExtQueries {
     Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
     Gate("q_simhash_dedup", simhashDedup, Some(simhashDedupSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
+    Gate("q_embed_query_ext", embedQueryExt, Some(embedQueryExtSql)),
     Gate("q_embed_dup_pairs", embedDupPairs, Some(embedDupPairsSql)),
     Gate("q_embed_centroids", embedCentroids, Some(embedCentroidsSql)),
     Gate("q_embed_lsh_topk", lshTopK, Some(lshTopKSql)),

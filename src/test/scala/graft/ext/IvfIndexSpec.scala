@@ -55,6 +55,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("external-vector search matches in-corpus search after self-shift") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val model = IvfIndex.build(embs, k = 4)
+    val queries = embs.filter(col("vec_id") < 3)
+      .select((-col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val got = IvfIndex.searchVectors(model, queries, k = 4, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 12)
+    got.filter(_._3 == 1).foreach { case (q, n, _) => assert(n == -q - 1) }
+    val internal = IvfIndex.search(model, col("vec_id") < 3, k = 3, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val shifted = got.filter(_._3 > 1)
+      .map { case (q, n, r) => (-q - 1, n, r - 1) }.toSet
+    assert(shifted == internal)
+  }
+
   test("IVF with partial probing returns k ranked cells-local neighbors") {
     val embs = Tables.embeddings(spark, sf0001)
     val model = IvfIndex.build(embs, k = 8)

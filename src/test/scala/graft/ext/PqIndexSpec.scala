@@ -107,6 +107,27 @@ class PqIndexSpec extends SparkSpec {
       .as[(Long, Seq[Int])].collect().toMap)
   }
 
+  test("external-vector search: identical query ranks its corpus row first") {
+    val model = PqIndex.build(corpus, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    // queries = corpus vectors 0..2 under fresh external ids
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select((-col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val got = PqIndex.searchVectors(model, queries, k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 12)
+    // rank 1 is the identical vector (no self-exclusion = lookup semantics)
+    got.filter(_._3 == 1).foreach { case (q, n, _) => assert(n == -q - 1) }
+    // dropping the self row reproduces the in-corpus search
+    val internal = PqIndex.search(model, col("vec_id") < 3, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val shifted = got.filter(_._3 > 1)
+      .map { case (q, n, r) => (-q - 1, n, r - 1) }.toSet
+    assert(shifted == internal)
+  }
+
   test("ADC search recovers same-direction neighbors") {
     val model = PqIndex.build(corpus, m = 2, k = 4,
       sampleFraction = 1.0, maxIter = 10)
