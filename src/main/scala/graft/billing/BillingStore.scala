@@ -249,6 +249,70 @@ final case class BillingStore(root: String) {
     }
   }
 
+  /** CDC merge: apply a change batch — `op` = "upsert" (insert new or
+    * replace the row with the same natural key) or "delete" (by key) —
+    * to the fact store, PARTITION-GRANULAR under the writer lock: only
+    * the (year,month,day) partitions the batch names are read, merged,
+    * and swapped via dynamic partition overwrite; history partitions
+    * are never touched. Completes the store lifecycle the append-only
+    * reference lacks (its DuckDB tables are INSERT-only,
+    * ingest.py:249-257): append-dedup, compact, vacuum, and now
+    * update/delete.
+    *
+    * Dynamic overwrite only rewrites partitions PRESENT in the merged
+    * output, so a day whose every row was deleted would silently keep
+    * its old files — those emptied partitions are removed explicitly
+    * (the classic dynamic-overwrite pitfall, handled here).
+    *
+    * Returns (rows upserted, rows deleted-that-matched).
+    */
+  def applyChanges(spark: SparkSession, changes: DataFrame,
+      key: Seq[String] = Schemas.dedupKey): (Long, Long) =
+      TableLock.withLock(spark, root) {
+    import org.apache.spark.sql.functions.{exists => _, _}
+    val ch = changes.persist()
+    val upserts = Ingest.dedupWithinBatch(ch.filter(col("op") === "upsert")
+      .drop("op"), key)
+    val deletes = ch.filter(col("op") === "delete").drop("op")
+    val days = ch.select("year", "month", "day").distinct()
+    val current =
+      if (exists(spark, rawPath))
+        raw(spark).join(broadcast(days), Seq("year", "month", "day"))
+      else raw(spark)
+    val nDeleted = current.join(deletes.select(key.map(col): _*).distinct(),
+      key, "left_semi").count()
+    // survivors = current minus every changed key, plus the upsert rows
+    val changedKeys = upserts.select(key.map(col): _*)
+      .unionByName(deletes.select(key.map(col): _*)).distinct()
+    val merged = current.join(changedKeys, key, "left_anti")
+      .unionByName(upserts)
+      .localCheckpoint(true)
+    val nUpserted = upserts.count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite")
+      .partitionBy("year", "month", "day").parquet(rawPath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // partitions the batch touched but the merge emptied: remove their
+    // directories (dynamic overwrite never rewrites an absent partition)
+    val surviving = merged.select("year", "month", "day").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val fs = new Path(rawPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    days.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .filterNot(surviving)
+      .foreach { case (y, m, dd) =>
+        fs.delete(new Path(s"$rawPath/year=$y/month=$m/day=$dd"), true)
+      }
+    ch.unpersist()
+    (nUpserted, nDeleted)
+  }
+
   /** Retention: drop fact-table day partitions STRICTLY older than
     * (year, month, day). Partition-dir deletes under the writer lock —
     * no data file is ever read or rewritten, and untouched days keep

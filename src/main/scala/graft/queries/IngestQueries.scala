@@ -266,6 +266,58 @@ object IngestQueries {
        |GROUP BY year, month, day
        |ORDER BY year, month, day""".stripMargin
 
+  /** CDC merge gate ([[graft.billing.BillingStore.applyChanges]]): load
+    * days 1-5, then one change batch that replaces rows (day-3 usage
+    * bump), inserts a new day (6), deletes selected keys (day 2), and
+    * wipes day 5 entirely — the last proving emptied partitions are
+    * removed, dynamic overwrite's blind spot. The oracle reconstructs
+    * the expected end state relationally; `counts_ok` pins the
+    * (upserted, deleted) totals the merge reported.
+    */
+  private def upsertStore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_upsert_"))
+    val b = EventsBilling(s, d)
+      .filter(col("year") === 2024 && col("month") === 1).persist()
+    b.filter(col("day") <= 5).write.mode("append")
+      .partitionBy("year", "month", "day").parquet(store.rawPath)
+    val uid = col("user_id").cast("long")
+    val mods = b.filter(col("day") === 3 && uid % 7 === 0)
+      .withColumn("credit_usage", col("credit_usage") + 100.0)
+    val inserts = b.filter(col("day") === 6)
+    val keyDeletes = b.filter(col("day") === 2 && uid % 5 === 0)
+    val wipeDay = b.filter(col("day") === 5)
+    val changes = mods.unionByName(inserts).withColumn("op", lit("upsert"))
+      .unionByName(
+        keyDeletes.unionByName(wipeDay).withColumn("op", lit("delete")))
+    val (nUp, nDel) = store.applyChanges(s, changes)
+    val countsOk = nUp == mods.count() + inserts.count() &&
+      nDel == keyDeletes.count() + wipeDay.count()
+    val day5Gone = !new java.io.File(
+      s"${store.rawPath}/year=2024/month=1/day=5").exists()
+    b.unpersist()
+    store.raw(s)
+      .groupBy("year", "month", "day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("credit_usage"), 2).as("total_credit_usage"))
+      .withColumn("counts_ok", lit(countsOk && day5Gone))
+      .orderBy("year", "month", "day")
+  }
+
+  private val upsertStoreSql =
+    s"""${EventsBilling.cte}
+       |SELECT year, month, day, count(*) AS n,
+       |       round(sum(CASE WHEN day = 3
+       |                       AND CAST(user_id AS BIGINT) % 7 = 0
+       |                      THEN credit_usage + 100.0
+       |                      ELSE credit_usage END), 2)
+       |         AS total_credit_usage,
+       |       true AS counts_ok
+       |FROM billing
+       |WHERE year = 2024 AND month = 1 AND day <= 6 AND day <> 5
+       |  AND NOT (day = 2 AND CAST(user_id AS BIGINT) % 5 = 0)
+       |GROUP BY year, month, day
+       |ORDER BY year, month, day""".stripMargin
+
   /** Snapshot reconciliation ([[graft.operators.TableDiff]]): snapshot A
     * is the first 20 days of events; snapshot B applies deterministic
     * deletions (event_id % 97), value modifications (% 53), and five days
@@ -318,5 +370,6 @@ object IngestQueries {
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),
     Gate("q_table_diff", tableDiff, Some(tableDiffSql)),
     Gate("q_vacuum_store", vacuumStore, Some(vacuumStoreSql)),
+    Gate("q_upsert_store", upsertStore, Some(upsertStoreSql)),
   )
 }

@@ -140,6 +140,37 @@ class BillingStoreSpec extends SparkSpec {
     assert(store.vacuumBefore(spark, 2025, 4, 25) == 0L)
   }
 
+  test("applyChanges: replace, delete, emptied partition removed, rest untouched") {
+    import org.apache.spark.sql.functions._
+    val store = BillingStore(tmpDir("cdc_store"))
+    store.appendDedup(spark, df(
+      rec("2025-04-23 10:00:00", "r1", "u1", 2.0),
+      rec("2025-04-23 11:00:00", "r2", "u1", 3.0),
+      rec("2025-04-24 10:00:00", "r3", "u2", 5.0),
+      rec("2025-04-25 10:00:00", "r4", "u2", 7.0)))
+    val d25 = new java.io.File(
+      s"${store.rawPath}/year=2025/month=4/day=25")
+    val before = d25.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // replace r1 (new usage), delete r2, wipe day 24 (its only row)
+    val changes = df(rec("2025-04-23 10:00:00", "r1", "u1", 99.0))
+      .withColumn("op", lit("upsert"))
+      .unionByName(df(
+        rec("2025-04-23 11:00:00", "r2", "u1", 3.0),
+        rec("2025-04-24 10:00:00", "r3", "u2", 5.0))
+        .withColumn("op", lit("delete")))
+    assert(store.applyChanges(spark, changes) == ((1L, 2L)))
+    val got = store.raw(spark)
+      .select("resource_id", "credit_usage").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("r1" -> 99.0, "r4" -> 7.0))
+    // the emptied day-24 partition directory is gone entirely
+    assert(!new java.io.File(
+      s"${store.rawPath}/year=2025/month=4/day=24").exists())
+    // day 25 was not named by the batch: byte-untouched
+    assert(d25.listFiles().map(f => f.getName -> f.lastModified).toMap
+      == before)
+  }
+
   test("schema drift report: added, missing, retyped columns") {
     val dir = tmpDir("drift")
     java.nio.file.Files.writeString(
