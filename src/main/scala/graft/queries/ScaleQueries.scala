@@ -744,7 +744,19 @@ object ScaleQueries {
     * so no float summation-tree ambiguity exists on either side.
     */
   private def streamStateful(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s, 4) { streamStatefulImpl(s, d) }
+    withStreamPartitions(s, 4) {
+      // RocksDB state store: keyed state lives off-heap/on-disk per
+      // partition instead of in the executor heap — at 100 TB of active
+      // keys the HDFS-backed in-memory map is the thing that falls over
+      // first, so the custom-state gate runs on the big-state backend
+      // (same results; the provider is an implementation choice)
+      graft.Gate.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")) {
+        streamStatefulImpl(s, d)
+      }
+    }
 
   private def streamStatefulImpl(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
