@@ -60,6 +60,22 @@ object PipelineDemo {
       .withColumn("record_count", org.apache.spark.sql.functions.lit(3L))
       .select("filename", "file_hash", "processed_at", "record_count"))
 
+    // store lifecycle: a CDC correction batch (re-price r2, void r5),
+    // small-file compaction, then retention before day 24
+    import org.apache.spark.sql.functions.{col, lit}
+    val correction = store.raw(spark)
+      .filter(col("resource_id") === "r2")
+      .withColumn("credit_usage", lit(4.5)).withColumn("op", lit("upsert"))
+      .unionByName(store.raw(spark)
+        .filter(col("resource_id") === "r5").withColumn("op", lit("delete")))
+    val (nUp, nDel) = store.applyChanges(spark, correction)
+    println(s"[demo] CDC correction: upserted=$nUp deleted=$nDel")
+    val (parts, files) = store.compactRaw(spark)
+    println(s"[demo] compaction: $parts partitions ($files files) rewritten")
+    val dropped = store.vacuumBefore(spark, 2025, 4, 24)
+    println(s"[demo] retention <2025-04-24: dropped=$dropped partition(s); " +
+      s"raw=${store.raw(spark).count()}")
+
     val raw = store.raw(spark)
     val report = Insights.renderReport(
       total = Option(Insights.totalCreditUsage(raw).collect()(0).get(0))

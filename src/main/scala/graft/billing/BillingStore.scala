@@ -270,7 +270,11 @@ final case class BillingStore(root: String) {
       key: Seq[String] = Schemas.dedupKey): (Long, Long) =
       TableLock.withLock(spark, root) {
     import org.apache.spark.sql.functions.{exists => _, _}
-    val ch = changes.persist()
+    // EAGER localCheckpoint, not persist: a change batch legitimately
+    // derives from the store's own scans (e.g. a correction built from
+    // raw()), and a lazily-cached partition would recompute against
+    // files this merge is about to replace or delete
+    val ch = changes.localCheckpoint(true)
     val upserts = Ingest.dedupWithinBatch(ch.filter(col("op") === "upsert")
       .drop("op"), key)
     val deletes = ch.filter(col("op") === "delete").drop("op")
@@ -309,6 +313,8 @@ final case class BillingStore(root: String) {
       .foreach { case (y, m, dd) =>
         fs.delete(new Path(s"$rawPath/year=$y/month=$m/day=$dd"), true)
       }
+    // fs-level deletes bypass the write path's cache invalidation
+    spark.catalog.refreshByPath(rawPath)
     ch.unpersist()
     (nUpserted, nDeleted)
   }
@@ -336,6 +342,8 @@ final case class BillingStore(root: String) {
       old.foreach { case (y, m, dd) =>
         fs.delete(new Path(s"$rawPath/year=$y/month=$m/day=$dd"), true)
       }
+      // fs-level deletes bypass the write path's cache invalidation
+      spark.catalog.refreshByPath(rawPath)
       old.length.toLong
     }
   }
