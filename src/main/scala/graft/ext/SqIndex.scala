@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) for approximate nearest neighbor — the
+  * per-dimension affine codec used as the standard compression baseline in
+  * billion-scale ANN systems (Johnson, Douze, Jégou, "Billion-scale
+  * similarity search with GPUs", 2017 — Faiss's `SQ8` index family):
+  * each dimension of the unit-normalized vector is mapped to an 8-bit
+  * level between the corpus-wide per-dimension min and max,
+  * `code_i = floor(255·(x_i − lo_i)/(hi_i − lo_i) + 0.5)`, shrinking a
+  * 64-dim float64 vector from 512 B to 64 B with no codebook training at
+  * all — the "model" is just 2·d doubles.
+  *
+  * A query scores the corpus in the compressed domain asymmetrically
+  * (exact query against dequantized corpus, the ADC idea of Jégou et al.
+  * 2011), shortlists, then re-ranks the shortlist with exact cosine.
+  *
+  * Scale shape: `train` is ONE distributed aggregate (a d-dim min/max
+  * buffer per partition, associative merge — same plan as any partial
+  * aggregate); `encode` is a map-side expression against the broadcast
+  * 2·d-double range literals; `search` streams the codes once per query
+  * batch with the (tiny) query side broadcast, and the exact re-rank
+  * touches only the per-query shortlist. Complements [[IvfIndex]] (prunes
+  * WHICH rows are scored) and [[PqIndex]] (trained subspace codes,
+  * higher ratio): SQ8 is the no-training member of the family — rebuild
+  * after drift is a single pass, and at 100 TB the codes table is ~1/8 of
+  * the raw corpus, streamed instead of it.
+  *
+  * Everything here is deterministic double arithmetic in a fixed fold
+  * order (`floor(x+0.5)` rather than `round`, sequential-fold dot
+  * products), which is what lets the q_sq_topk gate hash-match a DuckDB
+  * oracle that mirrors the whole codec end to end — quantization error
+  * included — rather than settling for a recall-only check.
+  */
+object SqIndex {
+
+  /** `lo`/`hi`: per-dimension corpus min/max in the unit-normalized
+    * space. `encoded`: (vec_id, v, nrm, code: array<int> of 0..255).
+    */
+  final case class Model(lo: Seq[Double], hi: Seq[Double], encoded: DataFrame)
+
+  /** Unit-normalized copy of `v` (the codec lives in the normalized
+    * space: squared-L2 / inner-product ranking of unit vectors is cosine
+    * ranking, so quantization error never competes with magnitude).
+    */
+  private def unit(v: Column, nrm: Column): Column =
+    transform(v, x => x / sqrt(nrm))
+
+  /** Per-dimension (min, max) over the unit-normalized corpus — one
+    * associative vector aggregate via `Summarizer`, no explode.
+    */
+  def train(embs: DataFrame): (Seq[Double], Seq[Double]) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    val p = EmbeddingSearch.prepared(embs)
+    val row = p
+      .select(array_to_vector(unit(col("v"), col("nrm"))).as("u"))
+      .select(Summarizer.min(col("u")).as("lo"),
+        Summarizer.max(col("u")).as("hi"))
+      .head()
+    (row.getAs[org.apache.spark.ml.linalg.Vector]("lo").toArray.toSeq,
+      row.getAs[org.apache.spark.ml.linalg.Vector]("hi").toArray.toSeq)
+  }
+
+  def build(embs: DataFrame): Model = {
+    val (lo, hi) = train(embs)
+    Model(lo, hi, encode(lo, hi, embs))
+  }
+
+  /** Map-side encode against the broadcast range literals (the delta
+    * path for appends — no retraining; a constant dimension, hi = lo,
+    * encodes to 0 and decodes back to exactly `lo`).
+    */
+  def encode(lo: Seq[Double], hi: Seq[Double], embs: DataFrame): DataFrame = {
+    val (loL, hiL) = (typedLit(lo), typedLit(hi))
+    EmbeddingSearch.prepared(embs).withColumn("code",
+      transform(unit(col("v"), col("nrm")), (x, i) => {
+        val l = element_at(loL, i + 1)
+        val h = element_at(hiL, i + 1)
+        floor(lit(255.0) * (x - l) / greatest(h - l, lit(1e-12)) + lit(0.5))
+          .cast("int")
+      }))
+  }
+
+  def append(model: Model, newEmbs: DataFrame): Model =
+    model.copy(encoded =
+      model.encoded.unionByName(encode(model.lo, model.hi, newEmbs)))
+
+  /** Persist: the 2·d range doubles as one tiny parquet, the codes as a
+    * (vec_id, code) table. As with [[PqIndex.save]], vectors are not
+    * duplicated into the index — the corpus parquet stays the source of
+    * truth and [[load]] re-attaches it for the exact re-rank.
+    */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    model.lo.zip(model.hi).zipWithIndex
+      .map { case ((l, h), i) => (i, l, h) }
+      .toDF("dim", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ranges")
+    model.encoded.select("vec_id", "code")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append-only incremental encode of new vectors into a saved index. */
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
+    encode(model.lo, model.hi, newEmbs).select("vec_id", "code")
+      .write.mode("append").parquet(s"$path/codes")
+
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model = {
+    val rows = spark.read.parquet(s"$path/ranges")
+      .orderBy("dim").collect()
+    require(rows.nonEmpty, s"no ranges at $path")
+    val lo = rows.map(_.getAs[Double]("lo")).toSeq
+    val hi = rows.map(_.getAs[Double]("hi")).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+    Model(lo, hi, EmbeddingSearch.prepared(embs).join(codes, "vec_id"))
+  }
+
+  /** Dequantized corpus vector: `lo_i + code_i·(hi_i − lo_i)/255`. */
+  private def dequant(model: Model)(code: Column): Column = {
+    val (loL, hiL) = (typedLit(model.lo), typedLit(model.hi))
+    transform(code, (c, i) => {
+      val l = element_at(loL, i + 1)
+      val h = element_at(hiL, i + 1)
+      l + c.cast("double") * (h - l) / lit(255.0)
+    })
+  }
+
+  /** Top-k per query over queries drawn from the corpus (self excluded):
+    * compressed-domain scan → shortlist of `shortlist × k` → exact
+    * cosine re-rank.
+    */
+  def search(model: Model, queryPred: Column, k: Int,
+      shortlist: Int = 4): DataFrame =
+    searchImpl(model,
+      model.encoded.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")),
+      k, shortlist, excludeSelf = true)
+
+  /** Top-k for EXTERNAL query vectors (lookup semantics, nothing
+    * self-excluded; queries need no codes — the scan is asymmetric).
+    */
+  def searchVectors(model: Model, queries: DataFrame, k: Int,
+      shortlist: Int = 4): DataFrame =
+    searchImpl(model,
+      EmbeddingSearch.prepared(queries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")),
+      k, shortlist, excludeSelf = false)
+
+  private def searchImpl(model: Model, q0: DataFrame, k: Int,
+      shortlist: Int, excludeSelf: Boolean): DataFrame = {
+    val q = q0.withColumn("qu", unit(col("qv"), col("qnrm")))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    val scored = model.encoded.join(broadcast(q), joinCond)
+      .withColumn("score",
+        EmbeddingSearch.dot(col("qu"), dequant(model)(col("code"))))
+    val wScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val cand = scored.withColumn("score_rank", row_number().over(wScore))
+      .filter(col("score_rank") <= k * shortlist)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("qv"), col("v")) /
+          sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated directions in 8-dim space with scaled/noisy copies —
+  // same fixture family as PqIndexSpec so the two codecs are comparable.
+  private def corpus = {
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+    val rnd = new scala.util.Random(11)
+    (0 until 30).map { i =>
+      val d = dirs(i % 3)
+      val noise = d.map(x => x * (1.0 + 0.05 * rnd.nextGaussian()) +
+        0.02 * rnd.nextGaussian())
+      (i.toLong, noise.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codes are d ints in 0..255 and dequantization error is bounded") {
+    val model = SqIndex.build(corpus)
+    val codes = model.encoded.select("vec_id", "code")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 30)
+    assert(codes.values.forall(c => c.length == 8 &&
+      c.forall(x => x >= 0 && x <= 255)))
+    // max per-dim reconstruction error ≤ half a quantization step
+    val step = model.lo.indices.map(i =>
+      (model.hi(i) - model.lo(i)) / 255.0).max
+    val err = model.encoded.select(
+      aggregate(
+        zip_with(transform(col("v"), x => x / sqrt(col("nrm"))),
+          transform(col("code"), (c, i) => {
+            val l = element_at(typedLit(model.lo), i + 1)
+            val h = element_at(typedLit(model.hi), i + 1)
+            l + c.cast("double") * (h - l) / lit(255.0)
+          }),
+          (x, xh) => abs(x - xh)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("e"))
+      .agg(max("e")).as[Double].head()
+    assert(err <= step / 2 + 1e-12, s"err $err vs step $step")
+  }
+
+  test("search finds the same-direction group; top-1 matches brute force") {
+    val model = SqIndex.build(corpus)
+    val ann = SqIndex.search(model, col("vec_id") < 3, k = 5, shortlist = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ann.count(_._1 == 0L) == 5)
+    // all top-5 neighbors of query i share its direction class i % 3
+    assert(ann.forall { case (q, n, _, _) => n % 3 == q % 3 })
+    val bf = EmbeddingSearch.bruteForceTopK(corpus, col("vec_id") < 3, k = 1)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    val top1 = ann.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    assert(top1 == bf)
+  }
+
+  test("save → load in a fresh session answers row-identical; append covers the delta") {
+    val dir = graft.Gate.tmpDir("sq_spec_")
+    val base = corpus.filter(col("vec_id") < 24)
+    val delta = corpus.filter(col("vec_id") >= 24)
+    val model = SqIndex.build(base)
+    SqIndex.save(model, dir)
+    SqIndex.saveAppend(model, delta, dir)
+    val loaded = SqIndex.load(spark.newSession(), dir, corpus)
+    assert(loaded.lo == model.lo && loaded.hi == model.hi)
+    assert(loaded.encoded.count() == 30)
+    // the loaded index scores the base corpus exactly like the in-memory
+    // one (appended rows are encoded with the same frozen ranges)
+    val mem = SqIndex.append(model, delta)
+    val a = SqIndex.search(mem, col("vec_id") < 3, k = 5, shortlist = 3)
+    val b = SqIndex.search(loaded, col("vec_id") < 3, k = 5, shortlist = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
