@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
-import graft.ext.{Dedup, EmbeddingSearch, Multimodal, TextAnalysis}
+import graft.ext.{Dedup, EmbeddingSearch, Multimodal, SemDedup, TextAnalysis}
 
 /** Gates for the training-data-pipeline extension surface (SURVEY §2.10):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -359,6 +359,44 @@ object ExtQueries {
       |        / sqrt(list_dot_product(a.v, a.v)
       |               * list_dot_product(b.v, b.v)) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** SemDeDup semantic-dedup gate ([[graft.ext.SemDedup]], Abbas et al.
+    * 2023): coarse-cluster on max-cosine against 8 deterministic seed
+    * vectors (corpus rows 0..7 — mirrorable in SQL, unlike a k-means fit),
+    * then mark within-cluster near-duplicates (cos ≥ 0.4, lowest-id
+    * keeper). The oracle replays assignment, pairing, and keeper rule
+    * end to end, so the hash check pins the whole semantic-dedup
+    * decision per vector — which survive, which drop, and why (cluster).
+    */
+  private def semDedup(s: SparkSession, d: String): DataFrame =
+    SemDedup.dedup(Tables.embeddings(s, d), col("vec_id") < 8, tau = 0.4)
+      .orderBy("vec_id")
+
+  private val semDedupSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 8),
+      |cx AS (SELECT e.vec_id, s.sid,
+      |        list_dot_product(e.v, s.sv)
+      |          / sqrt(list_dot_product(e.v, e.v)
+      |                 * list_dot_product(s.sv, s.sv)) AS c
+      |       FROM e, s),
+      |asg AS (SELECT vec_id, sid AS cluster FROM (
+      |          SELECT vec_id, sid,
+      |                 row_number() OVER (PARTITION BY vec_id
+      |                                    ORDER BY c DESC, sid) AS rn
+      |          FROM cx) WHERE rn = 1),
+      |d AS (SELECT DISTINCT b2.vec_id AS dup_id
+      |      FROM asg a2
+      |      JOIN asg b2 ON a2.cluster = b2.cluster
+      |                 AND a2.vec_id < b2.vec_id
+      |      JOIN e ea ON ea.vec_id = a2.vec_id
+      |      JOIN e eb ON eb.vec_id = b2.vec_id
+      |      WHERE list_dot_product(ea.v, eb.v)
+      |              / sqrt(list_dot_product(ea.v, ea.v)
+      |                     * list_dot_product(eb.v, eb.v)) >= 0.4)
+      |SELECT g.vec_id, g.cluster, (d.dup_id IS NOT NULL) AS is_dup
+      |FROM asg g LEFT JOIN d ON d.dup_id = g.vec_id
+      |ORDER BY g.vec_id""".stripMargin
 
   // ---- vector centroid aggregate -----------------------------------------
   /** Per-group embedding centroids via `ml.stat.Summarizer` — a true
@@ -743,6 +781,7 @@ object ExtQueries {
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
     Gate("q_embed_query_ext", embedQueryExt, Some(embedQueryExtSql)),
     Gate("q_embed_dup_pairs", embedDupPairs, Some(embedDupPairsSql)),
+    Gate("q_semdedup", semDedup, Some(semDedupSql)),
     Gate("q_embed_centroids", embedCentroids, Some(embedCentroidsSql)),
     Gate("q_embed_lsh_topk", lshTopK, Some(lshTopKSql)),
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Seeds 0..2 define three orthogonal directions; members 3.. are noisy
+  // scaled copies, so cluster membership and near-dup structure are known.
+  private def corpus = {
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val rnd = new scala.util.Random(3)
+    val seeds = dirs.zipWithIndex.map { case (d, i) =>
+      (i.toLong, d.map(_.toFloat)) }
+    val members = (3 until 30).map { i =>
+      val d = dirs(i % 3)
+      val noise = d.map(x => x * (2.0 + 0.01 * rnd.nextGaussian()) +
+        0.001 * rnd.nextGaussian())
+      (i.toLong, noise.map(_.toFloat))
+    }
+    (seeds ++ members).toDF("vec_id", "embedding")
+  }
+
+  test("assignment puts every member in its direction's seed cluster") {
+    val seeds = SemDedup.seedsFromCorpus(corpus, col("vec_id") < 3)
+    assert(seeds.map(_._1) == Seq(0L, 1L, 2L))
+    val asg = SemDedup.assign(corpus, seeds)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    assert(asg.length == 30)
+    assert(asg.forall { case (id, c) => c == id % 3 })
+  }
+
+  test("near-identical members are marked dup, keeper is lowest id") {
+    val out = SemDedup.dedup(corpus, col("vec_id") < 3, tau = 0.999)
+      .select("vec_id", "cluster", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // each cluster's lowest id (its seed, 0/1/2) survives; every other
+    // member is within tau of it (same direction, tiny noise) → dup
+    val (keepers, dups) = out.partition(!_._3)
+    assert(keepers.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(dups.length == 27)
+  }
+
+  test("tau above all pairwise cosines marks nothing") {
+    val out = SemDedup.dedup(corpus, col("vec_id") < 3, tau = 1.1)
+    assert(out.filter(col("is_dup")).count() == 0)
+    assert(out.count() == 30)
+  }
+}
