@@ -116,6 +116,36 @@ object IngestQueries {
       |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // Row-document sink/scan roundtrip through Spark 4's built-in XML
+  // source (one <order> element per row, explicit read schema so no
+  // inference drift): the interchange format the reference family's
+  // HTTP-fallback feeds actually arrive in when the upstream is an
+  // enterprise billing export. XML, like CSV, can never skip bytes —
+  // the gate's aggregate-after-roundtrip pins value fidelity
+  // (doubles survive text round-trip via shortest-repr printing), and
+  // the format's place at 100 TB is ingest-edge-only: land it once,
+  // convert to parquet, never scan it twice.
+  private def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Gate.tmpDir("graft_xml_")
+    Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long"),
+        col("o_orderstatus").cast("string"),
+        col("o_totalprice").cast("double"))
+      .write.mode("overwrite").option("rowTag", "order").xml(out)
+    s.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("rowTag", "order").xml(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val xmlRoundtripSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // Ingest resilience: a delivery containing malformed lines must not
   // poison the load — PERMISSIVE mode + columnNameOfCorruptRecord
   // captures each bad line as a row with the raw text in `_corrupt`, the
@@ -365,6 +395,7 @@ object IngestQueries {
     Gate("q_hive_paths", hivePaths, Some(hivePathsSql)),
     Gate("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Gate("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    Gate("q_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripSql)),
     Gate("q_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
     Gate("q_merge_schema", mergeSchema, Some(mergeSchemaSql)),
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),

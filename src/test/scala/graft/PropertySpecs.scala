@@ -87,6 +87,30 @@ object GraftProperties extends Properties("graft") {
     sigA.zip(sigAB).forall { case (a, ab) => ab <= a }
   }
 
+  property("minhashMergeIsPartitionInvariant") = Prop.forAllNoShrink(
+    Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+    Gen.choose(1, 6)) { (shingles, cut) =>
+    // any split of the shingle stream, reduced independently and merged,
+    // must equal the single-pass signature — the exact contract Spark's
+    // map-side partial aggregation relies on at scale
+    val agg = new graft.functions.MinHashAgg(16)
+    val whole = shingles.foldLeft(agg.zero)(agg.reduce).toSeq
+    val split = shingles.grouped(cut)
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge).toSeq
+    whole == split
+  }
+
+  property("simhashMergeIsPartitionInvariant") = Prop.forAllNoShrink(
+    Gen.nonEmptyListOf(word), Gen.choose(1, 6)) { (toks, cut) =>
+    val agg = new graft.functions.SimHashAgg
+    val whole = agg.finish(toks.foldLeft(agg.zero)(agg.reduce))
+    val split = agg.finish(toks.grouped(cut)
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge))
+    whole == split
+  }
+
   // binned joins vs the O(n·m) definition, arbitrary values incl.
   // negatives and bin widths that do not divide anything evenly
   private val ival = for {
