@@ -280,7 +280,7 @@ object Dedup {
     * broadcast (id, shs, n_sh) doc-set frame — the per-shard inner plan
     * of [[verifyJaccard]].
     */
-  private def scoreCandidates(cands: DataFrame, sets: DataFrame,
+  private[ext] def scoreCandidates(cands: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val a = broadcast(sets
       .select(col("id").as("id_a"), col("shs").as("shs_a"), col("n_sh").as("n_a")))

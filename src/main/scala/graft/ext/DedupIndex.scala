@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH dedup index: the build-once / dedup-every-batch
+  * shape for a corpus that grows by deliveries. `minhashDedup` re-shingles
+  * the WHOLE corpus per run; at 100 TB the economics invert — the corpus
+  * text is scanned once ever, and what's kept is its compressed
+  * derivatives:
+  *
+  *   path/meta      (n, bands, rowsPerBand) — shingle/banding geometry
+  *   path/shingles  (id, sh: long)          — hashed shingle table
+  *   path/sizes     (id, n_sh)              — per-doc distinct-shingle count
+  *   path/df        (sh, cnt)               — doc-frequency PARTIAL counts
+  *   path/buckets   (id, band, bucket)      — LSH bucket memberships
+  *
+  * `df` is append-only partial counts summed on read — incremental
+  * maintenance without rewriting history; a shingle that drifts past
+  * `maxDF` as the corpus grows is correctly re-classified as a stop
+  * shingle on the NEXT batch, exactly as a full recompute would.
+  *
+  * [[dedupBatch]] finds every near-dup pair involving a new-batch doc
+  * (new-vs-index and new-vs-new) while touching the old corpus only
+  * through those derivatives: candidate generation broadcasts the new
+  * batch's (band, bucket) keys against the saved buckets (longs, never
+  * text), and exact verification reads old shingle SETS only for docs
+  * that appear in some candidate pair (left-semi). Verified values are
+  * identical to what [[Dedup.minhashDedup]] over the full corpus reports
+  * for the same pairs — same df suppression, same exact-Jaccard — which
+  * is what the q_dedup_incremental gate pins against the oracle.
+  */
+object DedupIndex {
+
+  final case class Meta(n: Int, bands: Int, rowsPerBand: Int)
+
+  private def perms(m: Meta): Int = m.bands * m.rowsPerBand
+
+  /** Shingle, size, df-delta, and bucket frames for one batch of docs —
+    * the per-delivery encode, shared by build/append/dedupBatch. The
+    * shingle table is persisted by the caller's lifecycle (one scan
+    * feeds all four derivatives).
+    */
+  private def encode(docs: DataFrame, id: Column, text: Column, m: Meta)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val sh = Dedup.hashedShingles(docs, id, text, m.n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val dfDelta = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    val buckets = Dedup.bucketsFromSignatures(
+      Dedup.signaturesFromShingles(sh, perms(m)), m.bands, m.rowsPerBand)
+    (sh, sizes, dfDelta, buckets)
+  }
+
+  def build(docs: DataFrame, id: Column, text: Column, path: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = Meta(n, bands, rowsPerBand)
+    Seq((n, bands, rowsPerBand)).toDF("n", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    write(docs, id, text, m, path, "overwrite")
+  }
+
+  /** Append one delivery: encode the delta against the saved geometry and
+    * append its derivatives — the old corpus is not read at all.
+    */
+  def append(spark: SparkSession, path: String, newDocs: DataFrame,
+      id: Column, text: Column): Unit =
+    write(newDocs, id, text, readMeta(spark, path), path, "append")
+
+  private def write(docs: DataFrame, id: Column, text: Column, m: Meta,
+      path: String, mode: String): Unit = {
+    val (sh, sizes, dfDelta, buckets) = encode(docs, id, text, m)
+    val shP = sh.persist()
+    try {
+      shP.write.mode(mode).parquet(s"$path/shingles")
+      sizes.write.mode(mode).parquet(s"$path/sizes")
+      dfDelta.write.mode(mode).parquet(s"$path/df")
+      buckets.write.mode(mode).parquet(s"$path/buckets")
+    } finally shP.unpersist()
+  }
+
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    Meta(r.getAs[Int]("n"), r.getAs[Int]("bands"),
+      r.getAs[Int]("rows_per_band"))
+  }
+
+  /** All near-dup pairs (id_a < id_b, exact stop-shingle-suppressed
+    * Jaccard ≥ threshold) involving at least one doc of `newDocs`,
+    * against the index at `path` PLUS the new batch itself. Does NOT
+    * mutate the index — call [[append]] afterwards to admit the batch.
+    */
+  def dedupBatch(spark: SparkSession, path: String, newDocs: DataFrame,
+      id: Column, text: Column, threshold: Double,
+      maxDF: Long = Long.MaxValue): DataFrame = {
+    val m = readMeta(spark, path)
+    val (newSh0, newSizes, newDfDelta, newBuckets0) =
+      encode(newDocs, id, text, m)
+    val newSh = newSh0.persist()
+    val newBuckets = newBuckets0.persist()
+
+    // Candidates: the new batch's bucket keys are the broadcast side —
+    // the saved buckets stream through one hash join keyed on
+    // (band, bucket); old ids never pair with each other.
+    val old = spark.read.parquet(s"$path/buckets")
+    val cross = old.as("o")
+      .join(broadcast(newBuckets).as("nw"),
+        col("o.band") === col("nw.band") &&
+          col("o.bucket") === col("nw.bucket") &&
+          col("o.id") =!= col("nw.id"))
+      .select(least(col("o.id"), col("nw.id")).as("id_a"),
+        greatest(col("o.id"), col("nw.id")).as("id_b"))
+      .distinct()
+    val within = Dedup.minhashCandidates(newBuckets)
+    val cands = cross.unionByName(within).distinct()
+
+    // Exact verification from the derivatives: global df (saved partials
+    // + this batch), sizes and rare-shingle sets restricted to docs some
+    // candidate references.
+    val dfAll = spark.read.parquet(s"$path/df").unionByName(newDfDelta)
+      .groupBy("sh").agg(sum("cnt").as("df"))
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionAll(cands.select(col("id_b").as("id"))).distinct()
+    val shAll = spark.read.parquet(s"$path/shingles").unionByName(newSh)
+      .join(candIds, Seq("id"), "left_semi")
+    val rare = shAll.join(dfAll.filter(col("df") <= maxDF).select("sh"), "sh")
+    val sizesAll = spark.read.parquet(s"$path/sizes").unionByName(newSizes)
+      .join(candIds, Seq("id"), "left_semi")
+    val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
+      .join(sizesAll, "id")
+    Dedup.scoreCandidates(cands, sets, threshold)
+  }
+}

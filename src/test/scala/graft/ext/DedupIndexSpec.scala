@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "pack my box with five dozen liquor jugs right now"),
+    (3L, "sphinx of black quartz judge my vow says the king"),
+    (4L, "how vexingly quick daft zebras jump around the park"),
+  ).toDF("id", "t")
+
+  // 11 ≈ 1, 12 ≈ 2 (one-word perturbations), 13 is novel, and 14 ≈ 15
+  // are near-dups of each other WITHIN the batch
+  private val batch = Seq(
+    (11L, "the quick brown fox jumps over the lazy dog tonight"),
+    (12L, "pack my box with five dozen liquor jugs right here"),
+    (13L, "completely unrelated text about distributed query engines"),
+    (14L, "jackdaws love my big sphinx of quartz every morning"),
+    (15L, "jackdaws love my big sphinx of quartz every evening"),
+  ).toDF("id", "t")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+
+  test("dedupBatch equals from-scratch minhashDedup on pairs touching the batch") {
+    val dir = graft.Gate.tmpDir("dedup_idx_spec_")
+    DedupIndex.build(base, col("id"), col("t"), dir, n = 2)
+    val inc = pairsOf(DedupIndex.dedupBatch(spark, dir, batch,
+      col("id"), col("t"), threshold = 0.3))
+    val full = pairsOf(Dedup.minhashDedup(base.unionByName(batch),
+        col("id"), col("t"), n = 2, threshold = 0.3)
+      .filter(col("id_b") >= 11L))
+    assert(inc == full)
+    assert(inc.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 11L), (2L, 12L), (14L, 15L)))
+  }
+
+  test("append admits the batch; the next batch deduplicates against it") {
+    val dir = graft.Gate.tmpDir("dedup_idx_spec_")
+    DedupIndex.build(base, col("id"), col("t"), dir, n = 2)
+    DedupIndex.append(spark, dir, batch, col("id"), col("t"))
+    // a doc near-identical to an APPENDED doc (13) must now be caught
+    val next = Seq(
+      (21L, "completely unrelated text about distributed query planners"))
+      .toDF("id", "t")
+    val inc = pairsOf(DedupIndex.dedupBatch(spark, dir, next,
+      col("id"), col("t"), threshold = 0.3))
+    assert(inc.map(p => (p._1, p._2)) == Seq((13L, 21L)))
+    // geometry survives the roundtrip
+    assert(DedupIndex.readMeta(spark, dir) == DedupIndex.Meta(2, 16, 4))
+  }
+
+  test("df drift across appends reclassifies stop shingles like a full recompute") {
+    val dir = graft.Gate.tmpDir("dedup_idx_spec_")
+    DedupIndex.build(base, col("id"), col("t"), dir, n = 2)
+    DedupIndex.append(spark, dir, batch, col("id"), col("t"))
+    val next = Seq((31L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "t")
+    // maxDF = 2: incremental df (build partials + append partials + batch)
+    // must equal what a from-scratch run over the full corpus computes
+    val inc = pairsOf(DedupIndex.dedupBatch(spark, dir, next,
+      col("id"), col("t"), threshold = 0.3, maxDF = 2))
+    val full = pairsOf(Dedup.minhashDedup(
+        base.unionByName(batch).unionByName(next),
+        col("id"), col("t"), n = 2, threshold = 0.3, maxDF = 2)
+      .filter(col("id_b") === 31L))
+    assert(inc == full)
+  }
+}
