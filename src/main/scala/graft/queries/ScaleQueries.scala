@@ -868,6 +868,80 @@ object ScaleQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, us""".stripMargin
 
+  /** The q_stream_stateful fold re-expressed on Spark 4's
+    * `transformWithState` ([[graft.streaming.StatefulOps.TypedRunningProcessor]]):
+    * composable named state — a ValueState running total plus a MapState
+    * of per-(user, event-type) occurrence counters, each maintained as
+    * point ops against the RocksDB store (the API requires that
+    * provider). Same two-drain/one-checkpoint harness; the oracle adds
+    * the per-type counter as a second window, so both state variables'
+    * cross-batch persistence is value-checked.
+    */
+  private def streamTws(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) {
+      graft.Gate.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")) {
+        streamTwsImpl(s, d)
+      }
+    }
+
+  private def streamTwsImpl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = graft.Gate.tmpDir("gate_tws_in_")
+    val ckpt = graft.Gate.tmpDir("gate_tws_ck_")
+    val out = graft.Gate.tmpDir("gate_tws_out_")
+    // unique (user, us) keys; the batch's event type is the group min so
+    // the per-type counter is deterministic too
+    val p = Tables.events(s, d).filter(col("user_id") % 23 === 0)
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+        min(col("event_type")).as("op"))
+    val mm = p.agg(min("us"), max("us")).head()
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = graft.Gate.tmpDir("gate_tws_stage_")
+      df.coalesce(1).write.option("header", "true").mode("overwrite").csv(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, name))
+      ()
+    }
+    def drain(): Unit = {
+      val stream = s.readStream.option("header", "true")
+        .schema("user_id LONG, us LONG, cents LONG, op STRING").csv(in)
+        .as[graft.streaming.StatefulOps.TypedEvent]
+      val q = graft.streaming.StatefulOps.typedRunningTotals(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(p.filter(col("us") <= cut), "b1.csv"); drain()
+    stage(p.filter(col("us") > cut), "b2.csv"); drain()
+    s.read.parquet(out).orderBy("user_id", "us")
+  }
+
+  private val streamTwsSql =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+      |         min(event_type) AS op
+      |  FROM events WHERE user_id % 23 = 0 GROUP BY 1, 2)
+      |SELECT user_id, us,
+      |       CAST(sum(cents) OVER w AS BIGINT) AS running_cents,
+      |       CAST(row_number() OVER w AS BIGINT) AS running_n,
+      |       op,
+      |       CAST(row_number() OVER (PARTITION BY user_id, op
+      |             ORDER BY us) AS BIGINT) AS op_n
+      |FROM p
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us""".stripMargin
+
   // Stream-stream join: clicks joined to errors within 5 minutes, both
   // sides watermarked, run via file streams + AvailableNow into a memory
   // sink. The timestamp hand-off to CSV goes as unix_micros longs (CSV
@@ -1312,6 +1386,7 @@ object ScaleQueries {
     Gate("q_stream_dedup_wm", streamDedupWm, Some(streamDedupWmSql)),
     Gate("q_stream_static", streamStatic, Some(streamStaticSql)),
     Gate("q_stream_stateful", streamStateful, Some(streamStatefulSql)),
+    Gate("q_stream_tws", streamTws, Some(streamTwsSql)),
     Gate("q_stream_outer_join", streamOuterJoin, Some(streamOuterJoinSql)),
   )
 }

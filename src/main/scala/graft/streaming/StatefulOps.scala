@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Custom keyed streaming state via `flatMapGroupsWithState` — the API for
   * per-key logic the built-in windowed/sessionized aggregates can't
@@ -50,5 +52,60 @@ object StatefulOps {
           state.update(st)
           out.iterator
       }
+  }
+
+  final case class TypedEvent(user_id: Long, us: Long, cents: Long,
+      op: String)
+  final case class TypedOut(user_id: Long, us: Long, running_cents: Long,
+      running_n: Long, op: String, op_n: Long)
+
+  /** The same per-user fold on Spark 4's `transformWithState` — the
+    * successor API to `flatMapGroupsWithState` built for the RocksDB
+    * state store, with COMPOSABLE named state variables instead of one
+    * monolithic state object: the running (total, n) lives in a
+    * `ValueState`, and a `MapState` keyed by event type counts
+    * occurrences-so-far per (user, type) — at scale that map is
+    * maintained one point-lookup/put per row against RocksDB, where a
+    * single-value API would rewrite the whole per-user map every event.
+    * TTL is the retention story for keyed state ([[TTLConfig]]; NONE
+    * here — the gate's state must survive the whole drain).
+    */
+  final class TypedRunningProcessor
+      extends StatefulProcessor[Long, TypedEvent, TypedOut] {
+    @transient private var totals: ValueState[Running] = _
+    @transient private var perOp: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[Running]("totals",
+        Encoders.product[Running], TTLConfig.NONE)
+      perOp = getHandle.getMapState[String, Long]("per_op",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[TypedOut] = {
+      // in-batch disorder is sorted per key, as in runningTotals
+      val sorted = rows.toArray.sortBy(_.us)
+      var st = if (totals.exists()) totals.get() else Running(0L, 0L)
+      val out = sorted.map { e =>
+        st = Running(st.total + e.cents, st.n + 1)
+        val seen = if (perOp.containsKey(e.op)) perOp.getValue(e.op) else 0L
+        perOp.updateValue(e.op, seen + 1)
+        TypedOut(uid, e.us, st.total, st.n, e.op, seen + 1)
+      }
+      totals.update(st)
+      out.iterator
+    }
+  }
+
+  /** Per-user cumulative totals + per-(user, event-type) occurrence
+    * counters via [[TypedRunningProcessor]]. Append mode, no time mode:
+    * one output row per input event, exactly once.
+    */
+  def typedRunningTotals(events: Dataset[TypedEvent]): Dataset[TypedOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypedRunningProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -74,6 +74,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"))
   }
 
+  test("semdedup assignment is map-side; pair search joins on cluster, no cartesian") {
+    val p = plan("q_semdedup")
+    // the seed matrix rides inside the projection — assignment must not
+    // introduce a join; the only join keys are cluster (pairing) and
+    // vec_id (dup-flag attach)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sq8 search broadcasts the query side and ranks per query") {
+    val p = plan("q_sq_topk")
+    // the tiny query side is the broadcast build; ranking is a window
+    // PARTITIONED by query (top-k per query), never a global sort-limit
+    assert(p.contains("Broadcast"))
+    assert(p.contains("Window"))
+    assert(!p.contains("TakeOrderedAndProject"))
+  }
+
   test("table diff is one full-outer join over digests, not payloads") {
     val df = SparkEntry.queries("q_table_diff")(spark, d)
     val p = df.queryExecution.executedPlan.toString
