@@ -113,22 +113,32 @@ object DedupIndex {
         greatest(col("o.id"), col("nw.id")).as("id_b"))
       .distinct()
     val within = Dedup.minhashCandidates(newBuckets)
-    val cands = cross.unionByName(within).distinct()
+    // the candidate set feeds three consumers (two id-restriction
+    // semi-joins and the final score join) and the doc-set frame is
+    // broadcast twice — persist both or the bucket-join/groupBy DAG
+    // re-executes per consumer (measured 5-30× the single-run cost)
+    val cands = cross.unionByName(within).distinct().persist()
 
     // Exact verification from the derivatives: global df (saved partials
     // + this batch), sizes and rare-shingle sets restricted to docs some
-    // candidate references.
-    val dfAll = spark.read.parquet(s"$path/df").unionByName(newDfDelta)
-      .groupBy("sh").agg(sum("cnt").as("df"))
+    // candidate references. With no df cap the df table is irrelevant —
+    // skip its scan and groupBy entirely (the common streaming-ingest
+    // configuration, where batch-invariant values need the cap off).
     val candIds = cands.select(col("id_a").as("id"))
       .unionAll(cands.select(col("id_b").as("id"))).distinct()
     val shAll = spark.read.parquet(s"$path/shingles").unionByName(newSh)
       .join(candIds, Seq("id"), "left_semi")
-    val rare = shAll.join(dfAll.filter(col("df") <= maxDF).select("sh"), "sh")
+    val rare =
+      if (maxDF == Long.MaxValue) shAll
+      else {
+        val dfAll = spark.read.parquet(s"$path/df").unionByName(newDfDelta)
+          .groupBy("sh").agg(sum("cnt").as("df"))
+        shAll.join(dfAll.filter(col("df") <= maxDF).select("sh"), "sh")
+      }
     val sizesAll = spark.read.parquet(s"$path/sizes").unionByName(newSizes)
       .join(candIds, Seq("id"), "left_semi")
     val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
-      .join(sizesAll, "id")
+      .join(sizesAll, "id").persist()
     Dedup.scoreCandidates(cands, sets, threshold)
   }
 }

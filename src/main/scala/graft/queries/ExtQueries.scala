@@ -225,6 +225,83 @@ object ExtQueries {
        |WHERE jaccard >= 0.5 AND id_b >= 100000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The production ingest shape for dedup: deliveries STREAM in, each
+    * micro-batch dedups against the persisted [[graft.ext.DedupIndex]]
+    * and is then admitted to it — `foreachBatch` composes the streaming
+    * source with the batch index exactly as the reference's sensors
+    * compose polling with its batch loaders. Batch boundaries must not
+    * change the answer: a pair split across micro-batches is caught when
+    * its second member arrives (the first is already in the index).
+    * Deliberately NO df suppression here (maxDF = ∞): per-batch doc
+    * frequencies see only the history so far, so a df-capped jaccard
+    * would depend on where the batch boundary fell — without the cap,
+    * |A∩B| is batch-invariant and the union of per-batch pair sets is
+    * pinned against one full-corpus oracle. (With a cap, re-verify
+    * admitted pairs when df drifts — see DedupIndexSpec's drift test.)
+    */
+  private def streamDedupIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.select(col("doc_id").as("id"),
+      lower(trim(col("text"))).as("t"))
+    val nw = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("id"),
+        concat(lower(trim(col("text"))), lit(" zq zr")).as("t"))
+    val idx = graft.Gate.tmpDir("gate_sdi_idx_")
+    val in = graft.Gate.tmpDir("gate_sdi_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sdi_ck_")
+    val out = graft.Gate.tmpDir("gate_sdi_out_")
+    graft.ext.DedupIndex.build(old, col("id"), col("t"), idx, n = 3)
+    // two delivery files → two micro-batches (maxFilesPerTrigger=1)
+    nw.filter(col("id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    nw.filter(col("id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema("id LONG, t STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = graft.ext.DedupIndex.dedupBatch(s, idx, batch,
+          col("id"), col("t"), threshold = 0.5)
+        pairs.write.mode("append").parquet(out)
+        graft.ext.DedupIndex.append(s, idx, batch, col("id"), col("t"))
+      }
+      .start()
+    q.awaitTermination()
+    s.read.schema("id_a LONG, id_b LONG, jaccard DOUBLE").parquet(out)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val streamDedupIndexSql =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lower(trim(text)) || ' zq zr'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks
+      |        FROM corpus),
+      |sh0 AS (SELECT id,
+      |          CASE WHEN len(toks) >= 3
+      |            THEN list_transform(range(len(toks) - 2),
+      |                   i -> array_to_string(toks[i+1:i+3], ' '))
+      |            ELSE [array_to_string(toks, ' ')] END AS shs
+      |        FROM tok),
+      |sh AS (SELECT id, unnest(list_distinct(shs)) AS sh FROM sh0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |cmn AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      |        WHERE b.id >= 100000
+      |        GROUP BY 1, 2),
+      |pairs AS (SELECT c.id_a, c.id_b,
+      |            CAST(c.common AS DOUBLE)
+      |              / (sa.n_sh + sb.n_sh - c.common) AS jaccard
+      |          FROM cmn c JOIN sizes sa ON sa.id = c.id_a
+      |                     JOIN sizes sb ON sb.id = c.id_b)
+      |SELECT id_a, id_b, jaccard FROM pairs
+      |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   /** SimHash banding has no recall guarantee for a Jaccard threshold
     * (measured: 92/94 true pairs at sf0.001, 100% at sf0.01/0.1), so
     * unlike the MinHash gate this one cannot claim output == true pair
@@ -809,6 +886,7 @@ object ExtQueries {
     Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
     Gate("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Gate("q_stream_dedup_index", streamDedupIndex, Some(streamDedupIndexSql)),
     Gate("q_simhash_dedup", simhashDedup, Some(simhashDedupSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
     Gate("q_embed_query_ext", embedQueryExt, Some(embedQueryExtSql)),
