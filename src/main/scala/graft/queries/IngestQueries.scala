@@ -92,6 +92,81 @@ object IngestQueries {
        |FROM billing GROUP BY operation_type ORDER BY operation_type"""
       .stripMargin
 
+  /** S2 — direct-from-object-store scan, exercised for real against a
+    * loopback object store. The reference's ingress is anonymous HTTP(S)
+    * GETs of explicitly-enumerated partition objects in a public bucket
+    * (DuckDB httpfs + `generate_partition_paths`, s3_utils.py:300-410);
+    * this gate reproduces that mechanism end to end: a JDK HttpServer
+    * plays the bucket, serving `year=/month=/day=/billing.csv` objects,
+    * and EXECUTORS read the `http://` URLs directly through
+    * [[graft.sources.HttpObjectFileSystem]] — no driver-side staging,
+    * the same FileSystem-API path an `s3a://` URL takes on a real
+    * cluster (s3a adds seek/range reads; sequential CSV needs neither). The aggregate
+    * is materialized while the store is up; the oracle mirrors it over
+    * the source rows, so the remote scan must be value-invisible.
+    */
+  private def s3Scan(s: SparkSession, d: String): DataFrame = {
+    val billing = EventsBilling(s, d)
+    val days = billing.select("year", "month", "day").distinct()
+      .orderBy("year", "month", "day").limit(2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val stage = graft.Gate.tmpDir("gate_s3_stage_")
+    val objects = days.map { case (y, m, dd) =>
+      val tmp = s"$stage/y${y}m${m}d$dd"
+      billing.filter(col("year") === y && col("month") === m &&
+          col("day") === dd)
+        .coalesce(1).write.option("header", "true").mode("overwrite").csv(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      val key = f"/bucket/year=$y/month=$m%02d/day=$dd%02d/billing.csv"
+      key -> java.nio.file.Files.readAllBytes(part.toPath)
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    objects.foreach { case (key, bytes) =>
+      server.createContext(key,
+        new com.sun.net.httpserver.HttpHandler {
+          override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+            try {
+              if (ex.getRequestMethod == "HEAD") {
+                ex.getResponseHeaders.set("Content-Length",
+                  bytes.length.toString)
+                ex.sendResponseHeaders(200, -1L)
+              } else {
+                ex.sendResponseHeaders(200, bytes.length.toLong)
+                ex.getResponseBody.write(bytes)
+              }
+            } finally ex.close()
+        })
+    }
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      s.sparkContext.hadoopConfiguration.set("fs.http.impl",
+        "graft.sources.HttpObjectFileSystem")
+      val urls = objects.map { case (key, _) =>
+        s"http://127.0.0.1:$port$key"
+      }
+      val out = graft.Gate.tmpDir("gate_s3_out_")
+      Ingest.readCsv(s, urls: _*)
+        .groupBy("year", "month", "day")
+        .agg(count(lit(1)).as("n"),
+          round(sum("credit_usage"), 2).as("total_usage"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("year", "month", "day")
+    } finally server.stop(0)
+  }
+
+  private val s3ScanSql =
+    s"""${EventsBilling.cte},
+       |d2 AS (SELECT DISTINCT year, month, day FROM billing
+       |       ORDER BY year, month, day LIMIT 2)
+       |SELECT b.year, b.month, b.day, count(*) AS n,
+       |       round(sum(b.credit_usage), 2) AS total_usage
+       |FROM billing b JOIN d2 USING (year, month, day)
+       |GROUP BY b.year, b.month, b.day
+       |ORDER BY b.year, b.month, b.day""".stripMargin
+
   // Columnar sink/scan roundtrip (ORC, Spark-built-in): same
   // value-invisibility contract as the CSV roundtrip, but through a
   // format with stripe-level min/max stats — the post-roundtrip date
@@ -396,6 +471,7 @@ object IngestQueries {
     Gate("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     Gate("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     Gate("q_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripSql)),
+    Gate("q_s3_scan", s3Scan, Some(s3ScanSql)),
     Gate("q_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
     Gate("q_merge_schema", mergeSchema, Some(mergeSchemaSql)),
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),
