@@ -167,6 +167,45 @@ object IngestQueries {
        |GROUP BY b.year, b.month, b.day
        |ORDER BY b.year, b.month, b.day""".stripMargin
 
+  /** Data-quality validation ([[graft.billing.Checks]]): the reference's
+    * DDL constraints (natural-key UNIQUE, domain/null expectations)
+    * re-expressed as a one-scan violation audit — N checks compile to one
+    * partial+final aggregate plus one exact composite-key distinct. The
+    * oracle mirrors every counter, so both engines must agree on the
+    * violation numbers themselves, not just pass/fail.
+    */
+  private def dataChecks(s: SparkSession, d: String): DataFrame =
+    graft.billing.Checks.validateBilling(EventsBilling(s, d))
+
+  private val dataChecksSql =
+    s"""${EventsBilling.cte},
+       |m AS (SELECT
+       |  sum(CASE WHEN "timestamp" IS NULL THEN 1 ELSE 0 END)
+       |    AS null_timestamp,
+       |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+       |  sum(CASE WHEN credit_usage < 0 THEN 1 ELSE 0 END)
+       |    AS negative_usage,
+       |  sum(CASE WHEN NOT (month BETWEEN 1 AND 12 AND day BETWEEN 1 AND
+       |      day(last_day(make_date(year,
+       |        CASE WHEN month BETWEEN 1 AND 12 THEN month ELSE 1 END, 1))))
+       |      THEN 1 ELSE 0 END) AS bad_partition_date,
+       |  sum(CASE WHEN currency NOT IN ('USD', 'EUR', 'GBP') THEN 1
+       |      ELSE 0 END) AS currency_domain,
+       |  count(*) - (SELECT count(*) FROM
+       |    (SELECT DISTINCT "timestamp", resource_id, user_id, invoice_id
+       |     FROM billing)) AS duplicate_natural_key
+       |  FROM billing)
+       |SELECT "check", violations, violations = 0 AS ok FROM (
+       |  SELECT 'null_timestamp' AS "check", null_timestamp AS violations
+       |  FROM m
+       |  UNION ALL SELECT 'null_user_id', null_user_id FROM m
+       |  UNION ALL SELECT 'negative_usage', negative_usage FROM m
+       |  UNION ALL SELECT 'bad_partition_date', bad_partition_date FROM m
+       |  UNION ALL SELECT 'currency_domain', currency_domain FROM m
+       |  UNION ALL SELECT 'duplicate_natural_key', duplicate_natural_key
+       |  FROM m)
+       |ORDER BY "check"""".stripMargin
+
   // Columnar sink/scan roundtrip (ORC, Spark-built-in): same
   // value-invisibility contract as the CSV roundtrip, but through a
   // format with stripe-level min/max stats — the post-roundtrip date
@@ -472,6 +511,7 @@ object IngestQueries {
     Gate("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     Gate("q_xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripSql)),
     Gate("q_s3_scan", s3Scan, Some(s3ScanSql)),
+    Gate("q_data_checks", dataChecks, Some(dataChecksSql)),
     Gate("q_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
     Gate("q_merge_schema", mergeSchema, Some(mergeSchemaSql)),
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),
