@@ -70,19 +70,31 @@ object SqIndex {
     Model(lo, hi, encode(lo, hi, embs))
   }
 
-  /** Map-side encode against the broadcast range literals (the delta
-    * path for appends — no retraining; a constant dimension, hi = lo,
-    * encodes to 0 and decodes back to exactly `lo`).
+  /** Map-side encode against the broadcast ranges (the delta path for
+    * appends — no retraining; a constant dimension, hi = lo, encodes to
+    * 0 and decodes back to exactly `lo`). The corpus-sized arithmetic is
+    * the codegen'd [[graft.functions.SqEncode]] expression; the HOF
+    * spelling lives in [[hofCode]] as the equivalence-test reference
+    * (interpreted lambdas have no place on a once-per-corpus-row path).
     */
   def encode(lo: Seq[Double], hi: Seq[Double], embs: DataFrame): DataFrame = {
-    val (loL, hiL) = (typedLit(lo), typedLit(hi))
+    import org.apache.spark.sql.graftbridge.Bridge
     EmbeddingSearch.prepared(embs).withColumn("code",
-      transform(unit(col("v"), col("nrm")), (x, i) => {
-        val l = element_at(loL, i + 1)
-        val h = element_at(hiL, i + 1)
-        floor(lit(255.0) * (x - l) / greatest(h - l, lit(1e-12)) + lit(0.5))
-          .cast("int")
-      }))
+      Bridge.toColumn(graft.functions.SqEncode(
+        Bridge.toExpr(col("v")), lo.toArray, hi.toArray)))
+  }
+
+  /** Interpreted HOF spelling of the encoder — kept as the reference
+    * implementation for SqIndexSpec's codegen-equivalence test.
+    */
+  private[graft] def hofCode(lo: Seq[Double], hi: Seq[Double]): Column = {
+    val (loL, hiL) = (typedLit(lo), typedLit(hi))
+    transform(unit(col("v"), col("nrm")), (x, i) => {
+      val l = element_at(loL, i + 1)
+      val h = element_at(hiL, i + 1)
+      floor(lit(255.0) * (x - l) / greatest(h - l, lit(1e-12)) + lit(0.5))
+        .cast("int")
+    })
   }
 
   def append(model: Model, newEmbs: DataFrame): Model =
@@ -120,14 +132,17 @@ object SqIndex {
     Model(lo, hi, EmbeddingSearch.prepared(embs).join(codes, "vec_id"))
   }
 
-  /** Dequantized corpus vector: `lo_i + code_i·(hi_i − lo_i)/255`. */
-  private def dequant(model: Model)(code: Column): Column = {
+  /** Interpreted HOF spelling of the dequantize-and-dot scan — kept as
+    * the reference implementation for SqIndexSpec's codegen-equivalence
+    * test. `lo_i + code_i·(hi_i − lo_i)/255`, then [[EmbeddingSearch.dot]].
+    */
+  private[graft] def hofAdc(model: Model, code: Column, qu: Column): Column = {
     val (loL, hiL) = (typedLit(model.lo), typedLit(model.hi))
-    transform(code, (c, i) => {
+    EmbeddingSearch.dot(qu, transform(code, (c, i) => {
       val l = element_at(loL, i + 1)
       val h = element_at(hiL, i + 1)
       l + c.cast("double") * (h - l) / lit(255.0)
-    })
+    }))
   }
 
   /** Top-k per query over queries drawn from the corpus (self excluded):
@@ -158,9 +173,17 @@ object SqIndex {
     val q = q0.withColumn("qu", unit(col("qv"), col("qnrm")))
     val joinCond =
       if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    // codegen'd dequantize-and-dot (SqAdc) — the (corpus × queries)
+    // inner loop must not run as interpreted HOF lambdas; hofAdc is the
+    // equivalence-test reference
+    val adc = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.toColumn(graft.functions.SqAdc(
+        Bridge.toExpr(col("code")), Bridge.toExpr(col("qu")),
+        model.lo.toArray, model.hi.toArray))
+    }
     val scored = model.encoded.join(broadcast(q), joinCond)
-      .withColumn("score",
-        EmbeddingSearch.dot(col("qu"), dequant(model)(col("code"))))
+      .withColumn("score", adc)
     val wScore = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     val cand = scored.withColumn("score_rank", row_number().over(wScore))

@@ -59,6 +59,32 @@ class SqIndexSpec extends SparkSpec {
     assert(top1 == bf)
   }
 
+  test("codegen'd SqEncode matches the interpreted HOF encoder exactly") {
+    val model = SqIndex.build(corpus)
+    val expr = model.encoded.select("vec_id", "code")
+      .as[(Long, Seq[Int])].collect().toMap
+    val hof = model.encoded
+      .select(col("vec_id"), SqIndex.hofCode(model.lo, model.hi).as("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(expr == hof)
+  }
+
+  test("codegen'd SqAdc matches the interpreted dequantize-and-dot exactly") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val model = SqIndex.build(corpus)
+    val withQu = model.encoded.withColumn("qu",
+      transform(col("v"), x => x / sqrt(col("nrm"))))
+    val expr = withQu.select(col("vec_id"),
+        Bridge.toColumn(graft.functions.SqAdc(
+          Bridge.toExpr(col("code")), Bridge.toExpr(col("qu")),
+          model.lo.toArray, model.hi.toArray)).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val hof = withQu.select(col("vec_id"),
+        SqIndex.hofAdc(model, col("code"), col("qu")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(expr == hof)
+  }
+
   test("save → load in a fresh session answers row-identical; append covers the delta") {
     val dir = graft.Gate.tmpDir("sq_spec_")
     val base = corpus.filter(col("vec_id") < 24)
