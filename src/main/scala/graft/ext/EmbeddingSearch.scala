@@ -129,6 +129,40 @@ object EmbeddingSearch {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Multi-probe LSH top-k: each query probes its own sign bucket PLUS
+    * every bucket at Hamming distance 1 (one flipped hyperplane bit) —
+    * the standard recall/latency knob (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007): near neighbors that fell just across one hyperplane are
+    * recovered without doubling the number of hash tables. The probe set
+    * explodes on the (tiny, broadcast) QUERY side — nPlanes+1 rows per
+    * query — while the corpus keeps exactly one bucket id per row, so
+    * the join cost is (probes × per-bucket size), not a corpus rewrite;
+    * at 100 TB the corpus-side layout is identical to [[lshTopK]]'s and
+    * the knob is purely query-side.
+    */
+  def lshTopKMultiProbe(embs: DataFrame, queryPred: Column, k: Int,
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val e = prepared(embs).withColumn("bucket", bucketOf(col("v"), planes))
+    val probes = array((0 to nPlanes).map {
+      case 0 => col("bucket")
+      case i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i - 1))
+    }: _*)
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(probes).as("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: vectors in the
     * same bucket with cosine ≥ threshold (a < b).
     */

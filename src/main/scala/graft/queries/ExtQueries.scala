@@ -425,6 +425,48 @@ object ExtQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH ([[EmbeddingSearch.lshTopKMultiProbe]], Lv et al.
+    * VLDB 2007): the query probes its bucket plus every 1-bit-flip
+    * neighbor. Like q_embed_lsh_topk the seeded hyperplanes are inlined
+    * into the SQL, so bucketing, the probe expansion (`unnest` of the
+    * XOR'd bucket list), scoring, and ranking are all mirrored
+    * bit-identically — the oracle checks the multiprobe SEMANTICS, not
+    * just recall.
+    */
+  private def lshMultiProbe(s: SparkSession, d: String): DataFrame =
+    EmbeddingSearch.lshTopKMultiProbe(Tables.embeddings(s, d),
+      col("vec_id") < 10, k = 5, nPlanes = 4)
+      .orderBy("query_id", "rank")
+
+  private val lshMultiProbeSql: String = {
+    val planes = EmbeddingSearch.hyperplanes(nPlanes = 4, dim = 64)
+    def lst(p: Array[Double]) = p.map(_.toString).mkString("[", ", ", "]")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${lst(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n          + ")
+    val probes = "[bucket" +
+      (0 until 4).map(i => s", xor(bucket, ${1L << i})").mkString + "]"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |          $bucket AS bucket
+       |      FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv,
+       |             unnest($probes) AS bucket
+       |      FROM b WHERE vec_id < 10),
+       |p AS (SELECT query_id, b.vec_id,
+       |             list_dot_product(qv, b.v)
+       |               / sqrt(list_dot_product(qv, qv)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** (query_id, recall_ok) for an ANN result vs brute-force top-k — used
     * by gates whose index is data-trained (IVF), where no closed-form SQL
     * mirror exists; the oracle asserts every boolean true.
@@ -894,6 +936,7 @@ object ExtQueries {
     Gate("q_semdedup", semDedup, Some(semDedupSql)),
     Gate("q_embed_centroids", embedCentroids, Some(embedCentroidsSql)),
     Gate("q_embed_lsh_topk", lshTopK, Some(lshTopKSql)),
+    Gate("q_lsh_multiprobe", lshMultiProbe, Some(lshMultiProbeSql)),
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Gate("q_multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),

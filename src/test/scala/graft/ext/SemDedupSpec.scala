@@ -45,6 +45,27 @@ class SemDedupSpec extends SparkSpec {
     assert(dups.length == 27)
   }
 
+  test("k-means centroids work as seeds (the production quantizer path)") {
+    // IvfIndex's coarse quantizer supplies the seeds instead of corpus
+    // rows — the swap the scaladoc promises. Centroid ids become cluster
+    // ids; members still land with their direction's centroid.
+    val model = IvfIndex.build(corpus, k = 3, sampleFraction = 1.0)
+    val seeds = model.centroids.collect()
+      .map(r => (r.getAs[Int]("cell").toLong,
+        r.getSeq[Double](r.fieldIndex("cv"))))
+      .sortBy(_._1).toSeq
+    val marked = SemDedup.mark(SemDedup.assign(corpus, seeds), tau = 0.999)
+    // same-direction members share a cluster: exactly 3 clusters, each
+    // with one keeper (the lowest id assigned to it)
+    val byCluster = marked.select("vec_id", "cluster", "is_dup")
+      .as[(Long, Long, Boolean)].collect().groupBy(_._2)
+    assert(byCluster.size == 3)
+    byCluster.values.foreach { members =>
+      assert(members.count(!_._3) == 1)
+      assert(members.filter(!_._3).head._1 == members.map(_._1).min)
+    }
+  }
+
   test("tau above all pairwise cosines marks nothing") {
     val out = SemDedup.dedup(corpus, col("vec_id") < 3, tau = 1.1)
     assert(out.filter(col("is_dup")).count() == 0)
