@@ -84,5 +84,7 @@ object Bench {
     "q_incremental_agg", "q_stream_incremental", "q_tfidf",
     "q_interval_join", "q_pq_topk", "q_zorder_layout", "q_dup_clusters_star",
     "q_pq_persist", "q_ivf_persist", "q_stream_stateful", "q_topk_agg",
-    "q_fuzzy_join", "q_table_diff", "q_sq_topk", "q_semdedup")
+    "q_fuzzy_join", "q_table_diff", "q_sq_topk", "q_semdedup",
+    "q_dedup_incremental", "q_stream_dedup_index", "q_s3_scan",
+    "q_data_checks", "q_stream_tws", "q_lsh_multiprobe")
 }

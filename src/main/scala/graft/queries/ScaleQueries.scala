@@ -882,7 +882,13 @@ object ScaleQueries {
       graft.Gate.withConfs(s,
         "spark.sql.streaming.stateStore.providerClass" ->
           ("org.apache.spark.sql.execution.streaming." +
-            "state.RocksDBStateStoreProvider")) {
+            "state.RocksDBStateStoreProvider"),
+        // per-batch state commits upload changelog DELTAS, not full
+        // RocksDB snapshots (snapshots continue in the background) —
+        // at 100 TB of keyed state the per-batch upload is the commit
+        // latency, so the changelog shape is the production default
+        "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled" -> "true") {
         streamTwsImpl(s, d)
       }
     }
