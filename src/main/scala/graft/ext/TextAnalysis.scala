@@ -158,6 +158,44 @@ object TextAnalysis {
     val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
     array_distinct(mins)
   }
+  /** Winnowing overlap join — the MOSS document-similarity shape
+    * (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003): pairs of documents sharing
+    * fingerprints, scored by `|common| / min(|fps_a|, |fps_b|)` (the
+    * containment-style ratio MOSS reports). Unlike token-set Jaccard,
+    * winnowing fingerprints are POSITIONAL (k-gram window minima), so
+    * the overlap detects shared passages, not just shared vocabulary.
+    *
+    * Scale shape: identical to [[Dedup.jaccardPairs]] — fingerprints
+    * with document frequency > `maxDF` are dropped before the self-join
+    * (the stop-fingerprint cap that bounds the quadratic term on
+    * boilerplate), sizes still count the RARE set so the ratio is
+    * df-consistent, and only 8-byte hashes are ever joined.
+    */
+  def winnowOverlapPairs(docs: DataFrame, id: Column, text: Column,
+      maxDF: Long = 20, minRatio: Double = 0.8,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    val fps = docs.select(id.as("id"),
+      explode(winnowingFingerprints(text, hash = hash)).as("fp")).persist()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDF).select("fp")
+    val rare = fps.join(keep, "fp").persist()
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val cmn = rare.as("a")
+      .join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cmn
+      .join(sizes.select(col("id").as("id_a"), col("n_fp").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_fp").as("n_b")), "id_b")
+      .withColumn("overlap",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("overlap") >= minRatio)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("overlap"), 6).as("overlap"))
+  }
+
   /** PII scrubbing: regex redaction of emails, IPv4 addresses, and
     * NANP-style phone numbers. Patterns avoid lookarounds so RE2-based
     * engines (and the DuckDB oracle) agree with Java's regex exactly.

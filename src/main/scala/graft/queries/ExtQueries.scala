@@ -705,6 +705,55 @@ object ExtQueries {
       |       list_min(fps) AS min_fp
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Winnowing-overlap pairs ([[TextAnalysis.winnowOverlapPairs]], the
+    * MOSS shape) over the planted dup corpus, on the md5-derived 48-bit
+    * hash so every stage mirrors in SQL: fingerprinting, the stop-
+    * fingerprint df cap, the pair join, and the containment ratio. The
+    * ratio is a quotient of integers, so the ≥ 0.8 cut lands identically
+    * in both engines.
+    */
+  private def winnowOverlap(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowOverlapPairs(dupCorpus(s, d), col("id"), col("t"),
+        maxDF = 20, minRatio = 0.8, hash = TextAnalysis.md5Hash48)
+      .orderBy("id_a", "id_b")
+
+  private val winnowOverlapSql =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t0 FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lower(trim(text)) || ' zq zr'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |t AS (SELECT id,
+      |        lower(regexp_replace(trim(t0), '\s+', ' ', 'g')) AS s
+      |      FROM corpus),
+      |g AS (SELECT id,
+      |        CASE WHEN length(s) >= 5
+      |          THEN list_transform(range(length(s) - 4),
+      |                 i -> CAST(('0x' || substr(md5(substr(s, i + 1, 5)),
+      |                                           1, 12)) AS BIGINT))
+      |          ELSE [CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)]
+      |          END AS gh
+      |      FROM t),
+      |m AS (SELECT id,
+      |        list_distinct(list_transform(range(greatest(len(gh) - 3, 1)),
+      |          j -> list_min(gh[j + 1 : least(j + 4, len(gh))]))) AS fps
+      |      FROM g),
+      |fp AS (SELECT id, unnest(fps) AS fp FROM m),
+      |dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+      |rare AS (SELECT f.id, f.fp FROM fp f JOIN dfq USING (fp)
+      |         WHERE df <= 20),
+      |rsz AS (SELECT id, count(*) AS n_fp FROM rare GROUP BY id),
+      |cmn AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      |        FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT c.id_a, c.id_b, c.n_common,
+      |          CAST(c.n_common AS DOUBLE)
+      |            / least(sa.n_fp, sb.n_fp) AS overlap
+      |       FROM cmn c JOIN rsz sa ON sa.id = c.id_a
+      |                  JOIN rsz sb ON sb.id = c.id_b)
+      |SELECT id_a, id_b, n_common, round(overlap, 6) AS overlap
+      |FROM sc WHERE overlap >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   // ---- TF-IDF --------------------------------------------------------------
   /** Top-3 TF-IDF terms per document (restricted to doc_id < 20 for the
     * gate; document frequencies always come from the WHOLE corpus). The
@@ -920,6 +969,7 @@ object ExtQueries {
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
+    Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),
     Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Gate("q_token_stats", tokenStats, Some(tokenStatsSql)),
     Gate("q_fingerprint", fingerprint, Some(fingerprintSql)),
