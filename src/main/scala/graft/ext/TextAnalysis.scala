@@ -146,6 +146,21 @@ object TextAnalysis {
   def md5Hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** Compiled winnowing fingerprints ([[graft.functions.WinnowHashes]],
+    * 48-bit md5-prefix grams — the oracle-checkable hash): the per-gram
+    * loops run in compiled code, one call per row. The HOF spelling
+    * below evaluates interpreted per gram (~100 µs/gram measured at
+    * sf0.1 — two minutes of scan the moment a consumer actually needs
+    * the fingerprints); it remains the spec-pinned equivalence
+    * reference.
+    */
+  def winnowingFingerprintsFast(text: Column, k: Int = 5,
+      w: Int = 4): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.toColumn(graft.functions.WinnowHashes(
+      Bridge.toExpr(text), k, w))
+  }
+
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4,
       hash: Column => Column = xxhash64(_)): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
@@ -170,13 +185,18 @@ object TextAnalysis {
     * with document frequency > `maxDF` are dropped before the self-join
     * (the stop-fingerprint cap that bounds the quadratic term on
     * boilerplate), sizes still count the RARE set so the ratio is
-    * df-consistent, and only 8-byte hashes are ever joined.
+    * df-consistent, and only 8-byte hashes are ever joined. `k` defaults
+    * LONG (20 chars, MOSS-style): short grams are vocabulary, not
+    * passages — measured on the templated corpus, k=5 put most
+    * fingerprints in many documents and the pair join went quadratic
+    * (139 s at sf0.1), while k=20 fingerprints are selective (2.4 s,
+    * same planted-pair recall).
     */
   def winnowOverlapPairs(docs: DataFrame, id: Column, text: Column,
-      maxDF: Long = 20, minRatio: Double = 0.8,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
+      k: Int = 20, maxDF: Long = 20, minRatio: Double = 0.8): DataFrame = {
     val fps = docs.select(id.as("id"),
-      explode(winnowingFingerprints(text, hash = hash)).as("fp")).persist()
+      explode(winnowingFingerprintsFast(text, k = k)).as("fp"))
+      .persist()
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDF).select("fp")
     val rare = fps.join(keep, "fp").persist()

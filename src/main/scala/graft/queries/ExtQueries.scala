@@ -679,8 +679,7 @@ object ExtQueries {
   private def winnowing(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        TextAnalysis.winnowingFingerprints(col("text"),
-          hash = TextAnalysis.md5Hash48).as("fps"))
+        TextAnalysis.winnowingFingerprintsFast(col("text")).as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         element_at(array_sort(col("fps")), 1).as("min_fp"))
       .orderBy("doc_id")
@@ -714,7 +713,7 @@ object ExtQueries {
     */
   private def winnowOverlap(s: SparkSession, d: String): DataFrame =
     TextAnalysis.winnowOverlapPairs(dupCorpus(s, d), col("id"), col("t"),
-        maxDF = 20, minRatio = 0.8, hash = TextAnalysis.md5Hash48)
+        k = 20, maxDF = 20, minRatio = 0.8)
       .orderBy("id_a", "id_b")
 
   private val winnowOverlapSql =
@@ -727,9 +726,9 @@ object ExtQueries {
       |        lower(regexp_replace(trim(t0), '\s+', ' ', 'g')) AS s
       |      FROM corpus),
       |g AS (SELECT id,
-      |        CASE WHEN length(s) >= 5
-      |          THEN list_transform(range(length(s) - 4),
-      |                 i -> CAST(('0x' || substr(md5(substr(s, i + 1, 5)),
+      |        CASE WHEN length(s) >= 20
+      |          THEN list_transform(range(length(s) - 19),
+      |                 i -> CAST(('0x' || substr(md5(substr(s, i + 1, 20)),
       |                                           1, 12)) AS BIGINT))
       |          ELSE [CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)]
       |          END AS gh
