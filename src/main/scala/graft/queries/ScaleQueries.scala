@@ -609,6 +609,76 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok, true AS appended_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** SQ8 persistence + incremental append gate: ranges train on 90% of
+    * the corpus, save, [[graft.ext.SqIndex.saveAppend]] the delta
+    * (frozen ranges), load in a FRESH session, search. Because the
+    * codec is closed-form, the oracle mirrors the ENTIRE lifecycle as
+    * values — per-dim ranges computed over the base subset only, codes
+    * for the full corpus, scan, re-rank — so unlike the recall-style
+    * PQ/IVF persist gates this one hash-checks that the loaded index
+    * answers exactly what the never-persisted computation defines.
+    */
+  private def sqPersist(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    val model = graft.ext.SqIndex.build(base)
+    val dir = graft.Gate.tmpDir("gate_sq_persist_")
+    graft.ext.SqIndex.save(model, dir)
+    graft.ext.SqIndex.saveAppend(model, delta, dir)
+    val fresh = s.newSession()
+    val loaded = graft.ext.SqIndex.load(fresh, dir,
+      Tables.embeddings(fresh, d))
+    graft.ext.SqIndex.search(loaded, col("vec_id") < 10, k = 5,
+        shortlist = 8)
+      .write.mode("overwrite").parquet(s"$dir/out")
+    s.read.parquet(s"$dir/out").orderBy("query_id", "rank")
+  }
+
+  private val sqPersistSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |u AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i
+      |      FROM e),
+      |ux AS (SELECT vec_id, i,
+      |              v[i] / sqrt(list_dot_product(v, v)) AS x
+      |       FROM u),
+      |rng AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ux
+      |        WHERE vec_id % 10 <> 0 GROUP BY i),
+      |dq AS (SELECT vec_id, i,
+      |              lo + floor(255.0 * (x - lo)
+      |                         / greatest(hi - lo, 1e-12) + 0.5)
+      |                   * (hi - lo) / 255.0 AS xh
+      |       FROM ux JOIN rng USING (i)),
+      |vh AS (SELECT vec_id, list(xh ORDER BY i) AS vhat
+      |       FROM dq GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id,
+      |             list_transform(v,
+      |               x -> x / sqrt(list_dot_product(v, v))) AS qu
+      |      FROM e WHERE vec_id < 10),
+      |adc AS (SELECT q.query_id, vh.vec_id,
+      |               list_dot_product(q.qu, vh.vhat) AS score
+      |        FROM q, vh WHERE vh.vec_id <> q.query_id),
+      |cand AS (SELECT query_id, vec_id FROM (
+      |           SELECT query_id, vec_id,
+      |                  row_number() OVER (PARTITION BY query_id
+      |                    ORDER BY score DESC, vec_id) AS rn
+      |           FROM adc) WHERE rn <= 40),
+      |rr AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+      |              list_dot_product(a.v, b.v)
+      |                / sqrt(list_dot_product(a.v, a.v)
+      |                       * list_dot_product(b.v, b.v)) AS cosx,
+      |              row_number() OVER (PARTITION BY c.query_id
+      |                ORDER BY list_dot_product(a.v, b.v)
+      |                  / sqrt(list_dot_product(a.v, a.v)
+      |                         * list_dot_product(b.v, b.v)) DESC,
+      |                  c.vec_id) AS rank
+      |       FROM cand c
+      |       JOIN e a ON a.vec_id = c.query_id
+      |       JOIN e b ON b.vec_id = c.vec_id)
+      |SELECT query_id, neighbor_id, round(cosx, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Scalar-quantized (SQ8) ANN gate ([[graft.ext.SqIndex]]) — the
     * no-training member of the compression family (IVF prunes rows, PQ
     * codes subspaces, SQ8 is a per-dimension affine codec whose "model"
@@ -1383,6 +1453,7 @@ object ScaleQueries {
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),
+    Gate("q_sq_persist", sqPersist, Some(sqPersistSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
     Gate("q_stream_incremental", streamIncremental,
       Some(streamIncrementalSql)),
