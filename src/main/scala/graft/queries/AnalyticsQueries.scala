@@ -363,6 +363,44 @@ object AnalyticsQueries {
       |FROM e WHERE k >= 10 GROUP BY event_type ORDER BY event_type"""
       .stripMargin
 
+  /** The same payload through Spark 4's VARIANT type: `parse_json` once
+    * into the binary variant encoding, then typed `variant_get` paths —
+    * the engine-native semi-structured column (shredded storage-ready)
+    * vs q_props_json's per-access string re-parse. At scale the
+    * difference is one parse per row feeding ALL accesses instead of one
+    * parse per `get_json_object` call; the aggregate (plus a
+    * variant→json roundtrip sample) is value-mirrored in DuckDB's JSON
+    * operators.
+    */
+  private def variantJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        to_json(col("v")).as("vj"))
+      .filter(col("k") >= 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        // variant→json emits the canonical compact form regardless of
+        // source spacing — pinned as a per-row contract the oracle
+        // asserts true (DuckDB's JSON cast preserves source text, so a
+        // length mirror would compare formatting, not values)
+        bool_and(col("vj") ===
+          concat(lit("{\"k\":"), col("k").cast("string"), lit("}")))
+          .as("compact_ok"))
+      .orderBy("event_type")
+
+  private val variantJsonSql =
+    """WITH e AS (SELECT event_type,
+      |                  CAST(props->>'k' AS INTEGER) AS k
+      |           FROM events)
+      |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       min(k) AS min_k, max(k) AS max_k, true AS compact_ok
+      |FROM e WHERE k >= 10 GROUP BY event_type ORDER BY event_type"""
+      .stripMargin
+
   // ---- regexp_extract_all + array fold ------------------------------------
   /** Multi-match regex extraction (`regexp_extract_all`) folded with
     * higher-order array functions — all codegen'd per-row expressions,
@@ -842,6 +880,7 @@ object AnalyticsQueries {
     Gate("q_topk_agg", topkAgg, Some(topkAggSql)),
     Gate("q_funnel", funnel, Some(funnelSql)),
     Gate("q_props_json", propsJson, Some(propsJsonSql)),
+    Gate("q_variant_json", variantJson, Some(variantJsonSql)),
     Gate("q_unpivot", unpivotStatus, Some(unpivotStatusSql)),
     Gate("q_regex_extract", regexExtract, Some(regexExtractSql)),
     Gate("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
