@@ -19,9 +19,11 @@ import org.apache.hadoop.fs.http.HttpFileSystem
   *     (s3_utils.py:329-410), each then fetched directly, never listed;
   *   - `open` returns a SEEKABLE stream (the stock one throws on the
   *     `seek(splitStart)` every record reader issues): forward seeks
-  *     skip, backward seeks reopen — the right emulation for sequential
-  *     formats (CSV/JSON). Columnar formats want true ranged GETs (s3a);
-  *     this connector is the ingest-edge path, not a parquet substrate.
+  *     skip, backward seeks reopen. Correct for every format —
+  *     spec-proven against parquet, whose footer-first layout exercises
+  *     the backward path — but each backward seek re-GETs the object,
+  *     so columnar scans want true ranged GETs (s3a) in production;
+  *     this connector is the ingest-edge path.
   *
   * Register with `fs.http.impl = graft.sources.HttpObjectFileSystem`.
   */

@@ -76,3 +76,42 @@ class HttpObjectFileSystemSpec extends AnyFunSuite {
     }
   }
 }
+// Columnar formats drive the seek path hard (parquet reads its footer
+// first — a backward seek on a stream opened at zero): prove the
+// connector serves them correctly, not just sequential CSV.
+class HttpParquetSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("parquet reads correctly through the seek-emulating http connector") {
+    val dir = graft.Gate.tmpDir("http_parquet_")
+    val data = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "s")
+    data.coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.parquet",
+      new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+          try {
+            if (ex.getRequestMethod == "HEAD") {
+              ex.getResponseHeaders.set("Content-Length",
+                bytes.length.toString)
+              ex.sendResponseHeaders(200, -1L)
+            } else {
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+            }
+          } finally ex.close()
+      })
+    server.start()
+    try {
+      spark.sparkContext.hadoopConfiguration.set("fs.http.impl",
+        "graft.sources.HttpObjectFileSystem")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.parquet"
+      val back = spark.read.parquet(url).as[(Long, String)].collect().sorted
+      assert(back.toSeq == (1L to 100L).map(i => (i, s"row$i")))
+    } finally server.stop(0)
+  }
+}
