@@ -53,7 +53,10 @@ object Checks {
       naturalKey: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val metricCols = checks.map(c => c.violations.as(c.name)) :+
+    // sum() over zero rows is NULL — an empty relation must validate
+    // clean, not crash on unboxing
+    val metricCols = checks.map(c =>
+      coalesce(c.violations, lit(0L)).as(c.name)) :+
       count(lit(1)).as("_rows")
     val row = df.agg(metricCols.head, metricCols.tail: _*).head()
     val distinctKeys = df.select(naturalKey.map(col): _*).distinct().count()

@@ -32,6 +32,14 @@ class ChecksSpec extends SparkSpec {
     assert(out("duplicate_natural_key") == 1)
   }
 
+  test("an empty frame validates clean (no NULL-unboxing crash)") {
+    val out = Checks.validate(frame.filter(lit(false)),
+      Checks.billingChecks,
+      Seq("timestamp", "resource_id", "user_id", "invoice_id"))
+    assert(out.count() == 6)
+    assert(out.filter(!col("ok")).count() == 0)
+  }
+
   test("a clean frame passes every check") {
     val clean = frame.filter(col("timestamp").isNotNull &&
       col("user_id").isNotNull && col("credit_usage") >= 0 &&
