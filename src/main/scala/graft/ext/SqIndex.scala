@@ -56,6 +56,7 @@ object SqIndex {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.stat.Summarizer
     val p = EmbeddingSearch.prepared(embs)
+    require(!p.isEmpty, "cannot train SQ ranges on an empty corpus")
     val row = p
       .select(array_to_vector(unit(col("v"), col("nrm"))).as("u"))
       .select(Summarizer.min(col("u")).as("lo"),
