@@ -679,6 +679,98 @@ object ScaleQueries {
       |       CAST(rank AS INTEGER) AS rank
       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Streaming ANN lookup: query vectors arrive as a STREAM and each
+    * micro-batch searches a static, pre-built [[graft.ext.SqIndex]] via
+    * `foreachBatch` + [[graft.ext.SqIndex.searchVectors]] (lookup
+    * semantics — a query identical to a corpus row ranks it first).
+    * The serving shape for retrieval workloads: the index is built once
+    * and the per-batch cost is one broadcast of the batch's vectors
+    * against the streamed codes. Because the index is static, batch
+    * boundaries cannot change any answer — the union of per-batch
+    * results is pinned against the one-shot closed-form oracle,
+    * quantization error and all.
+    */
+  private def streamAnn(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) { streamAnnImpl(s, d) }
+
+  private def streamAnnImpl(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = graft.ext.SqIndex.build(embs)
+    val in = graft.Gate.tmpDir("gate_sann_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sann_ck_")
+    val out = graft.Gate.tmpDir("gate_sann_out_")
+    val queries = embs.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    queries.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b1")
+    queries.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b2")
+    val stream = s.readStream
+      .schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.SqIndex.searchVectors(model, batch, k = 5, shortlist = 8)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.schema(
+        "query_id LONG, neighbor_id LONG, cos DOUBLE, rank INT")
+      .parquet(out)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Same closed-form mirror as q_sq_topk, in LOOKUP semantics: no
+    * self-exclusion, so each query's rank-1 neighbor is itself at
+    * cos = 1.
+    */
+  private val streamAnnSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |u AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i
+      |      FROM e),
+      |ux AS (SELECT vec_id, i,
+      |              v[i] / sqrt(list_dot_product(v, v)) AS x
+      |       FROM u),
+      |rng AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ux GROUP BY i),
+      |dq AS (SELECT vec_id, i,
+      |              lo + floor(255.0 * (x - lo)
+      |                         / greatest(hi - lo, 1e-12) + 0.5)
+      |                   * (hi - lo) / 255.0 AS xh
+      |       FROM ux JOIN rng USING (i)),
+      |vh AS (SELECT vec_id, list(xh ORDER BY i) AS vhat
+      |       FROM dq GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id,
+      |             list_transform(v,
+      |               x -> x / sqrt(list_dot_product(v, v))) AS qu
+      |      FROM e WHERE vec_id < 10),
+      |adc AS (SELECT q.query_id, vh.vec_id,
+      |               list_dot_product(q.qu, vh.vhat) AS score
+      |        FROM q, vh),
+      |cand AS (SELECT query_id, vec_id FROM (
+      |           SELECT query_id, vec_id,
+      |                  row_number() OVER (PARTITION BY query_id
+      |                    ORDER BY score DESC, vec_id) AS rn
+      |           FROM adc) WHERE rn <= 40),
+      |rr AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+      |              list_dot_product(a.v, b.v)
+      |                / sqrt(list_dot_product(a.v, a.v)
+      |                       * list_dot_product(b.v, b.v)) AS cosx,
+      |              row_number() OVER (PARTITION BY c.query_id
+      |                ORDER BY list_dot_product(a.v, b.v)
+      |                  / sqrt(list_dot_product(a.v, a.v)
+      |                         * list_dot_product(b.v, b.v)) DESC,
+      |                  c.vec_id) AS rank
+      |       FROM cand c
+      |       JOIN e a ON a.vec_id = c.query_id
+      |       JOIN e b ON b.vec_id = c.vec_id)
+      |SELECT query_id, neighbor_id, round(cosx, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Scalar-quantized (SQ8) ANN gate ([[graft.ext.SqIndex]]) — the
     * no-training member of the compression family (IVF prunes rows, PQ
     * codes subspaces, SQ8 is a per-dimension affine codec whose "model"
@@ -1454,6 +1546,7 @@ object ScaleQueries {
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),
     Gate("q_sq_persist", sqPersist, Some(sqPersistSql)),
+    Gate("q_stream_ann", streamAnn, Some(streamAnnSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
     Gate("q_stream_incremental", streamIncremental,
       Some(streamIncrementalSql)),
