@@ -56,6 +56,46 @@ object Gate {
       })
   }
 
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-JVM staging: `build` populates a fresh dir on the
+    * first use of `key`; later calls reuse it. For gates whose oracle
+    * pins BATCH semantics, not build cost — the build is priced
+    * separately by its own gate (q_*_persist), so re-running it inside
+    * every composition gate only inflates the suite. Callers that MUTATE
+    * the artifact must [[copyDir]] it first.
+    */
+  def memoDir(key: String, prefix: String)(build: String => Unit): String =
+    memo.computeIfAbsent(key, _ => {
+      val d = tmpDir(prefix)
+      build(d)
+      d
+    })
+
+  /** Cheap recursive copy of a staged artifact into a fresh scratch dir —
+    * how a mutating gate gets a private copy of a [[memoDir]] build
+    * (tmpfs-to-tmpfs, orders of magnitude below rebuilding).
+    */
+  def copyDir(src: String, prefix: String): String = {
+    val dst = tmpDir(prefix)
+    val s = java.nio.file.Paths.get(src)
+    val t = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
+      val q = t.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(q)
+        ()
+      } else {
+        java.nio.file.Files.copy(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally walk.close()
+    dst
+  }
+
   /** Run `body` with session confs temporarily set, restoring (or
     * unsetting) each key afterwards — gates must not leak configuration
     * into their neighbors.

@@ -139,6 +139,13 @@ object DedupIndex {
       .join(candIds, Seq("id"), "left_semi")
     val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
       .join(sizesAll, "id").persist()
-    Dedup.scoreCandidates(cands, sets, threshold)
+    // materialize the (small) pair result eagerly so every cached
+    // intermediate can be freed HERE — in the foreachBatch streaming path
+    // this runs per micro-batch, and leaked cache entries would otherwise
+    // accumulate for the lifetime of the stream
+    val scored = Dedup.scoreCandidates(cands, sets, threshold)
+      .localCheckpoint(true)
+    Seq(newSh, newBuckets, cands, sets).foreach(_.unpersist())
+    scored
   }
 }

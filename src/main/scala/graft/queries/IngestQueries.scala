@@ -195,7 +195,8 @@ object IngestQueries {
        |    (SELECT DISTINCT "timestamp", resource_id, user_id, invoice_id
        |     FROM billing)) AS duplicate_natural_key
        |  FROM billing)
-       |SELECT "check", violations, violations = 0 AS ok FROM (
+       |SELECT "check", CAST(violations AS BIGINT) AS violations,
+       |       violations = 0 AS ok FROM (
        |  SELECT 'null_timestamp' AS "check", null_timestamp AS violations
        |  FROM m
        |  UNION ALL SELECT 'null_user_id', null_user_id FROM m

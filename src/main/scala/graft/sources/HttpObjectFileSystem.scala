@@ -32,12 +32,42 @@ class HttpObjectFileSystem extends HttpFileSystem {
   override def getFileStatus(f: Path): FileStatus = {
     val conn = f.toUri.toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("HEAD")
-    try {
+    val head = try {
       val code = conn.getResponseCode
       if (code >= 400)
         throw new java.io.FileNotFoundException(s"$f: HTTP $code")
-      new FileStatus(math.max(conn.getContentLengthLong, 0L), false, 1,
-        4096, 0L, f)
+      conn.getContentLengthLong
+    } finally conn.disconnect()
+    // A chunked HEAD response carries no Content-Length (-1). Clamping to
+    // 0 would make split planning silently scan zero bytes — the exact
+    // silent-empty-scan defect this class exists to fix — so fall back to
+    // learning the length by draining a GET before giving up.
+    val len = if (head >= 0) head else lengthByGet(f)
+    new FileStatus(len, false, 1, 4096, 0L, f)
+  }
+
+  /** Last-resort length discovery for servers that answer HEAD without
+    * Content-Length: issue a GET and count the body. O(object) bytes, but
+    * correct — and only reached on non-compliant servers.
+    */
+  private def lengthByGet(f: Path): Long = {
+    val conn = f.toUri.toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      if (conn.getResponseCode >= 400)
+        throw new java.io.FileNotFoundException(
+          s"$f: HTTP ${conn.getResponseCode}")
+      val known = conn.getContentLengthLong
+      if (known >= 0) known
+      else {
+        val in = conn.getInputStream
+        try {
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = in.read(buf)
+          while (n >= 0) { total += n; n = in.read(buf) }
+          total
+        } finally in.close()
+      }
     } finally conn.disconnect()
   }
 

@@ -36,6 +36,12 @@ class GateRegistrySpec extends AnyFunSuite {
     assert(dead.isEmpty, s"headline entries with no gate: $dead")
   }
 
+  test("every bench heavy name is a live gate") {
+    val names = Gate.all.map(_.name).toSet
+    val dead = Bench.heavy.filterNot(names)
+    assert(dead.isEmpty, s"heavy entries with no gate: $dead")
+  }
+
   test("SparkEntry exposes exactly the gate registry") {
     assert(SparkEntry.queries.keySet == Gate.all.map(_.name).toSet)
     assert(SparkEntry.oracleSql.keySet ==

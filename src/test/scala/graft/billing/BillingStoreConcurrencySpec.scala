@@ -66,12 +66,16 @@ class BillingStoreConcurrencySpec extends SparkSpec {
     assert(store.raw(spark).count() == 2L + 2L * nBatches) // no dups either
   }
 
+  private def forgeLock(root: String, payload: String): java.nio.file.Path =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_writer.lock"), payload)
+
   test("a dead holder's lock is broken instead of waited out") {
     val store = BillingStore(tmpDir("stale_lock"))
     // forge a lock from a pid that cannot exist (kernel pid_max < 2^22)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(store.root, "_writer.lock"),
-      s"99999999 ${System.currentTimeMillis()}")
+    // on THIS host — the one case pid-liveness is allowed to decide
+    forgeLock(store.root,
+      s"99999999 ${TableLock.localHost} tok ${System.currentTimeMillis()}")
     assert(store.appendDedup(spark,
       df(rec("2025-04-23 10:00:00", "r1", "u1", 2.0))) == 1L)
     // the broken lock was re-acquired and released
@@ -81,9 +85,7 @@ class BillingStoreConcurrencySpec extends SparkSpec {
   test("a live holder's lock is honored until timeout") {
     val root = tmpDir("live_lock")
     new java.io.File(root).mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "_writer.lock"),
-      s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
+    forgeLock(root, TableLock.payloadFor("other-token"))
     intercept[java.util.concurrent.TimeoutException] {
       TableLock.withLock(spark, root, timeoutMs = 300)(())
     }
@@ -93,6 +95,61 @@ class BillingStoreConcurrencySpec extends SparkSpec {
     var ran = false
     TableLock.withLock(spark, root, timeoutMs = 300) { ran = true }
     assert(ran)
+  }
+
+  test("a remote host's fresh lock is honored even if its pid is dead " +
+      "here") {
+    val root = tmpDir("remote_lock")
+    new java.io.File(root).mkdirs()
+    // pid 99999999 does not exist locally, but the payload names another
+    // host — liveness must NOT be judged from this machine's process
+    // table, so only the staleMs clock may break it
+    forgeLock(root,
+      s"99999999 some-other-host tok ${System.currentTimeMillis()}")
+    intercept[java.util.concurrent.TimeoutException] {
+      TableLock.withLock(spark, root, timeoutMs = 300)(())
+    }
+  }
+
+  test("an unreadable-but-fresh lock is honored, not deleted") {
+    val root = tmpDir("empty_lock")
+    new java.io.File(root).mkdirs()
+    // an empty file is what a contender sees in the create→write window
+    // of a non-atomic filesystem — deleting it would unseat a live holder
+    forgeLock(root, "")
+    intercept[java.util.concurrent.TimeoutException] {
+      TableLock.withLock(spark, root, timeoutMs = 300)(())
+    }
+    assert(new java.io.File(root, "_writer.lock").exists())
+  }
+
+  test("an unreadable lock older than staleMs is broken") {
+    val root = tmpDir("old_empty_lock")
+    new java.io.File(root).mkdirs()
+    val p = forgeLock(root, "garbage payload")
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+    var ran = false
+    TableLock.withLock(spark, root, timeoutMs = 2000, staleMs = 1000) {
+      ran = true
+    }
+    assert(ran)
+  }
+
+  test("release leaves a thief's lock alone after an overrun steal") {
+    val root = tmpDir("thief_lock")
+    TableLock.withLock(spark, root) {
+      // simulate: we overran staleMs and a thief re-acquired — the lock
+      // file now carries the thief's token
+      forgeLock(root, s"${ProcessHandle.current().pid()} " +
+        s"${TableLock.localHost} thief-token " +
+        s"${System.currentTimeMillis()}")
+    }
+    // our release must NOT have deleted the thief's lock
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_writer.lock"))
+    assert(txt.contains("thief-token"))
   }
 
   test("the lock is reentrant within a thread") {
