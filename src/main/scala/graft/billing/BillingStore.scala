@@ -15,13 +15,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * within a day, because `timestamp` is part of the key).
   *
   * Concurrency: every mutator serializes on the store's [[TableLock]] —
-  * without it, an append racing `compactRaw`'s dynamic partition
-  * overwrite can have its freshly-written file deleted by the partition
-  * swap (silently lost rows). Readers take no lock. Proven by
+  * without it, an append racing `compactRaw`'s partition swap can have
+  * its freshly-written file lost. Readers take no lock: each mutator
+  * commit publishes a [[RawManifest]] version (atomic rename of the
+  * fact table's file list), [[raw]] pins the newest manifest instead of
+  * listing directories, and replaced files stay on disk until
+  * [[gcRaw]] finds them unreferenced by the latest `retainVersions`
+  * manifests — so a scan started just before a compaction or CDC merge
+  * still reads a consistent snapshot. Proven by
   * BillingStoreConcurrencySpec: interleaved appends and compactions
-  * lose zero rows.
+  * lose zero rows, and a reader scanning THROUGH the interleaving only
+  * ever observes consistent post-commit row counts.
+  *
+  * Manifest metadata cost is O(touched-partition files + manifest
+  * length) per commit — driver-side, never a data scan. A pre-manifest
+  * store (or one staged by a direct parquet write) reads via directory
+  * listing until its first mutator commit migrates it.
   */
-final case class BillingStore(root: String) {
+final case class BillingStore(root: String, retainVersions: Int = 2) {
   val rawPath = s"$root/raw_billing"
   val ledgerPath = s"$root/processed_files"
   val dailyPartialsPath = s"$root/daily_partials"
@@ -32,11 +43,107 @@ final case class BillingStore(root: String) {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  def raw(spark: SparkSession): DataFrame =
-    if (exists(spark, rawPath))
-      spark.read.schema(Schemas.billing).parquet(rawPath)
-    else spark.createDataFrame(
+  /** The fact table, pinned to the newest manifest snapshot (falls back
+    * to directory listing for a store no mutator has committed yet).
+    * The returned frame keeps reading that snapshot's files even while
+    * later commits land — consistent up to `retainVersions` subsequent
+    * commits (then GC may reclaim its files).
+    */
+  def raw(spark: SparkSession): DataFrame = {
+    val fs = rawFs(spark)
+    RawManifest.latest(fs, rawPath) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.schema(Schemas.billing)
+          .option("basePath", rawPath)
+          .parquet(files.map(f => s"$rawPath/$f"): _*)
+      case Some(_) => emptyBilling(spark)
+      case None =>
+        if (exists(spark, rawPath))
+          spark.read.schema(Schemas.billing).parquet(rawPath)
+        else emptyBilling(spark)
+    }
+  }
+
+  private def emptyBilling(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.billing)
+
+  private def rawFs(spark: SparkSession) =
+    new Path(rawPath).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Relative data-file paths under `sub` (or the whole table when
+    * `sub` is empty), hidden files/dirs excluded.
+    */
+  private def listRel(fs: org.apache.hadoop.fs.FileSystem,
+      sub: String): Seq[String] = {
+    val base = if (sub.isEmpty) new Path(rawPath) else new Path(rawPath, sub)
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val rootUri = new Path(rawPath).toUri.getPath
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+          .stripPrefix("/")
+        if (!rel.split("/").exists(isHidden)) out += rel
+      }
+      out.toSeq
+    }
+  }
+
+  /** Current file set: newest manifest, else (pre-manifest store) the
+    * on-disk listing. Callers hold the writer lock.
+    */
+  private def currentFiles(
+      fs: org.apache.hadoop.fs.FileSystem): Set[String] =
+    RawManifest.latest(fs, rawPath).map(_._2.toSet)
+      .getOrElse(listRel(fs, "").toSet)
+
+  private def dayDir(y: Int, m: Int, d: Int) = s"year=$y/month=$m/day=$d"
+
+  /** Physically delete data files no manifest in the newest `retain`
+    * versions references, then drop emptied partition directories and
+    * prune manifest history. Returns the number of files reclaimed.
+    * Runs automatically after every file-dropping commit; tests call it
+    * with `retain = 1` to assert immediate disk state.
+    */
+  def gcRaw(spark: SparkSession, retain: Int = retainVersions): Long =
+      TableLock.withLock(spark, root) {
+    val fs = rawFs(spark)
+    if (RawManifest.latest(fs, rawPath).isEmpty) 0L
+    else {
+      val refs = RawManifest.referenced(fs, rawPath, retain)
+      val doomed = listRel(fs, "").filterNot(refs)
+      doomed.foreach(f => fs.delete(new Path(s"$rawPath/$f"), false))
+      dropEmptyPartitionDirs(fs, new Path(rawPath))
+      RawManifest.pruneHistory(fs, rawPath, keep = math.max(retain, 8))
+      if (doomed.nonEmpty) spark.catalog.refreshByPath(rawPath)
+      doomed.length.toLong
+    }
+  }
+
+  /** Remove partition directories left with no visible content (depth-
+    * first); the table root and hidden dirs (`_raw_manifest`) survive.
+    */
+  private def dropEmptyPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Unit = {
+    def sweep(p: Path, isRoot: Boolean): Boolean = {
+      val kids = fs.listStatus(p)
+      val visible = kids.filterNot(k => isHidden(k.getPath.getName))
+      val remaining = visible.count { k =>
+        if (k.isDirectory) !sweep(k.getPath, isRoot = false)
+        else true
+      }
+      val hasHidden = kids.length > visible.length
+      if (!isRoot && remaining == 0 && !hasHidden) fs.delete(p, true)
+      else false
+    }
+    if (fs.exists(root)) { sweep(root, isRoot = true); () }
+  }
 
   def ledger(spark: SparkSession): DataFrame =
     if (exists(spark, ledgerPath))
@@ -53,13 +160,20 @@ final case class BillingStore(root: String) {
   def appendDedup(spark: SparkSession, staged: DataFrame): Long =
       TableLock.withLock(spark, root) {
     val batch = Ingest.dedupWithinBatch(staged)
+    // bounded driver-side metadata: the distinct (year,month,day) tuples
+    // of ONE batch — reused for the anti-join prune and the manifest
+    // commit's touched-partition listing
+    val dayTuples = batch.select("year", "month", "day").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
     val existing =
       if (exists(spark, rawPath)) {
-        val days = batch.select("year", "month", "day").distinct()
+        import spark.implicits._
+        val days = dayTuples.toDF("year", "month", "day")
         raw(spark).join(
           org.apache.spark.sql.functions.broadcast(days),
           Seq("year", "month", "day"))
       } else raw(spark)
+    val beforeTouched = snapshotTouched(rawFs(spark), dayTuples)
     // Observation fuses the returned row count into the write action —
     // one pass over the anti-join instead of a count() materialization
     // followed by a second (cached) pass for the write.
@@ -69,7 +183,47 @@ final case class BillingStore(root: String) {
         org.apache.spark.sql.functions.lit(1)).as("n"))
       .write.mode("append")
       .partitionBy("year", "month", "day").parquet(rawPath)
-    obs.get("n").asInstanceOf[Long]
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0) commitAppend(spark, dayTuples, beforeTouched)
+    n
+  }
+
+  /** Pre-write snapshot of the touched partitions' on-disk files: the
+    * baseline both commit flavors diff against. Disk, not manifest —
+    * retention keeps RETIRED files on disk, and a commit that re-listed
+    * directories wholesale would resurrect them into the manifest
+    * (doubled rows; caught by the concurrency spec).
+    */
+  private def snapshotTouched(fs: org.apache.hadoop.fs.FileSystem,
+      days: Seq[(Int, Int, Int)]): Set[String] =
+    days.flatMap { case (y, m, d) => listRel(fs, dayDir(y, m, d)) }.toSet
+
+  /** Publish an append commit: previous manifest (or pre-manifest disk
+    * listing) plus ONLY the files this write created. Appends never
+    * drop files, so no GC is needed.
+    */
+  private def commitAppend(spark: SparkSession, days: Seq[(Int, Int, Int)],
+      beforeTouched: Set[String]): Unit = {
+    val fs = rawFs(spark)
+    val newFiles = snapshotTouched(fs, days) -- beforeTouched
+    RawManifest.commit(fs, rawPath, (currentFiles(fs) ++ newFiles).toSeq)
+    ()
+  }
+
+  /** Publish a replacing commit: `beforeTouched` (the touched
+    * partitions' pre-write files) leave the manifest, the write's new
+    * files enter it, and files no retained manifest references any more
+    * are reclaimed.
+    */
+  private def commitReplace(spark: SparkSession,
+      days: Seq[(Int, Int, Int)], beforeTouched: Set[String]): Unit = {
+    val fs = rawFs(spark)
+    val afterTouched = snapshotTouched(fs, days)
+    val next = (currentFiles(fs) -- beforeTouched) ++
+      (afterTouched -- beforeTouched)
+    RawManifest.commit(fs, rawPath, next.toSeq)
+    gcRaw(spark)
+    spark.catalog.refreshByPath(rawPath)
   }
 
   /** S10: full-recompute rollups, written with overwrite semantics exactly
@@ -127,9 +281,12 @@ final case class BillingStore(root: String) {
   def appendIncremental(spark: SparkSession, staged: DataFrame): Long =
       TableLock.withLock(spark, root) {
     val batch = Ingest.dedupWithinBatch(staged)
+    val dayTuples = batch.select("year", "month", "day").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
     val existing =
       if (exists(spark, rawPath)) {
-        val days = batch.select("year", "month", "day").distinct()
+        import spark.implicits._
+        val days = dayTuples.toDF("year", "month", "day")
         raw(spark).join(
           org.apache.spark.sql.functions.broadcast(days),
           Seq("year", "month", "day"))
@@ -142,8 +299,10 @@ final case class BillingStore(root: String) {
     try {
       val n = fresh.count()
       if (n > 0) {
+        val beforeTouched = snapshotTouched(rawFs(spark), dayTuples)
         fresh.write.mode("append")
           .partitionBy("year", "month", "day").parquet(rawPath)
+        commitAppend(spark, dayTuples, beforeTouched)
         mergeIntoDailyPartials(spark, fresh)
       }
       n
@@ -222,27 +381,24 @@ final case class BillingStore(root: String) {
       coalesce(sum("n_files"), lit(0L)).as("files")).head()
     val (parts, files) = (stats.getLong(0), stats.getLong(1))
     if (parts > 0) {
+      val dayTuples = perPart.select("year", "month", "day").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      val beforeTouched = snapshotTouched(rawFs(spark), dayTuples)
       val fragmented = raw(spark).join(
         broadcast(perPart.select("year", "month", "day")),
         Seq("year", "month", "day"))
       // hash-cluster on the partition key: all rows of a day land in one
       // task, so each rewritten partition holds exactly one file. The
-      // read must be materialized before the dynamic overwrite replaces
-      // the files it is reading from.
-      val compacted = fragmented
+      // write APPENDS new files next to the fragments (no checkpoint
+      // barrier needed — nothing it reads is deleted); the manifest swap
+      // then atomically retires the fragments, which stay on disk for
+      // pinned readers until GC's retention window passes.
+      fragmented
         .repartition(col("year"), col("month"), col("day"))
         .select(raw(spark).columns.map(col): _*)
-        .localCheckpoint(true)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try compacted.write.mode("overwrite")
+        .write.mode("append")
         .partitionBy("year", "month", "day").parquet(rawPath)
-      finally prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      commitReplace(spark, dayTuples, beforeTouched)
     }
     perPart.unpersist()
     (parts, files)
@@ -273,48 +429,38 @@ final case class BillingStore(root: String) {
     // EAGER localCheckpoint, not persist: a change batch legitimately
     // derives from the store's own scans (e.g. a correction built from
     // raw()), and a lazily-cached partition would recompute against
-    // files this merge is about to replace or delete
+    // files this merge retires
     val ch = changes.localCheckpoint(true)
     val upserts = Ingest.dedupWithinBatch(ch.filter(col("op") === "upsert")
       .drop("op"), key)
     val deletes = ch.filter(col("op") === "delete").drop("op")
-    val days = ch.select("year", "month", "day").distinct()
+    val dayTuples = ch.select("year", "month", "day").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val days = {
+      import spark.implicits._
+      dayTuples.toDF("year", "month", "day")
+    }
     val current =
       if (exists(spark, rawPath))
         raw(spark).join(broadcast(days), Seq("year", "month", "day"))
       else raw(spark)
     val nDeleted = current.join(deletes.select(key.map(col): _*).distinct(),
       key, "left_semi").count()
-    // survivors = current minus every changed key, plus the upsert rows
+    val beforeTouched = snapshotTouched(rawFs(spark), dayTuples)
+    // survivors = current minus every changed key, plus the upsert rows;
+    // written as NEW files next to the old ones (a day the merge emptied
+    // simply contributes none), then the manifest swap retires every
+    // pre-merge file of the touched partitions in one atomic commit —
+    // emptied partitions need no special-casing, dynamic overwrite's
+    // classic blind spot
     val changedKeys = upserts.select(key.map(col): _*)
       .unionByName(deletes.select(key.map(col): _*)).distinct()
     val merged = current.join(changedKeys, key, "left_anti")
       .unionByName(upserts)
-      .localCheckpoint(true)
     val nUpserted = upserts.count()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite")
+    merged.write.mode("append")
       .partitionBy("year", "month", "day").parquet(rawPath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    // partitions the batch touched but the merge emptied: remove their
-    // directories (dynamic overwrite never rewrites an absent partition)
-    val surviving = merged.select("year", "month", "day").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-    val fs = new Path(rawPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    days.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-      .filterNot(surviving)
-      .foreach { case (y, m, dd) =>
-        fs.delete(new Path(s"$rawPath/year=$y/month=$m/day=$dd"), true)
-      }
-    // fs-level deletes bypass the write path's cache invalidation
-    spark.catalog.refreshByPath(rawPath)
+    commitReplace(spark, dayTuples, beforeTouched)
     ch.unpersist()
     (nUpserted, nDeleted)
   }
@@ -337,13 +483,18 @@ final case class BillingStore(root: String) {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
         .filter { case (y, m, dd) => (y * 100 + m) * 100 + dd < cutoff }
-      val fs = new Path(rawPath)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      old.foreach { case (y, m, dd) =>
-        fs.delete(new Path(s"$rawPath/year=$y/month=$m/day=$dd"), true)
+        .toSeq
+      if (old.nonEmpty) {
+        // retire the expired partitions from the manifest; their files
+        // stay on disk for pinned readers until GC's retention passes
+        val fs = rawFs(spark)
+        val droppedDirs = old.map { case (y, m, dd) => dayDir(y, m, dd) + "/" }
+        RawManifest.commit(fs, rawPath,
+          currentFiles(fs).filterNot(f =>
+            droppedDirs.exists(f.startsWith)).toSeq)
+        gcRaw(spark)
+        spark.catalog.refreshByPath(rawPath)
       }
-      // fs-level deletes bypass the write path's cache invalidation
-      spark.catalog.refreshByPath(rawPath)
       old.length.toLong
     }
   }

@@ -66,6 +66,49 @@ class BillingStoreConcurrencySpec extends SparkSpec {
     assert(store.raw(spark).count() == 2L + 2L * nBatches) // no dups either
   }
 
+  test("a reader scanning through interleaved append x compaction only " +
+      "sees committed row counts") {
+    val store = BillingStore(tmpDir("snap_store"), retainVersions = 3)
+    store.appendDedup(spark, df(
+      rec("2025-04-23 00:00:00", "seed23", "u0", 1.0),
+      rec("2025-04-24 00:00:00", "seed24", "u0", 1.0)).repartition(3))
+    val nBatches = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appender = new Thread(() => {
+      try (1 to nBatches).foreach { i =>
+        store.appendDedup(spark, df(
+          rec(f"2025-04-23 ${i}%02d:00:00", s"a$i", "u1", 1.0),
+          rec(f"2025-04-24 ${i}%02d:00:00", s"b$i", "u2", 1.0))
+          .repartition(3))
+      } catch { case t: Throwable => errs.add(t) } finally stop.set(true)
+    })
+    val compactor = new Thread(() => {
+      try while (!stop.get()) {
+        store.compactRaw(spark)
+        Thread.sleep(5)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    // every append commits exactly 2 rows and compaction preserves rows,
+    // so ANY consistent snapshot has an even count in [2, 2+2n]; a torn
+    // read (half a partition swap, doubled or missing files) does not
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        counts += store.raw(spark).count()
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    compactor.start(); reader.start(); appender.start()
+    appender.join(300000)
+    compactor.join(300000); reader.join(300000)
+    assert(errs.isEmpty, s"worker failed: ${Option(errs.peek())}")
+    assert(counts.nonEmpty)
+    val valid = (1 to nBatches + 1).map(_ * 2L).toSet
+    val torn = counts.filterNot(valid)
+    assert(torn.isEmpty, s"inconsistent snapshot counts: $torn")
+    assert(store.raw(spark).count() == 2L + 2L * nBatches)
+  }
+
   private def forgeLock(root: String, payload: String): java.nio.file.Path =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(root, "_writer.lock"), payload)

@@ -163,7 +163,10 @@ class BillingStoreSpec extends SparkSpec {
       .select("resource_id", "credit_usage").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == Map("r1" -> 99.0, "r4" -> 7.0))
-    // the emptied day-24 partition directory is gone entirely
+    // retired files survive the default retention window for pinned
+    // readers; once GC runs past it, the emptied day-24 partition
+    // directory is gone entirely
+    store.gcRaw(spark, retain = 1)
     assert(!new java.io.File(
       s"${store.rawPath}/year=2025/month=4/day=24").exists())
     // day 25 was not named by the batch: byte-untouched
