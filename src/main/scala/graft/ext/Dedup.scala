@@ -281,7 +281,16 @@ object Dedup {
     * of [[verifyJaccard]].
     */
   private[ext] def scoreCandidates(cands: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    scoreAllCandidates(cands, sets).filter(col("jaccard") >= threshold)
+
+  /** [[scoreCandidates]] without the threshold filter — every candidate
+    * pair scored, zero-overlap pairs included (jaccard 0). Drift
+    * re-verification needs the unfiltered values on BOTH sides of a df
+    * change to report which classification flipped.
+    */
+  private[ext] def scoreAllCandidates(cands: DataFrame,
+      sets: DataFrame): DataFrame = {
     val a = broadcast(sets
       .select(col("id").as("id_a"), col("shs").as("shs_a"), col("n_sh").as("n_a")))
     val b = broadcast(sets
@@ -292,7 +301,6 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 

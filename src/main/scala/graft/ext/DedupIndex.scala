@@ -148,4 +148,88 @@ object DedupIndex {
     Seq(newSh, newBuckets, cands, sets).foreach(_.unpersist())
     scored
   }
+
+  /** Re-verify previously ADMITTED pairs whose df-capped Jaccard would
+    * change if `newDocs` were appended: a shingle whose document
+    * frequency crosses `maxDF` because of the batch becomes a stop
+    * shingle for EVERY doc containing it, which re-scores old pairs a
+    * plain [[dedupBatch]] never revisits (it only pairs new docs). Run
+    * this alongside `dedupBatch` before [[append]] when a df cap is in
+    * use — the manual recipe in DedupIndexSpec's drift test, made an
+    * operator.
+    *
+    * Returns one row per affected admitted pair — both members in the
+    * index, at least one containing a crossing shingle, `jaccard_old ≥
+    * threshold` — with the pre/post values and the post-batch verdict:
+    * (id_a, id_b, jaccard_old, jaccard_new, is_dup). Pairs that were
+    * never admitted are not re-reported (a below-threshold pair whose
+    * score RISES past the threshold is caught, because suppression of a
+    * one-sided shingle shrinks the union — those arrive with
+    * jaccard_old < threshold and are filtered; callers wanting them can
+    * lower `threshold`).
+    *
+    * Scale shape: crossing shingles are the df band (maxDF − delta,
+    * maxDF] restricted to the batch's shingles — a small broadcast;
+    * affected docs come from one semi-join on the shingle table;
+    * candidate pairs are read from the SAVED buckets (LSH candidacy is
+    * df-independent, so the admitted universe is exactly the index's
+    * own), and exact re-scoring is restricted left-semi to docs some
+    * affected pair references. Never all-pairs, never a corpus rescan.
+    */
+  def reverifyDrift(spark: SparkSession, path: String, newDocs: DataFrame,
+      id: Column, text: Column, threshold: Double,
+      maxDF: Long): DataFrame = {
+    val m = readMeta(spark, path)
+    val delta = Dedup.hashedShingles(newDocs, id, text, m.n)
+      .groupBy("sh").agg(count(lit(1)).as("delta"))
+    val dfOld = spark.read.parquet(s"$path/df")
+      .groupBy("sh").agg(sum("cnt").as("df_old"))
+    // only shingles the batch contains can cross the cap
+    val crossing = dfOld.join(delta, "sh")
+      .filter(col("df_old") <= maxDF && col("df_old") + col("delta") > maxDF)
+      .select("sh").persist()
+    val oldSh = spark.read.parquet(s"$path/shingles")
+    val affected = oldSh.join(broadcast(crossing), "sh")
+      .select("id").distinct()
+    val buckets = spark.read.parquet(s"$path/buckets")
+    val pairs = buckets.join(broadcast(affected), Seq("id")).as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct().persist()
+    val candIds = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    // post-batch suppression = pre-batch suppression ∪ crossing, so one
+    // annotated shingle frame serves both scorings
+    val shC = oldSh.join(candIds, Seq("id"), "left_semi")
+      .join(dfOld, "sh")
+      .join(broadcast(crossing.withColumn("crossed", lit(true))),
+        Seq("sh"), "left")
+      .persist()
+    val rareOld = shC.filter(col("df_old") <= maxDF)
+    val rareNew = rareOld.filter(col("crossed").isNull)
+    val sizes = spark.read.parquet(s"$path/sizes")
+      .join(candIds, Seq("id"), "left_semi")
+    // left join + empty-array default: a doc whose every shingle is
+    // suppressed must still score (jaccard 0), not drop its pairs
+    def sets(rare: DataFrame) = sizes
+      .join(rare.groupBy("id").agg(collect_list("sh").as("shs")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("shs"), array().cast("array<bigint>")).as("shs"),
+        col("n_sh"))
+    val jOld = Dedup.scoreAllCandidates(pairs, sets(rareOld))
+      .withColumnRenamed("jaccard", "jaccard_old")
+    val jNew = Dedup.scoreAllCandidates(pairs, sets(rareNew))
+      .withColumnRenamed("jaccard", "jaccard_new")
+    val out = jOld.join(jNew, Seq("id_a", "id_b"))
+      .filter(col("jaccard_old") >= threshold)
+      .withColumn("is_dup", col("jaccard_new") >= threshold)
+      .localCheckpoint(true)
+    Seq(crossing, pairs, shC).foreach(_.unpersist())
+    out
+  }
 }

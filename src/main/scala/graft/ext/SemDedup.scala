@@ -64,10 +64,30 @@ object SemDedup {
     * `is_dup(b) ⇔ ∃ a in b's cluster with vec_id < b.vec_id and
     * cos(a,b) ≥ tau`. One shuffle on `cluster`; pairs never leave their
     * partition.
+    *
+    * `maxClusterSize` is the operator-enforced skew guard: when a
+    * cluster exceeds it, only its `maxClusterSize` LOWEST-id members
+    * serve as probe targets (the deterministic representative prefix),
+    * bounding per-task pair counts at |cluster| × cap instead of
+    * |cluster|² — a hot cluster degrades to linear instead of stalling
+    * the stage. Exact whenever every cluster fits the cap (the prefix
+    * is then the whole cluster); past the cap it under-marks pairs both
+    * of whose members sit outside the prefix — raise k (more, smaller
+    * clusters) to shrink clusters back under the cap rather than
+    * leaning on the guard.
     */
-  def mark(assigned: DataFrame, tau: Double): DataFrame = {
+  def mark(assigned: DataFrame, tau: Double,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
     val slim = assigned.select("vec_id", "cluster", "v", "nrm")
-    val dups = slim.as("a").join(slim.as("b"),
+    val probes =
+      if (maxClusterSize == Int.MaxValue) slim
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster").orderBy("vec_id")
+        slim.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= maxClusterSize).drop("rnk")
+      }
+    val dups = probes.as("a").join(slim.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter(EmbeddingSearch.dot(col("a.v"), col("b.v")) /

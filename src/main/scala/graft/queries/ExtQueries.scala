@@ -294,6 +294,88 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** df-drift re-verification ([[graft.ext.DedupIndex.reverifyDrift]]):
+    * re-delivering every 7th document pushes its shingles' document
+    * frequency up; shingles crossing the maxDF=4 cap become stop
+    * shingles for the WHOLE corpus, so previously admitted pairs
+    * re-score. The gate emits each admitted pair touching a crossing
+    * shingle with its pre/post jaccard and post-batch verdict,
+    * restricted to the planted high-jaccard pairs (LSH recall on those
+    * is ~1, so the bucket-driven candidate universe equals the oracle's
+    * relational one); the oracle recomputes both df regimes from
+    * scratch over the same corpus.
+    */
+  private def sharedDupIndex(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"dedup_idx_dup:$d", "gate_drift_idx_") { dir =>
+      graft.ext.DedupIndex.build(dupCorpus(s, d), col("id"), col("t"),
+        dir, n = 3)
+    }
+
+  private def dedupDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("id"),
+        lower(trim(col("text"))).as("t"))
+    graft.ext.DedupIndex.reverifyDrift(s, sharedDupIndex(s, d), batch,
+        col("id"), col("t"), threshold = 0.5, maxDF = 4)
+      .filter(col("id_b") >= 100000)
+      .select("id_a", "id_b", "jaccard_old", "jaccard_new", "is_dup")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupDriftSql =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lower(trim(text)) || ' zq zr'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |batch AS (SELECT doc_id + 200000 AS id, lower(trim(text)) AS t
+      |          FROM documents WHERE doc_id % 7 = 0),
+      |tokc AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks
+      |         FROM corpus),
+      |tokb AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks
+      |         FROM batch),
+      |shc AS (SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+      |          THEN list_transform(range(len(toks) - 2),
+      |                 i -> array_to_string(toks[i+1:i+3], ' '))
+      |          ELSE [array_to_string(toks, ' ')] END)) AS sh FROM tokc),
+      |shb AS (SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+      |          THEN list_transform(range(len(toks) - 2),
+      |                 i -> array_to_string(toks[i+1:i+3], ' '))
+      |          ELSE [array_to_string(toks, ' ')] END)) AS sh FROM tokb),
+      |dfo AS (SELECT sh, count(*) AS df_old FROM shc GROUP BY sh),
+      |dfb AS (SELECT sh, count(*) AS delta FROM shb GROUP BY sh),
+      |crossing AS (SELECT sh FROM dfo JOIN dfb USING (sh)
+      |             WHERE df_old <= 4 AND df_old + delta > 4),
+      |affected AS (SELECT DISTINCT id FROM shc JOIN crossing USING (sh)),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
+      |rare_old AS (SELECT s.id, s.sh FROM shc s JOIN dfo USING (sh)
+      |             WHERE df_old <= 4),
+      |rare_new AS (SELECT id, sh FROM rare_old
+      |             WHERE sh NOT IN (SELECT sh FROM crossing)),
+      |co AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      |       FROM rare_old a JOIN rare_old b
+      |         ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+      |cn AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      |       FROM rare_new a JOIN rare_new b
+      |         ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+      |SELECT co.id_a, co.id_b,
+      |       CAST(co.c AS DOUBLE)
+      |         / (sa.n_sh + sb.n_sh - co.c) AS jaccard_old,
+      |       CAST(coalesce(cn.c, 0) AS DOUBLE)
+      |         / (sa.n_sh + sb.n_sh - coalesce(cn.c, 0)) AS jaccard_new,
+      |       CAST(coalesce(cn.c, 0) AS DOUBLE)
+      |         / (sa.n_sh + sb.n_sh - coalesce(cn.c, 0)) >= 0.5 AS is_dup
+      |FROM co
+      |JOIN sizes sa ON sa.id = co.id_a
+      |JOIN sizes sb ON sb.id = co.id_b
+      |LEFT JOIN cn ON cn.id_a = co.id_a AND cn.id_b = co.id_b
+      |WHERE CAST(co.c AS DOUBLE) / (sa.n_sh + sb.n_sh - co.c) >= 0.5
+      |  AND co.id_b >= 100000
+      |  AND (co.id_a IN (SELECT id FROM affected)
+      |       OR co.id_b IN (SELECT id FROM affected))
+      |ORDER BY co.id_a, co.id_b""".stripMargin
+
   private val streamDedupIndexSql =
     """WITH corpus AS (
       |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
@@ -997,6 +1079,7 @@ object ExtQueries {
     Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
     Gate("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Gate("q_dedup_drift", dedupDrift, Some(dedupDriftSql)),
     Gate("q_stream_dedup_index", streamDedupIndex, Some(streamDedupIndexSql)),
     Gate("q_simhash_dedup", simhashDedup, Some(simhashDedupSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),

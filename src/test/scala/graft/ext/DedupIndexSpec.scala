@@ -71,4 +71,30 @@ class DedupIndexSpec extends SparkSpec {
       .filter(col("id_b") === 31L))
     assert(inc == full)
   }
+
+  test("reverifyDrift re-emits an admitted pair a df crossing demotes") {
+    // A and B share 4 of their 5 bigram shingles → jaccard 4/6 ≈ 0.667,
+    // admitted at 0.6 with df("a b") = 2 ≤ maxDF = 2. The batch doc
+    // pushes df("a b") to 3: the shared shingle becomes a stop shingle,
+    // the pair re-scores to 3/(5+5-3) ≈ 0.429 and flips to not-dup.
+    val drift = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "totally different words here friend"),
+      (4L, "another unrelated sentence about engines"),
+    ).toDF("id", "t")
+    val dir = graft.Gate.tmpDir("dedup_idx_drift_")
+    DedupIndex.build(drift, col("id"), col("t"), dir, n = 2)
+    val batch = Seq((9L, "a b z")).toDF("id", "t")
+    val got = DedupIndex.reverifyDrift(spark, dir, batch,
+        col("id"), col("t"), threshold = 0.6, maxDF = 2)
+      .select("id_a", "id_b", "jaccard_old", "jaccard_new", "is_dup")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4.0 / 6.0, 3.0 / 7.0, false)))
+    // without the batch, nothing crosses and nothing is re-reported
+    val none = DedupIndex.reverifyDrift(spark, dir,
+      Seq((10L, "q r s")).toDF("id", "t"),
+      col("id"), col("t"), threshold = 0.6, maxDF = 2)
+    assert(none.count() == 0L)
+  }
 }

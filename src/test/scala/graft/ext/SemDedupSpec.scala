@@ -71,4 +71,45 @@ class SemDedupSpec extends SparkSpec {
     assert(out.filter(col("is_dup")).count() == 0)
     assert(out.count() == 30)
   }
+
+  test("maxClusterSize bounds a pathological single cluster and stays " +
+      "exact under the cap") {
+    // one seed → ONE cluster holding all 200 vectors: the quadratic
+    // worst case the cap exists for. ids 0..9 share seed direction
+    // (in-prefix dups); ids 150/151 are near-identical to each other
+    // but near-orthogonal to everything low-id.
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i <= 9) Array(1.0f, (0.001f * i), 0f)
+        else if (i == 150 || i == 151) Array(0.9f, 1.0f, 0.0001f * i)
+        else Array(1.0f, 0.5f + 0.002f * i, 0f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = SemDedup.seedsFromCorpus(df, col("vec_id") === 0)
+    val asg = SemDedup.assign(df, seeds)
+    // capped: completes with |cluster| × cap pair work; dups against the
+    // 10-member prefix are found, while the 150/151 pair (both outside
+    // the prefix) is the documented miss
+    val capped = SemDedup.mark(asg, tau = 0.9999, maxClusterSize = 10)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert((1L to 9L).forall(capped(_)), "in-prefix dups must be found")
+    assert(!capped(151L), "out-of-prefix pair is the documented miss")
+    // uncapped (cap >= cluster size): exact — 151 is marked against 150
+    val exact = SemDedup.mark(asg, tau = 0.9999, maxClusterSize = n)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(exact(151L))
+    // and for the normal multi-cluster corpus a generous cap changes
+    // nothing vs the uncapped operator
+    val s3 = SemDedup.seedsFromCorpus(corpus, col("vec_id") < 3)
+    val a3 = SemDedup.assign(corpus, s3)
+    val base = SemDedup.mark(a3, tau = 0.999)
+      .select("vec_id", "cluster", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val withCap = SemDedup.mark(a3, tau = 0.999, maxClusterSize = 100)
+      .select("vec_id", "cluster", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(withCap == base)
+  }
 }
