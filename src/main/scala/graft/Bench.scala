@@ -132,5 +132,6 @@ object Bench {
     "q_pq_persist", "q_ivf_persist", "q_stream_stateful", "q_topk_agg",
     "q_fuzzy_join", "q_table_diff", "q_sq_topk", "q_semdedup",
     "q_dedup_incremental", "q_stream_dedup_index", "q_s3_scan",
-    "q_data_checks", "q_stream_tws", "q_lsh_multiprobe")
+    "q_data_checks", "q_stream_tws", "q_lsh_multiprobe", "q_dedup_drift",
+    "q_repeated_spans")
 }

@@ -64,6 +64,30 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     }
   }
 
+  /** Retained manifest versions (oldest first) — the store's queryable
+    * history window. Bounded by GC's `retain` and history pruning.
+    */
+  def rawVersions(spark: SparkSession): Seq[Long] =
+    RawManifest.versions(rawFs(spark), rawPath)
+
+  /** Time travel: the fact table AS OF a retained manifest version —
+    * the same query-an-old-snapshot contract Delta/Iceberg expose,
+    * bounded here by the retention depth instead of a wall-clock
+    * window. Throws for a version GC/pruning already dropped; a caller
+    * wanting deeper history raises `retainVersions`.
+    */
+  def rawAt(spark: SparkSession, version: Long): DataFrame = {
+    val fs = rawFs(spark)
+    val files = RawManifest.filesAt(fs, rawPath, version).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"manifest v$version not retained (have: " +
+          s"${RawManifest.versions(fs, rawPath).mkString(",")})"))
+    if (files.isEmpty) emptyBilling(spark)
+    else spark.read.schema(Schemas.billing)
+      .option("basePath", rawPath)
+      .parquet(files.map(f => s"$rawPath/$f"): _*)
+  }
+
   private def emptyBilling(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.billing)

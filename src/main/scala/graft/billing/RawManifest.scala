@@ -52,6 +52,17 @@ private[billing] object RawManifest {
       v -> read(fs, p)
     }
 
+  /** All committed versions still on disk, oldest first. */
+  def versions(fs: FileSystem, root: String): Seq[Long] =
+    versionsOn(fs, root).map(_._1)
+
+  /** The file list of one retained version (None once history pruning
+    * or GC dropped it).
+    */
+  def filesAt(fs: FileSystem, root: String, version: Long): Option[Seq[String]] =
+    versionsOn(fs, root).find(_._1 == version)
+      .map { case (_, p) => read(fs, p) }
+
   private def read(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

@@ -176,6 +176,24 @@ object DedupIndex {
     * own), and exact re-scoring is restricted left-semi to docs some
     * affected pair references. Never all-pairs, never a corpus rescan.
     */
+  /** Candidate pairs touching an affected doc, straight from the SAVED
+    * buckets: the affected ids ride a broadcast into a (band, bucket)-
+    * keyed hash join — never a cartesian (plan-pinned in
+    * DedupIndexSpec).
+    */
+  private[ext] def affectedCandidatePairs(spark: SparkSession,
+      path: String, affected: DataFrame): DataFrame = {
+    val buckets = spark.read.parquet(s"$path/buckets")
+    buckets.join(broadcast(affected), Seq("id")).as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+  }
+
   def reverifyDrift(spark: SparkSession, path: String, newDocs: DataFrame,
       id: Column, text: Column, threshold: Double,
       maxDF: Long): DataFrame = {
@@ -191,15 +209,7 @@ object DedupIndex {
     val oldSh = spark.read.parquet(s"$path/shingles")
     val affected = oldSh.join(broadcast(crossing), "sh")
       .select("id").distinct()
-    val buckets = spark.read.parquet(s"$path/buckets")
-    val pairs = buckets.join(broadcast(affected), Seq("id")).as("x")
-      .join(buckets.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") =!= col("y.id"))
-      .select(least(col("x.id"), col("y.id")).as("id_a"),
-        greatest(col("x.id"), col("y.id")).as("id_b"))
-      .distinct().persist()
+    val pairs = affectedCandidatePairs(spark, path, affected).persist()
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
     // post-batch suppression = pre-batch suppression ∪ crossing, so one

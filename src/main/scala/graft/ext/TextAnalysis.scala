@@ -248,6 +248,66 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
       .cast("double") / greatest(length(text), lit(1))
 
+  /** Repeated-span coverage — the distributed shape of exact substring
+    * dedup (Lee, Ippolito, Nystrom, Zhang, Eck, Callison-Burch, Carlini,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022, arXiv:2107.06499): their suffix-array pass reports every
+    * ≥k-token substring occurring twice in the corpus; here every
+    * L-token window is hashed POSITIONALLY, windows whose hash occurs
+    * ≥ `minOcc` times corpus-wide are hits, and each doc's hit
+    * positions merge into maximal intervals — any repeat of ≥ L tokens
+    * is covered by its constituent L-windows, found with two shuffles
+    * (hash df + per-doc interval merge) instead of a global suffix
+    * sort.
+    *
+    * One row per doc: (id, n_tokens, n_spans, covered_tokens,
+    * coverage). Scale shape: grams shuffle as 8-byte hashes (48-bit
+    * md5 prefix, the oracle-mirrorable spelling); the interval merge
+    * windows over each doc's HIT positions only, never the corpus.
+    */
+  def repeatedSpans(docs: DataFrame, id: Column, text: Column,
+      L: Int, minOcc: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(id.as("id"), tokens(text).as("toks"))
+      .select(col("id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    // positional L-gram hashes; docs shorter than L contribute none but
+    // stay in the output (coverage 0) via the final left join
+    val grams = tk.filter(col("n_tokens") >= L)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), (col("n_tokens") - L).cast("int")),
+        i => conv(substring(md5(
+          concat_ws(" ", slice(col("toks"), i + 1, lit(L)))), 1, 12),
+          16, 10).cast("long"))))
+      .toDF("id", "pos", "h")
+      .persist()
+    val hot = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select("h")
+    val hits = grams.join(hot, "h").select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    // gaps-and-islands: a hit starts a new span iff it begins past the
+    // furthest end any earlier hit reached
+    val prevMaxEnd = max(col("pos") + L)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("new_span",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy("id", "island")
+      .agg(min("pos").as("s"), (max(col("pos")) + L).as("e"))
+    val cov = spans.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s")).cast("long").as("covered_tokens"))
+    tk.select("id", "n_tokens")
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("coverage"))
+  }
+
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -294,6 +294,58 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact-substring repeat coverage
+    * ([[graft.ext.TextAnalysis.repeatedSpans]], Lee et al. ACL 2022):
+    * every 5-token window occurring at least twice corpus-wide is a
+    * hit; per document the hits merge into maximal intervals and the
+    * gate reports span/coverage stats. The oracle mirrors the
+    * positional 48-bit md5 gram hashing and the gaps-and-islands merge
+    * relationally.
+    */
+  private def repeatedSpans(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.repeatedSpans(Tables.documents(s, d),
+        col("doc_id"), col("text"), L = 5, minOcc = 2)
+      .orderBy("id")
+
+  private val repeatedSpansSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tk AS (SELECT id, toks, len(toks) AS n_tokens FROM tok),
+      |g0 AS (SELECT id, unnest(list_transform(range(n_tokens - 4),
+      |         i -> struct_pack(pos := i,
+      |                h := CAST(('0x' || substr(md5(
+      |                       array_to_string(toks[i+1:i+5], ' ')), 1, 12))
+      |                     AS BIGINT)))) AS u
+      |       FROM tk WHERE n_tokens >= 5),
+      |g AS (SELECT id, u.pos AS pos, u.h AS h FROM g0),
+      |hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      |hits AS (SELECT g.id, g.pos FROM g JOIN hot USING (h)),
+      |ordered AS (SELECT id, pos,
+      |              max(pos + 5) OVER (PARTITION BY id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                AS pme
+      |            FROM hits),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS island
+      |        FROM ordered),
+      |spans AS (SELECT id, island, min(pos) AS s, max(pos) + 5 AS e
+      |          FROM isl GROUP BY 1, 2),
+      |cov AS (SELECT id, count(*) AS n_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS covered
+      |        FROM spans GROUP BY id)
+      |SELECT tk.id, tk.n_tokens,
+      |       CAST(coalesce(cov.n_spans, 0) AS BIGINT) AS n_spans,
+      |       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+      |       round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / tk.n_tokens,
+      |             4) AS coverage
+      |FROM tk LEFT JOIN cov USING (id)
+      |ORDER BY id""".stripMargin
+
   /** df-drift re-verification ([[graft.ext.DedupIndex.reverifyDrift]]):
     * re-delivering every 7th document pushes its shingles' document
     * frequency up; shingles crossing the maxDF=4 cap become stop
@@ -1080,6 +1132,7 @@ object ExtQueries {
     Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
     Gate("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Gate("q_dedup_drift", dedupDrift, Some(dedupDriftSql)),
+    Gate("q_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),
     Gate("q_stream_dedup_index", streamDedupIndex, Some(streamDedupIndexSql)),
     Gate("q_simhash_dedup", simhashDedup, Some(simhashDedupSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),

@@ -100,4 +100,5 @@ class PlanShapeSpec extends SparkSpec {
     // never reach the exchange
     assert(!p.contains("props"))
   }
+
 }

@@ -174,6 +174,28 @@ class BillingStoreSpec extends SparkSpec {
       == before)
   }
 
+  test("time travel: rawAt reads a prior snapshot across append and " +
+      "compaction") {
+    val store = BillingStore(tmpDir("tt_store"), retainVersions = 4)
+    store.appendDedup(spark, df(
+      rec("2025-04-23 10:00:00", "r1", "u1", 2.0)).repartition(2))
+    val v1 = store.rawVersions(spark).last
+    store.appendDedup(spark, df(
+      rec("2025-04-23 11:00:00", "r2", "u1", 3.0)).repartition(2))
+    val v2 = store.rawVersions(spark).last
+    store.compactRaw(spark)
+    // HEAD sees both rows through the compacted layout...
+    assert(store.raw(spark).count() == 2L)
+    // ...while the pinned snapshots still read their original files
+    assert(store.rawAt(spark, v1).select("resource_id")
+      .collect().map(_.getString(0)).toSeq == Seq("r1"))
+    assert(store.rawAt(spark, v2).count() == 2L)
+    // a version outside the retention window is a clear error
+    intercept[java.util.NoSuchElementException] {
+      store.rawAt(spark, 999L)
+    }
+  }
+
   test("schema drift report: added, missing, retyped columns") {
     val dir = tmpDir("drift")
     java.nio.file.Files.writeString(

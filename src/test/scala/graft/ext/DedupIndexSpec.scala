@@ -96,5 +96,13 @@ class DedupIndexSpec extends SparkSpec {
       Seq((10L, "q r s")).toDF("id", "t"),
       col("id"), col("t"), threshold = 0.6, maxDF = 2)
     assert(none.count() == 0L)
+    // plan pin: affected ids broadcast into a (band,bucket)-keyed hash
+    // join over the saved buckets — never a cartesian/nested-loop
+    val p = DedupIndex.affectedCandidatePairs(spark, dir,
+        Seq(1L).toDF("id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 }

@@ -114,4 +114,40 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(min("n")).as[Int].collect()(0)
     assert(n > 0)
   }
+  test("repeatedSpans: corpus-wide L-gram hits merge into per-doc " +
+      "intervals") {
+    val docs = Seq(
+      (1L, "one two three four five alpha beta gamma " +
+        "one two three four five"),
+      (2L, "x one two three four five y z"),
+      (3L, "nothing here at all matches anything else whatsoever"),
+      (4L, "tiny doc"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repeatedSpans(docs, col("doc_id"), col("text"),
+        L = 5, minOcc = 2)
+      .select("id", "n_tokens", "n_spans", "covered_tokens", "coverage")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 1: "one two three four five" occurs at pos 0 and 8 (3 times
+    // corpus-wide) -> two disjoint spans, 10 of 13 tokens covered;
+    // doc 2: one hit at pos 1 -> 5 of 8; docs 3-4: clean / below L
+    assert(got == Seq(
+      (1L, 13L, 2L, 10L, 0.7692),
+      (2L, 8L, 1L, 5L, 0.625),
+      (3L, 8L, 0L, 0L, 0.0),
+      (4L, 2L, 0L, 0L, 0.0)))
+  }
+
+  test("repeatedSpans: overlapping hits coalesce into one interval") {
+    // the 6-token repeat yields two overlapping hot 5-grams (pos 0,1 in
+    // doc 1) that must merge into a single [0,6) span, not two
+    val docs = Seq(
+      (1L, "a b c d e f tail one"),
+      (2L, "head a b c d e f"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repeatedSpans(docs, col("doc_id"), col("text"),
+        L = 5, minOcc = 2)
+      .select("id", "n_spans", "covered_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 6L), (2L, 1L, 6L)))
+  }
 }
