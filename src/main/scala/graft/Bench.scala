@@ -112,6 +112,7 @@ object Bench {
     "q_stream_tws", "q_stream_stateful", "q_dup_clusters_star",
     "q_stream_join", "q_winnow_overlap", "q_upsert_store",
     "q_stream_ingest", "q_stream_ann", "q_stream_session",
+    "q_dedup_compact",
     "q_stream_window", "q_stream_static", "q_zorder_layout",
     "q_xml_roundtrip", "q_compact_store", "q_stream_dedup",
     "q_stream_dedup_wm")

@@ -54,11 +54,15 @@ object DedupIndex {
   def build(docs: DataFrame, id: Column, text: Column, path: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val m = Meta(n, bands, rowsPerBand)
-    Seq((n, bands, rowsPerBand)).toDF("n", "bands", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(spark, m, path)
     write(docs, id, text, m, path, "overwrite")
+  }
+
+  private def writeMeta(spark: SparkSession, m: Meta, path: String): Unit = {
+    import spark.implicits._
+    Seq((m.n, m.bands, m.rowsPerBand)).toDF("n", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Append one delivery: encode the delta against the saved geometry and
@@ -176,6 +180,42 @@ object DedupIndex {
     * own), and exact re-scoring is restricted left-semi to docs some
     * affected pair references. Never all-pairs, never a corpus rescan.
     */
+  /** Index maintenance: every [[append]] adds one more df-partials
+    * delta (and one more file set per derivative), so a long-lived
+    * streaming index accumulates small files and its df read degrades
+    * into summing thousands of partials. Compaction rewrites each
+    * derivative clustered (df partials SUMMED to one row per shingle,
+    * shingles/buckets clustered by id) into `<path>.compact` and
+    * atomically swaps it in — semantics are unchanged by construction,
+    * which DedupIndexSpec pins by comparing dedupBatch results before
+    * and after. Run it on the cadence appends warrant (the same
+    * small-files economics as [[graft.billing.BillingStore.compactRaw]]).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = s"$path.compact"
+    writeMeta(spark, readMeta(spark, path), tmp)
+    spark.read.parquet(s"$path/df")
+      .groupBy("sh").agg(sum("cnt").as("cnt"))
+      .write.mode("overwrite").parquet(s"$tmp/df")
+    spark.read.parquet(s"$path/shingles").repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/shingles")
+    spark.read.parquet(s"$path/sizes").repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/sizes")
+    spark.read.parquet(s"$path/buckets").repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(s"$path.old")
+    fs.delete(bak, true)
+    if (!fs.rename(old, bak) ||
+        !fs.rename(new org.apache.hadoop.fs.Path(tmp), old))
+      throw new java.io.IOException(s"compact swap failed for $path")
+    fs.delete(bak, true)
+    spark.catalog.refreshByPath(path)
+    ()
+  }
+
   /** Candidate pairs touching an affected doc, straight from the SAVED
     * buckets: the affected ids ride a broadcast into a (band, bucket)-
     * keyed hash join — never a cartesian (plan-pinned in

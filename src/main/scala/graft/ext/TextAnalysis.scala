@@ -265,14 +265,21 @@ object TextAnalysis {
     * md5 prefix, the oracle-mirrorable spelling); the interval merge
     * windows over each doc's HIT positions only, never the corpus.
     */
-  def repeatedSpans(docs: DataFrame, id: Column, text: Column,
-      L: Int, minOcc: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tk = docs.select(id.as("id"), tokens(text).as("toks"))
+  private def tokenized(docs: DataFrame, id: Column, text: Column) =
+    docs.select(id.as("id"), tokens(text).as("toks"))
       .select(col("id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
-    // positional L-gram hashes; docs shorter than L contribute none but
-    // stay in the output (coverage 0) via the final left join
+
+  /** The merged repeat intervals per doc: (id, s, e) half-open token
+    * ranges covered by some corpus-repeated L-window. The shared core
+    * of [[repeatedSpans]] (reporting) and [[scrubRepeatedSpans]]
+    * (removal).
+    */
+  def repeatedSpanIntervals(docs: DataFrame, id: Column, text: Column,
+      L: Int, minOcc: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokenized(docs, id, text)
+    // positional L-gram hashes; docs shorter than L contribute none
     val grams = tk.filter(col("n_tokens") >= L)
       .select(col("id"), posexplode(transform(
         sequence(lit(0), (col("n_tokens") - L).cast("int")),
@@ -294,18 +301,53 @@ object TextAnalysis {
         when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1).otherwise(0))
       .withColumn("island", sum(col("new_span"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = islands.groupBy("id", "island")
+    islands.groupBy("id", "island")
       .agg(min("pos").as("s"), (max(col("pos")) + L).as("e"))
+      .select("id", "s", "e")
+  }
+
+  def repeatedSpans(docs: DataFrame, id: Column, text: Column,
+      L: Int, minOcc: Long): DataFrame = {
+    val spans = repeatedSpanIntervals(docs, id, text, L, minOcc)
     val cov = spans.groupBy("id").agg(
       count(lit(1)).as("n_spans"),
       sum(col("e") - col("s")).cast("long").as("covered_tokens"))
-    tk.select("id", "n_tokens")
+    tokenized(docs, id, text).select("id", "n_tokens")
       .join(cov, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens"), 4).as("coverage"))
+  }
+
+  /** The removal transform the coverage report motivates (Lee et al.'s
+    * end state): drop every token inside a repeated interval and
+    * re-join the survivors. Aggressive-scrub semantics — ALL
+    * occurrences go, the deterministic choice that needs no global
+    * keeper election; pair with [[repeatedSpans]]' coverage column to
+    * skip docs the scrub would hollow out. Output: (id, n_tokens,
+    * kept_tokens, clean_text).
+    */
+  def scrubRepeatedSpans(docs: DataFrame, id: Column, text: Column,
+      L: Int, minOcc: Long): DataFrame = {
+    val spansArr = repeatedSpanIntervals(docs, id, text, L, minOcc)
+      .groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    tokenized(docs, id, text)
+      .join(spansArr, Seq("id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(
+        zip_with(col("toks"),
+          sequence(lit(0), (size(col("toks")) - 1).cast("int")),
+          (t, i) => when(
+            exists(col("spans"),
+              sp => i >= sp("s") && i < sp("e")), lit(null)).otherwise(t)),
+        x => x.isNotNull))
+      .select(col("id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   def wordShingles(toks: Column, n: Int): Column =

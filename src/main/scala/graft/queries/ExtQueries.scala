@@ -245,6 +245,26 @@ object ExtQueries {
        |WHERE jaccard >= 0.5 AND id_b >= 100000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Index compaction ([[graft.ext.DedupIndex.compact]]): compaction is
+    * a pure layout rewrite (df partials summed, derivatives clustered by
+    * id), so batch dedup against the COMPACTED index must land on
+    * exactly the values the uncompacted one produces — the gate runs
+    * the q_dedup_incremental query against a compacted private copy and
+    * shares its oracle verbatim.
+    */
+  private def dedupCompact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nw = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("id"),
+        concat(lower(trim(col("text"))), lit(" zq zr")).as("t"))
+    val dir = graft.Gate.copyDir(sharedDedupIndex(s, d), "gate_cmp_idx_")
+    graft.ext.DedupIndex.compact(s, dir)
+    graft.ext.DedupIndex.dedupBatch(s, dir, nw, col("id"), col("t"),
+        threshold = 0.5, maxDF = 20)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   /** The production ingest shape for dedup: deliveries STREAM in, each
     * micro-batch dedups against the persisted [[graft.ext.DedupIndex]]
     * and is then admitted to it — `foreachBatch` composes the streaming
@@ -345,6 +365,60 @@ object ExtQueries {
       |             4) AS coverage
       |FROM tk LEFT JOIN cov USING (id)
       |ORDER BY id""".stripMargin
+
+  /** Repeated-span REMOVAL ([[graft.ext.TextAnalysis.scrubRepeatedSpans]]):
+    * the transform the coverage report motivates — tokens inside any
+    * repeated interval are dropped and the survivors re-joined. The
+    * oracle rebuilds the kept-token array with the same lambda logic
+    * and compares an md5 of the scrubbed text (rows stay small).
+    */
+  private def scrubSpans(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.scrubRepeatedSpans(Tables.documents(s, d),
+        col("doc_id"), col("text"), L = 5, minOcc = 2)
+      .select(col("id"), col("n_tokens"), col("kept_tokens"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("id")
+
+  private val scrubSpansSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tk AS (SELECT id, toks, len(toks) AS n_tokens FROM tok),
+      |g0 AS (SELECT id, unnest(list_transform(range(n_tokens - 4),
+      |         i -> struct_pack(pos := i,
+      |                h := CAST(('0x' || substr(md5(
+      |                       array_to_string(toks[i+1:i+5], ' ')), 1, 12))
+      |                     AS BIGINT)))) AS u
+      |       FROM tk WHERE n_tokens >= 5),
+      |g AS (SELECT id, u.pos AS pos, u.h AS h FROM g0),
+      |hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      |hits AS (SELECT g.id, g.pos FROM g JOIN hot USING (h)),
+      |ordered AS (SELECT id, pos,
+      |              max(pos + 5) OVER (PARTITION BY id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                AS pme
+      |            FROM hits),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS island
+      |        FROM ordered),
+      |spans AS (SELECT id, island, min(pos) AS s, max(pos) + 5 AS e
+      |          FROM isl GROUP BY 1, 2),
+      |sarr AS (SELECT id, array_agg(struct_pack(s := s, e := e)) AS sps
+      |         FROM spans GROUP BY id),
+      |kept AS (SELECT tk.id, tk.n_tokens,
+      |           list_filter(list_transform(range(len(toks)),
+      |             i -> CASE WHEN sps IS NOT NULL AND len(list_filter(sps,
+      |                    sp -> sp.s <= i AND i < sp.e)) > 0
+      |                  THEN NULL ELSE toks[i+1] END),
+      |             x -> x IS NOT NULL) AS kt
+      |         FROM tk LEFT JOIN sarr ON sarr.id = tk.id)
+      |SELECT id, n_tokens, CAST(len(kt) AS BIGINT) AS kept_tokens,
+      |       md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
+      |FROM kept ORDER BY id""".stripMargin
 
   /** df-drift re-verification ([[graft.ext.DedupIndex.reverifyDrift]]):
     * re-delivering every 7th document pushes its shingles' document
@@ -1133,6 +1207,8 @@ object ExtQueries {
     Gate("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Gate("q_dedup_drift", dedupDrift, Some(dedupDriftSql)),
     Gate("q_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),
+    Gate("q_scrub_spans", scrubSpans, Some(scrubSpansSql)),
+    Gate("q_dedup_compact", dedupCompact, Some(dedupIncrementalSql)),
     Gate("q_stream_dedup_index", streamDedupIndex, Some(streamDedupIndexSql)),
     Gate("q_simhash_dedup", simhashDedup, Some(simhashDedupSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),

@@ -72,6 +72,28 @@ class DedupIndexSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("compact collapses df partials and preserves dedup results") {
+    val dir = graft.Gate.tmpDir("dedup_idx_cmp_") + "/idx"
+    DedupIndex.build(base, col("id"), col("t"), dir, n = 2)
+    DedupIndex.append(spark, dir, batch, col("id"), col("t"))
+    val next = Seq(
+      (21L, "completely unrelated text about distributed query planners"))
+      .toDF("id", "t")
+    val before = pairsOf(DedupIndex.dedupBatch(spark, dir, next,
+      col("id"), col("t"), threshold = 0.3, maxDF = 2))
+    val partialsBefore = spark.read.parquet(s"$dir/df").count()
+    DedupIndex.compact(spark, dir)
+    // df partials collapsed to one row per shingle...
+    val df = spark.read.parquet(s"$dir/df")
+    assert(df.count() == df.select("sh").distinct().count())
+    assert(df.count() < partialsBefore)
+    // ...and geometry + batch-dedup results are byte-identical
+    assert(DedupIndex.readMeta(spark, dir) == DedupIndex.Meta(2, 16, 4))
+    val after = pairsOf(DedupIndex.dedupBatch(spark, dir, next,
+      col("id"), col("t"), threshold = 0.3, maxDF = 2))
+    assert(after == before)
+  }
+
   test("reverifyDrift re-emits an admitted pair a df crossing demotes") {
     // A and B share 4 of their 5 bigram shingles → jaccard 4/6 ≈ 0.667,
     // admitted at 0.6 with df("a b") = 2 ≤ maxDF = 2. The batch doc

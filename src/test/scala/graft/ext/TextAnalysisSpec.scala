@@ -150,4 +150,20 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 1L, 6L), (2L, 1L, 6L)))
   }
+  test("scrubRepeatedSpans drops covered tokens and rejoins survivors") {
+    val docs = Seq(
+      (1L, "one two three four five alpha beta gamma " +
+        "one two three four five"),
+      (2L, "x one two three four five y z"),
+      (3L, "nothing here at all matches anything else whatsoever"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubRepeatedSpans(docs, col("doc_id"),
+        col("text"), L = 5, minOcc = 2)
+      .select("id", "n_tokens", "kept_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 13L, 3L, "alpha beta gamma"),
+      (2L, 8L, 3L, "x y z"),
+      (3L, 8L, 8L, "nothing here at all matches anything else whatsoever")))
+  }
 }
