@@ -92,8 +92,10 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.billing)
 
-  private def rawFs(spark: SparkSession) =
-    new Path(rawPath).getFileSystem(spark.sessionState.newHadoopConf())
+  private def rawFs(spark: SparkSession) = tableFs(spark, rawPath)
+
+  private def tableFs(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
@@ -102,11 +104,14 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     * `sub` is empty), hidden files/dirs excluded.
     */
   private def listRel(fs: org.apache.hadoop.fs.FileSystem,
-      sub: String): Seq[String] = {
-    val base = if (sub.isEmpty) new Path(rawPath) else new Path(rawPath, sub)
+      sub: String): Seq[String] = listRelIn(fs, rawPath, sub)
+
+  private def listRelIn(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, sub: String): Seq[String] = {
+    val base = if (sub.isEmpty) new Path(table) else new Path(table, sub)
     if (!fs.exists(base)) Seq.empty
     else {
-      val rootUri = new Path(rawPath).toUri.getPath
+      val rootUri = new Path(table).toUri.getPath
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(base, true)
       while (it.hasNext) {
@@ -124,8 +129,12 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     */
   private def currentFiles(
       fs: org.apache.hadoop.fs.FileSystem): Set[String] =
-    RawManifest.latest(fs, rawPath).map(_._2.toSet)
-      .getOrElse(listRel(fs, "").toSet)
+    currentFilesIn(fs, rawPath)
+
+  private def currentFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+      table: String): Set[String] =
+    RawManifest.latest(fs, table).map(_._2.toSet)
+      .getOrElse(listRelIn(fs, table, "").toSet)
 
   private def dayDir(y: Int, m: Int, d: Int) = s"year=$y/month=$m/day=$d"
 
@@ -136,16 +145,19 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     * with `retain = 1` to assert immediate disk state.
     */
   def gcRaw(spark: SparkSession, retain: Int = retainVersions): Long =
-      TableLock.withLock(spark, root) {
-    val fs = rawFs(spark)
-    if (RawManifest.latest(fs, rawPath).isEmpty) 0L
+    gcTable(spark, rawPath, retain)
+
+  private def gcTable(spark: SparkSession, table: String,
+      retain: Int): Long = TableLock.withLock(spark, root) {
+    val fs = tableFs(spark, table)
+    if (RawManifest.latest(fs, table).isEmpty) 0L
     else {
-      val refs = RawManifest.referenced(fs, rawPath, retain)
-      val doomed = listRel(fs, "").filterNot(refs)
-      doomed.foreach(f => fs.delete(new Path(s"$rawPath/$f"), false))
-      dropEmptyPartitionDirs(fs, new Path(rawPath))
-      RawManifest.pruneHistory(fs, rawPath, keep = math.max(retain, 8))
-      if (doomed.nonEmpty) spark.catalog.refreshByPath(rawPath)
+      val refs = RawManifest.referenced(fs, table, retain)
+      val doomed = listRelIn(fs, table, "").filterNot(refs)
+      doomed.foreach(f => fs.delete(new Path(s"$table/$f"), false))
+      dropEmptyPartitionDirs(fs, new Path(table))
+      RawManifest.pruneHistory(fs, table, keep = math.max(retain, 8))
+      if (doomed.nonEmpty) spark.catalog.refreshByPath(table)
       doomed.length.toLong
     }
   }
@@ -220,7 +232,12 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     */
   private def snapshotTouched(fs: org.apache.hadoop.fs.FileSystem,
       days: Seq[(Int, Int, Int)]): Set[String] =
-    days.flatMap { case (y, m, d) => listRel(fs, dayDir(y, m, d)) }.toSet
+    snapshotTouchedIn(fs, rawPath, days)
+
+  private def snapshotTouchedIn(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, days: Seq[(Int, Int, Int)]): Set[String] =
+    days.flatMap { case (y, m, d) =>
+      listRelIn(fs, table, dayDir(y, m, d)) }.toSet
 
   /** Publish an append commit: previous manifest (or pre-manifest disk
     * listing) plus ONLY the files this write created. Appends never
@@ -240,14 +257,18 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     * are reclaimed.
     */
   private def commitReplace(spark: SparkSession,
+      days: Seq[(Int, Int, Int)], beforeTouched: Set[String]): Unit =
+    commitReplaceIn(spark, rawPath, days, beforeTouched)
+
+  private def commitReplaceIn(spark: SparkSession, table: String,
       days: Seq[(Int, Int, Int)], beforeTouched: Set[String]): Unit = {
-    val fs = rawFs(spark)
-    val afterTouched = snapshotTouched(fs, days)
-    val next = (currentFiles(fs) -- beforeTouched) ++
+    val fs = tableFs(spark, table)
+    val afterTouched = snapshotTouchedIn(fs, table, days)
+    val next = (currentFilesIn(fs, table) -- beforeTouched) ++
       (afterTouched -- beforeTouched)
-    RawManifest.commit(fs, rawPath, next.toSeq)
-    gcRaw(spark)
-    spark.catalog.refreshByPath(rawPath)
+    RawManifest.commit(fs, table, next.toSeq)
+    gcTable(spark, table, retainVersions)
+    spark.catalog.refreshByPath(table)
   }
 
   /** S10: full-recompute rollups, written with overwrite semantics exactly
@@ -336,39 +357,50 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
   /** Merge a delta's per-day partial state into the partials table:
     * stored partials are read pruned to the delta's days (broadcast
     * semi-shape), merged ([[Aggregates.mergeDailyPartials]] — exact
-    * counts/sums, HLL sketch unions), and ONLY those day partitions are
-    * overwritten (dynamic partition overwrite). The merged frame is
-    * local-checkpointed before the write because it reads the very
-    * partitions being replaced. (At production scale the same fold
-    * targets an ACID table format; the algebra is identical.)
+    * counts/sums, HLL sketch unions), and the touched day partitions
+    * are swapped with the same write-then-publish manifest commit the
+    * fact table uses: merged state lands as NEW files, the manifest
+    * swap retires the old partials atomically, and a reader serving
+    * [[dailyFromPartials]] mid-merge keeps its pinned snapshot instead
+    * of seeing half-swapped partitions. (At production scale the same
+    * fold targets an ACID table format; the algebra is identical.)
     */
   def mergeIntoDailyPartials(spark: SparkSession, delta: DataFrame): Unit =
       TableLock.withLock(spark, root) {
     val deltaParts = Aggregates.dailyPartial(delta)
+    val dayTuples = deltaParts.select("year", "month", "day").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
     val merged =
       if (exists(spark, dailyPartialsPath)) {
-        val days = deltaParts.select("year", "month", "day").distinct()
-        val stored = spark.read.parquet(dailyPartialsPath).join(
+        import spark.implicits._
+        val days = dayTuples.toDF("year", "month", "day")
+        val stored = readPartials(spark).join(
           org.apache.spark.sql.functions.broadcast(days),
           Seq("year", "month", "day"))
         Aggregates.mergeDailyPartials(stored, deltaParts)
       } else deltaParts
-    val pinned = merged.localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try pinned.write.mode("overwrite")
+    val fs = tableFs(spark, dailyPartialsPath)
+    val beforeTouched = snapshotTouchedIn(fs, dailyPartialsPath, dayTuples)
+    merged.write.mode("append")
       .partitionBy("year", "month", "day").parquet(dailyPartialsPath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    commitReplaceIn(spark, dailyPartialsPath, dayTuples, beforeTouched)
+  }
+
+  private def readPartials(spark: SparkSession): DataFrame = {
+    val fs = tableFs(spark, dailyPartialsPath)
+    RawManifest.latest(fs, dailyPartialsPath) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.option("basePath", dailyPartialsPath)
+          .parquet(files.map(f => s"$dailyPartialsPath/$f"): _*)
+      case _ => spark.read.parquet(dailyPartialsPath)
     }
   }
 
-  /** The daily rollup served from the incrementally-maintained partials. */
+  /** The daily rollup served from the incrementally-maintained partials,
+    * pinned to the newest partials manifest.
+    */
   def dailyFromPartials(spark: SparkSession): DataFrame =
-    Aggregates.finalizeDaily(spark.read.parquet(dailyPartialsPath))
+    Aggregates.finalizeDaily(readPartials(spark))
 
   /** Small-file compaction for the partitioned fact store: every append
     * leaves one-file-per-task fragments in each touched (year,month,day)

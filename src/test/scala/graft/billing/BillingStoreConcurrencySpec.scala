@@ -109,6 +109,45 @@ class BillingStoreConcurrencySpec extends SparkSpec {
     assert(store.raw(spark).count() == 2L + 2L * nBatches)
   }
 
+  test("a rollup reader racing incremental merges only sees committed " +
+      "partials states") {
+    val store = BillingStore(tmpDir("partials_snap"), retainVersions = 3)
+    store.appendIncremental(spark, df(
+      rec("2025-04-23 00:00:00", "seed23", "u0", 1.0),
+      rec("2025-04-24 00:00:00", "seed24", "u0", 1.0)))
+    val nBatches = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      try (1 to nBatches).foreach { i =>
+        // each batch merges INTO the same two day partitions — the
+        // partition-swap geometry a torn reader would observe
+        store.appendIncremental(spark, df(
+          rec(f"2025-04-23 ${i}%02d:00:00", s"a$i", "u1", 1.0),
+          rec(f"2025-04-24 ${i}%02d:00:00", s"b$i", "u2", 1.0)))
+      } catch { case t: Throwable => errs.add(t) } finally stop.set(true)
+    })
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        totals += store.dailyFromPartials(spark)
+          .agg(org.apache.spark.sql.functions.sum("transaction_count"))
+          .head().getLong(0)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    reader.start(); writer.start()
+    writer.join(300000); reader.join(300000)
+    assert(errs.isEmpty, s"worker failed: ${Option(errs.peek())}")
+    // every committed partials state totals an even count; a half-swapped
+    // read (one day merged, the other doubled or missing) does not
+    val valid = (1 to nBatches + 1).map(_ * 2L).toSet
+    val torn = totals.filterNot(valid)
+    assert(torn.isEmpty, s"inconsistent rollup totals: $torn")
+    assert(store.dailyFromPartials(spark)
+      .agg(org.apache.spark.sql.functions.sum("transaction_count"))
+      .head().getLong(0) == 2L + 2L * nBatches)
+  }
+
   private def forgeLock(root: String, payload: String): java.nio.file.Path =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(root, "_writer.lock"), payload)
