@@ -271,22 +271,62 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     spark.catalog.refreshByPath(table)
   }
 
-  /** S10: full-recompute rollups, written with overwrite semantics exactly
-    * like the reference's DELETE+INSERT. One cached pass over raw feeds
-    * all four (the Spark analogue of "4 assets over one shared DB").
+  /** S10: full-recompute rollups with DELETE+INSERT semantics exactly
+    * like the reference — spelled as write-then-publish: each rebuilt
+    * rollup lands as new files and one manifest commit swaps the whole
+    * table, so a dashboard reader mid-rebuild keeps its pinned snapshot
+    * instead of catching the delete half of an overwrite. One cached
+    * pass over raw feeds all four (the Spark analogue of "4 assets over
+    * one shared DB").
     */
   def rebuildAggregates(spark: SparkSession): Unit =
       TableLock.withLock(spark, root) {
     val r = raw(spark).cache()
     try {
       // daily_aggs is day-partitioned so refreshDailyForDays can later
-      // overwrite single partitions (and day-window reads prune)
-      Aggregates.daily(r).write.mode("overwrite")
-        .partitionBy("year", "month", "day").parquet(aggPath("daily"))
-      Aggregates.user(r).write.mode("overwrite").parquet(aggPath("user"))
-      Aggregates.service(r).write.mode("overwrite").parquet(aggPath("service"))
-      Aggregates.region(r).write.mode("overwrite").parquet(aggPath("region"))
-    } finally r.unpersist()
+      // swap single partitions (and day-window reads prune)
+      replaceWholeTable(spark, aggPath("daily"), Aggregates.daily(r),
+        partitioned = true)
+      replaceWholeTable(spark, aggPath("user"), Aggregates.user(r),
+        partitioned = false)
+      replaceWholeTable(spark, aggPath("service"), Aggregates.service(r),
+        partitioned = false)
+      replaceWholeTable(spark, aggPath("region"), Aggregates.region(r),
+        partitioned = false)
+    } finally { r.unpersist(); () }
+  }
+
+  /** Whole-table swap via manifest: the write's new files become the
+    * ENTIRE next manifest (full-refresh semantics), prior files are
+    * retired and reclaimed past the retention window.
+    */
+  private def replaceWholeTable(spark: SparkSession, table: String,
+      out: DataFrame, partitioned: Boolean): Unit = {
+    val fs = tableFs(spark, table)
+    val beforeDisk = listRelIn(fs, table, "").toSet
+    val w = out.write.mode("append")
+    (if (partitioned) w.partitionBy("year", "month", "day") else w)
+      .parquet(table)
+    val newFiles = listRelIn(fs, table, "").toSet -- beforeDisk
+    RawManifest.commit(fs, table, newFiles.toSeq)
+    gcTable(spark, table, retainVersions)
+    spark.catalog.refreshByPath(table)
+  }
+
+  /** A rollup table, pinned to its newest manifest (direct directory
+    * read for pre-manifest stores). `name` ∈ daily/user/service/region.
+    */
+  def agg(spark: SparkSession, name: String): DataFrame =
+    readManifested(spark, aggPath(name))
+
+  private def readManifested(spark: SparkSession, table: String): DataFrame = {
+    val fs = tableFs(spark, table)
+    RawManifest.latest(fs, table) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.option("basePath", table)
+          .parquet(files.map(f => s"$table/$f"): _*)
+      case _ => spark.read.parquet(table)
+    }
   }
 
   /** Incremental daily-rollup maintenance: recompute ONLY the
@@ -303,19 +343,21 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     */
   def refreshDailyForDays(spark: SparkSession, touchedDays: DataFrame): Unit =
       TableLock.withLock(spark, root) {
-    val days = touchedDays.select("year", "month", "day").distinct()
+    val dayTuples = touchedDays.select("year", "month", "day").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val days = {
+      import spark.implicits._
+      dayTuples.toDF("year", "month", "day")
+    }
     val affected = raw(spark).join(
       org.apache.spark.sql.functions.broadcast(days),
       Seq("year", "month", "day"))
-    val out = Aggregates.daily(affected)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite")
-      .partitionBy("year", "month", "day").parquet(aggPath("daily"))
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    val table = aggPath("daily")
+    val fs = tableFs(spark, table)
+    val beforeTouched = snapshotTouchedIn(fs, table, dayTuples)
+    Aggregates.daily(affected).write.mode("append")
+      .partitionBy("year", "month", "day").parquet(table)
+    commitReplaceIn(spark, table, dayTuples, beforeTouched)
   }
 
   /** Dedup-append a batch AND fold its per-day [[Aggregates.dailyPartial]]

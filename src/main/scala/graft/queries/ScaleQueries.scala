@@ -1254,7 +1254,7 @@ object ScaleQueries {
       graft.streaming.StreamingIngest.start(s, in, store, ckpt,
         aggs = graft.streaming.StreamingIngest.AggMaintenance.RefreshTouchedDaily)
         .awaitTermination()
-      s.read.parquet(store.aggPath("daily")).select(
+      store.agg(s, "daily").select(
         col("year"), col("month"), col("day"), col("transaction_count"),
         round(col("total_credit_usage"), 2).as("total_credit_usage"),
         (round(col("total_credit_usage"), 2) / col("transaction_count"))

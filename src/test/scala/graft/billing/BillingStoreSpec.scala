@@ -30,7 +30,7 @@ class BillingStoreSpec extends SparkSpec {
     store.appendDedup(spark, batch)
     store.refreshDailyForDays(spark, batch.toDF())
 
-    val incremental = spark.read.parquet(store.aggPath("daily"))
+    val incremental = store.agg(spark, "daily")
       .orderBy("year", "month", "day")
       .select("year", "month", "day", "transaction_count",
         "total_credit_usage", "unique_users")

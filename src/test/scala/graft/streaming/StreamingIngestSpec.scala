@@ -29,7 +29,7 @@ class StreamingIngestSpec extends SparkSpec {
     val q1 = StreamingIngest.start(spark, in, store, ckpt)
     q1.awaitTermination()
     assert(store.raw(spark).count() == 2)
-    assert(spark.read.parquet(store.aggPath("daily")).count() == 1)
+    assert(store.agg(spark, "daily").count() == 1)
 
     // second file: one duplicate of r1 + one new row; checkpoint must skip
     // b1.csv entirely, dedup must drop the r1 copy
@@ -39,7 +39,7 @@ class StreamingIngestSpec extends SparkSpec {
     val q2 = StreamingIngest.start(spark, in, store, ckpt)
     q2.awaitTermination()
     assert(store.raw(spark).count() == 3)
-    assert(spark.read.parquet(store.aggPath("daily")).count() == 2)
+    assert(store.agg(spark, "daily").count() == 2)
 
     // third run with nothing new: a no-op
     val q3 = StreamingIngest.start(spark, in, store, ckpt,
@@ -58,7 +58,7 @@ class StreamingIngestSpec extends SparkSpec {
       csvLine("2025-04-23 11:00:00", "r2", "i2")).mkString("\n"))
     StreamingIngest.start(spark, in, store, ckpt,
       StreamingIngest.AggMaintenance.RefreshTouchedDaily).awaitTermination()
-    val d1 = spark.read.parquet(store.aggPath("daily")).collect()
+    val d1 = store.agg(spark, "daily").collect()
     assert(d1.length == 1 && d1(0).getAs[Long]("transaction_count") == 2L)
     // second delivery: a redelivered day-23 row plus a new day-24 row —
     // the refresh recomputes day 23 (unchanged after dedup) and adds 24
@@ -67,7 +67,7 @@ class StreamingIngestSpec extends SparkSpec {
       csvLine("2025-04-24 09:00:00", "r3", "i3")).mkString("\n"))
     StreamingIngest.start(spark, in, store, ckpt,
       StreamingIngest.AggMaintenance.RefreshTouchedDaily).awaitTermination()
-    val d2 = spark.read.parquet(store.aggPath("daily"))
+    val d2 = store.agg(spark, "daily")
       .orderBy("day").collect()
     assert(d2.map(r => (r.getAs[Int]("day"),
       r.getAs[Long]("transaction_count"))).toSeq == Seq((23, 2L), (24, 1L)))
