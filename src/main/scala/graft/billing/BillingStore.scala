@@ -181,12 +181,21 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     if (fs.exists(root)) { sweep(root, isRoot = true); () }
   }
 
-  def ledger(spark: SparkSession): DataFrame =
-    if (exists(spark, ledgerPath))
-      spark.read.schema(Schemas.processedFiles).parquet(ledgerPath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      Schemas.processedFiles)
+  def ledger(spark: SparkSession): DataFrame = {
+    val fs = tableFs(spark, ledgerPath)
+    RawManifest.latest(fs, ledgerPath) match {
+      case Some((_, files)) if files.nonEmpty =>
+        spark.read.schema(Schemas.processedFiles)
+          .option("basePath", ledgerPath)
+          .parquet(files.map(f => s"$ledgerPath/$f"): _*)
+      case _ =>
+        if (exists(spark, ledgerPath))
+          spark.read.schema(Schemas.processedFiles).parquet(ledgerPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Schemas.processedFiles)
+    }
+  }
 
   /** J1 + S9: idempotent append — only rows whose natural key is absent.
     * The existing side is pruned to the staged batch's (year,month,day)
@@ -602,12 +611,11 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     */
   def upsertLedger(spark: SparkSession, updates: DataFrame): Unit =
       TableLock.withLock(spark, root) {
-    val merged = Ledger.upsert(ledger(spark), updates).cache()
-    merged.count() // materialize before overwriting the input path
-    merged.write.mode("overwrite").parquet(s"$ledgerPath.tmp")
-    merged.unpersist()
-    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(ledgerPath), true)
-    fs.rename(new Path(s"$ledgerPath.tmp"), new Path(ledgerPath))
+    // write-then-publish like every other table: the delete→rename swap
+    // this replaced left a window where the ledger path didn't exist at
+    // all, and a reader caught inside it saw an empty ledger — which in
+    // T4 semantics means "re-ingest everything"
+    replaceWholeTable(spark, ledgerPath, Ledger.upsert(ledger(spark),
+      updates), partitioned = false)
   }
 }
