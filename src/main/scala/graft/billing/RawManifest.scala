@@ -2,29 +2,32 @@ package graft.billing
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** Versioned file-list manifests for the raw fact table — minimal reader
-  * snapshot isolation without a table-format dependency.
+/** Versioned file-list manifests for a parquet table root — minimal
+  * reader snapshot isolation without a table-format dependency. Used by
+  * every table [[BillingStore]] serves: the fact table, the
+  * daily-partials fold, the four rollups, and the ledger.
   *
-  * Problem: [[TableLock]] serializes WRITERS, but a reader that lists
-  * `raw_billing/` while a compaction or CDC merge swaps a partition can
-  * see a mixed file set (old + new files of the same partition → doubled
-  * rows; neither → missing rows). The reference gets isolation for free
-  * from its single embedded DuckDB resource
+  * Problem: [[TableLock]] serializes WRITERS, but a reader that lists a
+  * table directory while a compaction/merge/refresh swaps files can see
+  * a mixed set (old + new files of the same partition → doubled rows;
+  * neither → missing rows). The reference gets isolation for free from
+  * its single embedded DuckDB resource
   * (reference: pipeline/pipeline.py:179); a parquet-directory store has
-  * to build it: every mutator commit publishes `_raw_manifest/v{N}` — an
-  * atomically-renamed file listing the store's data files — and readers
-  * pin the newest manifest instead of listing directories. Mutators
-  * write NEW files next to the old ones (never delete-in-place); files
-  * dropped from the manifest stay on disk until [[BillingStore.gcRaw]]
-  * finds them unreferenced by the latest `retainVersions` manifests, so
-  * a pinned reader's files outlive at least that many later commits —
-  * the same time-travel-window contract Delta/Iceberg make, with
-  * version-depth instead of wall-clock retention. At real object-store
-  * scale the atomic-rename commit is replaced by a table format's commit
+  * to build it: every mutator commit publishes `_raw_manifest/v{N}` —
+  * an atomically-renamed file listing the table's data files — and
+  * readers pin the newest manifest instead of listing directories.
+  * Mutators write NEW files next to the old ones (never
+  * delete-in-place); files dropped from the manifest stay on disk until
+  * GC ([[BillingStore.gcRaw]] and friends) finds them unreferenced by
+  * the latest `retainVersions` manifests, so a pinned reader's files
+  * outlive at least that many later commits — the same
+  * time-travel-window contract Delta/Iceberg make, with version-depth
+  * instead of wall-clock retention. At real object-store scale the
+  * atomic-rename commit is replaced by a table format's commit
   * protocol; the store API shape is unchanged.
   *
-  * Layout: `$root/_raw_manifest/v%012d` — one data-file path per line,
-  * relative to the raw table root. Committed under the writer lock
+  * Layout: `$table/_raw_manifest/v%012d` — one data-file path per
+  * line, relative to the table root. Committed under the writer lock
   * (single manifest writer), so version numbers never race.
   */
 private[billing] object RawManifest {
