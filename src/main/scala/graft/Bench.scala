@@ -112,7 +112,8 @@ object Bench {
     "q_stream_tws", "q_stream_stateful", "q_dup_clusters_star",
     "q_stream_join", "q_winnow_overlap", "q_upsert_store",
     "q_stream_ingest", "q_stream_ann", "q_stream_session",
-    "q_dedup_compact",
+    "q_dedup_compact", "q_cluster_keepers", "q_containment",
+    "q_stream_outer_join", "q_bucketed_join",
     "q_stream_window", "q_stream_static", "q_zorder_layout",
     "q_xml_roundtrip", "q_compact_store", "q_stream_dedup",
     "q_stream_dedup_wm")
