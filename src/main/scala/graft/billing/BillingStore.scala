@@ -88,6 +88,60 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       .parquet(files.map(f => s"$rawPath/$f"): _*)
   }
 
+  /** Event-time range read `[lo, hi)` with file-level data skipping:
+    * the newest manifest's files are pruned by the [[FileStats]]
+    * sidecar BEFORE Spark plans the scan, so a selective time window
+    * over a long history schedules tasks only for files whose
+    * [min,max] intersects the range — finer than hive partition
+    * pruning whenever a day partition holds many append slices.
+    * Correctness never depends on the stats: the range filter is
+    * applied on top regardless, files without stats are kept, and a
+    * pre-manifest store falls back to a plain filtered [[raw]] scan.
+    */
+  def rawBetween(spark: SparkSession, lo: java.time.Instant,
+      hi: java.time.Instant): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val loTs = java.sql.Timestamp.from(lo)
+    val hiTs = java.sql.Timestamp.from(hi)
+    val base = filesForRange(spark, lo, hi) match {
+      case Some((kept, _)) if kept.nonEmpty =>
+        spark.read.schema(Schemas.billing)
+          .option("basePath", rawPath)
+          .parquet(kept.map(f => s"$rawPath/$f"): _*)
+      case Some(_) => emptyBilling(spark)
+      case None    => raw(spark)
+    }
+    base.filter(col("timestamp") >= lit(loTs) &&
+      col("timestamp") < lit(hiTs))
+  }
+
+  /** (files kept for `[lo, hi)`, manifest file count) of the newest
+    * snapshot — None for a pre-manifest store. Exposed so specs and
+    * gates can pin that skipping actually pruned the file set; readers
+    * use [[rawBetween]].
+    */
+  private[graft] def filesForRange(spark: SparkSession,
+      lo: java.time.Instant, hi: java.time.Instant):
+      Option[(Seq[String], Int)] = {
+    val fs = rawFs(spark)
+    RawManifest.latest(fs, rawPath).map { case (v, files) =>
+      val stats = FileStats.read(fs, rawPath, v)
+      val loU = micros(lo)
+      val hiU = micros(hi)
+      val kept = files.filter { f =>
+        stats.get(f) match {
+          case Some(Some((mn, mx))) => mx >= loU && mn < hiU
+          case Some(None)           => false // all-null ts: range-unmatchable
+          case None                 => true // no stats: conservative keep
+        }
+      }
+      (kept, files.size)
+    }
+  }
+
+  private def micros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
   private def emptyBilling(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.billing)
@@ -256,8 +310,23 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       beforeTouched: Set[String]): Unit = {
     val fs = rawFs(spark)
     val newFiles = snapshotTouched(fs, days) -- beforeTouched
-    RawManifest.commit(fs, rawPath, (currentFiles(fs) ++ newFiles).toSeq)
-    ()
+    commitRawVersion(spark, fs, currentFiles(fs) ++ newFiles)
+  }
+
+  /** Commit a fact-table manifest version together with its per-file
+    * timestamp-stats sidecar: stats for files already in the previous
+    * sidecar are carried forward, only genuinely new files are scanned
+    * (one column-pruned job over the batch). Caller holds the writer
+    * lock.
+    */
+  private def commitRawVersion(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, files: Set[String]): Unit = {
+    val prev = FileStats.readLatest(fs, rawPath)
+    val fresh = FileStats.compute(spark, rawPath,
+      files.toSeq.filterNot(prev.contains))
+    val v = RawManifest.commit(fs, rawPath, files.toSeq)
+    FileStats.write(fs, rawPath, v, files.iterator.map(f =>
+      f -> prev.get(f).orElse(fresh.get(f)).getOrElse(None)).toMap)
   }
 
   /** Publish a replacing commit: `beforeTouched` (the touched
@@ -275,7 +344,8 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     val afterTouched = snapshotTouchedIn(fs, table, days)
     val next = (currentFilesIn(fs, table) -- beforeTouched) ++
       (afterTouched -- beforeTouched)
-    RawManifest.commit(fs, table, next.toSeq)
+    if (table == rawPath) commitRawVersion(spark, fs, next)
+    else RawManifest.commit(fs, table, next.toSeq)
     gcTable(spark, table, retainVersions)
     spark.catalog.refreshByPath(table)
   }
@@ -461,15 +531,24 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     * the partitions holding more than `maxFilesPerPartition` files
     * (discovered from the file index via `input_file_name`, no listing
     * code), clustering each day's rows into one task → one file, and
-    * swaps them in with dynamic partition overwrite — untouched history
-    * partitions are never read or rewritten. Row content is unchanged by
+    * swaps them in via manifest commit — untouched history partitions
+    * are never read or rewritten. Row content is unchanged by
     * construction (a pure rewrite); the gate hash-checks that.
+    *
+    * `filesPerDay > 1` compacts to TIME-SORTED slices instead of one
+    * file per day (global range partitioning on (day, timestamp)): each
+    * rewritten file covers a contiguous, within-day-disjoint timestamp
+    * range, so [[rawBetween]]'s file-level stats skipping survives
+    * compaction instead of collapsing to day granularity. At 100 TB
+    * this is how a compactor respects a target file size without
+    * sacrificing the time-range index: more slices per day, each still
+    * tight.
     *
     * Returns (partitions compacted, files before). No-op (0, 0) when
     * nothing exceeds the threshold.
     */
   def compactRaw(spark: SparkSession,
-      maxFilesPerPartition: Int = 1): (Long, Long) =
+      maxFilesPerPartition: Int = 1, filesPerDay: Int = 1): (Long, Long) =
       TableLock.withLock(spark, root) {
     import org.apache.spark.sql.functions.{exists => _, _}
     if (!exists(spark, rawPath)) (0L, 0L)
@@ -494,14 +573,23 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       val fragmented = raw(spark).join(
         broadcast(perPart.select("year", "month", "day")),
         Seq("year", "month", "day"))
-      // hash-cluster on the partition key: all rows of a day land in one
-      // task, so each rewritten partition holds exactly one file. The
-      // write APPENDS new files next to the fragments (no checkpoint
+      // The write APPENDS new files next to the fragments (no checkpoint
       // barrier needed — nothing it reads is deleted); the manifest swap
       // then atomically retires the fragments, which stay on disk for
       // pinned readers until GC's retention window passes.
-      fragmented
-        .repartition(col("year"), col("month"), col("day"))
+      val clustered =
+        if (filesPerDay <= 1)
+          // hash-cluster on the partition key: all rows of a day land in
+          // one task, so each rewritten partition holds exactly one file
+          fragmented.repartition(col("year"), col("month"), col("day"))
+        else
+          // range-partition on (day, timestamp): task ranges are
+          // globally ordered, so every output file's timestamp span is
+          // contiguous and disjoint from its day's siblings (a task
+          // straddling midnight just writes one tight file per side)
+          fragmented.repartitionByRange(dayTuples.length * filesPerDay,
+            col("year"), col("month"), col("day"), col("timestamp"))
+      clustered
         .select(raw(spark).columns.map(col): _*)
         .write.mode("append")
         .partitionBy("year", "month", "day").parquet(rawPath)
@@ -596,9 +684,8 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
         // stay on disk for pinned readers until GC's retention passes
         val fs = rawFs(spark)
         val droppedDirs = old.map { case (y, m, dd) => dayDir(y, m, dd) + "/" }
-        RawManifest.commit(fs, rawPath,
-          currentFiles(fs).filterNot(f =>
-            droppedDirs.exists(f.startsWith)).toSeq)
+        commitRawVersion(spark, fs,
+          currentFiles(fs).filterNot(f => droppedDirs.exists(f.startsWith)))
         gcRaw(spark)
         spark.catalog.refreshByPath(rawPath)
       }

@@ -106,5 +106,8 @@ private[billing] object RawManifest {
     */
   def pruneHistory(fs: FileSystem, root: String, keep: Int): Unit =
     versionsOn(fs, root).dropRight(math.max(keep, 1))
-      .foreach { case (_, p) => fs.delete(p, false) }
+      .foreach { case (_, p) =>
+        fs.delete(p, false)
+        FileStats.drop(fs, p)
+      }
 }

@@ -504,6 +504,47 @@ object IngestQueries {
       |FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** File-skipping range read
+    * ([[graft.billing.BillingStore.rawBetween]]): three hour-band
+    * appends leave multiple files per day partition, each covering a
+    * time slice; a morning window must PRUNE the planned file set via
+    * the manifest's timestamp-stats sidecar and still return exactly
+    * the plain filter's rows. `skip_ok` pins that skipping dropped
+    * files hive partition pruning alone could not (the skipped slices
+    * live in the kept day's own partition).
+    */
+  private def timeSkipStore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_tskip_"))
+    val b = EventsBilling(s, d)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day") <= 2)
+      .persist()
+    val h = hour(col("timestamp"))
+    store.appendDedup(s, b.filter(h < 8))
+    store.appendDedup(s, b.filter(h >= 8))
+    b.unpersist()
+    val lo = java.time.Instant.parse("2024-01-02T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-02T08:00:00Z")
+    val skipOk = store.filesForRange(s, lo, hi).exists {
+      case (kept, total) => kept.nonEmpty && kept.size < total
+    }
+    store.rawBetween(s, lo, hi)
+      .agg(count(lit(1)).as("n"),
+        round(sum("credit_usage"), 2).as("total_credit_usage"),
+        countDistinct("user_id").as("unique_users"))
+      .withColumn("skip_ok", lit(skipOk))
+  }
+
+  private val timeSkipStoreSql =
+    s"""${EventsBilling.cte}
+       |SELECT count(*) AS n,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       count(DISTINCT user_id) AS unique_users,
+       |       true AS skip_ok
+       |FROM billing
+       |WHERE year = 2024 AND month = 1 AND day <= 2
+       |  AND "timestamp" >= TIMESTAMP '2024-01-02 00:00:00'
+       |  AND "timestamp" < TIMESTAMP '2024-01-02 08:00:00'""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
@@ -519,5 +560,6 @@ object IngestQueries {
     Gate("q_table_diff", tableDiff, Some(tableDiffSql)),
     Gate("q_vacuum_store", vacuumStore, Some(vacuumStoreSql)),
     Gate("q_upsert_store", upsertStore, Some(upsertStoreSql)),
+    Gate("q_time_skip", timeSkipStore, Some(timeSkipStoreSql)),
   )
 }

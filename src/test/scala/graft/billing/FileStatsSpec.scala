@@ -1,0 +1,186 @@
+package graft.billing
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** File-level data skipping from the manifest's timestamp-stats sidecar
+  * ([[FileStats]] / [[BillingStore.rawBetween]]): pruning really drops
+  * files from the planned scan, results never depend on it, and the
+  * sidecar follows the manifest through append, compaction, vacuum, and
+  * history pruning.
+  */
+class FileStatsSpec extends SparkSpec {
+
+  private def rec(ts: String, res: String, user: String,
+      usage: Double): Schemas.BillingRecord =
+    Schemas.BillingRecord(Timestamp.valueOf(ts), res, user, usage,
+      "us", "free", "read", true, "compute", s"i-$res", "USD",
+      ts.take(4).toInt, ts.slice(5, 7).toInt, ts.slice(8, 10).toInt)
+
+  private def df(rs: Schemas.BillingRecord*): DataFrame =
+    spark.createDataFrame(rs)
+
+  private def inst(ts: String) = Timestamp.valueOf(ts).toInstant
+
+  private def fsFor(root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("rawBetween prunes within a day partition and stays exact") {
+    val store = BillingStore(tmpDir("tskip"))
+    // three appends → three files: two time slices of day 1 in the SAME
+    // hive partition (where partition pruning alone can't help), plus
+    // day 2
+    store.appendDedup(spark, df(
+      rec("2025-06-01 01:00:00", "r1", "u1", 1.0),
+      rec("2025-06-01 02:00:00", "r2", "u1", 2.0)))
+    store.appendDedup(spark, df(
+      rec("2025-06-01 20:00:00", "r3", "u2", 3.0)))
+    store.appendDedup(spark, df(
+      rec("2025-06-02 05:00:00", "r4", "u2", 4.0)))
+
+    val Some((kept, total)) = store.filesForRange(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-01 12:00:00"))
+    assert(total >= 3, "expected one file per append")
+    assert(kept.nonEmpty && kept.size < total,
+      s"morning window should prune ($kept of $total)")
+    val morning = store.rawBetween(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-01 12:00:00"))
+      .select("resource_id").collect().map(_.getString(0)).toSet
+    assert(morning == Set("r1", "r2"))
+
+    // a window before all data skips every file and returns nothing
+    val Some((none, _)) = store.filesForRange(spark,
+      inst("2024-01-01 00:00:00"), inst("2024-01-02 00:00:00"))
+    assert(none.isEmpty)
+    assert(store.rawBetween(spark, inst("2024-01-01 00:00:00"),
+      inst("2024-01-02 00:00:00")).count() == 0L)
+
+    // half-open semantics: lo inclusive, hi exclusive
+    val mid = store.rawBetween(spark,
+      inst("2025-06-01 02:00:00"), inst("2025-06-01 20:00:00"))
+      .select("resource_id").collect().map(_.getString(0)).toSet
+    assert(mid == Set("r2"))
+
+    // skipping equals the unpruned filtered scan on a wide window
+    val all = store.rawBetween(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-03 00:00:00")).count()
+    assert(all == 4L)
+  }
+
+  test("stats follow compaction and vacuum; fallback keeps correctness") {
+    val store = BillingStore(tmpDir("tskip_life"))
+    store.appendDedup(spark,
+      df(rec("2025-06-01 01:00:00", "r1", "u1", 1.0)))
+    store.appendDedup(spark,
+      df(rec("2025-06-01 23:00:00", "r2", "u1", 2.0)))
+    store.appendDedup(spark,
+      df(rec("2025-06-02 01:00:00", "r3", "u1", 3.0)))
+
+    // compaction rewrites day 1 into one NEW file whose stats come from
+    // the recompute path (the old per-slice files leave the manifest)
+    val (parts, _) = store.compactRaw(spark)
+    assert(parts == 1L)
+    val Some((kd1, totalAfter)) = store.filesForRange(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-01 12:00:00"))
+    assert(kd1.size == 1, s"compacted day should be one file, got $kd1")
+    assert(store.rawBetween(spark, inst("2025-06-01 00:00:00"),
+      inst("2025-06-01 12:00:00")).count() == 1L)
+    // the merged file spans the whole day, so an evening window now
+    // keeps it too — stats reflect the REWRITTEN layout
+    val Some((ke, _)) = store.filesForRange(spark,
+      inst("2025-06-01 22:00:00"), inst("2025-06-02 00:00:00"))
+    assert(ke == kd1)
+
+    // vacuum retires day 1: its files (and stats) leave the manifest
+    store.vacuumBefore(spark, 2025, 6, 2)
+    val Some((k2, t2)) = store.filesForRange(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-03 00:00:00"))
+    assert(t2 == 1 && k2.size == 1)
+    assert(store.rawBetween(spark, inst("2025-06-01 00:00:00"),
+      inst("2025-06-03 00:00:00"))
+      .select("resource_id").collect().map(_.getString(0)).toSet ==
+      Set("r3"))
+    // every retained manifest version has its sidecar alongside
+    val fs = fsFor(store.rawPath)
+    RawManifest.versions(fs, store.rawPath).foreach { v =>
+      assert(FileStats.read(fs, store.rawPath, v).nonEmpty,
+        s"missing stats sidecar for v$v")
+    }
+    assert(totalAfter >= t2)
+  }
+
+  test("time-sorted compaction (filesPerDay > 1) preserves skipping") {
+    val store = BillingStore(tmpDir("tskip_slices"))
+    val rs = (0 until 24).map(h =>
+      rec(f"2025-06-01 $h%02d:30:00", s"r$h", "u1", h.toDouble))
+    store.appendDedup(spark, df(rs.take(12): _*))
+    store.appendDedup(spark, df(rs.drop(12): _*))
+    val (parts, _) = store.compactRaw(spark, filesPerDay = 3)
+    assert(parts == 1L)
+    val Some((all, total)) = store.filesForRange(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-02 00:00:00"))
+    assert(total >= 2 && all.size == total,
+      s"expected multiple time slices, got $all")
+    // a morning window keeps a strict subset of the day's OWN files —
+    // granularity one-file-per-day compaction would have destroyed
+    val Some((morning, _)) = store.filesForRange(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-01 08:00:00"))
+    assert(morning.nonEmpty && morning.size < total)
+    assert(store.rawBetween(spark, inst("2025-06-01 00:00:00"),
+      inst("2025-06-01 08:00:00")).count() == 8L)
+    // slices are time-disjoint: every file's rows fall in one slice
+    val fs = fsFor(store.rawPath)
+    val stats = FileStats.readLatest(fs, store.rawPath).values.flatten.toSeq
+    val sorted = stats.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA < loB, "overlapping slices")
+      case _ =>
+    }
+  }
+
+  test("pre-manifest store falls back to a plain filtered scan") {
+    val store = BillingStore(tmpDir("tskip_fallback"))
+    // direct write, no mutator commit → no manifest, no stats
+    df(rec("2025-06-01 01:00:00", "r1", "u1", 1.0),
+      rec("2025-06-02 01:00:00", "r2", "u1", 2.0))
+      .write.mode("append").partitionBy("year", "month", "day")
+      .parquet(store.rawPath)
+    assert(store.filesForRange(spark, inst("2025-06-01 00:00:00"),
+      inst("2025-06-02 00:00:00")).isEmpty)
+    assert(store.rawBetween(spark, inst("2025-06-01 00:00:00"),
+      inst("2025-06-02 00:00:00"))
+      .select("resource_id").collect().map(_.getString(0)).toSet ==
+      Set("r1"))
+  }
+
+  test("pruneHistory removes the pruned versions' sidecars") {
+    val root = tmpDir("tskip_prune")
+    val fs = fsFor(root)
+    (1 to 3).foreach { i =>
+      val v = RawManifest.commit(fs, root, Seq(s"f$i.parquet"))
+      FileStats.write(fs, root, v,
+        Map(s"f$i.parquet" -> Some((i * 100L, i * 100L + 50L))))
+    }
+    RawManifest.pruneHistory(fs, root, keep = 1)
+    assert(FileStats.read(fs, root, 1L).isEmpty)
+    assert(FileStats.read(fs, root, 2L).isEmpty)
+    assert(FileStats.read(fs, root, 3L) ==
+      Map("f3.parquet" -> Some((300L, 350L))))
+  }
+
+  test("all-null and absent stats classify conservatively") {
+    val root = tmpDir("tskip_edge")
+    val fs = fsFor(root)
+    val v = RawManifest.commit(fs, root,
+      Seq("nulls.parquet", "nostats.parquet", "hit.parquet"))
+    FileStats.write(fs, root, v, Map(
+      "nulls.parquet" -> None, // all-null ts: range-unmatchable → skip
+      "hit.parquet" -> Some((1000L, 2000L))))
+    val stats = FileStats.read(fs, root, v)
+    assert(stats("nulls.parquet").isEmpty)
+    assert(!stats.contains("nostats.parquet"))
+  }
+}
