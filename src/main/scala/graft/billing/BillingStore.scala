@@ -130,11 +130,50 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       val hiU = micros(hi)
       val kept = files.filter { f =>
         stats.get(f) match {
-          case Some(Some((mn, mx))) => mx >= loU && mn < hiU
-          case Some(None)           => false // all-null ts: range-unmatchable
-          case None                 => true // no stats: conservative keep
+          case Some(st) => st.ts match {
+            case Some((mn, mx)) => mx >= loU && mn < hiU
+            case None           => false // all-null ts: range-unmatchable
+          }
+          case None => true // no stats: conservative keep
         }
       }
+      (kept, files.size)
+    }
+  }
+
+  /** Point-lookup read `user_id = userId` with bloom file skipping: the
+    * newest manifest's files are pruned by the [[FileStats]] bloom
+    * sidecar before Spark plans the scan — an equality probe over a
+    * long history touches only the files that may contain the key
+    * (~1% false-positive extras). Same correctness contract as
+    * [[rawBetween]]: the equality filter applies regardless, files
+    * without stats are kept, a pre-manifest store falls back to a
+    * plain filtered [[raw]] scan.
+    */
+  def rawForUser(spark: SparkSession, userId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = filesForUser(spark, userId) match {
+      case Some((kept, _)) if kept.nonEmpty =>
+        spark.read.schema(Schemas.billing)
+          .option("basePath", rawPath)
+          .parquet(kept.map(f => s"$rawPath/$f"): _*)
+      case Some(_) => emptyBilling(spark)
+      case None    => raw(spark)
+    }
+    base.filter(col("user_id") === lit(userId))
+  }
+
+  /** (files kept for a `user_id` probe, manifest file count) — None for
+    * a pre-manifest store. Exposed for specs/gates to pin the pruning;
+    * readers use [[rawForUser]].
+    */
+  private[graft] def filesForUser(spark: SparkSession,
+      userId: String): Option[(Seq[String], Int)] = {
+    val fs = rawFs(spark)
+    RawManifest.latest(fs, rawPath).map { case (v, files) =>
+      val stats = FileStats.read(fs, rawPath, v)
+      val kept = files.filter(f =>
+        stats.get(f).forall(_.mayContain(userId)))
       (kept, files.size)
     }
   }
@@ -326,7 +365,8 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       files.toSeq.filterNot(prev.contains))
     val v = RawManifest.commit(fs, rawPath, files.toSeq)
     FileStats.write(fs, rawPath, v, files.iterator.map(f =>
-      f -> prev.get(f).orElse(fresh.get(f)).getOrElse(None)).toMap)
+      f -> prev.get(f).orElse(fresh.get(f))
+        .getOrElse(FileStats.FileStat(None, None))).toMap)
   }
 
   /** Publish a replacing commit: `beforeTouched` (the touched

@@ -4,37 +4,71 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Per-file `timestamp` min/max sidecars for [[RawManifest]] versions —
-  * file-level data skipping on the fact store's event-time axis, the
-  * same role Delta/Iceberg column stats play in their commit logs.
+/** Per-file skipping statistics sidecars for [[RawManifest]] versions —
+  * the same role Delta/Iceberg column stats and bloom indexes play in
+  * their commit logs, without a table-format dependency:
   *
-  * Hive partition pruning already skips whole (year,month,day)
-  * directories; these stats prune WITHIN a partition — a day that
-  * accumulated many append files (each covering a slice of the day) is
-  * narrowed to the files whose [min,max] intersects the query range
-  * before Spark ever plans a task. At 100 TB that is the difference
-  * between "plan tasks for every file of the day and let parquet
-  * row-group stats reject rows at execution time" and "never schedule
-  * the task at all" — footer reads cost a round trip per file on an
-  * object store, and task startup is the dominant cost of a selective
-  * scan.
+  *   - `timestamp` min/max (event-time micros) → range skipping for
+  *     [[BillingStore.rawBetween]]: a selective time window prunes
+  *     files BEFORE Spark plans tasks, finer than hive partition
+  *     pruning whenever a day partition holds many append slices;
+  *   - a small `user_id` bloom (m=8192 bits, k=2 — ~1% FP at ~500
+  *     distinct users/file) → point-lookup skipping for
+  *     [[BillingStore.rawForUser]]: an equality probe touches only the
+  *     files that may contain the key.
   *
-  * Layout: `_raw_manifest/v%012d.stats`, one `relpath\tmin\tmax` line
-  * per data file (event-time micros; `-` for a file with no non-null
-  * timestamps). Written by the same lock-holding mutator that commits
-  * the manifest version; stats for files carried over from the prior
-  * version are copied forward, so each commit pays one column-pruned
-  * Spark job over ONLY its new files. Readers treat a missing sidecar
-  * or a missing line as "keep the file" — skipping is an optimization,
-  * never a correctness dependency (the residual filter still applies).
+  * At 100 TB skipping must come from commit metadata: parquet footers
+  * answer the same questions but cost an object-store round trip per
+  * file, and task startup dominates selective scans.
+  *
+  * Layout: `_raw_manifest/v%012d.stats`, one line per data file —
+  * `relpath\tmin\tmax\tbloomB64` (`-` for a missing field: a file with
+  * no non-null timestamps is range-unmatchable; a missing bloom means
+  * "keep on any probe"). Written by the same lock-holding mutator that
+  * commits the manifest version; entries for files carried over from
+  * the prior version are copied forward, so each commit pays ONE
+  * column-pruned Spark job over only its new files. Readers treat a
+  * missing sidecar or line as "keep the file" — skipping is an
+  * optimization, never a correctness dependency (the residual filter
+  * still applies).
   */
 private[billing] object FileStats {
 
-  /** relpath -> Some((minMicros, maxMicros)), or None when the file has
-    * no non-null timestamps (a null-rejecting range predicate can never
-    * select its rows, so such files are skippable for ANY range).
+  /** Bloom geometry: 8192 bits = 128 longs = ~1.4 KB base64 per file. */
+  private[billing] val BloomBits = 8192
+  private[billing] val BloomHashes = 2
+
+  final case class FileStat(
+      ts: Option[(Long, Long)], // None: no non-null timestamps
+      bloom: Option[Array[Long]]) { // None: unknown → keep on any probe
+
+    /** May this file contain `userId`? (No bloom → conservatively yes;
+      * an empty bloom — zero indexed rows — rejects every probe.)
+      */
+    def mayContain(userId: String): Boolean = bloom match {
+      case None => true
+      case Some(bits) =>
+        (0 until BloomHashes).forall { seed =>
+          val p = position(userId, seed)
+          (bits(p >> 6) & (1L << (p & 63))) != 0L
+        }
+    }
+  }
+
+  type Stats = Map[String, FileStat]
+
+  /** Bit position of `userId` under `seed` — MUST match the SQL-side
+    * `pmod(xxhash64(seed, user_id), BloomBits)` used by [[compute]].
     */
-  type Stats = Map[String, Option[(Long, Long)]]
+  private def position(userId: String, seed: Int): Int = {
+    val bytes = userId.getBytes("UTF-8")
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length,
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(seed.toLong, 42L))
+    math.floorMod(h, BloomBits.toLong).toInt
+  }
 
   private def statsPath(root: String, version: Long) =
     new Path(new Path(root, "_raw_manifest"), f"v$version%012d.stats")
@@ -48,23 +82,42 @@ private[billing] object FileStats {
       finally in.close()
       txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap {
         line =>
-          line.split("\t") match {
-            case Array(f, "-", "-") => Some(f -> None)
-            case Array(f, lo, hi)   => Some(f -> Some((lo.toLong, hi.toLong)))
-            case _                  => None // tolerate a torn/foreign line
+          line.split("\t", -1) match {
+            case Array(f, lo, hi) => // pre-bloom sidecar line
+              Some(f -> FileStat(parseTs(lo, hi), None))
+            case Array(f, lo, hi, b) =>
+              Some(f -> FileStat(parseTs(lo, hi), parseBloom(b)))
+            case _ => None // tolerate a torn/foreign line
           }
       }.toMap
     }
   }
+
+  private def parseTs(lo: String, hi: String): Option[(Long, Long)] =
+    if (lo == "-" || hi == "-") None else Some((lo.toLong, hi.toLong))
+
+  private def parseBloom(b: String): Option[Array[Long]] =
+    if (b == "-") None
+    else {
+      val bytes = java.util.Base64.getDecoder.decode(b)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      Some(Array.fill(bytes.length / 8)(buf.getLong))
+    }
 
   /** Atomic write (temp + rename), mirroring the manifest commit. */
   def write(fs: FileSystem, root: String, version: Long,
       stats: Stats): Unit = {
     val p = statsPath(root, version)
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val body = stats.toSeq.sortBy(_._1).map {
-      case (f, Some((lo, hi))) => s"$f\t$lo\t$hi"
-      case (f, None)           => s"$f\t-\t-"
+    val body = stats.toSeq.sortBy(_._1).map { case (f, st) =>
+      val (lo, hi) = st.ts.map { case (a, b) => (a.toString, b.toString) }
+        .getOrElse(("-", "-"))
+      val b = st.bloom.map { bits =>
+        val buf = java.nio.ByteBuffer.allocate(bits.length * 8)
+        bits.foreach(buf.putLong)
+        java.util.Base64.getEncoder.encodeToString(buf.array())
+      }.getOrElse("-")
+      s"$f\t$lo\t$hi\t$b"
     }.mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -74,7 +127,7 @@ private[billing] object FileStats {
     }
   }
 
-  /** Sidecar of one retained version (empty map for pre-stats commits —
+  /** Sidecar of the newest version (empty map for pre-stats commits —
     * readers then keep every file).
     */
   def readLatest(fs: FileSystem, root: String): Stats =
@@ -83,33 +136,53 @@ private[billing] object FileStats {
       case None         => Map.empty
     }
 
-  /** Per-file timestamp min/max for `relFiles`, via ONE column-pruned
-    * Spark job over just those files. Footer-only stats would avoid the
-    * job but are unreliable across parquet physical timestamp types
-    * (INT96 has no usable min/max); a one-column scan of the new batch
-    * is robust and O(batch), not O(table). A zero-row file produces no
-    * group and is recorded as statless-skippable (None).
+  /** Per-file timestamp min/max AND user-id bloom bits for `relFiles`,
+    * via ONE column-pruned Spark job over just those files. Footer-only
+    * stats would avoid the job but are unreliable across parquet
+    * physical timestamp types (INT96 has no usable min/max) and can't
+    * give blooms at all; a two-column scan of the new batch is robust
+    * and O(batch), not O(table). The per-file bit-position sets are
+    * bounded by min(distinct users, 8192) — driver-safe. A zero-row
+    * file produces no group and is recorded with an EMPTY bloom
+    * (rejects every probe) and no timestamp range.
     */
   def compute(spark: SparkSession, table: String,
       relFiles: Seq[String]): Stats =
     if (relFiles.isEmpty) Map.empty
     else {
       val rootUri = new Path(table).toUri.getPath
+      // a NULL user_id must not set a bit (SQL xxhash64 SKIPS null
+      // inputs rather than returning null, which would hash the bare
+      // seed): nullify via when(), collect_set then drops it
+      val seeds = (0 until BloomHashes).map { s =>
+        collect_set(when(col("user_id").isNotNull,
+          pmod(xxhash64(lit(s.toLong), col("user_id")), lit(BloomBits)))
+        ).as(s"p$s")
+      }
       val rows = spark.read.schema(Schemas.billing)
         .option("basePath", table)
         .parquet(relFiles.map(f => s"$table/$f"): _*)
-        .select(input_file_name().as("f"),
-          unix_micros(col("timestamp")).as("ts"))
+        .select((input_file_name().as("f") +:
+          unix_micros(col("timestamp")).as("ts") +: col("user_id") +:
+          Nil): _*)
         .groupBy("f")
-        .agg(min("ts").as("lo"), max("ts").as("hi"))
+        .agg(min("ts").as("lo"),
+          (max("ts").as("hi") +: seeds): _*)
         .collect()
       val byRel = rows.map { r =>
         val rel = new Path(r.getString(0)).toUri.getPath
           .stripPrefix(rootUri).stripPrefix("/")
-        rel -> (if (r.isNullAt(1)) None
-                else Some((r.getLong(1), r.getLong(2))))
+        val ts = if (r.isNullAt(1)) None
+                 else Some((r.getLong(1), r.getLong(2)))
+        val bits = new Array[Long](BloomBits / 64)
+        (0 until BloomHashes).foreach { s =>
+          r.getSeq[Long](3 + s).foreach(p =>
+            bits(p.toInt >> 6) |= 1L << (p & 63))
+        }
+        rel -> FileStat(ts, Some(bits))
       }.toMap
-      relFiles.map(f => f -> byRel.getOrElse(f, None)).toMap
+      val empty = FileStat(None, Some(new Array[Long](BloomBits / 64)))
+      relFiles.map(f => f -> byRel.getOrElse(f, empty)).toMap
     }
 
   /** Remove the sidecar of a pruned manifest version (called by

@@ -545,6 +545,43 @@ object IngestQueries {
        |  AND "timestamp" >= TIMESTAMP '2024-01-02 00:00:00'
        |  AND "timestamp" < TIMESTAMP '2024-01-02 08:00:00'""".stripMargin
 
+  /** Bloom point-lookup skipping
+    * ([[graft.billing.BillingStore.rawForUser]]): two parity-split
+    * appends leave each day partition with files holding disjoint user
+    * sets; probing one user must prune the planned file set via the
+    * manifest's bloom sidecar (the pruned files sit in the SAME
+    * partitions as the kept ones, so partition pruning can't help) and
+    * still return exactly the plain equality filter's rows.
+    */
+  private def pointSkipStore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_pskip_"))
+    val b = EventsBilling(s, d)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day") <= 2)
+      .persist()
+    val uid = col("user_id").cast("long")
+    store.appendDedup(s, b.filter(uid % 2 === 0))
+    store.appendDedup(s, b.filter(uid % 2 === 1))
+    b.unpersist()
+    val skipOk = store.filesForUser(s, "42").exists {
+      case (kept, total) => kept.nonEmpty && kept.size < total
+    }
+    store.rawForUser(s, "42")
+      .agg(count(lit(1)).as("n"),
+        round(sum("credit_usage"), 2).as("total_credit_usage"),
+        countDistinct("invoice_id").as("invoices"))
+      .withColumn("skip_ok", lit(skipOk))
+  }
+
+  private val pointSkipStoreSql =
+    s"""${EventsBilling.cte}
+       |SELECT count(*) AS n,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       count(DISTINCT invoice_id) AS invoices,
+       |       true AS skip_ok
+       |FROM billing
+       |WHERE year = 2024 AND month = 1 AND day <= 2
+       |  AND user_id = '42'""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
@@ -561,5 +598,6 @@ object IngestQueries {
     Gate("q_vacuum_store", vacuumStore, Some(vacuumStoreSql)),
     Gate("q_upsert_store", upsertStore, Some(upsertStoreSql)),
     Gate("q_time_skip", timeSkipStore, Some(timeSkipStoreSql)),
+    Gate("q_point_skip", pointSkipStore, Some(pointSkipStoreSql)),
   )
 }

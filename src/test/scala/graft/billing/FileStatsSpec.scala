@@ -133,7 +133,8 @@ class FileStatsSpec extends SparkSpec {
       inst("2025-06-01 08:00:00")).count() == 8L)
     // slices are time-disjoint: every file's rows fall in one slice
     val fs = fsFor(store.rawPath)
-    val stats = FileStats.readLatest(fs, store.rawPath).values.flatten.toSeq
+    val stats = FileStats.readLatest(fs, store.rawPath)
+      .values.flatMap(_.ts).toSeq
     val sorted = stats.sortBy(_._1)
     sorted.sliding(2).foreach {
       case Seq((_, hiA), (loB, _)) => assert(hiA < loB, "overlapping slices")
@@ -156,31 +157,69 @@ class FileStatsSpec extends SparkSpec {
       Set("r1"))
   }
 
+  test("rawForUser prunes via the bloom sidecar and stays exact") {
+    val store = BillingStore(tmpDir("tskip_bloom"))
+    store.appendDedup(spark, df(
+      rec("2025-06-01 01:00:00", "r1", "u1", 1.0),
+      rec("2025-06-01 02:00:00", "r2", "u2", 2.0)))
+    store.appendDedup(spark, df(
+      rec("2025-06-01 20:00:00", "r3", "u3", 3.0),
+      rec("2025-06-02 05:00:00", "r4", "u4", 4.0)))
+    val Some((kept, total)) = store.filesForUser(spark, "u1")
+    assert(total >= 2)
+    assert(kept.nonEmpty && kept.size < total,
+      s"u1 probe should prune ($kept of $total)")
+    val got = store.rawForUser(spark, "u1")
+      .select("resource_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("r1"))
+    // a key nobody has: the probe prunes (modulo ~1% FP per file) and
+    // the result is exactly empty either way
+    val Some((none, _)) = store.filesForUser(spark, "nobody")
+    assert(none.size < total)
+    assert(store.rawForUser(spark, "nobody").count() == 0L)
+  }
+
   test("pruneHistory removes the pruned versions' sidecars") {
     val root = tmpDir("tskip_prune")
     val fs = fsFor(root)
     (1 to 3).foreach { i =>
       val v = RawManifest.commit(fs, root, Seq(s"f$i.parquet"))
-      FileStats.write(fs, root, v,
-        Map(s"f$i.parquet" -> Some((i * 100L, i * 100L + 50L))))
+      FileStats.write(fs, root, v, Map(s"f$i.parquet" ->
+        FileStats.FileStat(Some((i * 100L, i * 100L + 50L)), None)))
     }
     RawManifest.pruneHistory(fs, root, keep = 1)
     assert(FileStats.read(fs, root, 1L).isEmpty)
     assert(FileStats.read(fs, root, 2L).isEmpty)
-    assert(FileStats.read(fs, root, 3L) ==
-      Map("f3.parquet" -> Some((300L, 350L))))
+    assert(FileStats.read(fs, root, 3L) == Map("f3.parquet" ->
+      FileStats.FileStat(Some((300L, 350L)), None)))
   }
 
-  test("all-null and absent stats classify conservatively") {
+  test("all-null, absent, and pre-bloom stats classify conservatively") {
     val root = tmpDir("tskip_edge")
     val fs = fsFor(root)
     val v = RawManifest.commit(fs, root,
       Seq("nulls.parquet", "nostats.parquet", "hit.parquet"))
     FileStats.write(fs, root, v, Map(
-      "nulls.parquet" -> None, // all-null ts: range-unmatchable → skip
-      "hit.parquet" -> Some((1000L, 2000L))))
+      // all-null ts: range-unmatchable; no bloom: keep on any probe
+      "nulls.parquet" -> FileStats.FileStat(None, None),
+      "hit.parquet" -> FileStats.FileStat(Some((1000L, 2000L)), None)))
     val stats = FileStats.read(fs, root, v)
-    assert(stats("nulls.parquet").isEmpty)
+    assert(stats("nulls.parquet").ts.isEmpty)
+    assert(stats("nulls.parquet").mayContain("anyone"))
     assert(!stats.contains("nostats.parquet"))
+
+    // a sidecar line written before blooms existed (3 fields) still
+    // parses, with keep-on-any-probe semantics
+    val legacy = new org.apache.hadoop.fs.Path(root,
+      "_raw_manifest/v000000000009")
+    val side = new org.apache.hadoop.fs.Path(root,
+      "_raw_manifest/v000000000009.stats")
+    val o1 = fs.create(legacy, true); o1.write("old.parquet".getBytes); o1.close()
+    val o2 = fs.create(side, true)
+    o2.write("old.parquet\t5\t9".getBytes); o2.close()
+    val compat = FileStats.read(fs, root, 9L)
+    assert(compat("old.parquet") ==
+      FileStats.FileStat(Some((5L, 9L)), None))
+    assert(compat("old.parquet").mayContain("anyone"))
   }
 }
