@@ -52,16 +52,36 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
   def raw(spark: SparkSession): DataFrame = {
     val fs = rawFs(spark)
     RawManifest.latest(fs, rawPath) match {
-      case Some((_, files)) if files.nonEmpty =>
-        spark.read.schema(Schemas.billing)
-          .option("basePath", rawPath)
-          .parquet(files.map(f => s"$rawPath/$f"): _*)
+      case Some((v, files)) if files.nonEmpty =>
+        manifestRead(spark, v, files)
       case Some(_) => emptyBilling(spark)
       case None =>
         if (exists(spark, rawPath))
           spark.read.schema(Schemas.billing).parquet(rawPath)
         else emptyBilling(spark)
     }
+  }
+
+  /** Relation over one manifest snapshot through [[ManifestFileIndex]]:
+    * the file list is the manifest's, and Catalyst's own pushed filters
+    * drive partition pruning AND [[FileStats]] skipping at plan time —
+    * every reader of [[raw]] gets file skipping from its own
+    * predicates, not just the dedicated range/point APIs.
+    */
+  private def manifestRead(spark: SparkSession, version: Long,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val fs = rawFs(spark)
+    val stats = FileStats.read(fs, rawPath, version)
+    val partSchema = org.apache.spark.sql.types.StructType(
+      Schemas.billing.fields.takeRight(3)) // year, month, day
+    val index = new ManifestFileIndex(spark, new Path(rawPath), files,
+      stats, partSchema)
+    val rel = HadoopFsRelation(index, partSchema,
+      Schemas.billingNoPartitionCols, None, new ParquetFileFormat(),
+      Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
   }
 
   /** Retained manifest versions (oldest first) — the store's queryable
@@ -83,9 +103,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
         s"manifest v$version not retained (have: " +
           s"${RawManifest.versions(fs, rawPath).mkString(",")})"))
     if (files.isEmpty) emptyBilling(spark)
-    else spark.read.schema(Schemas.billing)
-      .option("basePath", rawPath)
-      .parquet(files.map(f => s"$rawPath/$f"): _*)
+    else manifestRead(spark, version, files)
   }
 
   /** Event-time range read `[lo, hi)` with file-level data skipping:
@@ -101,18 +119,11 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
   def rawBetween(spark: SparkSession, lo: java.time.Instant,
       hi: java.time.Instant): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val loTs = java.sql.Timestamp.from(lo)
-    val hiTs = java.sql.Timestamp.from(hi)
-    val base = filesForRange(spark, lo, hi) match {
-      case Some((kept, _)) if kept.nonEmpty =>
-        spark.read.schema(Schemas.billing)
-          .option("basePath", rawPath)
-          .parquet(kept.map(f => s"$rawPath/$f"): _*)
-      case Some(_) => emptyBilling(spark)
-      case None    => raw(spark)
-    }
-    base.filter(col("timestamp") >= lit(loTs) &&
-      col("timestamp") < lit(hiTs))
+    // a plain filter: [[ManifestFileIndex]] receives it as a pushed
+    // data filter and skips files at plan time
+    raw(spark).filter(
+      col("timestamp") >= lit(java.sql.Timestamp.from(lo)) &&
+      col("timestamp") < lit(java.sql.Timestamp.from(hi)))
   }
 
   /** (files kept for `[lo, hi)`, manifest file count) of the newest
@@ -152,15 +163,8 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     */
   def rawForUser(spark: SparkSession, userId: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val base = filesForUser(spark, userId) match {
-      case Some((kept, _)) if kept.nonEmpty =>
-        spark.read.schema(Schemas.billing)
-          .option("basePath", rawPath)
-          .parquet(kept.map(f => s"$rawPath/$f"): _*)
-      case Some(_) => emptyBilling(spark)
-      case None    => raw(spark)
-    }
-    base.filter(col("user_id") === lit(userId))
+    // a plain filter: the index's bloom probe does the skipping
+    raw(spark).filter(col("user_id") === lit(userId))
   }
 
   /** (files kept for a `user_id` probe, manifest file count) — None for
@@ -180,6 +184,35 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
 
   private def micros(i: java.time.Instant): Long =
     i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  /** Incremental scan: the rows in files ADDED to the manifest after
+    * `sinceVersion` — the Iceberg incremental-append / Delta CDF read
+    * shape. A downstream consumer (rollup maintenance, export, index
+    * append) processes each commit's delta instead of rescanning
+    * history: cost is O(new files), independent of table size.
+    *
+    * Exact new-row semantics hold while the window contains only
+    * APPEND commits (the store's normal ingest path). A compaction or
+    * CDC merge inside the window rewrites surviving rows into new
+    * files, so those rows are re-emitted — consumers needing exactly-
+    * once either anti-join on [[Schemas.dedupKey]] (what
+    * [[appendDedup]] itself does) or consume between every commit.
+    * Throws for a version GC already dropped (raise `retainVersions`
+    * for deeper consumers, exactly as with [[rawAt]]).
+    */
+  def rawChanges(spark: SparkSession, sinceVersion: Long): DataFrame = {
+    val fs = rawFs(spark)
+    val (latest, files) = RawManifest.latest(fs, rawPath).getOrElse(
+      throw new java.util.NoSuchElementException(
+        "no manifest committed yet"))
+    val base = RawManifest.filesAt(fs, rawPath, sinceVersion).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"manifest v$sinceVersion not retained (have: " +
+          s"${RawManifest.versions(fs, rawPath).mkString(",")})"))
+    val added = files.filterNot(base.toSet)
+    if (added.isEmpty) emptyBilling(spark)
+    else manifestRead(spark, latest, added)
+  }
 
   private def emptyBilling(spark: SparkSession): DataFrame =
     spark.createDataFrame(

@@ -582,6 +582,37 @@ object IngestQueries {
        |WHERE year = 2024 AND month = 1 AND day <= 2
        |  AND user_id = '42'""".stripMargin
 
+  /** Incremental manifest scan
+    * ([[graft.billing.BillingStore.rawChanges]]): append two days,
+    * pin the manifest version, append a third day — the incremental
+    * read of everything-after-the-pin must return exactly the third
+    * day's rows, reading only the files that commit added (O(delta),
+    * not O(table)). The oracle recomputes the delta relationally.
+    */
+  private def incrementalScan(s: SparkSession, d: String): DataFrame = {
+    val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_iscan_"))
+    val b = EventsBilling(s, d)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day") <= 3)
+      .persist()
+    store.appendDedup(s, b.filter(col("day") <= 2))
+    val v = store.rawVersions(s).last
+    store.appendDedup(s, b.filter(col("day") === 3))
+    b.unpersist()
+    store.rawChanges(s, v)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        round(sum("credit_usage"), 2).as("total_credit_usage"))
+      .orderBy("day")
+  }
+
+  private val incrementalScanSql =
+    s"""${EventsBilling.cte}
+       |SELECT day, count(*) AS n,
+       |       round(sum(credit_usage), 2) AS total_credit_usage
+       |FROM billing
+       |WHERE year = 2024 AND month = 1 AND day = 3
+       |GROUP BY day ORDER BY day""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
@@ -599,5 +630,6 @@ object IngestQueries {
     Gate("q_upsert_store", upsertStore, Some(upsertStoreSql)),
     Gate("q_time_skip", timeSkipStore, Some(timeSkipStoreSql)),
     Gate("q_point_skip", pointSkipStore, Some(pointSkipStoreSql)),
+    Gate("q_incremental_scan", incrementalScan, Some(incrementalScanSql)),
   )
 }

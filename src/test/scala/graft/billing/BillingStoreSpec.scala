@@ -16,6 +16,31 @@ class BillingStoreSpec extends SparkSpec {
   private def df(rs: Schemas.BillingRecord*): DataFrame =
     spark.createDataFrame(rs)
 
+  test("rawChanges reads exactly the files added since a version") {
+    val store = BillingStore(tmpDir("iscan_store"))
+    store.appendDedup(spark, df(rec("2025-04-23 10:00:00", "r1", "u1", 2.0)))
+    val v1 = store.rawVersions(spark).last
+    store.appendDedup(spark, df(
+      rec("2025-04-24 10:00:00", "r2", "u2", 3.0),
+      rec("2025-04-23 11:00:00", "r5", "u1", 1.0)))
+    val ch = store.rawChanges(spark, v1)
+      .select("resource_id").collect().map(_.getString(0)).toSet
+    assert(ch == Set("r2", "r5"))
+    // an empty window yields no rows
+    val vLatest = store.rawVersions(spark).last
+    assert(store.rawChanges(spark, vLatest).count() == 0L)
+    // a compaction inside the window re-emits the rewritten partition's
+    // rows (the documented append-only caveat): day 23 was fragmented
+    // (2 files → 1 rewrite, 2 rows), day 24's single file is untouched
+    store.compactRaw(spark)
+    assert(store.rawChanges(spark, vLatest).count() == 2L)
+    // a version GC dropped is an error, not silence
+    intercept[java.util.NoSuchElementException] {
+      store.rawChanges(spark, -1L)
+    }
+    ()
+  }
+
   test("incremental daily refresh equals full rebuild after an append") {
     val store = BillingStore(tmpDir("inc_store"))
     store.appendDedup(spark, df(

@@ -179,6 +179,53 @@ class FileStatsSpec extends SparkSpec {
     assert(store.rawForUser(spark, "nobody").count() == 0L)
   }
 
+  test("catalyst-pushed filters drive skipping through the FileIndex") {
+    val store = BillingStore(tmpDir("tskip_plan"))
+    store.appendDedup(spark,
+      df(rec("2025-06-01 01:00:00", "r1", "u1", 1.0)))
+    store.appendDedup(spark,
+      df(rec("2025-06-01 20:00:00", "r2", "u2", 2.0)))
+    store.appendDedup(spark,
+      df(rec("2025-06-02 05:00:00", "r3", "u3", 3.0)))
+
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      scans(q.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+
+    // a PLAIN filter on raw() — not the dedicated APIs — skips files:
+    // the pushed equality probes the bloom, the pushed range checks the
+    // ts stats, both inside the executed plan's own scan
+    assert(scannedFiles(store.raw(spark)
+      .filter(col("user_id") === "u1")) == 1L)
+    assert(scannedFiles(store.raw(spark).filter(
+      col("timestamp") >=
+        lit(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")) &&
+      col("timestamp") <
+        lit(java.sql.Timestamp.valueOf("2025-06-01 12:00:00")))) == 1L)
+    // IN-list probes every member
+    assert(scannedFiles(store.raw(spark)
+      .filter(col("user_id").isin("u1", "u3"))) == 2L)
+    // an unfiltered scan still reads the whole snapshot
+    assert(scannedFiles(store.raw(spark)) == 3L)
+    // SQL over a view of raw() gets identical treatment
+    store.raw(spark).createOrReplaceTempView("fact_skip_test")
+    assert(scannedFiles(spark.sql(
+      "SELECT * FROM fact_skip_test WHERE user_id = 'u3'")) == 1L)
+    // and partition pruning still composes with stats skipping
+    assert(scannedFiles(store.raw(spark)
+      .filter(col("day") === 1 && col("user_id") === "u2")) == 1L)
+  }
+
   test("pruneHistory removes the pruned versions' sidecars") {
     val root = tmpDir("tskip_prune")
     val fs = fsFor(root)
