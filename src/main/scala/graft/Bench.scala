@@ -114,7 +114,7 @@ object Bench {
     "q_stream_ingest", "q_stream_ann", "q_stream_session",
     "q_dedup_compact", "q_cluster_keepers", "q_containment",
     "q_stream_outer_join", "q_bucketed_join", "q_time_skip",
-    "q_point_skip", "q_incremental_scan",
+    "q_point_skip", "q_incremental_scan", "q_snapshot_store",
     "q_stream_window", "q_stream_static", "q_zorder_layout",
     "q_xml_roundtrip", "q_compact_store", "q_stream_dedup",
     "q_stream_dedup_wm")
@@ -137,5 +137,5 @@ object Bench {
     "q_dedup_incremental", "q_stream_dedup_index", "q_s3_scan",
     "q_data_checks", "q_stream_tws", "q_lsh_multiprobe", "q_dedup_drift",
     "q_repeated_spans", "q_time_skip", "q_point_skip",
-    "q_incremental_scan")
+    "q_incremental_scan", "q_snapshot_store")
 }

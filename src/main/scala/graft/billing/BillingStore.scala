@@ -218,6 +218,79 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.billing)
 
+  // ---- cross-table consistent snapshots --------------------------------
+
+  private def storeMetaRoot = s"$root/_store"
+
+  /** Store-manifest line key → table path, for every table the store
+    * serves.
+    */
+  private def tablePaths: Seq[(String, String)] = Seq(
+    "raw_billing" -> rawPath,
+    "processed_files" -> ledgerPath,
+    "daily_partials" -> dailyPartialsPath) ++
+    Seq("daily", "user", "service", "region").map(n =>
+      s"${n}_aggs" -> aggPath(n))
+
+  /** Publish the store-level version vector — one `name=version` line
+    * per manifested table, committed (as its own [[RawManifest]] under
+    * `_store/`) AFTER a mutator's per-table commits, under the writer
+    * lock. [[snapshot]] pins every table at one such vector, giving
+    * readers cross-TABLE consistency on top of the per-table snapshot
+    * isolation: the reference gets this for free from its single
+    * embedded DuckDB file; a multi-table parquet store has to commit
+    * it. No-op when the vector is unchanged.
+    */
+  private def commitStoreVersion(spark: SparkSession): Unit = {
+    val lines = tablePaths.flatMap { case (name, path) =>
+      RawManifest.latest(tableFs(spark, path), path)
+        .map { case (v, _) => s"$name=$v" }
+    }
+    if (lines.nonEmpty) {
+      val fs = tableFs(spark, storeMetaRoot)
+      val current = RawManifest.latest(fs, storeMetaRoot).map(_._2.toSet)
+      if (!current.contains(lines.toSet)) {
+        RawManifest.commit(fs, storeMetaRoot, lines)
+        RawManifest.pruneHistory(fs, storeMetaRoot, keep = 8)
+      }
+    }
+  }
+
+  /** A cross-table consistent view: every table pinned to the versions
+    * one serialized mutator history committed TOGETHER. A plain
+    * `raw()`+`dailyFromPartials()` pair can straddle a mutator (raw
+    * already appended, partials not yet folded); a snapshot cannot.
+    * Readability window matches [[rawAt]]: `retainVersions` subsequent
+    * commits (raise it for long-running consumers). A pre-snapshot
+    * store (no vector committed yet) falls back to live reads.
+    */
+  def snapshot(spark: SparkSession): StoreSnapshot = {
+    val fs = tableFs(spark, storeMetaRoot)
+    val vec = RawManifest.latest(fs, storeMetaRoot)
+      .map(_._2).getOrElse(Seq.empty)
+      .flatMap { line =>
+        line.split("=") match {
+          case Array(n, v) => Some(n -> v.toLong)
+          case _           => None
+        }
+      }.toMap
+    StoreSnapshot(this, vec)
+  }
+
+  /** Pinned read of a non-fact table at one manifest version (the fact
+    * table goes through [[rawAt]] for stats-aware reads).
+    */
+  private[billing] def readManifestedAt(spark: SparkSession,
+      table: String, version: Long): DataFrame = {
+    val fs = tableFs(spark, table)
+    val files = RawManifest.filesAt(fs, table, version).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"manifest v$version of $table not retained"))
+    if (files.isEmpty) spark.read.parquet(table).limit(0)
+    else spark.read.option("basePath", table)
+      .parquet(files.map(f => s"$table/$f"): _*)
+  }
+
   private def rawFs(spark: SparkSession) = tableFs(spark, rawPath)
 
   private def tableFs(spark: SparkSession, table: String) =
@@ -356,6 +429,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       .partitionBy("year", "month", "day").parquet(rawPath)
     val n = obs.get("n").asInstanceOf[Long]
     if (n > 0) commitAppend(spark, dayTuples, beforeTouched)
+    commitStoreVersion(spark)
     n
   }
 
@@ -446,6 +520,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       replaceWholeTable(spark, aggPath("region"), Aggregates.region(r),
         partitioned = false)
     } finally { r.unpersist(); () }
+    commitStoreVersion(spark)
   }
 
   /** Whole-table swap via manifest: the write's new files become the
@@ -510,6 +585,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     Aggregates.daily(affected).write.mode("append")
       .partitionBy("year", "month", "day").parquet(table)
     commitReplaceIn(spark, table, dayTuples, beforeTouched)
+    commitStoreVersion(spark)
   }
 
   /** Dedup-append a batch AND fold its per-day [[Aggregates.dailyPartial]]
@@ -578,6 +654,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     merged.write.mode("append")
       .partitionBy("year", "month", "day").parquet(dailyPartialsPath)
     commitReplaceIn(spark, dailyPartialsPath, dayTuples, beforeTouched)
+    commitStoreVersion(spark)
   }
 
   private def readPartials(spark: SparkSession): DataFrame = {
@@ -667,6 +744,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
         .write.mode("append")
         .partitionBy("year", "month", "day").parquet(rawPath)
       commitReplace(spark, dayTuples, beforeTouched)
+      commitStoreVersion(spark)
     }
     perPart.unpersist()
     (parts, files)
@@ -729,6 +807,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     merged.write.mode("append")
       .partitionBy("year", "month", "day").parquet(rawPath)
     commitReplace(spark, dayTuples, beforeTouched)
+    commitStoreVersion(spark)
     ch.unpersist()
     (nUpserted, nDeleted)
   }
@@ -761,6 +840,7 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
           currentFiles(fs).filterNot(f => droppedDirs.exists(f.startsWith)))
         gcRaw(spark)
         spark.catalog.refreshByPath(rawPath)
+        commitStoreVersion(spark)
       }
       old.length.toLong
     }
@@ -777,5 +857,6 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     // T4 semantics means "re-ingest everything"
     replaceWholeTable(spark, ledgerPath, Ledger.upsert(ledger(spark),
       updates), partitioned = false)
+    commitStoreVersion(spark)
   }
 }

@@ -613,6 +613,50 @@ object IngestQueries {
        |WHERE year = 2024 AND month = 1 AND day = 3
        |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Cross-table snapshot ([[graft.billing.BillingStore.snapshot]]):
+    * two incremental appends (raw + partials fold committed in
+    * lock-step), then a snapshot — the daily rollup finalized from the
+    * PINNED partials must equal the rollup recomputed from the PINNED
+    * raw (`consistent_ok`), and the values must match the oracle's
+    * relational recompute. The reference gets cross-table consistency
+    * from its single DuckDB file; the store commits a version vector.
+    */
+  private def snapshotStore(s: SparkSession, d: String): DataFrame = {
+    val store = graft.billing.BillingStore(graft.Gate.tmpDir("gate_snap_"))
+    val b = EventsBilling(s, d)
+      .filter(col("year") === 2024 && col("month") === 1 && col("day") <= 3)
+      .persist()
+    store.appendIncremental(s, b.filter(col("day") <= 2))
+    store.appendIncremental(s, b.filter(col("day") === 3))
+    b.unpersist()
+    val snap = store.snapshot(s)
+    val cols = Seq(col("year"), col("month"), col("day"),
+      col("transaction_count"),
+      round(col("total_credit_usage"), 2).as("total_credit_usage"),
+      col("successful_operations"), col("failed_operations"))
+    val fromPartials = snap.dailyFromPartials(s).select(cols: _*)
+    val fromRaw = graft.billing.Aggregates.daily(snap.raw(s))
+      .select(cols: _*)
+    val consistent = fromPartials.collect().map(_.toSeq).toSet ==
+      fromRaw.collect().map(_.toSeq).toSet
+    fromPartials.withColumn("consistent_ok", lit(consistent))
+      .orderBy("year", "month", "day")
+  }
+
+  private val snapshotStoreSql =
+    s"""${EventsBilling.cte}
+       |SELECT year, month, day, count(*) AS transaction_count,
+       |       round(sum(credit_usage), 2) AS total_credit_usage,
+       |       CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS successful_operations,
+       |       CAST(sum(CASE WHEN success THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS failed_operations,
+       |       true AS consistent_ok
+       |FROM billing
+       |WHERE year = 2024 AND month = 1 AND day <= 3
+       |GROUP BY year, month, day
+       |ORDER BY year, month, day""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_dedup_anti", dedupAnti, Some(dedupAntiSql)),
     Gate("q_backfill_window", backfillWindow, Some(backfillWindowSql)),
@@ -631,5 +675,6 @@ object IngestQueries {
     Gate("q_time_skip", timeSkipStore, Some(timeSkipStoreSql)),
     Gate("q_point_skip", pointSkipStore, Some(pointSkipStoreSql)),
     Gate("q_incremental_scan", incrementalScan, Some(incrementalScanSql)),
+    Gate("q_snapshot_store", snapshotStore, Some(snapshotStoreSql)),
   )
 }

@@ -109,6 +109,54 @@ class BillingStoreConcurrencySpec extends SparkSpec {
     assert(store.raw(spark).count() == 2L + 2L * nBatches)
   }
 
+  test("a snapshot pins raw and partials at one mutator boundary") {
+    val store = BillingStore(tmpDir("xtable_snap"), retainVersions = 8)
+    store.appendIncremental(spark, df(
+      rec("2025-05-01 00:00:00", "seed1", "u0", 1.0),
+      rec("2025-05-02 00:00:00", "seed2", "u0", 2.0)))
+    val nBatches = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      try (1 to nBatches).foreach { i =>
+        store.appendIncremental(spark, df(
+          rec(f"2025-05-01 ${i}%02d:00:00", s"a$i", s"u$i", 1.0),
+          rec(f"2025-05-02 ${i}%02d:00:00", s"b$i", s"u$i", 2.0)))
+      } catch { case t: Throwable => errs.add(t) } finally stop.set(true)
+    })
+    // the invariant a snapshot guarantees and plain reads do not: the
+    // daily rollup finalized from the pinned partials ALWAYS equals the
+    // rollup recomputed from the pinned raw — raw and partials commit
+    // in lock-step inside one mutator, and the vector is only published
+    // after both. An unpinned reader pair can straddle the mutator
+    // (raw appended, fold not yet landed) between the two commits.
+    val observed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        val snap = store.snapshot(spark)
+        if (snap.versions.contains("raw_billing") &&
+            snap.versions.contains("daily_partials")) {
+          import org.apache.spark.sql.functions.{col, round => rnd}
+          val cols = Seq(col("year"), col("month"), col("day"),
+            col("transaction_count"),
+            rnd(col("total_credit_usage"), 2).as("t"))
+          val fromPartials = snap.dailyFromPartials(spark)
+            .select(cols: _*).collect().map(_.toSeq).toSet
+          val fromRaw = Aggregates.daily(snap.raw(spark))
+            .select(cols: _*).collect().map(_.toSeq).toSet
+          if (fromPartials != fromRaw)
+            errs.add(new AssertionError(
+              s"torn cross-table snapshot: $fromPartials vs $fromRaw"))
+          observed.incrementAndGet()
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    reader.start(); writer.start()
+    writer.join(300000); reader.join(300000)
+    assert(errs.isEmpty, s"violation: ${Option(errs.peek())}")
+    assert(observed.get() > 0, "reader never observed a snapshot")
+  }
+
   test("a rollup reader racing incremental merges only sees committed " +
       "partials states") {
     val store = BillingStore(tmpDir("partials_snap"), retainVersions = 3)
