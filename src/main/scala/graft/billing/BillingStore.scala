@@ -694,11 +694,20 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     * sacrificing the time-range index: more slices per day, each still
     * tight.
     *
+    * `zorderUsers = true` (with `filesPerDay > 1`) clusters each day's
+    * slices along the Morton curve of (second-of-day, user-id hash
+    * bucket) instead of time alone — every rewritten file's timestamp
+    * span AND distinct-user set shrink together, so the ts stats and
+    * the bloom BOTH stay selective (the lakehouse `OPTIMIZE ZORDER BY`,
+    * applied at compaction time; pure time sort keeps blooms diffuse
+    * because every user appears in every slice).
+    *
     * Returns (partitions compacted, files before). No-op (0, 0) when
     * nothing exceeds the threshold.
     */
   def compactRaw(spark: SparkSession,
-      maxFilesPerPartition: Int = 1, filesPerDay: Int = 1): (Long, Long) =
+      maxFilesPerPartition: Int = 1, filesPerDay: Int = 1,
+      zorderUsers: Boolean = false): (Long, Long) =
       TableLock.withLock(spark, root) {
     import org.apache.spark.sql.functions.{exists => _, _}
     if (!exists(spark, rawPath)) (0L, 0L)
@@ -732,7 +741,28 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
           // hash-cluster on the partition key: all rows of a day land in
           // one task, so each rewritten partition holds exactly one file
           fragmented.repartition(col("year"), col("month"), col("day"))
-        else
+        else if (zorderUsers) {
+          // Morton-cluster within each day: QUANTILE-bucketed
+          // second-of-day (equal-count buckets — raw seconds would
+          // waste curve bits on empty hours and let the user hash
+          // dominate the high bits) interleaved with a user-hash
+          // bucket; files own contiguous curve segments, so both
+          // dimensions' per-file spans shrink together. The quantile
+          // pass is one approxQuantile over the fragmented days —
+          // compactor-priced, not read-priced.
+          val secOfDay = pmod(unix_micros(col("timestamp")) /
+            lit(1000000L), lit(86400L))
+          val secBucket = graft.operators.ZOrder
+            .quantileBucketScaled(fragmented, secOfDay, 10)
+          val userBucket = pmod(xxhash64(col("user_id")), lit(1L << 10))
+          fragmented
+            .withColumn("__z", graft.operators.ZOrder
+              .interleave(secBucket, userBucket, 10))
+            .repartitionByRange(dayTuples.length * filesPerDay,
+              col("year"), col("month"), col("day"), col("__z"))
+            .sortWithinPartitions(col("year"), col("month"), col("day"),
+              col("__z"))
+        } else
           // range-partition on (day, timestamp): task ranges are
           // globally ordered, so every output file's timestamp span is
           // contiguous and disjoint from its day's siblings (a task

@@ -73,6 +73,31 @@ object ZOrder {
     }
   }
 
+  /** [[quantileBucket]] with the bucket indexes SCALED onto the full
+    * `[0, 2^bits)` range: when the column has fewer distinct values than
+    * buckets, raw indexes occupy only the low bits and [[interleave]]'s
+    * other dimension silently dominates the curve's high bits — scaling
+    * keeps the two dimensions' bit budgets balanced regardless of
+    * cardinality, which is what makes the curve segments shrink BOTH
+    * per-file spans.
+    */
+  def quantileBucketScaled(df: DataFrame, c: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 10,
+      s"bucket bits must be in [1,10], got $bits")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val cuts = df.select(c.cast("double").as("__qb"))
+      .stat.approxQuantile("__qb", probs, 1.0 / (4 * n))
+    val dcuts = cuts.distinct.sorted
+    val scale = (n - 1).toDouble / math.max(dcuts.length, 1)
+    dcuts.zipWithIndex.reverse
+      .foldLeft(lit((dcuts.length * scale).toLong): Column) {
+        case (acc, (cut, i)) =>
+          when(c.cast("double") <= cut, lit((i * scale).toLong))
+            .otherwise(acc)
+      }
+  }
+
   /** Rewrite `df` into `nFiles` files clustered along the Z-curve of the
     * two dimensions: range-partition by the interleaved key (files own
     * contiguous curve segments), sort within each file (row groups own

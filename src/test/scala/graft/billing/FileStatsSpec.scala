@@ -179,6 +179,33 @@ class FileStatsSpec extends SparkSpec {
     assert(store.rawForUser(spark, "nobody").count() == 0L)
   }
 
+  test("z-order compaction keeps time AND user probes selective") {
+    val store = BillingStore(tmpDir("tskip_z"))
+    // a 16-hour x 8-user grid in ONE day partition: after a pure time
+    // sort every file would hold every user (diffuse blooms); after a
+    // z-order rewrite each file owns a curve quadrant — part of the
+    // day AND part of the user space
+    val rs = for { h <- 0 until 16; u <- 0 until 8 } yield
+      rec(f"2025-06-01 $h%02d:15:00", s"r${h}_$u", s"user$u", 1.0)
+    store.appendDedup(spark, df(rs.take(64): _*))
+    store.appendDedup(spark, df(rs.drop(64): _*))
+    store.compactRaw(spark, filesPerDay = 8, zorderUsers = true)
+    val Some((all, total)) = store.filesForRange(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-02 00:00:00"))
+    assert(total >= 4 && all.size == total)
+    val Some((morning, _)) = store.filesForRange(spark,
+      inst("2025-06-01 00:00:00"), inst("2025-06-01 08:00:00"))
+    assert(morning.nonEmpty && morning.size < total,
+      s"time window should prune z-ordered files ($morning of $total)")
+    val Some((probe, _)) = store.filesForUser(spark, "user3")
+    assert(probe.nonEmpty && probe.size < total,
+      s"user probe should prune z-ordered files ($probe of $total)")
+    // the rewrite changed no rows
+    assert(store.rawBetween(spark, inst("2025-06-01 00:00:00"),
+      inst("2025-06-02 00:00:00")).count() == 128L)
+    assert(store.rawForUser(spark, "user3").count() == 16L)
+  }
+
   test("catalyst-pushed filters drive skipping through the FileIndex") {
     val store = BillingStore(tmpDir("tskip_plan"))
     store.appendDedup(spark,
