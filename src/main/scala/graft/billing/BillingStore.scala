@@ -470,10 +470,12 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     val prev = FileStats.readLatest(fs, rawPath)
     val fresh = FileStats.compute(spark, rawPath,
       files.toSeq.filterNot(prev.contains))
-    val v = RawManifest.commit(fs, rawPath, files.toSeq)
-    FileStats.write(fs, rawPath, v, files.iterator.map(f =>
+    val merged = files.iterator.map(f =>
       f -> prev.get(f).orElse(fresh.get(f))
-        .getOrElse(FileStats.FileStat(None, None))).toMap)
+        .getOrElse(FileStats.FileStat(None, None))).toMap
+    val v = RawManifest.commit(fs, rawPath, files.toSeq)
+    FileStats.write(fs, rawPath, v,
+      FileStats.fillSizes(fs, rawPath, merged))
   }
 
   /** Publish a replacing commit: `beforeTouched` (the touched

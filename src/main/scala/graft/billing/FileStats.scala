@@ -40,7 +40,8 @@ private[billing] object FileStats {
 
   final case class FileStat(
       ts: Option[(Long, Long)], // None: no non-null timestamps
-      bloom: Option[Array[Long]]) { // None: unknown → keep on any probe
+      bloom: Option[Array[Long]], // None: unknown → keep on any probe
+      size: Option[Long] = None) { // file length; None → stat the file
 
     /** May this file contain `userId`? (No bloom → conservatively yes;
       * an empty bloom — zero indexed rows — rejects every probe.)
@@ -85,8 +86,11 @@ private[billing] object FileStats {
           line.split("\t", -1) match {
             case Array(f, lo, hi) => // pre-bloom sidecar line
               Some(f -> FileStat(parseTs(lo, hi), None))
-            case Array(f, lo, hi, b) =>
+            case Array(f, lo, hi, b) => // pre-size sidecar line
               Some(f -> FileStat(parseTs(lo, hi), parseBloom(b)))
+            case Array(f, lo, hi, b, sz) =>
+              Some(f -> FileStat(parseTs(lo, hi), parseBloom(b),
+                if (sz == "-") None else Some(sz.toLong)))
             case _ => None // tolerate a torn/foreign line
           }
       }.toMap
@@ -117,7 +121,8 @@ private[billing] object FileStats {
         bits.foreach(buf.putLong)
         java.util.Base64.getEncoder.encodeToString(buf.array())
       }.getOrElse("-")
-      s"$f\t$lo\t$hi\t$b"
+      val sz = st.size.map(_.toString).getOrElse("-")
+      s"$f\t$lo\t$hi\t$b\t$sz"
     }.mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -184,6 +189,39 @@ private[billing] object FileStats {
       val empty = FileStat(None, Some(new Array[Long](BloomBits / 64)))
       relFiles.map(f => f -> byRel.getOrElse(f, empty)).toMap
     }
+
+  /** Fill in `size` for entries missing it: one `listStatus` per
+    * affected partition directory, matched by name. Run at COMMIT time
+    * so readers ([[ManifestFileIndex]]) plan splits from the sidecar
+    * alone — zero filesystem calls per read, the reason table formats
+    * carry sizes in their logs (a listStatus per partition per query
+    * is an object-store round-trip storm at scale).
+    */
+  def fillSizes(fs: FileSystem, root: String, stats: Stats): Stats = {
+    val missing = stats.collect {
+      case (f, st) if st.size.isEmpty => f
+    }.toSeq
+    if (missing.isEmpty) stats
+    else {
+      val sized = missing.groupBy(f =>
+        f.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => f.substring(0, i)
+        }).flatMap { case (dir, fsInDir) =>
+          val base = if (dir.isEmpty) new Path(root) else new Path(root, dir)
+          val listed =
+            (if (fs.exists(base)) fs.listStatus(base) else Array.empty)
+              .map(st => st.getPath.getName -> st.getLen).toMap
+          fsInDir.flatMap { rel =>
+            val name = rel.substring(rel.lastIndexOf('/') + 1)
+            listed.get(name).map(rel -> _)
+          }
+        }
+      stats.map { case (f, st) =>
+        f -> (if (st.size.isDefined) st else st.copy(size = sized.get(f)))
+      }
+    }
+  }
 
   /** Remove the sidecar of a pruned manifest version (called by
     * [[RawManifest.pruneHistory]] so history and stats stay in step).

@@ -40,10 +40,12 @@ private[billing] class ManifestFileIndex(
   private val fs =
     tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** (partition values, partition rel dir, files with status). Statuses
-    * resolved once at construction: one listStatus per partition dir,
-    * matched by name (files the manifest retired are simply absent from
-    * the match).
+  /** (partition values, files with status). Statuses come from the
+    * sidecar's recorded file sizes when present — ZERO filesystem calls
+    * to plan a query, the reason table formats carry sizes in their
+    * logs — with one listStatus per partition dir as the fallback for
+    * size-less entries (pre-size sidecars); files the manifest retired
+    * are simply absent from the match.
     */
   private val partitions: Seq[(InternalRow, Seq[(String, FileStatus)])] = {
     val byDir = relFiles.groupBy(f =>
@@ -52,7 +54,7 @@ private[billing] class ManifestFileIndex(
         case i  => f.substring(0, i)
       })
     byDir.toSeq.sortBy(_._1).map { case (dir, fsInDir) =>
-      val listed = fs.listStatus(
+      lazy val listed = fs.listStatus(
         if (dir.isEmpty) tableRoot else new Path(tableRoot, dir))
         .map(st => st.getPath.getName -> st).toMap
       val values = InternalRow.fromSeq(partitionSchema.map { f =>
@@ -64,8 +66,14 @@ private[billing] class ManifestFileIndex(
         }
       })
       val files = fsInDir.flatMap { rel =>
-        val name = rel.substring(rel.lastIndexOf('/') + 1)
-        listed.get(name).map(st => rel -> st)
+        stats.get(rel).flatMap(_.size) match {
+          case Some(len) =>
+            Some(rel -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
+              0L, new Path(tableRoot, rel)))
+          case None =>
+            val name = rel.substring(rel.lastIndexOf('/') + 1)
+            listed.get(name).map(st => rel -> st)
+        }
       }
       (values, files)
     }

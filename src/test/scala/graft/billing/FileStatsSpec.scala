@@ -253,6 +253,29 @@ class FileStatsSpec extends SparkSpec {
       .filter(col("day") === 1 && col("user_id") === "u2")) == 1L)
   }
 
+  test("sidecar records file sizes; the index plans from metadata") {
+    val store = BillingStore(tmpDir("tskip_sizes"))
+    store.appendDedup(spark, df(
+      rec("2025-06-01 01:00:00", "r1", "u1", 1.0),
+      rec("2025-06-02 01:00:00", "r2", "u2", 2.0)))
+    store.appendDedup(spark, df(
+      rec("2025-06-01 09:00:00", "r3", "u3", 3.0)))
+    val fs = fsFor(store.rawPath)
+    val stats = FileStats.readLatest(fs, store.rawPath)
+    assert(stats.nonEmpty)
+    // every committed file carries its true on-disk length
+    stats.foreach { case (rel, st) =>
+      val disk = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(store.rawPath, rel)).getLen
+      assert(st.size.contains(disk), s"$rel size $st vs disk $disk")
+    }
+    // the relation's size estimate comes out of the sidecar — the
+    // number broadcast decisions see
+    val planned = store.raw(spark).queryExecution.optimizedPlan.stats
+      .sizeInBytes
+    assert(planned > 0)
+  }
+
   test("pruneHistory removes the pruned versions' sidecars") {
     val root = tmpDir("tskip_prune")
     val fs = fsFor(root)
