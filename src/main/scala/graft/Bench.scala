@@ -48,7 +48,14 @@ object Bench {
       .sortBy { case (n, _) => heavy.contains(n) } // stable: keeps name order
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failed gate must never masquerade as a fast one: record the
+      // failure explicitly instead of its time-to-throw (r5 postmortem —
+      // 58 broken gates benched as 0.06-0.14 s "wins").
+      val failed = try { fn(spark, sfDir).count(); false } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH GATE FAILED: $name: ${e.getClass.getName}: ${e.getMessage}")
+          true
+      }
       // operators persist() reusable subtrees; drop them between queries
       // so ~75 gates don't accumulate cached partitions in one session,
       // and collect the garbage OUTSIDE the next gate's timed window —
@@ -62,12 +69,18 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       if (elapsed > 1.0) System.gc()
       if (elapsed > 5.0) { System.gc(); Thread.sleep(300) }
-      name -> elapsed
+      (name, elapsed, failed)
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failures = results.filter(_._3).map(_._1)
+    // failed gates are excluded from the total — their elapsed is
+    // time-to-throw, not work done
+    val total = results.filter(!_._3).map(_._2).sum
     // Full per-query map for humans/logs — NOT the contract line.
-    println(results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("FULL_TIMINGS {", ",", "}"))
+    println(results.map { case (k, v, f) =>
+      "\"" + k + "\":" + (if (f) "\"err\"" else v.toString)
+    }.mkString("FULL_TIMINGS {", ",", "}"))
+    if (failures.nonEmpty)
+      println(s"BENCH_FAILURES ${failures.size}: ${failures.mkString(",")}")
     // The driver keeps only a bounded tail of stdout and parses the JSON
     // there; with all ~70 queries inline the line ran ~2.9 KB and the
     // opening brace fell off the buffer (round-1 BENCH parsed:null). The
@@ -79,10 +92,11 @@ object Bench {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.filter(r => headline(r._1))
-      .map { case (k, v) => s""""$k":${num(v)}""" }
+      .map { case (k, v, f) => if (f) s""""$k":"err"""" else s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size}}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 
   /** Delete `spark-*`/`blockmgr-*` scratch under the shared tmpfs local

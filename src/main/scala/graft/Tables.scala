@@ -22,15 +22,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader only accepts as a raw long behind
-    * `spark.sql.legacy.parquet.nanosAsLong`. The driver data has no
-    * sub-microsecond component, so `timestamp_micros(ns div 1000)` is a
-    * lossless conversion and matches DuckDB's TIMESTAMP_NS semantics.
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS). How Spark
+    * surfaces that type varies by version: behind
+    * `spark.sql.legacy.parquet.nanosAsLong` it used to arrive as a raw
+    * nanosecond long; current 4.x readers decode it natively as
+    * TIMESTAMP_NTZ regardless of the conf. Branch on the *loaded* type so
+    * the reader works on both. The driver data has no sub-microsecond
+    * component and the session TZ is UTC, so both paths produce the same
+    * instants DuckDB's TIMESTAMP_NS oracle sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other")
+    }
   }
 }

@@ -337,6 +337,16 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
 
   private def dayDir(y: Int, m: Int, d: Int) = s"year=$y/month=$m/day=$d"
 
+  private val dayDirRe = "^year=(\\d+)/month=(\\d+)/day=(\\d+)/".r
+
+  /** (year, month, day) encoded in a manifest-relative data-file path —
+    * the partition layout names every file's day, so partition-level
+    * bookkeeping (file counts, partition lists) reads zero data.
+    */
+  private def dayOf(rel: String): Option[(Int, Int, Int)] =
+    dayDirRe.findFirstMatchIn(rel).map(m =>
+      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+
   /** Physically delete data files no manifest in the newest `retain`
     * versions references, then drop emptied partition directories and
     * prune manifest history. Returns the number of files reclaimed.
@@ -714,25 +724,24 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     import org.apache.spark.sql.functions.{exists => _, _}
     if (!exists(spark, rawPath)) (0L, 0L)
     else {
-    // input_file_name is non-deterministic: project it before the
-    // aggregate (Spark rejects it as an aggregate-function argument)
-    val perPart = raw(spark)
-      .select(col("year"), col("month"), col("day"),
-        input_file_name().as("f"))
-      .groupBy("year", "month", "day")
-      .agg(countDistinct(col("f")).as("n_files"))
-      .filter(col("n_files") > maxFilesPerPartition)
-      .persist()
-    val stats = perPart.agg(
-      coalesce(count(lit(1)), lit(0L)).as("parts"),
-      coalesce(sum("n_files"), lit(0L)).as("files")).head()
-    val (parts, files) = (stats.getLong(0), stats.getLong(1))
+    // "should I compact, and which days?" is answered from the manifest
+    // alone — the partition layout names every file's day, so the
+    // decision reads ZERO data (at 100 TB a compaction check must not
+    // scan the table; this used to run an input_file_name groupBy over
+    // the whole store)
+    val perPart = currentFiles(rawFs(spark)).toSeq
+      .flatMap(dayOf).groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > maxFilesPerPartition).toMap
+    val parts = perPart.size.toLong
+    val files = perPart.values.map(_.toLong).sum
     if (parts > 0) {
-      val dayTuples = perPart.select("year", "month", "day").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      val dayTuples = perPart.keys.toSeq.sorted
       val beforeTouched = snapshotTouched(rawFs(spark), dayTuples)
-      val fragmented = raw(spark).join(
-        broadcast(perPart.select("year", "month", "day")),
+      val days = {
+        import spark.implicits._
+        dayTuples.toDF("year", "month", "day")
+      }
+      val fragmented = raw(spark).join(broadcast(days),
         Seq("year", "month", "day"))
       // The write APPENDS new files next to the fragments (no checkpoint
       // barrier needed — nothing it reads is deleted); the manifest swap
@@ -778,7 +787,6 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
       commitReplace(spark, dayTuples, beforeTouched)
       commitStoreVersion(spark)
     }
-    perPart.unpersist()
     (parts, files)
     }
   }
@@ -858,15 +866,14 @@ final case class BillingStore(root: String, retainVersions: Int = 2) {
     if (!exists(spark, rawPath)) 0L
     else {
       val cutoff = (year * 100 + month) * 100 + day
-      val old = raw(spark).select("year", "month", "day").distinct()
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      val fs = rawFs(spark)
+      // the expired-partition list comes from manifest paths, not a
+      // table scan — forgetting history must not require reading it
+      val old = currentFiles(fs).toSeq.flatMap(dayOf).distinct
         .filter { case (y, m, dd) => (y * 100 + m) * 100 + dd < cutoff }
-        .toSeq
       if (old.nonEmpty) {
         // retire the expired partitions from the manifest; their files
         // stay on disk for pinned readers until GC's retention passes
-        val fs = rawFs(spark)
         val droppedDirs = old.map { case (y, m, dd) => dayDir(y, m, dd) + "/" }
         commitRawVersion(spark, fs,
           currentFiles(fs).filterNot(f => droppedDirs.exists(f.startsWith)))

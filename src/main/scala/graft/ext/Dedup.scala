@@ -284,6 +284,29 @@ object Dedup {
       threshold: Double): DataFrame =
     scoreAllCandidates(cands, sets).filter(col("jaccard") >= threshold)
 
+  /** [[scoreCandidates]] with the broadcast build side auto-sharded to
+    * `budgetBytes` — the same shard loop [[verifyJaccard]] runs, exposed
+    * for callers (the incremental index) that assemble their own `sets`
+    * frame. Both inputs MUST be persisted by the caller: the shard loop
+    * re-reads each S times. Resolves to the unsharded single-broadcast
+    * plan when the estimate fits the budget.
+    */
+  private[ext] def scoreCandidatesAuto(cands: DataFrame, sets: DataFrame,
+      threshold: Double, budgetBytes: Long = 256L << 20): DataFrame = {
+    val st = sets.agg(
+      coalesce(count(lit(1)), lit(0L)).as("docs"),
+      coalesce(sum(size(col("shs"))), lit(0L)).as("tot")).head()
+    val shards = chooseShards(st.getLong(0), st.getLong(1), budgetBytes)
+    if (shards == 1) scoreCandidates(cands, sets, threshold)
+    else (0 until shards).map { k =>
+      val sc = cands.filter(
+        pmod(xxhash64(col("id_a"), col("id_b")), lit(shards)) === k)
+      val ids = sc.select(col("id_a").as("id"))
+        .unionAll(sc.select(col("id_b").as("id"))).distinct()
+      scoreCandidates(sc, sets.join(ids, Seq("id"), "left_semi"), threshold)
+    }.reduce(_ unionAll _)
+  }
+
   /** [[scoreCandidates]] without the threshold filter — every candidate
     * pair scored, zero-overlap pairs included (jaccard 0). Drift
     * re-verification needs the unfiltered values on BOTH sides of a df

@@ -103,25 +103,43 @@ object DedupIndex {
       encode(newDocs, id, text, m)
     val newSh = newSh0.persist()
     val newBuckets = newBuckets0.persist()
+    try dedupEncoded(spark, path, newSh, newSizes, newDfDelta, newBuckets,
+      threshold, maxDF)
+    finally Seq(newSh, newBuckets).foreach(_.unpersist())
+  }
 
+  /** Candidate generation + exact verification against the saved
+    * derivatives for an already-encoded (and persisted) batch — the
+    * shared core of [[dedupBatch]] and [[ingestBatch]].
+    */
+  private def dedupEncoded(spark: SparkSession, path: String,
+      newSh: DataFrame, newSizes: DataFrame, newDfDelta: DataFrame,
+      newBuckets: DataFrame, threshold: Double, maxDF: Long): DataFrame = {
     // Candidates: the new batch's bucket keys are the broadcast side —
     // the saved buckets stream through one hash join keyed on
-    // (band, bucket); old ids never pair with each other.
+    // (band, bucket); old ids never pair with each other. Raw pair
+    // streams (old-vs-new, new-vs-new) union into ONE distinct — the
+    // per-stream distincts this used to run were three shuffles where
+    // one suffices.
     val old = spark.read.parquet(s"$path/buckets")
-    val cross = old.as("o")
+    val crossRaw = old.as("o")
       .join(broadcast(newBuckets).as("nw"),
         col("o.band") === col("nw.band") &&
           col("o.bucket") === col("nw.bucket") &&
           col("o.id") =!= col("nw.id"))
       .select(least(col("o.id"), col("nw.id")).as("id_a"),
         greatest(col("o.id"), col("nw.id")).as("id_b"))
-      .distinct()
-    val within = Dedup.minhashCandidates(newBuckets)
+    val withinRaw = newBuckets.as("a")
+      .join(newBuckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // the candidate set feeds three consumers (two id-restriction
     // semi-joins and the final score join) and the doc-set frame is
     // broadcast twice — persist both or the bucket-join/groupBy DAG
     // re-executes per consumer (measured 5-30× the single-run cost)
-    val cands = cross.unionByName(within).distinct().persist()
+    val cands = crossRaw.unionByName(withinRaw).distinct().persist()
 
     // Exact verification from the derivatives: global df (saved partials
     // + this batch), sizes and rare-shingle sets restricted to docs some
@@ -146,11 +164,40 @@ object DedupIndex {
     // materialize the (small) pair result eagerly so every cached
     // intermediate can be freed HERE — in the foreachBatch streaming path
     // this runs per micro-batch, and leaked cache entries would otherwise
-    // accumulate for the lifetime of the stream
-    val scored = Dedup.scoreCandidates(cands, sets, threshold)
+    // accumulate for the lifetime of the stream. Scoring auto-shards its
+    // broadcast build side to a memory budget: with a low df cap the
+    // candidate-doc set can approach the corpus, and an unsharded
+    // broadcast of per-doc shingle arrays would OOM the driver at scale.
+    val scored = Dedup.scoreCandidatesAuto(cands, sets, threshold)
       .localCheckpoint(true)
-    Seq(newSh, newBuckets, cands, sets).foreach(_.unpersist())
+    Seq(cands, sets).foreach(_.unpersist())
     scored
+  }
+
+  /** [[dedupBatch]] + [[append]] fused: the per-delivery ingest step.
+    * Calling the two separately re-runs the batch's tokenize → shingle →
+    * sign → bucket encode twice (once to dedup, once to admit); here one
+    * persisted encode feeds both the pair search and the appended
+    * derivatives. Results are identical to `dedupBatch` followed by
+    * `append` — DedupIndexSpec pins that equivalence.
+    */
+  def ingestBatch(spark: SparkSession, path: String, newDocs: DataFrame,
+      id: Column, text: Column, threshold: Double,
+      maxDF: Long = Long.MaxValue): DataFrame = {
+    val m = readMeta(spark, path)
+    val (newSh0, newSizes, newDfDelta, newBuckets0) =
+      encode(newDocs, id, text, m)
+    val newSh = newSh0.persist()
+    val newBuckets = newBuckets0.persist()
+    try {
+      val scored = dedupEncoded(spark, path, newSh, newSizes, newDfDelta,
+        newBuckets, threshold, maxDF)
+      newSh.write.mode("append").parquet(s"$path/shingles")
+      newSizes.write.mode("append").parquet(s"$path/sizes")
+      newDfDelta.write.mode("append").parquet(s"$path/df")
+      newBuckets.write.mode("append").parquet(s"$path/buckets")
+      scored
+    } finally Seq(newSh, newBuckets).foreach(_.unpersist())
   }
 
   /** Re-verify previously ADMITTED pairs whose df-capped Jaccard would
@@ -240,8 +287,11 @@ object DedupIndex {
     val m = readMeta(spark, path)
     val delta = Dedup.hashedShingles(newDocs, id, text, m.n)
       .groupBy("sh").agg(count(lit(1)).as("delta"))
+    // the summed df table feeds two consumers (crossing detection and
+    // the per-doc annotation) — persist it or the partials scan+groupBy
+    // runs twice
     val dfOld = spark.read.parquet(s"$path/df")
-      .groupBy("sh").agg(sum("cnt").as("df_old"))
+      .groupBy("sh").agg(sum("cnt").as("df_old")).persist()
     // only shingles the batch contains can cross the cap
     val crossing = dfOld.join(delta, "sh")
       .filter(col("df_old") <= maxDF && col("df_old") + col("delta") > maxDF)
@@ -253,33 +303,77 @@ object DedupIndex {
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
     // post-batch suppression = pre-batch suppression ∪ crossing, so one
-    // annotated shingle frame serves both scorings
-    val shC = oldSh.join(candIds, Seq("id"), "left_semi")
-      .join(dfOld, "sh")
+    // annotated scan of the candidate docs' shingles yields BOTH regimes'
+    // sets in a single groupBy: `shs_old` keeps every pre-batch-rare
+    // shingle, `shs_new` drops the crossing ones (collect_list skips the
+    // NULLs the `when` emits). One dual-array scoring pass then replaces
+    // the two full scorings + (id_a, id_b) re-join this used to run.
+    val rareOld = oldSh.join(candIds, Seq("id"), "left_semi")
+      .join(dfOld, "sh").filter(col("df_old") <= maxDF)
       .join(broadcast(crossing.withColumn("crossed", lit(true))),
         Seq("sh"), "left")
-      .persist()
-    val rareOld = shC.filter(col("df_old") <= maxDF)
-    val rareNew = rareOld.filter(col("crossed").isNull)
     val sizes = spark.read.parquet(s"$path/sizes")
       .join(candIds, Seq("id"), "left_semi")
     // left join + empty-array default: a doc whose every shingle is
     // suppressed must still score (jaccard 0), not drop its pairs
-    def sets(rare: DataFrame) = sizes
-      .join(rare.groupBy("id").agg(collect_list("sh").as("shs")),
+    val sets = sizes
+      .join(rareOld.groupBy("id").agg(
+          collect_list("sh").as("shs_old"),
+          collect_list(when(col("crossed").isNull, col("sh"))).as("shs_new")),
         Seq("id"), "left")
       .select(col("id"),
-        coalesce(col("shs"), array().cast("array<bigint>")).as("shs"),
+        coalesce(col("shs_old"), array().cast("array<bigint>")).as("shs_old"),
+        coalesce(col("shs_new"), array().cast("array<bigint>")).as("shs_new"),
         col("n_sh"))
-    val jOld = Dedup.scoreAllCandidates(pairs, sets(rareOld))
-      .withColumnRenamed("jaccard", "jaccard_old")
-    val jNew = Dedup.scoreAllCandidates(pairs, sets(rareNew))
-      .withColumnRenamed("jaccard", "jaccard_new")
-    val out = jOld.join(jNew, Seq("id_a", "id_b"))
-      .filter(col("jaccard_old") >= threshold)
-      .withColumn("is_dup", col("jaccard_new") >= threshold)
-      .localCheckpoint(true)
-    Seq(crossing, pairs, shC).foreach(_.unpersist())
+      .persist()
+    val out = scoreDrift(pairs, sets, threshold).localCheckpoint(true)
+    Seq(dfOld, crossing, pairs, sets).foreach(_.unpersist())
     out
+  }
+
+  /** Dual-regime scoring: ONE broadcast pair join computes jaccard under
+    * both the pre- and post-batch suppression sets. The build side is
+    * auto-sharded to `budgetBytes` via [[Dedup.chooseShards]] — with a
+    * low df cap the affected-doc set approaches the corpus, and an
+    * unsharded broadcast of per-doc shingle arrays was the one place
+    * this operator could OOM the driver at scale. Inputs must be
+    * persisted by the caller (the shard loop re-reads them).
+    */
+  private def scoreDrift(pairs: DataFrame, sets: DataFrame,
+      threshold: Double, budgetBytes: Long = 256L << 20): DataFrame = {
+    val st = sets.agg(
+      coalesce(count(lit(1)), lit(0L)).as("docs"),
+      coalesce(sum(size(col("shs_old")) + size(col("shs_new"))), lit(0L))
+        .as("tot")).head()
+    val shards = Dedup.chooseShards(st.getLong(0), st.getLong(1), budgetBytes)
+    def score(p: DataFrame, ss: DataFrame): DataFrame = {
+      val a = broadcast(ss.select(col("id").as("id_a"),
+        col("shs_old").as("so_a"), col("shs_new").as("sn_a"),
+        col("n_sh").as("n_a")))
+      val b = broadcast(ss.select(col("id").as("id_b"),
+        col("shs_old").as("so_b"), col("shs_new").as("sn_b"),
+        col("n_sh").as("n_b")))
+      p.join(a, "id_a").join(b, "id_b")
+        .withColumn("c_old",
+          size(array_intersect(col("so_a"), col("so_b"))).cast("long"))
+        .withColumn("c_new",
+          size(array_intersect(col("sn_a"), col("sn_b"))).cast("long"))
+        .select(col("id_a"), col("id_b"),
+          (col("c_old").cast("double") /
+            (col("n_a") + col("n_b") - col("c_old"))).as("jaccard_old"),
+          (col("c_new").cast("double") /
+            (col("n_a") + col("n_b") - col("c_new"))).as("jaccard_new"))
+    }
+    val scored =
+      if (shards == 1) score(pairs, sets)
+      else (0 until shards).map { k =>
+        val pc = pairs.filter(
+          pmod(xxhash64(col("id_a"), col("id_b")), lit(shards)) === k)
+        val ids = pc.select(col("id_a").as("id"))
+          .unionAll(pc.select(col("id_b").as("id"))).distinct()
+        score(pc, sets.join(ids, Seq("id"), "left_semi"))
+      }.reduce(_ unionAll _)
+    scored.filter(col("jaccard_old") >= threshold)
+      .withColumn("is_dup", col("jaccard_new") >= threshold)
   }
 }

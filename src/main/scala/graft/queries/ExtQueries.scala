@@ -304,10 +304,12 @@ object ExtQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pairs = graft.ext.DedupIndex.dedupBatch(s, idx, batch,
+        // fused dedup+admit: one batch encode feeds both the pair search
+        // and the appended derivatives (scoring completes eagerly before
+        // the append, so batch-boundary semantics are unchanged)
+        val pairs = graft.ext.DedupIndex.ingestBatch(s, idx, batch,
           col("id"), col("t"), threshold = 0.5)
         pairs.write.mode("append").parquet(out)
-        graft.ext.DedupIndex.append(s, idx, batch, col("id"), col("t"))
       }
       .start()
     q.awaitTermination()
