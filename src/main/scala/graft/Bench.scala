@@ -151,5 +151,5 @@ object Bench {
     "q_dedup_incremental", "q_stream_dedup_index", "q_s3_scan",
     "q_data_checks", "q_stream_tws", "q_lsh_multiprobe", "q_dedup_drift",
     "q_repeated_spans", "q_time_skip", "q_point_skip",
-    "q_incremental_scan", "q_snapshot_store")
+    "q_incremental_scan", "q_snapshot_store", "q_bm25_topk")
 }

@@ -1023,6 +1023,80 @@ object ExtQueries {
       |SELECT doc_id, rn, term, tf, df, score
       |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ---- BM25 full-text retrieval -------------------------------------------
+  /** Shared query batch for the BM25 gates: the first 8 distinct tokens
+    * of each doc_id < 8 document — short keyword queries, the retrieval
+    * shape decontamination/data-selection actually issues.
+    */
+  private def bm25Queries(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"),
+        array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 8))
+          .as("qterms"))
+
+  /** Okapi BM25 top-5 per query ([[graft.ext.TextSearch]]): inverted
+    * index built in place (one materialized tokenize pass), queries
+    * scored with Robertson idf + saturated, length-normalized tf, and
+    * ranked on the ROUNDED score with doc id tie-break so the oracle
+    * ranks identical values. The oracle recomputes the whole model —
+    * postings, document lengths, df, corpus stats, the BM25 formula —
+    * relationally in DuckDB, so scores (not just the hit set) are
+    * value-checked.
+    */
+  private def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
+      col("doc_id"), col("text"), materialize = true)
+    graft.ext.TextSearch.search(ix, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  /** BM25 index persistence ([[graft.ext.TextSearch.save]]/`searchSaved`):
+    * build → save (term-hash-bucketed layout) → search the SAVED index
+    * with bucket pruning — only the query terms' buckets are read. The
+    * answers must equal the in-memory gate's, so it shares the oracle
+    * verbatim; the pruned read path is what the layout buys at 100 TB.
+    */
+  private def bm25Persist(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gate_bm25_idx_")
+    graft.ext.TextSearch.save(
+      graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
+        col("doc_id"), col("text"), materialize = true),
+      dir)
+    graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25Sql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM tok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw,
+      |         count(*) AS matched
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   // ---- unigram LM scoring --------------------------------------------------
   /** Per-doc mean log-probability under the corpus unigram model; rounded
     * to 6 decimals (the double-sum across engines agrees far below that).
@@ -1197,6 +1271,8 @@ object ExtQueries {
     Gate("q_containment", containment, Some(containmentSql)),
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
+    Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
+    Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),

@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "cats and dogs and cats"),
+    (3L, "a completely unrelated document about spark")
+  ).toDF("doc_id", "text")
+
+  private def queries = Seq((100L, Seq("cat", "sat")))
+    .toDF("qid", "qterms")
+
+  test("index relations carry tf, dl, df, and corpus stats") {
+    val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
+    val p = ix.postings.filter(col("id") === 0 && col("term") === "the")
+      .head()
+    assert(p.getAs[Long]("tf") === 2L)
+    assert(p.getAs[Long]("dl") === 6L)
+    assert(ix.lexicon.filter(col("term") === "sat").head()
+      .getAs[Long]("df") === 2L)
+    val st = ix.stats.head()
+    assert(st.getAs[Long]("n_docs") === 4L)
+    // (6 + 6 + 5 + 6) / 4
+    assert(math.abs(st.getAs[Double]("avgdl") - 5.75) < 1e-9)
+  }
+
+  test("bm25 scores match the formula and rank the right doc first") {
+    val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
+    val hits = TextSearch.search(ix, queries, col("qid"), col("qterms"),
+      k = 3).orderBy("rn").collect()
+    // "cat" appears only in doc 0; "sat" in docs 0 and 1 → doc 0 first,
+    // matching both terms
+    assert(hits.head.getAs[Long]("id") === 0L)
+    assert(hits.head.getAs[Long]("matched") === 2L)
+    // hand-computed BM25 (k1=1.2, b=0.75, N=4, avgdl=5.75, doc 0 dl=6):
+    // idf(cat)=ln(1+(4-1+0.5)/1.5), idf(sat)=ln(1+(4-2+0.5)/2.5),
+    // tfnorm(tf=1,dl=6)=2.2/(1+0.3+0.9*6/5.75)
+    val tfn = 2.2 / (1.0 + 0.3 + 0.9 * 6.0 / 5.75)
+    val expected = (math.log(1 + 3.5 / 1.5) + math.log(1 + 2.5 / 2.5)) * tfn
+    assert(math.abs(hits.head.getAs[Double]("score") - expected) < 1e-5)
+    // a query term absent from the corpus contributes nothing
+    val hits2 = TextSearch.search(ix,
+      Seq((101L, Seq("cat", "zzzmissing"))).toDF("qid", "qterms"),
+      col("qid"), col("qterms"), k = 3).collect()
+    assert(hits2.forall(_.getAs[Long]("matched") === 1L))
+  }
+
+  test("saved index answers exactly like the in-memory one, pruned") {
+    val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
+    val mem = TextSearch.search(ix, queries, col("qid"), col("qterms"),
+      k = 3).orderBy("rn")
+    val dir = tmpDir("bm25idx")
+    TextSearch.save(ix, dir, buckets = 8)
+    val saved = TextSearch.searchSaved(spark, dir, queries, col("qid"),
+      col("qterms"), k = 3, buckets = 8).orderBy("rn")
+    assert(rows(saved) === rows(mem))
+    // the pruned postings scan must carry a partition filter on bucket
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.columns.contains("bucket"))
+  }
+
+  test("postings are never shuffled: query join broadcasts") {
+    val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
+    val plan = TextSearch.search(ix, queries, col("qid"), col("qterms"),
+      k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+}
