@@ -55,6 +55,30 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.readMeta(spark, dir) == DedupIndex.Meta(2, 16, 4))
   }
 
+  test("ingestBatch returns dedupBatch's pairs and admits like append") {
+    val dirA = graft.Gate.tmpDir("dedup_idx_spec_")
+    val dirB = graft.Gate.tmpDir("dedup_idx_spec_")
+    DedupIndex.build(base, col("id"), col("t"), dirA, n = 2)
+    DedupIndex.build(base, col("id"), col("t"), dirB, n = 2)
+    // separate path: dedup then admit
+    val sep = pairsOf(DedupIndex.dedupBatch(spark, dirA, batch,
+      col("id"), col("t"), threshold = 0.3))
+    DedupIndex.append(spark, dirA, batch, col("id"), col("t"))
+    // fused path
+    val fused = pairsOf(DedupIndex.ingestBatch(spark, dirB, batch,
+      col("id"), col("t"), threshold = 0.3))
+    assert(fused == sep)
+    // both indexes answer the SAME on a follow-up batch
+    val next = Seq(
+      (21L, "completely unrelated text about distributed query planners"))
+      .toDF("id", "t")
+    val a = pairsOf(DedupIndex.dedupBatch(spark, dirA, next,
+      col("id"), col("t"), threshold = 0.3))
+    val b = pairsOf(DedupIndex.dedupBatch(spark, dirB, next,
+      col("id"), col("t"), threshold = 0.3))
+    assert(a == b && a.map(p => (p._1, p._2)) == Seq((13L, 21L)))
+  }
+
   test("df drift across appends reclassifies stop shingles like a full recompute") {
     val dir = graft.Gate.tmpDir("dedup_idx_spec_")
     DedupIndex.build(base, col("id"), col("t"), dir, n = 2)
