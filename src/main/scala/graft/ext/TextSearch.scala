@@ -52,7 +52,8 @@ object TextSearch {
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val postings = tf.join(dl, "id")
     val lexicon = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs"))
     Index(postings, lexicon, stats)
   }
 
@@ -64,20 +65,55 @@ object TextSearch {
     * written `partitionBy(bucket)`, so a search that knows its query
     * terms reads only their buckets (partition pruning at the file
     * index — the on-disk analogue of a posting-list seek).
+    *
+    * The lexicon and corpus stats are stored as SUMMABLE PARTIALS
+    * (per-delivery df counts; per-delivery (n_docs, dl_sum) rows) and
+    * aggregated on [[load]] — the same append-only-partials design as
+    * the dedup index's df table, which is what lets [[appendDocs]]
+    * admit a delivery without rewriting history. A long-lived index
+    * accumulating many deliveries re-sums more partials per load; the
+    * remedy is the usual compaction rewrite, on the cadence appends
+    * warrant.
     */
   def save(ix: Index, path: String, buckets: Int = 64): Unit = {
+    writeDelta(ix, path, buckets, "overwrite")
+  }
+
+  /** Admit one delivery to a saved index: encode the delta alone and
+    * append its postings, df partials, and stats partial — the existing
+    * corpus is never read. Queries issued after the append see exact
+    * corpus-wide df and avgdl (partials sum on load), identical to a
+    * from-scratch rebuild over the union.
+    */
+  def appendDocs(spark: SparkSession, path: String, newDocs: DataFrame,
+      id: Column, text: Column, buckets: Int = 64): Unit = {
+    writeDelta(buildIndex(newDocs, id, text, materialize = true), path,
+      buckets, "append")
+  }
+
+  private def writeDelta(ix: Index, path: String, buckets: Int,
+      mode: String): Unit = {
     ix.postings.withColumn("bucket", bucketOf(col("term"), buckets))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/postings")
     ix.lexicon.withColumn("bucket", bucketOf(col("term"), buckets))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/lexicon")
-    ix.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    ix.stats.select("n_docs", "dl_sum").coalesce(1)
+      .write.mode(mode).parquet(s"$path/stats")
   }
 
-  def load(spark: SparkSession, path: String): Index = Index(
+  /** Sum the lexicon/stats partials back into search-ready relations. */
+  private def fromPartials(postings: DataFrame, lexParts: DataFrame,
+      statsParts: DataFrame): Index = Index(
+    postings,
+    lexParts.groupBy("term").agg(sum("df").as("df")),
+    statsParts.agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs")))
+
+  def load(spark: SparkSession, path: String): Index = fromPartials(
     spark.read.parquet(s"$path/postings").drop("bucket"),
     spark.read.parquet(s"$path/lexicon").drop("bucket"),
     spark.read.parquet(s"$path/stats"))
@@ -137,11 +173,14 @@ object TextSearch {
       .select(explode(array_distinct(qterms)).as("term")).distinct()
       .select(bucketOf(col("term"), buckets).as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val post = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(wanted: _*)).drop("bucket")
-    val lex = spark.read.parquet(s"$path/lexicon")
-      .filter(col("bucket").isin(wanted: _*)).drop("bucket")
-    val stats = spark.read.parquet(s"$path/stats")
-    search(Index(post, lex, stats), queries, qid, qterms, k, k1, b)
+    // bucket is a pure function of term, so pruning the partials BEFORE
+    // the df re-sum is exact — a term's every partial lives in one bucket
+    val ix = fromPartials(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(wanted: _*)).drop("bucket"),
+      spark.read.parquet(s"$path/lexicon")
+        .filter(col("bucket").isin(wanted: _*)).drop("bucket"),
+      spark.read.parquet(s"$path/stats"))
+    search(ix, queries, qid, qterms, k, k1, b)
   }
 }

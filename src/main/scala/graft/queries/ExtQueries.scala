@@ -1068,6 +1068,66 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Incremental index maintenance ([[graft.ext.TextSearch.appendDocs]]):
+    * a delivery (every 9th doc, text perturbed, ids offset) is admitted
+    * by appending its postings + df/stats PARTIALS — the base corpus is
+    * never re-read. Search after the append must produce exactly what a
+    * from-scratch build over the union produces: the oracle recomputes
+    * BM25 over the unioned corpus, so the df drift and avgdl shift the
+    * delivery causes are value-checked, not just the new hits.
+    */
+  private def bm25Append(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val delta = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" extra retrieval tail")).as("text"))
+    val dir = graft.Gate.tmpDir("gate_bm25_app_")
+    graft.ext.TextSearch.save(
+      graft.ext.TextSearch.buildIndex(docs, col("doc_id"), col("text"),
+        materialize = true), dir)
+    graft.ext.TextSearch.appendDocs(s, dir, delta,
+      col("doc_id"), col("text"))
+    graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25AppendSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text || ' extra retrieval tail'
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |qtok AS (SELECT doc_id AS id,
+      |           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |         FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM qtok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw,
+      |         count(*) AS matched
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   private val bm25Sql =
     """WITH tok AS (SELECT doc_id AS id,
       |               regexp_split_to_array(lower(trim(text)), '\s+')
@@ -1273,6 +1333,7 @@ object ExtQueries {
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
+    Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),

@@ -65,6 +65,27 @@ class TextSearchSpec extends SparkSpec {
     assert(post.columns.contains("bucket"))
   }
 
+  test("appended delivery answers like a from-scratch union rebuild") {
+    val delta = Seq((10L, "another cat document where the cat sat twice"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bm25app")
+    TextSearch.save(
+      TextSearch.buildIndex(corpus, col("doc_id"), col("text")),
+      dir, buckets = 8)
+    TextSearch.appendDocs(spark, dir, delta, col("doc_id"), col("text"),
+      buckets = 8)
+    val inc = TextSearch.searchSaved(spark, dir, queries, col("qid"),
+      col("qterms"), k = 4, buckets = 8).orderBy("rn")
+    val full = TextSearch.search(
+      TextSearch.buildIndex(corpus.unionByName(delta),
+        col("doc_id"), col("text")),
+      queries, col("qid"), col("qterms"), k = 4).orderBy("rn")
+    assert(rows(inc) === rows(full))
+    // the delivery changed global df("cat") and avgdl, and the new doc
+    // must be retrievable — not just present
+    assert(inc.collect().exists(_.getAs[Long]("id") === 10L))
+  }
+
   test("postings are never shuffled: query join broadcasts") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val plan = TextSearch.search(ix, queries, col("qid"), col("qterms"),
