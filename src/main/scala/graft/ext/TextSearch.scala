@@ -105,6 +105,39 @@ object TextSearch {
       .write.mode(mode).parquet(s"$path/stats")
   }
 
+  /** Compact an appended index: df partials are SUMMED to one row per
+    * term, stats partials to one row, and postings rewritten clustered —
+    * every delivery's small files collapse into one tight set per
+    * bucket. Pure layout rewrite (answers unchanged by construction,
+    * pinned in TextSearchSpec); same atomic rewrite-then-swap as
+    * [[DedupIndex.compact]]. Run on the cadence appends warrant.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = s"$path.compact"
+    spark.read.parquet(s"$path/postings").repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/postings")
+    spark.read.parquet(s"$path/lexicon")
+      .groupBy("bucket", "term").agg(sum("df").as("df"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/lexicon")
+    spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(s"$path.old")
+    fs.delete(bak, true)
+    if (!fs.rename(old, bak) ||
+        !fs.rename(new org.apache.hadoop.fs.Path(tmp), old))
+      throw new java.io.IOException(s"compact swap failed for $path")
+    fs.delete(bak, true)
+    spark.catalog.refreshByPath(path)
+    ()
+  }
+
   /** Sum the lexicon/stats partials back into search-ready relations. */
   private def fromPartials(postings: DataFrame, lexParts: DataFrame,
       statsParts: DataFrame): Index = Index(

@@ -86,6 +86,28 @@ class TextSearchSpec extends SparkSpec {
     assert(inc.collect().exists(_.getAs[Long]("id") === 10L))
   }
 
+  test("compaction preserves answers and collapses partials") {
+    val delta = Seq((10L, "another cat document where the cat sat twice"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bm25cmp")
+    TextSearch.save(
+      TextSearch.buildIndex(corpus, col("doc_id"), col("text")),
+      dir, buckets = 8)
+    TextSearch.appendDocs(spark, dir, delta, col("doc_id"), col("text"),
+      buckets = 8)
+    val before = rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 4, buckets = 8).orderBy("rn"))
+    TextSearch.compact(spark, dir)
+    val after = rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 4, buckets = 8).orderBy("rn"))
+    assert(after === before)
+    // two deliveries' stats partials collapse to one row
+    assert(spark.read.parquet(s"$dir/stats").count() === 1L)
+    // df partials sum to one row per (bucket, term)
+    val lex = spark.read.parquet(s"$dir/lexicon")
+    assert(lex.count() === lex.select("term").distinct().count())
+  }
+
   test("postings are never shuffled: query join broadcasts") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val plan = TextSearch.search(ix, queries, col("qid"), col("qterms"),
