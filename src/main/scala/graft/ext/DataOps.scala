@@ -119,6 +119,46 @@ object DataOps {
       .drop("__hit_id")
   }
 
+  /** Deterministic random negatives for contrastive training: for each
+    * query, `k` corpus documents drawn from a hash-ranked candidate pool,
+    * excluding the query itself and any supplied positive pairs. The
+    * classic in-batch-random negative mine, made reproducible: every
+    * assignment derives from md5 hashes (the module's determinism rule),
+    * so re-runs and an external engine reproduce the exact pair set.
+    *
+    * Scale shape: the POOL is the `poolSize` smallest corpus-wide hash
+    * keys — one corpus pass reduced by TakeOrdered, then broadcast; each
+    * query meets only the pool (|queries| × poolSize bounded), never the
+    * corpus. The per-query ranking hash differs from the pool hash, so
+    * pool membership and per-query order are independent draws.
+    *
+    * Returns (query_id, rn, id), rn ≤ k in per-query hash order.
+    */
+  def negativeSample(docs: DataFrame, docId: Column, queries: DataFrame,
+      queryId: Column, k: Int, poolSize: Int = 256,
+      positives: Option[DataFrame] = None): DataFrame = {
+    val pool = docs
+      .select(docId.as("id"),
+        md5(concat(lit("pool:"), docId.cast("string"))).as("pool_key"))
+      .orderBy("pool_key", "id").limit(poolSize)
+      .select("id")
+    val cand = queries.select(queryId.as("query_id"))
+      .crossJoin(broadcast(pool))
+      .filter(col("query_id") =!= col("id"))
+    val filtered = positives.fold(cand)(p =>
+      cand.join(p.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("pair_key"), col("id"))
+    filtered
+      .withColumn("pair_key", md5(concat(col("query_id").cast("string"),
+        lit(":"), col("id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "id")
+  }
+
   /** Data selection under a token budget: rank documents by a quality
     * score (ties broken by id — fully deterministic), keep the prefix
     * whose cumulative token count fits `budget`. A doc is kept iff the

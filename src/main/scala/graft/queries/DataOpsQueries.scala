@@ -497,8 +497,38 @@ object DataOpsQueries {
       |FROM lineitem
       |ORDER BY "column"""".stripMargin
 
+  // ---- deterministic negative sampling -----------------------------------
+  /** [[DataOps.negativeSample]]: 5 hash-drawn negatives per query doc
+    * from a 64-doc hash-ranked pool, self excluded. Pool membership and
+    * per-query order are independent md5 draws, both reproduced
+    * relationally by the oracle — pair sets match exactly, not just
+    * counts.
+    */
+  private def negativeSample(s: SparkSession, d: String): DataFrame =
+    DataOps.negativeSample(Tables.documents(s, d), col("doc_id"),
+        Tables.documents(s, d).filter(col("doc_id") < 8), col("doc_id"),
+        k = 5, poolSize = 64)
+      .orderBy("query_id", "rn")
+
+  private val negativeSampleSql =
+    """WITH pool AS (
+      |  SELECT doc_id AS id FROM documents
+      |  ORDER BY md5('pool:' || CAST(doc_id AS VARCHAR)), id LIMIT 64),
+      |q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id < 8),
+      |cand AS (SELECT query_id, id,
+      |           md5(CAST(query_id AS VARCHAR) || ':'
+      |               || CAST(id AS VARCHAR)) AS pk
+      |         FROM q CROSS JOIN pool WHERE query_id <> id),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY pk, id) AS INTEGER) AS rn
+      |      FROM cand)
+      |SELECT query_id, rn, id FROM r WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
   def gates: Seq[Gate] = Seq(
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
+    Gate("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Gate("q_profile", profileCols, Some(profileColsSql)),
     Gate("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),

@@ -98,6 +98,38 @@ class DataOpsSpec extends SparkSpec {
     assert(out == Map(0L -> true, 1L -> true, 2L -> false))
   }
 
+  test("negative sampling is deterministic, pool-bounded, and positive-free") {
+    val queries = docs.filter(col("id") < 3)
+    val neg = DataOps.negativeSample(docs, col("id"), queries, col("id"),
+      k = 4, poolSize = 16)
+    val got = neg.as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // k per query, never the query itself
+    assert(got.length == 12)
+    assert(got.forall { case (q, _, id) => q != id })
+    // re-run under different partitioning: identical pairs
+    val again = DataOps.negativeSample(docs.repartition(7), col("id"),
+        queries, col("id"), k = 4, poolSize = 16)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(again.toSeq == got.toSeq)
+    // every negative comes from the hash-ranked pool
+    val pool = docs
+      .select(col("id"), md5(concat(lit("pool:"), col("id").cast("string")))
+        .as("pk"))
+      .orderBy("pk", "id").limit(16).select("id")
+      .as[Long].collect().toSet
+    assert(got.forall { case (_, _, id) => pool.contains(id) })
+    // supplied positive pairs are excluded and replaced by the next draw
+    val positives = got.filter(_._2 == 1)
+      .map { case (q, _, id) => (q, id) }.toSeq
+      .toDF("query_id", "id")
+    val excl = DataOps.negativeSample(docs, col("id"), queries, col("id"),
+        k = 4, poolSize = 16, positives = Some(positives))
+      .as[(Long, Int, Long)].collect()
+    val exclPairs = excl.map { case (q, _, id) => (q, id) }.toSet
+    assert(positives.as[(Long, Long)].collect().forall(p => !exclPairs(p)))
+    assert(excl.length == 12)
+  }
+
   test("selectUnderBudget keeps the best-first prefix that fits") {
     val d = Seq((1L, 5.0, 40L), (2L, 9.0, 50L), (3L, 7.0, 30L),
       (4L, 9.0, 25L)).toDF("i", "q", "toks")
