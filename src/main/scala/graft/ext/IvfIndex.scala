@@ -82,6 +82,76 @@ object IvfIndex {
   def append(model: Model, newEmbs: DataFrame): Model =
     model.copy(assigned = model.assigned.unionByName(assignNew(model, newEmbs)))
 
+  /** Cell maintenance: SPLIT every cell holding more than `maxCellSize`
+    * vectors. Appends under a frozen quantizer grow cells without bound
+    * (and skewed corpora start that way); since a probe scans whole
+    * cells, the biggest cell bounds per-query latency — this is the
+    * rebalance knob that keeps it bounded without retraining the whole
+    * quantizer.
+    *
+    * Each oversized cell is re-clustered into ceil(n/maxCellSize)
+    * sub-cells by the same deterministic driver-local Lloyd's the PQ
+    * codebooks use ([[PqIndex.lloyd]]), trained on a bounded per-cell
+    * sample (`sampleCap` rows ranked by vector-id hash — one bounded
+    * collect, never a cell's full contents). Member vectors reassign
+    * map-side via a broadcast-literal argmin over their cell's new
+    * centers; untouched cells keep their ids, rows, and layout. The
+    * assignment stays a partition of the corpus by construction —
+    * exhaustive probing before and after returns identical answers
+    * (IvfIndexSpec pins both).
+    */
+  def rebalance(model: Model, maxCellSize: Long, sampleCap: Int = 10000,
+      maxIter: Int = 10, seed: Long = 42L): Model = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = model.assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxCellSize)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (sizes.isEmpty) model
+    else {
+      val overs = sizes.keys.toSeq.sorted
+      // bounded deterministic per-cell sample for the split training
+      val w = Window.partitionBy("cell").orderBy(xxhash64(col("vec_id")))
+      val sample = model.assigned.filter(col("cell").isin(overs: _*))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= sampleCap)
+        .select("cell", "v").collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.map(_.getSeq[Double](1).toArray)).toMap
+      val maxCell = model.centroids.agg(max("cell")).head().getInt(0)
+      var nextId = maxCell + 1
+      val splits = overs.map { c =>
+        val kSplit = math.max(2, math.min(
+          math.ceil(sizes(c).toDouble / maxCellSize).toInt,
+          sample(c).length))
+        val cents = PqIndex.lloyd(sample(c), kSplit, maxIter, seed + c)
+        val base = nextId
+        nextId += cents.length
+        (c, base, cents)
+      }
+      val spark = model.centroids.sparkSession
+      import spark.implicits._
+      val centroids = model.centroids.filter(!col("cell").isin(overs: _*))
+        .unionByName(splits.flatMap { case (_, base, cents) =>
+          cents.zipWithIndex.map { case (cv, i) => (base + i, cv.toSeq) }
+        }.toDF("cell", "cv"))
+      // map-side reassignment: per split cell, argmin over its new
+      // centers (broadcast literals; first-minimum tie-break like
+      // assignNew)
+      val reassigned = splits.foldLeft(lit(-1)) {
+        case (acc, (c, base, cents)) =>
+          val dists = transform(typedLit(cents.map(_.toSeq).toSeq),
+            ct => EmbeddingSearch.l2sq(ct, col("v")))
+          when(col("cell") === c,
+            (array_position(dists, array_min(dists)) - 1).cast("int")
+              + base).otherwise(acc)
+      }
+      val assigned = model.assigned.withColumn("cell",
+        when(col("cell").isin(overs: _*), reassigned)
+          .otherwise(col("cell")))
+      Model(centroids, assigned)
+    }
+  }
+
   /** Incrementally assign `newEmbs` with the frozen quantizer and append
     * their cells to a saved index — only the delta is scanned/written.
     */

@@ -175,7 +175,7 @@ object PqIndex {
     * initialization — deterministic given the seed, no distance-to-random
     * luck, and empty clusters inherit their previous centroid.
     */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+  private[ext] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
       seed: Long): Array[Array[Double]] = {
     val n = points.length
     val kk = math.min(k, n)

@@ -521,6 +521,25 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** IVF cell rebalance ([[graft.ext.IvfIndex.rebalance]]): split every
+    * cell above n/24 vectors, then search with EXHAUSTIVE probing —
+    * which must equal brute force exactly (minHits = k), because a
+    * rebalance is a re-partition of the corpus into cells and exhaustive
+    * probing is partition-invariant. Any lost, duplicated, or
+    * mis-assigned vector breaks the equality, so the contract checks
+    * the maintenance op end to end; bounded-probe quality after a split
+    * is pinned in IvfIndexSpec.
+    */
+  private def ivfRebalance(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val n = embs.count()
+    val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
+    val reb = IvfIndex.rebalance(model, maxCellSize = math.max(1L, n / 24))
+    val ann = IvfIndex.search(reb, col("vec_id") < 10, k = 5,
+      nProbe = Int.MaxValue)
+    ExtQueries.recallGate(embs, ann, k = 5, minHits = 5)
+  }
+
   /** Product-quantization ANN accuracy gate ([[graft.ext.PqIndex]]):
     * recall@5 vs brute force per query, after an exhaustive
     * compressed-domain ADC scan (m=8 subspaces × 32 centroids over
@@ -1541,6 +1560,7 @@ object ScaleQueries {
     Gate("q_runtime_filter_join", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     Gate("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Gate("q_ivf_rebalance", ivfRebalance, Some(ivfTopKSql)),
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),

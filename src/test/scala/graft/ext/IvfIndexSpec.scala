@@ -55,6 +55,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("rebalance splits oversized cells, keeps a partition, same answers") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    // k=2 forces ~100-vector cells; rebalance to a 30-vector cap
+    val model = IvfIndex.build(embs, k = 2)
+    val reb = IvfIndex.rebalance(model, maxCellSize = 30, sampleCap = 100)
+    val sizes = reb.assigned.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val before = model.assigned.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    // more, smaller cells; every vector still assigned exactly once
+    assert(sizes.size > before.size)
+    assert(sizes.values.max < before.values.max)
+    assert(sizes.values.sum == 200L)
+    assert(reb.assigned.select("vec_id").distinct().count() == 200L)
+    // centroids and assignment agree on the cell id universe
+    val centCells = reb.centroids.select("cell").as[Int].collect().toSet
+    assert(sizes.keySet.subsetOf(centCells))
+    // exhaustive probing is unchanged by any re-partitioning of cells
+    def full(m: IvfIndex.Model) =
+      IvfIndex.search(m, col("vec_id") < 5, k = 3, nProbe = 1000)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(full(reb) == full(model))
+    // a no-op threshold returns the model untouched
+    assert(IvfIndex.rebalance(model, maxCellSize = 1000) eq model)
+  }
+
   test("external-vector search matches in-corpus search after self-shift") {
     val embs = Tables.embeddings(spark, sf0001).limit(200)
     val model = IvfIndex.build(embs, k = 4)
