@@ -1128,6 +1128,46 @@ object ExtQueries {
       |SELECT query_id, rn, id, matched, score
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Streaming index maintenance: the delivery STREAMS in and each
+    * micro-batch is admitted with [[graft.ext.TextSearch.appendDocs]]
+    * (same foreachBatch × batch-operator composition as
+    * [[streamDedupIndex]]). Because the lexicon/stats are append-only
+    * summable partials, the final index is batch-boundary-INVARIANT —
+    * the post-drain search shares the union-corpus oracle with the
+    * single-batch append gate verbatim.
+    */
+  private def bm25Stream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val delta = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000).as("id"),
+        concat(col("text"), lit(" extra retrieval tail")).as("t"))
+    val dir = graft.Gate.tmpDir("gate_bm25_str_")
+    graft.ext.TextSearch.save(
+      graft.ext.TextSearch.buildIndex(docs, col("doc_id"), col("text"),
+        materialize = true), dir)
+    val in = graft.Gate.tmpDir("gate_bm25_in_")
+    val ckpt = graft.Gate.tmpDir("gate_bm25_ck_")
+    // two delivery files → two micro-batches (maxFilesPerTrigger=1)
+    delta.filter(col("id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    delta.filter(col("id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema("id LONG, t STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.TextSearch.appendDocs(s, dir, batch, col("id"), col("t"))
+      }
+      .start()
+    q.awaitTermination()
+    graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   private val bm25Sql =
     """WITH tok AS (SELECT doc_id AS id,
       |               regexp_split_to_array(lower(trim(text)), '\s+')
@@ -1334,6 +1374,7 @@ object ExtQueries {
     Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
+    Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),
