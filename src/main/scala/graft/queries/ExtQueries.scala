@@ -1128,6 +1128,78 @@ object ExtQueries {
       |SELECT query_id, rn, id, matched, score
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Hybrid retrieval ([[graft.ext.HybridSearch.rrf]]): BM25 top-20 and
+    * dense cosine top-20 (vec_id ≡ doc_id — the embeddings table is the
+    * documents' vector column split out) fuse by reciprocal-rank into a
+    * final top-5 per query. Rank-only fusion needs no score
+    * calibration; the oracle rebuilds BOTH retrievers' rankings and the
+    * fusion relationally, so the fused scores are value-checked end to
+    * end.
+    */
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
+      col("doc_id"), col("text"), materialize = true)
+    val sparse = graft.ext.TextSearch.search(ix, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 20)
+      .select(col("query_id"), col("id"), col("rn").as("rank"))
+    val dense = EmbeddingSearch.bruteForceTopK(Tables.embeddings(s, d),
+        col("vec_id") < 8, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+    graft.ext.HybridSearch.rrf(Seq(sparse, dense), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val hybridRrfSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |qs AS (SELECT id AS query_id,
+      |         unnest(list_distinct(toks[1:8])) AS term
+      |       FROM tok WHERE id < 8),
+      |sc AS (SELECT qs.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM qs JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |sp AS (SELECT query_id, id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY round(score_raw, 6) DESC, id) AS rank
+      |       FROM sc),
+      |qd AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 8),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |p AS (SELECT query_id, vec_id,
+      |        list_dot_product(qv, ev)
+      |          / sqrt(list_dot_product(qv, qv)
+      |                 * list_dot_product(ev, ev)) AS cos
+      |      FROM qd, e WHERE vec_id <> query_id),
+      |dn AS (SELECT query_id, vec_id AS id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, vec_id) AS rank
+      |       FROM p),
+      |fused AS (SELECT query_id, id,
+      |            round(sum(1.0 / (60 + rank)), 6) AS rrf,
+      |            count(*) AS n_lists
+      |          FROM (SELECT query_id, id, rank FROM sp WHERE rank <= 20
+      |                UNION ALL
+      |                SELECT query_id, id, rank FROM dn WHERE rank <= 20)
+      |          GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, n_lists, rrf,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY rrf DESC, id) AS INTEGER) AS rn
+      |      FROM fused)
+      |SELECT query_id, rn, id, n_lists, rrf
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   /** Streaming index maintenance: the delivery STREAMS in and each
     * micro-batch is admitted with [[graft.ext.TextSearch.appendDocs]]
     * (same foreachBatch × batch-operator composition as
@@ -1375,6 +1447,7 @@ object ExtQueries {
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
+    Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),
