@@ -76,6 +76,46 @@ object EmbeddingSearch {
   private def planeLit(p: Array[Double]): Column =
     array(p.map(lit): _*)
 
+  /** Johnson–Lindenstrauss random projection: the corpus mapped through
+    * a seeded Gaussian matrix to `dProj` dimensions, scaled by 1/√dProj
+    * so inner products are preserved in expectation. Map-side only —
+    * each row meets `dProj` literal plane vectors, no shuffle — the
+    * dimension-reduction stage that cuts downstream ANN/storage cost by
+    * ~dim/dProj at 100 TB while approximately preserving distances (the
+    * JL lemma). Deterministic given the seed, so an external engine
+    * reproduces the projection from the same literals. Returns
+    * (vec_id, v: array<double>[dProj], nrm).
+    */
+  def randomProject(embs: DataFrame, dProj: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dProj, dim, seed)
+    val scale = math.sqrt(dProj.toDouble)
+    val comps = planes.map(p => dot(col("v"), planeLit(p)) / lit(scale))
+    prepared(embs).select(col("vec_id"), array(comps: _*).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+  }
+
+  /** Exact top-k in the PROJECTED space — the post-reduction search a
+    * JL-sketched pipeline runs. Same shape as [[bruteForceTopK]]:
+    * queries broadcast, corpus streams once (through the map-side
+    * projection), per-query window top-k.
+    */
+  def projectedTopK(embs: DataFrame, queryPred: Column, k: Int,
+      dProj: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val e = randomProject(embs, dProj, dim, seed)
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Sign-pattern bucket id: bit i = (v · plane_i) > 0. */
   def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

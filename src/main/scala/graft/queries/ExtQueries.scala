@@ -656,6 +656,42 @@ object ExtQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** JL random-projection search ([[EmbeddingSearch.projectedTopK]]):
+    * 64-dim embeddings sketched to 16 dims through the seeded Gaussian
+    * matrix, then exact top-5 cosine in the PROJECTED space. Like the
+    * LSH gates the matrix is inlined into the SQL as list literals, so
+    * the oracle reproduces the whole pipeline — projection, cosine,
+    * ranking — not a recall bound.
+    */
+  private def jlProject(s: SparkSession, d: String): DataFrame =
+    EmbeddingSearch.projectedTopK(Tables.embeddings(s, d),
+        col("vec_id") < 10, k = 5, dProj = 16, dim = 64)
+      .orderBy("query_id", "rank")
+
+  private val jlProjectSql: String = {
+    val planes = EmbeddingSearch.hyperplanes(nPlanes = 16, dim = 64)
+    def lst(p: Array[Double]) = p.map(_.toString).mkString("[", ", ", "]")
+    val comps = planes
+      .map(p => s"list_dot_product(v, ${lst(p)}) / sqrt(16.0)")
+      .mkString("[", ",\n            ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pr AS (SELECT vec_id, $comps AS pv FROM e),
+       |q AS (SELECT vec_id AS query_id, pv AS qv FROM pr
+       |      WHERE vec_id < 10),
+       |p AS (SELECT query_id, pr.vec_id,
+       |        list_dot_product(qv, pr.pv)
+       |          / sqrt(list_dot_product(qv, qv)
+       |                 * list_dot_product(pr.pv, pr.pv)) AS cos
+       |      FROM q, pr WHERE pr.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Multi-probe LSH ([[EmbeddingSearch.lshTopKMultiProbe]], Lv et al.
     * VLDB 2007): the query probes its bucket plus every 1-bit-flip
     * neighbor. Like q_embed_lsh_topk the seeded hyperplanes are inlined
@@ -1472,6 +1508,7 @@ object ExtQueries {
     Gate("q_embed_centroids", embedCentroids, Some(embedCentroidsSql)),
     Gate("q_embed_lsh_topk", lshTopK, Some(lshTopKSql)),
     Gate("q_lsh_multiprobe", lshMultiProbe, Some(lshMultiProbeSql)),
+    Gate("q_jl_project", jlProject, Some(jlProjectSql)),
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Gate("q_multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
