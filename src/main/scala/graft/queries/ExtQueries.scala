@@ -225,8 +225,22 @@ object ExtQueries {
   def prewarmSharedIndex(s: SparkSession, d: String): Unit = {
     sharedDedupIndex(s, d)
     sharedDupIndex(s, d)
+    sharedBm25Index(s, d)
     ()
   }
+
+  /** The saved base-corpus BM25 index shared by the maintenance /
+    * composition gates (same build-once contract as
+    * [[sharedDedupIndex]]): the build+save lifecycle is priced by
+    * q_bm25_persist, so append/stream/fusion gates start from a copy
+    * (or read-only load) instead of re-pricing known work.
+    */
+  private def sharedBm25Index(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"bm25_idx:$d", "gate_bm25_idx_") { dir =>
+      graft.ext.TextSearch.save(
+        graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
+          col("doc_id"), col("text"), materialize = true), dir)
+    }
 
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -1117,10 +1131,9 @@ object ExtQueries {
     val delta = docs.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 300000).as("doc_id"),
         concat(col("text"), lit(" extra retrieval tail")).as("text"))
-    val dir = graft.Gate.tmpDir("gate_bm25_app_")
-    graft.ext.TextSearch.save(
-      graft.ext.TextSearch.buildIndex(docs, col("doc_id"), col("text"),
-        materialize = true), dir)
+    // this gate APPENDS, so it works on a private copy of the shared
+    // base build (the build itself is priced by q_bm25_persist)
+    val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_app_")
     graft.ext.TextSearch.appendDocs(s, dir, delta,
       col("doc_id"), col("text"))
     graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
@@ -1173,8 +1186,8 @@ object ExtQueries {
     * end.
     */
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    val ix = graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
-      col("doc_id"), col("text"), materialize = true)
+    // composition gate: read-only load of the shared base build
+    val ix = graft.ext.TextSearch.load(s, sharedBm25Index(s, d))
     val sparse = graft.ext.TextSearch.search(ix, bm25Queries(s, d),
         col("qid"), col("qterms"), k = 20)
       .select(col("query_id"), col("id"), col("rn").as("rank"))
@@ -1249,10 +1262,8 @@ object ExtQueries {
     val delta = docs.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 300000).as("id"),
         concat(col("text"), lit(" extra retrieval tail")).as("t"))
-    val dir = graft.Gate.tmpDir("gate_bm25_str_")
-    graft.ext.TextSearch.save(
-      graft.ext.TextSearch.buildIndex(docs, col("doc_id"), col("text"),
-        materialize = true), dir)
+    // appends per micro-batch → private copy of the shared base build
+    val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_str_")
     val in = graft.Gate.tmpDir("gate_bm25_in_")
     val ckpt = graft.Gate.tmpDir("gate_bm25_ck_")
     // two delivery files → two micro-batches (maxFilesPerTrigger=1)
