@@ -151,6 +151,40 @@ object TextSearch {
     spark.read.parquet(s"$path/lexicon").drop("bucket"),
     spark.read.parquet(s"$path/stats"))
 
+  /** Exact phrase occurrences via positional postings: a phrase of
+    * terms t0..t(L-1) occurs at `start` iff token `start+i` equals t_i
+    * for every i. One aligned-start join finds ALL occurrences of ALL
+    * phrases at once — each corpus (pos, term) row that matches some
+    * phrase term votes for the start `pos − i` it would imply, and a
+    * start winning all L distinct votes is an occurrence. No iterative
+    * per-term self-joins, so phrase length only widens the broadcast,
+    * never deepens the plan.
+    *
+    * Scale shape: the positional explode streams the corpus once;
+    * the phrase-term frame is tiny → broadcast; the vote groupBy is
+    * keyed (phrase, doc, start), bounded by matched positions, not the
+    * corpus. Returns (phrase_id, id, n_occ), one row per document
+    * containing the phrase at least once.
+    */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+      phrases: DataFrame, phraseId: Column, phraseTerms: Column)
+      : DataFrame = {
+    val pos = docs.select(id.as("id"),
+      posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+    val pt = phrases.select(phraseId.as("phrase_id"),
+      posexplode(phraseTerms).as(Seq("i", "term")))
+    val phLen = phrases.select(phraseId.as("phrase_id"),
+      size(phraseTerms).as("len"))
+    pos.join(broadcast(pt), "term")
+      .withColumn("start", col("pos") - col("i"))
+      .groupBy("phrase_id", "id", "start")
+      .agg(countDistinct("i").as("n_votes"))
+      .join(broadcast(phLen), "phrase_id")
+      .filter(col("n_votes") === col("len"))
+      .groupBy("phrase_id", "id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Top-k BM25 per query. `queries` carries an ARRAY of query terms
     * per row (tokenize upstream — [[TextAnalysis.tokens]] matches the
     * index's tokenization); duplicates within a query are ignored, as

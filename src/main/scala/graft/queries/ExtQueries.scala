@@ -1177,6 +1177,46 @@ object ExtQueries {
       |SELECT query_id, rn, id, matched, score
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Exact phrase search ([[graft.ext.TextSearch.phraseSearch]]): each
+    * doc_id < 8 document's first 3 tokens become a phrase query; the
+    * aligned-start positional join returns every document containing
+    * the phrase with its occurrence count (the source doc guarantees
+    * ≥ 1 hit per phrase). The oracle rebuilds positional postings and
+    * the same vote-counting relationally.
+    */
+  private def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val phrases = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("pid"),
+        slice(TextAnalysis.tokens(col("text")), 1, 3).as("pterms"))
+    graft.ext.TextSearch.phraseSearch(docs, col("doc_id"), col("text"),
+        phrases, col("pid"), col("pterms"))
+      .orderBy("phrase_id", "id")
+  }
+
+  private val phraseSearchSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |g0 AS (SELECT id, unnest(list_transform(range(len(toks)),
+      |         p -> struct_pack(pos := p, term := toks[p+1]))) AS u
+      |       FROM tok),
+      |g AS (SELECT id, u.pos AS pos, u.term AS term FROM g0),
+      |ph AS (SELECT id AS phrase_id, toks[1:3] AS pterms
+      |       FROM tok WHERE id < 8),
+      |pt0 AS (SELECT phrase_id, unnest(list_transform(range(3),
+      |          i -> struct_pack(i := i, term := pterms[i+1]))) AS u
+      |        FROM ph),
+      |pt AS (SELECT phrase_id, u.i AS i, u.term AS term FROM pt0),
+      |votes AS (SELECT pt.phrase_id, g.id, g.pos - pt.i AS start
+      |          FROM g JOIN pt ON g.term = pt.term
+      |          GROUP BY 1, 2, 3, pt.i),
+      |occ AS (SELECT phrase_id, id, start FROM votes
+      |        GROUP BY 1, 2, 3 HAVING count(*) = 3)
+      |SELECT phrase_id, id, count(*) AS n_occ
+      |FROM occ GROUP BY 1, 2 ORDER BY phrase_id, id""".stripMargin
+
   /** Hybrid retrieval ([[graft.ext.HybridSearch.rrf]]): BM25 top-20 and
     * dense cosine top-20 (vec_id ≡ doc_id — the embeddings table is the
     * documents' vector column split out) fuse by reciprocal-rank into a
@@ -1495,6 +1535,7 @@ object ExtQueries {
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),

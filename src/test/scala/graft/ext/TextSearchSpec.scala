@@ -108,6 +108,25 @@ class TextSearchSpec extends SparkSpec {
     assert(lex.count() === lex.select("term").distinct().count())
   }
 
+  test("phrase search counts occurrences, handles repeats and overlaps") {
+    val c = Seq(
+      (0L, "the cat sat and the cat sat again"),
+      (1L, "cat sat the cat"),
+      (2L, "a a a a"),
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (100L, Seq("the", "cat", "sat")),
+      (101L, Seq("a", "a")) // duplicate-term phrase, overlapping hits
+    ).toDF("pid", "pterms")
+    val got = TextSearch.phraseSearch(c, col("doc_id"), col("text"),
+        phrases, col("pid"), col("pterms"))
+      .as[(Long, Long, Long)].collect().toSet
+    // "the cat sat" twice in doc 0, never in doc 1 ("cat sat the cat")
+    // "a a" overlaps 3 times in "a a a a"
+    assert(got === Set((100L, 0L, 2L), (101L, 2L, 3L)))
+  }
+
   test("postings are never shuffled: query join broadcasts") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val plan = TextSearch.search(ix, queries, col("qid"), col("qterms"),
