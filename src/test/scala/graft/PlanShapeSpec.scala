@@ -101,4 +101,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("props"))
   }
 
+  test("negative sampling: pool is a TakeOrdered, queries meet only the pool") {
+    val p = plan("q_negative_sample")
+    // the hash-ranked pool never global-sorts the corpus
+    assert(p.contains("TakeOrderedAndProject"))
+    // the query × pool pairing is a broadcast nested loop over the tiny
+    // pool — never a shuffled join of the corpus
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("phrase search: positional join broadcasts the phrase terms") {
+    val p = plan("q_phrase_search")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.toLowerCase.contains("cartesian"))
+  }
+
+  test("jl projection is map-side: one corpus scan, broadcast queries") {
+    val p = plan("q_jl_project")
+    assert(p.contains("Broadcast"))
+    // ranking is a per-query window top-k, never a global sort-limit
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
 }
