@@ -235,11 +235,19 @@ object ExtQueries {
     * q_bm25_persist, so append/stream/fusion gates start from a copy
     * (or read-only load) instead of re-pricing known work.
     */
+  /** Bucket count for the BM25 gates' saved layouts: a layout-only
+    * parameter (semantics and oracles unaffected) sized to the gate
+    * corpora — production corpora want the 64+ default for finer
+    * partition pruning.
+    */
+  private val bm25Buckets = 16
+
   private def sharedBm25Index(s: SparkSession, d: String): String =
     graft.Gate.memoDir(s"bm25_idx:$d", "gate_bm25_idx_") { dir =>
       graft.ext.TextSearch.save(
         graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
-          col("doc_id"), col("text"), materialize = true), dir)
+          col("doc_id"), col("text"), materialize = true), dir,
+        buckets = bm25Buckets)
     }
 
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
@@ -1112,9 +1120,9 @@ object ExtQueries {
     graft.ext.TextSearch.save(
       graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
         col("doc_id"), col("text"), materialize = true),
-      dir)
+      dir, buckets = bm25Buckets)
     graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
-        col("qid"), col("qterms"), k = 5)
+        col("qid"), col("qterms"), k = 5, buckets = bm25Buckets)
       .orderBy("query_id", "rn")
   }
 
@@ -1135,9 +1143,9 @@ object ExtQueries {
     // base build (the build itself is priced by q_bm25_persist)
     val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_app_")
     graft.ext.TextSearch.appendDocs(s, dir, delta,
-      col("doc_id"), col("text"))
+      col("doc_id"), col("text"), buckets = bm25Buckets)
     graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
-        col("qid"), col("qterms"), k = 5)
+        col("qid"), col("qterms"), k = 5, buckets = bm25Buckets)
       .orderBy("query_id", "rn")
   }
 
@@ -1318,12 +1326,13 @@ object ExtQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.TextSearch.appendDocs(s, dir, batch, col("id"), col("t"))
+        graft.ext.TextSearch.appendDocs(s, dir, batch, col("id"), col("t"),
+          buckets = bm25Buckets)
       }
       .start()
     q.awaitTermination()
     graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
-        col("qid"), col("qterms"), k = 5)
+        col("qid"), col("qterms"), k = 5, buckets = bm25Buckets)
       .orderBy("query_id", "rn")
   }
 
