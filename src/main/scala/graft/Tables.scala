@@ -32,6 +32,14 @@ object Tables {
     * instants DuckDB's TIMESTAMP_NS oracle sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Harness self-test hook: lets Bench's failure path be exercised on
+    // demand (GRAFT_BREAK_EVENTS=1 → every events gate throws, which must
+    // surface as "err" markers + nonzero exit, never as fast timings —
+    // the round-5 masking bug this guards against). Unset in all normal
+    // runs.
+    if (sys.env.contains("GRAFT_BREAK_EVENTS"))
+      throw new IllegalStateException(
+        "deliberate GRAFT_BREAK_EVENTS test breakage")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
