@@ -188,6 +188,43 @@ object ExtQueries {
        |SELECT id_a, id_b, jaccard FROM pairs
        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** Dup-graph PageRank ([[graft.ext.GraphOps.pageRank]]): the verified
+    * near-dup pairs become an undirected graph and 3 damped iterations
+    * rank each doc's centrality — within a cluster the top-rank doc is
+    * the canonical-representative signal connectivity alone can't give.
+    * The oracle UNROLLS the same three iterations relationally on top of
+    * the exact-pair CTE, so every rank value is checked, not a fixpoint
+    * property.
+    */
+  private def dupPageRank(s: SparkSession, d: String): DataFrame =
+    graft.ext.GraphOps.pageRank(
+      Dedup.minhashDedup(dupCorpus(s, d), col("id"), col("t"),
+        n = 3, threshold = 0.5, maxDF = 20))
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy("id")
+
+  private val dupPageRankSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT d.src AS id,
+         |  0.15 + 0.85 * coalesce(s.x, 0) AS rank
+         |FROM deg d LEFT JOIN (
+         |  SELECT e.dst, sum(r.rank / dg.deg) AS x
+         |  FROM edges e JOIN $prev r ON r.id = e.src
+         |  JOIN deg dg ON dg.src = e.src
+         |  GROUP BY e.dst) s ON s.dst = d.src)""".stripMargin
+    s"""$truePairsCte,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS id, 1.0 AS rank FROM deg),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin
+  }
+
   // ---- MinHash LSH / SimHash: banded candidates + exact verification ----
   private def minhashDedup(s: SparkSession, d: String): DataFrame =
     Dedup.minhashDedup(dupCorpus(s, d), col("id"), col("t"),
@@ -1545,6 +1582,7 @@ object ExtQueries {
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
+    Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),

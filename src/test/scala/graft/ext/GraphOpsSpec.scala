@@ -1,0 +1,31 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank on a path graph matches hand-computed iterations") {
+    // a — b — c: deg(a)=deg(c)=1, deg(b)=2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = GraphOps.pageRank(pairs, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // iter1: a=c=0.15+0.85*(1/2)=0.575, b=0.15+0.85*(1+1)=1.85
+    // iter2: a=c=0.15+0.85*(1.85/2)=0.93625, b=0.15+0.85*(0.575*2)=1.1275
+    // iter3: a=c=0.15+0.85*(1.1275/2)=0.6291875, b=0.15+0.85*1.8725=1.741625
+    assert(math.abs(r(1L) - 0.6291875) < 1e-9)
+    assert(math.abs(r(3L) - 0.6291875) < 1e-9)
+    assert(math.abs(r(2L) - 1.741625) < 1e-9)
+    // total rank mass is conserved at the node count
+    assert(math.abs(r.values.sum - 3.0) < 1e-9)
+  }
+
+  test("pagerank ranks the hub above the spokes") {
+    // star: 0 connected to 1..4
+    val pairs = (1L to 4L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val r = GraphOps.pageRank(pairs).as[(Long, Double)].collect().toMap
+    assert((1L to 4L).forall(i => r(0L) > r(i)))
+    // spokes are symmetric
+    assert((2L to 4L).forall(i => math.abs(r(i) - r(1L)) < 1e-12))
+  }
+}
