@@ -196,10 +196,22 @@ object ExtQueries {
     * the exact-pair CTE, so every rank value is checked, not a fixpoint
     * property.
     */
+  /** The verified near-dup pair set shared by graph-composition gates
+    * (same build-once contract as [[sharedDedupIndex]]): the LSH
+    * pipeline that produces it is priced by q_minhash_dedup, so
+    * downstream graph gates pay for their graph work, not a re-run of
+    * the dedup.
+    */
+  private def sharedDupPairs(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"dup_pairs:$d", "gate_dup_pairs_") { dir =>
+      Dedup.minhashDedup(dupCorpus(s, d), col("id"), col("t"),
+          n = 3, threshold = 0.5, maxDF = 20)
+        .write.mode("overwrite").parquet(s"$dir/pairs")
+    }
+
   private def dupPageRank(s: SparkSession, d: String): DataFrame =
     graft.ext.GraphOps.pageRank(
-      Dedup.minhashDedup(dupCorpus(s, d), col("id"), col("t"),
-        n = 3, threshold = 0.5, maxDF = 20))
+      s.read.parquet(s"${sharedDupPairs(s, d)}/pairs"))
       .select(col("id"), round(col("rank"), 6).as("rank"))
       .orderBy("id")
 
@@ -263,6 +275,7 @@ object ExtQueries {
     sharedDedupIndex(s, d)
     sharedDupIndex(s, d)
     sharedBm25Index(s, d)
+    sharedDupPairs(s, d)
     ()
   }
 
