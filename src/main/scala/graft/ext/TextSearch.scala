@@ -195,15 +195,27 @@ object TextSearch {
     * oracle engine ranks identical values identically.
     *
     * Returns (query_id, rn, id, matched, score), rn ≤ k.
+    *
+    * `maxDF` suppresses query terms whose document frequency exceeds it
+    * — the stop-term discipline that matters at 100 TB, where a single
+    * ubiquitous term ("the") otherwise makes the matched-postings join
+    * corpus-sized for near-zero idf contribution. Same knob as the
+    * dedup family's stop-shingle cap; `matched` counts only surviving
+    * terms, mirroring how the dedup jaccard ignores suppressed
+    * shingles.
     */
   def search(ix: Index, queries: DataFrame, qid: Column, qterms: Column,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDF: Long = Long.MaxValue): DataFrame = {
     val qt = queries.select(qid.as("query_id"),
       explode(array_distinct(qterms)).as("term"))
     // lexicon streams past the broadcast query terms; the annotated
     // (term, query_id, df) result is itself tiny → broadcast into the
     // postings scan. Postings are never shuffled.
-    val qdf = broadcast(ix.lexicon.join(broadcast(qt), "term"))
+    val lex =
+      if (maxDF == Long.MaxValue) ix.lexicon
+      else ix.lexicon.filter(col("df") <= maxDF)
+    val qdf = broadcast(lex.join(broadcast(qt), "term"))
     val contrib =
       log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) *

@@ -1176,6 +1176,51 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** df-capped BM25 ([[graft.ext.TextSearch.search]] `maxDF`): terms in
+    * more than 100 of the 500 sf0.01 documents are suppressed at query
+    * time — the stop-term cap that keeps the matched-postings join off
+    * the corpus-sized lists at 100 TB. Scores, the matched-term counts,
+    * and the resulting rank moves are all value-checked against the
+    * capped relational recompute.
+    */
+  private def bm25Capped(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
+      col("doc_id"), col("text"), materialize = true)
+    graft.ext.TextSearch.search(ix, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5, maxDF = 100L)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25CappedSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM tok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw,
+      |         count(*) AS matched
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       WHERE lex.df <= 100
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   /** Incremental index maintenance ([[graft.ext.TextSearch.appendDocs]]):
     * a delivery (every 9th doc, text perturbed, ids offset) is admitted
     * by appending its postings + df/stats PARTIALS — the base corpus is
@@ -1593,6 +1638,7 @@ object ExtQueries {
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
+    Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
