@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // arm the harness-only failure-injection switch HERE (and only here):
+    // the env var is inert for library consumers — see Tables.events
+    Tables.breakEventsForTest = sys.env.contains("GRAFT_BREAK_EVENTS")
     // sweep shuffle scratch left by dead JVMs BEFORE the session claims
     // the dir — stale blockmgr/spark-* trees from a crashed run otherwise
     // share the tmpfs budget with this run's shuffles and page cache

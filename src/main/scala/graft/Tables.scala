@@ -31,13 +31,17 @@ object Tables {
     * component and the session TZ is UTC, so both paths produce the same
     * instants DuckDB's TIMESTAMP_NS oracle sees.
     */
+  /** Harness self-test switch, armed ONLY by [[Bench]]'s entrypoint when
+    * it sees GRAFT_BREAK_EVENTS (→ every events gate throws, which must
+    * surface as "err" markers + nonzero exit, never as fast timings — the
+    * round-5 masking bug this guards against). A library consumer can
+    * never trip it: the env var is read nowhere in the production path,
+    * so a leaked variable in a real deployment is inert.
+    */
+  @volatile private[graft] var breakEventsForTest: Boolean = false
+
   def events(s: SparkSession, d: String): DataFrame = {
-    // Harness self-test hook: lets Bench's failure path be exercised on
-    // demand (GRAFT_BREAK_EVENTS=1 → every events gate throws, which must
-    // surface as "err" markers + nonzero exit, never as fast timings —
-    // the round-5 masking bug this guards against). Unset in all normal
-    // runs.
-    if (sys.env.contains("GRAFT_BREAK_EVENTS"))
+    if (breakEventsForTest)
       throw new IllegalStateException(
         "deliberate GRAFT_BREAK_EVENTS test breakage")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

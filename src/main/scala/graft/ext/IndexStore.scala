@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Segment + manifest storage shared by the persisted index family
+  * ([[TextSearch]], [[DedupIndex]]): every mutation writes NEW files
+  * into a fresh immutable `seg-*` directory and atomically publishes a
+  * manifest version listing the index's current relation directories
+  * ([[graft.store.VersionedManifest]] carries the protocol doc). What
+  * this buys over the rename-swap these indexes used to run:
+  *
+  *   - readers pin one manifest version per logical operation
+  *     ([[snapshot]]) and can never observe a half-swapped index — a
+  *     search racing [[TextSearch.compact]] sees exactly the old or the
+  *     new layout;
+  *   - compaction is a manifest pointer swap plus deferred GC, not a
+  *     directory rename (non-atomic on object stores, and the old
+  *     rename left a no-index window between the two renames);
+  *   - compacted-away segments survive until [[gc]] finds them
+  *     unreferenced by the newest `retainVersions` manifests, so a
+  *     pinned reader's files outlive the commit that dropped them.
+  *
+  * Manifest lines are `segName/relation` paths relative to the index
+  * root; a snapshot resolves a relation to the union of its segment
+  * directories. Mutators serialize on the index root's writer lock
+  * ([[graft.billing.TableLock]] — same discipline as the billing
+  * store), so manifest versions never race and append×compact cannot
+  * lose a delivery.
+  */
+object IndexStore {
+
+  private val manifest = new graft.store.VersionedManifest("_manifest")
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** One pinned manifest version: every relation this operation reads
+    * resolves against the SAME line set, so a concurrent commit cannot
+    * tear the view between two reads.
+    */
+  final case class Snapshot(spark: SparkSession, root: String,
+      version: Long, lines: Seq[String]) {
+    def dirs(relation: String): Seq[String] =
+      lines.filter(_.endsWith(s"/$relation")).map(l => s"$root/$l")
+
+    /** The relation as one DataFrame over its segment dirs; None when no
+      * segment carries it (e.g. `tombstones` before any delete). Each
+      * segment dir is read as its own root (partition columns like
+      * `bucket=` discover per-dir — one multi-root read would fight
+      * partition inference) and the branches union; a partition filter
+      * still pushes into every branch's file index, so bucket pruning
+      * survives the union.
+      */
+    def read(relation: String): Option[DataFrame] =
+      dirs(relation) match {
+        case Seq() => None
+        case ds => Some(ds.map(d => spark.read.parquet(d))
+          .reduce(_ unionByName _))
+      }
+  }
+
+  def snapshot(spark: SparkSession, root: String): Snapshot =
+    manifest.latest(fsOf(spark, root), root) match {
+      case Some((v, lines)) => Snapshot(spark, root, v, lines)
+      case None => throw new java.io.FileNotFoundException(
+        s"no index manifest under $root — not an index root, or never built")
+    }
+
+  def newSegmentName(): String =
+    "seg-" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** Run `body` holding the index root's writer mutex — every mutator
+    * (build/append/delete/compact) goes through here.
+    */
+  def withLock[A](spark: SparkSession, root: String)(body: => A): A =
+    graft.billing.TableLock.withLock(spark, root)(body)
+
+  /** Publish `seg`'s relations ON TOP of the current manifest (append
+    * semantics: deliveries, tombstones). Caller must hold the lock and
+    * have finished writing the segment's files.
+    */
+  def publishAppend(spark: SparkSession, root: String, seg: String,
+      relations: Seq[String]): Long = {
+    val fs = fsOf(spark, root)
+    val prev = manifest.latest(fs, root).map(_._2).getOrElse(Seq.empty)
+    manifest.commit(fs, root, prev ++ relations.map(r => s"$seg/$r"))
+  }
+
+  /** Publish `seg`'s relations as the index's ENTIRE content (replace
+    * semantics: initial build, compaction), then GC segments no retained
+    * manifest references. Caller must hold the lock.
+    */
+  def publishReplace(spark: SparkSession, root: String, seg: String,
+      relations: Seq[String], retainVersions: Int = 2): Long = {
+    val fs = fsOf(spark, root)
+    val v = manifest.commit(fs, root, relations.map(r => s"$seg/$r"))
+    gc(spark, root, retainVersions)
+    v
+  }
+
+  /** Delete `seg-*` directories unreferenced by the newest
+    * `retainVersions` manifests and prune manifest history. Only
+    * segment dirs are touched — never the manifest dir or any
+    * caller-owned sibling (e.g. a dedup index's root-level `meta`).
+    */
+  def gc(spark: SparkSession, root: String, retainVersions: Int): Unit = {
+    val fs = fsOf(spark, root)
+    val keep = manifest.referenced(fs, root, retainVersions)
+      .map(_.split("/").head)
+    val rootPath = new Path(root)
+    if (fs.exists(rootPath)) {
+      fs.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg-"))
+        .filterNot(st => keep.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    manifest.pruneHistory(fs, root, keep = math.max(retainVersions, 8))
+  }
+}

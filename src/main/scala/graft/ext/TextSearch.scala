@@ -12,43 +12,51 @@ import org.apache.spark.sql.functions._
   * ANN family ([[EmbeddingSearch]], [[IvfIndex]], [[PqIndex]]).
   *
   * Scale shape: the index is three relations off ONE token explode —
-  * postings (term, id, tf, dl), lexicon (term, df), and a one-row stats
-  * frame — all corpus-token-linear, built with two hash aggregations and
-  * no joins against the corpus afterwards (document length is
-  * DENORMALIZED into the postings, the standard impact-index trick, so
-  * scoring never re-joins a corpus-sized side). A search streams the
-  * postings through one broadcast-hash join against the (tiny) exploded
-  * query terms; df and global stats ride along as broadcasts; the only
-  * shuffle is the final (query, doc) partial-aggregated groupBy, whose
-  * size is bounded by matched postings, not the corpus. Saved indexes
-  * are hash-bucketed by term so a search prunes to the query terms'
-  * buckets at the file index — touching 100 TB of postings is never
-  * required to answer an 8-term query.
+  * positional postings (term, id, tf, dl, positions), lexicon
+  * (term, df), and a one-row stats frame — all corpus-token-linear,
+  * built with two hash aggregations and no joins against the corpus
+  * afterwards (document length is DENORMALIZED into the postings, the
+  * standard impact-index trick, so scoring never re-joins a
+  * corpus-sized side). A search streams the postings through one
+  * broadcast-hash join against the (tiny) exploded query terms; df and
+  * global stats ride along as broadcasts; the only shuffle is the final
+  * (query, doc) partial-aggregated groupBy, whose size is bounded by
+  * matched postings, not the corpus. Saved indexes are hash-bucketed by
+  * term so a search prunes to the query terms' buckets at the file
+  * index — touching 100 TB of postings is never required to answer an
+  * 8-term query — and BM25 scans prune the `positions` column at the
+  * parquet reader, so the positional payload is only ever read by the
+  * phrase path.
+  *
+  * Persistence runs on [[IndexStore]]'s segment+manifest layout: every
+  * mutation (build, [[appendDocs]], [[deleteDocs]], [[compact]]) writes
+  * an immutable `seg-*` directory under the writer lock and atomically
+  * publishes a manifest version; readers pin one version per operation,
+  * so a search racing a compaction sees exactly the old or the new
+  * index — never a half-swapped directory (the rename-swap this
+  * replaces had a no-index window between its two renames).
   */
 object TextSearch {
 
-  /** postings: (term, id, tf, dl); lexicon: (term, df);
-    * stats: one row (n_docs, avgdl).
+  /** postings: (term, id, tf, dl, positions); lexicon: (term, df);
+    * stats: one row (n_docs, dl_sum, avgdl); tombstones: deleted doc
+    * ids still awaiting physical removal at [[compact]] (None for
+    * in-memory builds and delete-free saved indexes).
     */
   final case class Index(postings: DataFrame, lexicon: DataFrame,
-      stats: DataFrame)
+      stats: DataFrame, tombstones: Option[DataFrame] = None)
 
-  /** Build the in-memory index relations from a corpus. One explode
-    * feeds everything; `dl` is folded back into the postings via the
-    * same (id)-keyed aggregate that computes it. `materialize = true`
-    * persists the shared (id, term, tf) aggregate so the four derived
-    * relations reuse one tokenize pass instead of re-exploding the
-    * corpus each — use it when building and consuming in one job
-    * (searching in place, or [[save]]); the session cache owns the
-    * entry, so drop it via `spark.catalog.clearCache()` or by saving
-    * and [[load]]ing instead for long-lived sessions.
+  /** One positional tokenize pass: (id, term, tf, positions) — the
+    * aggregate every index relation derives from.
     */
-  def buildIndex(docs: DataFrame, id: Column, text: Column,
-      materialize: Boolean = false): Index = {
-    val tf0 = docs.select(id.as("id"),
-        explode(TextAnalysis.tokens(text)).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val tf = if (materialize) tf0.persist() else tf0
+  private def tfOf(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+        posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  private def indexFrom(tf: DataFrame): Index = {
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val postings = tf.join(dl, "id")
     val lexicon = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -57,9 +65,60 @@ object TextSearch {
     Index(postings, lexicon, stats)
   }
 
+  /** Build the in-memory index relations from a corpus. One explode
+    * feeds everything; `dl` is folded back into the postings via the
+    * same (id)-keyed aggregate that computes it. `materialize = true`
+    * persists the shared (id, term, tf, positions) aggregate so the
+    * derived relations reuse one tokenize pass instead of re-exploding
+    * the corpus each — use it when building and consuming in one job
+    * (searching in place); the session cache owns the entry, so drop it
+    * via `spark.catalog.clearCache()` when done. Persistence flows
+    * ([[buildAndSave]], [[appendDocs]]) manage that cache lifecycle
+    * themselves — prefer them over save-of-a-materialized-build in
+    * long-lived processes.
+    */
+  def buildIndex(docs: DataFrame, id: Column, text: Column,
+      materialize: Boolean = false): Index = {
+    val tf0 = tfOf(docs, id, text)
+    indexFrom(if (materialize) tf0.persist() else tf0)
+  }
+
   /** Term → storage bucket (stable across save/search). */
   private def bucketOf(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  /** Bucket count of a saved index, from its meta relation — layout
+    * parameters live WITH the layout, so append/search can never drift
+    * from the bucket count the writer used.
+    */
+  private def bucketsOf(snap: IndexStore.Snapshot): Int =
+    snap.read("meta").getOrElse(sys.error(s"index at ${snap.root} has no meta"))
+      .select(max("buckets")).head().getInt(0)
+
+  /** Write one immutable segment carrying the index relations (plus the
+    * one-row meta) and return the relation names for the manifest.
+    */
+  private def writeSegment(ix: Index, root: String, seg: String,
+      buckets: Int, withMeta: Boolean): Seq[String] = {
+    ix.postings.withColumn("bucket", bucketOf(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$root/$seg/postings")
+    ix.lexicon.withColumn("bucket", bucketOf(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$root/$seg/lexicon")
+    ix.stats.select("n_docs", "dl_sum").coalesce(1)
+      .write.parquet(s"$root/$seg/stats")
+    if (withMeta) writeMeta(ix.postings.sparkSession, root, seg, buckets)
+    Seq("postings", "lexicon", "stats") ++
+      (if (withMeta) Seq("meta") else Seq.empty)
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, seg: String,
+      buckets: Int): Unit = {
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.parquet(s"$root/$seg/meta")
+  }
 
   /** Persist the index hash-bucketed by term: postings and lexicon are
     * written `partitionBy(bucket)`, so a search that knows its query
@@ -70,86 +129,154 @@ object TextSearch {
     * (per-delivery df counts; per-delivery (n_docs, dl_sum) rows) and
     * aggregated on [[load]] — the same append-only-partials design as
     * the dedup index's df table, which is what lets [[appendDocs]]
-    * admit a delivery without rewriting history. A long-lived index
+    * admit a delivery (and [[deleteDocs]] retract one, with NEGATIVE
+    * partials) without rewriting history. A long-lived index
     * accumulating many deliveries re-sums more partials per load; the
-    * remedy is the usual compaction rewrite, on the cadence appends
-    * warrant.
+    * remedy is [[compact]], on the cadence appends warrant.
+    *
+    * Replaces whatever index was at `path` (manifest pointer swap; the
+    * old segments are GC'd after the retention window).
     */
   def save(ix: Index, path: String, buckets: Int = 64): Unit = {
-    writeDelta(ix, path, buckets, "overwrite")
+    val spark = ix.postings.sparkSession
+    IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      val rels = writeSegment(ix, path, seg, buckets, withMeta = true)
+      IndexStore.publishReplace(spark, path, seg, rels)
+      ()
+    }
+  }
+
+  /** Build from `docs` and [[save]] in one flow, managing the shared
+    * tokenize aggregate's cache lifecycle (persisted for the multi-
+    * relation write, unpersisted before returning — nothing leaks into
+    * the session cache).
+    */
+  def buildAndSave(docs: DataFrame, id: Column, text: Column, path: String,
+      buckets: Int = 64): Unit = {
+    val tf = tfOf(docs, id, text).persist()
+    try save(indexFrom(tf), path, buckets)
+    finally tf.unpersist()
   }
 
   /** Admit one delivery to a saved index: encode the delta alone and
     * append its postings, df partials, and stats partial — the existing
-    * corpus is never read. Queries issued after the append see exact
-    * corpus-wide df and avgdl (partials sum on load), identical to a
-    * from-scratch rebuild over the union.
+    * corpus is never read (the bucket count comes from the index's own
+    * meta). Queries issued after the append see exact corpus-wide df
+    * and avgdl (partials sum on load), identical to a from-scratch
+    * rebuild over the union. The delta's tokenize aggregate is persisted
+    * for the multi-relation write and unpersisted before returning —
+    * safe to drive from a per-micro-batch `foreachBatch` loop without
+    * accumulating cache entries for the stream's lifetime.
     */
   def appendDocs(spark: SparkSession, path: String, newDocs: DataFrame,
-      id: Column, text: Column, buckets: Int = 64): Unit = {
-    writeDelta(buildIndex(newDocs, id, text, materialize = true), path,
-      buckets, "append")
+      id: Column, text: Column): Unit = {
+    val tf = tfOf(newDocs, id, text).persist()
+    // an empty delivery (idle micro-batch) must not publish a zero-row
+    // segment — empty parquet dirs break later schema inference
+    try if (!tf.isEmpty) IndexStore.withLock(spark, path) {
+      val buckets = bucketsOf(IndexStore.snapshot(spark, path))
+      val seg = IndexStore.newSegmentName()
+      val rels = writeSegment(indexFrom(tf), path, seg, buckets,
+        withMeta = false)
+      IndexStore.publishAppend(spark, path, seg, rels)
+      ()
+    } finally tf.unpersist()
   }
 
-  private def writeDelta(ix: Index, path: String, buckets: Int,
-      mode: String): Unit = {
-    ix.postings.withColumn("bucket", bucketOf(col("term"), buckets))
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket")
-      .parquet(s"$path/postings")
-    ix.lexicon.withColumn("bucket", bucketOf(col("term"), buckets))
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket")
-      .parquet(s"$path/lexicon")
-    ix.stats.select("n_docs", "dl_sum").coalesce(1)
-      .write.mode(mode).parquet(s"$path/stats")
-  }
-
-  /** Compact an appended index: df partials are SUMMED to one row per
-    * term, stats partials to one row, and postings rewritten clustered —
-    * every delivery's small files collapse into one tight set per
-    * bucket. Pure layout rewrite (answers unchanged by construction,
-    * pinned in TextSearchSpec); same atomic rewrite-then-swap as
-    * [[DedupIndex.compact]]. Run on the cadence appends warrant.
+  /** Retract documents from a saved index without reading the corpus or
+    * rewriting history: one columnar scan of the postings (no text, no
+    * shuffle beyond two small aggregates) computes the deleted docs'
+    * exact contributions, which are appended as a tombstone segment —
+    * NEGATIVE df partials per term, a negative (n_docs, dl_sum) stats
+    * partial, and the tombstoned ids. Searches issued after the delete
+    * score EXACTLY as a from-scratch build over the surviving corpus
+    * (df/stats net out via the partials sum; hits anti-join the
+    * tombstones); [[compact]] later applies the tombstones physically.
+    * Ids already tombstoned or absent from the index are ignored, so
+    * the negative partials can never double-subtract.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val tmp = s"$path.compact"
-    spark.read.parquet(s"$path/postings").repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$tmp/postings")
-    spark.read.parquet(s"$path/lexicon")
-      .groupBy("bucket", "term").agg(sum("df").as("df"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$tmp/lexicon")
-    spark.read.parquet(s"$path/stats")
-      .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val old = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(s"$path.old")
-    fs.delete(bak, true)
-    if (!fs.rename(old, bak) ||
-        !fs.rename(new org.apache.hadoop.fs.Path(tmp), old))
-      throw new java.io.IOException(s"compact swap failed for $path")
-    fs.delete(bak, true)
-    spark.catalog.refreshByPath(path)
-    ()
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: Column): Unit = IndexStore.withLock(spark, path) {
+    val snap = IndexStore.snapshot(spark, path)
+    val buckets = bucketsOf(snap)
+    val postings = snap.read("postings").get.drop("bucket")
+    val prior = snap.read("tombstones")
+    val requested = ids.select(idCol.as("id")).distinct()
+    val eff = prior.fold(requested)(t =>
+      requested.join(t, Seq("id"), "left_anti"))
+    // the delete batch is takedown-sized → broadcast into the postings
+    // scan; only rows of deleted docs survive it
+    val dead = postings.join(broadcast(eff), "id").persist()
+    try if (!dead.isEmpty) {
+      val negLex = dead.groupBy("term")
+        .agg((-count(lit(1))).as("df"))
+        .withColumn("bucket", bucketOf(col("term"), buckets))
+      val negStats = dead.groupBy("id").agg(first("dl").as("dl"))
+        .agg((-count(lit(1))).as("n_docs"), (-sum("dl")).as("dl_sum"))
+      val tomb = dead.select("id").distinct()
+      val seg = IndexStore.newSegmentName()
+      negLex.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$path/$seg/lexicon")
+      negStats.coalesce(1).write.parquet(s"$path/$seg/stats")
+      tomb.coalesce(1).write.parquet(s"$path/$seg/tombstones")
+      IndexStore.publishAppend(spark, path, seg,
+        Seq("lexicon", "stats", "tombstones"))
+      ()
+    } finally dead.unpersist()
   }
+
+  /** Compact an appended index: tombstones are applied physically
+    * (their postings dropped, summed-to-≤0 lexicon rows removed), df
+    * partials SUMMED to one row per term, stats partials to one row,
+    * and postings rewritten clustered — every delivery's small files
+    * collapse into one tight set per bucket. Pure layout rewrite
+    * (post-delete answers unchanged by construction, pinned in
+    * TextSearchSpec). Publishes a manifest pointer swap — a reader
+    * racing this sees the old or the new index, never a mix — and GCs
+    * segments outside the retention window.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val buckets = bucketsOf(snap)
+      val tomb = snap.read("tombstones")
+      val live = tomb.fold(snap.read("postings").get)(t =>
+        snap.read("postings").get.join(broadcast(t), Seq("id"), "left_anti"))
+      val seg = IndexStore.newSegmentName()
+      live.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$path/$seg/postings")
+      snap.read("lexicon").get
+        .groupBy("bucket", "term").agg(sum("df").as("df"))
+        .filter(col("df") > 0)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$path/$seg/lexicon")
+      snap.read("stats").get
+        .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+        .coalesce(1).write.parquet(s"$path/$seg/stats")
+      writeMeta(spark, path, seg, buckets)
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("postings", "lexicon", "stats", "meta"))
+      ()
+    }
 
   /** Sum the lexicon/stats partials back into search-ready relations. */
   private def fromPartials(postings: DataFrame, lexParts: DataFrame,
-      statsParts: DataFrame): Index = Index(
+      statsParts: DataFrame, tombstones: Option[DataFrame]): Index = Index(
     postings,
     lexParts.groupBy("term").agg(sum("df").as("df")),
     statsParts.agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
-      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs")))
+      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs")),
+    tombstones)
 
-  def load(spark: SparkSession, path: String): Index = fromPartials(
-    spark.read.parquet(s"$path/postings").drop("bucket"),
-    spark.read.parquet(s"$path/lexicon").drop("bucket"),
-    spark.read.parquet(s"$path/stats"))
+  def load(spark: SparkSession, path: String): Index = {
+    val snap = IndexStore.snapshot(spark, path)
+    fromPartials(
+      snap.read("postings").get.drop("bucket"),
+      snap.read("lexicon").get.drop("bucket"),
+      snap.read("stats").get,
+      snap.read("tombstones"))
+  }
 
   /** Exact phrase occurrences via positional postings: a phrase of
     * terms t0..t(L-1) occurs at `start` iff token `start+i` equals t_i
@@ -164,13 +291,47 @@ object TextSearch {
     * the phrase-term frame is tiny → broadcast; the vote groupBy is
     * keyed (phrase, doc, start), bounded by matched positions, not the
     * corpus. Returns (phrase_id, id, n_occ), one row per document
-    * containing the phrase at least once.
+    * containing the phrase at least once. For repeated sweeps over a
+    * persisted corpus use [[phraseSearchSaved]] — same answers, but the
+    * scan prunes to the phrase terms' buckets instead of re-exploding
+    * the corpus per call.
     */
   def phraseSearch(docs: DataFrame, id: Column, text: Column,
       phrases: DataFrame, phraseId: Column, phraseTerms: Column)
       : DataFrame = {
     val pos = docs.select(id.as("id"),
       posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+    alignedVote(pos, phrases, phraseId, phraseTerms)
+  }
+
+  /** Phrase search over a SAVED index's positional postings — the
+    * decontamination-sweep path at 100 TB: the phrase terms' buckets
+    * are partition-pruned at the file index, their positions arrays
+    * re-explode into (id, pos, term), and the same aligned-start vote
+    * runs against that bounded slice; the corpus text is never
+    * touched. Tombstoned documents are excluded, matching what a
+    * rebuild over the surviving corpus would return.
+    */
+  def phraseSearchSaved(spark: SparkSession, path: String,
+      phrases: DataFrame, phraseId: Column, phraseTerms: Column)
+      : DataFrame = {
+    val snap = IndexStore.snapshot(spark, path)
+    val buckets = bucketsOf(snap)
+    val wanted = phrases
+      .select(explode(array_distinct(phraseTerms)).as("term")).distinct()
+      .select(bucketOf(col("term"), buckets).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val matched = snap.read("postings").get
+      .filter(col("bucket").isin(wanted: _*))
+      .select(col("id"), col("term"), explode(col("positions")).as("pos"))
+    val pos = snap.read("tombstones").fold(matched)(t =>
+      matched.join(broadcast(t), Seq("id"), "left_anti"))
+    alignedVote(pos, phrases, phraseId, phraseTerms)
+  }
+
+  /** The shared aligned-start vote over an (id, pos, term) stream. */
+  private def alignedVote(pos: DataFrame, phrases: DataFrame,
+      phraseId: Column, phraseTerms: Column): DataFrame = {
     val pt = phrases.select(phraseId.as("phrase_id"),
       posexplode(phraseTerms).as(Seq("i", "term")))
     val phLen = phrases.select(phraseId.as("phrase_id"),
@@ -211,7 +372,8 @@ object TextSearch {
       explode(array_distinct(qterms)).as("term"))
     // lexicon streams past the broadcast query terms; the annotated
     // (term, query_id, df) result is itself tiny → broadcast into the
-    // postings scan. Postings are never shuffled.
+    // postings scan. Postings are never shuffled, and the explicit
+    // column prune keeps the positional payload out of the BM25 scan.
     val lex =
       if (maxDF == Long.MaxValue) ix.lexicon
       else ix.lexicon.filter(col("df") <= maxDF)
@@ -222,7 +384,9 @@ object TextSearch {
         (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1 * (1.0 - b)) +
           lit(k1 * b) * col("dl") / col("avgdl"))
-    val scored = ix.postings.join(qdf, "term")
+    val live = ix.tombstones.fold(ix.postings)(t =>
+      ix.postings.join(broadcast(t), Seq("id"), "left_anti"))
+    val scored = live.select("term", "id", "tf", "dl").join(qdf, "term")
       .crossJoin(broadcast(ix.stats))
       .groupBy("query_id", "id")
       .agg(sum(contrib).as("score_raw"), count(lit(1)).as("matched"))
@@ -240,26 +404,40 @@ object TextSearch {
     * construction), their buckets become literal partition filters, and
     * the postings/lexicon scans read only those buckets. This is the
     * 100 TB path: the scan cost is the matched posting lists, not the
-    * index.
+    * index. With a `maxDF` cap, the (tiny, already-pruned) lexicon is
+    * consulted FIRST and the postings pruning tightens to the buckets
+    * of the terms that SURVIVE the cap — a ubiquitous term's
+    * corpus-sized posting bucket is never read just to be discarded.
     */
   def searchSaved(spark: SparkSession, path: String, queries: DataFrame,
       qid: Column, qterms: Column, k: Int, k1: Double = 1.2,
-      b: Double = 0.75, buckets: Int = 64): DataFrame = {
+      b: Double = 0.75, maxDF: Long = Long.MaxValue): DataFrame = {
+    val snap = IndexStore.snapshot(spark, path)
+    val buckets = bucketsOf(snap)
     // bucket ids come from Spark's own xxhash64 over the term batch (one
     // tiny job) — never a reimplementation that could drift from the
     // writer's hash
-    val wanted = queries
+    val qterm = queries
       .select(explode(array_distinct(qterms)).as("term")).distinct()
+    val wantedLex = qterm
       .select(bucketOf(col("term"), buckets).as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // bucket is a pure function of term, so pruning the partials BEFORE
     // the df re-sum is exact — a term's every partial lives in one bucket
+    val lexParts = snap.read("lexicon").get
+      .filter(col("bucket").isin(wantedLex: _*)).drop("bucket")
+    val wantedPost =
+      if (maxDF == Long.MaxValue) wantedLex
+      else lexParts.groupBy("term").agg(sum("df").as("df"))
+        .join(qterm, "term").filter(col("df") <= maxDF)
+        .select(bucketOf(col("term"), buckets).as("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
     val ix = fromPartials(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("bucket").isin(wanted: _*)).drop("bucket"),
-      spark.read.parquet(s"$path/lexicon")
-        .filter(col("bucket").isin(wanted: _*)).drop("bucket"),
-      spark.read.parquet(s"$path/stats"))
-    search(ix, queries, qid, qterms, k, k1, b)
+      snap.read("postings").get
+        .filter(col("bucket").isin(wantedPost: _*)).drop("bucket"),
+      lexParts,
+      snap.read("stats").get,
+      snap.read("tombstones"))
+    search(ix, queries, qid, qterms, k, k1, b, maxDF)
   }
 }

@@ -294,10 +294,8 @@ object ExtQueries {
 
   private def sharedBm25Index(s: SparkSession, d: String): String =
     graft.Gate.memoDir(s"bm25_idx:$d", "gate_bm25_idx_") { dir =>
-      graft.ext.TextSearch.save(
-        graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
-          col("doc_id"), col("text"), materialize = true), dir,
-        buckets = bm25Buckets)
+      graft.ext.TextSearch.buildAndSave(Tables.documents(s, d),
+        col("doc_id"), col("text"), dir, buckets = bm25Buckets)
     }
 
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
@@ -1167,27 +1165,31 @@ object ExtQueries {
     */
   private def bm25Persist(s: SparkSession, d: String): DataFrame = {
     val dir = graft.Gate.tmpDir("gate_bm25_idx_")
-    graft.ext.TextSearch.save(
-      graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
-        col("doc_id"), col("text"), materialize = true),
-      dir, buckets = bm25Buckets)
+    graft.ext.TextSearch.buildAndSave(Tables.documents(s, d),
+      col("doc_id"), col("text"), dir, buckets = bm25Buckets)
     graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
-        col("qid"), col("qterms"), k = 5, buckets = bm25Buckets)
+        col("qid"), col("qterms"), k = 5)
       .orderBy("query_id", "rn")
   }
 
   /** df-capped BM25 ([[graft.ext.TextSearch.search]] `maxDF`): terms in
-    * more than 100 of the 500 sf0.01 documents are suppressed at query
-    * time — the stop-term cap that keeps the matched-postings join off
-    * the corpus-sized lists at 100 TB. Scores, the matched-term counts,
-    * and the resulting rank moves are all value-checked against the
-    * capped relational recompute.
+    * more than 78% of the corpus are suppressed at query time — the
+    * stop-term cap that keeps the matched-postings join off the
+    * corpus-sized lists at 100 TB. The query terms' df values cluster
+    * between 74% and 81% of n_docs in the synthetic corpus at every
+    * scale factor, so this cap genuinely splits them: roughly half the
+    * terms are suppressed and half survive, scores shrink to the
+    * surviving terms' contributions, matched counts drop, and ranks
+    * move — all value-checked against the capped relational recompute
+    * (a cap below 74% would suppress everything and verify nothing).
+    * The pruned saved-path variant goes through [[graft.ext.TextSearch
+    * .searchSaved]]'s maxDF so the lexicon-first bucket tightening is
+    * the exercised code path.
     */
   private def bm25Capped(s: SparkSession, d: String): DataFrame = {
-    val ix = graft.ext.TextSearch.buildIndex(Tables.documents(s, d),
-      col("doc_id"), col("text"), materialize = true)
-    graft.ext.TextSearch.search(ix, bm25Queries(s, d),
-        col("qid"), col("qterms"), k = 5, maxDF = 100L)
+    val cap = Tables.documents(s, d).count() * 78L / 100L
+    graft.ext.TextSearch.searchSaved(s, sharedBm25Index(s, d),
+        bm25Queries(s, d), col("qid"), col("qterms"), k = 5, maxDF = cap)
       .orderBy("query_id", "rn")
   }
 
@@ -1212,7 +1214,7 @@ object ExtQueries {
       |         count(*) AS matched
       |       FROM q JOIN tf USING (term) JOIN lex USING (term)
       |       JOIN dl ON dl.id = tf.id, st
-      |       WHERE lex.df <= 100
+      |       WHERE lex.df <= CAST(floor(st.n_docs * 78 / 100.0) AS BIGINT)
       |       GROUP BY 1, 2),
       |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
       |        CAST(row_number() OVER (PARTITION BY query_id
@@ -1238,9 +1240,9 @@ object ExtQueries {
     // base build (the build itself is priced by q_bm25_persist)
     val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_app_")
     graft.ext.TextSearch.appendDocs(s, dir, delta,
-      col("doc_id"), col("text"), buckets = bm25Buckets)
+      col("doc_id"), col("text"))
     graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
-        col("qid"), col("qterms"), k = 5, buckets = bm25Buckets)
+        col("qid"), col("qterms"), k = 5)
       .orderBy("query_id", "rn")
   }
 
@@ -1319,6 +1321,77 @@ object ExtQueries {
       |        GROUP BY 1, 2, 3 HAVING count(*) = 3)
       |SELECT phrase_id, id, count(*) AS n_occ
       |FROM occ GROUP BY 1, 2 ORDER BY phrase_id, id""".stripMargin
+
+  /** Phrase search over the SAVED index
+    * ([[graft.ext.TextSearch.phraseSearchSaved]]): the same phrase batch
+    * as q_phrase_search, answered from the persisted positional postings
+    * with bucket pruning instead of a corpus re-scan — the
+    * decontamination-sweep path at 100 TB. Shares q_phrase_search's
+    * oracle verbatim: saved answers must equal the corpus-scan answers.
+    */
+  private def phrasePersist(s: SparkSession, d: String): DataFrame = {
+    val phrases = Tables.documents(s, d).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("pid"),
+        slice(TextAnalysis.tokens(col("text")), 1, 3).as("pterms"))
+    graft.ext.TextSearch.phraseSearchSaved(s, sharedBm25Index(s, d),
+        phrases, col("pid"), col("pterms"))
+      .orderBy("phrase_id", "id")
+  }
+
+  /** Document retraction ([[graft.ext.TextSearch.deleteDocs]]): every
+    * doc_id % 7 == 3 document is tombstoned (negative df/stats partials
+    * computed from one postings scan — the corpus text is never
+    * re-read), then the index is [[graft.ext.TextSearch.compact]]ed so
+    * the tombstones apply physically, and the search runs over the
+    * compacted result. The oracle recomputes BM25 from scratch over the
+    * SURVIVING corpus, so the df/avgdl shifts deletion causes — not
+    * just the disappearance of the deleted hits — are value-checked.
+    * TextSearchSpec pins the pre-compact (tombstone-masked) search to
+    * the same answers and the physical removal of tombstoned postings.
+    */
+  private def bm25Delete(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_del_")
+    val doomed = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+      .select("doc_id")
+    graft.ext.TextSearch.deleteDocs(s, dir, doomed, col("doc_id"))
+    graft.ext.TextSearch.compact(s, dir)
+    graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25DeleteSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |qtok AS (SELECT doc_id AS id,
+      |           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |         FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM qtok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw,
+      |         count(*) AS matched
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   /** Hybrid retrieval ([[graft.ext.HybridSearch.rrf]]): BM25 top-20 and
     * dense cosine top-20 (vec_id ≡ doc_id — the embeddings table is the
@@ -1421,13 +1494,12 @@ object ExtQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.TextSearch.appendDocs(s, dir, batch, col("id"), col("t"),
-          buckets = bm25Buckets)
+        graft.ext.TextSearch.appendDocs(s, dir, batch, col("id"), col("t"))
       }
       .start()
     q.awaitTermination()
     graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
-        col("qid"), col("qterms"), k = 5, buckets = bm25Buckets)
+        col("qid"), col("qterms"), k = 5)
       .orderBy("query_id", "rn")
   }
 
@@ -1641,6 +1713,8 @@ object ExtQueries {
     Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
+    Gate("q_phrase_persist", phrasePersist, Some(phraseSearchSql)),
+    Gate("q_bm25_delete", bm25Delete, Some(bm25DeleteSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),

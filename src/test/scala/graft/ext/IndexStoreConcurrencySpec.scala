@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted-index commit protocol ([[IndexStore]]): readers pin a
+  * manifest version, mutators publish atomically under the writer lock
+  * — so a search racing a compaction can never error or read a
+  * half-swapped index (the rename-swap this replaced had a no-index
+  * window between its two renames), and concurrent mutators serialize
+  * instead of last-writer-winning each other's segments away. Mirrors
+  * BillingStoreConcurrencySpec's reader test, per the same design.
+  */
+class IndexStoreConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "cats and dogs and cats"),
+    (3L, "a completely unrelated document about spark")
+  ).toDF("doc_id", "text")
+
+  private def queries = Seq((100L, Seq("cat", "sat")))
+    .toDF("qid", "qterms")
+
+  test("a reader racing repeated compactions never errors, sees one world") {
+    val dir = tmpDir("ixrace")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    val expected = rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 4).orderBy("rn"))
+    @volatile var compactorError: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() =>
+      try while (!stop.get()) TextSearch.compact(spark, dir)
+      catch { case t: Throwable => compactorError = Some(t) })
+    compactor.start()
+    try {
+      // every read while the index is being republished underneath must
+      // return exactly the committed answers — never an error, never a
+      // mixed old+new view (which would double or drop postings)
+      (1 to 12).foreach { _ =>
+        val got = rows(TextSearch.searchSaved(spark, dir, queries,
+          col("qid"), col("qterms"), k = 4).orderBy("rn"))
+        assert(got === expected)
+      }
+    } finally {
+      stop.set(true)
+      compactor.join(60000)
+    }
+    assert(compactorError.isEmpty, s"compactor failed: $compactorError")
+  }
+
+  test("append racing compact loses zero postings (lock serializes)") {
+    val dir = tmpDir("ixappcmp")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    val delta = Seq((10L, "another cat document where the cat sat twice"))
+      .toDF("doc_id", "text")
+    val appender = new Thread(() =>
+      TextSearch.appendDocs(spark, dir, delta, col("doc_id"), col("text")))
+    val compactor = new Thread(() => TextSearch.compact(spark, dir))
+    appender.start(); compactor.start()
+    appender.join(60000); compactor.join(60000)
+    // whichever order the lock granted, the delivery must survive: the
+    // post-race index answers like a from-scratch union rebuild
+    val got = rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 5).orderBy("rn"))
+    val want = rows(TextSearch.search(
+      TextSearch.buildIndex(corpus.unionByName(delta),
+        col("doc_id"), col("text")),
+      queries, col("qid"), col("qterms"), k = 5).orderBy("rn"))
+    assert(got === want)
+  }
+
+  test("gc retains segments pinned by the retention window, drops older") {
+    val dir = tmpDir("ixgc")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    val segsBefore = IndexStore.snapshot(spark, dir).lines
+      .map(_.split("/").head).toSet
+    TextSearch.compact(spark, dir)
+    // retention = 2 versions: the pre-compact segment must survive the
+    // compacting commit (a pinned reader may still be scanning it)...
+    val listed = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("seg-")).toSet
+    assert(segsBefore.subsetOf(listed))
+    // ...and fall out once one more commit pushes it past the window
+    TextSearch.compact(spark, dir)
+    val after2 = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("seg-")).toSet
+    assert(segsBefore.intersect(after2).isEmpty)
+  }
+}

@@ -16,12 +16,17 @@ class TextSearchSpec extends SparkSpec {
   private def queries = Seq((100L, Seq("cat", "sat")))
     .toDF("qid", "qterms")
 
-  test("index relations carry tf, dl, df, and corpus stats") {
+  private def savedPostings(dir: String) =
+    IndexStore.snapshot(spark, dir).read("postings").get
+
+  test("index relations carry tf, dl, df, positions, and corpus stats") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val p = ix.postings.filter(col("id") === 0 && col("term") === "the")
       .head()
     assert(p.getAs[Long]("tf") === 2L)
     assert(p.getAs[Long]("dl") === 6L)
+    // positional payload: "the" is tokens 0 and 4 of doc 0
+    assert(p.getAs[Seq[Int]]("positions") === Seq(0, 4))
     assert(ix.lexicon.filter(col("term") === "sat").head()
       .getAs[Long]("df") === 2L)
     val st = ix.stats.head()
@@ -51,6 +56,26 @@ class TextSearchSpec extends SparkSpec {
     assert(hits2.forall(_.getAs[Long]("matched") === 1L))
   }
 
+  test("maxDF suppresses frequent terms and rescores from the survivors") {
+    val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
+    val q = Seq((100L, Seq("the", "cat", "sat"))).toDF("qid", "qterms")
+    // df: the=2, sat=2, cat=1 → maxDF=1 keeps only "cat": one matched
+    // term, score is cat's contribution alone (hand-computed)
+    val capped = TextSearch.search(ix, q, col("qid"), col("qterms"),
+      k = 3, maxDF = 1L).orderBy("rn").collect()
+    assert(capped.map(_.getAs[Long]("id")).toSeq === Seq(0L))
+    assert(capped.head.getAs[Long]("matched") === 1L)
+    val tfn = 2.2 / (1.0 + 0.3 + 0.9 * 6.0 / 5.75)
+    val expected = math.log(1 + 3.5 / 1.5) * tfn
+    assert(math.abs(capped.head.getAs[Double]("score") - expected) < 1e-5)
+    // maxDF=2 admits all three terms: doc 0 matches all of them and
+    // docs 1 ("the sat") re-enter the result
+    val loose = TextSearch.search(ix, q, col("qid"), col("qterms"),
+      k = 3, maxDF = 2L).orderBy("rn").collect()
+    assert(loose.head.getAs[Long]("matched") === 3L)
+    assert(loose.map(_.getAs[Long]("id")).length > 1)
+  }
+
   test("saved index answers exactly like the in-memory one, pruned") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val mem = TextSearch.search(ix, queries, col("qid"), col("qterms"),
@@ -58,24 +83,27 @@ class TextSearchSpec extends SparkSpec {
     val dir = tmpDir("bm25idx")
     TextSearch.save(ix, dir, buckets = 8)
     val saved = TextSearch.searchSaved(spark, dir, queries, col("qid"),
-      col("qterms"), k = 3, buckets = 8).orderBy("rn")
+      col("qterms"), k = 3).orderBy("rn")
     assert(rows(saved) === rows(mem))
-    // the pruned postings scan must carry a partition filter on bucket
-    val post = spark.read.parquet(s"$dir/postings")
-    assert(post.columns.contains("bucket"))
+    // the saved layout is bucket-partitioned so searches prune on it
+    assert(savedPostings(dir).columns.contains("bucket"))
+    // maxDF threads through the saved path too
+    val cappedSaved = TextSearch.searchSaved(spark, dir,
+      Seq((100L, Seq("the", "cat", "sat"))).toDF("qid", "qterms"),
+      col("qid"), col("qterms"), k = 3, maxDF = 1L).collect()
+    assert(cappedSaved.map(_.getAs[Long]("id")).toSeq === Seq(0L))
+    assert(cappedSaved.head.getAs[Long]("matched") === 1L)
   }
 
   test("appended delivery answers like a from-scratch union rebuild") {
     val delta = Seq((10L, "another cat document where the cat sat twice"))
       .toDF("doc_id", "text")
     val dir = tmpDir("bm25app")
-    TextSearch.save(
-      TextSearch.buildIndex(corpus, col("doc_id"), col("text")),
-      dir, buckets = 8)
-    TextSearch.appendDocs(spark, dir, delta, col("doc_id"), col("text"),
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
       buckets = 8)
+    TextSearch.appendDocs(spark, dir, delta, col("doc_id"), col("text"))
     val inc = TextSearch.searchSaved(spark, dir, queries, col("qid"),
-      col("qterms"), k = 4, buckets = 8).orderBy("rn")
+      col("qterms"), k = 4).orderBy("rn")
     val full = TextSearch.search(
       TextSearch.buildIndex(corpus.unionByName(delta),
         col("doc_id"), col("text")),
@@ -90,22 +118,54 @@ class TextSearchSpec extends SparkSpec {
     val delta = Seq((10L, "another cat document where the cat sat twice"))
       .toDF("doc_id", "text")
     val dir = tmpDir("bm25cmp")
-    TextSearch.save(
-      TextSearch.buildIndex(corpus, col("doc_id"), col("text")),
-      dir, buckets = 8)
-    TextSearch.appendDocs(spark, dir, delta, col("doc_id"), col("text"),
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
       buckets = 8)
+    TextSearch.appendDocs(spark, dir, delta, col("doc_id"), col("text"))
     val before = rows(TextSearch.searchSaved(spark, dir, queries,
-      col("qid"), col("qterms"), k = 4, buckets = 8).orderBy("rn"))
+      col("qid"), col("qterms"), k = 4).orderBy("rn"))
     TextSearch.compact(spark, dir)
     val after = rows(TextSearch.searchSaved(spark, dir, queries,
-      col("qid"), col("qterms"), k = 4, buckets = 8).orderBy("rn"))
+      col("qid"), col("qterms"), k = 4).orderBy("rn"))
     assert(after === before)
+    val snap = IndexStore.snapshot(spark, dir)
     // two deliveries' stats partials collapse to one row
-    assert(spark.read.parquet(s"$dir/stats").count() === 1L)
+    assert(snap.read("stats").get.count() === 1L)
     // df partials sum to one row per (bucket, term)
-    val lex = spark.read.parquet(s"$dir/lexicon")
+    val lex = snap.read("lexicon").get
     assert(lex.count() === lex.select("term").distinct().count())
+    // compaction replaced the manifest content, not appended to it
+    assert(snap.dirs("postings").size === 1)
+  }
+
+  test("deleteDocs scores like a rebuild over the surviving corpus") {
+    val dir = tmpDir("bm25del")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 8)
+    // delete doc 1 ("the dog sat on the log"): df(sat) 2→1, df(the)
+    // 2→1, n_docs 4→3, avgdl moves — scores must shift accordingly
+    TextSearch.deleteDocs(spark, dir, Seq(1L).toDF("doc_id"),
+      col("doc_id"))
+    val masked = rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 4).orderBy("rn"))
+    val rebuilt = rows(TextSearch.search(
+      TextSearch.buildIndex(corpus.filter(col("doc_id") =!= 1),
+        col("doc_id"), col("text")),
+      queries, col("qid"), col("qterms"), k = 4).orderBy("rn"))
+    assert(masked === rebuilt)
+    // pre-compact the postings still hold the doc (tombstone-masked)...
+    assert(savedPostings(dir).filter(col("id") === 1).count() > 0)
+    // ...and compaction applies the tombstone physically, same answers
+    TextSearch.compact(spark, dir)
+    assert(savedPostings(dir).filter(col("id") === 1).count() === 0)
+    val snap = IndexStore.snapshot(spark, dir)
+    assert(snap.read("tombstones").isEmpty)
+    assert(rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 4).orderBy("rn")) === rebuilt)
+    // deleting the same id again is a no-op, not a double-subtract
+    TextSearch.deleteDocs(spark, dir, Seq(1L, 999L).toDF("doc_id"),
+      col("doc_id"))
+    assert(rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 4).orderBy("rn")) === rebuilt)
   }
 
   test("phrase search counts occurrences, handles repeats and overlaps") {
@@ -119,12 +179,28 @@ class TextSearchSpec extends SparkSpec {
       (100L, Seq("the", "cat", "sat")),
       (101L, Seq("a", "a")) // duplicate-term phrase, overlapping hits
     ).toDF("pid", "pterms")
+    val expected = Set((100L, 0L, 2L), (101L, 2L, 3L))
     val got = TextSearch.phraseSearch(c, col("doc_id"), col("text"),
         phrases, col("pid"), col("pterms"))
       .as[(Long, Long, Long)].collect().toSet
     // "the cat sat" twice in doc 0, never in doc 1 ("cat sat the cat")
     // "a a" overlaps 3 times in "a a a a"
-    assert(got === Set((100L, 0L, 2L), (101L, 2L, 3L)))
+    assert(got === expected)
+    // the saved positional postings answer identically, without the
+    // corpus — and respect tombstones
+    val dir = tmpDir("bm25phr")
+    TextSearch.buildAndSave(c, col("doc_id"), col("text"), dir,
+      buckets = 8)
+    val saved = TextSearch.phraseSearchSaved(spark, dir, phrases,
+        col("pid"), col("pterms"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(saved === expected)
+    TextSearch.deleteDocs(spark, dir, Seq(0L).toDF("doc_id"),
+      col("doc_id"))
+    val afterDel = TextSearch.phraseSearchSaved(spark, dir, phrases,
+        col("pid"), col("pterms"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(afterDel === Set((101L, 2L, 3L)))
   }
 
   test("postings are never shuffled: query join broadcasts") {
