@@ -9,16 +9,26 @@ import org.apache.spark.sql.functions._
   * text is scanned once ever, and what's kept is its compressed
   * derivatives:
   *
-  *   path/meta      (n, bands, rowsPerBand) — shingle/banding geometry
-  *   path/shingles  (id, sh: long)          — hashed shingle table
-  *   path/sizes     (id, n_sh)              — per-doc distinct-shingle count
-  *   path/df        (sh, cnt)               — doc-frequency PARTIAL counts
-  *   path/buckets   (id, band, bucket)      — LSH bucket memberships
+  *   meta       (n, bands, rowsPerBand) — shingle/banding geometry
+  *   shingles   (id, sh: long)          — hashed shingle table
+  *   sizes      (id, n_sh)              — per-doc distinct-shingle count
+  *   df         (sh, cnt)               — doc-frequency PARTIAL counts
+  *   buckets    (id, band, bucket)      — LSH bucket memberships
+  *   tombstones (id)                    — deleted docs awaiting [[compact]]
+  *
+  * Storage runs on [[IndexStore]]'s segment+manifest layout: every
+  * mutation ([[build]], [[append]], [[ingestBatch]], [[deleteDocs]],
+  * [[compact]]) writes an immutable `seg-*` directory under the writer
+  * lock and atomically publishes a manifest version; a dedup racing a
+  * compaction pins one version and sees exactly the old or the new
+  * index — never a half-swapped directory.
   *
   * `df` is append-only partial counts summed on read — incremental
   * maintenance without rewriting history; a shingle that drifts past
   * `maxDF` as the corpus grows is correctly re-classified as a stop
-  * shingle on the NEXT batch, exactly as a full recompute would.
+  * shingle on the NEXT batch, exactly as a full recompute would, and
+  * [[deleteDocs]] retracts a document's df contributions with NEGATIVE
+  * partials the same sum nets out.
   *
   * [[dedupBatch]] finds every near-dup pair involving a new-batch doc
   * (new-vs-index and new-vs-new) while touching the old corpus only
@@ -55,39 +65,68 @@ object DedupIndex {
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
     val spark = docs.sparkSession
     val m = Meta(n, bands, rowsPerBand)
-    writeMeta(spark, m, path)
-    write(docs, id, text, m, path, "overwrite")
+    val (sh, sizes, dfDelta, buckets) = encode(docs, id, text, m)
+    val shP = sh.persist()
+    try IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeMeta(spark, m, path, seg)
+      writeDerivatives(shP, sizes, dfDelta, buckets, path, seg)
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("meta", "shingles", "sizes", "df", "buckets"))
+      ()
+    } finally shP.unpersist()
   }
 
-  private def writeMeta(spark: SparkSession, m: Meta, path: String): Unit = {
+  private def writeMeta(spark: SparkSession, m: Meta, path: String,
+      seg: String): Unit = {
     import spark.implicits._
     Seq((m.n, m.bands, m.rowsPerBand)).toDF("n", "bands", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.parquet(s"$path/$seg/meta")
+  }
+
+  private def writeDerivatives(sh: DataFrame, sizes: DataFrame,
+      dfDelta: DataFrame, buckets: DataFrame, path: String,
+      seg: String): Unit = {
+    sh.write.parquet(s"$path/$seg/shingles")
+    sizes.write.parquet(s"$path/$seg/sizes")
+    dfDelta.write.parquet(s"$path/$seg/df")
+    buckets.write.parquet(s"$path/$seg/buckets")
   }
 
   /** Append one delivery: encode the delta against the saved geometry and
-    * append its derivatives — the old corpus is not read at all.
+    * publish its derivatives as a new segment — the old corpus is not
+    * read at all.
     */
   def append(spark: SparkSession, path: String, newDocs: DataFrame,
-      id: Column, text: Column): Unit =
-    write(newDocs, id, text, readMeta(spark, path), path, "append")
-
-  private def write(docs: DataFrame, id: Column, text: Column, m: Meta,
-      path: String, mode: String): Unit = {
-    val (sh, sizes, dfDelta, buckets) = encode(docs, id, text, m)
+      id: Column, text: Column): Unit = {
+    val m = readMeta(spark, path)
+    val (sh, sizes, dfDelta, buckets) = encode(newDocs, id, text, m)
     val shP = sh.persist()
-    try {
-      shP.write.mode(mode).parquet(s"$path/shingles")
-      sizes.write.mode(mode).parquet(s"$path/sizes")
-      dfDelta.write.mode(mode).parquet(s"$path/df")
-      buckets.write.mode(mode).parquet(s"$path/buckets")
+    // an empty delivery must not publish a zero-row segment — empty
+    // parquet dirs break later schema inference
+    try if (!shP.isEmpty) IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeDerivatives(shP, sizes, dfDelta, buckets, path, seg)
+      IndexStore.publishAppend(spark, path, seg,
+        Seq("shingles", "sizes", "df", "buckets"))
+      ()
     } finally shP.unpersist()
   }
 
   def readMeta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/meta").head()
+    val r = IndexStore.snapshot(spark, path).read("meta")
+      .getOrElse(sys.error(s"dedup index at $path has no meta")).head()
     Meta(r.getAs[Int]("n"), r.getAs[Int]("bands"),
       r.getAs[Int]("rows_per_band"))
+  }
+
+  /** The saved bucket table with tombstoned docs masked out — candidate
+    * generation must never pair against a deleted doc.
+    */
+  private def liveBuckets(snap: IndexStore.Snapshot): DataFrame = {
+    val b = snap.read("buckets").get
+    snap.read("tombstones").fold(b)(t =>
+      b.join(broadcast(t), Seq("id"), "left_anti"))
   }
 
   /** All near-dup pairs (id_a < id_b, exact stop-shingle-suppressed
@@ -98,21 +137,24 @@ object DedupIndex {
   def dedupBatch(spark: SparkSession, path: String, newDocs: DataFrame,
       id: Column, text: Column, threshold: Double,
       maxDF: Long = Long.MaxValue): DataFrame = {
+    val snap = IndexStore.snapshot(spark, path)
     val m = readMeta(spark, path)
     val (newSh0, newSizes, newDfDelta, newBuckets0) =
       encode(newDocs, id, text, m)
     val newSh = newSh0.persist()
     val newBuckets = newBuckets0.persist()
-    try dedupEncoded(spark, path, newSh, newSizes, newDfDelta, newBuckets,
+    try dedupEncoded(snap, newSh, newSizes, newDfDelta, newBuckets,
       threshold, maxDF)
     finally Seq(newSh, newBuckets).foreach(_.unpersist())
   }
 
   /** Candidate generation + exact verification against the saved
     * derivatives for an already-encoded (and persisted) batch — the
-    * shared core of [[dedupBatch]] and [[ingestBatch]].
+    * shared core of [[dedupBatch]] and [[ingestBatch]]. All reads
+    * resolve against ONE pinned snapshot, so a concurrent append or
+    * compact cannot tear the view mid-operation.
     */
-  private def dedupEncoded(spark: SparkSession, path: String,
+  private def dedupEncoded(snap: IndexStore.Snapshot,
       newSh: DataFrame, newSizes: DataFrame, newDfDelta: DataFrame,
       newBuckets: DataFrame, threshold: Double, maxDF: Long): DataFrame = {
     // Candidates: the new batch's bucket keys are the broadcast side —
@@ -121,7 +163,7 @@ object DedupIndex {
     // streams (old-vs-new, new-vs-new) union into ONE distinct — the
     // per-stream distincts this used to run were three shuffles where
     // one suffices.
-    val old = spark.read.parquet(s"$path/buckets")
+    val old = liveBuckets(snap)
     val crossRaw = old.as("o")
       .join(broadcast(newBuckets).as("nw"),
         col("o.band") === col("nw.band") &&
@@ -146,18 +188,22 @@ object DedupIndex {
     // candidate references. With no df cap the df table is irrelevant —
     // skip its scan and groupBy entirely (the common streaming-ingest
     // configuration, where batch-invariant values need the cap off).
+    // Candidate ids never reference tombstoned docs (their buckets are
+    // masked above), so the semi-joined shingle/size reads are
+    // tombstone-clean by construction; the df sum nets out deletions
+    // via their negative partials.
     val candIds = cands.select(col("id_a").as("id"))
       .unionAll(cands.select(col("id_b").as("id"))).distinct()
-    val shAll = spark.read.parquet(s"$path/shingles").unionByName(newSh)
+    val shAll = snap.read("shingles").get.unionByName(newSh)
       .join(candIds, Seq("id"), "left_semi")
     val rare =
       if (maxDF == Long.MaxValue) shAll
       else {
-        val dfAll = spark.read.parquet(s"$path/df").unionByName(newDfDelta)
+        val dfAll = snap.read("df").get.unionByName(newDfDelta)
           .groupBy("sh").agg(sum("cnt").as("df"))
         shAll.join(dfAll.filter(col("df") <= maxDF).select("sh"), "sh")
       }
-    val sizesAll = spark.read.parquet(s"$path/sizes").unionByName(newSizes)
+    val sizesAll = snap.read("sizes").get.unionByName(newSizes)
       .join(candIds, Seq("id"), "left_semi")
     val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
       .join(sizesAll, "id").persist()
@@ -184,21 +230,116 @@ object DedupIndex {
   def ingestBatch(spark: SparkSession, path: String, newDocs: DataFrame,
       id: Column, text: Column, threshold: Double,
       maxDF: Long = Long.MaxValue): DataFrame = {
+    val snap = IndexStore.snapshot(spark, path)
     val m = readMeta(spark, path)
     val (newSh0, newSizes, newDfDelta, newBuckets0) =
       encode(newDocs, id, text, m)
     val newSh = newSh0.persist()
     val newBuckets = newBuckets0.persist()
     try {
-      val scored = dedupEncoded(spark, path, newSh, newSizes, newDfDelta,
+      val scored = dedupEncoded(snap, newSh, newSizes, newDfDelta,
         newBuckets, threshold, maxDF)
-      newSh.write.mode("append").parquet(s"$path/shingles")
-      newSizes.write.mode("append").parquet(s"$path/sizes")
-      newDfDelta.write.mode("append").parquet(s"$path/df")
-      newBuckets.write.mode("append").parquet(s"$path/buckets")
+      if (!newSh.isEmpty) IndexStore.withLock(spark, path) {
+        val seg = IndexStore.newSegmentName()
+        writeDerivatives(newSh, newSizes, newDfDelta, newBuckets, path, seg)
+        IndexStore.publishAppend(spark, path, seg,
+          Seq("shingles", "sizes", "df", "buckets"))
+        ()
+      }
       scored
     } finally Seq(newSh, newBuckets).foreach(_.unpersist())
   }
+
+  /** Retract documents from the index without re-reading any corpus
+    * text: one scan of the saved shingle table (restricted to the
+    * broadcast delete batch) computes NEGATIVE df partials, and the ids
+    * are tombstoned so candidate generation masks them immediately.
+    * Subsequent [[dedupBatch]] results are identical to an index built
+    * over the surviving corpus — the q_dedup_delete gate pins that
+    * against the oracle. [[compact]] applies tombstones physically. Ids
+    * already tombstoned or absent are ignored (no double-subtract).
+    */
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: Column): Unit = IndexStore.withLock(spark, path) {
+    val snap = IndexStore.snapshot(spark, path)
+    val requested = ids.select(idCol.as("id")).distinct()
+    val eff = snap.read("tombstones").fold(requested)(t =>
+      requested.join(t, Seq("id"), "left_anti"))
+    val dead = snap.read("shingles").get
+      .join(broadcast(eff), "id").persist()
+    try if (!dead.isEmpty) {
+      val negDf = dead.groupBy("sh").agg((-count(lit(1))).as("cnt"))
+      val tomb = dead.select("id").distinct()
+      val seg = IndexStore.newSegmentName()
+      negDf.write.parquet(s"$path/$seg/df")
+      tomb.coalesce(1).write.parquet(s"$path/$seg/tombstones")
+      IndexStore.publishAppend(spark, path, seg,
+        Seq("df", "tombstones"))
+      ()
+    } finally dead.unpersist()
+  }
+
+  /** Index maintenance: every [[append]] adds one more df-partials
+    * delta (and one more file set per derivative), so a long-lived
+    * streaming index accumulates small files and its df read degrades
+    * into summing thousands of partials. Compaction rewrites each
+    * derivative clustered (df partials SUMMED to one row per shingle —
+    * deletion negatives netted, zero-or-below rows dropped; tombstoned
+    * docs' rows physically removed; shingles/sizes/buckets clustered by
+    * id) into a fresh segment and atomically publishes it — semantics
+    * are unchanged by construction, which DedupIndexSpec pins by
+    * comparing dedupBatch results before and after. A reader racing
+    * this pins the old manifest and keeps its files through the GC
+    * retention window. Run it on the cadence appends warrant (the same
+    * small-files economics as [[graft.billing.BillingStore.compactRaw]]).
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val m = readMeta(spark, path)
+      val tomb = snap.read("tombstones")
+      def live(rel: String): DataFrame = {
+        val df = snap.read(rel).get
+        tomb.fold(df)(t => df.join(broadcast(t), Seq("id"), "left_anti"))
+      }
+      val seg = IndexStore.newSegmentName()
+      writeMeta(spark, m, path, seg)
+      snap.read("df").get
+        .groupBy("sh").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") > 0)
+        .write.parquet(s"$path/$seg/df")
+      live("shingles").repartition(col("id"))
+        .write.parquet(s"$path/$seg/shingles")
+      live("sizes").repartition(col("id"))
+        .write.parquet(s"$path/$seg/sizes")
+      live("buckets").repartition(col("id"))
+        .write.parquet(s"$path/$seg/buckets")
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("meta", "shingles", "sizes", "df", "buckets"))
+      ()
+    }
+
+  /** Candidate pairs touching an affected doc, straight from the SAVED
+    * buckets: the affected ids ride a broadcast into a (band, bucket)-
+    * keyed hash join — never a cartesian (plan-pinned in
+    * DedupIndexSpec).
+    */
+  private[ext] def affectedCandidatePairs(snap: IndexStore.Snapshot,
+      affected: DataFrame): DataFrame = {
+    val buckets = liveBuckets(snap)
+    buckets.join(broadcast(affected), Seq("id")).as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+  }
+
+  private[ext] def affectedCandidatePairs(spark: SparkSession,
+      path: String, affected: DataFrame): DataFrame =
+    affectedCandidatePairs(IndexStore.snapshot(spark, path), affected)
 
   /** Re-verify previously ADMITTED pairs whose df-capped Jaccard would
     * change if `newDocs` were appended: a shingle whose document
@@ -227,79 +368,29 @@ object DedupIndex {
     * own), and exact re-scoring is restricted left-semi to docs some
     * affected pair references. Never all-pairs, never a corpus rescan.
     */
-  /** Index maintenance: every [[append]] adds one more df-partials
-    * delta (and one more file set per derivative), so a long-lived
-    * streaming index accumulates small files and its df read degrades
-    * into summing thousands of partials. Compaction rewrites each
-    * derivative clustered (df partials SUMMED to one row per shingle,
-    * shingles/buckets clustered by id) into `<path>.compact` and
-    * atomically swaps it in — semantics are unchanged by construction,
-    * which DedupIndexSpec pins by comparing dedupBatch results before
-    * and after. Run it on the cadence appends warrant (the same
-    * small-files economics as [[graft.billing.BillingStore.compactRaw]]).
-    */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val tmp = s"$path.compact"
-    writeMeta(spark, readMeta(spark, path), tmp)
-    spark.read.parquet(s"$path/df")
-      .groupBy("sh").agg(sum("cnt").as("cnt"))
-      .write.mode("overwrite").parquet(s"$tmp/df")
-    spark.read.parquet(s"$path/shingles").repartition(col("id"))
-      .write.mode("overwrite").parquet(s"$tmp/shingles")
-    spark.read.parquet(s"$path/sizes").repartition(col("id"))
-      .write.mode("overwrite").parquet(s"$tmp/sizes")
-    spark.read.parquet(s"$path/buckets").repartition(col("id"))
-      .write.mode("overwrite").parquet(s"$tmp/buckets")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val old = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(s"$path.old")
-    fs.delete(bak, true)
-    if (!fs.rename(old, bak) ||
-        !fs.rename(new org.apache.hadoop.fs.Path(tmp), old))
-      throw new java.io.IOException(s"compact swap failed for $path")
-    fs.delete(bak, true)
-    spark.catalog.refreshByPath(path)
-    ()
-  }
-
-  /** Candidate pairs touching an affected doc, straight from the SAVED
-    * buckets: the affected ids ride a broadcast into a (band, bucket)-
-    * keyed hash join — never a cartesian (plan-pinned in
-    * DedupIndexSpec).
-    */
-  private[ext] def affectedCandidatePairs(spark: SparkSession,
-      path: String, affected: DataFrame): DataFrame = {
-    val buckets = spark.read.parquet(s"$path/buckets")
-    buckets.join(broadcast(affected), Seq("id")).as("x")
-      .join(buckets.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") =!= col("y.id"))
-      .select(least(col("x.id"), col("y.id")).as("id_a"),
-        greatest(col("x.id"), col("y.id")).as("id_b"))
-      .distinct()
-  }
-
   def reverifyDrift(spark: SparkSession, path: String, newDocs: DataFrame,
       id: Column, text: Column, threshold: Double,
       maxDF: Long): DataFrame = {
+    val snap = IndexStore.snapshot(spark, path)
     val m = readMeta(spark, path)
     val delta = Dedup.hashedShingles(newDocs, id, text, m.n)
       .groupBy("sh").agg(count(lit(1)).as("delta"))
     // the summed df table feeds two consumers (crossing detection and
     // the per-doc annotation) — persist it or the partials scan+groupBy
     // runs twice
-    val dfOld = spark.read.parquet(s"$path/df")
+    val dfOld = snap.read("df").get
       .groupBy("sh").agg(sum("cnt").as("df_old")).persist()
     // only shingles the batch contains can cross the cap
     val crossing = dfOld.join(delta, "sh")
       .filter(col("df_old") <= maxDF && col("df_old") + col("delta") > maxDF)
       .select("sh").persist()
-    val oldSh = spark.read.parquet(s"$path/shingles")
+    val tomb = snap.read("tombstones")
+    val oldSh0 = snap.read("shingles").get
+    val oldSh = tomb.fold(oldSh0)(t =>
+      oldSh0.join(broadcast(t), Seq("id"), "left_anti"))
     val affected = oldSh.join(broadcast(crossing), "sh")
       .select("id").distinct()
-    val pairs = affectedCandidatePairs(spark, path, affected).persist()
+    val pairs = affectedCandidatePairs(snap, affected).persist()
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
     // post-batch suppression = pre-batch suppression ∪ crossing, so one
@@ -312,7 +403,7 @@ object DedupIndex {
       .join(dfOld, "sh").filter(col("df_old") <= maxDF)
       .join(broadcast(crossing.withColumn("crossed", lit(true))),
         Seq("sh"), "left")
-    val sizes = spark.read.parquet(s"$path/sizes")
+    val sizes = snap.read("sizes").get
       .join(candIds, Seq("id"), "left_semi")
     // left join + empty-array default: a doc whose every shingle is
     // suppressed must still score (jaccard 0), not drop its pairs

@@ -316,6 +316,41 @@ object ExtQueries {
        |WHERE jaccard >= 0.5 AND id_b >= 100000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Index retraction ([[graft.ext.DedupIndex.deleteDocs]]): every
+    * doc_id % 10 == 5 base document is tombstoned (negative df partials
+    * from one shingle-table scan — no corpus re-read), the index is
+    * [[graft.ext.DedupIndex.compact]]ed so the tombstones apply
+    * physically, and the same delivery as q_dedup_incremental dedups
+    * against the survivor index. The oracle recomputes the pair set
+    * from scratch over (surviving base ∪ delta): deleted docs must not
+    * pair, and the df suppression set must reflect their absence —
+    * DedupIndexSpec pins the pre-compact (tombstone-masked) path to the
+    * same answers.
+    */
+  private def dedupDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nw = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("id"),
+        concat(lower(trim(col("text"))), lit(" zq zr")).as("t"))
+    val dir = graft.Gate.copyDir(sharedDedupIndex(s, d), "gate_dedup_del_")
+    graft.ext.DedupIndex.deleteDocs(s, dir,
+      docs.filter(col("doc_id") % 10 === 5).select("doc_id"), col("doc_id"))
+    graft.ext.DedupIndex.compact(s, dir)
+    graft.ext.DedupIndex.dedupBatch(s, dir, nw, col("id"), col("t"),
+        threshold = 0.5, maxDF = 20)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupDeleteSql =
+    s"""${truePairsCte.replace(
+        "SELECT doc_id AS id, lower(trim(text)) AS t FROM documents",
+        "SELECT doc_id AS id, lower(trim(text)) AS t FROM documents" +
+          " WHERE doc_id % 10 <> 5")}
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE jaccard >= 0.5 AND id_b >= 100000
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Index compaction ([[graft.ext.DedupIndex.compact]]): compaction is
     * a pure layout rewrite (df partials summed, derivatives clustered by
     * id), so batch dedup against the COMPACTED index must land on
@@ -1727,6 +1762,7 @@ object ExtQueries {
     Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
     Gate("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Gate("q_dedup_delete", dedupDelete, Some(dedupDeleteSql)),
     Gate("q_dedup_drift", dedupDrift, Some(dedupDriftSql)),
     Gate("q_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),
     Gate("q_scrub_spans", scrubSpans, Some(scrubSpansSql)),

@@ -105,10 +105,11 @@ class DedupIndexSpec extends SparkSpec {
       .toDF("id", "t")
     val before = pairsOf(DedupIndex.dedupBatch(spark, dir, next,
       col("id"), col("t"), threshold = 0.3, maxDF = 2))
-    val partialsBefore = spark.read.parquet(s"$dir/df").count()
+    val partialsBefore = IndexStore.snapshot(spark, dir)
+      .read("df").get.count()
     DedupIndex.compact(spark, dir)
     // df partials collapsed to one row per shingle...
-    val df = spark.read.parquet(s"$dir/df")
+    val df = IndexStore.snapshot(spark, dir).read("df").get
     assert(df.count() == df.select("sh").distinct().count())
     assert(df.count() < partialsBefore)
     // ...and geometry + batch-dedup results are byte-identical
@@ -116,6 +117,36 @@ class DedupIndexSpec extends SparkSpec {
     val after = pairsOf(DedupIndex.dedupBatch(spark, dir, next,
       col("id"), col("t"), threshold = 0.3, maxDF = 2))
     assert(after == before)
+  }
+
+  test("deleteDocs retracts docs: batch dedup matches surviving-corpus rebuild") {
+    val dir = graft.Gate.tmpDir("dedup_idx_del_")
+    DedupIndex.build(base, col("id"), col("t"), dir, n = 2)
+    DedupIndex.deleteDocs(spark, dir, Seq(1L).toDF("id"), col("id"))
+    // maxDF low enough that the deleted doc's NEGATIVE df partials
+    // matter, not just its absence from candidates
+    val inc = pairsOf(DedupIndex.dedupBatch(spark, dir, batch,
+      col("id"), col("t"), threshold = 0.3, maxDF = 3))
+    val full = pairsOf(Dedup.minhashDedup(
+        base.filter(col("id") =!= 1L).unionByName(batch),
+        col("id"), col("t"), n = 2, threshold = 0.3, maxDF = 3)
+      .filter(col("id_b") >= 11L))
+    assert(inc == full)
+    // doc 1's near-dup (11) must no longer pair against it
+    assert(!inc.exists(_._1 == 1L))
+    // compaction applies the tombstone physically, same answers
+    DedupIndex.compact(spark, dir)
+    val snap = IndexStore.snapshot(spark, dir)
+    assert(snap.read("shingles").get.filter(col("id") === 1L).count() === 0L)
+    assert(snap.read("buckets").get.filter(col("id") === 1L).count() === 0L)
+    assert(snap.read("tombstones").isEmpty)
+    val after = pairsOf(DedupIndex.dedupBatch(spark, dir, batch,
+      col("id"), col("t"), threshold = 0.3, maxDF = 3))
+    assert(after == full)
+    // re-deleting is a no-op, not a double-subtract
+    DedupIndex.deleteDocs(spark, dir, Seq(1L, 999L).toDF("id"), col("id"))
+    assert(pairsOf(DedupIndex.dedupBatch(spark, dir, batch,
+      col("id"), col("t"), threshold = 0.3, maxDF = 3)) == full)
   }
 
   test("reverifyDrift re-emits an admitted pair a df crossing demotes") {
