@@ -163,23 +163,48 @@ object DataOps {
     * score (ties broken by id — fully deterministic), keep the prefix
     * whose cumulative token count fits `budget`. A doc is kept iff the
     * running sum INCLUDING it is within budget — the greedy best-first
-    * selection every curated-pretraining pipeline runs. The running sum
-    * is an unpartitioned window over (score desc, id), applied AFTER
-    * reducing each doc to (id, score, n_tokens) — at 100 TB the ordered
-    * scan runs over doc-metadata triples, never the text; a range-
-    * partitioned sort keeps it parallel (Spark plans exactly that for a
-    * global orderBy; the window's single partition is the documented
-    * local-mode simplification, same algebra).
+    * selection every curated-pretraining pipeline runs.
+    *
+    * The running sum is a two-pass distributed prefix sum, never a
+    * single-partition window: (1) the (id, score, n_tokens) triples —
+    * the text never rides along — are range-partitioned and sorted on
+    * (score desc, id), giving a global order split across partitions;
+    * an eager localCheckpoint freezes that layout so both passes see
+    * identical partition ids. (2) per-partition token sums (one tiny
+    * row per partition) collect to the driver, their exclusive prefix
+    * becomes each partition's offset, and the offsets broadcast back
+    * into a PARTITION-LOCAL running-sum window. Exact by construction —
+    * the offsets are the actual partition sums, wherever the range
+    * boundaries landed — and every stage is parallel in the partition
+    * count, so the operator survives a 100× scale-up that the old
+    * global-window spelling (one task holding every row) did not.
     */
   def selectUnderBudget(df: DataFrame, id: Column, score: Column,
       nTokens: Column, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(id.as("id"), score.as("score"), nTokens.as("n_tokens"))
+      .repartitionByRange(col("score").desc, col("id"))
+      .sortWithinPartitions(col("score").desc, col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partSums = sorted.groupBy("__pid")
+      .agg(sum("n_tokens").as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = partSums.map { case (p, s) =>
+      val off = (p, acc); acc += s; off
+    }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid")
       .orderBy(col("score").desc, col("id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.select(id.as("id"), score.as("score"), nTokens.as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offDf), "__pid")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
       .filter(col("cum_tokens") <= budget)
+      .drop("__pid", "__off")
   }
 
   /** Column profiler: per profiled column, null count, exact distinct

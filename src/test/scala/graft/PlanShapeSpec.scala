@@ -124,4 +124,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("token-budget prefix sum: partition-local window, no single partition") {
+    val p = plan("q_token_budget")
+    // the running sum must be the two-pass prefix sum: a window
+    // PARTITIONED by the range-partition id plus a broadcast offset
+    // join — never Spark's all-rows-to-one-task global window
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("phrase search over the saved index prunes to the phrase buckets") {
+    val p = plan("q_phrase_persist")
+    // partition pruning on the term-hash bucket shows up as a pushed
+    // partition filter on the postings scan — the whole point of the
+    // saved path: scan cost is the matched posting lists, not the index
+    assert(p.contains("PartitionFilters: [bucket"), p)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.toLowerCase.contains("cartesian"))
+  }
+
 }
