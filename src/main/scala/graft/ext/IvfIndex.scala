@@ -99,16 +99,26 @@ object IvfIndex {
     * assignment stays a partition of the corpus by construction —
     * exhaustive probing before and after returns identical answers
     * (IvfIndexSpec pins both).
+    *
+    * One invocation splits at most the `maxCellsPerPass` LARGEST
+    * oversized cells, so the driver's collected sample is bounded by
+    * `maxCellsPerPass × sampleCap` vectors regardless of how skewed the
+    * index is — a corpus with hundreds of hot cells rebalances over
+    * several invocations (worst first, where the latency win is)
+    * instead of piling every cell's sample into one driver heap.
     */
   def rebalance(model: Model, maxCellSize: Long, sampleCap: Int = 10000,
-      maxIter: Int = 10, seed: Long = 42L): Model = {
+      maxIter: Int = 10, seed: Long = 42L,
+      maxCellsPerPass: Int = 64): Model = {
     import org.apache.spark.sql.expressions.Window
     val sizes = model.assigned.groupBy("cell")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxCellSize)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (sizes.isEmpty) model
     else {
-      val overs = sizes.keys.toSeq.sorted
+      // worst-N per pass; ties broken by cell id for determinism
+      val overs = sizes.toSeq.sortBy { case (c, n) => (-n, c) }
+        .take(maxCellsPerPass).map(_._1).sorted
       // bounded deterministic per-cell sample for the split training
       val w = Window.partitionBy("cell").orderBy(xxhash64(col("vec_id")))
       val sample = model.assigned.filter(col("cell").isin(overs: _*))

@@ -28,4 +28,29 @@ class GraphOpsSpec extends SparkSpec {
     // spokes are symmetric
     assert((2L to 4L).forall(i => math.abs(r(i) - r(1L)) < 1e-12))
   }
+
+  test("high iteration counts stay flat: periodic checkpoint cuts lineage") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    // 20 fixed rounds: without the every-5-rounds lineage cut this plan
+    // is 40+ stacked joins deep and analysis time explodes; with it the
+    // run completes promptly and mass is still conserved
+    val t0 = System.nanoTime()
+    val r = GraphOps.pageRank(pairs, iters = 20)
+      .as[(Long, Double)].collect().toMap
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+    assert(math.abs(r.values.sum - 4.0) < 1e-9)
+  }
+
+  test("tol early stop lands within tolerance of the deep fixed run") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (0L, 1L), (0L, 3L))
+      .toDF("id_a", "id_b")
+    val deep = GraphOps.pageRank(pairs, iters = 50)
+      .as[(Long, Double)].collect().toMap
+    val eager = GraphOps.pageRank(pairs, iters = 50, tol = 1e-7)
+      .as[(Long, Double)].collect().toMap
+    deep.foreach { case (id, rank) =>
+      assert(math.abs(eager(id) - rank) < 1e-5)
+    }
+  }
 }

@@ -82,6 +82,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.rebalance(model, maxCellSize = 1000) eq model)
   }
 
+  test("rebalance bounds driver memory: worst-N cells per pass, convergent") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    // k=4 with a cap of 20 makes (at least) several cells oversized
+    val model = IvfIndex.build(embs, k = 4)
+    val oversized = model.assigned.groupBy("cell").count()
+      .filter(col("count") > 20).count()
+    assert(oversized >= 2, s"fixture needs >=2 oversized cells, got $oversized")
+    // one pass with maxCellsPerPass = 1 splits exactly the LARGEST cell:
+    // the collected sample is bounded by 1 × sampleCap, not the skew
+    val one = IvfIndex.rebalance(model, maxCellSize = 20, sampleCap = 100,
+      maxCellsPerPass = 1)
+    val before = model.assigned.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val after = one.assigned.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val worst = before.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+    assert(!after.keySet.contains(worst))
+    // every other oversized cell is untouched this pass
+    before.toSeq.filter { case (c, n) => n > 20 && c != worst }
+      .foreach { case (c, n) => assert(after.get(c).contains(n)) }
+    // the assignment is still a partition of the corpus
+    assert(after.values.sum == 200L)
+    // repeated bounded passes converge to the unbounded result's shape
+    var m = model
+    (1 to 8).foreach { _ =>
+      m = IvfIndex.rebalance(m, maxCellSize = 20, sampleCap = 100,
+        maxCellsPerPass = 1)
+    }
+    assert(m.assigned.groupBy("cell").count()
+      .filter(col("count") > 20).count() === 0L)
+    def full(x: IvfIndex.Model) =
+      IvfIndex.search(x, col("vec_id") < 5, k = 3, nProbe = 1000)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(full(m) == full(model))
+  }
+
   test("external-vector search matches in-corpus search after self-shift") {
     val embs = Tables.embeddings(spark, sf0001).limit(200)
     val model = IvfIndex.build(embs, k = 4)
