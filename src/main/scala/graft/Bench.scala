@@ -134,7 +134,8 @@ object Bench {
     "q_point_skip", "q_incremental_scan", "q_snapshot_store",
     "q_stream_window", "q_stream_static", "q_zorder_layout",
     "q_xml_roundtrip", "q_compact_store", "q_stream_dedup",
-    "q_stream_dedup_wm", "q_ivf_rebalance", "q_bm25_stream")
+    "q_stream_dedup_wm", "q_ivf_rebalance", "q_bm25_stream",
+    "q_bm25_delete", "q_dedup_delete")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink

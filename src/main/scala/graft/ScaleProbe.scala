@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second bench scale point: replicate the largest available testdata
+  * (sf0.1) `factor`× into scratch — keys offset so join fanouts and
+  * dedup semantics scale LINEARLY, text vocabulary rotated per copy so
+  * near-dup structure doesn't degenerate into 10-way cliques — then
+  * time a probe set of scale-sensitive gates at BOTH scale points in
+  * one warm JVM and report per-gate scaling ratios. A gate whose
+  * runtime grows much faster than the data (ratio >> factor) has a
+  * super-linear stage — the cheapest empirical tripwire for
+  * driver-side bottlenecks and quadratic joins before a real cluster
+  * would hit them. Timings land in BASELINE.md's scaling table;
+  * correctness is NOT checked here (the synthetic replica has no
+  * oracle — the sf0.01 driver gate owns correctness).
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"`; env knobs:
+  * SPARK_GRAFT_SF_DIR (base, default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALE_FACTOR (default 10), SPARK_GRAFT_CPUS (default
+  * 16), SPARK_GRAFT_ONLY (gate-name substrings to narrow the probe).
+  */
+object ScaleProbe {
+
+  /** Key offset per replica copy — far above every base key range. */
+  private val Off = 100000000L
+
+  /** Rotate the common letters per copy so each replica's token
+    * vocabulary is (mostly) disjoint: token counts, lengths, and df
+    * SHAPE are preserved, but near-dup pairs don't explode into
+    * cross-copy cliques — the corpus scales like more documents, not
+    * like 10 exact crawls of the same site.
+    */
+  private def rot(k: Int): (String, String) = {
+    val letters = "aeiousnrtl"
+    (letters, letters.drop(k % letters.length) ++
+      letters.take(k % letters.length))
+  }
+
+  private def replicate(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$name.parquet")
+      (0 until factor).map(k => f(src, k)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    // tiny dims copy once — replicated fact keys still resolve
+    Seq("region", "nation").foreach { name =>
+      spark.read.parquet(s"$base/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    copies("customer") { (df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + k * Off) }
+    copies("supplier") { (df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + k * Off) }
+    copies("part") { (df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + k * Off) }
+    copies("orders") { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + k * Off)
+        .withColumn("o_custkey", col("o_custkey") + k * Off) }
+    copies("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + k * Off)
+        .withColumn("l_partkey", col("l_partkey") + k * Off)
+        .withColumn("l_suppkey", col("l_suppkey") + k * Off) }
+    copies("events") { (df, k) =>
+      df.withColumn("event_id", col("event_id") + k * Off)
+        .withColumn("user_id", col("user_id") + k * Off) }
+    copies("documents") { (df, k) =>
+      val (from, to) = rot(k)
+      df.withColumn("doc_id", col("doc_id") + k * Off)
+        .withColumn("text",
+          if (k == 0) col("text") else translate(col("text"), from, to)) }
+    copies("embeddings") { (df, k) =>
+      df.withColumn("vec_id", col("vec_id") + k * Off) }
+  }
+
+  /** Scale-sensitive probe set: the gates whose plans carry the
+    * patterns that can go super-linear — shingle joins, LSH candidate
+    * generation, index partials, prefix sums, per-query top-k, graph
+    * rounds — plus two plain rollups as linear controls.
+    */
+  private val defaultProbe = Seq(
+    "q_daily_rollup", "q_top_users",
+    "q_token_stats", "q_token_budget",
+    "q_minhash_dedup", "q_dedup_incremental", "q_dedup_drift",
+    "q_dup_clusters_star", "q_dup_pagerank", "q_semdedup",
+    "q_bm25_topk", "q_bm25_persist", "q_phrase_persist",
+    "q_ivf_topk", "q_embed_lsh_topk", "q_negative_sample")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_local"
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = Gate.tmpDir("scaleprobe_sf_")
+    println(s"SCALE_PROBE replicating $base x$factor -> $big")
+    replicate(spark, base, big, factor)
+
+    val gates = Gate.all.filter(g => defaultProbe.contains(g.name))
+      .filter(g => only.forall(_.exists(g.name.contains)))
+      .sortBy(g => defaultProbe.indexOf(g.name))
+    // warm the JVM/codegen and both scale points' shared indexes
+    // outside every timed window (same contract as Bench)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$base/region.parquet").count()
+    queries.ExtQueries.prewarmSharedIndex(spark, base)
+    queries.ExtQueries.prewarmSharedIndex(spark, big)
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      dt
+    }
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val results = gates.map { g =>
+      // one UNTIMED base run first: the gate's codegen/plan warmup must
+      // not land in the base timing, or light gates report ratios < 1
+      // and the table reads as noise. Then base, then the replica — all
+      // in the same warm JVM (the shared-index memo keys on the dir, so
+      // scale points never share staged artifacts).
+      time(g.fn, base)
+      val tBase = time(g.fn, base)
+      val tBig = time(g.fn, big)
+      val ratio = tBig / math.max(tBase, 1e-9)
+      println(s"SCALE_GATE ${g.name} base=${num(tBase)}s " +
+        s"x$factor=${num(tBig)}s ratio=${num(ratio)}")
+      (g.name, tBase, tBig, ratio)
+    }
+    val flagged = results.filter(_._4 > 2.0 * factor).map(_._1)
+    val qs = results.map { case (n, b, g, r) =>
+      s""""$n":{"base":${num(b)},"scaled":${num(g)},"ratio":${num(r)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","factor":$factor,"queries":$qs,""" +
+      s""""superlinear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
+}
