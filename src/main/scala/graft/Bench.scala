@@ -135,7 +135,8 @@ object Bench {
     "q_stream_window", "q_stream_static", "q_zorder_layout",
     "q_xml_roundtrip", "q_compact_store", "q_stream_dedup",
     "q_stream_dedup_wm", "q_ivf_rebalance", "q_bm25_stream",
-    "q_bm25_delete", "q_dedup_delete")
+    "q_bm25_delete", "q_dedup_delete", "q_ivfpq_persist",
+    "q_stream_delete")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -155,5 +156,6 @@ object Bench {
     "q_dedup_incremental", "q_stream_dedup_index", "q_s3_scan",
     "q_data_checks", "q_stream_tws", "q_lsh_multiprobe", "q_dedup_drift",
     "q_repeated_spans", "q_time_skip", "q_point_skip",
-    "q_incremental_scan", "q_snapshot_store", "q_bm25_topk")
+    "q_incremental_scan", "q_snapshot_store", "q_bm25_topk",
+    "q_ivfpq_topk")
 }

@@ -24,9 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * The codebook rides along as a flattened reference object
   * (`[(j·k + c)·dsub + t]` layout), not as literals — 8k doubles embed
   * once per generated class, never per row.
+  *
+  * `normalize = false` skips the unit-normalization and encodes the
+  * input array as-is — the residual-encoding path of
+  * [[graft.ext.IvfPqIndex]], where the child is already a residual in
+  * unit space (re-normalizing a residual would corrupt it).
   */
 case class PqEncode(child: Expression, m: Int, dsub: Int,
-    codebook: Array[Double]) extends UnaryExpression {
+    codebook: Array[Double], normalize: Boolean = true)
+    extends UnaryExpression {
 
   private val k: Int = codebook.length / (m * dsub)
   require(m >= 1 && dsub >= 1 && k >= 1 && codebook.length == m * k * dsub,
@@ -43,10 +49,13 @@ case class PqEncode(child: Expression, m: Int, dsub: Int,
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = m * dsub
-    var s = 0.0
-    var i = 0
-    while (i < dim) { val x = v.getDouble(i); s += x * x; i += 1 }
-    val nv = math.sqrt(s)
+    var nv = 1.0
+    if (normalize) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val x = v.getDouble(i); s += x * x; i += 1 }
+      nv = math.sqrt(s)
+    }
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -87,13 +96,19 @@ case class PqEncode(child: Expression, m: Int, dsub: Int,
       val bestD = ctx.freshName("bestD")
       val codes = ctx.freshName("codes")
       val dim = m * dsub
+      val normCode =
+        if (normalize)
+          s"""
+             |double $s = 0.0;
+             |for (int $i = 0; $i < $dim; $i++) {
+             |  double __x = $v.getDouble($i);
+             |  $s += __x * __x;
+             |}
+             |double $nv = java.lang.Math.sqrt($s);
+           """.stripMargin
+        else s"double $nv = 1.0;"
       s"""
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $dim; $i++) {
-         |  double __x = $v.getDouble($i);
-         |  $s += __x * __x;
-         |}
-         |double $nv = java.lang.Math.sqrt($s);
+         |$normCode
          |int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $best = 0;

@@ -1395,6 +1395,45 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** STREAMING document retraction — the takedown / right-to-be-forgotten
+    * path at 100 TB: deletion requests arrive as a stream and each
+    * micro-batch lands on the SAVED index via
+    * [[graft.ext.TextSearch.deleteDocs]] (tombstones + negative
+    * df/stats partials; the corpus text is never re-read), then one
+    * [[graft.ext.TextSearch.compact]] applies them physically. Here the
+    * same doomed set as q_bm25_delete arrives split across two
+    * micro-batches (maxFilesPerTrigger=1), so the gate additionally
+    * pins that retraction is batch-boundary-invariant: a takedown
+    * STREAM must land the index exactly where one batch delete of the
+    * same ids does — hence the oracle is q_bm25_delete's verbatim.
+    */
+  private def streamBm25Delete(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_sdel_")
+    val doomed = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+      .select("doc_id")
+    val in = graft.Gate.tmpDir("gate_bm25_sdel_in_")
+    val ckpt = graft.Gate.tmpDir("gate_bm25_sdel_ck_")
+    doomed.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    doomed.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema("doc_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.TextSearch.deleteDocs(s, dir, batch, col("doc_id"))
+      }
+      .start()
+    q.awaitTermination()
+    graft.ext.TextSearch.compact(s, dir)
+    graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   private val bm25DeleteSql =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
@@ -1750,6 +1789,7 @@ object ExtQueries {
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Gate("q_phrase_persist", phrasePersist, Some(phraseSearchSql)),
     Gate("q_bm25_delete", bm25Delete, Some(bm25DeleteSql)),
+    Gate("q_stream_delete", streamBm25Delete, Some(bm25DeleteSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),

@@ -628,6 +628,72 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok, true AS appended_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** IVF-PQ composite ANN gate ([[graft.ext.IvfPqIndex]] — the IVFADC
+    * layout of Jégou et al.): coarse cells prune WHICH rows a query
+    * scores, product quantization of the cell RESIDUAL shrinks what a
+    * score costs — the composition production billion-scale ANN runs.
+    * Recall@5 vs brute force per query at bounded probes (nProbe=10 of
+    * 16 cells) and a compressed-domain shortlist; same checkable
+    * contract as q_ivf_topk/q_pq_topk, pinned at the floor the seeded
+    * build comfortably clears (residual PQ recalls strictly better than
+    * whole-vector PQ at the same code budget — the point of IVFADC).
+    */
+  private def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = graft.ext.IvfPqIndex.build(embs, kCells = 16, m = 8,
+      k = 32, sampleFraction = 0.5)
+    val ann = graft.ext.IvfPqIndex.search(model, col("vec_id") < 10,
+      k = 5, nProbe = 10, shortlist = 40)
+    ExtQueries.recallGate(embs, ann, k = 5, minHits = 3)
+  }
+
+  private val ivfPqTopKSql =
+    """SELECT vec_id AS query_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** IVF-PQ persistence + incremental append: build on 90% of the
+    * corpus, save (cell-partitioned codes — a probe is a pruned
+    * partition read), [[graft.ext.IvfPqIndex.saveAppend]] the delta
+    * under FROZEN quantizers, load in a fresh session, search.
+    * `persist_ok` pins the contract that matters — the loaded index
+    * answers row-identical to the never-persisted in-memory append;
+    * nothing about the answer may depend on which side of a save/load
+    * the codes live on. The recall floor is deliberately one hit lower
+    * than q_ivfpq_topk's: quantizers trained on 90% of a NEAR-RANDOM
+    * corpus (PQ's documented worst case — true top-5 sit barely above
+    * the bulk) measure 2-5 hits per query at sf0.1 where the
+    * full-corpus build holds 3+; the persist gate pins persistence, not
+    * build quality, so it gates at the floor the base-only build
+    * actually clears at every scale factor.
+    */
+  private def ivfPqPersist(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    val model = graft.ext.IvfPqIndex.build(base, kCells = 16, m = 8,
+      k = 32, sampleFraction = 0.5)
+    val dir = graft.Gate.tmpDir("gate_ivfpq_persist_")
+    graft.ext.IvfPqIndex.save(model, dir)
+    graft.ext.IvfPqIndex.saveAppend(model, delta, dir)
+    val mem = graft.ext.IvfPqIndex.search(
+      graft.ext.IvfPqIndex.append(model, delta), col("vec_id") < 10,
+      k = 5, nProbe = 10, shortlist = 40)
+    val fresh = s.newSession()
+    val loaded = graft.ext.IvfPqIndex.load(fresh, dir,
+      Tables.embeddings(fresh, d))
+    graft.ext.IvfPqIndex.search(loaded, col("vec_id") < 10, k = 5,
+        nProbe = 10, shortlist = 40)
+      .write.mode("overwrite").parquet(s"$dir/ann_loaded")
+    val back = s.read.parquet(s"$dir/ann_loaded")
+    val same = mem.exceptAll(back).isEmpty && back.exceptAll(mem).isEmpty
+    ExtQueries.recallGate(embs, back, k = 5, minHits = 2)
+      .withColumn("persist_ok", lit(same))
+  }
+
+  private val ivfPqPersistSql =
+    """SELECT vec_id AS query_id, true AS recall_ok, true AS persist_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
   /** SQ8 persistence + incremental append gate: ranges train on 90% of
     * the corpus, save, [[graft.ext.SqIndex.saveAppend]] the delta
     * (frozen ranges), load in a FRESH session, search. Because the
@@ -1564,6 +1630,8 @@ object ScaleQueries {
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
+    Gate("q_ivfpq_topk", ivfPqTopK, Some(ivfPqTopKSql)),
+    Gate("q_ivfpq_persist", ivfPqPersist, Some(ivfPqPersistSql)),
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),
     Gate("q_sq_persist", sqPersist, Some(sqPersistSql)),
     Gate("q_stream_ann", streamAnn, Some(streamAnnSql)),
