@@ -209,6 +209,33 @@ object DataOpsQueries {
       |SELECT id AS vec_id, min(r) AS cluster, min(r) = id AS is_keeper
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** INCREMENTAL clustering maintenance
+    * ([[Dedup.incrementalComponents]]): the base half of the graph is
+    * clustered first (the "yesterday" state), then the planted clone
+    * delivery — its nodes and every edge touching them — folds in
+    * incrementally: affected old clusters re-contract as depth-1 stars
+    * with the delta, untouched labels carry over verbatim, and the
+    * result must equal the FULL-batch recursive-CTE oracle exactly
+    * (same oracle as q_dup_clusters_star). This is the streaming-dedup
+    * composition at 100 TB: the incremental index emits the delta's
+    * pairs, this op merges them into standing cluster state at
+    * delta-proportional cost instead of relabeling the corpus.
+    */
+  private def dupClustersInc(s: SparkSession, d: String): DataFrame = {
+    val (nodes, pairs) = dupGraph(s, d, everyNth = 2)
+    val prev = Dedup.dupClustersStar(
+      nodes.filter(col("id") < 10000),
+      pairs.filter(col("id_a") < 10000 && col("id_b") < 10000),
+      parallelism = Some(8))
+    Dedup.incrementalComponents(prev,
+        nodes.filter(col("id") >= 10000),
+        pairs.filter(col("id_a") >= 10000 || col("id_b") >= 10000),
+        parallelism = Some(8))
+      .select(col("id").as("vec_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
   private val dupClustersStarSql =
     """WITH RECURSIVE
       |corpus AS (
@@ -537,6 +564,7 @@ object DataOpsQueries {
     Gate("q_assemble_dataset", assembleDataset, Some(assembleDatasetSql)),
     Gate("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     Gate("q_dup_clusters_star", dupClustersStar, Some(dupClustersStarSql)),
+    Gate("q_dup_clusters_inc", dupClustersInc, Some(dupClustersStarSql)),
     Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Gate("q_repetition", repetition, Some(repetitionSql)),

@@ -154,4 +154,35 @@ class DedupSpec extends SparkSpec {
     assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
       4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("incremental components equal the batch run, untouched rows verbatim") {
+    // old graph: chain 1-2-3, pair 5-6, isolates 4 and 9
+    val oldNodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
+    val oldPairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val prev = Dedup.dupClustersStar(oldNodes, oldPairs)
+    // delta: new node 0 bridges clusters {1,2,3} and {5,6} (new min 0),
+    // new nodes 7-8 form their own pair, old isolate 4 joins {5,6};
+    // old isolate 9 and nothing else must be recomputed
+    val newNodes = Seq(0L, 7L, 8L).toDF("id")
+    val newEdges = Seq((0L, 3L), (0L, 5L), (7L, 8L), (4L, 6L))
+      .toDF("id_a", "id_b")
+    val inc = Dedup.incrementalComponents(prev, newNodes, newEdges)
+      .as[(Long, Long)].collect()
+    assert(inc.length == 10) // every node exactly once
+    val batch = Dedup.dupClustersStar(
+      oldNodes.unionAll(newNodes),
+      oldPairs.unionAll(newEdges)).as[(Long, Long)].collect().toMap
+    assert(inc.toMap == batch)
+    assert(inc.toMap.apply(9L) == 9L)
+  }
+
+  test("incremental components: delta touching nothing old is label-only work") {
+    val prev = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster")
+    val inc = Dedup.incrementalComponents(prev,
+        Seq(10L, 11L, 12L).toDF("id"),
+        Seq((10L, 11L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 12L))
+  }
 }
