@@ -1488,6 +1488,94 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  private val hybridWeightedSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |qs AS (SELECT id AS query_id,
+      |         unnest(list_distinct(toks[1:8])) AS term
+      |       FROM tok WHERE id < 8),
+      |sc AS (SELECT qs.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM qs JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |sp AS (SELECT query_id, id, round(score_raw, 6) AS score,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY round(score_raw, 6) DESC, id) AS rank
+      |       FROM sc),
+      |sp20 AS (SELECT query_id, id, score,
+      |           min(score) OVER (PARTITION BY query_id) AS mn,
+      |           max(score) OVER (PARTITION BY query_id) AS mx
+      |         FROM sp WHERE rank <= 20),
+      |spn AS (SELECT query_id, id,
+      |          CASE WHEN mx = mn THEN 1.0
+      |               ELSE (score - mn) / (mx - mn) END AS ns
+      |        FROM sp20),
+      |qd AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 8),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |p AS (SELECT query_id, vec_id,
+      |        list_dot_product(qv, ev)
+      |          / sqrt(list_dot_product(qv, qv)
+      |                 * list_dot_product(ev, ev)) AS cos
+      |      FROM qd, e WHERE vec_id <> query_id),
+      |dr AS (SELECT query_id, vec_id AS id, round(cos, 6) AS score,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, vec_id) AS rank
+      |       FROM p),
+      |dn20 AS (SELECT query_id, id, score,
+      |           min(score) OVER (PARTITION BY query_id) AS mn,
+      |           max(score) OVER (PARTITION BY query_id) AS mx
+      |         FROM dr WHERE rank <= 20),
+      |dnn AS (SELECT query_id, id,
+      |          CASE WHEN mx = mn THEN 1.0
+      |               ELSE (score - mn) / (mx - mn) END AS ns
+      |        FROM dn20),
+      |fused AS (SELECT query_id, id, round(sum(c), 6) AS fused,
+      |            count(*) AS n_lists
+      |          FROM (SELECT query_id, id, 0.7 * ns AS c FROM spn
+      |                UNION ALL
+      |                SELECT query_id, id, 0.3 * ns FROM dnn)
+      |          GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, n_lists, fused,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY fused DESC, id) AS INTEGER) AS rn
+      |      FROM fused)
+      |SELECT query_id, rn, id, n_lists, fused
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** Score-calibrated hybrid fusion ([[graft.ext.HybridSearch.weighted]]):
+    * the same sparse top-20 (BM25) and dense top-20 (exact cosine) lists
+    * as q_hybrid_rrf, fused by weighted min-max-normalized scores
+    * (0.7 sparse / 0.3 dense) instead of ranks — the oracle recomputes
+    * both retrievers, the per-(query, list) normalization, and the
+    * convex sum relationally, so the gap-preserving calibration itself
+    * is value-checked, not just the final ordering.
+    */
+  private def hybridWeighted(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ext.TextSearch.load(s, sharedBm25Index(s, d))
+    val sparse = graft.ext.TextSearch.search(ix, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 20)
+      .select(col("query_id"), col("id"), col("score"))
+    val dense = EmbeddingSearch.bruteForceTopK(Tables.embeddings(s, d),
+        col("vec_id") < 8, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("cos").as("score"))
+    graft.ext.HybridSearch.weighted(Seq(sparse, dense),
+        Seq(0.7, 0.3), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   private val hybridRrfSql =
     """WITH tok AS (SELECT doc_id AS id,
       |               regexp_split_to_array(lower(trim(text)), '\s+')
@@ -1786,6 +1874,7 @@ object ExtQueries {
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    Gate("q_hybrid_weighted", hybridWeighted, Some(hybridWeightedSql)),
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Gate("q_phrase_persist", phrasePersist, Some(phraseSearchSql)),
     Gate("q_bm25_delete", bm25Delete, Some(bm25DeleteSql)),
