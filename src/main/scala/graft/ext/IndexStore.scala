@@ -67,6 +67,29 @@ object IndexStore {
         s"no index manifest under $root — not an index root, or never built")
     }
 
+  /** All manifest versions still retained under the root, oldest first
+    * — the addressable time-travel window.
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    manifest.versions(fsOf(spark, root), root)
+
+  /** Pin a SPECIFIC retained version — time travel within the GC
+    * retention window (same version-depth contract Delta/Iceberg make):
+    * a reader holding version v sees exactly the index as committed at
+    * v, because GC keeps every segment the newest `retainVersions`
+    * manifests reference. The lineage use case: a data-selection run
+    * records the index version it queried, and an audit re-runs the
+    * same selection against that version verbatim even after later
+    * appends/deletes landed.
+    */
+  def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot =
+    manifest.filesAt(fsOf(spark, root), root, version) match {
+      case Some(lines) => Snapshot(spark, root, version, lines)
+      case None => throw new java.io.FileNotFoundException(
+        s"index version $version at $root is not retained " +
+          s"(have: ${versions(spark, root).mkString(",")})")
+    }
+
   def newSegmentName(): String =
     "seg-" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 

@@ -411,8 +411,28 @@ object TextSearch {
     */
   def searchSaved(spark: SparkSession, path: String, queries: DataFrame,
       qid: Column, qterms: Column, k: Int, k1: Double = 1.2,
-      b: Double = 0.75, maxDF: Long = Long.MaxValue): DataFrame = {
-    val snap = IndexStore.snapshot(spark, path)
+      b: Double = 0.75, maxDF: Long = Long.MaxValue): DataFrame =
+    searchSnapshot(IndexStore.snapshot(spark, path), queries, qid, qterms,
+      k, k1, b, maxDF)
+
+  /** [[searchSaved]] against a PINNED manifest version
+    * ([[IndexStore.snapshotAt]]) — time travel within the GC retention
+    * window: answers are exactly what the index returned as of that
+    * commit, regardless of appends/deletes that landed since. The
+    * lineage contract for data selection: record the version a
+    * selection queried, re-run it verbatim under audit.
+    */
+  def searchSavedAt(spark: SparkSession, path: String, version: Long,
+      queries: DataFrame, qid: Column, qterms: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDF: Long = Long.MaxValue): DataFrame =
+    searchSnapshot(IndexStore.snapshotAt(spark, path, version), queries,
+      qid, qterms, k, k1, b, maxDF)
+
+  private def searchSnapshot(snap: IndexStore.Snapshot, queries: DataFrame,
+      qid: Column, qterms: Column, k: Int, k1: Double, b: Double,
+      maxDF: Long): DataFrame = {
+    val spark = snap.spark
     val buckets = bucketsOf(snap)
     // bucket ids come from Spark's own xxhash64 over the term batch (one
     // tiny job) — never a reimplementation that could drift from the

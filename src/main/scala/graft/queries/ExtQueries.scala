@@ -1395,6 +1395,27 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Index TIME TRAVEL ([[graft.ext.TextSearch.searchSavedAt]] /
+    * [[graft.ext.IndexStore.snapshotAt]]): a delivery is appended, then
+    * the search pins the PRE-APPEND manifest version — and must answer
+    * exactly the base-corpus BM25 (the plain bm25 oracle), proving the
+    * GC retention window keeps pinned history readable through later
+    * commits. This is the lineage contract for data selection at
+    * 100 TB: record the index version a selection queried, re-run it
+    * verbatim under audit regardless of what landed since.
+    */
+  private def bm25TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_tt_")
+    val v0 = graft.ext.IndexStore.snapshot(s, dir).version
+    val delta = Tables.documents(s, d).filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 300000).as("id"),
+        concat(col("text"), lit(" extra retrieval tail")).as("t"))
+    graft.ext.TextSearch.appendDocs(s, dir, delta, col("id"), col("t"))
+    graft.ext.TextSearch.searchSavedAt(s, dir, v0, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   /** STREAMING document retraction — the takedown / right-to-be-forgotten
     * path at 100 TB: deletion requests arrive as a stream and each
     * micro-batch lands on the SAVED index via
@@ -1871,6 +1892,7 @@ object ExtQueries {
     Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
+    Gate("q_bm25_timetravel", bm25TimeTravel, Some(bm25Sql)),
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -203,6 +203,37 @@ class TextSearchSpec extends SparkSpec {
     assert(afterDel === Set((101L, 2L, 3L)))
   }
 
+  test("time travel: a pinned version answers through later append + delete") {
+    val dir = tmpDir("ttix")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    val v0 = IndexStore.snapshot(spark, dir).version
+    val expected = rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 4).orderBy("rn"))
+    // mutate twice: append a new cat doc, then delete doc 0 — both
+    // commit new manifest versions on top of v0
+    TextSearch.appendDocs(spark, dir,
+      Seq((10L, "cat cat cat")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    TextSearch.deleteDocs(spark, dir, Seq(0L).toDF("doc_id"),
+      col("doc_id"))
+    // latest: doc 0 gone, doc 10 present
+    val latest = TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 5)
+    assert(latest.filter(col("id") === 0L).isEmpty)
+    assert(!latest.filter(col("id") === 10L).isEmpty)
+    // pinned v0: exactly the original answers — the retention window
+    // keeps the pre-mutation world readable
+    val pinned = rows(TextSearch.searchSavedAt(spark, dir, v0, queries,
+      col("qid"), col("qterms"), k = 4).orderBy("rn"))
+    assert(pinned === expected)
+    // a version outside the retained window is a clean error, not a
+    // half-world read
+    intercept[java.io.FileNotFoundException] {
+      IndexStore.snapshotAt(spark, dir, v0 + 100)
+    }
+  }
+
   test("postings are never shuffled: query join broadcasts") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val plan = TextSearch.search(ix, queries, col("qid"), col("qterms"),
