@@ -628,10 +628,17 @@ object Dedup {
   def incrementalComponents(prevLabels: DataFrame, newNodes: DataFrame,
       newEdges: DataFrame, maxIter: Int = 50,
       parallelism: Option[Int] = None): DataFrame = {
-    val touched = newEdges.select(col("id_a").as("id"))
-      .unionAll(newEdges.select(col("id_b").as("id"))).distinct()
+    // the delta edges feed three subplans (touched set twice, contraction
+    // once) and typically come from a just-run pair generation — eager
+    // localCheckpoint materializes that delta-sized work once instead of
+    // re-deriving it per subplan. `affected` is delta-bounded and feeds
+    // two joins; same treatment. prevLabels stays lazy: at scale it is a
+    // stored table whose re-read is cheaper than a forced copy.
+    val edges = newEdges.select("id_a", "id_b").localCheckpoint(true)
+    val touched = edges.select(col("id_a").as("id"))
+      .unionAll(edges.select(col("id_b").as("id"))).distinct()
     val affected = prevLabels.join(touched, "id")
-      .select("cluster").distinct()
+      .select("cluster").distinct().localCheckpoint(true)
     val members = prevLabels.join(broadcast(affected), "cluster")
     val starEdges = members
       .filter(col("id") =!= col("cluster"))
@@ -639,8 +646,7 @@ object Dedup {
     val subNodes = members.select("id")
       .unionAll(newNodes.select("id")).distinct()
     val relabeled = dupClustersStar(subNodes,
-      starEdges.unionAll(newEdges.select("id_a", "id_b")),
-      maxIter, parallelism)
+      starEdges.unionAll(edges), maxIter, parallelism)
     prevLabels.join(broadcast(affected), Seq("cluster"), "left_anti")
       .select("id", "cluster")
       .unionAll(relabeled.select("id", "cluster"))

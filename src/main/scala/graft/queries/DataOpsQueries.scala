@@ -222,11 +222,16 @@ object DataOpsQueries {
     * delta-proportional cost instead of relabeling the corpus.
     */
   private def dupClustersInc(s: SparkSession, d: String): DataFrame = {
-    val (nodes, pairs) = dupGraph(s, d, everyNth = 2)
+    val (nodes, pairs0) = dupGraph(s, d, everyNth = 2)
+    // the all-pairs cosine pair-gen feeds the "yesterday" clustering AND
+    // the delta's edge filter — materialize it once; likewise the
+    // standing labels, which the incremental op consults three times
+    // (in production both would be stored tables, not live plans)
+    val pairs = pairs0.localCheckpoint(true)
     val prev = Dedup.dupClustersStar(
       nodes.filter(col("id") < 10000),
       pairs.filter(col("id_a") < 10000 && col("id_b") < 10000),
-      parallelism = Some(8))
+      parallelism = Some(8)).localCheckpoint(true)
     Dedup.incrementalComponents(prev,
         nodes.filter(col("id") >= 10000),
         pairs.filter(col("id_a") >= 10000 || col("id_b") >= 10000),

@@ -675,9 +675,11 @@ object ScaleQueries {
     val dir = graft.Gate.tmpDir("gate_ivfpq_persist_")
     graft.ext.IvfPqIndex.save(model, dir)
     graft.ext.IvfPqIndex.saveAppend(model, delta, dir)
+    // the in-memory reference feeds both exceptAll probes; materialize
+    // it once instead of re-encoding + re-searching per probe
     val mem = graft.ext.IvfPqIndex.search(
       graft.ext.IvfPqIndex.append(model, delta), col("vec_id") < 10,
-      k = 5, nProbe = 10, shortlist = 40)
+      k = 5, nProbe = 10, shortlist = 40).localCheckpoint(true)
     val fresh = s.newSession()
     val loaded = graft.ext.IvfPqIndex.load(fresh, dir,
       Tables.embeddings(fresh, d))
