@@ -185,6 +185,27 @@ object IvfIndex {
         col("v").as("qv"), col("nrm").as("qnrm")),
       k, nProbe, excludeSelf = true)
 
+  /** METADATA-FILTERED top-k: neighbors are restricted to corpus rows
+    * matching `where` ("nearest English documents", "nearest vectors in
+    * this date range") while queries still come from the full corpus.
+    * The filter applies BEFORE scoring inside the probed cells — a
+    * probe reads nProbe cells and scores only survivors, and with the
+    * cell-partitioned saved layout a filter on stored metadata also
+    * prunes at the parquet reader. This is pre-filtering (exact over
+    * the filtered set); post-filtering top-k would silently return
+    * fewer than k when a filter decimates the neighborhood. With
+    * exhaustive probes the result is EXACTLY brute force over the
+    * filtered corpus (cells partition the corpus, so filtering commutes
+    * with probing) — which is how the gate value-checks it.
+    */
+  def searchWhere(model: Model, queryPred: Column, where: Column, k: Int,
+      nProbe: Int): DataFrame =
+    searchImpl(model.copy(assigned = model.assigned.filter(where)),
+      model.assigned.filter(queryPred).select(
+        col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")),
+      k, nProbe, excludeSelf = true)
+
   /** Top-k for EXTERNAL query vectors — `queries` is its own
     * (vec_id, embedding) frame, not a corpus subset; nothing is
     * self-excluded, so a query identical to a corpus row ranks it first

@@ -628,6 +628,42 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok, true AS appended_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** METADATA-FILTERED ANN ([[graft.ext.IvfIndex.searchWhere]]): top-5
+    * cosine neighbors among only the `vec_id % 3 = 0` third of the
+    * corpus — the "nearest English docs" / "nearest in this date range"
+    * query every production vector store serves. Pre-filtering (the
+    * predicate applies before scoring inside the probed cells), so k
+    * survivors always come back even where the filter decimates a
+    * neighborhood. Probing is exhaustive, which makes the result EXACT
+    * over the filtered corpus — the oracle value-checks every score,
+    * not a recall floor.
+    */
+  private def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
+    IvfIndex.searchWhere(model, col("vec_id") < 10,
+        col("vec_id") % 3 === 0, k = 5, nProbe = Int.MaxValue)
+      .orderBy("query_id", "rank")
+  }
+
+  private val annFilteredSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |      WHERE vec_id % 3 = 0),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** IVF-PQ composite ANN gate ([[graft.ext.IvfPqIndex]] — the IVFADC
     * layout of Jégou et al.): coarse cells prune WHICH rows a query
     * scores, product quantization of the cell RESIDUAL shrinks what a
@@ -1632,6 +1668,7 @@ object ScaleQueries {
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
+    Gate("q_ann_filtered", annFiltered, Some(annFilteredSql)),
     Gate("q_ivfpq_topk", ivfPqTopK, Some(ivfPqTopKSql)),
     Gate("q_ivfpq_persist", ivfPqPersist, Some(ivfPqPersistSql)),
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),

@@ -18,6 +18,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("filtered search with exhaustive probes is exact over the filter") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val model = IvfIndex.build(embs, k = 4)
+    val got = IvfIndex.searchWhere(model, col("vec_id") < 5,
+        col("vec_id") % 3 === 0, k = 3, nProbe = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    // every neighbor satisfies the predicate...
+    assert(got.forall(_._2 % 3 == 0))
+    // ...and matches brute force over the filtered corpus: scoring the
+    // filtered rows against the unfiltered queries, self excluded
+    val e = EmbeddingSearch.prepared(embs)
+    val q = e.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val want = e.filter(col("vec_id") % 3 === 0)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", EmbeddingSearch.dot(col("qv"), col("v")) /
+        sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(got.toSet == want.toSet)
+  }
+
   test("assignNew reproduces the trained quantizer's own assignment") {
     val embs = Tables.embeddings(spark, sf0001).limit(200)
     val model = IvfIndex.build(embs, k = 4)
