@@ -610,6 +610,97 @@ object ExtQueries {
       |       OR co.id_b IN (SELECT id FROM affected))
       |ORDER BY co.id_a, co.id_b""".stripMargin
 
+  /** The full STREAMING DEDUP MAINTENANCE LOOP in one gate: per
+    * micro-batch, [[graft.ext.DedupIndex.ingestBatch]] dedups the
+    * delivery against the evolving index (one encode, no corpus
+    * re-scan) and [[graft.ext.Dedup.incrementalComponents]] folds the
+    * emitted pairs into STANDING cluster labels (delta-proportional —
+    * untouched labels carry over verbatim), which round-trip through
+    * storage between batches exactly as a production job would persist
+    * them. After the drain, the standing labels must equal a from-
+    * scratch batch clustering of the complete accumulated pair set —
+    * the recursive-CTE oracle — proving the two incremental operators
+    * COMPOSE across arbitrary micro-batch boundaries, which is the
+    * whole point of incremental maintenance at 100 TB: no stage of the
+    * loop ever relabels or re-reads the corpus.
+    */
+  private def streamClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nw = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("id"),
+        concat(lower(trim(col("text"))), lit(" zq zr")).as("t"))
+    val idx = graft.Gate.copyDir(sharedDedupIndex(s, d), "gate_sc_idx_")
+    val in = graft.Gate.tmpDir("gate_sc_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sc_ck_")
+    val lab = graft.Gate.tmpDir("gate_sc_lab_")
+    nw.filter(col("id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    nw.filter(col("id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    // yesterday's state: every base doc a singleton (the base corpus'
+    // internal pairs are a batch job priced by q_dup_clusters; this
+    // gate prices the incremental fold)
+    docs.select(col("doc_id").as("id"), col("doc_id").as("cluster"))
+      .write.mode("overwrite").parquet(s"$lab/v0")
+    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = s.readStream.schema("id LONG, t STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = graft.ext.DedupIndex.ingestBatch(s, idx, batch,
+          col("id"), col("t"), threshold = 0.5)
+        val v = ver.get()
+        Dedup.incrementalComponents(
+            s.read.parquet(s"$lab/v$v"),
+            batch.select(col("id")),
+            pairs.select("id_a", "id_b"),
+            parallelism = Some(8))
+          .write.mode("overwrite").parquet(s"$lab/v${v + 1}")
+        ver.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$lab/v${ver.get()}").orderBy("id")
+  }
+
+  private val streamClustersSql =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lower(trim(text)) || ' zq zr'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks
+      |        FROM corpus),
+      |sh0 AS (SELECT id,
+      |          CASE WHEN len(toks) >= 3
+      |            THEN list_transform(range(len(toks) - 2),
+      |                   i -> array_to_string(toks[i+1:i+3], ' '))
+      |            ELSE [array_to_string(toks, ' ')] END AS shs
+      |        FROM tok),
+      |sh AS (SELECT id, unnest(list_distinct(shs)) AS sh FROM sh0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |cmn AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      |        WHERE b.id >= 100000
+      |        GROUP BY 1, 2),
+      |pairs AS (SELECT c.id_a, c.id_b
+      |          FROM cmn c JOIN sizes sa ON sa.id = c.id_a
+      |                     JOIN sizes sb ON sb.id = c.id_b
+      |          WHERE CAST(c.common AS DOUBLE)
+      |                  / (sa.n_sh + sb.n_sh - c.common) >= 0.5),
+      |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT id, id AS r FROM corpus
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin
+
   private val streamDedupIndexSql =
     """WITH corpus AS (
       |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
@@ -1919,6 +2010,7 @@ object ExtQueries {
     Gate("q_scrub_spans", scrubSpans, Some(scrubSpansSql)),
     Gate("q_dedup_compact", dedupCompact, Some(dedupIncrementalSql)),
     Gate("q_stream_dedup_index", streamDedupIndex, Some(streamDedupIndexSql)),
+    Gate("q_stream_clusters", streamClusters, Some(streamClustersSql)),
     Gate("q_simhash_dedup", simhashDedup, Some(simhashDedupSql)),
     Gate("q_embed_topk", embedTopK, Some(embedTopKSql)),
     Gate("q_embed_query_ext", embedQueryExt, Some(embedQueryExtSql)),
