@@ -346,6 +346,44 @@ object TextSearch {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM3-lite, after
+    * Lavrenko & Croft's relevance models): a first-pass BM25 retrieves
+    * each query's top `fbDocs` documents, every term in those documents
+    * earns the relevance-model MLE weight `Σ_d tf(t,d)/dl(d)` (uniform
+    * feedback-doc prior), and the top `fbTerms` NEW terms (original
+    * query terms excluded) join the query. The second-pass search then
+    * runs over the expanded term set with standard BM25 weighting —
+    * the "-lite": expansion terms are admitted, not interpolated with
+    * per-term λ weights, which keeps the whole flow relational and
+    * oracle-checkable. Weights round to 6 decimals with term-name
+    * tie-break so an oracle engine selects identical expansions.
+    *
+    * Scale shape: the feedback set is queries × fbDocs rows →
+    * broadcast into one postings join; term scoring is a groupBy over
+    * the feedback docs' postings only (bounded by their lengths, not
+    * the corpus). Returns (query_id, qterms) ready for [[search]].
+    */
+  def expandQueries(ix: Index, queries: DataFrame, qid: Column,
+      qterms: Column, fbDocs: Int = 5, fbTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val fb = search(ix, queries, qid, qterms, fbDocs, k1, b)
+      .select("query_id", "id")
+    val weights = ix.postings.select("id", "term", "tf", "dl")
+      .join(broadcast(fb), "id")
+      .groupBy("query_id", "term")
+      .agg(round(sum(col("tf").cast("double") / col("dl")), 6).as("w"))
+    val orig = queries.select(qid.as("query_id"),
+      explode(array_distinct(qterms)).as("term"))
+    val cand = weights.join(orig, Seq("query_id", "term"), "left_anti")
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("w"), col("term"))
+    val expansion = cand.withColumn("rn", row_number().over(rk))
+      .filter(col("rn") <= fbTerms).select("query_id", "term")
+    orig.unionByName(expansion).distinct()
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(col("term"))).as("qterms"))
+  }
+
   /** Top-k BM25 per query. `queries` carries an ARRAY of query terms
     * per row (tokenize upstream — [[TextAnalysis.tokens]] matches the
     * index's tokenization); duplicates within a query are ignored, as

@@ -1486,6 +1486,84 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Pseudo-relevance-feedback retrieval
+    * ([[graft.ext.TextSearch.expandQueries]], RM3-lite): first-pass
+    * BM25 top-5 per query → relevance-model term weights
+    * `Σ tf/dl` over the feedback docs → top-10 NEW terms join the
+    * query → second-pass BM25 over the expanded term set. The oracle
+    * recomputes the whole two-pass flow relationally — feedback-doc
+    * selection, the MLE weights, the expansion cut, and the re-scored
+    * ranking are all value-checked, not just the final hit list.
+    */
+  private def bm25Rm3(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ext.TextSearch.load(s, sharedBm25Index(s, d))
+    val expanded = graft.ext.TextSearch.expandQueries(ix,
+      bm25Queries(s, d), col("qid"), col("qterms"),
+      fbDocs = 5, fbTerms = 10)
+    graft.ext.TextSearch.search(ix, expanded, col("query_id"),
+        col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25Rm3Sql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q0 AS (SELECT id AS query_id,
+      |         unnest(list_distinct(toks[1:8])) AS term
+      |       FROM tok WHERE id < 8),
+      |sc1 AS (SELECT q0.query_id, tf.id,
+      |          sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |              * tf.tf * 2.2
+      |              / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |        FROM q0 JOIN tf USING (term) JOIN lex USING (term)
+      |        JOIN dl ON dl.id = tf.id, st
+      |        GROUP BY 1, 2),
+      |fb AS (SELECT query_id, id FROM (
+      |         SELECT query_id, id,
+      |           row_number() OVER (PARTITION BY query_id
+      |             ORDER BY round(score_raw, 6) DESC, id) AS rn
+      |         FROM sc1)
+      |       WHERE rn <= 5),
+      |cw AS (SELECT fb.query_id, tf.term,
+      |         round(sum(CAST(tf.tf AS DOUBLE) / dl.dl), 6) AS w
+      |       FROM fb JOIN tf ON tf.id = fb.id JOIN dl ON dl.id = fb.id
+      |       GROUP BY 1, 2),
+      |cand AS (SELECT cw.query_id, cw.term, cw.w
+      |         FROM cw LEFT JOIN q0
+      |           ON q0.query_id = cw.query_id AND q0.term = cw.term
+      |         WHERE q0.term IS NULL),
+      |exp AS (SELECT query_id, term FROM (
+      |          SELECT query_id, term,
+      |            row_number() OVER (PARTITION BY query_id
+      |              ORDER BY w DESC, term) AS rn
+      |          FROM cand)
+      |        WHERE rn <= 10),
+      |q AS (SELECT query_id, term FROM q0
+      |      UNION
+      |      SELECT query_id, term FROM exp),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw,
+      |         count(*) AS matched
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   /** Index TIME TRAVEL ([[graft.ext.TextSearch.searchSavedAt]] /
     * [[graft.ext.IndexStore.snapshotAt]]): a delivery is appended, then
     * the search pins the PRE-APPEND manifest version — and must answer
@@ -1984,6 +2062,7 @@ object ExtQueries {
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
     Gate("q_bm25_timetravel", bm25TimeTravel, Some(bm25Sql)),
+    Gate("q_bm25_rm3", bm25Rm3, Some(bm25Rm3Sql)),
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -203,6 +203,26 @@ class TextSearchSpec extends SparkSpec {
     assert(afterDel === Set((101L, 2L, 3L)))
   }
 
+  test("rm3 expansion adds feedback-doc terms, never duplicates originals") {
+    val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
+    val expanded = TextSearch.expandQueries(ix, queries, col("qid"),
+        col("qterms"), fbDocs = 1, fbTerms = 2)
+      .as[(Long, Seq[String])].collect().toMap
+    val terms = expanded(100L)
+    // top feedback doc for (cat, sat) is doc 0 ("the cat sat on the
+    // mat"); its best new terms by tf/dl are "the" (2/6) then the
+    // tf-tied singletons ("mat", "on" — term-name tie-break picks both
+    // never reaching "sat"/"cat", which are originals and excluded)
+    assert(terms.contains("cat") && terms.contains("sat"))
+    assert(terms.toSet.size == terms.size)
+    assert(terms.toSet == Set("cat", "sat", "the", "mat"))
+    // expanded search still returns standard shape, originals intact
+    val hits = TextSearch.search(ix,
+      expanded.toSeq.toDF("query_id", "qterms"),
+      col("query_id"), col("qterms"), k = 3)
+    assert(hits.count() > 0)
+  }
+
   test("time travel: a pinned version answers through later append + delete") {
     val dir = tmpDir("ttix")
     TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
