@@ -39,6 +39,46 @@ object TextAnalysis {
           sum("tf")).as("mean_logprob"))
   }
 
+  /** Corpus-bigram language-model scoring with add-k smoothing: each
+    * document's mean bigram log-probability, where
+    * `P(t_i | t_{i-1}) = (c(t_{i-1}, t_i) + k) / (c(t_{i-1}) + k·V)`
+    * over corpus transition counts and vocabulary size V. The stronger
+    * cousin of [[unigramLogProbs]] as a quality filter: a bag of real
+    * words in scrambled order scores high under unigrams but low here —
+    * it is the TRANSITIONS that separate fluent text from shuffled
+    * boilerplate (the KenLM-style filter in public pipelines like
+    * CCNet, spelled relationally). Smoothing keeps unseen transitions
+    * at a finite penalty instead of −∞, so the score stays usable on
+    * out-of-corpus text.
+    *
+    * Scale shape: bigrams derive per-row from the token array (no
+    * self-join on position); counts are two hash reductions; the
+    * count join runs on the (prev, cur) key both sides just grouped
+    * on; vocabulary and nothing else broadcasts. Corpus-token-linear.
+    * Documents with fewer than two tokens have no bigrams and drop out.
+    */
+  def bigramLogProbs(docs: DataFrame, idCol: String, textCol: String,
+      kSmooth: Double = 0.5): DataFrame = {
+    val t = tokens(col(textCol))
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (p, c) => struct(p.as("prev"), c.as("cur")))
+    val bg = docs.select(col(idCol).as("id"), explode(pairs).as("b"))
+      .select(col("id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bf = bg.groupBy("id", "prev", "cur").agg(count(lit(1)).as("n"))
+    val bc = bf.groupBy("prev", "cur").agg(sum("n").as("bcnt"))
+    val cc = bc.groupBy("prev").agg(sum("bcnt").as("ccnt"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("term"))
+      .agg(countDistinct("term").as("vocab"))
+    bf.join(bc, Seq("prev", "cur")).join(cc, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        (sum(col("n") * log((col("bcnt") + lit(kSmooth)) /
+            (col("ccnt") + lit(kSmooth) * col("vocab")))) /
+          sum("n")).as("mean_logprob"))
+  }
+
   /** TF-IDF per (doc, term): tf = in-doc term count, idf = ln(N/df) over
     * the corpus. Three relations off one token explode: tf groups by
     * (doc, term); df reduces tf by term; the scalar doc count crossjoins

@@ -1909,6 +1909,44 @@ object ExtQueries {
       |FROM tf JOIN tc USING (term), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM quality scoring ([[graft.ext.TextAnalysis
+    * .bigramLogProbs]]): mean add-½-smoothed bigram log-probability per
+    * document under the corpus transition counts — the
+    * transitions-not-tokens quality filter (scrambled boilerplate
+    * scores low here while passing the unigram filter). The oracle
+    * re-derives bigrams, both count relations, the vocabulary, and the
+    * smoothed mean relationally.
+    */
+  private def bigramLogProb(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.bigramLogProbs(Tables.documents(s, d),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("mean_logprob"), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+
+  private val bigramLogProbSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |bg AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+      |       FROM (SELECT doc_id, tk,
+      |               unnest(range(1, len(tk))) AS i
+      |             FROM toks)),
+      |bf AS (SELECT doc_id, prev, cur, count(*) AS n
+      |       FROM bg GROUP BY 1, 2, 3),
+      |bc AS (SELECT prev, cur, CAST(sum(n) AS BIGINT) AS bcnt
+      |       FROM bf GROUP BY 1, 2),
+      |cc AS (SELECT prev, CAST(sum(bcnt) AS BIGINT) AS ccnt
+      |       FROM bc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS vocab
+      |      FROM (SELECT unnest(tk) AS term FROM toks))
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |       round(sum(n * ln((bcnt + 0.5) / (ccnt + 0.5 * vocab)))
+      |             / sum(n), 6) AS mean_logprob
+      |FROM bf JOIN bc USING (prev, cur) JOIN cc USING (prev), v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- token-bounded chunking ---------------------------------------------
   /** [[TextAnalysis.chunk]]: 64-token windows with 16-token overlap
     * (stride 48) over the documents table — the context-window prep step
@@ -2073,6 +2111,7 @@ object ExtQueries {
     Gate("q_stream_delete", streamBm25Delete, Some(bm25DeleteSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
+    Gate("q_bigram_logprob", bigramLogProb, Some(bigramLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),
     Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),

@@ -64,6 +64,27 @@ class TextAnalysisSpec extends SparkSpec {
       (math.log(0.4) + math.log(0.2)) / 2) < 1e-12)
   }
 
+  test("bigram log-probs: hand-computed, and transitions beat bags of words") {
+    val docs = Seq((1L, "a b a b"), (2L, "b a b a"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    // corpus bigram counts: ab=4 ba=3 aa=1 bb=1; context counts:
+    // c(a)=ab+aa=5, c(b)=ba+bb=4; vocab V=2; add-½:
+    // P(b|a)=4.5/6=0.75, P(a|b)=3.5/5=0.7, P(a|a)=1.5/6=0.25,
+    // P(b|b)=1.5/5=0.3
+    val got = TextAnalysis.bigramLogProbs(docs, "doc_id", "text")
+      .select("id", "n_bigrams", "mean_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L)
+    // doc1 bigrams ab, ba, ab → (2·ln 0.75 + ln 0.7)/3
+    val want1 = (2 * math.log(0.75) + math.log(0.7)) / 3
+    assert(math.abs(got(1L)._3 - want1) < 1e-12)
+    // doc3 (same unigram bag as doc1!) bigrams aa, ab, bb →
+    // (ln 0.25 + ln 0.75 + ln 0.3)/3 — the scrambled doc scores lower
+    val want3 = (math.log(0.25) + math.log(0.75) + math.log(0.3)) / 3
+    assert(math.abs(got(3L)._3 - want3) < 1e-12)
+    assert(got(3L)._3 < got(1L)._3)
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val got = Seq(
       ("a", "The  quick\tfox"),
