@@ -144,4 +144,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"))
   }
 
+  test("ivf-pq search broadcasts probes + tables; corpus never shuffles") {
+    // plan the SEARCH itself (the gate's output is the recall wrapper,
+    // whose compare join is allowed to shuffle its tiny inputs)
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, d).limit(200)
+    val model = graft.ext.IvfPqIndex.build(embs, kCells = 4, m = 4, k = 16)
+    val p = graft.ext.IvfPqIndex.search(model, col("vec_id") < 5, k = 3,
+      nProbe = 2, shortlist = 8).queryExecution.executedPlan.toString
+    // the (query, cell, distance-table) frame is the broadcast build
+    // side; the encoded corpus streams through the join once
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // the codegen'd ADC lookup, not an interpreted HOF, scores the scan
+    assert(p.contains("graft_pq_adc"))
+  }
+
+  test("filtered ann applies the predicate before scoring") {
+    val p = plan("q_ann_filtered")
+    // pre-filtering: the metadata predicate runs as a plain Filter
+    // under the scoring join, never as a post-ranking trim
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("% 3"), p)
+    assert(!p.toLowerCase.contains("cartesian"))
+  }
+
+  test("weighted fusion windows only the bounded top-N frames") {
+    val p = plan("q_hybrid_weighted")
+    // per-list normalization + final ranking are windows over per-query
+    // candidate frames; no global sort anywhere
+    assert(p.contains("Window"))
+    assert(!p.contains("TakeOrderedAndProject"))
+  }
+
 }
