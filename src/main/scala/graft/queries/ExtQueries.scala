@@ -1119,6 +1119,52 @@ object ExtQueries {
       |LEFT JOIN h0 ON h0.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Perceptual near-dup over media
+    * ([[graft.ext.Multimodal.perceptualDupPairs]]): corpus-mean-
+    * thresholded 63-bit signatures from the stub decode, LSH-banded
+    * candidates, exact hamming verification ≤ 4 — the media analogue
+    * of MinHash-LSH-then-verify. The ASCII gate corpus lets DuckDB
+    * mirror the stub per character, so signatures, banding, and every
+    * hamming value are hash-checked end to end.
+    */
+  private def mediaDupPairs(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualDupPairs(s,
+        Multimodal.toMedia(Tables.documents(s, d)
+          .filter(col("doc_id") < 200)),
+        maxHamming = 4)
+      .orderBy("id_a", "id_b")
+
+  private val mediaDupPairsSql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |ch AS (SELECT doc_id, ascii(unnest(split(text, ''))) % 63 AS bin
+      |       FROM d),
+      |len AS (SELECT doc_id, length(text) AS n FROM d),
+      |h AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY 1, 2),
+      |grid AS (SELECT len.doc_id, b.bin, len.n FROM len
+      |         CROSS JOIN (SELECT unnest(range(0, 63)) AS bin) b),
+      |bins AS (SELECT g.doc_id, g.bin,
+      |           coalesce(h.c, 0) / greatest(1, g.n) AS f
+      |         FROM grid g LEFT JOIN h
+      |           ON h.doc_id = g.doc_id AND h.bin = g.bin),
+      |mu AS (SELECT bin, avg(f) AS mf FROM bins GROUP BY 1),
+      |ph AS (SELECT doc_id,
+      |         bit_or(CASE WHEN f > mf THEN (1::BIGINT << bins.bin)
+      |                     ELSE 0::BIGINT END) AS phash
+      |       FROM bins JOIN mu ON mu.bin = bins.bin GROUP BY 1),
+      |bands AS (SELECT doc_id, b.bno, (phash >> (b.bno * 7)) & 127 AS bval
+      |          FROM ph CROSS JOIN (SELECT unnest(range(0, 9)) AS bno) b),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b
+      |           ON a.bno = b.bno AND a.bval = b.bval
+      |          AND a.doc_id < b.doc_id),
+      |ver AS (SELECT c.id_a, c.id_b,
+      |          CAST(bit_count(xor(pa.phash, pb.phash)) AS INTEGER)
+      |            AS hamming
+      |        FROM cand c JOIN ph pa ON pa.doc_id = c.id_a
+      |                    JOIN ph pb ON pb.doc_id = c.id_b)
+      |SELECT id_a, id_b, hamming FROM ver
+      |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin
+
   // ---- BPE-style token counting (oracle: same RE2-compatible regex) ---
   private def bpeTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -2141,6 +2187,7 @@ object ExtQueries {
     Gate("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     Gate("q_multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
+    Gate("q_media_dup", mediaDupPairs, Some(mediaDupPairsSql)),
     Gate("q_multimodal_slices", multimodalSlices,
       Some(multimodalSlicesSql)),
   )

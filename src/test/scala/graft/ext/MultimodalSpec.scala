@@ -34,6 +34,31 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).histogram.length == 16)
   }
 
+  test("perceptual dup pairs: clones collide at hamming 0, noise does not") {
+    // docs 1/2 byte-identical, doc 3 a near-variant, doc 4 different
+    val m = Multimodal.toMedia(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 0L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 0L),
+      (3L, "the quick brown fox jumped over the lazy dog", "en", "s", 0L),
+      (4L, "zzzz 0123456789 !!!! ???? @@@@ #### $$$$ %%%%", "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = Multimodal.perceptualDupPairs(spark, m, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // identical payloads → identical signatures
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    // the outlier never survives verification against the prose docs
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("perceptual hashes are deterministic and fit 63 bits") {
+    val ph = Multimodal.perceptualHashes(spark, media)
+      .as[(Long, Long)].collect().toMap
+    val ph2 = Multimodal.perceptualHashes(spark, media)
+      .as[(Long, Long)].collect().toMap
+    assert(ph == ph2)
+    assert(ph.values.forall(_ >= 0L)) // bit 63 never set
+  }
+
   test("resizeStub: fixed-length evenly-spaced byte sketch") {
     val in = "abcdefgh".getBytes("UTF-8")
     val out = Multimodal.resizeStub(in, 4)
