@@ -329,6 +329,75 @@ object TextSearch {
     alignedVote(pos, phrases, phraseId, phraseTerms)
   }
 
+  /** Proximity (unordered SpanNear) search: for each (phrase, document)
+    * where every DISTINCT phrase term occurs, the MINIMAL token window
+    * `[lo, hi]` containing at least one occurrence of each term —
+    * returned as `min_window = hi − lo + 1` and filtered to
+    * `≤ maxWindow`. Order-free, between [[phraseSearch]] (exact
+    * adjacency) and BM25 (no position constraint at all): "these terms
+    * near each other" is the decontamination / concept-co-occurrence
+    * query neither neighbor answers.
+    *
+    * Scale shape: the corpus positional stream joins the broadcast
+    * phrase terms (only matched positions survive — bounded like the
+    * phrase path), then a per-(phrase, doc) two-pointer sweep computes
+    * the classic minimum covering window in O(P log P) per group. The
+    * sweep is deliberately `flatMapGroups` imperative code — the one
+    * shape the relational API can't express without a positions
+    * cross-product that is |P₁|·…·|P_K| per document where the sweep
+    * is linear; per-group state is one document's matched positions,
+    * bounded.
+    */
+  def proximitySearch(docs: DataFrame, id: Column, text: Column,
+      phrases: DataFrame, phraseId: Column, phraseTerms: Column,
+      maxWindow: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs.select(id.as("id"),
+      posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+    val pt = phrases.select(phraseId.as("phrase_id"),
+      explode(array_distinct(phraseTerms)).as("term"))
+    val kOf = phrases.select(phraseId.as("phrase_id"),
+      size(array_distinct(phraseTerms)).as("k"))
+    pos.join(broadcast(pt), "term")
+      .join(broadcast(kOf), "phrase_id")
+      .select(col("phrase_id"), col("id"), col("term"), col("pos"),
+        col("k"))
+      .as[(Long, Long, String, Int, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long),
+          it: Iterator[(Long, Long, String, Int, Int)]) =>
+        val (pid, did) = key
+        val rows = it.toArray
+        val k = rows.head._5
+        val terms = rows.map(_._3).distinct
+        if (terms.length < k) Iterator.empty
+        else {
+          val idx = terms.zipWithIndex.toMap
+          val evs = rows.map(r => (r._4, idx(r._3))).sortBy(_._1)
+          val count = new Array[Int](terms.length)
+          var covered = 0
+          var lo = 0
+          var best = Int.MaxValue
+          evs.foreach { case (p, t) =>
+            if (count(t) == 0) covered += 1
+            count(t) += 1
+            while (covered == k) {
+              best = math.min(best, p - evs(lo)._1 + 1)
+              val lt = evs(lo)._2
+              count(lt) -= 1
+              if (count(lt) == 0) covered -= 1
+              lo += 1
+            }
+          }
+          if (best == Int.MaxValue) Iterator.empty
+          else Iterator((pid, did, best))
+        }
+      }
+      .toDF("phrase_id", "id", "min_window")
+      .filter(col("min_window") <= maxWindow)
+  }
+
   /** The shared aligned-start vote over an (id, pos, term) stream. */
   private def alignedVote(pos: DataFrame, phrases: DataFrame,
       phraseId: Column, phraseTerms: Column): DataFrame = {

@@ -1510,6 +1510,59 @@ object ExtQueries {
       .orderBy("phrase_id", "id")
   }
 
+  /** Proximity search ([[graft.ext.TextSearch.proximitySearch]],
+    * unordered SpanNear): 3-term queries (first three tokens of docs
+    * 0-7, pairwise-distinct filter so K is fixed for the oracle) must
+    * co-occur within a 12-token window; the result is each matching
+    * doc's MINIMAL covering window. The two-pointer sweep's every
+    * window length is value-checked against the oracle's positions
+    * cross-product minimum — the O(P) sweep and the O(P³) relational
+    * spelling must agree exactly.
+    */
+  private def proximity(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val phrases = Tables.documents(s, d).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("pid"),
+        slice(toks, 1, 3).as("pterms"))
+      .filter(size(col("pterms")) === 3 &&
+        element_at(col("pterms"), 1) =!= element_at(col("pterms"), 2) &&
+        element_at(col("pterms"), 2) =!= element_at(col("pterms"), 3) &&
+        element_at(col("pterms"), 1) =!= element_at(col("pterms"), 3))
+    graft.ext.TextSearch.proximitySearch(Tables.documents(s, d),
+        col("doc_id"), col("text"), phrases, col("pid"), col("pterms"),
+        maxWindow = 12)
+      .orderBy("phrase_id", "id")
+  }
+
+  private val proximitySql =
+    """WITH d AS (SELECT doc_id,
+      |             regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |           FROM documents),
+      |pos AS (SELECT doc_id AS id, i AS pos, tk[i] AS term
+      |        FROM (SELECT doc_id, tk,
+      |                unnest(range(1, len(tk) + 1)) AS i
+      |              FROM d)),
+      |ph AS (SELECT doc_id AS qid, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3
+      |       FROM d
+      |       WHERE doc_id < 8 AND len(tk) >= 3
+      |         AND tk[1] <> tk[2] AND tk[2] <> tk[3] AND tk[1] <> tk[3]),
+      |m1 AS (SELECT ph.qid, p.id, p.pos FROM ph
+      |       JOIN pos p ON p.term = ph.t1),
+      |m2 AS (SELECT ph.qid, p.id, p.pos FROM ph
+      |       JOIN pos p ON p.term = ph.t2),
+      |m3 AS (SELECT ph.qid, p.id, p.pos FROM ph
+      |       JOIN pos p ON p.term = ph.t3),
+      |win AS (SELECT m1.qid, m1.id,
+      |          min(greatest(m1.pos, m2.pos, m3.pos)
+      |              - least(m1.pos, m2.pos, m3.pos) + 1) AS min_window
+      |        FROM m1
+      |        JOIN m2 ON m2.qid = m1.qid AND m2.id = m1.id
+      |        JOIN m3 ON m3.qid = m1.qid AND m3.id = m1.id
+      |        GROUP BY 1, 2)
+      |SELECT qid AS phrase_id, id, CAST(min_window AS INTEGER)
+      |         AS min_window
+      |FROM win WHERE min_window <= 12 ORDER BY phrase_id, id""".stripMargin
+
   /** Document retraction ([[graft.ext.TextSearch.deleteDocs]]): every
     * doc_id % 7 == 3 document is tombstoned (negative df/stats partials
     * computed from one postings scan — the corpus text is never
@@ -2153,6 +2206,7 @@ object ExtQueries {
     Gate("q_hybrid_weighted", hybridWeighted, Some(hybridWeightedSql)),
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Gate("q_phrase_persist", phrasePersist, Some(phraseSearchSql)),
+    Gate("q_proximity", proximity, Some(proximitySql)),
     Gate("q_bm25_delete", bm25Delete, Some(bm25DeleteSql)),
     Gate("q_stream_delete", streamBm25Delete, Some(bm25DeleteSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),

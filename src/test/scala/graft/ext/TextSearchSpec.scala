@@ -203,6 +203,25 @@ class TextSearchSpec extends SparkSpec {
     assert(afterDel === Set((101L, 2L, 3L)))
   }
 
+  test("proximity search finds the minimal covering window") {
+    val docs = Seq(
+      (0L, "cat x x x dog x cat dog"),   // windows: [0..4]=5, [6..7]=2
+      (1L, "dog y cat"),                 // one window: 3
+      (2L, "cat only here"),             // dog missing → no match
+      (3L, "x cat dog x")                // adjacent: 2
+    ).toDF("doc_id", "text")
+    val phrases = Seq((7L, Seq("cat", "dog"))).toDF("pid", "pterms")
+    val got = TextSearch.proximitySearch(docs, col("doc_id"), col("text"),
+        phrases, col("pid"), col("pterms"), maxWindow = 10)
+      .as[(Long, Long, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map(0L -> 2, 1L -> 3, 3L -> 2))
+    // tightening the window drops the looser match
+    val tight = TextSearch.proximitySearch(docs, col("doc_id"),
+        col("text"), phrases, col("pid"), col("pterms"), maxWindow = 2)
+      .as[(Long, Long, Int)].collect().map(_._2).toSet
+    assert(tight == Set(0L, 3L))
+  }
+
   test("rm3 expansion adds feedback-doc terms, never duplicates originals") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val expanded = TextSearch.expandQueries(ix, queries, col("qid"),
