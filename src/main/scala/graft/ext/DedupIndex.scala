@@ -113,9 +113,13 @@ object DedupIndex {
     } finally shP.unpersist()
   }
 
-  def readMeta(spark: SparkSession, path: String): Meta = {
-    val r = IndexStore.snapshot(spark, path).read("meta")
-      .getOrElse(sys.error(s"dedup index at $path has no meta")).head()
+  def readMeta(spark: SparkSession, path: String): Meta =
+    metaOf(IndexStore.snapshot(spark, path))
+
+  private def metaOf(snap: IndexStore.Snapshot): Meta = {
+    val r = snap.read("meta")
+      .getOrElse(sys.error(s"dedup index at ${snap.root} has no meta"))
+      .head()
     Meta(r.getAs[Int]("n"), r.getAs[Int]("bands"),
       r.getAs[Int]("rows_per_band"))
   }
@@ -136,16 +140,36 @@ object DedupIndex {
     */
   def dedupBatch(spark: SparkSession, path: String, newDocs: DataFrame,
       id: Column, text: Column, threshold: Double,
-      maxDF: Long = Long.MaxValue): DataFrame = {
-    val snap = IndexStore.snapshot(spark, path)
-    val m = readMeta(spark, path)
+      maxDF: Long = Long.MaxValue): DataFrame =
+    dedupAgainst(IndexStore.snapshot(spark, path), newDocs, id, text,
+      threshold, maxDF)
+
+  /** [[dedupBatch]] against a PINNED manifest version
+    * ([[IndexStore.snapshotAt]]) — time travel within the GC retention
+    * window, same contract as [[TextSearch.searchSavedAt]]: a batch
+    * dedups against the index exactly as committed at `version`,
+    * regardless of appends/deletes/compactions that landed since (the
+    * meta, derivatives, and tombstones all resolve against that one
+    * version). The audit shape: re-run yesterday's admission decision
+    * verbatim.
+    */
+  def dedupBatchAt(spark: SparkSession, path: String, version: Long,
+      newDocs: DataFrame, id: Column, text: Column, threshold: Double,
+      maxDF: Long = Long.MaxValue): DataFrame =
+    dedupAgainst(IndexStore.snapshotAt(spark, path, version), newDocs,
+      id, text, threshold, maxDF)
+
+  private def dedupAgainst(snap: IndexStore.Snapshot, newDocs: DataFrame,
+      id: Column, text: Column, threshold: Double,
+      maxDF: Long): DataFrame = {
+    val m = metaOf(snap)
     val (newSh0, newSizes, newDfDelta, newBuckets0) =
       encode(newDocs, id, text, m)
     val newSh = newSh0.persist()
     val newBuckets = newBuckets0.persist()
     try dedupEncoded(snap, newSh, newSizes, newDfDelta, newBuckets,
       threshold, maxDF)
-    finally Seq(newSh, newBuckets).foreach(_.unpersist())
+    finally { Seq(newSh, newBuckets).foreach(_.unpersist()); () }
   }
 
   /** Candidate generation + exact verification against the saved

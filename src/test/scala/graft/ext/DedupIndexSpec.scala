@@ -182,4 +182,23 @@ class DedupIndexSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dedupBatchAt re-runs yesterday's admission against the pinned version") {
+    val dir = graft.Gate.tmpDir("dedup_idx_tt_")
+    DedupIndex.build(base, col("id"), col("t"), dir, n = 2)
+    val v0 = IndexStore.snapshot(spark, dir).version
+    val then_ = pairsOf(DedupIndex.dedupBatch(spark, dir, batch,
+      col("id"), col("t"), threshold = 0.3))
+    // mutate the index: admit the batch, then delete doc 1
+    DedupIndex.append(spark, dir, batch, col("id"), col("t"))
+    DedupIndex.deleteDocs(spark, dir, Seq(1L).toDF("id"), col("id"))
+    // latest: doc 1 can no longer pair; the batch pairs with itself
+    val now = pairsOf(DedupIndex.dedupBatch(spark, dir, batch,
+      col("id"), col("t"), threshold = 0.3))
+    assert(!now.exists(p => p._1 == 1L))
+    // pinned v0: exactly the original decision, byte for byte
+    val replay = pairsOf(DedupIndex.dedupBatchAt(spark, dir, v0, batch,
+      col("id"), col("t"), threshold = 0.3))
+    assert(replay == then_)
+  }
 }
