@@ -207,6 +207,60 @@ object DataOps {
       .drop("__pid", "__off")
   }
 
+  /** PER-GROUP budget selection — the mixture-construction shape: each
+    * source/domain gets its own token budget ("30 B tokens of web, 5 B
+    * of code, 1 B of math") and, within each group, documents are
+    * admitted best-score-first until that group's budget fills.
+    * `budgets` carries one (grp, budget) row per admitted group; groups
+    * without a budget row are dropped (budgeting IS the selection).
+    *
+    * Same two-pass distributed prefix sum as [[selectUnderBudget]],
+    * with the group key leading the range partitioning: the naive
+    * `Window.partitionBy(group)` spelling puts EACH WHOLE GROUP through
+    * one task — at 100 TB a 30 TB web crawl serializes — while here a
+    * group spans as many range partitions as its size warrants, the
+    * driver sees only (partition × group-overlap) partial-sum rows, and
+    * each partition's window runs locally on (__pid, grp).
+    */
+  def selectUnderBudgetBy(df: DataFrame, group: Column, id: Column,
+      score: Column, nTokens: Column, budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val sorted = df
+      .select(group.as("grp"), id.as("id"), score.as("score"),
+        nTokens.as("n_tokens"))
+      .repartitionByRange(col("grp"), col("score").desc, col("id"))
+      .sortWithinPartitions(col("grp"), col("score").desc, col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partSums = sorted.groupBy("__pid", "grp")
+      .agg(sum("n_tokens").as("psum")).collect()
+    val offRows = partSums.groupBy(_.get(1)).iterator.flatMap {
+      case (_, rs) =>
+        var acc = 0L
+        rs.sortBy(_.getInt(0)).map { r =>
+          val o = Row(r.getInt(0), r.get(1), acc)
+          acc += r.getLong(2)
+          o
+        }
+    }.toSeq
+    val grpField = sorted.schema("grp")
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        grpField, StructField("__off", LongType, nullable = false))))
+    val w = Window.partitionBy("__pid", "grp")
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offDf), Seq("__pid", "grp"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
+      .join(broadcast(budgets.select(col("grp"), col("budget"))), Seq("grp"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .drop("__pid", "__off", "budget")
+  }
+
   /** Column profiler: per profiled column, null count, exact distinct
     * count, and min/max (stringified so heterogeneous column types share
     * one long-form output row shape). Counts/nulls/min/max ride ONE

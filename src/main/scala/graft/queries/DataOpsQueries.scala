@@ -481,6 +481,41 @@ object DataOpsQueries {
         col("n_tokens"), col("cum_tokens"))
       .orderBy("doc_id")
 
+  /** Per-group budget selection ([[DataOps.selectUnderBudgetBy]]): each
+    * source gets its own token budget (derived from the source name so
+    * budgets differ per group and the oracle can mirror them inline)
+    * and fills best-score-first independently — the mixture-
+    * construction step. The grouped two-pass prefix sum must land on
+    * exactly the per-source running sums the oracle's partitioned
+    * window computes.
+    */
+  private def tokenBudgetBy(s: SparkSession, d: String): DataFrame = {
+    val budgets = Tables.documents(s, d)
+      .select(col("source").as("grp")).distinct()
+      .withColumn("budget", lit(3000L) + lit(500L) * length(col("grp")))
+    DataOps.selectUnderBudgetBy(Tables.documents(s, d), col("source"),
+        col("doc_id"), col("n_chars").cast("double"),
+        TextAnalysis.tokenCount(col("text")).cast("long"), budgets)
+      .select(col("grp").as("source"), col("id").as("doc_id"),
+        col("score").cast("long").as("n_chars"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val tokenBudgetBySql =
+    """WITH t AS (SELECT source, doc_id, n_chars,
+      |             CAST(len(regexp_split_to_array(lower(trim(text)),
+      |                      '\s+')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT source, doc_id, n_chars, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY source
+      |             ORDER BY n_chars DESC, doc_id
+      |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM t)
+      |SELECT source, doc_id, n_chars, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 3000 + 500 * length(source)
+      |ORDER BY source, doc_id""".stripMargin
+
   private val tokenBudgetSql =
     """WITH t AS (SELECT doc_id, n_chars,
       |                  CAST(len(regexp_split_to_array(lower(trim(text)),
@@ -563,6 +598,7 @@ object DataOpsQueries {
     Gate("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Gate("q_profile", profileCols, Some(profileColsSql)),
     Gate("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    Gate("q_token_budget_by", tokenBudgetBy, Some(tokenBudgetBySql)),
     Gate("q_weighted_mix", weightedMix, Some(weightedMixSql)),
     Gate("q_weighted_resample", weightedResample, Some(weightedResampleSql)),
     Gate("q_pack_sequences", packSequences, Some(packSequencesSql)),

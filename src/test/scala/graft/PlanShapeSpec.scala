@@ -170,6 +170,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"))
   }
 
+  test("per-group budget selection never serializes a group") {
+    val p = plan("q_token_budget_by")
+    // grouped two-pass prefix sum: windows run on (__pid, grp), never
+    // a whole-group (or whole-data) single partition
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("weighted fusion windows only the bounded top-N frames") {
     val p = plan("q_hybrid_weighted")
     // per-list normalization + final ranking are windows over per-query

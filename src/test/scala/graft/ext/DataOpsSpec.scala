@@ -141,6 +141,20 @@ class DataOpsSpec extends SparkSpec {
     assert(got == Map(2L -> 50L, 4L -> 75L))
   }
 
+  test("selectUnderBudgetBy fills each group's own budget independently") {
+    val d = Seq(
+      ("web", 1L, 5.0, 40L), ("web", 2L, 9.0, 50L), ("web", 3L, 7.0, 30L),
+      ("code", 10L, 2.0, 60L), ("code", 11L, 8.0, 45L),
+      ("math", 20L, 1.0, 10L)).toDF("src", "i", "q", "toks")
+    // web budget 80: keep 2 (cum 50), 3 (cum 80), not 1;
+    // code budget 45: keep 11 only; math has NO budget row → dropped
+    val budgets = Seq(("web", 80L), ("code", 45L)).toDF("grp", "budget")
+    val got = DataOps.selectUnderBudgetBy(d, col("src"), col("i"),
+        col("q"), col("toks"), budgets)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 50L, 3L -> 80L, 11L -> 45L))
+  }
+
   test("profile: null counts, exact distincts, stringified min/max") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "a"),
       (2L, null)).toDF("num", "s")
