@@ -190,4 +190,39 @@ object StarClusterProperties extends Properties("graftStarClusters") {
       Prop(got.forall(_._2 == mn)) :| s"single component rooted at $mn" &&
       Prop(rounds <= bound) :| s"rounds $rounds within log bound $bound"
   }
+
+  /** Incremental-fold exactness ([[graft.ext.Dedup.incrementalComponents]]):
+    * for a random old graph and a random delta (new nodes, plus edges
+    * drawn over old ∪ new — cross-cluster bridges included), folding the
+    * delta into the old labeling must equal one batch run over the
+    * accumulated graph. This is the composability law the streaming
+    * maintenance loop rests on.
+    */
+  property("incrementalEqualsBatch") = Prop.forAllNoShrink(
+    Gen.choose(10, 24), Gen.choose(0, 10), Gen.choose(0L, 1000000L)) {
+    (nOld, nNew, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val oldIds = (0 until nOld).map(_.toLong * 3 + 1)
+      val newIds = (0 until nNew).map(i => 1000L + i)
+      def somePairs(ids: Seq[Long], m: Int) =
+        if (ids.size < 2) Seq.empty
+        else Seq.fill(m)((ids(rnd.nextInt(ids.size)),
+          ids(rnd.nextInt(ids.size)))).filter(p => p._1 != p._2)
+      val oldPairs = somePairs(oldIds, nOld / 2)
+      val allIds = oldIds ++ newIds
+      val newPairs = somePairs(allIds, (nNew + 2) * 2)
+        // a "new" edge must touch the world, but may be old-old (drift
+        // re-links), old-new, or new-new — all three shapes sampled
+      val prev = graft.ext.Dedup.dupClustersStar(oldIds.toDF("id"),
+        oldPairs.toDF("id_a", "id_b"), parallelism = Some(4))
+      val inc = graft.ext.Dedup.incrementalComponents(prev,
+          newIds.toDF("id"), newPairs.toDF("id_a", "id_b"),
+          parallelism = Some(4))
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.ext.Dedup.dupClustersStar(allIds.toDF("id"),
+          (oldPairs ++ newPairs).toDF("id_a", "id_b"),
+          parallelism = Some(4))
+        .as[(Long, Long)].collect().toMap
+      Prop(inc == batch) :| s"inc=$inc batch=$batch"
+  }
 }
