@@ -474,13 +474,42 @@ object TextSearch {
     */
   def search(ix: Index, queries: DataFrame, qid: Column, qterms: Column,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxDF: Long = Long.MaxValue): DataFrame = {
-    val qt = queries.select(qid.as("query_id"),
-      explode(array_distinct(qterms)).as("term"))
+      maxDF: Long = Long.MaxValue): DataFrame =
+    searchTerms(ix,
+      queries.select(qid.as("query_id"),
+          explode(array_distinct(qterms)).as("term"))
+        .withColumn("weight", lit(1.0)),
+      k, k1, b, maxDF)
+
+  /** BM25 with PER-TERM QUERY WEIGHTS — the primitive behind query
+    * boosting, interpolated relevance models, and learned-sparse
+    * (SPLADE-style) retrieval, where the query IS a sparse weighted
+    * term vector: `score(q, d) = Σ_t w(q, t) · bm25_t(d)`. `queries`
+    * carries the vector in long form, one (query_id, term, weight) row
+    * per component; duplicate components sum their weights. Weight 1.0
+    * on every term is exactly [[search]] (`x · 1.0` is bit-identical),
+    * so the two rankings share one scorer and one discipline
+    * (6-decimal rounding, id tie-break, tombstone exclusion, maxDF
+    * suppression).
+    */
+  def searchWeighted(ix: Index, queries: DataFrame, qid: Column,
+      term: Column, weight: Column, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, maxDF: Long = Long.MaxValue): DataFrame =
+    searchTerms(ix,
+      queries.select(qid.as("query_id"), term.as("term"),
+          weight.cast("double").as("weight"))
+        .groupBy("query_id", "term")
+        .agg(sum("weight").as("weight")),
+      k, k1, b, maxDF)
+
+  /** Shared scorer over a (query_id, term, weight) frame. */
+  private def searchTerms(ix: Index, qt: DataFrame, k: Int, k1: Double,
+      b: Double, maxDF: Long): DataFrame = {
     // lexicon streams past the broadcast query terms; the annotated
-    // (term, query_id, df) result is itself tiny → broadcast into the
-    // postings scan. Postings are never shuffled, and the explicit
-    // column prune keeps the positional payload out of the BM25 scan.
+    // (term, query_id, df, weight) result is itself tiny → broadcast
+    // into the postings scan. Postings are never shuffled, and the
+    // explicit column prune keeps the positional payload out of the
+    // BM25 scan.
     val lex =
       if (maxDF == Long.MaxValue) ix.lexicon
       else ix.lexicon.filter(col("df") <= maxDF)
@@ -490,7 +519,8 @@ object TextSearch {
           (col("df") + lit(0.5))) *
         (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1 * (1.0 - b)) +
-          lit(k1 * b) * col("dl") / col("avgdl"))
+          lit(k1 * b) * col("dl") / col("avgdl")) *
+        col("weight")
     val live = ix.tombstones.fold(ix.postings)(t =>
       ix.postings.join(broadcast(t), Seq("id"), "left_anti"))
     val scored = live.select("term", "id", "tf", "dl").join(qdf, "term")

@@ -1585,6 +1585,53 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Weighted-query BM25 ([[graft.ext.TextSearch.searchWeighted]]):
+    * the same query terms as q_bm25_topk but as a SPARSE WEIGHTED
+    * VECTOR — each term boosted by its length (deterministic, oracle-
+    * mirrorable) — the query-boosting / learned-sparse-retrieval
+    * primitive. The oracle recomputes the weighted sum, so the weight
+    * path is value-checked, not just the ordering.
+    */
+  private def bm25Boost(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ext.TextSearch.load(s, sharedBm25Index(s, d))
+    val q = bm25Queries(s, d)
+      .select(col("qid"), explode(col("qterms")).as("term"))
+      .withColumn("w", length(col("term")).cast("double"))
+    graft.ext.TextSearch.searchWeighted(ix, q, col("qid"), col("term"),
+        col("w"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25BoostSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM tok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)
+      |             * length(q.term)) AS score_raw,
+      |         count(*) AS matched
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   /** Pseudo-relevance-feedback retrieval
     * ([[graft.ext.TextSearch.expandQueries]], RM3-lite): first-pass
     * BM25 top-5 per query → relevance-model term weights
@@ -2200,6 +2247,7 @@ object ExtQueries {
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
     Gate("q_bm25_timetravel", bm25TimeTravel, Some(bm25Sql)),
     Gate("q_bm25_rm3", bm25Rm3, Some(bm25Rm3Sql)),
+    Gate("q_bm25_boost", bm25Boost, Some(bm25BoostSql)),
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

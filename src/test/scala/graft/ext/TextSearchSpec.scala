@@ -203,6 +203,31 @@ class TextSearchSpec extends SparkSpec {
     assert(afterDel === Set((101L, 2L, 3L)))
   }
 
+  test("weighted search: unit weights equal search; boosts reorder") {
+    val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
+    val plain = rows(TextSearch.search(ix, queries, col("qid"),
+      col("qterms"), k = 4).orderBy("rn"))
+    val unit = rows(TextSearch.searchWeighted(ix,
+      Seq((100L, "cat", 1.0), (100L, "sat", 1.0))
+        .toDF("qid", "term", "w"),
+      col("qid"), col("term"), col("w"), k = 4).orderBy("rn"))
+    assert(unit === plain)
+    // (cat, dog) at equal weights ties docs 0 and 1 (same tf, dl, df)
+    // and id breaks toward doc 0; boosting "dog" must flip the order
+    val boosted = TextSearch.searchWeighted(ix,
+        Seq((100L, "cat", 1.0), (100L, "dog", 50.0))
+          .toDF("qid", "term", "w"),
+        col("qid"), col("term"), col("w"), k = 4)
+      .orderBy("rn").select("id").as[Long].collect().toSeq
+    assert(boosted.indexOf(1L) < boosted.indexOf(0L))
+    // duplicate vector components sum their weights
+    val summed = rows(TextSearch.searchWeighted(ix,
+      Seq((100L, "cat", 0.5), (100L, "cat", 0.5), (100L, "sat", 1.0))
+        .toDF("qid", "term", "w"),
+      col("qid"), col("term"), col("w"), k = 4).orderBy("rn"))
+    assert(summed === plain)
+  }
+
   test("proximity search finds the minimal covering window") {
     val docs = Seq(
       (0L, "cat x x x dog x cat dog"),   // windows: [0..4]=5, [6..7]=2
