@@ -317,6 +317,18 @@ object DedupIndex {
     * retention window. Run it on the cadence appends warrant (the same
     * small-files economics as [[graft.billing.BillingStore.compactRaw]]).
     */
+  /** Size-tiered compaction policy (same knob as
+    * [[TextSearch.maybeCompact]]): compact only when the manifest
+    * references more than `maxSegments` segments, so a streaming ingest
+    * amortizes compaction over deliveries. Returns whether one ran.
+    */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, path) > maxSegments
+    if (due) compact(spark, path)
+    due
+  }
+
   def compact(spark: SparkSession, path: String): Unit =
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)

@@ -93,6 +93,12 @@ object IndexStore {
   def newSegmentName(): String =
     "seg-" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
+  /** Distinct segments the CURRENT manifest references — the number of
+    * per-relation unions a reader pays, i.e. the compaction-debt gauge.
+    */
+  def segmentCount(spark: SparkSession, root: String): Int =
+    snapshot(spark, root).lines.map(_.split("/").head).distinct.size
+
   /** Run `body` holding the index root's writer mutex — every mutator
     * (build/append/delete/compact) goes through here.
     */

@@ -260,6 +260,21 @@ object TextSearch {
       ()
     }
 
+  /** Size-tiered compaction policy: [[compact]] only when the manifest
+    * references more than `maxSegments` segments — the knob a streaming
+    * ingest loop calls after every append so compaction cost amortizes
+    * over deliveries instead of firing per micro-batch (or never).
+    * Returns whether a compaction ran. Idempotent and safe to call
+    * concurrently with appends: the count and the compaction both run
+    * under the writer lock's commit protocol.
+    */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, path) > maxSegments
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Sum the lexicon/stats partials back into search-ready relations. */
   private def fromPartials(postings: DataFrame, lexParts: DataFrame,
       statsParts: DataFrame, tombstones: Option[DataFrame]): Index = Index(
@@ -451,6 +466,45 @@ object TextSearch {
     orig.unionByName(expansion).distinct()
       .groupBy("query_id")
       .agg(sort_array(collect_list(col("term"))).as("qterms"))
+  }
+
+  /** FULL RM3 — the interpolated weighted form [[expandQueries]]
+    * approximates by admission: the expanded query is a sparse weighted
+    * vector `λ·P_mle(t|q) + (1−λ)·P_rm(t)` where original terms carry
+    * `λ/|q|` (uniform query MLE), the top-`fbTerms` relevance-model
+    * terms carry `(1−λ)·w/Σw` (weights normalized over the selected
+    * set), and a term on both sides sums. Feed the result straight to
+    * [[searchWeighted]]. Same bounded shapes as [[expandQueries]];
+    * weights are 6-decimal-rounded BEFORE normalization so an oracle
+    * engine derives identical vectors.
+    */
+  def expandQueriesRm3(ix: Index, queries: DataFrame, qid: Column,
+      qterms: Column, fbDocs: Int = 5, fbTerms: Int = 10,
+      lambda: Double = 0.6, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val fb = search(ix, queries, qid, qterms, fbDocs, k1, b)
+      .select("query_id", "id")
+    val weights = ix.postings.select("id", "term", "tf", "dl")
+      .join(broadcast(fb), "id")
+      .groupBy("query_id", "term")
+      .agg(round(sum(col("tf").cast("double") / col("dl")), 6).as("w"))
+    val orig = queries.select(qid.as("query_id"),
+      explode(array_distinct(qterms)).as("term"))
+    val qlen = orig.groupBy("query_id").agg(count(lit(1)).as("nq"))
+    val origW = orig.join(qlen, "query_id")
+      .select(col("query_id"), col("term"),
+        (lit(lambda) / col("nq")).as("weight"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("w"), col("term"))
+    val top = weights.join(orig, Seq("query_id", "term"), "left_anti")
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") <= fbTerms)
+    val wsum = top.groupBy("query_id").agg(sum("w").as("ws"))
+    val expW = top.join(wsum, "query_id")
+      .select(col("query_id"), col("term"),
+        (lit(1.0 - lambda) * col("w") / col("ws")).as("weight"))
+    origW.unionByName(expW)
+      .groupBy("query_id", "term").agg(sum("weight").as("weight"))
   }
 
   /** Top-k BM25 per query. `queries` carries an ARRAY of query terms

