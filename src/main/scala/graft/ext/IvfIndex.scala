@@ -178,6 +178,48 @@ object IvfIndex {
     Model(centroids, EmbeddingSearch.prepared(embs).join(cells, "vec_id"))
   }
 
+  /** INCREMENTAL embedding near-dup: dedup a DELTA of vectors against
+    * an IVF-indexed corpus without an all-pairs join — the
+    * embedding-side analogue of [[DedupIndex.dedupBatch]] (same
+    * contract: pairs involving the batch, index not mutated; call
+    * [[append]]/[[saveAppend]] to admit). Each new vector probes its
+    * `nProbe` nearest cells under the FROZEN quantizer and pairs only
+    * against those cells' members plus the batch's own assignments;
+    * survivors are exact-cosine pairs ≥ `threshold`, canonicalized
+    * (id_a < id_b). Cost ∝ batch × probed-cell membership, never
+    * corpus². Bounded probes inherit IVF's recall (a cross-cell
+    * near-dup at nProbe=1 is missed exactly as a probe miss);
+    * EXHAUSTIVE probing is exact — every qualifying pair with a batch
+    * side — which is how the gate value-checks the operator.
+    */
+  def dedupBatch(model: Model, newEmbs: DataFrame, threshold: Double,
+      nProbe: Int = 1): DataFrame = {
+    val newA = assignNew(model, newEmbs)
+    val q = newA.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val d2 = EmbeddingSearch.dot(col("qv"), col("qv")) -
+      lit(2.0) * EmbeddingSearch.dot(col("qv"), col("cv")) +
+      EmbeddingSearch.dot(col("cv"), col("cv"))
+    val cellRank = Window.partitionBy("query_id").orderBy(col("d2").asc)
+    val probes = q.crossJoin(broadcast(model.centroids))
+      .withColumn("d2", d2)
+      .withColumn("cell_rank", row_number().over(cellRank))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qv", "qnrm", "cell")
+    val members = model.assigned.select("vec_id", "v", "nrm", "cell")
+      .unionByName(newA.select("vec_id", "v", "nrm", "cell"))
+    members.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("qv"), col("v")) /
+          sqrt(col("qnrm") * col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("vec_id"), col("query_id")).as("id_a"),
+        greatest(col("vec_id"), col("query_id")).as("id_b"),
+        round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** Top-k per query, probing the `nProbe` nearest cells. */
   def search(model: Model, queryPred: Column, k: Int, nProbe: Int): DataFrame =
     searchImpl(model,

@@ -664,6 +664,35 @@ object ScaleQueries {
       |       CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Incremental embedding dedup ([[graft.ext.IvfIndex.dedupBatch]]):
+    * the delta (every 10th vector) dedups against the IVF-indexed base
+    * via cell blocking — batch × probed-cell members, never corpus².
+    * Probing is exhaustive here, which makes the blocked computation
+    * EXACT (every cosine-≥-threshold pair with a delta side), so the
+    * oracle value-checks every pair and cosine rather than a recall
+    * floor; bounded-probe recall is pinned in IvfIndexSpec.
+    */
+  private def embedDedupInc(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    val model = IvfIndex.build(base, k = 16, sampleFraction = 0.25)
+    IvfIndex.dedupBatch(model, delta, threshold = 0.45,
+        nProbe = Int.MaxValue)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val embedDedupIncSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        list_dot_product(a.v, b.v)
+      |          / sqrt(list_dot_product(a.v, a.v)
+      |                 * list_dot_product(b.v, b.v)) AS cos
+      |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |      WHERE a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+      |SELECT id_a, id_b, round(cos, 6) AS cos FROM p
+      |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+
   /** IVF-PQ composite ANN gate ([[graft.ext.IvfPqIndex]] — the IVFADC
     * layout of Jégou et al.): coarse cells prune WHICH rows a query
     * scores, product quantization of the cell RESIDUAL shrinks what a
@@ -1669,6 +1698,7 @@ object ScaleQueries {
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_ann_filtered", annFiltered, Some(annFilteredSql)),
+    Gate("q_embed_dedup_inc", embedDedupInc, Some(embedDedupIncSql)),
     Gate("q_ivfpq_topk", ivfPqTopK, Some(ivfPqTopKSql)),
     Gate("q_ivfpq_persist", ivfPqPersist, Some(ivfPqPersistSql)),
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),

@@ -47,6 +47,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.toSet == want.toSet)
   }
 
+  test("incremental dedup: bounded probes find a subset of exhaustive") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    val model = IvfIndex.build(base, k = 4)
+    val exact = IvfIndex.dedupBatch(model, delta, threshold = 0.45,
+        nProbe = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = IvfIndex.dedupBatch(model, delta, threshold = 0.45,
+        nProbe = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact))
+    // every exhaustive pair involves a delta vector, both orderings
+    // canonicalized
+    assert(exact.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+    assert(exact.forall(p => p._1 < p._2))
+  }
+
   test("assignNew reproduces the trained quantizer's own assignment") {
     val embs = Tables.embeddings(spark, sf0001).limit(200)
     val model = IvfIndex.build(embs, k = 4)
