@@ -693,6 +693,53 @@ object ScaleQueries {
       |SELECT id_a, id_b, round(cos, 6) AS cos FROM p
       |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
 
+  /** STREAMING embedding dedup — the vector-side maintenance loop
+    * (mirrors q_stream_dedup_index): vector deliveries drain in two
+    * micro-batches; each batch dedups against the EVOLVING in-memory
+    * index ([[graft.ext.IvfIndex.dedupBatch]], exhaustive probes) and
+    * is then admitted ([[graft.ext.IvfIndex.append]], frozen
+    * quantizer). Batch 1 pairs against base∪batch1, batch 2 against
+    * everything — the union is exactly every qualifying pair with a
+    * delta side, so the accumulated stream output hash-matches the
+    * same delta-restricted all-pairs oracle as the one-shot
+    * incremental gate, proving dedup-then-admit composes across
+    * arbitrary micro-batch boundaries for vectors too.
+    */
+  private def streamEmbedDedup(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    var model = IvfIndex.build(base, k = 16, sampleFraction = 0.25)
+    val in = graft.Gate.tmpDir("gate_sed_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sed_ck_")
+    val out = graft.Gate.tmpDir("gate_sed_out_")
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    delta.filter(col("vec_id") % 20 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    delta.filter(col("vec_id") % 20 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream
+      .schema(embs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // dedup against the index as of THIS batch, then admit; the
+        // localCheckpoint pins the batch's pairs before the index
+        // reference evolves underneath the lazy plan
+        val pairs = IvfIndex.dedupBatch(model, batch, threshold = 0.45,
+          nProbe = Int.MaxValue).localCheckpoint(true)
+        pairs.write.mode("append").parquet(out)
+        model = IvfIndex.append(model, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.schema("id_a LONG, id_b LONG, cos DOUBLE").parquet(out)
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF-PQ composite ANN gate ([[graft.ext.IvfPqIndex]] — the IVFADC
     * layout of Jégou et al.): coarse cells prune WHICH rows a query
     * scores, product quantization of the cell RESIDUAL shrinks what a
@@ -1699,6 +1746,7 @@ object ScaleQueries {
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_ann_filtered", annFiltered, Some(annFilteredSql)),
     Gate("q_embed_dedup_inc", embedDedupInc, Some(embedDedupIncSql)),
+    Gate("q_stream_embed_dedup", streamEmbedDedup, Some(embedDedupIncSql)),
     Gate("q_ivfpq_topk", ivfPqTopK, Some(ivfPqTopKSql)),
     Gate("q_ivfpq_persist", ivfPqPersist, Some(ivfPqPersistSql)),
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),
