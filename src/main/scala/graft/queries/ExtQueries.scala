@@ -642,29 +642,32 @@ object ExtQueries {
     // gate prices the incremental fold)
     docs.select(col("doc_id").as("id"), col("doc_id").as("cluster"))
       .write.mode("overwrite").parquet(s"$lab/v0")
-    val ver = new java.util.concurrent.atomic.AtomicInteger(0)
+    val last = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = s.readStream.schema("id LONG, t STRING")
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true").parquet(in)
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // label versions key on the CHECKPOINTED batchId, not a driver
+        // counter: a replayed batch b re-reads v(b) and overwrites
+        // v(b+1) — the fold is retry-idempotent, as a production
+        // maintenance loop must be
         val pairs = graft.ext.DedupIndex.ingestBatch(s, idx, batch,
           col("id"), col("t"), threshold = 0.5)
-        val v = ver.get()
         Dedup.incrementalComponents(
-            s.read.parquet(s"$lab/v$v"),
+            s.read.parquet(s"$lab/v$batchId"),
             batch.select(col("id")),
             pairs.select("id_a", "id_b"),
             parallelism = Some(8))
-          .write.mode("overwrite").parquet(s"$lab/v${v + 1}")
-        ver.incrementAndGet()
+          .write.mode("overwrite").parquet(s"$lab/v${batchId + 1}")
+        last.set(batchId + 1)
         ()
       }
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$lab/v${ver.get()}").orderBy("id")
+    s.read.parquet(s"$lab/v${last.get()}").orderBy("id")
   }
 
   private val streamClustersSql =
