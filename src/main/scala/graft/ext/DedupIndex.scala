@@ -329,7 +329,8 @@ object DedupIndex {
     due
   }
 
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Unit =
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val m = readMeta(spark, path)
@@ -351,7 +352,7 @@ object DedupIndex {
       live("buckets").repartition(col("id"))
         .write.parquet(s"$path/$seg/buckets")
       IndexStore.publishReplace(spark, path, seg,
-        Seq("meta", "shingles", "sizes", "df", "buckets"))
+        Seq("meta", "shingles", "sizes", "df", "buckets"), retainVersions)
       ()
     }
 

@@ -236,7 +236,8 @@ object TextSearch {
     * racing this sees the old or the new index, never a mix — and GCs
     * segments outside the retention window.
     */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Unit =
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val buckets = bucketsOf(snap)
@@ -256,7 +257,7 @@ object TextSearch {
         .coalesce(1).write.parquet(s"$path/$seg/stats")
       writeMeta(spark, path, seg, buckets)
       IndexStore.publishReplace(spark, path, seg,
-        Seq("postings", "lexicon", "stats", "meta"))
+        Seq("postings", "lexicon", "stats", "meta"), retainVersions)
       ()
     }
 

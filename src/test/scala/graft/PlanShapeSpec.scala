@@ -179,6 +179,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("proximity search broadcasts phrase terms; no cartesian") {
+    val p = plan("q_proximity")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.toLowerCase.contains("cartesian"))
+  }
+
   test("weighted fusion windows only the bounded top-N frames") {
     val p = plan("q_hybrid_weighted")
     // per-list normalization + final ranking are windows over per-query

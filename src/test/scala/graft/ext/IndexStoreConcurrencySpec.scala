@@ -32,8 +32,13 @@ class IndexStoreConcurrencySpec extends SparkSpec {
       col("qid"), col("qterms"), k = 4).orderBy("rn"))
     @volatile var compactorError: Option[Throwable] = None
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // retention must exceed the commits a concurrent reader's longest
+    // operation can span — the version-depth contract. A tight
+    // compaction loop against slow readers needs a deeper window than
+    // the default 2 (same sizing exercise Delta vacuum retention is).
     val compactor = new Thread(() =>
-      try while (!stop.get()) TextSearch.compact(spark, dir)
+      try while (!stop.get())
+        TextSearch.compact(spark, dir, retainVersions = 16)
       catch { case t: Throwable => compactorError = Some(t) })
     compactor.start()
     try {
@@ -95,6 +100,39 @@ class IndexStoreConcurrencySpec extends SparkSpec {
     val got = rows(TextSearch.searchSaved(spark, dir, queries,
       col("qid"), col("qterms"), k = 5).orderBy("rn"))
     assert(got.nonEmpty)
+  }
+
+  test("dedup batch racing index compaction sees one world") {
+    import org.apache.spark.sql.functions.lower
+    val dir = tmpDir("ddrace")
+    val docs = corpus.select(col("doc_id").as("id"),
+      lower(col("text")).as("t"))
+    DedupIndex.build(docs, col("id"), col("t"), dir, n = 2)
+    val batch = Seq((10L, "the cat sat on the mat tonight"))
+      .toDF("id", "t")
+    val expected = DedupIndex.dedupBatch(spark, dir, batch,
+      col("id"), col("t"), threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    @volatile var err: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // dedup reads span multiple jobs (candidates + verification), so
+    // they can outlive several tight-loop commits: size the retention
+    // window accordingly (the version-depth contract)
+    val compactor = new Thread(() =>
+      try while (!stop.get())
+        DedupIndex.compact(spark, dir, retainVersions = 16)
+      catch { case t: Throwable => err = Some(t) })
+    compactor.start()
+    try (1 to 8).foreach { _ =>
+      val got = DedupIndex.dedupBatch(spark, dir, batch,
+        col("id"), col("t"), threshold = 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally {
+      stop.set(true)
+      compactor.join(60000)
+    }
+    assert(err.isEmpty, s"compactor failed: $err")
   }
 
   test("gc retains segments pinned by the retention window, drops older") {
