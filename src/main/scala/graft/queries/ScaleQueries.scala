@@ -724,19 +724,22 @@ object ScaleQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // dedup against the index as of THIS batch, then admit; the
         // localCheckpoint pins the batch's pairs before the index
-        // reference evolves underneath the lazy plan
+        // reference evolves underneath the lazy plan. Output lands in
+        // a per-batchId dir with overwrite — a replayed batch
+        // re-produces its own slice instead of appending duplicates
         val pairs = IvfIndex.dedupBatch(model, batch, threshold = 0.45,
           nProbe = Int.MaxValue).localCheckpoint(true)
-        pairs.write.mode("append").parquet(out)
+        pairs.write.mode("overwrite").parquet(s"$out/b$batchId")
         model = IvfIndex.append(model, batch)
         ()
       }
       .start()
     q.awaitTermination()
-    s.read.schema("id_a LONG, id_b LONG, cos DOUBLE").parquet(out)
+    s.read.schema("id_a LONG, id_b LONG, cos DOUBLE")
+      .option("recursiveFileLookup", "true").parquet(out)
       .orderBy("id_a", "id_b")
   }
 
