@@ -261,6 +261,168 @@ object DataOps {
       .drop("__pid", "__off", "budget")
   }
 
+  /** Per-document hashed n-gram feature counts — the DSIR feature map
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): unigrams and word bigrams hash into
+    * `buckets` buckets via the 48-bit md5 gram hash
+    * ([[TextAnalysis.md5Hash48]] — the hash an external engine can
+    * reproduce), and each document becomes a sparse count vector
+    * (id, b, cnt). Bigrams derive per-row from the token array (no
+    * positional self-join); the groupBy is a two-phase hash
+    * aggregation on (id, b) — corpus-token-linear, the only row
+    * multiplier is the gram explode.
+    */
+  def hashedNgramCounts(docs: DataFrame, id: Column, text: Column,
+      buckets: Int): DataFrame =
+    gramFrame(docs, id, text)
+      .select(col("id"),
+        pmod(TextAnalysis.md5Hash48(col("g")), lit(buckets.toLong)).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+
+  /** (id, g) rows: every unigram and every adjacent word bigram. */
+  private def gramFrame(docs: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val t = TextAnalysis.tokens(text)
+    val bi = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (p, c) => concat(p, lit(" "), c))
+    docs.select(id.as("id"), explode(concat(t, bi)).as("g"))
+  }
+
+  /** DSIR importance weights: score every raw document by how much more
+    * likely its hashed n-gram features are under the TARGET corpus's
+    * bag-of-ngrams model than under the raw corpus's own —
+    * `log w(x) = Σ_b c_b(x)·(ln p̂_tgt(b) − ln p̂_raw(b))` with add-k
+    * smoothing over the `buckets`-bucket hashed vocabulary. The
+    * data-selection primitive for "more data like this sample": rank or
+    * resample raw documents by `log_w` ([[gumbelTopK]] is the paper's
+    * sampler). Returns (id, n_feat, log_w) per raw document.
+    *
+    * Scale shape: both models are one hash aggregation over their gram
+    * streams; the per-bucket log-ratio table is ≤ `buckets` rows →
+    * broadcast into the per-document feature join; nothing
+    * corpus-sized ever shuffles wider than the (id, b) feature
+    * reduction. The target is typically a curated sample, but nothing
+    * here requires it small — its model is the same one-pass reduction.
+    */
+  def importanceWeights(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column, buckets: Int = 1024,
+      kSmooth: Double = 0.5): DataFrame = {
+    val feats = hashedNgramCounts(raw, id, text, buckets)
+    val rawTot = feats.groupBy("b").agg(sum("cnt").as("rcnt"))
+    val tgtTot = gramFrame(
+        target.select(lit(0L).as("__id"), targetText.as("__text")),
+        col("__id"), col("__text"))
+      .select(pmod(TextAnalysis.md5Hash48(col("g")),
+        lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val rt = rawTot.agg(sum("rcnt").as("rtot"))
+    val tt = tgtTot.agg(sum("tcnt").as("ttot"))
+    // raw-side buckets cover every feature bucket by construction;
+    // target-absent buckets smooth to the floor probability
+    val lr = rawTot.join(tgtTot, Seq("b"), "left")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+      .select(col("b"),
+        (log((coalesce(col("tcnt"), lit(0L)) + lit(kSmooth)) /
+            (col("ttot") + lit(kSmooth * buckets))) -
+          log((col("rcnt") + lit(kSmooth)) /
+            (col("rtot") + lit(kSmooth * buckets)))).as("lr"))
+    feats.join(broadcast(lr), "b")
+      .groupBy("id")
+      .agg(sum("cnt").cast("long").as("n_feat"),
+        sum(col("cnt") * col("lr")).as("log_w"))
+  }
+
+  /** Gumbel-top-k sampling without replacement, derandomized: drawing k
+    * items with probability ∝ exp(logW) is exactly "add independent
+    * Gumbel(0,1) noise to each logW and take the top k" — and the
+    * module's determinism rule turns the noise into a hash:
+    * `u = md5₄₈(seed:id)/2⁴⁸`, `g = −ln(−ln u)`. Re-runs, retries, and
+    * the DuckDB oracle all draw the identical sample; changing `seed`
+    * draws a fresh one. This is DSIR's resampling step with
+    * [[importanceWeights]] as logW, but the sampler is generic.
+    *
+    * The top-k is an `orderBy(...).limit(k)` — Spark's distributed
+    * TakeOrdered, never a global sort — and only the k survivors pass
+    * through the rank window (single partition of k rows, bounded by
+    * construction). Returns the input columns plus (key, rn), rn ≤ k
+    * in descending perturbed-key order.
+    */
+  def gumbelTopK(df: DataFrame, id: Column, logW: Column, k: Int,
+      seed: String = "g1"): DataFrame = {
+    val u = TextAnalysis.md5Hash48(concat(lit(seed + ":"),
+      id.cast("string"))).cast("double") / lit(281474976710656.0)
+    val keyed = df.withColumn("key", round(logW - log(-log(u)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key").desc, id)
+    keyed.orderBy(col("key").desc, id).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Per-group quantile bucketing — the CCNet shape: rank documents
+    * within each group (language, source) by a score and cut the
+    * ranking into `k` equal-depth buckets, `0` holding the best-scored
+    * slice ("head"), `k−1` the worst ("tail"). Downstream mixes then
+    * keep/weight buckets per group. Callers pre-round the score so the
+    * rank order is engine-reproducible.
+    *
+    * The within-group rank is the same two-pass distributed prefix sum
+    * as [[selectUnderBudget]] (counting 1s): a group spans as many
+    * range partitions as its size warrants — never the
+    * one-task-per-group `Window.partitionBy(group)` spelling — the
+    * driver sees only (partition × group-overlap) count rows, and the
+    * rank window runs partition-locally. Bucket = ⌊(rank−1)·k/n⌋ over
+    * the group's total n, exact in integer-range doubles.
+    *
+    * Returns (grp, id, score, rank, bucket).
+    */
+  def quantileBuckets(scored: DataFrame, group: Column, id: Column,
+      score: Column, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = scored.sparkSession
+    val sorted = scored
+      .select(group.as("grp"), id.as("id"), score.as("score"))
+      .repartitionByRange(col("grp"), col("score").desc, col("id"))
+      .sortWithinPartitions(col("grp"), col("score").desc, col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partCounts = sorted.groupBy("__pid", "grp")
+      .agg(count(lit(1)).as("c")).collect()
+    val offRows = partCounts.groupBy(_.get(1)).iterator.flatMap {
+      case (_, rs) =>
+        var acc = 0L
+        rs.sortBy(_.getInt(0)).map { r =>
+          val o = Row(r.getInt(0), r.get(1), acc)
+          acc += r.getLong(2)
+          o
+        }
+    }.toSeq
+    val totals = partCounts.groupBy(_.get(1)).iterator.map {
+      case (g, rs) => Row(g, rs.map(_.getLong(2)).sum)
+    }.toSeq
+    val grpField = sorted.schema("grp")
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        grpField, StructField("__off", LongType, nullable = false))))
+    val totDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(totals, 1),
+      StructType(Seq(grpField,
+        StructField("__n", LongType, nullable = false))))
+    val w = Window.partitionBy("__pid", "grp")
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offDf), Seq("__pid", "grp"))
+      .join(broadcast(totDf), Seq("grp"))
+      .withColumn("rank", count(lit(1)).over(w) + col("__off"))
+      .withColumn("bucket",
+        floor((col("rank") - 1) * lit(k.toDouble) / col("__n"))
+          .cast("int"))
+      .drop("__pid", "__off", "__n")
+  }
+
   /** Column profiler: per profiled column, null count, exact distinct
     * count, and min/max (stringified so heterogeneous column types share
     * one long-form output row shape). Counts/nulls/min/max ride ONE

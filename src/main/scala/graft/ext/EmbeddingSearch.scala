@@ -151,6 +151,35 @@ object EmbeddingSearch {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR recipe):
+    * per query, the top-`k` HIGHEST-similarity corpus documents that are
+    * NOT labeled positives — the negatives that actually move a
+    * bi-encoder, where [[graft.ext.DataOps.negativeSample]]'s random
+    * draws mostly score near zero. `positives` carries one
+    * (query_id, neighbor_id) row per labeled pair; the query itself
+    * should be listed there too when queries live inside the corpus.
+    *
+    * Composition, not a new scorer: an exact candidate pass
+    * ([[bruteForceTopKFor]], swap in the IVF/LSH searcher at scale)
+    * over-fetches `candidateK` ≥ k + max-positives-per-query
+    * candidates, the positive pairs anti-join out (label sets are
+    * query-bounded → broadcast), and survivors re-rank by their
+    * ORIGINAL candidate rank — no re-scoring, so the result inherits
+    * the candidate pass's determinism. Returns
+    * (query_id, rn, neighbor_id, cos), rn ≤ k.
+    */
+  def hardNegatives(embs: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int, candidateK: Int): DataFrame = {
+    val cand = bruteForceTopKFor(embs, queries, candidateK)
+    val filtered = cand.join(
+      broadcast(positives.select(col("query_id"), col("neighbor_id"))),
+      Seq("query_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    filtered.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("cos"))
+  }
+
   def lshTopK(embs: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)

@@ -593,7 +593,163 @@ object DataOpsQueries {
       |SELECT query_id, rn, id FROM r WHERE rn <= 5
       |ORDER BY query_id, rn""".stripMargin
 
+  // ---- DSIR importance-resampled selection --------------------------------
+  /** [[DataOps.importanceWeights]] + [[DataOps.gumbelTopK]]: hashed
+    * n-gram importance weights of every document against a target
+    * distribution (sources src0–src3), then the Gumbel-top-100
+    * importance resample. The oracle re-derives the full chain —
+    * unigram+bigram features, both smoothed bucket models, per-doc
+    * log-weights, and the hash-Gumbel perturbation — so the selected
+    * SET and its order are value-checked, not just counted.
+    */
+  private def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val target = docs.filter(
+      col("source").isin("src0", "src1", "src2", "src3"))
+    val w = DataOps.importanceWeights(docs, col("doc_id"), col("text"),
+      target, col("text"), buckets = 512)
+    DataOps.gumbelTopK(
+        w.select(col("id"), col("n_feat"),
+          round(col("log_w"), 6).as("log_w")),
+        col("id"), col("log_w"), k = 100, seed = "dsir")
+      .select(col("rn"), col("id").as("doc_id"), col("n_feat"),
+        col("log_w"), col("key"))
+      .orderBy("rn")
+  }
+
+  private val dsirSelectSql =
+    """WITH tok AS (SELECT doc_id AS id, source,
+      |               regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |             FROM documents),
+      |uni AS (SELECT id, source, unnest(tk) AS g FROM tok),
+      |bi AS (SELECT id, source, tk[i] || ' ' || tk[i + 1] AS g
+      |       FROM (SELECT id, source, tk,
+      |               unnest(range(1, len(tk))) AS i
+      |             FROM tok)),
+      |f AS (SELECT id, source,
+      |        ('0x' || substr(md5(g), 1, 12))::BIGINT % 512 AS b
+      |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |fc AS (SELECT id, b, count(*) AS cnt FROM f GROUP BY 1, 2),
+      |rawt AS (SELECT b, count(*) AS rcnt FROM f GROUP BY 1),
+      |tgtt AS (SELECT b, count(*) AS tcnt FROM f
+      |         WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      |         GROUP BY 1),
+      |rt AS (SELECT CAST(sum(rcnt) AS DOUBLE) AS rtot FROM rawt),
+      |tt AS (SELECT CAST(sum(tcnt) AS DOUBLE) AS ttot FROM tgtt),
+      |lr AS (SELECT rawt.b,
+      |         ln((coalesce(tcnt, 0) + 0.5) / (ttot + 0.5 * 512))
+      |         - ln((rcnt + 0.5) / (rtot + 0.5 * 512)) AS lr
+      |       FROM rawt LEFT JOIN tgtt ON rawt.b = tgtt.b, rt, tt),
+      |w AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS n_feat,
+      |        round(sum(cnt * lr), 6) AS log_w
+      |      FROM fc JOIN lr USING (b) GROUP BY 1),
+      |g AS (SELECT id, n_feat, log_w,
+      |        round(log_w - ln(-ln(
+      |          ('0x' || substr(md5('dsir:' || CAST(id AS VARCHAR)),
+      |             1, 12))::BIGINT / 281474976710656.0)), 6) AS key
+      |      FROM w),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY key DESC, id)
+      |        AS INTEGER) AS rn
+      |      FROM g)
+      |SELECT rn, id AS doc_id, n_feat, log_w, key
+      |FROM r WHERE rn <= 100 ORDER BY rn""".stripMargin
+
+  // ---- CCNet-style perplexity bucketing -----------------------------------
+  /** [[DataOps.quantileBuckets]] over [[TextAnalysis.unigramLogProbs]]:
+    * within each source, documents cut into head/middle/tail thirds by
+    * LM score — the CCNet shape, with the within-group rank computed by
+    * the distributed prefix sum rather than a one-task-per-group
+    * window. The oracle re-ranks relationally, so bucket boundaries
+    * (including the uneven-remainder cuts) are value-checked.
+    */
+  private def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val lp = TextAnalysis.unigramLogProbs(
+        Tables.documents(s, d), "doc_id", "text")
+      .select(col("id"), round(col("mean_logprob"), 6).as("lp"))
+    val scored = lp.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"), col("source")),
+      "id")
+    DataOps.quantileBuckets(scored, col("source"), col("id"), col("lp"),
+        k = 3)
+      .withColumnRenamed("grp", "source")
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), min("score").as("lp_min"),
+        max("score").as("lp_max"))
+      .orderBy("source", "bucket")
+  }
+
+  private val pplBucketsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |           AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc),
+      |lp AS (SELECT doc_id,
+      |         round(sum(tf * ln(CAST(cnt AS DOUBLE) / total)) / sum(tf), 6)
+      |           AS lp
+      |       FROM tf JOIN tc USING (term), tot GROUP BY doc_id),
+      |s AS (SELECT d.source, lp.doc_id, lp.lp
+      |      FROM lp JOIN documents d USING (doc_id)),
+      |r AS (SELECT source, doc_id, lp,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY lp DESC, doc_id) AS rk,
+      |        count(*) OVER (PARTITION BY source) AS n
+      |      FROM s),
+      |b AS (SELECT source,
+      |        CAST(floor((rk - 1) * 3.0 / n) AS INTEGER) AS bucket, lp
+      |      FROM r)
+      |SELECT source, bucket, count(*) AS n_docs,
+      |       min(lp) AS lp_min, max(lp) AS lp_max
+      |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
+  // ---- hard-negative mining ------------------------------------------------
+  /** [[EmbeddingSearch.hardNegatives]]: per query (vec_id < 8), the top-5
+    * most-similar corpus vectors that are not labeled positives (self and
+    * self+1 here), drawn from a 12-candidate exact pass — the DPR-style
+    * complement of q_negative_sample's random draws. The oracle replays
+    * candidate ranking, positive exclusion, and re-ranking, so the mined
+    * pair set matches exactly.
+    */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val queries = embs.filter(col("vec_id") < 8)
+    val positives = queries.select(col("vec_id").as("query_id"))
+      .select(col("query_id"), explode(array(col("query_id"),
+        col("query_id") + 1)).as("neighbor_id"))
+    EmbeddingSearch.hardNegatives(embs, queries, positives,
+        k = 5, candidateK = 12)
+      .orderBy("query_id", "rn")
+  }
+
+  private val hardNegativesSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p),
+      |c AS (SELECT * FROM r WHERE rank <= 12),
+      |f AS (SELECT query_id, vec_id, cos,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY rank) AS INTEGER) AS rn
+      |      FROM c
+      |      WHERE vec_id <> query_id AND vec_id <> query_id + 1)
+      |SELECT query_id, rn, vec_id AS neighbor_id, round(cos, 6) AS cos
+      |FROM f WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   def gates: Seq[Gate] = Seq(
+    Gate("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
+    Gate("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
+    Gate("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
     Gate("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Gate("q_profile", profileCols, Some(profileColsSql)),

@@ -190,4 +190,82 @@ class DataOpsSpec extends SparkSpec {
     assert(row._2 == 2.0)
     assert(math.abs(row._3 - 0.4) < 1e-9)
   }
+
+  test("hashed n-gram counts: unigrams + bigrams, feature total per doc") {
+    val d = Seq((1L, "a b c"), (2L, "x")).toDF("id", "t")
+    val f = DataOps.hashedNgramCounts(d, col("id"), col("t"), 64)
+    val totals = f.groupBy("id").agg(sum("cnt").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(totals(1L) == 5) // 3 unigrams + 2 bigrams
+    assert(totals(2L) == 1) // 1 unigram, no bigram
+  }
+
+  test("importance weights favor target-like documents") {
+    val corpus = (0L until 40L).map { i =>
+      val t = if (i % 2 == 0) "alpha beta common tone"
+              else "gamma delta common tone"
+      (i, t)
+    }.toDF("id", "t")
+    val target = corpus.filter(col("id") % 2 === 0)
+    val w = DataOps.importanceWeights(corpus, col("id"), col("t"),
+        target, col("t"), buckets = 1024)
+      .as[(Long, Long, Double)].collect()
+    val byId = w.map(r => r._1 -> r._3).toMap
+    val evens = byId.filter(_._1 % 2 == 0).values
+    val odds = byId.filter(_._1 % 2 == 1).values
+    // every alpha doc outweighs every gamma doc under the alpha target
+    assert(evens.min > odds.max)
+    // n_feat = tokens + bigrams = 4 + 3
+    assert(w.forall(_._2 == 7))
+    // invariant under physical layout
+    val again = DataOps.importanceWeights(corpus.repartition(7), col("id"),
+        col("t"), target, col("t"), buckets = 1024)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(byId.forall { case (k, v) => math.abs(again(k) - v) < 1e-9 })
+  }
+
+  test("gumbel top-k: deterministic per seed, dominated by large weights") {
+    val w = (0L until 200L).map(i => (i, 0.0)).toDF("id", "lw")
+      .withColumn("lw", when(col("id") === 77L, 100.0).otherwise(0.0))
+    val pick = DataOps.gumbelTopK(w, col("id"), col("lw"), k = 10)
+      .select("rn", "id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    // +100 exceeds the hash-Gumbel range (~[-4, 34]) -> always rank 1
+    assert(pick.head == (1, 77L))
+    val again = DataOps.gumbelTopK(w.repartition(5), col("id"), col("lw"),
+      k = 10).select("rn", "id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(again == pick)
+    val other = DataOps.gumbelTopK(w, col("id"), col("lw"), k = 10,
+      seed = "g2").select("rn", "id").as[(Int, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(other.head._2 == 77L) // the dominant weight still wins
+    assert(other != pick)        // but the tail sample is a fresh draw
+  }
+
+  test("quantile buckets match the single-window spelling per group") {
+    val d = (0L until 100L)
+      .map(i => (s"g${i % 3}", i, (i * 37 % 100).toDouble))
+      .toDF("g", "id", "s")
+    val got = DataOps.quantileBuckets(d, col("g"), col("id"), col("s"), 4)
+      .select("grp", "id", "rank", "bucket")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("s").desc, col("id"))
+    val want = d
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .withColumn("bucket",
+        floor((col("rank") - 1) * lit(4.0) / col("n")).cast("int"))
+      .select("g", "id", "rank", "bucket")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("quantile buckets: equal-depth thirds with remainder spread") {
+    val d = (1L to 10L).map(i => ("g", i, 100.0 - i)).toDF("g", "id", "s")
+    val b = DataOps.quantileBuckets(d, col("g"), col("id"), col("s"), 3)
+      .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    // floor((rk-1)*3/10): ranks 1-4 -> 0, 5-7 -> 1, 8-10 -> 2
+    assert(b == Map(0 -> 4L, 1 -> 3L, 2 -> 3L))
+  }
 }

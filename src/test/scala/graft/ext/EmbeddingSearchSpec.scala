@@ -44,4 +44,22 @@ class EmbeddingSearchSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("hard negatives exclude labeled positives and keep candidate order") {
+    val queries = embs.filter(col("vec_id") === 0)
+    // vec 0's exact ranking over the full corpus: 0 (self), 1, 4, 2, 3
+    val positives = Seq((0L, 0L), (0L, 1L)).toDF("query_id", "neighbor_id")
+    val got = EmbeddingSearch.hardNegatives(embs, queries, positives,
+        k = 3, candidateK = 5)
+      .orderBy("rn").select("rn", "neighbor_id")
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 4L), (2, 2L), (3, 3L)))
+    // no positives -> plain lookup semantics, self ranks first
+    val plain = EmbeddingSearch.hardNegatives(embs, queries,
+        Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id"),
+        k = 2, candidateK = 5)
+      .orderBy("rn").select("rn", "neighbor_id")
+      .as[(Int, Long)].collect().toSeq
+    assert(plain == Seq((1, 0L), (2, 1L)))
+  }
 }
