@@ -53,15 +53,36 @@ object IvfIndex {
     * Vectors are NOT duplicated — the corpus table remains the source of
     * truth for `v`; [[load]] re-attaches them (same build-once/reuse
     * design as [[PqIndex.save]]).
+    *
+    * Storage runs on [[IndexStore]]'s segment+manifest layout, like the
+    * BM25 and dedup indexes: every mutation ([[save]], [[saveAppend]],
+    * [[deleteVecs]], [[compact]]) writes an immutable `seg-*` directory
+    * under the writer lock and atomically publishes a manifest version,
+    * so a search racing a compaction pins exactly the old or the new
+    * index, and [[loadAt]] time-travels within the GC retention window.
     */
-  def save(model: Model, path: String): Unit = {
-    model.centroids.coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    model.assigned.select("vec_id", "cell")
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells")
+  def save(model: Model, path: String, retainVersions: Int = 2): Unit = {
+    val spark = model.centroids.sparkSession
+    IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeSegment(model.centroids, model.assigned, path, seg)
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("centroids", "cells"), retainVersions)
+      ()
+    }
   }
+
+  private def writeSegment(centroids: DataFrame, assigned: DataFrame,
+      path: String, seg: String): Unit = {
+    centroids.coalesce(1).write.parquet(s"$path/$seg/centroids")
+    writeCells(assigned, path, seg)
+  }
+
+  private def writeCells(assigned: DataFrame, path: String,
+      seg: String): Unit =
+    assigned.select("vec_id", "cell")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/$seg/cells")
 
   /** Assign new vectors to their nearest EXISTING centroid — the frozen
     * quantizer's prediction spelled as a map-side argmin over the
@@ -163,19 +184,91 @@ object IvfIndex {
   }
 
   /** Incrementally assign `newEmbs` with the frozen quantizer and append
-    * their cells to a saved index — only the delta is scanned/written.
+    * their cells to a saved index — only the delta is scanned/written
+    * (one appended segment; an empty delivery publishes nothing, so an
+    * idle micro-batch can drive this safely).
     */
-  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
-    assignNew(model, newEmbs).select("vec_id", "cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit = {
+    val spark = model.centroids.sparkSession
+    val assigned = assignNew(model, newEmbs)
+    if (!assigned.isEmpty) IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeCells(assigned, path, seg)
+      IndexStore.publishAppend(spark, path, seg, Seq("cells"))
+      ()
+    }
+  }
+
+  /** Retract vectors from a saved index without touching its layout:
+    * the requested ids (already-tombstoned and index-absent ids are
+    * dropped — deletes can never double-apply) are appended as a
+    * tombstone segment. [[load]]/[[loadAt]] anti-join the tombstones,
+    * so searches answer EXACTLY as an index built over the surviving
+    * corpus; [[compact]] later removes the rows physically. The id
+    * filtering reads only the (vec_id) column of the assignment —
+    * takedown batches are small → broadcast.
+    */
+  def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: Column): Unit = IndexStore.withLock(spark, path) {
+    val snap = IndexStore.snapshot(spark, path)
+    val requested = ids.select(idCol.as("vec_id")).distinct()
+    val present = requested.join(
+      snap.read("cells").get.select("vec_id"), Seq("vec_id"), "left_semi")
+    val eff = snap.read("tombstones").fold(present)(t =>
+      present.join(t, Seq("vec_id"), "left_anti"))
+    if (!eff.isEmpty) {
+      val seg = IndexStore.newSegmentName()
+      eff.coalesce(1).write.parquet(s"$path/$seg/tombstones")
+      IndexStore.publishAppend(spark, path, seg, Seq("tombstones"))
+      ()
+    }
+  }
+
+  /** Compact a saved index: tombstones apply physically, every
+    * delivery's small cell files collapse into one clustered set per
+    * cell, and the result publishes as a manifest pointer swap (a
+    * reader racing this pins the old or the new index, never a mix).
+    * Pure layout rewrite — answers unchanged by construction.
+    */
+  def compact(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val cells0 = snap.read("cells").get
+      val live = snap.read("tombstones").fold(cells0)(t =>
+        cells0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      val seg = IndexStore.newSegmentName()
+      writeSegment(snap.read("centroids").get, live, path, seg)
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("centroids", "cells"), retainVersions)
+      ()
+    }
 
   /** Load a saved index; `embs` (the corpus plus appended rows)
-    * re-attaches vectors via an inner join on vec_id.
+    * re-attaches vectors via an inner join on vec_id. Tombstoned
+    * vectors are excluded — both as candidates and as query rows.
     */
-  def load(spark: SparkSession, path: String, embs: DataFrame): Model = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val cells = spark.read.parquet(s"$path/cells")
-    Model(centroids, EmbeddingSearch.prepared(embs).join(cells, "vec_id"))
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshot(spark, path), embs)
+
+  /** [[load]] against a PINNED manifest version — time travel within
+    * the GC retention window: searches answer exactly as of that
+    * commit, regardless of appends/deletes landed since (the ANN side
+    * of the lineage contract [[TextSearch.searchSavedAt]] makes for
+    * sparse retrieval). `embs` must still cover the pinned version's
+    * vec_ids — the corpus table is the vector source of truth.
+    */
+  def loadAt(spark: SparkSession, path: String, version: Long,
+      embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshotAt(spark, path, version), embs)
+
+  private def loadSnapshot(snap: IndexStore.Snapshot,
+      embs: DataFrame): Model = {
+    val cells0 = snap.read("cells").get
+    val cells = snap.read("tombstones").fold(cells0)(t =>
+      cells0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    Model(snap.read("centroids").get,
+      EmbeddingSearch.prepared(embs).join(cells, "vec_id"))
   }
 
   /** INCREMENTAL embedding near-dup: dedup a DELTA of vectors against

@@ -628,6 +628,49 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok, true AS appended_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** Vector retraction ([[graft.ext.IvfIndex.deleteVecs]]): every
+    * vec_id % 7 == 3 vector is tombstoned from a saved IVF index (one
+    * appended tombstone segment — layout untouched), the index is
+    * [[graft.ext.IvfIndex.compact]]ed so the tombstones apply
+    * physically, and an exhaustive-probe search runs over the result.
+    * The oracle is brute force over the SURVIVING corpus — deleted
+    * vectors must vanish both as neighbors and as query rows, and
+    * their former slots must backfill with the next-nearest survivors.
+    * IvfIndexSpec pins the pre-compact (tombstone-masked) path and
+    * [[graft.ext.IvfIndex.loadAt]] time travel to the same contract.
+    */
+  private def ivfDelete(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
+    val dir = graft.Gate.tmpDir("gate_ivf_del_")
+    IvfIndex.save(model, dir)
+    IvfIndex.deleteVecs(s, dir,
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"), col("vec_id"))
+    IvfIndex.compact(s, dir)
+    val loaded = IvfIndex.load(s, dir, embs)
+    IvfIndex.search(loaded, col("vec_id") < 10, k = 5,
+        nProbe = Int.MaxValue)
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfDeleteSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 3),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |      WHERE vec_id % 7 <> 3),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** METADATA-FILTERED ANN ([[graft.ext.IvfIndex.searchWhere]]): top-5
     * cosine neighbors among only the `vec_id % 3 = 0` third of the
     * corpus — the "nearest English docs" / "nearest in this date range"
@@ -1747,6 +1790,7 @@ object ScaleQueries {
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
+    Gate("q_ivf_delete", ivfDelete, Some(ivfDeleteSql)),
     Gate("q_ann_filtered", annFiltered, Some(annFilteredSql)),
     Gate("q_embed_dedup_inc", embedDedupInc, Some(embedDedupIncSql)),
     Gate("q_stream_embed_dedup", streamEmbedDedup, Some(embedDedupIncSql)),

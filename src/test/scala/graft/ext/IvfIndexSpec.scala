@@ -102,6 +102,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("deleteVecs masks at search, compact removes physically, loadAt pins") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val model = IvfIndex.build(embs, k = 4)
+    val dir = graft.Gate.tmpDir("ivf_del_")
+    IvfIndex.save(model, dir)
+    val v0 = graft.ext.IndexStore.snapshot(spark, dir).version
+    val doomed = embs.filter(col("vec_id") % 5 === 1).select("vec_id")
+    IvfIndex.deleteVecs(spark, dir, doomed, col("vec_id"))
+    // tombstone-masked search == brute force over the surviving corpus
+    val survivors = embs.filter(col("vec_id") % 5 =!= 1)
+    def res(m: IvfIndex.Model) =
+      IvfIndex.search(m, col("vec_id") < 5, k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = EmbeddingSearch
+      .bruteForceTopK(survivors, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val masked = res(IvfIndex.load(spark, dir, embs))
+    assert(masked == brute)
+    // double-delete is a no-op (no duplicate tombstones accumulate)
+    IvfIndex.deleteVecs(spark, dir, doomed, col("vec_id"))
+    assert(res(IvfIndex.load(spark, dir, embs)) == brute)
+    // compact applies physically: same answers, no tombstone relation,
+    // and the deleted ids are gone from the stored cells
+    IvfIndex.compact(spark, dir, retainVersions = 8)
+    assert(res(IvfIndex.load(spark, dir, embs)) == brute)
+    val snap = graft.ext.IndexStore.snapshot(spark, dir)
+    assert(snap.read("tombstones").isEmpty)
+    val stored = snap.read("cells").get.select("vec_id")
+      .as[Long].collect().toSet
+    assert(stored.forall(_ % 5 != 1))
+    // time travel: the pre-delete version still answers over everything
+    val pinned = res(IvfIndex.loadAt(spark, dir, v0, embs))
+    val bruteAll = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pinned == bruteAll)
+  }
+
   test("rebalance splits oversized cells, keeps a partition, same answers") {
     val embs = Tables.embeddings(spark, sf0001).limit(200)
     // k=2 forces ~100-vector cells; rebalance to a 30-vector cap
