@@ -128,6 +128,43 @@ object IndexStore {
     v
   }
 
+  /** Shared tombstone-append for the vector-index family (IVF/PQ/SQ/
+    * IVF-PQ): the requested ids that are PRESENT in `relation` and not
+    * already tombstoned append as one tombstone segment. Readers
+    * anti-join via [[liveRows]]; compaction applies them physically.
+    * Filtering reads only `relation`'s key column (columnar scan);
+    * takedown batches are small by nature → broadcast joins.
+    */
+  private[ext] def tombstoneIds(spark: SparkSession, root: String,
+      ids: DataFrame, idCol: org.apache.spark.sql.Column,
+      relation: String, key: String = "vec_id"): Unit =
+    withLock(spark, root) {
+      val snap = snapshot(spark, root)
+      val requested = ids.select(idCol.as(key)).distinct()
+      val present = requested.join(
+        snap.read(relation).get.select(key), Seq(key), "left_semi")
+      val eff = snap.read("tombstones").fold(present)(t =>
+        present.join(t, Seq(key), "left_anti"))
+      if (!eff.isEmpty) {
+        val seg = newSegmentName()
+        eff.coalesce(1).write.parquet(s"$root/$seg/tombstones")
+        publishAppend(spark, root, seg, Seq("tombstones"))
+        ()
+      }
+    }
+
+  /** `relation` under `snap` with tombstoned keys excluded — the one
+    * definition of "live" every reader and compactor of a vector index
+    * shares.
+    */
+  private[ext] def liveRows(snap: Snapshot, relation: String,
+      key: String = "vec_id"): DataFrame = {
+    val base = snap.read(relation).get
+    snap.read("tombstones").fold(base)(t =>
+      base.join(org.apache.spark.sql.functions.broadcast(t),
+        Seq(key), "left_anti"))
+  }
+
   /** Delete `seg-*` directories unreferenced by the newest
     * `retainVersions` manifests and prune manifest history. Only
     * segment dirs are touched — never the manifest dir or any

@@ -209,20 +209,8 @@ object IvfIndex {
     * takedown batches are small → broadcast.
     */
   def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: Column): Unit = IndexStore.withLock(spark, path) {
-    val snap = IndexStore.snapshot(spark, path)
-    val requested = ids.select(idCol.as("vec_id")).distinct()
-    val present = requested.join(
-      snap.read("cells").get.select("vec_id"), Seq("vec_id"), "left_semi")
-    val eff = snap.read("tombstones").fold(present)(t =>
-      present.join(t, Seq("vec_id"), "left_anti"))
-    if (!eff.isEmpty) {
-      val seg = IndexStore.newSegmentName()
-      eff.coalesce(1).write.parquet(s"$path/$seg/tombstones")
-      IndexStore.publishAppend(spark, path, seg, Seq("tombstones"))
-      ()
-    }
-  }
+      idCol: Column): Unit =
+    IndexStore.tombstoneIds(spark, path, ids, idCol, "cells")
 
   /** Compact a saved index: tombstones apply physically, every
     * delivery's small cell files collapse into one clustered set per
@@ -234,9 +222,7 @@ object IvfIndex {
       retainVersions: Int = 2): Unit =
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
-      val cells0 = snap.read("cells").get
-      val live = snap.read("tombstones").fold(cells0)(t =>
-        cells0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      val live = IndexStore.liveRows(snap, "cells")
       val seg = IndexStore.newSegmentName()
       writeSegment(snap.read("centroids").get, live, path, seg)
       IndexStore.publishReplace(spark, path, seg,
@@ -263,13 +249,10 @@ object IvfIndex {
     loadSnapshot(IndexStore.snapshotAt(spark, path, version), embs)
 
   private def loadSnapshot(snap: IndexStore.Snapshot,
-      embs: DataFrame): Model = {
-    val cells0 = snap.read("cells").get
-    val cells = snap.read("tombstones").fold(cells0)(t =>
-      cells0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      embs: DataFrame): Model =
     Model(snap.read("centroids").get,
-      EmbeddingSearch.prepared(embs).join(cells, "vec_id"))
-  }
+      EmbeddingSearch.prepared(embs)
+        .join(IndexStore.liveRows(snap, "cells"), "vec_id"))
 
   /** INCREMENTAL embedding near-dup: dedup a DELTA of vectors against
     * an IVF-indexed corpus without an all-pairs join — the

@@ -138,41 +138,105 @@ object IvfPqIndex {
     * truth; [[load]] re-attaches them for the re-rank) — same
     * build-once/reuse design as [[IvfIndex.save]] and [[PqIndex.save]].
     */
-  def save(model: Model, path: String): Unit = {
+  def save(model: Model, path: String, retainVersions: Int = 2): Unit = {
+    val spark = model.encoded.sparkSession
+    IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeQuantizers(model, path, seg)
+      writeCodes(model.encoded, path, seg)
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("centroids", "codebooks", "codes"), retainVersions)
+      ()
+    }
+  }
+
+  private def writeQuantizers(model: Model, path: String,
+      seg: String): Unit = {
     val spark = model.encoded.sparkSession
     import spark.implicits._
-    model.centroids.coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    model.centroids.coalesce(1).write.parquet(s"$path/$seg/centroids")
     val cb = for {
       (book, j) <- model.codebooks.zipWithIndex
       (cent, c) <- book.zipWithIndex
     } yield (j, c, cent)
     cb.toDF("subspace", "code_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    model.encoded.select("vec_id", "cell", "code")
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .coalesce(1).write.parquet(s"$path/$seg/codebooks")
   }
 
-  /** Incrementally encode `newEmbs` (frozen quantizers) and append their
-    * codes to a saved index — only the delta is scanned and written.
-    */
-  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
-    encode(model, newEmbs).select("vec_id", "cell", "code")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  private def writeCodes(encoded: DataFrame, path: String,
+      seg: String): Unit =
+    encoded.select("vec_id", "cell", "code")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/$seg/codes")
 
-  /** Load a saved index; `embs` re-attaches vectors via vec_id. */
-  def load(spark: SparkSession, path: String, embs: DataFrame): Model = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val rows = spark.read.parquet(s"$path/codebooks").collect()
+  /** Incrementally encode `newEmbs` (frozen quantizers) and append their
+    * codes to a saved index — only the delta is scanned and written (one
+    * appended segment; an empty delivery publishes nothing).
+    */
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit = {
+    val spark = model.encoded.sparkSession
+    val delta = encode(model, newEmbs)
+    if (!delta.isEmpty) IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeCodes(delta, path, seg)
+      IndexStore.publishAppend(spark, path, seg, Seq("codes"))
+      ()
+    }
+  }
+
+  /** Retract vectors: tombstone segment appended, layout untouched —
+    * same contract as [[IvfIndex.deleteVecs]] ([[load]] masks,
+    * [[compact]] applies physically, deletes never double-apply).
+    */
+  def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: Column): Unit =
+    IndexStore.tombstoneIds(spark, path, ids, idCol, "codes")
+
+  /** Compact: tombstones apply physically and every delivery's small
+    * cell files collapse into one clustered set per cell; publishes as
+    * a manifest pointer swap. Pure layout rewrite.
+    */
+  def compact(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val seg = IndexStore.newSegmentName()
+      IndexStore.liveRows(snap, "codes")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(s"$path/$seg/codes")
+      snap.read("centroids").get.coalesce(1)
+        .write.parquet(s"$path/$seg/centroids")
+      snap.read("codebooks").get.coalesce(1)
+        .write.parquet(s"$path/$seg/codebooks")
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("centroids", "codebooks", "codes"), retainVersions)
+      ()
+    }
+
+  /** Load a saved index; `embs` re-attaches vectors via vec_id.
+    * Tombstoned vectors are excluded.
+    */
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshot(spark, path), embs)
+
+  /** [[load]] against a pinned manifest version (time travel within the
+    * GC retention window — [[IvfIndex.loadAt]]'s contract).
+    */
+  def loadAt(spark: SparkSession, path: String, version: Long,
+      embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshotAt(spark, path, version), embs)
+
+  private def loadSnapshot(snap: IndexStore.Snapshot,
+      embs: DataFrame): Model = {
+    val rows = snap.read("codebooks").get.collect()
     val codebooks = rows.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getAs[Int]("code_id"))
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq)
-    require(codebooks.nonEmpty, s"no codebooks at $path")
+    require(codebooks.nonEmpty, s"no codebooks at ${snap.root}")
     val dsub = codebooks.head.head.length
-    val codes = spark.read.parquet(s"$path/codes")
-    Model(centroids, codebooks.length, dsub, codebooks,
-      EmbeddingSearch.prepared(embs).join(codes, "vec_id"))
+    Model(snap.read("centroids").get, codebooks.length, dsub, codebooks,
+      EmbeddingSearch.prepared(embs)
+        .join(IndexStore.liveRows(snap, "codes"), "vec_id"))
   }
 
   /** Top-k per query (queries ⊂ corpus, self excluded). */

@@ -109,7 +109,21 @@ object PqIndex {
     * (pipeline/assets/aggregates.py:14-28): build once, reuse across
     * queries instead of retraining per query.
     */
-  def save(model: Model, path: String): Unit = {
+  def save(model: Model, path: String, retainVersions: Int = 2): Unit = {
+    val spark = model.encoded.sparkSession
+    IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeCodebooks(model, path, seg)
+      model.encoded.select("vec_id", "code")
+        .write.parquet(s"$path/$seg/codes")
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("codebooks", "codes"), retainVersions)
+      ()
+    }
+  }
+
+  private def writeCodebooks(model: Model, path: String,
+      seg: String): Unit = {
     val spark = model.encoded.sparkSession
     import spark.implicits._
     val cb = for {
@@ -117,35 +131,77 @@ object PqIndex {
       (cent, c) <- book.zipWithIndex
     } yield (j, c, cent)
     cb.toDF("subspace", "code_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    model.encoded.select("vec_id", "code")
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .coalesce(1).write.parquet(s"$path/$seg/codebooks")
   }
 
   /** Incrementally encode `newEmbs` with the model's frozen codebooks and
     * append their codes to a saved index — build once, append forever;
-    * only the delta is scanned and written.
+    * only the delta is scanned and written (one appended segment; an
+    * empty delivery publishes nothing).
     */
-  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
-    encode(model, newEmbs).select("vec_id", "code")
-      .write.mode("append").parquet(s"$path/codes")
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit = {
+    val spark = model.encoded.sparkSession
+    val delta = encode(model, newEmbs).select("vec_id", "code")
+    if (!delta.isEmpty) IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      delta.write.parquet(s"$path/$seg/codes")
+      IndexStore.publishAppend(spark, path, seg, Seq("codes"))
+      ()
+    }
+  }
+
+  /** Retract vectors: tombstone segment appended, layout untouched —
+    * same contract as [[IvfIndex.deleteVecs]] ([[load]] masks,
+    * [[compact]] applies physically, deletes never double-apply).
+    */
+  def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: Column): Unit =
+    IndexStore.tombstoneIds(spark, path, ids, idCol, "codes")
+
+  /** Compact: tombstones apply physically and per-delivery code files
+    * collapse into one set; publishes as a manifest pointer swap.
+    */
+  def compact(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val seg = IndexStore.newSegmentName()
+      IndexStore.liveRows(snap, "codes").write.parquet(s"$path/$seg/codes")
+      snap.read("codebooks").get.coalesce(1)
+        .write.parquet(s"$path/$seg/codebooks")
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("codebooks", "codes"), retainVersions)
+      ()
+    }
 
   /** Load a saved index. `embs` is the corpus table the index was built
     * over (plus any rows appended via [[saveAppend]]); the inner join on
     * vec_id re-attaches vectors for the exact re-rank, so codes whose
     * vectors were deleted from the corpus drop out harmlessly, while
     * corpus rows that were never encoded are invisible until appended.
+    * Tombstoned vectors are excluded.
     */
-  def load(spark: SparkSession, path: String, embs: DataFrame): Model = {
-    val rows = spark.read.parquet(s"$path/codebooks").collect()
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshot(spark, path), embs)
+
+  /** [[load]] against a pinned manifest version (time travel within the
+    * GC retention window — [[IvfIndex.loadAt]]'s contract).
+    */
+  def loadAt(spark: SparkSession, path: String, version: Long,
+      embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshotAt(spark, path, version), embs)
+
+  private def loadSnapshot(snap: IndexStore.Snapshot,
+      embs: DataFrame): Model = {
+    val rows = snap.read("codebooks").get.collect()
     val codebooks = rows.groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getAs[Int]("code_id"))
         .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toSeq).toSeq)
-    require(codebooks.nonEmpty, s"no codebooks at $path")
+    require(codebooks.nonEmpty, s"no codebooks at ${snap.root}")
     val dsub = codebooks.head.head.length
-    val codes = spark.read.parquet(s"$path/codes")
     Model(codebooks.length, dsub, codebooks,
-      EmbeddingSearch.prepared(embs).join(codes, "vec_id"))
+      EmbeddingSearch.prepared(embs)
+        .join(IndexStore.liveRows(snap, "codes"), "vec_id"))
   }
 
   /** The interpreted HOF spelling of the ADC lookup — reference for

@@ -107,30 +107,84 @@ object SqIndex {
     * duplicated into the index — the corpus parquet stays the source of
     * truth and [[load]] re-attaches it for the exact re-rank.
     */
-  def save(model: Model, path: String): Unit = {
+  def save(model: Model, path: String, retainVersions: Int = 2): Unit = {
+    val spark = model.encoded.sparkSession
+    IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      writeRanges(model, path, seg)
+      model.encoded.select("vec_id", "code")
+        .write.parquet(s"$path/$seg/codes")
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("ranges", "codes"), retainVersions)
+      ()
+    }
+  }
+
+  private def writeRanges(model: Model, path: String, seg: String): Unit = {
     val spark = model.encoded.sparkSession
     import spark.implicits._
     model.lo.zip(model.hi).zipWithIndex
       .map { case ((l, h), i) => (i, l, h) }
       .toDF("dim", "lo", "hi")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/ranges")
-    model.encoded.select("vec_id", "code")
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .coalesce(1).write.parquet(s"$path/$seg/ranges")
   }
 
-  /** Append-only incremental encode of new vectors into a saved index. */
-  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit =
-    encode(model.lo, model.hi, newEmbs).select("vec_id", "code")
-      .write.mode("append").parquet(s"$path/codes")
+  /** Append-only incremental encode of new vectors into a saved index
+    * (one appended segment; an empty delivery publishes nothing).
+    */
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit = {
+    val spark = model.encoded.sparkSession
+    val delta = encode(model.lo, model.hi, newEmbs).select("vec_id", "code")
+    if (!delta.isEmpty) IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      delta.write.parquet(s"$path/$seg/codes")
+      IndexStore.publishAppend(spark, path, seg, Seq("codes"))
+      ()
+    }
+  }
 
-  def load(spark: SparkSession, path: String, embs: DataFrame): Model = {
-    val rows = spark.read.parquet(s"$path/ranges")
-      .orderBy("dim").collect()
-    require(rows.nonEmpty, s"no ranges at $path")
+  /** Retract vectors: tombstone segment appended, layout untouched —
+    * same contract as [[IvfIndex.deleteVecs]] ([[load]] masks,
+    * [[compact]] applies physically, deletes never double-apply).
+    */
+  def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: Column): Unit =
+    IndexStore.tombstoneIds(spark, path, ids, idCol, "codes")
+
+  /** Compact: tombstones apply physically and per-delivery code files
+    * collapse into one set; publishes as a manifest pointer swap.
+    */
+  def compact(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val seg = IndexStore.newSegmentName()
+      IndexStore.liveRows(snap, "codes").write.parquet(s"$path/$seg/codes")
+      snap.read("ranges").get.coalesce(1)
+        .write.parquet(s"$path/$seg/ranges")
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("ranges", "codes"), retainVersions)
+      ()
+    }
+
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshot(spark, path), embs)
+
+  /** [[load]] against a pinned manifest version (time travel within the
+    * GC retention window — [[IvfIndex.loadAt]]'s contract).
+    */
+  def loadAt(spark: SparkSession, path: String, version: Long,
+      embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshotAt(spark, path, version), embs)
+
+  private def loadSnapshot(snap: IndexStore.Snapshot,
+      embs: DataFrame): Model = {
+    val rows = snap.read("ranges").get.orderBy("dim").collect()
+    require(rows.nonEmpty, s"no ranges at ${snap.root}")
     val lo = rows.map(_.getAs[Double]("lo")).toSeq
     val hi = rows.map(_.getAs[Double]("hi")).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
-    Model(lo, hi, EmbeddingSearch.prepared(embs).join(codes, "vec_id"))
+    Model(lo, hi, EmbeddingSearch.prepared(embs)
+      .join(IndexStore.liveRows(snap, "codes"), "vec_id"))
   }
 
   /** Interpreted HOF spelling of the dequantize-and-dot scan — kept as

@@ -66,6 +66,36 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(rows(a) == rows(b))
   }
 
+  test("deleteVecs masks, compact removes physically, loadAt pins") {
+    val model = IvfPqIndex.build(embs, kCells = 4, m = 4, k = 16)
+    val dir = graft.Gate.tmpDir("ivfpq_del_")
+    IvfPqIndex.save(model, dir)
+    val v0 = IndexStore.snapshot(spark, dir).version
+    IvfPqIndex.deleteVecs(spark, dir,
+      embs.filter(col("vec_id") % 5 === 1).select("vec_id"), col("vec_id"))
+    def res(m: IvfPqIndex.Model) =
+      IvfPqIndex.search(m, col("vec_id") < 5, k = 3,
+          nProbe = Int.MaxValue, shortlist = 1000)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = EmbeddingSearch.bruteForceTopK(
+        embs.filter(col("vec_id") % 5 =!= 1), col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(res(IvfPqIndex.load(spark, dir, embs)) == brute)
+    IvfPqIndex.compact(spark, dir, retainVersions = 8)
+    val snap = IndexStore.snapshot(spark, dir)
+    assert(snap.read("tombstones").isEmpty)
+    assert(snap.read("codes").get.select("vec_id").as[Long]
+      .collect().forall(_ % 5 != 1))
+    assert(res(IvfPqIndex.load(spark, dir, embs)) == brute)
+    // pre-delete version still answers over the full corpus
+    val bruteAll = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(res(IvfPqIndex.loadAt(spark, dir, v0, embs)) == bruteAll)
+  }
+
   test("external query vectors rank an identical corpus row first") {
     val model = IvfPqIndex.build(embs, kCells = 4, m = 4, k = 16)
     val queries = embs.filter(col("vec_id") < 3)

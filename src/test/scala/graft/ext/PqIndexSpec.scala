@@ -107,6 +107,29 @@ class PqIndexSpec extends SparkSpec {
       .as[(Long, Seq[Int])].collect().toMap)
   }
 
+  test("deleteVecs masks at search; compact removes the codes physically") {
+    val model = PqIndex.build(corpus, m = 2, k = 4,
+      sampleFraction = 1.0, maxIter = 10)
+    val dir = graft.Gate.tmpDir("pq_del_")
+    PqIndex.save(model, dir)
+    PqIndex.deleteVecs(spark, dir,
+      corpus.filter(col("vec_id") % 5 === 1).select("vec_id"),
+      col("vec_id"))
+    val loaded = PqIndex.load(spark, dir, corpus)
+    val ids = loaded.encoded.select("vec_id").as[Long].collect().toSet
+    assert(ids.forall(_ % 5 != 1) && ids.nonEmpty)
+    PqIndex.compact(spark, dir, retainVersions = 8)
+    val snap = IndexStore.snapshot(spark, dir)
+    assert(snap.read("tombstones").isEmpty)
+    assert(snap.read("codes").get.select("vec_id").as[Long]
+      .collect().forall(_ % 5 != 1))
+    // compaction preserves answers bit-for-bit
+    val res = (m: PqIndex.Model) =>
+      PqIndex.search(m, col("vec_id") < 3, k = 4)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(res(PqIndex.load(spark, dir, corpus)) == res(loaded))
+  }
+
   test("external-vector search: identical query ranks its corpus row first") {
     val model = PqIndex.build(corpus, m = 2, k = 4,
       sampleFraction = 1.0, maxIter = 10)

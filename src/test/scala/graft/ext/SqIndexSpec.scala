@@ -102,4 +102,25 @@ class SqIndexSpec extends SparkSpec {
     val b = SqIndex.search(loaded, col("vec_id") < 3, k = 5, shortlist = 3)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("deleteVecs masks at search; compact removes the codes physically") {
+    val dir = graft.Gate.tmpDir("sq_del_")
+    val model = SqIndex.build(corpus)
+    SqIndex.save(model, dir)
+    SqIndex.deleteVecs(spark, dir,
+      corpus.filter(col("vec_id") % 5 === 1).select("vec_id"),
+      col("vec_id"))
+    val loaded = SqIndex.load(spark, dir, corpus)
+    val ids = loaded.encoded.select("vec_id").as[Long].collect().toSet
+    assert(ids.forall(_ % 5 != 1) && ids.nonEmpty)
+    SqIndex.compact(spark, dir, retainVersions = 8)
+    val snap = IndexStore.snapshot(spark, dir)
+    assert(snap.read("tombstones").isEmpty)
+    assert(snap.read("codes").get.select("vec_id").as[Long]
+      .collect().forall(_ % 5 != 1))
+    val after = SqIndex.load(spark, dir, corpus)
+    val a = SqIndex.search(loaded, col("vec_id") < 3, k = 5, shortlist = 3)
+    val b = SqIndex.search(after, col("vec_id") < 3, k = 5, shortlist = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
