@@ -671,6 +671,45 @@ object ScaleQueries {
       |       CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** STREAMING vector takedown — q_stream_delete's ANN twin: deletion
+    * requests drain from a file stream in two micro-batches, each
+    * landing on the saved IVF index via [[graft.ext.IvfIndex
+    * .deleteVecs]] (idempotent tombstone appends under the writer
+    * lock), then one [[graft.ext.IvfIndex.compact]] applies them
+    * physically. Same surviving-corpus oracle as q_ivf_delete —
+    * takedown streams are batch-boundary-invariant for vectors too.
+    */
+  private def streamVecDelete(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s, 4) {
+      val embs = Tables.embeddings(s, d)
+      val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
+      val dir = graft.Gate.tmpDir("gate_ivf_sdel_")
+      IvfIndex.save(model, dir)
+      val doomed = embs.filter(col("vec_id") % 7 === 3).select("vec_id")
+      val in = graft.Gate.tmpDir("gate_ivf_sdel_in_")
+      val ckpt = graft.Gate.tmpDir("gate_ivf_sdel_ck_")
+      doomed.filter(col("vec_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/d1")
+      doomed.filter(col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/d2")
+      val stream = s.readStream.schema("vec_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IvfIndex.deleteVecs(s, dir, batch, col("vec_id"))
+        }
+        .start()
+      q.awaitTermination()
+      IvfIndex.compact(s, dir)
+      val loaded = IvfIndex.load(s, dir, embs)
+      IvfIndex.search(loaded, col("vec_id") < 10, k = 5,
+          nProbe = Int.MaxValue)
+        .orderBy("query_id", "rank")
+    }
+
   /** METADATA-FILTERED ANN ([[graft.ext.IvfIndex.searchWhere]]): top-5
     * cosine neighbors among only the `vec_id % 3 = 0` third of the
     * corpus — the "nearest English docs" / "nearest in this date range"
@@ -1791,6 +1830,7 @@ object ScaleQueries {
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_ivf_delete", ivfDelete, Some(ivfDeleteSql)),
+    Gate("q_stream_vec_delete", streamVecDelete, Some(ivfDeleteSql)),
     Gate("q_ann_filtered", annFiltered, Some(annFilteredSql)),
     Gate("q_embed_dedup_inc", embedDedupInc, Some(embedDedupIncSql)),
     Gate("q_stream_embed_dedup", streamEmbedDedup, Some(embedDedupIncSql)),

@@ -193,4 +193,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("TakeOrderedAndProject"))
   }
 
+  test("dsir: log-ratio table broadcasts; resample is a TakeOrdered") {
+    val p = plan("q_dsir_select")
+    // the per-bucket model join must broadcast (≤ buckets rows), and the
+    // Gumbel top-k must plan the distributed TakeOrdered — never a
+    // global sort of the weighted corpus
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("quantile buckets rank partition-locally, no single-partition window") {
+    val p = plan("q_ppl_buckets")
+    // the within-group rank is the grouped two-pass prefix sum: windows
+    // keyed on (__pid, grp), offsets/totals broadcast — never a
+    // one-task-per-group (or all-rows) window
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("hard negatives: positives anti-join broadcasts, no re-scoring sort") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.toLowerCase.contains("cartesian"))
+  }
+
 }
