@@ -77,6 +77,37 @@ object DataOps {
       .drop("__copies")
   }
 
+  /** Temperature-scaled source mixing — the multilingual/multi-domain
+    * pretraining recipe (exponential smoothing, as in XLM-R): the
+    * target mixture is `p_s ∝ n_s^alpha` (alpha = 1 keeps natural
+    * proportions, alpha → 0 approaches uniform), flattening source
+    * imbalance so small domains aren't drowned; each source's
+    * deterministic resampling rate `p_s · N · totalFraction / n_s`
+    * upsamples small sources above 1 and downsamples large ones below,
+    * then [[weightedResample]] applies it per id. Rates round to 6
+    * decimals (HALF_UP, the SQL engines' rounding) so an external
+    * engine derives identical rates — and therefore the identical
+    * dataset.
+    *
+    * The per-source count collect is bounded by the number of sources
+    * (languages/domains — dozens, not data-sized); everything row-wise
+    * stays in [[weightedResample]]'s hash expressions.
+    */
+  def temperatureMix(df: DataFrame, id: Column, source: Column,
+      alpha: Double, totalFraction: Double = 1.0): DataFrame = {
+    val counts = df.groupBy(source.as("__src"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val denom = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val total = counts.map(_._2).sum.toDouble
+    val rates = counts.map { case (s, n) =>
+      val p = math.pow(n.toDouble, alpha) / denom
+      s -> BigDecimal(p * total * totalFraction / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    weightedResample(df, id, source, rates)
+  }
+
   /** Sequence packing for training: documents are laid out in a
     * deterministic md5-shuffled order inside `buckets` shards, and each
     * doc is assigned to the pack its starting token offset falls in —

@@ -230,6 +230,19 @@ object IvfIndex {
       ()
     }
 
+  /** Size-tiered compaction policy ([[TextSearch.maybeCompact]]'s
+    * contract): [[compact]] only when the manifest references more than
+    * `maxSegments` segments — the knob a streaming ingest/takedown loop
+    * calls after every delivery so compaction amortizes instead of
+    * firing per micro-batch (or never). Returns whether one ran.
+    */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, path) > maxSegments
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Load a saved index; `embs` (the corpus plus appended rows)
     * re-attaches vectors via an inner join on vec_id. Tombstoned
     * vectors are excluded — both as candidates and as query rows.

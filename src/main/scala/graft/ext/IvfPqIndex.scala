@@ -213,6 +213,14 @@ object IvfPqIndex {
       ()
     }
 
+  /** Size-tiered compaction ([[IvfIndex.maybeCompact]]'s contract). */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, path) > maxSegments
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Load a saved index; `embs` re-attaches vectors via vec_id.
     * Tombstoned vectors are excluded.
     */

@@ -174,6 +174,14 @@ object PqIndex {
       ()
     }
 
+  /** Size-tiered compaction ([[IvfIndex.maybeCompact]]'s contract). */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, path) > maxSegments
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Load a saved index. `embs` is the corpus table the index was built
     * over (plus any rows appended via [[saveAppend]]); the inner join on
     * vec_id re-attaches vectors for the exact re-rank, so codes whose

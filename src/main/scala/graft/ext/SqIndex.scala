@@ -167,6 +167,14 @@ object SqIndex {
       ()
     }
 
+  /** Size-tiered compaction ([[IvfIndex.maybeCompact]]'s contract). */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, path) > maxSegments
+    if (due) compact(spark, path)
+    due
+  }
+
   def load(spark: SparkSession, path: String, embs: DataFrame): Model =
     loadSnapshot(IndexStore.snapshot(spark, path), embs)
 

@@ -705,6 +705,50 @@ object DataOpsQueries {
       |       min(lp) AS lp_min, max(lp) AS lp_max
       |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
+  // ---- temperature mixing --------------------------------------------------
+  /** [[DataOps.temperatureMix]] at α = 0.5 over a skewed 60/30/10 domain
+    * split (the documents table's own sources are uniform, which would
+    * make every rate 1.0 and verify nothing): the big domain downsamples
+    * to rate ≈ 0.79, the small one upsamples to ≈ 1.93 — the XLM-R
+    * flattening, reproduced exactly by the oracle from the counts up
+    * (power, normalization, 6-decimal rate rounding, md5 copy draw).
+    */
+  private def temperatureMixGate(s: SparkSession, d: String): DataFrame = {
+    val dom = when(col("doc_id") % 10 < 6, "a")
+      .when(col("doc_id") % 10 < 9, "b").otherwise("c")
+    DataOps.temperatureMix(
+        Tables.documents(s, d).withColumn("dom", dom),
+        col("doc_id"), col("dom"), alpha = 0.5)
+      .groupBy("dom")
+      .agg(count(lit(1)).as("n_rows"), countDistinct("doc_id").as("n_docs"))
+      .orderBy("dom")
+  }
+
+  private val temperatureMixSql =
+    """WITH d AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 10 < 6 THEN 'a'
+      |                  WHEN doc_id % 10 < 9 THEN 'b'
+      |                  ELSE 'c' END AS dom
+      |           FROM documents),
+      |c AS (SELECT dom, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+      |             sum(power(n, 0.5)) AS denom FROM c),
+      |r AS (SELECT dom, n,
+      |        round(power(n, 0.5) / denom * total * 1.0 / n, 6) AS rate
+      |      FROM c, t),
+      |m AS (SELECT d.dom, d.doc_id, r.rate,
+      |        substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 2) AS b
+      |      FROM d JOIN r USING (dom)),
+      |cp AS (SELECT dom, doc_id,
+      |         CAST(floor(rate) AS INT)
+      |         + CASE WHEN b < printf('%02x',
+      |             CAST(floor((rate - floor(rate)) * 256) AS INT))
+      |           THEN 1 ELSE 0 END AS copies
+      |       FROM m)
+      |SELECT dom, CAST(sum(copies) AS BIGINT) AS n_rows,
+      |       count(*) AS n_docs
+      |FROM cp WHERE copies > 0 GROUP BY dom ORDER BY dom""".stripMargin
+
   // ---- hard-negative mining ------------------------------------------------
   /** [[EmbeddingSearch.hardNegatives]]: per query (vec_id < 8), the top-5
     * most-similar corpus vectors that are not labeled positives (self and
@@ -750,6 +794,7 @@ object DataOpsQueries {
     Gate("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     Gate("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     Gate("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    Gate("q_temperature_mix", temperatureMixGate, Some(temperatureMixSql)),
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
     Gate("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Gate("q_profile", profileCols, Some(profileColsSql)),

@@ -191,6 +191,30 @@ class DataOpsSpec extends SparkSpec {
     assert(math.abs(row._3 - 0.4) < 1e-9)
   }
 
+  test("temperature mix flattens a skewed mixture toward uniform") {
+    // 300/80/20: natural mixture 75/20/5%; alpha=0.5 targets
+    // p ∝ sqrt(n) = 61.3/31.7/15.8% of the SAME total
+    val skewed = (0L until 400L).map { i =>
+      val s = if (i < 300) "big" else if (i < 380) "mid" else "tiny"
+      (i, s)
+    }.toDF("id", "src")
+    val out = DataOps.temperatureMix(skewed, col("id"), col("src"),
+        alpha = 0.5)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = out.values.sum
+    assert(math.abs(total - 400L) < 40) // expected N preserved (hash noise)
+    // tiny upsampled ~3.2x, big downsampled ~0.82x
+    assert(out("tiny") > 40 && out("tiny") < 90)
+    assert(out("big") < 300 && out("big") > 200)
+    // alpha=1 is the identity mixture: every rate 1.0, nothing resampled
+    val nat = DataOps.temperatureMix(skewed, col("id"), col("src"),
+        alpha = 1.0)
+      .groupBy("src").agg(countDistinct("id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(nat == Map("big" -> 300L, "mid" -> 80L, "tiny" -> 20L))
+  }
+
   test("hashed n-gram counts: unigrams + bigrams, feature total per doc") {
     val d = Seq((1L, "a b c"), (2L, "x")).toDF("id", "t")
     val f = DataOps.hashedNgramCounts(d, col("id"), col("t"), 64)

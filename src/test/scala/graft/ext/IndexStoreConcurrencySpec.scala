@@ -102,6 +102,48 @@ class IndexStoreConcurrencySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ANN search racing IVF compaction sees one world; policy amortizes") {
+    val embs = (0L until 60L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfrace")
+    val model = IvfIndex.build(embs, k = 3)
+    IvfIndex.save(model, dir)
+    val delta = (100L until 110L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.saveAppend(model, delta, dir)
+    val all = embs.unionByName(delta)
+    def answers() = rows(
+      IvfIndex.search(IvfIndex.load(spark, dir, all), col("vec_id") < 3,
+          k = 3, nProbe = 3)
+        .orderBy("query_id", "rank"))
+    val expected = answers()
+    @volatile var compactorError: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() =>
+      try while (!stop.get())
+        IvfIndex.compact(spark, dir, retainVersions = 16)
+      catch { case t: Throwable => compactorError = Some(t) })
+    compactor.start()
+    try {
+      (1 to 8).foreach { _ =>
+        assert(answers() == expected) // never an error, never a mixed view
+      }
+    } finally { stop.set(true); compactor.join() }
+    assert(compactorError.isEmpty, s"compactor failed: $compactorError")
+    // size-tiered policy: fresh compact leaves 1 segment — under the
+    // threshold nothing fires; appends past it trigger exactly one
+    assert(!IvfIndex.maybeCompact(spark, dir, maxSegments = 2))
+    IvfIndex.saveAppend(model, delta.withColumn("vec_id",
+      col("vec_id") + 100), dir)
+    IvfIndex.saveAppend(model, delta.withColumn("vec_id",
+      col("vec_id") + 200), dir)
+    assert(IndexStore.segmentCount(spark, dir) == 3)
+    assert(IvfIndex.maybeCompact(spark, dir, maxSegments = 2))
+    assert(IndexStore.segmentCount(spark, dir) == 1)
+  }
+
   test("dedup batch racing index compaction sees one world") {
     import org.apache.spark.sql.functions.lower
     val dir = tmpDir("ddrace")
