@@ -408,15 +408,50 @@ object DataOps {
     * Returns (grp, id, score, rank, bucket).
     */
   def quantileBuckets(scored: DataFrame, group: Column, id: Column,
-      score: Column, k: Int = 3): DataFrame = {
+      score: Column, k: Int = 3): DataFrame =
+    groupRanks(
+      scored.select(group.as("grp"), id.as("id"), score.as("score")),
+      descending = true)
+      .withColumn("bucket",
+        floor((col("rank") - 1) * lit(k.toDouble) / col("__n"))
+          .cast("int"))
+      .drop("__n")
+
+  /** Deterministic fixed-size per-group sampling — eval-set / holdout
+    * construction ("500 documents per language"): each group's `k`
+    * smallest `md5(seed:id)` draws, reproducible across re-runs,
+    * layouts, and engines (the module's determinism rule), changing
+    * with `seed`. Ranking rides the same grouped prefix sum as
+    * [[quantileBuckets]] — no group ever serializes through one task.
+    * Returns (grp, id, rank), rank ≤ k in hash order.
+    */
+  def stratifiedSample(df: DataFrame, group: Column, id: Column, k: Int,
+      seed: String = "s1"): DataFrame =
+    groupRanks(
+      df.select(group.as("grp"), id.as("id"),
+        md5(concat(lit(seed + ":"), id.cast("string"))).as("score")),
+      descending = false)
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("id"), col("rank"))
+
+  /** Within-group rank over a (grp, id, score) frame via the grouped
+    * two-pass distributed prefix sum (count of 1s): range-partition on
+    * (grp, score[, id]), per-(partition, grp) counts collect as one tiny
+    * row each, their exclusive prefixes broadcast back as offsets, and
+    * the rank window runs partition-locally. Adds (rank, __n = group
+    * size). A group spans as many partitions as its size warrants —
+    * never `Window.partitionBy(grp)`'s one-task-per-group.
+    */
+  private def groupRanks(scored: DataFrame,
+      descending: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     import org.apache.spark.sql.Row
     val spark = scored.sparkSession
+    val scoreOrd = if (descending) col("score").desc else col("score").asc
     val sorted = scored
-      .select(group.as("grp"), id.as("id"), score.as("score"))
-      .repartitionByRange(col("grp"), col("score").desc, col("id"))
-      .sortWithinPartitions(col("grp"), col("score").desc, col("id"))
+      .repartitionByRange(col("grp"), scoreOrd, col("id"))
+      .sortWithinPartitions(col("grp"), scoreOrd, col("id"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val partCounts = sorted.groupBy("__pid", "grp")
@@ -443,15 +478,12 @@ object DataOps {
       StructType(Seq(grpField,
         StructField("__n", LongType, nullable = false))))
     val w = Window.partitionBy("__pid", "grp")
-      .orderBy(col("score").desc, col("id"))
+      .orderBy(scoreOrd, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sorted.join(broadcast(offDf), Seq("__pid", "grp"))
       .join(broadcast(totDf), Seq("grp"))
       .withColumn("rank", count(lit(1)).over(w) + col("__off"))
-      .withColumn("bucket",
-        floor((col("rank") - 1) * lit(k.toDouble) / col("__n"))
-          .cast("int"))
-      .drop("__pid", "__off", "__n")
+      .drop("__pid", "__off")
   }
 
   /** Column profiler: per profiled column, null count, exact distinct

@@ -705,6 +705,27 @@ object DataOpsQueries {
       |       min(lp) AS lp_min, max(lp) AS lp_max
       |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
+  // ---- stratified eval-set sampling ---------------------------------------
+  /** [[DataOps.stratifiedSample]]: 5 deterministic hash-draws per source
+    * — the fixed-size-per-group holdout every eval pipeline carves out.
+    * The oracle replays the seeded hash ranking, so the exact sampled
+    * ids (not just counts) are value-checked.
+    */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    DataOps.stratifiedSample(Tables.documents(s, d), col("source"),
+        col("doc_id"), k = 5)
+      .select(col("grp").as("source"), col("id").as("doc_id"), col("rank"))
+      .orderBy("source", "rank")
+
+  private val stratifiedSampleSql =
+    """WITH r AS (SELECT source, doc_id,
+      |        CAST(row_number() OVER (PARTITION BY source
+      |          ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |          AS BIGINT) AS rank
+      |      FROM documents)
+      |SELECT source, doc_id, rank FROM r
+      |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   // ---- temperature mixing --------------------------------------------------
   /** [[DataOps.temperatureMix]] at α = 0.5 over a skewed 60/30/10 domain
     * split (the documents table's own sources are uniform, which would
@@ -795,6 +816,7 @@ object DataOpsQueries {
     Gate("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     Gate("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Gate("q_temperature_mix", temperatureMixGate, Some(temperatureMixSql)),
+    Gate("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
     Gate("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Gate("q_profile", profileCols, Some(profileColsSql)),

@@ -285,6 +285,33 @@ class DataOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stratified sample: k per group, layout-stable, seed-sensitive") {
+    val d = (0L until 90L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+    val got = DataOps.stratifiedSample(d, col("g"), col("id"), k = 4)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(got.size == 12)
+    assert(got.groupBy(_._1).forall(_._2.size == 4))
+    // matches the plain per-group window spelling
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(md5(concat(lit("s1:"), col("id").cast("string"))), col("id"))
+    val want = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(got == want)
+    // repartition-stable; a different seed draws a different set
+    val again = DataOps.stratifiedSample(d.repartition(7), col("g"),
+      col("id"), k = 4).select("grp", "id")
+      .as[(String, Long)].collect().toSet
+    assert(again == got)
+    val other = DataOps.stratifiedSample(d, col("g"), col("id"), k = 4,
+      seed = "s2").select("grp", "id").as[(String, Long)].collect().toSet
+    assert(other != got)
+    // a group smaller than k returns whole
+    val tiny = DataOps.stratifiedSample(d.filter(col("id") < 2), col("g"),
+      col("id"), k = 4).count()
+    assert(tiny == 2)
+  }
+
   test("quantile buckets: equal-depth thirds with remainder spread") {
     val d = (1L to 10L).map(i => ("g", i, 100.0 - i)).toDF("g", "id", "s")
     val b = DataOps.quantileBuckets(d, col("g"), col("id"), col("s"), 3)
