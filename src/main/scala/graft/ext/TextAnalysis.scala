@@ -147,6 +147,26 @@ object TextAnalysis {
       least(lit(1.0), size(toks).cast("double") / 50.0) * 0.3 +
       uniqueRatio(toks) * 0.3
 
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * quality filter that catches what token signals miss: repeated-
+    * character runs and template spam score LOW, base64/binary junk
+    * pasted into text scores HIGH, prose sits in a stable mid band.
+    * Spelled as `H = log₂(len) − Σ n_c·log₂(n_c) / len` over per-(doc,
+    * char) counts: one explode and two hash aggregations,
+    * corpus-character-linear, no per-doc state — the same scale shape
+    * as [[tfidf]]. Returns (id, n_chars, entropy).
+    */
+  def charEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cnt = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), "")).as("c"))
+      .groupBy("id", "c").agg(count(lit(1)).as("n"))
+    cnt.groupBy("id")
+      .agg(sum("n").cast("long").as("n_chars"),
+        (log2(sum("n")) -
+          sum(col("n") * log2(col("n"))) / sum("n")).as("entropy"))
+  }
+
   /** Normalization fingerprint: md5 of lower-cased, whitespace-collapsed
     * text — the exact-dedup key that survives cosmetic edits.
     */

@@ -2142,6 +2142,29 @@ object ExtQueries {
       |FROM tf JOIN tc USING (term), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Character-entropy quality signal ([[graft.ext.TextAnalysis
+    * .charEntropy]]): bits/char per document — the filter that catches
+    * repeated-character spam (low) and base64/binary junk (high) that
+    * token-level signals miss. One explode + two hash reductions; the
+    * oracle recomputes the per-(doc, char) counts and the
+    * `log₂(len) − Σ n·log₂ n / len` spelling exactly.
+    */
+  private def charEntropyGate(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.charEntropy(Tables.documents(s, d),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_chars"),
+        round(col("entropy"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  private val charEntropySql =
+    """WITH ch AS (SELECT doc_id,
+      |              unnest(regexp_split_to_array(text, '')) AS c
+      |            FROM documents),
+      |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+      |       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Bigram-LM quality scoring ([[graft.ext.TextAnalysis
     * .bigramLogProbs]]): mean add-½-smoothed bigram log-probability per
     * document under the corpus transition counts — the
@@ -2347,6 +2370,7 @@ object ExtQueries {
     Gate("q_stream_delete", streamBm25Delete, Some(bm25DeleteSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
+    Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),
     Gate("q_bigram_logprob", bigramLogProb, Some(bigramLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),

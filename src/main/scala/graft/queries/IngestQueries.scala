@@ -561,11 +561,18 @@ object IngestQueries {
     val uid = col("user_id").cast("long")
     store.appendDedup(s, b.filter(uid % 2 === 0))
     store.appendDedup(s, b.filter(uid % 2 === 1))
+    // probe the smallest EVEN user in the window — data-derived, so it
+    // exists at every scale factor (a hardcoded id has no rows at
+    // sf0.001 → bloom prunes EVERY file → kept.isEmpty reads as a skip
+    // failure when it's actually perfect pruning), and even-parity means
+    // the odd append's files are the prunable set
+    val probe = b.filter(uid % 2 === 0)
+      .agg(min(uid)).head().getLong(0).toString
     b.unpersist()
-    val skipOk = store.filesForUser(s, "42").exists {
+    val skipOk = store.filesForUser(s, probe).exists {
       case (kept, total) => kept.nonEmpty && kept.size < total
     }
-    store.rawForUser(s, "42")
+    store.rawForUser(s, probe)
       .agg(count(lit(1)).as("n"),
         round(sum("credit_usage"), 2).as("total_credit_usage"),
         countDistinct("invoice_id").as("invoices"))
@@ -580,7 +587,11 @@ object IngestQueries {
        |       true AS skip_ok
        |FROM billing
        |WHERE year = 2024 AND month = 1 AND day <= 2
-       |  AND user_id = '42'""".stripMargin
+       |  AND user_id = CAST((SELECT min(CAST(user_id AS BIGINT))
+       |                      FROM billing
+       |                      WHERE year = 2024 AND month = 1 AND day <= 2
+       |                        AND CAST(user_id AS BIGINT) % 2 = 0)
+       |                     AS VARCHAR)""".stripMargin
 
   /** Incremental manifest scan
     * ([[graft.billing.BillingStore.rawChanges]]): append two days,

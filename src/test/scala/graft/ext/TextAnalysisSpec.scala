@@ -187,4 +187,20 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 8L, 3L, "x y z"),
       (3L, 8L, 8L, "nothing here at all matches anything else whatsoever")))
   }
+
+  test("char entropy: 0 for runs, log2(k) for uniform, spam < prose < junk") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),                  // one symbol -> 0 bits
+      (2L, "abababab"),                  // two symbols uniform -> 1 bit
+      (3L, "abcdabcd"),                  // four symbols uniform -> 2 bits
+      (4L, "the quick brown fox jumps"), // prose band
+      (5L, "K8s2/xQ9+zW1mN4pR7vY0jL3"),  // base64-ish junk, near-max
+    ).toDF("doc_id", "text")
+    val h = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select("id", "entropy").as[(Long, Double)].collect().toMap
+    assert(math.abs(h(1L)) < 1e-9)
+    assert(math.abs(h(2L) - 1.0) < 1e-9)
+    assert(math.abs(h(3L) - 2.0) < 1e-9)
+    assert(h(1L) < h(4L) && h(4L) < h(5L))
+  }
 }
