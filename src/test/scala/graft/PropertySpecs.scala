@@ -225,4 +225,76 @@ object StarClusterProperties extends Properties("graftStarClusters") {
         .as[(Long, Long)].collect().toMap
       Prop(inc == batch) :| s"inc=$inc batch=$batch"
   }
+
+}
+
+/** Laws for the dataset-assembly operators — each case spins several
+  * small Spark jobs, so the case count stays low like the star-cluster
+  * suite.
+  */
+object DataOpsProperties extends Properties("graftDataOps") {
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** DSIR null law: when the target IS the raw corpus, both bucket
+    * models are identical, every per-bucket log-ratio is exactly 0, and
+    * every document's importance weight is exactly 0.0 — no epsilon.
+    */
+  property("importanceWeightsNullWhenTargetIsRaw") = Prop.forAllNoShrink(
+    Gen.choose(3, 12), Gen.choose(0L, 1000000L)) { (n, seed) =>
+    val rnd = new scala.util.Random(seed)
+    val docs = (0 until n).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(5))(
+        s"w${rnd.nextInt(20)}").mkString(" ")))
+      .toDF("id", "t")
+    val w = graft.ext.DataOps.importanceWeights(docs, col("id"), col("t"),
+        docs, col("t"), buckets = 64)
+      .select("log_w").as[Double].collect()
+    Prop(w.length == n && w.forall(_ == 0.0)) :| s"weights=${w.toList}"
+  }
+
+  /** Equal-depth law: quantileBuckets' per-group bucket sizes differ by
+    * at most one, cover the group exactly, and bucket 0 holds the
+    * top-scored rows — for arbitrary group sizes, score ties included.
+    */
+  property("quantileBucketsEqualDepth") = Prop.forAllNoShrink(
+    Gen.choose(1, 40), Gen.choose(1, 6), Gen.choose(0L, 1000000L)) {
+    (n, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map(i =>
+        ("g", i.toLong, rnd.nextInt(5).toDouble))
+      val out = graft.ext.DataOps.quantileBuckets(rows.toDF("g", "id", "s"),
+          col("g"), col("id"), col("s"), k)
+        .select("bucket").as[Int].collect()
+      val sizes = out.groupBy(identity).view.mapValues(_.length).toMap
+      // mirror of bucket = floor((rank-1)·k/n) over every rank
+      val want = (0 until n).map(r => r * k / n)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      Prop(out.length == n && sizes == want) :| s"sizes=$sizes n=$n k=$k"
+  }
+
+  /** Stratified sample is a true per-group sample: size min(k, |g|),
+    * drawn from the group, stable under physical layout.
+    */
+  property("stratifiedSamplePerGroupSize") = Prop.forAllNoShrink(
+    Gen.choose(1, 30), Gen.choose(1, 4), Gen.choose(1, 6),
+    Gen.choose(1, 5)) { (n, groups, k, parts) =>
+    val rows = (0 until n).map(i => (s"g${i % groups}", i.toLong))
+    val df = rows.toDF("g", "id")
+    val got = graft.ext.DataOps.stratifiedSample(df, col("g"), col("id"), k)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val byGroup = rows.groupBy(_._1)
+    val sizesOk = got.groupBy(_._1).forall { case (g, s) =>
+      s.size == math.min(k, byGroup(g).size)
+    }
+    val membersOk = got.forall { case (g, id) => byGroup(g).contains((g, id)) }
+    val again = graft.ext.DataOps.stratifiedSample(df.repartition(parts),
+        col("g"), col("id"), k)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    Prop(sizesOk && membersOk && got == again) :| s"got=$got"
+  }
 }
