@@ -345,6 +345,55 @@ object TextSearch {
     alignedVote(pos, phrases, phraseId, phraseTerms)
   }
 
+  /** Character n-grams of raw text (no tokenization/casefolding — this
+    * feeds LITERAL matching, where "Foo(" and "foo (" must differ).
+    */
+  private def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - n + 1),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact literal substring search — grep over the corpus, done as a
+    * pruned candidate join instead of a full-text scan per needle: a
+    * document can contain `needle` only if it contains EVERY character
+    * n-gram of the needle, so the (tiny, broadcast) needle-gram set
+    * joins the corpus gram stream, an (needle, doc) candidate survives
+    * only with ALL grams present, and a `contains` verify on the
+    * candidates alone removes gram-coincidence false positives — the
+    * result is exactly "all (needle, doc) with needle a substring of
+    * doc". The decontamination shape token search can't deliver: code
+    * fragments, exact benchmark strings, punctuation-sensitive
+    * boilerplate. Needles shorter than `n` characters are not matched
+    * (they'd have no grams); corpus docs shorter than `n` match
+    * nothing, correctly.
+    *
+    * Scale shape: one corpus character-gram stream (distinct per doc),
+    * needle grams broadcast both ways, the candidate groupBy bounded by
+    * gram hits, and the verify joins text only for candidate docs.
+    * Returns (needle_id, id) pairs.
+    */
+  def literalSearch(docs: DataFrame, id: Column, text: Column,
+      needles: DataFrame, needleId: Column, needle: Column,
+      n: Int = 4): DataFrame = {
+    val nd = needles.select(needleId.as("needle_id"), needle.as("needle"))
+    val nGrams = nd.select(col("needle_id"),
+      explode(charGrams(col("needle"), n)).as("g")).distinct()
+    val nCounts = nGrams.groupBy("needle_id").agg(count(lit(1)).as("ng"))
+    val docGrams = docs.select(id.as("id"),
+      explode(array_distinct(charGrams(text, n))).as("g"))
+    val cand = docGrams.join(broadcast(nGrams), "g")
+      .groupBy("needle_id", "id").agg(count(lit(1)).as("hit"))
+      .join(broadcast(nCounts), "needle_id")
+      .filter(col("hit") === col("ng"))
+      .select("needle_id", "id")
+    docs.select(id.as("id"), text.as("__t"))
+      .join(cand, "id")
+      .join(broadcast(nd), "needle_id")
+      .filter(col("__t").contains(col("needle")))
+      .select("needle_id", "id")
+  }
+
   /** Proximity (unordered SpanNear) search: for each (phrase, document)
     * where every DISTINCT phrase term occurs, the MINIMAL token window
     * `[lo, hi]` containing at least one occurrence of each term —

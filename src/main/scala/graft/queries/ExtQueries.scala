@@ -1566,6 +1566,77 @@ object ExtQueries {
       |         AS min_window
       |FROM win WHERE min_window <= 12 ORDER BY phrase_id, id""".stripMargin
 
+  /** Exact literal substring search ([[graft.ext.TextSearch
+    * .literalSearch]]): three 20-char raw slices of real documents plus
+    * one absent literal, matched corpus-wide via the char-4-gram
+    * candidate prune + contains verify. The result contract is exactly
+    * "needle is a substring of text", so the oracle is a plain
+    * contains() cross join — the pruned plan must reproduce the naive
+    * semantics verbatim (punctuation, casing, and word boundaries
+    * included, which token-level search cannot promise).
+    */
+  private def literalSearchGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val needles = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("nid"),
+        substring(col("text"), 8, 20).as("needle"))
+      .unionByName(s.range(1).select(lit(999L).as("nid"),
+        lit("@@no-such-literal@@").as("needle")))
+    graft.ext.TextSearch.literalSearch(docs, col("doc_id"), col("text"),
+        needles, col("nid"), col("needle"))
+      .orderBy("needle_id", "id")
+  }
+
+  private val literalSearchSql =
+    """WITH nd AS (
+      |  SELECT doc_id AS needle_id, substring(text, 8, 20) AS needle
+      |  FROM documents WHERE doc_id < 3
+      |  UNION ALL SELECT 999, '@@no-such-literal@@')
+      |SELECT n.needle_id, d.doc_id AS id
+      |FROM documents d CROSS JOIN nd n
+      |WHERE length(n.needle) >= 4 AND contains(d.text, n.needle)
+      |ORDER BY needle_id, id""".stripMargin
+
+  /** Persisted literal sweep ([[graft.ext.LiteralIndex]]): the corpus's
+    * char-4-grams build on 90% of the docs, the rest arrive via
+    * [[graft.ext.LiteralIndex.appendDocs]] (delta-only), every
+    * doc_id % 7 == 1 document is tombstoned, and the same needle batch
+    * as q_literal_search sweeps the index with bucket-pruned gram scans
+    * — answers must equal plain contains() over the SURVIVING corpus
+    * (append visible, deletes masked), which is exactly what the
+    * oracle states.
+    */
+  private def literalPersistGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = graft.Gate.tmpDir("gate_lit_idx_")
+    graft.ext.LiteralIndex.buildAndSave(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+      dir, n = 4, buckets = 16)
+    graft.ext.LiteralIndex.appendDocs(s, dir,
+      docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"))
+    graft.ext.LiteralIndex.deleteDocs(s, dir,
+      docs.filter(col("doc_id") % 7 === 1).select("doc_id"), col("doc_id"))
+    val needles = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("nid"),
+        substring(col("text"), 8, 20).as("needle"))
+      .unionByName(s.range(1).select(lit(999L).as("nid"),
+        lit("@@no-such-literal@@").as("needle")))
+    graft.ext.LiteralIndex.searchSaved(s, dir, docs, col("doc_id"),
+        col("text"), needles, col("nid"), col("needle"))
+      .orderBy("needle_id", "id")
+  }
+
+  private val literalPersistSql =
+    """WITH nd AS (
+      |  SELECT doc_id AS needle_id, substring(text, 8, 20) AS needle
+      |  FROM documents WHERE doc_id < 3
+      |  UNION ALL SELECT 999, '@@no-such-literal@@')
+      |SELECT n.needle_id, d.doc_id AS id
+      |FROM documents d CROSS JOIN nd n
+      |WHERE d.doc_id % 7 <> 1
+      |  AND length(n.needle) >= 4 AND contains(d.text, n.needle)
+      |ORDER BY needle_id, id""".stripMargin
+
   /** Document retraction ([[graft.ext.TextSearch.deleteDocs]]): every
     * doc_id % 7 == 3 document is tombstoned (negative df/stats partials
     * computed from one postings scan — the corpus text is never
@@ -2368,6 +2439,8 @@ object ExtQueries {
     Gate("q_proximity", proximity, Some(proximitySql)),
     Gate("q_bm25_delete", bm25Delete, Some(bm25DeleteSql)),
     Gate("q_stream_delete", streamBm25Delete, Some(bm25DeleteSql)),
+    Gate("q_literal_search", literalSearchGate, Some(literalSearchSql)),
+    Gate("q_literal_persist", literalPersistGate, Some(literalPersistSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),

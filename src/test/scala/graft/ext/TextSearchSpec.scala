@@ -305,4 +305,23 @@ class TextSearchSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.toLowerCase.contains("cartesian"))
   }
+
+  test("literal search: exact substrings, punctuation-faithful, gram prune") {
+    val docs = Seq(
+      (1L, "def foo(x): return x+1"),
+      (2L, "def foo (x): return x + 1"), // spacing differs -> no match
+      (3L, "call foo(x) then def foo(x): again"),
+      (4L, "unrelated words entirely"),
+    ).toDF("doc_id", "text")
+    val needles = Seq((10L, "foo(x)"), (11L, "def foo(x):"),
+      (12L, "xyzw")).toDF("nid", "needle")
+    val got = TextSearch.literalSearch(docs, col("doc_id"), col("text"),
+        needles, col("nid"), col("needle"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 3L), (11L, 1L), (11L, 3L)))
+    // a needle shorter than the gram width matches nothing (contract)
+    val short = TextSearch.literalSearch(docs, col("doc_id"), col("text"),
+      Seq((13L, "foo")).toDF("nid", "needle"), col("nid"), col("needle"))
+    assert(short.isEmpty)
+  }
 }
