@@ -277,6 +277,33 @@ object DataOpsProperties extends Properties("graftDataOps") {
       Prop(out.length == n && sizes == want) :| s"sizes=$sizes n=$n k=$k"
   }
 
+  /** The gram-pruned literal search must equal naive contains() for
+    * arbitrary strings — a two-letter alphabet makes gram collisions
+    * and overlapping matches common, exercising the all-grams-present
+    * prune and the verify pass where they can actually go wrong.
+    */
+  property("literalSearchEqualsNaiveContains") = Prop.forAllNoShrink(
+    Gen.listOfN(8, Gen.choose(5, 14)), Gen.listOfN(3, Gen.choose(4, 6)),
+    Gen.choose(0L, 1000000L)) { (docLens, needleLens, seed) =>
+    val rnd = new scala.util.Random(seed)
+    def s(len: Int) = Seq.fill(len)(if (rnd.nextBoolean()) 'a' else 'b')
+      .mkString
+    val docs = docLens.zipWithIndex.map { case (l, i) => (i.toLong, s(l)) }
+    val needles = needleLens.zipWithIndex.map { case (l, i) =>
+      (100L + i, s(l))
+    }
+    val got = graft.ext.TextSearch.literalSearch(
+        docs.toDF("id", "t"), col("id"), col("t"),
+        needles.toDF("nid", "needle"), col("nid"), col("needle"))
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      (nid, needle) <- needles
+      (id, t) <- docs
+      if t.contains(needle)
+    } yield (nid, id)).toSet
+    Prop(got == want) :| s"got=$got want=$want"
+  }
+
   /** Stratified sample is a true per-group sample: size min(k, |g|),
     * drawn from the group, stable under physical layout.
     */
