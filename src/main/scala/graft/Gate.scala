@@ -59,6 +59,43 @@ object Gate {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** This process's staging namespace (where [[tmpDir]] allocates), if
+    * it exists yet.
+    */
+  private def stagingRoot: Option[java.io.File] = {
+    val mine = new java.io.File(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_gates"
+      else System.getProperty("java.io.tmpdir"),
+      s"pid-${ProcessHandle.current().pid()}")
+    Option(mine).filter(_.isDirectory)
+  }
+
+  /** Snapshot of the staging dirs that exist right now — take one
+    * before running a gate, pass it to [[sweepNewStaging]] after.
+    */
+  def currentStaging(): Set[String] =
+    stagingRoot.flatMap(r => Option(r.listFiles()))
+      .getOrElse(Array.empty[java.io.File]).map(_.getName).toSet
+
+  /** Delete staging allocated SINCE `before`, except build-once
+    * [[memoDir]] artifacts (shared across gates by design). Bench calls
+    * this after each gate: a finished gate's private index copies,
+    * stream checkpoints, and scratch stores otherwise accumulate on
+    * tmpfs for the rest of the run, where they compete with the page
+    * cache and shuffle scratch and tax every later gate's timed window.
+    */
+  def sweepNewStaging(before: Set[String]): Unit = stagingRoot.foreach {
+    root =>
+      val keep = memo.values.toArray.map(v =>
+        new java.io.File(v.toString).getName).toSet
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => !before.contains(f.getName) && !keep.contains(f.getName))
+        .foreach(f => scala.util.Try {
+          import scala.reflect.io.Directory
+          new Directory(f).deleteRecursively()
+        })
+  }
+
   /** Build-once-per-JVM staging: `build` populates a fresh dir on the
     * first use of `key`; later calls reuse it. For gates whose oracle
     * pins BATCH semantics, not build cost — the build is priced
