@@ -410,6 +410,53 @@ object TextAnalysis {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** Content-defined chunking (the Rabin-fingerprint shape): a chunk
+    * boundary falls after character position `i+w−1` wherever the
+    * w-char gram starting at i hashes to 0 (mod m) — so boundaries are
+    * decided by LOCAL content, and inserting or deleting bytes only
+    * re-chunks the neighborhood instead of shifting every downstream
+    * boundary the way fixed-stride chunking does. That locality is the
+    * point: chunk-hash dedup survives the insertions/edits that defeat
+    * whole-doc fingerprints, which is how backup systems and
+    * near-identical-crawl dedup slice big payloads. Expected chunk
+    * length is m characters (tune m, not w).
+    *
+    * Per-row HOF expressions only (gram hashing, cut filtering, and
+    * the cut→interval fold are all O(len) per document) plus one
+    * explode — corpus-character-linear, no shuffle, no per-doc state.
+    * The gram hash is the oracle-checkable 48-bit md5 prefix
+    * ([[md5Hash48]]), so an external engine derives identical chunks.
+    * Returns (id, chunk_idx, start, chunk_len, chunk_hash); the chunks
+    * partition the text exactly (starts contiguous from 1, lengths sum
+    * to the doc length — pinned in TextAnalysisSpec).
+    */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+      w: Int = 8, m: Int = 16): DataFrame = {
+    val t = col("__t")
+    val len = length(t)
+    val cutsExpr = filter(
+      when(len >= w,
+        transform(sequence(lit(1), len - w + 1),
+          i => when(
+            pmod(md5Hash48(t.substr(i, lit(w))), lit(m.toLong)) === 0,
+            i + w - 1).otherwise(lit(null))))
+        .otherwise(array().cast("array<int>")),
+      x => x.isNotNull && x < len)
+    docs.select(id.as("id"), text.as("__t"))
+      .withColumn("__cuts", cutsExpr)
+      .withColumn("__ends", concat(col("__cuts"), array(len)))
+      .select(col("id"), col("__t"), col("__cuts"),
+        posexplode(transform(col("__ends"), (e, i) =>
+          struct(coalesce(get(col("__cuts"), i - 1) + 1, lit(1)).as("s"),
+            e.as("e")))))
+      .select(col("id"), col("pos").as("chunk_idx"),
+        col("col.s").as("start"),
+        (col("col.e") - col("col.s") + 1).as("chunk_len"),
+        md5Hash48(col("__t").substr(col("col.s"),
+          col("col.e") - col("col.s") + 1)).as("chunk_hash"))
+      .filter(col("chunk_len") > 0)
+  }
+
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -2236,6 +2236,48 @@ object ExtQueries {
       |       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Content-defined chunking ([[graft.ext.TextAnalysis.cdcChunks]]):
+    * every document sliced at content-local Rabin-style boundaries
+    * (w=8 grams, mod-16 cut → ~16-char expected chunks). The full
+    * chunk relation — boundaries, lengths, AND 48-bit chunk hashes —
+    * is value-checked against the oracle's windowed re-derivation, so
+    * the cut rule, the interval fold, and the partition-exactness all
+    * verify, not just counts.
+    */
+  private def cdcChunksGate(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.cdcChunks(Tables.documents(s, d),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+
+  private val cdcChunksSql =
+    """WITH d AS (SELECT doc_id AS id, text, length(text) AS len
+      |           FROM documents),
+      |g AS (SELECT id, i,
+      |        ('0x' || substr(md5(substring(text, i, 8)), 1, 12))::BIGINT
+      |          % 16 AS h
+      |      FROM (SELECT id, text, len,
+      |              unnest(range(1, len - 8 + 2)) AS i
+      |            FROM d WHERE len >= 8)),
+      |cuts AS (SELECT g.id, i + 7 AS cut
+      |         FROM g JOIN d USING (id)
+      |         WHERE h = 0 AND i + 7 < d.len),
+      |ends AS (SELECT id, cut AS e FROM cuts
+      |         UNION ALL SELECT id, len FROM d),
+      |ord AS (SELECT id, e,
+      |          row_number() OVER (PARTITION BY id ORDER BY e) AS rk,
+      |          lag(e) OVER (PARTITION BY id ORDER BY e) AS preve
+      |        FROM ends),
+      |ch AS (SELECT id, CAST(rk - 1 AS INT) AS chunk_idx,
+      |         CAST(coalesce(preve + 1, 1) AS INT) AS start,
+      |         CAST(e - coalesce(preve, 0) AS INT) AS chunk_len
+      |       FROM ord)
+      |SELECT ch.id AS doc_id, chunk_idx, start, chunk_len,
+      |       ('0x' || substr(md5(substring(d.text, start, chunk_len)),
+      |          1, 12))::BIGINT AS chunk_hash
+      |FROM ch JOIN d USING (id) WHERE chunk_len > 0
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Bigram-LM quality scoring ([[graft.ext.TextAnalysis
     * .bigramLogProbs]]): mean add-½-smoothed bigram log-probability per
     * document under the corpus transition counts — the
@@ -2444,6 +2486,7 @@ object ExtQueries {
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),
+    Gate("q_cdc_chunks", cdcChunksGate, Some(cdcChunksSql)),
     Gate("q_bigram_logprob", bigramLogProb, Some(bigramLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),

@@ -188,6 +188,37 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 8L, 8L, "nothing here at all matches anything else whatsoever")))
   }
 
+  test("cdc chunks partition the text; edits re-chunk only locally") {
+    val base = (1 to 40).map(i => s"word$i token$i").mkString(" ")
+    val edited = "INSERTED PREFIX CONTENT " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(docs, col("doc_id"), col("text"))
+      .select("id", "chunk_idx", "start", "chunk_len", "chunk_hash")
+      .as[(Long, Int, Int, Int, Long)].collect()
+    // exact partition: starts contiguous from 1, lengths sum to doc len
+    Seq(1L -> base, 2L -> edited).foreach { case (id, t) =>
+      val mine = ch.filter(_._1 == id).sortBy(_._2)
+      assert(mine.head._3 == 1)
+      mine.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _ =>
+      }
+      assert(mine.map(_._4).sum == t.length)
+    }
+    // content-defined locality: the edited doc re-chunks near the
+    // insertion but shares the vast majority of chunk hashes downstream
+    val h1 = ch.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._5).toSet
+    assert(h1.size > 10)
+    assert((h1 intersect h2).size >= h1.size - 3,
+      s"shared=${(h1 intersect h2).size} of ${h1.size}")
+    // short text: one whole-doc chunk
+    val one = TextAnalysis.cdcChunks(Seq((9L, "tiny")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .select("start", "chunk_len").as[(Int, Int)].collect().toSeq
+    assert(one == Seq((1, 4)))
+  }
+
   test("char entropy: 0 for runs, log2(k) for uniform, spam < prose < junk") {
     val docs = Seq(
       (1L, "aaaaaaaa"),                  // one symbol -> 0 bits
