@@ -432,6 +432,21 @@ object TextAnalysis {
     */
   def cdcChunks(docs: DataFrame, id: Column, text: Column,
       w: Int = 8, m: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    cdcFold(docs, id, text,
+      Bridge.toColumn(graft.functions.CdcCuts(
+        Bridge.toExpr(col("__t")), w, m)))
+  }
+
+  /** Interpreted HOF spelling of the cut rule — kept as the
+    * spec-pinned equivalence reference for the compiled
+    * [[graft.functions.CdcCuts]] (same precedent as
+    * [[winnowingFingerprints]] vs the compiled fast path: per-position
+    * md5 through interpreted lambda dispatch is the scan-killer the
+    * native expression exists to avoid).
+    */
+  private[graft] def cdcChunksHof(docs: DataFrame, id: Column,
+      text: Column, w: Int = 8, m: Int = 16): DataFrame = {
     val t = col("__t")
     val len = length(t)
     val cutsExpr = filter(
@@ -442,9 +457,17 @@ object TextAnalysis {
             i + w - 1).otherwise(lit(null))))
         .otherwise(array().cast("array<int>")),
       x => x.isNotNull && x < len)
+    cdcFold(docs, id, text, cutsExpr)
+  }
+
+  /** Shared cut→interval fold: cuts (1-based end positions, ascending,
+    * all < len) become contiguous (start, end) chunks plus the tail.
+    */
+  private def cdcFold(docs: DataFrame, id: Column, text: Column,
+      cuts: Column): DataFrame =
     docs.select(id.as("id"), text.as("__t"))
-      .withColumn("__cuts", cutsExpr)
-      .withColumn("__ends", concat(col("__cuts"), array(len)))
+      .withColumn("__cuts", cuts)
+      .withColumn("__ends", concat(col("__cuts"), array(length(col("__t")))))
       .select(col("id"), col("__t"), col("__cuts"),
         posexplode(transform(col("__ends"), (e, i) =>
           struct(coalesce(get(col("__cuts"), i - 1) + 1, lit(1)).as("s"),
@@ -455,7 +478,6 @@ object TextAnalysis {
         md5Hash48(col("__t").substr(col("col.s"),
           col("col.e") - col("col.s") + 1)).as("chunk_hash"))
       .filter(col("chunk_len") > 0)
-  }
 
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -67,9 +67,9 @@ object WinnowHashes {
 
   /** First 6 md5 bytes as an unsigned big-endian long — the exact value
     * of `conv(substring(md5(g),1,12),16,10)` (12 hex chars = 48 bits,
-    * always positive).
+    * always positive). Shared with [[CdcCuts]].
     */
-  private def md548(md: MessageDigest, s: String): Long = {
+  private[functions] def md548(md: MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |

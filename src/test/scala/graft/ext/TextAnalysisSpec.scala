@@ -217,6 +217,12 @@ class TextAnalysisSpec extends SparkSpec {
         col("doc_id"), col("text"))
       .select("start", "chunk_len").as[(Int, Int)].collect().toSeq
     assert(one == Seq((1, 4)))
+    // compiled CdcCuts ≡ the interpreted HOF reference, row for row
+    val fast = TextAnalysis.cdcChunks(docs, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    val hof = TextAnalysis.cdcChunksHof(docs, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    assert(fast == hof)
   }
 
   test("char entropy: 0 for runs, log2(k) for uniform, spam < prose < junk") {
