@@ -479,6 +479,44 @@ object TextAnalysis {
           col("col.e") - col("col.s") + 1)).as("chunk_hash"))
       .filter(col("chunk_len") > 0)
 
+  /** Chunk-level near-dup pairs over [[cdcChunks]] — the payload-dedup
+    * twin of n-gram containment: documents sharing at least `minShared`
+    * content-defined chunk hashes pair up, scored by
+    * `shared / min(|A|, |B|)` over their distinct chunk sets. Because
+    * boundaries are content-local, a prefix edit or mid-doc insertion
+    * leaves the rest of the chunk stream identical — this catches the
+    * shifted near-copies that fixed-stride slicing misses. `maxDF`
+    * drops chunks appearing in more than that many documents (shared
+    * boilerplate blocks — the stop-shingle discipline, without which
+    * one ubiquitous chunk makes the pair join quadratic at scale).
+    *
+    * Scale shape: one chunking pass, per-chunk df reduction, and a
+    * self-join keyed on chunk_hash bounded by genuinely duplicated
+    * chunks — never all-pairs. Returns (id_a, id_b, shared, overlap).
+    */
+  def cdcDupPairs(docs: DataFrame, id: Column, text: Column,
+      w: Int = 8, m: Int = 16, minShared: Long = 3,
+      maxDF: Long = 64): DataFrame = {
+    val u = cdcChunks(docs, id, text, w, m)
+      .select("id", "chunk_hash").distinct()
+    val dfc = u.groupBy("chunk_hash").agg(count(lit(1)).as("df"))
+    val uk = u.join(dfc.filter(col("df") <= maxDF), "chunk_hash")
+      .select("id", "chunk_hash")
+    val n = uk.groupBy("id").agg(count(lit(1)).as("nch"))
+    val pairs = uk.as("a").join(uk.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(n.select(col("id").as("id_a"), col("nch").as("na")), "id_a")
+      .join(n.select(col("id").as("id_b"), col("nch").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("na"), col("nb")), 6).as("overlap"))
+  }
+
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -2278,6 +2278,68 @@ object ExtQueries {
       |FROM ch JOIN d USING (id) WHERE chunk_len > 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-level near-dup detection ([[graft.ext.TextAnalysis
+    * .cdcDupPairs]]): the corpus plus a PREFIX-EDITED copy of every 9th
+    * document — the shifted-near-copy case fixed-stride slicing
+    * misses; each (original, copy) pair must surface with high
+    * chunk-set overlap because content-defined boundaries re-align
+    * right after the edit. The oracle re-derives chunking, the df cap,
+    * the pair join, and the overlap scores relationally.
+    */
+  private def cdcDupPairsGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 500000).as("id"),
+          concat(lit("EDITED PREFIX "), col("text")).as("text")))
+    graft.ext.TextAnalysis.cdcDupPairs(corpus, col("id"), col("text"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val cdcDupPairsSql =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, 'EDITED PREFIX ' || text
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |d AS (SELECT id, text, length(text) AS len FROM corpus),
+      |g AS (SELECT id, i,
+      |        ('0x' || substr(md5(substring(text, i, 8)), 1, 12))::BIGINT
+      |          % 16 AS h
+      |      FROM (SELECT id, text, len,
+      |              unnest(range(1, len - 8 + 2)) AS i
+      |            FROM d WHERE len >= 8)),
+      |cuts AS (SELECT g.id, i + 7 AS cut
+      |         FROM g JOIN d USING (id)
+      |         WHERE h = 0 AND i + 7 < d.len),
+      |ends AS (SELECT id, cut AS e FROM cuts
+      |         UNION ALL SELECT id, len FROM d),
+      |ord AS (SELECT id, e,
+      |          lag(e) OVER (PARTITION BY id ORDER BY e) AS preve
+      |        FROM ends),
+      |ch AS (SELECT o.id,
+      |         ('0x' || substr(md5(substring(d.text,
+      |            CAST(coalesce(preve + 1, 1) AS INT),
+      |            CAST(e - coalesce(preve, 0) AS INT))), 1, 12))::BIGINT
+      |           AS chunk_hash
+      |       FROM ord o JOIN d USING (id)
+      |       WHERE e - coalesce(preve, 0) > 0),
+      |u AS (SELECT DISTINCT id, chunk_hash FROM ch),
+      |dfc AS (SELECT chunk_hash, count(*) AS df FROM u GROUP BY 1),
+      |uk AS (SELECT u.id, u.chunk_hash
+      |       FROM u JOIN dfc USING (chunk_hash) WHERE df <= 64),
+      |n AS (SELECT id, count(*) AS nch FROM uk GROUP BY 1),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      |      FROM uk a JOIN uk b
+      |        ON a.chunk_hash = b.chunk_hash AND a.id < b.id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared,
+      |       round(CAST(shared AS DOUBLE) / least(na.nch, nb.nch), 6)
+      |         AS overlap
+      |FROM p JOIN n na ON na.id = p.id_a JOIN n nb ON nb.id = p.id_b
+      |WHERE shared >= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Bigram-LM quality scoring ([[graft.ext.TextAnalysis
     * .bigramLogProbs]]): mean add-½-smoothed bigram log-probability per
     * document under the corpus transition counts — the
@@ -2487,6 +2549,7 @@ object ExtQueries {
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),
     Gate("q_cdc_chunks", cdcChunksGate, Some(cdcChunksSql)),
+    Gate("q_cdc_dup", cdcDupPairsGate, Some(cdcDupPairsSql)),
     Gate("q_bigram_logprob", bigramLogProb, Some(bigramLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),
