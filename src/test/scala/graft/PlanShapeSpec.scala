@@ -220,4 +220,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"))
   }
 
+  test("cdc dup pairs join on the chunk hash — never a cartesian") {
+    val p = plan("q_cdc_dup")
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
 }

@@ -304,6 +304,38 @@ object DataOpsProperties extends Properties("graftDataOps") {
     Prop(got == want) :| s"got=$got want=$want"
   }
 
+  /** CDC laws on arbitrary strings: the chunks partition the text
+    * exactly (contiguous starts, lengths sum to the doc length), and
+    * the compiled [[graft.functions.CdcCuts]] path equals the
+    * interpreted HOF reference row for row.
+    */
+  property("cdcChunksPartitionAndCompiledEqualsHof") = Prop.forAllNoShrink(
+    Gen.listOfN(5, Gen.choose(1, 120)), Gen.choose(0L, 1000000L)) {
+    (lens, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = lens.zipWithIndex.map { case (l, i) =>
+        (i.toLong, Seq.fill(l)(('a' + rnd.nextInt(4)).toChar).mkString)
+      }
+      val df = docs.toDF("id", "t")
+      val fast = graft.ext.TextAnalysis.cdcChunks(df, col("id"), col("t"))
+        .select("id", "chunk_idx", "start", "chunk_len", "chunk_hash")
+        .as[(Long, Int, Int, Int, Long)].collect()
+      val hof = graft.ext.TextAnalysis.cdcChunksHof(df, col("id"), col("t"))
+        .select("id", "chunk_idx", "start", "chunk_len", "chunk_hash")
+        .as[(Long, Int, Int, Int, Long)].collect()
+      val partitionOk = docs.forall { case (id, t) =>
+        val mine = fast.filter(_._1 == id).sortBy(_._2)
+        mine.headOption.forall(_._3 == 1) &&
+          mine.map(_._4).sum == t.length &&
+          mine.sliding(2).forall {
+            case Array(a, b) => b._3 == a._3 + a._4
+            case _ => true
+          }
+      }
+      Prop(fast.toSet == hof.toSet && partitionOk) :|
+        s"fast=${fast.toList} hof=${hof.toList}"
+  }
+
   /** Stratified sample is a true per-group sample: size min(k, |g|),
     * drawn from the group, stable under physical layout.
     */
