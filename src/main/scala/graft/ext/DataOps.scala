@@ -95,7 +95,7 @@ object DataOps {
     */
   def temperatureMix(df: DataFrame, id: Column, source: Column,
       alpha: Double, totalFraction: Double = 1.0): DataFrame = {
-    val counts = df.groupBy(source.as("__src"))
+    val counts = df.groupBy(source.cast("string").as("__src"))
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val denom = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
