@@ -133,8 +133,25 @@ object LiteralIndex {
     */
   def searchSaved(spark: SparkSession, path: String, docs: DataFrame,
       id: Column, text: Column, needles: DataFrame, needleId: Column,
+      needle: Column): DataFrame =
+    searchSnapshot(IndexStore.snapshot(spark, path), docs, id, text,
+      needles, needleId, needle)
+
+  /** [[searchSaved]] against a PINNED manifest version — the literal
+    * family's side of the index time-travel contract
+    * ([[TextSearch.searchSavedAt]] / [[IvfIndex.loadAt]]): a sweep
+    * recorded with its version re-runs verbatim under audit, regardless
+    * of appends/deletes landed since (within the GC retention window).
+    */
+  def searchSavedAt(spark: SparkSession, path: String, version: Long,
+      docs: DataFrame, id: Column, text: Column, needles: DataFrame,
+      needleId: Column, needle: Column): DataFrame =
+    searchSnapshot(IndexStore.snapshotAt(spark, path, version), docs, id,
+      text, needles, needleId, needle)
+
+  private def searchSnapshot(snap: IndexStore.Snapshot, docs: DataFrame,
+      id: Column, text: Column, needles: DataFrame, needleId: Column,
       needle: Column): DataFrame = {
-    val snap = IndexStore.snapshot(spark, path)
     val (n, buckets) = metaOf(snap)
     val nd = needles.select(needleId.as("needle_id"), needle.as("needle"))
     val nGrams = nd.select(col("needle_id"),

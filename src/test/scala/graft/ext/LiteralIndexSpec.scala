@@ -52,6 +52,21 @@ class LiteralIndexSpec extends SparkSpec {
     assert(sweep(dir) == want)
   }
 
+  test("time travel: a pinned version answers as of its commit") {
+    val dir = tmpDir("lit_tt")
+    LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"), dir,
+      n = 4, buckets = 8)
+    val v0 = IndexStore.snapshot(spark, dir).version
+    LiteralIndex.deleteDocs(spark, dir, Seq(3L).toDF("doc_id"),
+      col("doc_id"))
+    // live sweep excludes doc 3; the pinned pre-delete version keeps it
+    assert(!sweep(dir).contains((10L, 3L)))
+    val pinned = LiteralIndex.searchSavedAt(spark, dir, v0, docs,
+        col("doc_id"), col("text"), needles, col("nid"), col("needle"))
+      .as[(Long, Long)].collect().toSet
+    assert(pinned.contains((10L, 3L)))
+  }
+
   test("sweep prunes the gram scan to the needles' buckets") {
     val dir = tmpDir("lit_plan")
     LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"), dir,
