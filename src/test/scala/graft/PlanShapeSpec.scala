@@ -220,6 +220,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"))
   }
 
+  test("literal search: needle grams broadcast, no cartesian scan") {
+    val p = plan("q_literal_search")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("cdc dup pairs join on the chunk hash — never a cartesian") {
     val p = plan("q_cdc_dup")
     assert(!p.toLowerCase.contains("cartesian"), p)
