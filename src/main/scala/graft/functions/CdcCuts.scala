@@ -52,19 +52,40 @@ case class CdcCuts(child: Expression, w: Int, m: Int)
 
 object CdcCuts {
 
+  /** Positions and gram windows are CODE POINTS, not UTF-16 units: the
+    * spec-pinned HOF reference uses Spark `length`/`substr` (code-point
+    * semantics), the chunk fold slices by code points, and the DuckDB
+    * oracle counts code points — a UTF-16 walk would shift every cut
+    * after a supplementary-plane character (emoji, rare CJK) and break
+    * the chunks-partition-the-text invariant. The all-BMP fast path
+    * (the overwhelmingly common case) keeps the original allocation-free
+    * substring loop.
+    */
   def compute(text: UTF8String, w: Int, m: Int): GenericArrayData = {
     val s = text.toString
-    val n = s.length
+    val n = s.codePointCount(0, s.length)
     if (n < w) return new GenericArrayData(Array.emptyIntArray)
     val md = MessageDigest.getInstance("MD5")
     val buf = new scala.collection.mutable.ArrayBuffer[Int]()
-    var i = 0
-    while (i <= n - w) {
-      if (WinnowHashes.md548(md, s.substring(i, i + w)) % m == 0) {
-        val cut = i + w // 1-based end position of the gram at 0-based i
-        if (cut < n) buf += cut
+    if (n == s.length) {
+      var i = 0
+      while (i <= n - w) {
+        if (WinnowHashes.md548(md, s.substring(i, i + w)) % m == 0) {
+          val cut = i + w // 1-based end position of the gram at 0-based i
+          if (cut < n) buf += cut
+        }
+        i += 1
       }
-      i += 1
+    } else {
+      val cps = s.codePoints().toArray
+      var i = 0
+      while (i <= n - w) {
+        if (WinnowHashes.md548(md, new String(cps, i, w)) % m == 0) {
+          val cut = i + w
+          if (cut < n) buf += cut
+        }
+        i += 1
+      }
     }
     new GenericArrayData(buf.toArray)
   }

@@ -80,10 +80,18 @@ object WinnowHashes {
   def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
     val md = MessageDigest.getInstance("MD5")
     val norm = normalize(text)
-    val n = norm.length
+    // Gram windows are CODE POINTS (the HOF reference's Spark
+    // `length`/`substr` semantics), not UTF-16 units — same contract as
+    // [[CdcCuts.compute]]; the all-BMP fast path avoids the array copy.
+    val n = norm.codePointCount(0, norm.length)
     val grams: Array[Long] =
-      if (n >= k) Array.tabulate(n - k + 1)(i => md548(md, norm.substring(i, i + k)))
-      else Array(md548(md, norm))
+      if (n < k) Array(md548(md, norm))
+      else if (n == norm.length)
+        Array.tabulate(n - k + 1)(i => md548(md, norm.substring(i, i + k)))
+      else {
+        val cps = norm.codePoints().toArray
+        Array.tabulate(n - k + 1)(i => md548(md, new String(cps, i, k)))
+      }
     val nWin = math.max(grams.length - (w - 1), 1)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var j = 0

@@ -304,17 +304,25 @@ object DataOpsProperties extends Properties("graftDataOps") {
     Prop(got == want) :| s"got=$got want=$want"
   }
 
-  /** CDC laws on arbitrary strings: the chunks partition the text
-    * exactly (contiguous starts, lengths sum to the doc length), and
-    * the compiled [[graft.functions.CdcCuts]] path equals the
-    * interpreted HOF reference row for row.
+  /** CDC laws on arbitrary strings — INCLUDING supplementary-plane
+    * characters (each draw may emit an emoji, two UTF-16 units but one
+    * code point): the chunks partition the text exactly (contiguous
+    * starts, code-point lengths sum to the doc's code-point length),
+    * and the compiled [[graft.functions.CdcCuts]] path equals the
+    * interpreted HOF reference (Spark `substr`/`length` — code-point
+    * semantics) row for row. Pins the UTF-16-vs-code-point contract.
     */
   property("cdcChunksPartitionAndCompiledEqualsHof") = Prop.forAllNoShrink(
     Gen.listOfN(5, Gen.choose(1, 120)), Gen.choose(0L, 1000000L)) {
     (lens, seed) =>
       val rnd = new scala.util.Random(seed)
+      // 1-in-6 draws a non-BMP char (🎉 U+1F389, 𝕏 U+1D54F, 🚀 U+1F680)
+      val nonBmp = Array("🎉", "𝕏", "🚀")
+      def ch(): String =
+        if (rnd.nextInt(6) == 0) nonBmp(rnd.nextInt(nonBmp.length))
+        else ('a' + rnd.nextInt(4)).toChar.toString
       val docs = lens.zipWithIndex.map { case (l, i) =>
-        (i.toLong, Seq.fill(l)(('a' + rnd.nextInt(4)).toChar).mkString)
+        (i.toLong, Seq.fill(l)(ch()).mkString)
       }
       val df = docs.toDF("id", "t")
       val fast = graft.ext.TextAnalysis.cdcChunks(df, col("id"), col("t"))
@@ -326,7 +334,7 @@ object DataOpsProperties extends Properties("graftDataOps") {
       val partitionOk = docs.forall { case (id, t) =>
         val mine = fast.filter(_._1 == id).sortBy(_._2)
         mine.headOption.forall(_._3 == 1) &&
-          mine.map(_._4).sum == t.length &&
+          mine.map(_._4).sum == t.codePointCount(0, t.length) &&
           mine.sliding(2).forall {
             case Array(a, b) => b._3 == a._3 + a._4
             case _ => true

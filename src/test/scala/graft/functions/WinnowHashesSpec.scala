@@ -18,6 +18,10 @@ class WinnowHashesSpec extends SparkSpec {
     "    ",
     "exactly20characters!",
     "repetition repetition repetition repetition repetition",
+    // supplementary-plane chars: 2 UTF-16 units but 1 code point each —
+    // pins the code-point gram contract against the Spark-substr HOF
+    "emoji 🎉 in the middle 🚀 and math 𝕏 alphanumerics 𝕐𝕑 here",
+    "🎉🚀🎉🚀🎉🚀🎉🚀🎉🚀",
   ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
   test("compiled expression equals the interpreted HOF reference") {
