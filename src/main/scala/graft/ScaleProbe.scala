@@ -89,7 +89,7 @@ object ScaleProbe {
     "q_ivf_topk", "q_ivfpq_topk", "q_embed_lsh_topk",
     "q_dup_clusters_inc", "q_negative_sample",
     "q_dsir_select", "q_ppl_buckets", "q_hard_negatives",
-    "q_literal_search", "q_cdc_chunks", "q_cdc_dup")
+    "q_literal_search", "q_literal_common", "q_cdc_chunks", "q_cdc_dup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

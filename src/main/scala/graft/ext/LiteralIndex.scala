@@ -44,6 +44,21 @@ object LiteralIndex {
     g.repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(s"$path/$seg/grams")
 
+  /** Per-gram df partials of one delivery — the planning statistics
+    * behind [[TextSearch.rarestGrams]], stored bucket-partitioned like
+    * the grams (a sweep reads only its needles' buckets) and SUMMABLE
+    * across segments (the BM25 lexicon's append-only-partials design:
+    * a delivery adds its own counts, history is never rewritten).
+    * Tombstoned docs still count until [[compact]] — df here steers
+    * WHICH grams prune (any choice is sound; the `contains` verify
+    * keeps exactness), so planning-grade staleness is acceptable and
+    * documented.
+    */
+  private def writeLexicon(g: DataFrame, path: String, seg: String): Unit =
+    g.groupBy("g", "bucket").agg(count(lit(1)).as("df"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$path/$seg/lexicon")
+
   private def writeMeta(spark: SparkSession, path: String, seg: String,
       n: Int, buckets: Int): Unit = {
     import spark.implicits._
@@ -66,29 +81,42 @@ object LiteralIndex {
     val spark = docs.sparkSession
     IndexStore.withLock(spark, path) {
       val seg = IndexStore.newSegmentName()
-      writeGrams(gramsOf(docs, id, text, n, buckets), path, seg)
-      writeMeta(spark, path, seg, n, buckets)
-      IndexStore.publishReplace(spark, path, seg, Seq("grams", "meta"),
-        retainVersions)
+      val g = gramsOf(docs, id, text, n, buckets).persist()
+      try {
+        writeGrams(g, path, seg)
+        writeLexicon(g, path, seg)
+        writeMeta(spark, path, seg, n, buckets)
+      } finally g.unpersist()
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("grams", "lexicon", "meta"), retainVersions)
       ()
     }
   }
 
   /** Admit a delivery: only the delta's grams are computed and appended
     * (gram width and bucket count come from the index's own meta; an
-    * empty delivery publishes nothing).
+    * empty delivery publishes nothing). The meta read, emptiness check,
+    * and publish all happen under the writer lock — a concurrent
+    * rebuild with a different bucket count can land strictly before or
+    * strictly after this delivery, never interleave with it (the
+    * [[TextSearch.appendDocs]] discipline) — and the delta grams are
+    * persisted so the gram explode runs once per delivery, not once
+    * for the emptiness probe and again per written relation.
     */
   def appendDocs(spark: SparkSession, path: String, newDocs: DataFrame,
-      id: Column, text: Column): Unit = {
-    val (n, buckets) = metaOf(IndexStore.snapshot(spark, path))
-    val g = gramsOf(newDocs, id, text, n, buckets)
-    if (!g.isEmpty) IndexStore.withLock(spark, path) {
-      val seg = IndexStore.newSegmentName()
-      writeGrams(g, path, seg)
-      IndexStore.publishAppend(spark, path, seg, Seq("grams"))
-      ()
+      id: Column, text: Column): Unit =
+    IndexStore.withLock(spark, path) {
+      val (n, buckets) = metaOf(IndexStore.snapshot(spark, path))
+      val g = gramsOf(newDocs, id, text, n, buckets).persist()
+      try if (!g.isEmpty) {
+        val seg = IndexStore.newSegmentName()
+        writeGrams(g, path, seg)
+        writeLexicon(g, path, seg)
+        IndexStore.publishAppend(spark, path, seg,
+          Seq("grams", "lexicon"))
+        ()
+      } finally g.unpersist()
     }
-  }
 
   /** Retract documents (idempotent tombstone append — the shared
     * vector-index delete contract, keyed on `id`).
@@ -98,7 +126,9 @@ object LiteralIndex {
     IndexStore.tombstoneIds(spark, path, ids, idCol, "grams", key = "id")
 
   /** Apply tombstones physically and re-cluster every delivery's files
-    * into one set per bucket (manifest pointer swap).
+    * into one set per bucket (manifest pointer swap). The lexicon is
+    * recomputed from the surviving grams — this is where df sheds the
+    * tombstoned docs' counts.
     */
   def compact(spark: SparkSession, path: String,
       retainVersions: Int = 2): Unit =
@@ -106,10 +136,14 @@ object LiteralIndex {
       val snap = IndexStore.snapshot(spark, path)
       val (n, buckets) = metaOf(snap)
       val seg = IndexStore.newSegmentName()
-      writeGrams(IndexStore.liveRows(snap, "grams", key = "id"), path, seg)
-      writeMeta(spark, path, seg, n, buckets)
-      IndexStore.publishReplace(spark, path, seg, Seq("grams", "meta"),
-        retainVersions)
+      val live = IndexStore.liveRows(snap, "grams", key = "id").persist()
+      try {
+        writeGrams(live, path, seg)
+        writeLexicon(live, path, seg)
+        writeMeta(spark, path, seg, n, buckets)
+      } finally live.unpersist()
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("grams", "lexicon", "meta"), retainVersions)
       ()
     }
 
@@ -121,21 +155,27 @@ object LiteralIndex {
     due
   }
 
-  /** Sweep a needle batch against the saved index: needle grams are
-    * collected (needle batches are small by nature), their buckets
-    * become partition filters on the gram scan, an all-grams-present
-    * candidate join narrows to (needle, doc) pairs, and a `contains`
-    * verify against `docs` (the corpus table — text is never stored in
-    * the index) removes gram-coincidence false positives. Tombstoned
+  /** Sweep a needle batch against the saved index: the needles' grams
+    * look up their corpus df in the (bucket-pruned) lexicon, the
+    * `rareGrams` RAREST grams per needle are selected
+    * ([[TextSearch.rarestGrams]] — the frequent-key discipline: a
+    * natural-language needle's ubiquitous grams would otherwise drag
+    * corpus-sized posting buckets through the candidate join), ONLY the
+    * rare grams' buckets become partition filters on the gram scan, an
+    * all-RARE-grams-present candidate join narrows to (needle, doc)
+    * pairs, and a `contains` verify against `docs` (the corpus table —
+    * text is never stored in the index) removes false positives, so
+    * pruning with a gram subset never changes answers. Tombstoned
     * documents are excluded. Same answers as
     * [[TextSearch.literalSearch]] over the surviving corpus, with the
-    * scan pruned to the needles' buckets.
+    * scan pruned to the rare grams' buckets.
     */
   def searchSaved(spark: SparkSession, path: String, docs: DataFrame,
       id: Column, text: Column, needles: DataFrame, needleId: Column,
-      needle: Column): DataFrame =
+      needle: Column, rareGrams: Int = 4,
+      maxDF: Long = Long.MaxValue): DataFrame =
     searchSnapshot(IndexStore.snapshot(spark, path), docs, id, text,
-      needles, needleId, needle)
+      needles, needleId, needle, rareGrams, maxDF)
 
   /** [[searchSaved]] against a PINNED manifest version — the literal
     * family's side of the index time-travel contract
@@ -145,24 +185,57 @@ object LiteralIndex {
     */
   def searchSavedAt(spark: SparkSession, path: String, version: Long,
       docs: DataFrame, id: Column, text: Column, needles: DataFrame,
-      needleId: Column, needle: Column): DataFrame =
+      needleId: Column, needle: Column, rareGrams: Int = 4,
+      maxDF: Long = Long.MaxValue): DataFrame =
     searchSnapshot(IndexStore.snapshotAt(spark, path, version), docs, id,
-      text, needles, needleId, needle)
+      text, needles, needleId, needle, rareGrams, maxDF)
+
+  /** The needles' grams with their lexicon df — (needle_id, g, df),
+    * df 0 for grams absent from the corpus (absent grams are the BEST
+    * prune: no doc can match). Reads only the needle grams' lexicon
+    * buckets. Indexes written before the lexicon relation existed
+    * plan as if every gram had equal df (rank ties break by gram
+    * value), which degrades planning, never answers.
+    */
+  private def needleGramDf(snap: IndexStore.Snapshot, nGrams: DataFrame,
+      buckets: Int): DataFrame = {
+    val lexBuckets = nGrams
+      .select(bucketOf(col("g"), buckets).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    snap.read("lexicon") match {
+      case Some(lex) =>
+        val df = lex.filter(col("bucket").isin(lexBuckets: _*))
+          .join(broadcast(nGrams.select("g").distinct()), "g")
+          .groupBy("g").agg(sum("df").as("df"))
+        nGrams.join(broadcast(df), Seq("g"), "left").na.fill(0L, Seq("df"))
+      case None => nGrams.withColumn("df", lit(0L))
+    }
+  }
 
   private def searchSnapshot(snap: IndexStore.Snapshot, docs: DataFrame,
       id: Column, text: Column, needles: DataFrame, needleId: Column,
-      needle: Column): DataFrame = {
+      needle: Column, rareGrams: Int, maxDF: Long): DataFrame = {
     val (n, buckets) = metaOf(snap)
+    val spark = docs.sparkSession
     val nd = needles.select(needleId.as("needle_id"), needle.as("needle"))
     val nGrams = nd.select(col("needle_id"),
       explode(charGrams(col("needle"), n)).as("g")).distinct()
-    val wanted = nGrams
+    // the kept-gram frame is ≤ |needles| × rareGrams rows by
+    // construction — collect it once into a LocalRelation (the plan is
+    // decided eagerly, like the bucket list) so neither the window nor
+    // the lexicon read re-runs when the caller executes the returned
+    // lazy plan
+    val planned = TextSearch.rarestGrams(
+      needleGramDf(snap, nGrams, buckets), rareGrams, maxDF)
+    val rareDf = spark.createDataFrame(
+      java.util.Arrays.asList(planned.collect(): _*), planned.schema)
+    val wanted = rareDf
       .select(bucketOf(col("g"), buckets).as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val grams = IndexStore.liveRows(snap, "grams", key = "id")
       .filter(col("bucket").isin(wanted: _*))
-    val nCounts = nGrams.groupBy("needle_id").agg(count(lit(1)).as("ng"))
-    val cand = grams.join(broadcast(nGrams), "g")
+    val nCounts = rareDf.groupBy("needle_id").agg(count(lit(1)).as("ng"))
+    val cand = grams.join(broadcast(rareDf), "g")
       .groupBy("needle_id", "id").agg(count(lit(1)).as("hit"))
       .join(broadcast(nCounts), "needle_id")
       .filter(col("hit") === col("ng"))

@@ -354,35 +354,75 @@ object TextSearch {
         i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
+  /** Rare-gram planning shared by [[literalSearch]] and
+    * [[LiteralIndex]]: given per-needle grams with their corpus df,
+    * keep only the `rareGrams` RAREST grams per needle (ties broken by
+    * gram value — deterministic), and among those drop grams with
+    * df > `maxDF` except the single rarest (a needle must keep at
+    * least one gram to have any prune at all). Candidates are then
+    * docs containing ALL KEPT grams — a sound superset of docs
+    * containing the full needle, so the `contains` verify keeps
+    * exactness. This is the frequent-key discipline every sibling
+    * family has (BM25 `maxDF`, stop-shingles, stop-chunks): without
+    * it a natural-language needle's ubiquitous grams ("the ", " and")
+    * drag corpus-sized posting lists through the candidate join; with
+    * it at most `rareGrams` posting lists per needle — all but
+    * possibly one bounded by `maxDF` — are ever joined.
+    * Input: (needle_id, g, df). Output: (needle_id, g) kept grams.
+    */
+  private[ext] def rarestGrams(gramDf: DataFrame, rareGrams: Int,
+      maxDF: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("needle_id").orderBy(col("df").asc, col("g").asc)
+    gramDf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= rareGrams &&
+        (col("df") <= maxDF || col("rk") === 1))
+      .select("needle_id", "g")
+  }
+
   /** Exact literal substring search — grep over the corpus, done as a
     * pruned candidate join instead of a full-text scan per needle: a
-    * document can contain `needle` only if it contains EVERY character
-    * n-gram of the needle, so the (tiny, broadcast) needle-gram set
-    * joins the corpus gram stream, an (needle, doc) candidate survives
-    * only with ALL grams present, and a `contains` verify on the
-    * candidates alone removes gram-coincidence false positives — the
-    * result is exactly "all (needle, doc) with needle a substring of
-    * doc". The decontamination shape token search can't deliver: code
-    * fragments, exact benchmark strings, punctuation-sensitive
-    * boilerplate. Needles shorter than `n` characters are not matched
-    * (they'd have no grams); corpus docs shorter than `n` match
-    * nothing, correctly.
+    * document can contain `needle` only if it contains every character
+    * n-gram of the needle, so candidates are pruned by gram presence
+    * and a `contains` verify on the candidates alone removes
+    * gram-coincidence false positives — the result is exactly "all
+    * (needle, doc) with needle a substring of doc". The
+    * decontamination shape token search can't deliver: code fragments,
+    * exact benchmark strings, punctuation-sensitive boilerplate.
+    * Needles shorter than `n` characters are not matched (they'd have
+    * no grams); corpus docs shorter than `n` match nothing, correctly.
     *
-    * Scale shape: one corpus character-gram stream (distinct per doc),
-    * needle grams broadcast both ways, the candidate groupBy bounded by
-    * gram hits, and the verify joins text only for candidate docs.
-    * Returns (needle_id, id) pairs.
+    * The prune uses only the `rareGrams` RAREST grams per needle
+    * ([[rarestGrams]]): a first pass counts the needles' grams' corpus
+    * df (map-side-combined aggregate — its shuffle is at most one row
+    * per needle gram per partition, regardless of how frequent the
+    * gram is), then only the rare grams' posting streams enter the
+    * candidate join. Natural-language needles always contain
+    * ubiquitous grams; requiring ALL grams would process their
+    * corpus-sized hit streams for zero extra selectivity.
+    *
+    * Scale shape: two corpus character-gram streams (one df-count
+    * aggregate, one candidate join bounded by rare-gram posting
+    * lists), needle grams broadcast both ways, and the verify joins
+    * text only for candidate docs. Returns (needle_id, id) pairs.
     */
   def literalSearch(docs: DataFrame, id: Column, text: Column,
       needles: DataFrame, needleId: Column, needle: Column,
-      n: Int = 4): DataFrame = {
+      n: Int = 4, rareGrams: Int = 4,
+      maxDF: Long = Long.MaxValue): DataFrame = {
     val nd = needles.select(needleId.as("needle_id"), needle.as("needle"))
     val nGrams = nd.select(col("needle_id"),
       explode(charGrams(col("needle"), n)).as("g")).distinct()
-    val nCounts = nGrams.groupBy("needle_id").agg(count(lit(1)).as("ng"))
     val docGrams = docs.select(id.as("id"),
       explode(array_distinct(charGrams(text, n))).as("g"))
-    val cand = docGrams.join(broadcast(nGrams), "g")
+    val gramDf = docGrams
+      .join(broadcast(nGrams.select("g").distinct()), "g")
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val rare = rarestGrams(
+      nGrams.join(broadcast(gramDf), Seq("g"), "left")
+        .na.fill(0L, Seq("df")), rareGrams, maxDF)
+    val nCounts = rare.groupBy("needle_id").agg(count(lit(1)).as("ng"))
+    val cand = docGrams.join(broadcast(rare), "g")
       .groupBy("needle_id", "id").agg(count(lit(1)).as("hit"))
       .join(broadcast(nCounts), "needle_id")
       .filter(col("hit") === col("ng"))

@@ -1637,6 +1637,41 @@ object ExtQueries {
       |  AND length(n.needle) >= 4 AND contains(d.text, n.needle)
       |ORDER BY needle_id, id""".stripMargin
 
+  /** Common-gram literal sweep — the decontamination case the
+    * rare-gram planner exists for: the needles are leading slices of
+    * natural-language documents, which always contain ubiquitous
+    * char-4-grams ("the ", " and" — corpus-sized posting buckets).
+    * The sweep plans from the index's df lexicon and prunes with only
+    * the 3 RAREST grams per needle under a df cap, so the candidate
+    * join is bounded by rare posting lists no matter how common the
+    * needle's other grams are; the `contains` verify keeps the
+    * answers exactly equal to the naive contains() oracle. ScaleProbe
+    * carries this gate to show the sweep stays flat as the corpus
+    * (and with it the common grams' df) grows 10×.
+    */
+  private def literalCommonGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dir = graft.Gate.tmpDir("gate_lit_common_")
+    graft.ext.LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"),
+      dir, n = 4, buckets = 16)
+    val needles = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("nid"),
+        substring(col("text"), 1, 40).as("needle"))
+    graft.ext.LiteralIndex.searchSaved(s, dir, docs, col("doc_id"),
+        col("text"), needles, col("nid"), col("needle"),
+        rareGrams = 3, maxDF = 50L)
+      .orderBy("needle_id", "id")
+  }
+
+  private val literalCommonSql =
+    """WITH nd AS (
+      |  SELECT doc_id AS needle_id, substring(text, 1, 40) AS needle
+      |  FROM documents WHERE doc_id < 4)
+      |SELECT n.needle_id, d.doc_id AS id
+      |FROM documents d CROSS JOIN nd n
+      |WHERE length(n.needle) >= 4 AND contains(d.text, n.needle)
+      |ORDER BY needle_id, id""".stripMargin
+
   /** Document retraction ([[graft.ext.TextSearch.deleteDocs]]): every
     * doc_id % 7 == 3 document is tombstoned (negative df/stats partials
     * computed from one postings scan — the corpus text is never
@@ -2545,6 +2580,7 @@ object ExtQueries {
     Gate("q_stream_delete", streamBm25Delete, Some(bm25DeleteSql)),
     Gate("q_literal_search", literalSearchGate, Some(literalSearchSql)),
     Gate("q_literal_persist", literalPersistGate, Some(literalPersistSql)),
+    Gate("q_literal_common", literalCommonGate, Some(literalCommonSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),
