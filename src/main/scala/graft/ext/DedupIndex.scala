@@ -116,22 +116,22 @@ object DedupIndex {
   def readMeta(spark: SparkSession, path: String): Meta =
     metaOf(IndexStore.snapshot(spark, path))
 
-  private def metaOf(snap: IndexStore.Snapshot): Meta = {
-    val r = snap.read("meta")
-      .getOrElse(sys.error(s"dedup index at ${snap.root} has no meta"))
-      .head()
-    Meta(r.getAs[Int]("n"), r.getAs[Int]("bands"),
-      r.getAs[Int]("rows_per_band"))
-  }
+  private def metaOf(snap: IndexStore.Snapshot): Meta =
+    IndexStore.cachedMeta(snap) {
+      val r = snap.read("meta")
+        .getOrElse(sys.error(s"dedup index at ${snap.root} has no meta"))
+        .head()
+      Meta(r.getAs[Int]("n"), r.getAs[Int]("bands"),
+        r.getAs[Int]("rows_per_band"))
+    }
 
   /** The saved bucket table with tombstoned docs masked out — candidate
-    * generation must never pair against a deleted doc.
+    * generation must never pair against a deleted doc. Scope-aware
+    * ([[IndexStore.liveRows]]): a doc re-ingested after a delete is
+    * live again via its new delivery's rows.
     */
-  private def liveBuckets(snap: IndexStore.Snapshot): DataFrame = {
-    val b = snap.read("buckets").get
-    snap.read("tombstones").fold(b)(t =>
-      b.join(broadcast(t), Seq("id"), "left_anti"))
-  }
+  private def liveBuckets(snap: IndexStore.Snapshot): DataFrame =
+    IndexStore.liveRows(snap, "buckets", key = "id")
 
   /** All near-dup pairs (id_a < id_b, exact stop-shingle-suppressed
     * Jaccard ≥ threshold) involving at least one doc of `newDocs`,
@@ -212,13 +212,15 @@ object DedupIndex {
     // candidate references. With no df cap the df table is irrelevant —
     // skip its scan and groupBy entirely (the common streaming-ingest
     // configuration, where batch-invariant values need the cap off).
-    // Candidate ids never reference tombstoned docs (their buckets are
-    // masked above), so the semi-joined shingle/size reads are
-    // tombstone-clean by construction; the df sum nets out deletions
-    // via their negative partials.
+    // Shingle/size reads must be LIVE (scope-aware), not raw: a doc
+    // deleted and later re-ingested has masked old rows AND live new
+    // rows under the same id — a raw read would double its shingle set.
+    // The semi-join still bounds the scan to candidate docs; the df sum
+    // nets out deletions via their negative partials.
     val candIds = cands.select(col("id_a").as("id"))
       .unionAll(cands.select(col("id_b").as("id"))).distinct()
-    val shAll = snap.read("shingles").get.unionByName(newSh)
+    val shAll = IndexStore.liveRows(snap, "shingles", key = "id")
+      .unionByName(newSh)
       .join(candIds, Seq("id"), "left_semi")
     val rare =
       if (maxDF == Long.MaxValue) shAll
@@ -227,7 +229,8 @@ object DedupIndex {
           .groupBy("sh").agg(sum("cnt").as("df"))
         shAll.join(dfAll.filter(col("df") <= maxDF).select("sh"), "sh")
       }
-    val sizesAll = snap.read("sizes").get.unionByName(newSizes)
+    val sizesAll = IndexStore.liveRows(snap, "sizes", key = "id")
+      .unionByName(newSizes)
       .join(candIds, Seq("id"), "left_semi")
     val sets = rare.groupBy("id").agg(collect_list("sh").as("shs"))
       .join(sizesAll, "id").persist()
@@ -287,18 +290,25 @@ object DedupIndex {
       idCol: Column): Unit = IndexStore.withLock(spark, path) {
     val snap = IndexStore.snapshot(spark, path)
     val requested = ids.select(idCol.as("id")).distinct()
-    val eff = snap.read("tombstones").fold(requested)(t =>
-      requested.join(t, Seq("id"), "left_anti"))
-    val dead = snap.read("shingles").get
-      .join(broadcast(eff), "id").persist()
+    // the doomed contributions come from LIVE shingles: an id that is
+    // already fully masked contributes nothing (idempotent, never a
+    // double-subtract), while a re-added id's live rows — its newest
+    // delivery — are exactly what this delete must retract
+    val dead = IndexStore.liveRows(snap, "shingles", key = "id")
+      .join(broadcast(requested), "id").persist()
     try if (!dead.isEmpty) {
       val negDf = dead.groupBy("sh").agg((-count(lit(1))).as("cnt"))
       val tomb = dead.select("id").distinct()
       val seg = IndexStore.newSegmentName()
       negDf.write.parquet(s"$path/$seg/df")
       tomb.coalesce(1).write.parquet(s"$path/$seg/tombstones")
+      // scope over every masked derivative's segments: the tombstone
+      // binds deliveries present NOW; later re-adds stay live
+      IndexStore.writeScope(spark, path, seg,
+        (snap.segments("shingles") ++ snap.segments("sizes") ++
+          snap.segments("buckets")).distinct)
       IndexStore.publishAppend(spark, path, seg,
-        Seq("df", "tombstones"))
+        Seq("df", "tombstones", "tombstone_scope"))
       ()
     } finally dead.unpersist()
   }
@@ -334,11 +344,8 @@ object DedupIndex {
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val m = readMeta(spark, path)
-      val tomb = snap.read("tombstones")
-      def live(rel: String): DataFrame = {
-        val df = snap.read(rel).get
-        tomb.fold(df)(t => df.join(broadcast(t), Seq("id"), "left_anti"))
-      }
+      def live(rel: String): DataFrame =
+        IndexStore.liveRows(snap, rel, key = "id")
       val seg = IndexStore.newSegmentName()
       writeMeta(spark, m, path, seg)
       snap.read("df").get
@@ -421,10 +428,7 @@ object DedupIndex {
     val crossing = dfOld.join(delta, "sh")
       .filter(col("df_old") <= maxDF && col("df_old") + col("delta") > maxDF)
       .select("sh").persist()
-    val tomb = snap.read("tombstones")
-    val oldSh0 = snap.read("shingles").get
-    val oldSh = tomb.fold(oldSh0)(t =>
-      oldSh0.join(broadcast(t), Seq("id"), "left_anti"))
+    val oldSh = IndexStore.liveRows(snap, "shingles", key = "id")
     val affected = oldSh.join(broadcast(crossing), "sh")
       .select("id").distinct()
     val pairs = affectedCandidatePairs(snap, affected).persist()
@@ -440,7 +444,7 @@ object DedupIndex {
       .join(dfOld, "sh").filter(col("df_old") <= maxDF)
       .join(broadcast(crossing.withColumn("crossed", lit(true))),
         Seq("sh"), "left")
-    val sizes = snap.read("sizes").get
+    val sizes = IndexStore.liveRows(snap, "sizes", key = "id")
       .join(candIds, Seq("id"), "left_semi")
     // left join + empty-array default: a doc whose every shingle is
     // suppressed must still score (jaccard 0), not drop its pairs

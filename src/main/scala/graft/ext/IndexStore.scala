@@ -51,21 +51,96 @@ object IndexStore {
       * partition inference) and the branches union; a partition filter
       * still pushes into every branch's file index, so bucket pruning
       * survives the union.
+      *
+      * A snapshot pinned LONGER than the GC retention window can lose
+      * its segments to a later commit's GC; resolution then fails with
+      * a FileNotFoundException NAMING the pinned version (not a bare
+      * missing-path error), so the caller can tell "my lease/retention
+      * was too shallow" from data corruption. Readers that must outlive
+      * the window hold [[IndexStore.withLease]] instead.
       */
     def read(relation: String): Option[DataFrame] =
-      dirs(relation) match {
+      try readSegments(segments(relation), relation)
+      catch {
+        case e: Throwable if isMissingPath(e) =>
+          throw new java.io.FileNotFoundException(
+            s"index version $version at $root lost segments to GC while " +
+              s"pinned (reader outlived the retention window; hold a " +
+              s"lease via IndexStore.withLease): ${e.getMessage}")
+      }
+
+    private def isMissingPath(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+        e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND") ||
+          e.getMessage.contains("Path does not exist")) ||
+        isMissingPath(e.getCause))
+
+    /** Distinct segment names carrying `relation` under this snapshot. */
+    def segments(relation: String): Seq[String] =
+      lines.filter(_.endsWith(s"/$relation")).map(_.split("/").head).distinct
+
+    /** [[read]] restricted to an explicit segment subset — the
+      * building block of scope-aware tombstone masking.
+      */
+    def readSegments(segs: Seq[String], relation: String): Option[DataFrame] =
+      segs match {
         case Seq() => None
-        case ds => Some(ds.map(d => spark.read.parquet(d))
+        case ss => Some(ss.map(s => spark.read.parquet(s"$root/$s/$relation"))
           .reduce(_ unionByName _))
       }
   }
 
-  def snapshot(spark: SparkSession, root: String): Snapshot =
-    manifest.latest(fsOf(spark, root), root) match {
-      case Some((v, lines)) => Snapshot(spark, root, v, lines)
+  /** Read-through cache of each root's newest (version, lines): a
+    * streaming maintenance loop calls [[snapshot]] several times per
+    * micro-batch (mutator + meta read + compaction policy), and on an
+    * object store every uncached call is a LIST + GET against the
+    * manifest dir. A cached entry is current iff its version file
+    * still exists and the NEXT version does not — two existence probes
+    * (HEADs), valid because commits are strictly sequential under the
+    * writer lock; same-JVM commits refresh the cache directly so the
+    * common single-writer loop never even probes. Bounded: cleared
+    * wholesale past 4096 roots (gate tmp dirs churn).
+    */
+  private val latestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+
+  private def cachePut(root: String, v: Long, lines: Seq[String]): Unit = {
+    if (latestCache.size > 4096) latestCache.clear()
+    latestCache.put(root, (v, lines))
+    ()
+  }
+
+  /** Per-(root, version) cache for tiny immutable metadata derived
+    * from a snapshot (index geometry rows — gram width, bucket/band
+    * counts): without it a streaming maintenance loop pays one Spark
+    * job (a parquet `head()`) per micro-batch just to re-learn a
+    * constant. Safe because a committed version's content is immutable
+    * and versions are monotone per root (the manifest floor survives
+    * pruning, so version numbers never restart while a root lives).
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Any]()
+
+  private[ext] def cachedMeta[A](snap: Snapshot)(load: => A): A = {
+    if (metaCache.size > 4096) metaCache.clear()
+    metaCache.computeIfAbsent((snap.root, snap.version), _ => load)
+      .asInstanceOf[A]
+  }
+
+  def snapshot(spark: SparkSession, root: String): Snapshot = {
+    val fs = fsOf(spark, root)
+    val cached = Option(latestCache.get(root)).collect {
+      case (v, lines) if !manifest.exists(fs, root, v + 1) &&
+        manifest.exists(fs, root, v) => (v, lines)
+    }
+    cached.orElse(manifest.latest(fs, root)) match {
+      case Some((v, lines)) =>
+        cachePut(root, v, lines)
+        Snapshot(spark, root, v, lines)
       case None => throw new java.io.FileNotFoundException(
         s"no index manifest under $root — not an index root, or never built")
     }
+  }
 
   /** All manifest versions still retained under the root, oldest first
     * — the addressable time-travel window.
@@ -113,7 +188,10 @@ object IndexStore {
       relations: Seq[String]): Long = {
     val fs = fsOf(spark, root)
     val prev = manifest.latest(fs, root).map(_._2).getOrElse(Seq.empty)
-    manifest.commit(fs, root, prev ++ relations.map(r => s"$seg/$r"))
+    val lines = (prev ++ relations.map(r => s"$seg/$r")).sorted
+    val v = manifest.commit(fs, root, lines)
+    cachePut(root, v, lines)
+    v
   }
 
   /** Publish `seg`'s relations as the index's ENTIRE content (replace
@@ -123,17 +201,24 @@ object IndexStore {
   def publishReplace(spark: SparkSession, root: String, seg: String,
       relations: Seq[String], retainVersions: Int = 2): Long = {
     val fs = fsOf(spark, root)
-    val v = manifest.commit(fs, root, relations.map(r => s"$seg/$r"))
+    val lines = relations.map(r => s"$seg/$r").sorted
+    val v = manifest.commit(fs, root, lines)
+    cachePut(root, v, lines)
     gc(spark, root, retainVersions)
     v
   }
 
   /** Shared tombstone-append for the vector-index family (IVF/PQ/SQ/
-    * IVF-PQ): the requested ids that are PRESENT in `relation` and not
-    * already tombstoned append as one tombstone segment. Readers
+    * IVF-PQ) and [[LiteralIndex]]: the requested ids that have LIVE
+    * rows in `relation` append as one tombstone segment, SCOPED to the
+    * data segments present at delete time ([[writeScope]]). Readers
     * anti-join via [[liveRows]]; compaction applies them physically.
-    * Filtering reads only `relation`'s key column (columnar scan);
-    * takedown batches are small by nature → broadcast joins.
+    * Judging presence against live rows (not raw rows) makes deletes
+    * idempotent (a fully-masked id is a no-op) while still letting a
+    * RE-ADDED id be deleted again — the old already-tombstoned
+    * anti-join could not tell those cases apart. Filtering reads only
+    * `relation`'s key column (columnar scan); takedown batches are
+    * small by nature → broadcast joins.
     */
   private[ext] def tombstoneIds(spark: SparkSession, root: String,
       ids: DataFrame, idCol: org.apache.spark.sql.Column,
@@ -141,38 +226,138 @@ object IndexStore {
     withLock(spark, root) {
       val snap = snapshot(spark, root)
       val requested = ids.select(idCol.as(key)).distinct()
-      val present = requested.join(
-        snap.read(relation).get.select(key), Seq(key), "left_semi")
-      val eff = snap.read("tombstones").fold(present)(t =>
-        present.join(t, Seq(key), "left_anti"))
+      val eff = requested.join(
+        liveRows(snap, relation, key).select(key), Seq(key), "left_semi")
       if (!eff.isEmpty) {
         val seg = newSegmentName()
         eff.coalesce(1).write.parquet(s"$root/$seg/tombstones")
-        publishAppend(spark, root, seg, Seq("tombstones"))
+        writeScope(spark, root, seg, snap.segments(relation))
+        publishAppend(spark, root, seg,
+          Seq("tombstones", "tombstone_scope"))
         ()
       }
     }
 
+  /** The scope sidecar of one tombstone segment: rows (tomb_seg, seg)
+    * declaring that `seg`'s tombstones mask exactly `dataSegs` — the
+    * data segments that existed when the delete committed. Segments
+    * appended LATER are not masked, which is what lets a deleted id be
+    * re-ingested (delete-then-readd) and become visible again without
+    * waiting for a compact — the same sequence-number scoping
+    * Delta/Iceberg deletion vectors use. Caller holds the lock and
+    * publishes `tombstone_scope` alongside `tombstones`.
+    */
+  private[ext] def writeScope(spark: SparkSession, root: String,
+      seg: String, dataSegs: Seq[String]): Unit = {
+    import spark.implicits._
+    dataSegs.toDF("seg")
+      .withColumn("tomb_seg", org.apache.spark.sql.functions.lit(seg))
+      .coalesce(1).write.parquet(s"$root/$seg/tombstone_scope")
+  }
+
   /** `relation` under `snap` with tombstoned keys excluded — the one
-    * definition of "live" every reader and compactor of a vector index
-    * shares.
+    * definition of "live" every reader and compactor of a keyed index
+    * relation shares. Each tombstone segment masks only the data
+    * segments in its scope sidecar (a pre-scoping tombstone masks
+    * everything — the conservative legacy reading), so data segments
+    * are grouped by their applicable tombstone set and each group
+    * anti-joins only the tombstones that bind it. Typical shapes: no
+    * tombstones → plain read; one delete over a settled index → one
+    * group, one anti-join (the old plan exactly); delete-then-readd →
+    * the re-added delivery lands in the unmasked group and is live.
     */
   private[ext] def liveRows(snap: Snapshot, relation: String,
       key: String = "vec_id"): DataFrame = {
-    val base = snap.read(relation).get
-    snap.read("tombstones").fold(base)(t =>
-      base.join(org.apache.spark.sql.functions.broadcast(t),
-        Seq(key), "left_anti"))
+    import org.apache.spark.sql.functions.broadcast
+    val dataSegs = snap.segments(relation)
+    val tombSegs = snap.segments("tombstones")
+    if (tombSegs.isEmpty) return snap.read(relation).get
+    val scoped: Map[String, Set[String]] =
+      snap.read("tombstone_scope")
+        .map(_.select("tomb_seg", "seg").collect()
+          .groupBy(_.getString(0))
+          .map { case (t, rs) => t -> rs.map(_.getString(1)).toSet })
+        .getOrElse(Map.empty)
+    val all = dataSegs.toSet
+    val groups = dataSegs.groupBy(ds =>
+      tombSegs.filter(ts => scoped.getOrElse(ts, all).contains(ds)))
+    groups.map { case (ts, dss) =>
+      val rows = snap.readSegments(dss, relation).get
+      if (ts.isEmpty) rows
+      else rows.join(
+        broadcast(snap.readSegments(ts, "tombstones").get
+          .select(key).distinct()),
+        Seq(key), "left_anti")
+    }.reduce(_ unionByName _)
   }
 
-  /** Delete `seg-*` directories unreferenced by the newest
-    * `retainVersions` manifests and prune manifest history. Only
-    * segment dirs are touched — never the manifest dir or any
-    * caller-owned sibling (e.g. a dedup index's root-level `meta`).
+  /** Run `body` against `version` pinned under a READER LEASE: a
+    * `_leases/` marker (version + expiry) that [[gc]] honors — the
+    * leased version's manifest and segments survive any number of
+    * later commits until the lease is released (or its TTL lapses:
+    * leases expire so a crashed reader cannot block GC forever — the
+    * same crash-safety trade Delta's checkpoint retention and
+    * Iceberg's snapshot refs make). The lease is written under the
+    * writer lock, so it cannot race a concurrent GC's lease listing;
+    * a version already GC'd raises the usual not-retained error
+    * before `body` runs.
+    */
+  def withLease[A](spark: SparkSession, root: String, version: Long,
+      ttlMs: Long = 6 * 3600 * 1000L)(body: Snapshot => A): A = {
+    val fs = fsOf(spark, root)
+    val lease = new Path(new Path(root, "_leases"),
+      "lease-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val snap = withLock(spark, root) {
+      fs.mkdirs(lease.getParent)
+      val out = fs.create(lease, true)
+      try out.write(
+        s"$version ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
+      finally out.close()
+      try snapshotAt(spark, root, version)
+      catch { case e: Throwable => fs.delete(lease, false); throw e }
+    }
+    try body(snap) finally fs.delete(lease, false)
+  }
+
+  /** Versions protected by unexpired leases; expired lease files are
+    * swept here (the only place that reads them).
+    */
+  private def leasedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Set[Long] = {
+    val dir = new Path(root, "_leases")
+    if (!fs.exists(dir)) return Set.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.split("\\s+") match {
+        case Array(v, exp) if exp.toLong > now => Some(v.toLong)
+        case _ => fs.delete(st.getPath, false); None
+      }
+    }.toSet
+  }
+
+  /** Delete `seg-*` directories unreferenced by any KEPT manifest and
+    * prune manifest history to exactly the kept set — the newest
+    * `retainVersions` commits plus every version under an active
+    * reader lease ([[withLease]]). Every manifest [[versions]]
+    * advertises stays fully readable (its segments survive), so the
+    * addressable time-travel window and the readable one are one
+    * number. (The old behavior kept up to 8 manifests while GC'ing
+    * all but the newest 2's segments: [[snapshotAt]] on versions 3–8
+    * succeeded and then failed mid-scan on a deleted `seg-*` path.)
+    * Only segment dirs are touched — never the manifest dir, the
+    * lease dir, or any caller-owned sibling (e.g. a dedup index's
+    * root-level `meta`).
     */
   def gc(spark: SparkSession, root: String, retainVersions: Int): Unit = {
     val fs = fsOf(spark, root)
-    val keep = manifest.referenced(fs, root, retainVersions)
+    val vs = manifest.versions(fs, root)
+    val keepVs = vs.takeRight(math.max(retainVersions, 1)).toSet ++
+      leasedVersions(fs, root).filter(vs.contains)
+    val keep = keepVs.flatMap(v =>
+      manifest.filesAt(fs, root, v).getOrElse(Seq.empty))
       .map(_.split("/").head)
     val rootPath = new Path(root)
     if (fs.exists(rootPath)) {
@@ -181,6 +366,6 @@ object IndexStore {
         .filterNot(st => keep.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
     }
-    manifest.pruneHistory(fs, root, keep = math.max(retainVersions, 8))
+    manifest.pruneExcept(fs, root, keepVs)
   }
 }

@@ -66,11 +66,12 @@ object LiteralIndex {
       .write.parquet(s"$path/$seg/meta")
   }
 
-  private def metaOf(snap: IndexStore.Snapshot): (Int, Int) = {
-    val r = snap.read("meta")
-      .getOrElse(sys.error(s"no meta at ${snap.root}")).head()
-    (r.getAs[Int]("n"), r.getAs[Int]("buckets"))
-  }
+  private def metaOf(snap: IndexStore.Snapshot): (Int, Int) =
+    IndexStore.cachedMeta(snap) {
+      val r = snap.read("meta")
+        .getOrElse(sys.error(s"no meta at ${snap.root}")).head()
+      (r.getAs[Int]("n"), r.getAs[Int]("buckets"))
+    }
 
   /** Build the gram postings from `docs` and publish as the whole
     * index (replace semantics).

@@ -92,8 +92,11 @@ object TextSearch {
     * from the bucket count the writer used.
     */
   private def bucketsOf(snap: IndexStore.Snapshot): Int =
-    snap.read("meta").getOrElse(sys.error(s"index at ${snap.root} has no meta"))
-      .select(max("buckets")).head().getInt(0)
+    IndexStore.cachedMeta(snap) {
+      snap.read("meta")
+        .getOrElse(sys.error(s"index at ${snap.root} has no meta"))
+        .select(max("buckets")).head().getInt(0)
+    }
 
   /** Write one immutable segment carrying the index relations (plus the
     * one-row meta) and return the relation names for the manifest.
@@ -200,14 +203,15 @@ object TextSearch {
       idCol: Column): Unit = IndexStore.withLock(spark, path) {
     val snap = IndexStore.snapshot(spark, path)
     val buckets = bucketsOf(snap)
-    val postings = snap.read("postings").get.drop("bucket")
-    val prior = snap.read("tombstones")
     val requested = ids.select(idCol.as("id")).distinct()
-    val eff = prior.fold(requested)(t =>
-      requested.join(t, Seq("id"), "left_anti"))
-    // the delete batch is takedown-sized → broadcast into the postings
-    // scan; only rows of deleted docs survive it
-    val dead = postings.join(broadcast(eff), "id").persist()
+    // the doomed contributions come from LIVE postings ([[IndexStore
+    // .liveRows]] — scope-aware): an already-masked id nets to nothing
+    // (idempotent, never a double-subtract), while a doc re-ingested
+    // after an earlier delete has live rows again — its newest delivery
+    // — which are exactly what this delete must retract. The delete
+    // batch is takedown-sized → broadcast into the postings scan.
+    val dead = IndexStore.liveRows(snap, "postings", key = "id")
+      .drop("bucket").join(broadcast(requested), "id").persist()
     try if (!dead.isEmpty) {
       val negLex = dead.groupBy("term")
         .agg((-count(lit(1))).as("df"))
@@ -220,8 +224,12 @@ object TextSearch {
         .write.partitionBy("bucket").parquet(s"$path/$seg/lexicon")
       negStats.coalesce(1).write.parquet(s"$path/$seg/stats")
       tomb.coalesce(1).write.parquet(s"$path/$seg/tombstones")
+      // scoped to the postings deliveries present NOW: a later re-add
+      // of a deleted doc is live immediately (its positive df/stats
+      // partials pair with its unmasked postings — the sums net right)
+      IndexStore.writeScope(spark, path, seg, snap.segments("postings"))
       IndexStore.publishAppend(spark, path, seg,
-        Seq("lexicon", "stats", "tombstones"))
+        Seq("lexicon", "stats", "tombstones", "tombstone_scope"))
       ()
     } finally dead.unpersist()
   }
@@ -241,9 +249,7 @@ object TextSearch {
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val buckets = bucketsOf(snap)
-      val tomb = snap.read("tombstones")
-      val live = tomb.fold(snap.read("postings").get)(t =>
-        snap.read("postings").get.join(broadcast(t), Seq("id"), "left_anti"))
+      val live = IndexStore.liveRows(snap, "postings", key = "id")
       val seg = IndexStore.newSegmentName()
       live.repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$path/$seg/postings")
@@ -287,11 +293,14 @@ object TextSearch {
 
   def load(spark: SparkSession, path: String): Index = {
     val snap = IndexStore.snapshot(spark, path)
+    // postings arrive pre-masked (scope-aware live rows), so the Index
+    // needs no tombstone frame — deleted docs are simply absent, and
+    // re-added docs are present via their newest delivery
     fromPartials(
-      snap.read("postings").get.drop("bucket"),
+      IndexStore.liveRows(snap, "postings", key = "id").drop("bucket"),
       snap.read("lexicon").get.drop("bucket"),
       snap.read("stats").get,
-      snap.read("tombstones"))
+      None)
   }
 
   /** Exact phrase occurrences via positional postings: a phrase of
@@ -337,11 +346,9 @@ object TextSearch {
       .select(explode(array_distinct(phraseTerms)).as("term")).distinct()
       .select(bucketOf(col("term"), buckets).as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val matched = snap.read("postings").get
+    val pos = IndexStore.liveRows(snap, "postings", key = "id")
       .filter(col("bucket").isin(wanted: _*))
       .select(col("id"), col("term"), explode(col("positions")).as("pos"))
-    val pos = snap.read("tombstones").fold(matched)(t =>
-      matched.join(broadcast(t), Seq("id"), "left_anti"))
     alignedVote(pos, phrases, phraseId, phraseTerms)
   }
 
@@ -734,11 +741,11 @@ object TextSearch {
         .select(bucketOf(col("term"), buckets).as("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq
     val ix = fromPartials(
-      snap.read("postings").get
+      IndexStore.liveRows(snap, "postings", key = "id")
         .filter(col("bucket").isin(wantedPost: _*)).drop("bucket"),
       lexParts,
       snap.read("stats").get,
-      snap.read("tombstones"))
+      None)
     search(ix, queries, qid, qterms, k, k1, b, maxDF)
   }
 }

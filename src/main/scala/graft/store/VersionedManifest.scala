@@ -62,6 +62,15 @@ class VersionedManifest(dirName: String) {
   def versions(fs: FileSystem, root: String): Seq[Long] =
     versionsOn(fs, root).map(_._1)
 
+  /** Whether `version`'s manifest file is present — one existence probe
+    * (a HEAD on an object store), the building block of read-through
+    * caching: a cached (version, lines) is current iff `version` still
+    * exists and `version + 1` does not (commits are strictly
+    * sequential under the writer lock).
+    */
+  def exists(fs: FileSystem, root: String, version: Long): Boolean =
+    fs.exists(new Path(dir(root), f"v$version%012d"))
+
   /** The lines of one retained version (None once history pruning or GC
     * dropped it).
     */
@@ -113,4 +122,19 @@ class VersionedManifest(dirName: String) {
         fs.delete(p, false)
         onPrune(fs, p)
       }
+
+  /** Drop every manifest version NOT in `keep` (the newest always
+    * survives as a floor) — the lease-aware pruning shape: the caller
+    * names exactly which versions must stay addressable (retention
+    * window ∪ active reader leases) and everything else goes.
+    */
+  def pruneExcept(fs: FileSystem, root: String, keep: Set[Long]): Unit = {
+    val vs = versionsOn(fs, root)
+    val floor = vs.lastOption.map(_._1)
+    vs.filterNot { case (v, _) => keep.contains(v) || floor.contains(v) }
+      .foreach { case (_, p) =>
+        fs.delete(p, false)
+        onPrune(fs, p)
+      }
+  }
 }

@@ -195,4 +195,47 @@ class IndexStoreConcurrencySpec extends SparkSpec {
       .filter(_.startsWith("seg-")).toSet
     assert(segsBefore.intersect(after2).isEmpty)
   }
+
+  test("slow reader outliving retention fails cleanly, naming its version") {
+    val dir = tmpDir("ixslow")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    val pinned = IndexStore.snapshot(spark, dir)
+    // two replace-commits push the pinned version past retention=2 and
+    // GC deletes its segments out from under the reader
+    TextSearch.compact(spark, dir)
+    TextSearch.compact(spark, dir)
+    val e = intercept[java.io.FileNotFoundException] {
+      pinned.read("postings").get.count()
+    }
+    assert(e.getMessage.contains(s"version ${pinned.version}"), e.getMessage)
+    assert(e.getMessage.contains("lease"), e.getMessage)
+  }
+
+  test("a reader lease holds its version through later commits") {
+    val dir = tmpDir("ixlease")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    val v0 = IndexStore.snapshot(spark, dir).version
+    val queries = Seq((1L, Seq("alpha"))).toDF("qid", "qterms")
+    IndexStore.withLease(spark, dir, v0) { snap =>
+      // three compacting commits would normally GC v0's segments
+      TextSearch.compact(spark, dir)
+      TextSearch.compact(spark, dir)
+      TextSearch.compact(spark, dir)
+      // the leased snapshot still scans end-to-end
+      assert(snap.read("postings").get.count() > 0L)
+      // and the version stays addressable for fresh pins too
+      assert(IndexStore.versions(spark, dir).contains(v0))
+    }
+    // lease released: the next commit's GC finally reclaims v0
+    TextSearch.compact(spark, dir)
+    assert(!IndexStore.versions(spark, dir).contains(v0))
+    // an expired lease never blocks GC: write one already lapsed
+    val v1 = IndexStore.snapshot(spark, dir).version
+    assertThrows[java.io.FileNotFoundException] {
+      IndexStore.withLease(spark, dir, v0)(_ => ())
+    }
+    assert(IndexStore.versions(spark, dir).contains(v1))
+  }
 }
