@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-surface takedown orchestration. A retraction at 100 TB must
+  * hit the corpus's EVERY derived surface — BM25, dedup, literal, and
+  * the ANN indexes — or a "deleted" document keeps answering queries
+  * from whichever index the operator forgot. Each family already has
+  * an idempotent delete; what was missing is the composition: a
+  * registry of the surfaces derived from one corpus, and one
+  * `retract(ids)` that drives them all and is safe to re-run after a
+  * mid-flow crash.
+  *
+  * Mechanism — intent log, then apply:
+  *
+  *   1. [[retract]] first writes the id set DURABLY to
+  *      `root/_retractions/<rid>/ids` (the intent). Only then are the
+  *      registered surfaces applied in registry order, each leaving a
+  *      `done-<surface>` marker.
+  *   2. A crash between surfaces leaves a pending intent: [[resume]]
+  *      re-applies every unfinished retraction, skipping surfaces
+  *      whose marker exists. Markers are an optimization, not the
+  *      safety: every per-surface delete judges presence against LIVE
+  *      rows, so re-applying a completed surface is a no-op — replay
+  *      converges to the same end state (TakedownSpec kills a run
+  *      mid-flow and proves it).
+  *
+  * Scale shape: takedown batches are small by nature; each surface
+  * delete is metadata-bounded (tombstones + negative partials — no
+  * corpus rescan), and the registry/log are a handful of tiny files
+  * per retraction. The corpus store itself stays the caller's ledger
+  * (the billing store has its own versioned delete); this module owns
+  * the DERIVED surfaces.
+  */
+object Takedown {
+
+  /** A derived surface: `kind` selects the family delete, `path` the
+    * index root. Supported kinds: bm25, dedup, literal (document
+    * indexes, keyed by doc id) and ivf, pq, sq, ivfpq (vector indexes,
+    * keyed by vec id).
+    */
+  final case class Surface(kind: String, path: String)
+
+  val kinds: Set[String] =
+    Set("bm25", "dedup", "literal", "ivf", "pq", "sq", "ivfpq")
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def surfacesDir(root: String) = new Path(root, "_surfaces")
+  private def retractionsDir(root: String) = new Path(root, "_retractions")
+
+  private def surfaceId(s: Surface): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${s.kind}|${s.path}".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** Add a surface to the corpus's registry (idempotent — the entry
+    * file is named by a content hash, so re-registration overwrites
+    * with identical bytes).
+    */
+  def register(spark: SparkSession, root: String, surface: Surface): Unit = {
+    require(kinds.contains(surface.kind),
+      s"unknown surface kind '${surface.kind}' (have: ${kinds.mkString(",")})")
+    val fs = fsOf(spark, root)
+    fs.mkdirs(surfacesDir(root))
+    val f = new Path(surfacesDir(root), s"s-${surfaceId(surface)}")
+    val out = fs.create(f, true)
+    try out.write(s"${surface.kind}\n${surface.path}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The registered surfaces, in stable (kind, path) order. */
+  def surfaces(spark: SparkSession, root: String): Seq[Surface] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(surfacesDir(root))) return Seq.empty
+    fs.listStatus(surfacesDir(root)).toSeq
+      .filter(_.getPath.getName.startsWith("s-"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val Array(kind, path) = txt.trim.split("\n", 2)
+        Surface(kind, path)
+      }
+      .sortBy(s => (s.kind, s.path))
+  }
+
+  /** Retract `ids` from every registered surface. The intent commits
+    * durably BEFORE any surface is touched, so a crash at any point
+    * leaves either a no-op (intent never landed) or a pending
+    * retraction [[resume]] completes. Returns the retraction id.
+    * Re-running with the same ids is harmless: every surface delete is
+    * live-presence-idempotent.
+    */
+  def retract(spark: SparkSession, root: String, ids: DataFrame,
+      idCol: Column): String = {
+    val rid = "r-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    ids.select(idCol.as("id")).distinct()
+      .coalesce(1).write.parquet(s"$root/_retractions/$rid/ids")
+    applyIntent(spark, root, rid)
+    rid
+  }
+
+  /** Apply one logged intent's surfaces, in registry order, up to
+    * `upTo` surfaces (the test hook that simulates a mid-flow crash;
+    * production callers never pass it). Completed surfaces leave a
+    * marker and are skipped on replay; the final `_done` marker lands
+    * only after the last surface.
+    */
+  private[ext] def applyIntent(spark: SparkSession, root: String,
+      rid: String, upTo: Int = Int.MaxValue): Unit = {
+    val fs = fsOf(spark, root)
+    val ids = spark.read.parquet(s"$root/_retractions/$rid/ids")
+    val ss = surfaces(spark, root)
+    ss.take(upTo).foreach { s =>
+      val mark = new Path(retractionsDir(root), s"$rid/done-${surfaceId(s)}")
+      if (!fs.exists(mark)) {
+        applySurface(spark, s, ids)
+        fs.create(mark, true).close()
+      }
+    }
+    if (upTo >= ss.size)
+      fs.create(new Path(retractionsDir(root), s"$rid/_done"), true).close()
+  }
+
+  private def applySurface(spark: SparkSession, s: Surface,
+      ids: DataFrame): Unit = s.kind match {
+    case "bm25"    => TextSearch.deleteDocs(spark, s.path, ids, col("id"))
+    case "dedup"   => DedupIndex.deleteDocs(spark, s.path, ids, col("id"))
+    case "literal" => LiteralIndex.deleteDocs(spark, s.path, ids, col("id"))
+    case "ivf"     => IvfIndex.deleteVecs(spark, s.path, ids, col("id"))
+    case "pq"      => PqIndex.deleteVecs(spark, s.path, ids, col("id"))
+    case "sq"      => SqIndex.deleteVecs(spark, s.path, ids, col("id"))
+    case "ivfpq"   => IvfPqIndex.deleteVecs(spark, s.path, ids, col("id"))
+    case other     => sys.error(s"unknown surface kind '$other'")
+  }
+
+  /** Retraction ids whose `_done` marker has not landed — what a crash
+    * left behind.
+    */
+  def pending(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(retractionsDir(root))) return Seq.empty
+    fs.listStatus(retractionsDir(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("r-"))
+      .filterNot(st => fs.exists(new Path(st.getPath, "_done")))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Complete every pending retraction (crash recovery — call on
+    * process start, or from a maintenance cron). Returns the ids it
+    * finished.
+    */
+  def resume(spark: SparkSession, root: String): Seq[String] = {
+    val ps = pending(spark, root)
+    ps.foreach(rid => applyIntent(spark, root, rid))
+    ps
+  }
+}

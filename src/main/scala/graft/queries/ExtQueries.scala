@@ -1996,6 +1996,111 @@ object ExtQueries {
       |SELECT query_id, rn, id, matched, score
       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Cross-surface takedown orchestration ([[graft.ext.Takedown]]):
+    * one corpus derives a BM25 index, a literal gram index, and an IVF
+    * vector index; all three register under one takedown root, and ONE
+    * `retract()` call drives all three family deletes through the
+    * durable intent log. A second identical retract proves the
+    * composition idempotent (every surface judges presence against
+    * live rows and no-ops). The output then probes EVERY surface —
+    * BM25 top-5, a literal sweep whose needles include a slice of a
+    * retracted doc, and an exhaustive-probe ANN top-5 — and the oracle
+    * recomputes each from the SURVIVING corpus: the retracted ids must
+    * be gone everywhere, and their former hit slots must backfill with
+    * the next-best survivors on every surface at once.
+    */
+  private def takedownGate(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Takedown
+    val docs = Tables.documents(s, d)
+    val embs = Tables.embeddings(s, d)
+    val root = graft.Gate.tmpDir("gate_td_root_")
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_td_bm25_")
+    val litDir = graft.Gate.tmpDir("gate_td_lit_")
+    graft.ext.LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"),
+      litDir, n = 4, buckets = 16)
+    val ivfDir = graft.Gate.tmpDir("gate_td_ivf_")
+    graft.ext.IvfIndex.save(
+      graft.ext.IvfIndex.build(embs, k = 16, sampleFraction = 0.25), ivfDir)
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    Takedown.register(s, root, Takedown.Surface("literal", litDir))
+    Takedown.register(s, root, Takedown.Surface("ivf", ivfDir))
+    val doomed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    Takedown.retract(s, root, doomed, col("doc_id"))
+    Takedown.retract(s, root, doomed, col("doc_id"))
+    val bm = graft.ext.TextSearch.searchSaved(s, bm25Dir,
+        bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+      .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+        col("id"))
+    val needles = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("nid"), substring(col("text"), 8, 20).as("needle"))
+    val lt = graft.ext.LiteralIndex.searchSaved(s, litDir, docs,
+        col("doc_id"), col("text"), needles, col("nid"), col("needle"))
+      .select(lit("literal").as("surface"), col("needle_id").as("qid"),
+        col("id"))
+    val iv = graft.ext.IvfIndex.search(
+        graft.ext.IvfIndex.load(s, ivfDir, embs),
+        col("vec_id") < 10, k = 5, nProbe = Int.MaxValue)
+      .select(lit("ivf").as("surface"), col("query_id").as("qid"),
+        col("neighbor_id").as("id"))
+    bm.unionByName(lt).unionByName(iv).orderBy("surface", "qid", "id")
+  }
+
+  private val takedownSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |qtok AS (SELECT doc_id AS id,
+      |           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |         FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM qtok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5),
+      |nd AS (SELECT doc_id AS qid, substring(text, 8, 20) AS needle
+      |       FROM documents WHERE doc_id < 4),
+      |lt AS (SELECT 'literal' AS surface, n.qid, d.doc_id AS id
+      |       FROM corpus d CROSS JOIN nd n
+      |       WHERE length(n.needle) >= 4 AND contains(d.text, n.needle)),
+      |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 3),
+      |ev AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |       WHERE vec_id % 7 <> 3),
+      |p AS (SELECT qid, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM qs, ev WHERE vec_id <> qid),
+      |iv AS (SELECT 'ivf' AS surface, qid, vec_id AS id
+      |       FROM (SELECT qid, vec_id,
+      |               row_number() OVER (PARTITION BY qid
+      |                 ORDER BY cos DESC, vec_id) AS rank
+      |             FROM p)
+      |       WHERE rank <= 5)
+      |SELECT surface, qid, id FROM bm
+      |UNION ALL SELECT surface, qid, id FROM lt
+      |UNION ALL SELECT surface, qid, id FROM iv
+      |ORDER BY surface, qid, id""".stripMargin
+
   /** Hybrid retrieval ([[graft.ext.HybridSearch.rrf]]): BM25 top-20 and
     * dense cosine top-20 (vec_id ≡ doc_id — the embeddings table is the
     * documents' vector column split out) fuse by reciprocal-rank into a
@@ -2581,6 +2686,7 @@ object ExtQueries {
     Gate("q_literal_search", literalSearchGate, Some(literalSearchSql)),
     Gate("q_literal_persist", literalPersistGate, Some(literalPersistSql)),
     Gate("q_literal_common", literalCommonGate, Some(literalCommonSql)),
+    Gate("q_takedown", takedownGate, Some(takedownSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),

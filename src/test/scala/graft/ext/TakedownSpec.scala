@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The takedown orchestration laws: registry idempotence, the durable
+  * intent log, crash-mid-flow recovery via [[Takedown.resume]], and
+  * convergence — a killed-and-replayed retraction ends in exactly the
+  * state a clean one-shot retraction produces.
+  */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha bravo charlie delta"),
+    (2L, "alpha bravo echo foxtrot"),
+    (3L, "golf hotel india juliet"),
+    (4L, "kilo lima mike november"),
+  ).toDF("doc_id", "text")
+
+  private def setup(): (String, String, String) = {
+    val root = tmpDir("td_root")
+    val bm25 = tmpDir("td_bm25")
+    val lit = tmpDir("td_lit")
+    TextSearch.buildAndSave(docs, col("doc_id"), col("text"), bm25,
+      buckets = 4)
+    LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"), lit,
+      n = 4, buckets = 4)
+    Takedown.register(spark, root, Takedown.Surface("bm25", bm25))
+    Takedown.register(spark, root, Takedown.Surface("literal", lit))
+    (root, bm25, lit)
+  }
+
+  private def bm25Ids(path: String): Set[Long] =
+    TextSearch.searchSaved(spark, path,
+        Seq((1L, Seq("alpha", "golf"))).toDF("qid", "qterms"),
+        col("qid"), col("qterms"), k = 10)
+      .select("id").as[Long].collect().toSet
+
+  private def literalIds(path: String): Set[Long] =
+    LiteralIndex.searchSaved(spark, path, docs, col("doc_id"), col("text"),
+        Seq((9L, "alpha bravo"), (8L, "hotel india")).toDF("nid", "needle"),
+        col("nid"), col("needle"))
+      .select("id").as[Long].collect().toSet
+
+  test("registry is idempotent and stable-ordered") {
+    val (root, bm25, lit) = setup()
+    Takedown.register(spark, root, Takedown.Surface("bm25", bm25))
+    Takedown.register(spark, root, Takedown.Surface("literal", lit))
+    assert(Takedown.surfaces(spark, root) ==
+      Seq(Takedown.Surface("bm25", bm25), Takedown.Surface("literal", lit)))
+    assertThrows[IllegalArgumentException] {
+      Takedown.register(spark, root, Takedown.Surface("nope", "/x"))
+    }
+  }
+
+  test("one retract() excludes the ids from every registered surface") {
+    val (root, bm25, lit) = setup()
+    val rid = Takedown.retract(spark, root,
+      Seq(1L, 3L).toDF("doc_id"), col("doc_id"))
+    assert(Takedown.pending(spark, root).isEmpty, "retraction must finish")
+    assert(bm25Ids(bm25) == Set(2L))
+    assert(literalIds(lit) == Set(2L))
+    // replay of the completed retraction is a no-op (markers + live-
+    // presence idempotence), as is a fresh identical retraction
+    Takedown.applyIntent(spark, root, rid)
+    Takedown.retract(spark, root, Seq(1L, 3L).toDF("doc_id"), col("doc_id"))
+    assert(bm25Ids(bm25) == Set(2L) && literalIds(lit) == Set(2L))
+  }
+
+  test("killed mid-flow: intent is pending, resume converges to one-shot") {
+    val (root, bm25, lit) = setup()
+    // write the intent and apply only the FIRST surface — the crash
+    // point every multi-surface takedown has to survive
+    val doomedDf = Seq(1L, 3L).toDF("doc_id")
+    doomedDf.select(col("doc_id").as("id")).distinct()
+      .coalesce(1).write.parquet(s"$root/_retractions/r-crash/ids")
+    Takedown.applyIntent(spark, root, "r-crash", upTo = 1)
+    // half-done world: bm25 (first in registry order) applied, literal not
+    assert(bm25Ids(bm25) == Set(2L))
+    assert(literalIds(lit) == Set(1L, 2L, 3L))
+    assert(Takedown.pending(spark, root) == Seq("r-crash"))
+    // recovery completes the intent; the end state equals a clean run
+    assert(Takedown.resume(spark, root) == Seq("r-crash"))
+    assert(Takedown.pending(spark, root).isEmpty)
+    assert(bm25Ids(bm25) == Set(2L))
+    assert(literalIds(lit) == Set(2L))
+    // resume with nothing pending is a no-op
+    assert(Takedown.resume(spark, root).isEmpty)
+  }
+}
