@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, plus partition-wise feature extraction.
   *
-  * The decode step is a clearly-marked STUB (image/audio codecs are not in
-  * this container): `decodeStub` computes a deterministic 16-bin byte
-  * histogram standing in for a real decoder. Everything around it — the
-  * schema (binary + metadata struct), the `mapPartitions` batch shape, the
-  * partitioning story — is the real Spark plumbing a codec would plug into:
-  * swap `decodeStub` for JNI/FFmpeg/ImageIO and nothing else changes.
+  * Two decode paths share the plumbing:
+  *
+  *   - [[decodeLuma]]/[[imagePHash]] — REAL image decode via
+  *     `javax.imageio` (JDK-bundled: PNG/BMP/GIF/JPEG) feeding a classic
+  *     DCT perceptual hash, the production path for image near-dup.
+  *   - [[decodeStub]] — a deterministic 16-bin byte histogram kept as the
+  *     codec-free stand-in (audio/video codecs genuinely are not in this
+  *     container); it pins the schema (binary + metadata struct), the
+  *     `mapPartitions` batch shape, and the partitioning story that any
+  *     JNI/FFmpeg decoder would plug into unchanged.
   */
 object Multimodal {
 
@@ -126,6 +130,162 @@ object Multimodal {
         expr("bit_count(pa ^ pb)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL image decode — `javax.imageio` ships with the JDK, so PNG/BMP/
+  // GIF/JPEG decode needs no external codec. `decodeStub` stays for the
+  // byte-level plumbing's determinism tests; the pixel path below is the
+  // production shape: decode → luma → area-average resize → 2-D DCT →
+  // median-thresholded low-frequency bits (classic pHash).
+  // ---------------------------------------------------------------------
+
+  /** Decode an image payload to a luma (grayscale) matrix; None for
+    * payloads no installed reader understands — at corpus scale a media
+    * column always carries undecodable strays, and they must drop out
+    * of the signature path cleanly rather than kill the task.
+    */
+  def decodeLuma(payload: Array[Byte]): Option[Array[Array[Double]]] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      .filter(img => img.getWidth > 0 && img.getHeight > 0)
+      .map { img =>
+        Array.tabulate(img.getHeight, img.getWidth) { (y, x) =>
+          val rgb = img.getRGB(x, y)
+          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+        }
+      }
+    catch { case _: Exception => None }
+
+  /** Area-average downsample to n×n — deterministic, alias-resistant
+    * (every source pixel lands in exactly one block).
+    */
+  private def resizeLuma(src: Array[Array[Double]], n: Int): Array[Array[Double]] = {
+    val h = src.length
+    val w = src(0).length
+    Array.tabulate(n, n) { (y, x) =>
+      val y0 = y * h / n; val y1 = math.max((y + 1) * h / n, y0 + 1)
+      val x0 = x * w / n; val x1 = math.max((x + 1) * w / n, x0 + 1)
+      var s = 0.0
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { s += src(math.min(yy, h - 1))(math.min(xx, w - 1)); xx += 1 }
+        yy += 1
+      }
+      s / ((y1 - y0) * (x1 - x0))
+    }
+  }
+
+  /** 2-D DCT-II low-frequency block: returns the top-left `k`×`k`
+    * coefficients of the n×n input (only those are computed — O(n²k²),
+    * not a full transform).
+    */
+  private def dctLowFreq(m: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val n = m.length
+    val cos = Array.tabulate(k, n)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    Array.tabulate(k, k) { (u, v) =>
+      var s = 0.0
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) { s += m(y)(x) * cos(u)(y) * cos(v)(x); x += 1 }
+        y += 1
+      }
+      s
+    }
+  }
+
+  /** Classic perceptual hash of one image payload: luma → 32×32 area
+    * average → DCT-II → the 8×8 low-frequency block minus the DC term
+    * (63 coefficients), each a bit iff above their median. 63 bits keep
+    * bit 63 clear — the same reserved-sign-bit discipline as
+    * [[perceptualHashes]], so band arithmetic and external engines
+    * never see a negative hash. Invariances are pHash's usual ones:
+    * re-encoding (PNG↔BMP), uniform brightness shifts (DC-only), and
+    * mild noise move few or no bits; different content diverges.
+    */
+  def imagePHash(payload: Array[Byte]): Option[Long] =
+    decodeLuma(payload).map { luma =>
+      val d = dctLowFreq(resizeLuma(luma, 32), 8)
+      val coeffs = (for { u <- 0 until 8; v <- 0 until 8
+        if u != 0 || v != 0 } yield d(u)(v)).toArray
+      val sorted = coeffs.sorted
+      val median = sorted(coeffs.length / 2)
+      var ph = 0L
+      var i = 0
+      while (i < coeffs.length) {
+        if (coeffs(i) > median) ph |= 1L << i
+        i += 1
+      }
+      ph
+    }
+
+  /** Real-decode perceptual hashes over a media table: one partition-wise
+    * decode pass (the batched-UDF shape — ImageIO state never crosses
+    * rows), undecodable payloads dropped. Returns (doc_id, phash).
+    */
+  def imagePHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        imagePHash(p).map(ph => (id, ph))
+      }).toDF("doc_id", "phash")
+  }
+
+  /** Perceptual near-dup pairs over REAL decoded signatures — the
+    * [[perceptualDupPairs]] LSH-band-then-verify discipline (9 bands ×
+    * 7 bits over the 63-bit hash; only band collisions ever pair, one
+    * xor + bit_count per candidate) on [[imagePHashes]]. Detects
+    * re-encodes and brightness-shifted copies at hamming 0 and mild
+    * edits within a small radius; never all-pairs.
+    */
+  def imageDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 4, bands: Int = 9): DataFrame = {
+    val bits = 63
+    val bandBits = bits / bands
+    require(bands * bandBits == bits, s"bands=$bands must divide $bits")
+    val ph = imagePHashes(spark, media)
+    val banded = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("bno"))
+      .withColumn("bval",
+        expr(s"shiftright(phash, bno * $bandBits) & ${(1 << bandBits) - 1}"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Deterministic test/gate image synthesis: a 16×16 RGB image whose
+    * pixels stream from repeated md5 of `seed`, encoded via ImageIO.
+    * `format` is any installed writer ("png", "bmp") — the same seed
+    * under two formats yields byte-different payloads with identical
+    * pixels, the re-encode case a perceptual hash must collapse.
+    */
+  def synthImage(seed: String, format: String, shift: Int = 0): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var bytes = md.digest(seed.getBytes("UTF-8"))
+    var bi = 0
+    for (y <- 0 until 16; x <- 0 until 16) {
+      def next(): Int = {
+        if (bi == bytes.length) { bytes = md.digest(bytes); bi = 0 }
+        bi += 1
+        math.min(255, math.max(0, (bytes(bi - 1) & 0xff) + shift))
+      }
+      img.setRGB(x, y, (next() << 16) | (next() << 8) | next())
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
   }
 
   /** STUB resize (the "thumbnail" analogue): a fixed-length byte sketch of

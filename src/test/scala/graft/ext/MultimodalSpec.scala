@@ -76,4 +76,44 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(slices(0).getAs[Array[Byte]]("bytes"), "UTF-8") == "hell")
     assert(new String(slices(1).getAs[Array[Byte]]("bytes"), "UTF-8") == "o wo")
   }
+
+  test("real pHash: re-encode and brightness shift collapse, content splits") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val png = Multimodal.imagePHash(Multimodal.synthImage("seed-A", "png")).get
+    // same pixels, different container bytes — a byte-level hash would
+    // split these; the pixel-domain hash must not
+    val bmp = Multimodal.imagePHash(Multimodal.synthImage("seed-A", "bmp")).get
+    assert(ham(png, bmp) == 0)
+    // uniform brightness shift moves (almost) only the DC coefficient;
+    // clamping at 255 perturbs a few AC terms at most
+    val bright = Multimodal.imagePHash(
+      Multimodal.synthImage("seed-A", "png", shift = 4)).get
+    assert(ham(png, bright) <= 4, s"brightness moved ${ham(png, bright)} bits")
+    // different content diverges far beyond any verify radius
+    val other = Multimodal.imagePHash(Multimodal.synthImage("seed-B", "png")).get
+    assert(ham(png, other) > 10, s"distinct content only ${ham(png, other)} apart")
+    assert(png >= 0L && bmp >= 0L && other >= 0L) // bit 63 reserved
+  }
+
+  test("imagePHashes drops undecodable payloads instead of failing") {
+    val rows = Seq(
+      (1L, Multimodal.synthImage("ok", "png")),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray),
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.imagePHashes(spark, rows)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("imageDupPairs: clone found at hamming 0, outlier rejected") {
+    val rows = Seq(
+      (1L, Multimodal.synthImage("x", "png")),
+      (2L, Multimodal.synthImage("x", "bmp")), // re-encoded clone of 1
+      (3L, Multimodal.synthImage("y", "png")), // unrelated
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageDupPairs(spark, rows, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }
