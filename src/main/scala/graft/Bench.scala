@@ -46,9 +46,22 @@ object Bench {
     // unrelated light gates by ~1.3x in r04 when interleaved.
     // SPARK_GRAFT_ONLY=substr[,substr...] narrows the run for iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val isChild = sys.env.contains("SPARK_GRAFT_CHILD")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
       .sortBy { case (n, _) => heavy.contains(n) } // stable: keeps name order
+    // child (isolated) mode: run every selected gate once UNTIMED first,
+    // so the timed pass below measures warm-JIT, warm-page-cache work —
+    // without this, isolated numbers carry ~5 s of JVM/codegen warmup
+    // and are incomparable to in-suite ones (the round-over-round
+    // comparison this mode exists for)
+    if (isChild) selected.foreach { case (_, fn) =>
+      val staged = Gate.currentStaging()
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      Gate.sweepNewStaging(staged)
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
       val staged = Gate.currentStaging()
       val t0 = System.nanoTime()
@@ -78,8 +91,17 @@ object Bench {
       Gate.sweepNewStaging(staged)
       if (elapsed > 1.0) System.gc()
       if (elapsed > 5.0) { System.gc(); Thread.sleep(300) }
+      if (isChild) println(s"CHILD_TIMING $name $elapsed")
       (name, elapsed, failed)
     }
+    // isolated section: a FRESH JVM per gate for the comparison set, so
+    // round-over-round numbers stop carrying the in-suite "GC/page-cache
+    // debt from heavy neighbors" caveat. Skipped in children (recursion),
+    // under SPARK_GRAFT_ONLY (iteration mode), or SPARK_GRAFT_ISOLATED=0.
+    val isolated: Seq[(String, Option[Double])] =
+      if (isChild || only.nonEmpty ||
+        sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")) Seq.empty
+      else isolatedSet.map(n => n -> runIsolated(n, sfDir))
     val failures = results.filter(_._3).map(_._1)
     // failed gates are excluded from the total — their elapsed is
     // time-to-throw, not work done
@@ -103,10 +125,60 @@ object Bench {
     val qs = results.filter(r => headline(r._1))
       .map { case (k, v, f) => if (f) s""""$k":"err"""" else s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.size}}""")
+    val iso = isolated
+      .map { case (k, t) =>
+        t.fold(s""""$k":"err"""")(v => s""""$k":${num(v)}""") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir","failed":${failures.size}}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
+
+  /** The isolated-mode comparison set: the gates BASELINE.md tracks
+    * round-over-round (the streaming manifest-trade gate plus the
+    * worst scaling-ratio families), kept small because each costs one
+    * JVM spin-up. Object-level so GateRegistrySpec pins the names.
+    */
+  val isolatedSet: Seq[String] = Seq(
+    "q_stream_dedup_index", "q_minhash_dedup", "q_dup_clusters_star",
+    "q_cdc_dup", "q_literal_persist", "q_bm25_delete")
+
+  /** Run one gate in a fresh JVM (same flags and classpath as this one,
+    * via RuntimeMXBean) and return its WARM timing — the child runs the
+    * gate untimed once, then timed. None on spawn failure, non-zero
+    * exit, or timeout.
+    */
+  private def runIsolated(name: String, sfDir: String): Option[Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java")
+        .getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var t: Option[Double] = None
+      var line = out.readLine()
+      while (line != null) {
+        if (line.startsWith(s"CHILD_TIMING $name "))
+          t = scala.util.Try(
+            line.stripPrefix(s"CHILD_TIMING $name ").trim.toDouble).toOption
+        line = out.readLine()
+      }
+      val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); None }
+      else if (p.exitValue() != 0) None
+      else t
+    } catch { case _: Exception => None }
 
   /** Delete `spark-*`/`blockmgr-*` scratch under the shared tmpfs local
     * dir that no live process owns (best-effort: anything older than

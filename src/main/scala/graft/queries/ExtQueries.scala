@@ -1137,6 +1137,40 @@ object ExtQueries {
         maxHamming = 4)
       .orderBy("id_a", "id_b")
 
+  /** REAL-decode perceptual near-dup ([[graft.ext.Multimodal
+    * .imageDupPairs]]): every doc renders a deterministic 16×16 PNG
+    * (pixels streamed from md5 of its id); docs ≡ 0 (mod 5)
+    * additionally re-encode the SAME pixels as BMP under id+200000 —
+    * byte-different, pixel-identical payloads. `javax.imageio` decodes
+    * real pixels, the classic DCT pHash (32×32 luma → 8×8 low-freq
+    * minus DC → median-thresholded bits) signs them, and banded LSH +
+    * hamming-0 verify must pair EXACTLY each doc with its re-encoded
+    * clone: every clone collapses (a byte-level hash would split
+    * them), and nothing else collides (md5 pixel streams are mutually
+    * random). The clone construction is deterministic, so the oracle
+    * states the full expected pair set in SQL; the decode's pixel-
+    * domain invariances (brightness shift, undecodable strays) are
+    * spec-pinned in MultimodalSpec.
+    */
+  private def mediaDupReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select("doc_id").as[Long]
+      .flatMap { id =>
+        val base = (id, Multimodal.synthImage(s"doc-$id", "png"))
+        if (id % 5 == 0)
+          Seq(base, (id + 200000L, Multimodal.synthImage(s"doc-$id", "bmp")))
+        else Seq(base)
+      }.toDF("doc_id", "payload")
+    Multimodal.imageDupPairs(s, media, maxHamming = 0)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val mediaDupRealSql =
+    """SELECT doc_id AS id_a, doc_id + 200000 AS id_b, 0 AS hamming
+      |FROM documents WHERE doc_id < 60 AND doc_id % 5 = 0
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val mediaDupPairsSql =
     """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       |ch AS (SELECT doc_id, ascii(unnest(split(text, ''))) % 63 AS bin
@@ -2723,6 +2757,7 @@ object ExtQueries {
     Gate("q_multimodal_features", multimodalFeatures,
       Some(multimodalFeaturesSql)),
     Gate("q_media_dup", mediaDupPairs, Some(mediaDupPairsSql)),
+    Gate("q_media_dup_real", mediaDupReal, Some(mediaDupRealSql)),
     Gate("q_multimodal_slices", multimodalSlices,
       Some(multimodalSlicesSql)),
   )

@@ -42,6 +42,17 @@ class GateRegistrySpec extends AnyFunSuite {
     assert(dead.isEmpty, s"heavy entries with no gate: $dead")
   }
 
+  test("every isolated-mode name is a live gate that SPARK_GRAFT_ONLY " +
+    "resolves to exactly one gate") {
+    val names = Gate.all.map(_.name)
+    Bench.isolatedSet.foreach { n =>
+      // the child is launched with ONLY=<n>, a substring filter — a name
+      // that matches several gates would time the wrong work
+      val matched = names.filter(_.contains(n))
+      assert(matched == Seq(n), s"$n matches $matched")
+    }
+  }
+
   test("SparkEntry exposes exactly the gate registry") {
     assert(SparkEntry.queries.keySet == Gate.all.map(_.name).toSet)
     assert(SparkEntry.oracleSql.keySet ==
