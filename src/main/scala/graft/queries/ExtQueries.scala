@@ -1997,6 +1997,70 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Delete-then-readd ([[graft.ext.IndexStore]] scoped tombstones):
+    * every doc_id % 7 == 3 document is retracted, then a CORRECTED
+    * delivery re-ingests the same ids with revised text via
+    * [[graft.ext.TextSearch.appendDocs]] — no compact in between. The
+    * tombstone is scoped to the delete-time segments, so the corrected
+    * delivery is visible immediately while the original rows stay
+    * masked, and the df/avgdl partials (negative from the delete,
+    * positive from the re-add) must net to EXACTLY a from-scratch
+    * build over survivors ∪ corrected docs — which is what the oracle
+    * computes. This is the correction/redelivery flow every ingest
+    * pipeline runs; before scoping, the re-added docs were silently
+    * invisible until a compact dropped them entirely.
+    */
+  private def bm25Readd(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_bm25_readd_")
+    val docs = Tables.documents(s, d)
+    val doomed = docs.filter(col("doc_id") % 7 === 3)
+    graft.ext.TextSearch.deleteDocs(s, dir, doomed.select("doc_id"),
+      col("doc_id"))
+    graft.ext.TextSearch.appendDocs(s, dir,
+      doomed.select(col("doc_id"),
+        concat(col("text"), lit(" corrected redelivery")).as("t")),
+      col("doc_id"), col("t"))
+    graft.ext.TextSearch.searchSaved(s, dir, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val bm25ReaddSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id, text || ' corrected redelivery'
+      |  FROM documents WHERE doc_id % 7 = 3),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |qtok AS (SELECT doc_id AS id,
+      |           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |         FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM qtok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw,
+      |         count(*) AS matched
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id, matched, round(score_raw, 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT query_id, rn, id, matched, score
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   private val bm25DeleteSql =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
@@ -2721,6 +2785,7 @@ object ExtQueries {
     Gate("q_literal_persist", literalPersistGate, Some(literalPersistSql)),
     Gate("q_literal_common", literalCommonGate, Some(literalCommonSql)),
     Gate("q_takedown", takedownGate, Some(takedownSql)),
+    Gate("q_bm25_readd", bm25Readd, Some(bm25ReaddSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),

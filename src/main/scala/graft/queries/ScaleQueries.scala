@@ -671,6 +671,47 @@ object ScaleQueries {
       |       CAST(rank AS INTEGER) AS rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Vector delete-then-readd ([[graft.ext.IndexStore]] scoped
+    * tombstones on the ANN family): every vec_id % 7 == 3 vector is
+    * tombstoned, then the SAME vectors re-ingest via
+    * [[graft.ext.IvfIndex.saveAppend]] (frozen quantizer) — no compact
+    * in between. The tombstone binds only the delete-time segments, so
+    * the re-added delivery is live immediately: an exhaustive-probe
+    * search must answer exactly brute force over the FULL corpus, as
+    * if the takedown never happened — the correction/redelivery flow.
+    * Before scoping, re-added vectors stayed masked and compact
+    * dropped them.
+    */
+  private def ivfReadd(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
+    val dir = graft.Gate.tmpDir("gate_ivf_readd_")
+    IvfIndex.save(model, dir)
+    val doomed = embs.filter(col("vec_id") % 7 === 3)
+    IvfIndex.deleteVecs(s, dir, doomed.select("vec_id"), col("vec_id"))
+    IvfIndex.saveAppend(IvfIndex.load(s, dir, embs), doomed, dir)
+    IvfIndex.search(IvfIndex.load(s, dir, embs), col("vec_id") < 10,
+        k = 5, nProbe = Int.MaxValue)
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfReaddSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** STREAMING vector takedown — q_stream_delete's ANN twin: deletion
     * requests drain from a file stream in two micro-batches, each
     * landing on the saved IVF index via [[graft.ext.IvfIndex
@@ -1830,6 +1871,7 @@ object ScaleQueries {
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_ivf_delete", ivfDelete, Some(ivfDeleteSql)),
+    Gate("q_ivf_readd", ivfReadd, Some(ivfReaddSql)),
     Gate("q_stream_vec_delete", streamVecDelete, Some(ivfDeleteSql)),
     Gate("q_ann_filtered", annFiltered, Some(annFilteredSql)),
     Gate("q_embed_dedup_inc", embedDedupInc, Some(embedDedupIncSql)),
