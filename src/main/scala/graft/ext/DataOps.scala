@@ -518,4 +518,67 @@ object DataOps {
     wide.selectExpr("n_rows", s"stack(${columns.size}, $stacked)" +
       " AS (column, n_nulls, n_distinct, vmin, vmax)")
   }
+
+  /** Heavy hitters — every key occurring in at least `minFrac` of the
+    * rows, with its EXACT count. The 100 TB shape for stop-list /
+    * frequent-n-gram mining, where `groupBy(key).count()` would
+    * shuffle one row per distinct key (corpus-scale for n-grams):
+    *
+    *   1. per-partition Misra–Gries summaries of m = ⌈1/minFrac⌉
+    *      counters (`mapPartitions`, bounded memory, no shuffle) — the
+    *      classic guarantee transfers to the union: a key with global
+    *      frequency ≥ minFrac·N must clear the local N_p/(m+1) bar in
+    *      at least one partition (averaging argument), so the merged
+    *      candidate set is a SOUND SUPERSET;
+    *   2. one exact count pass restricted to the candidates (≤ m per
+    *      partition, broadcast semi-join) — false candidates fall to
+    *      the threshold filter, so the output is exactly what the
+    *      naive global count would return, with a shuffle bounded by
+    *      candidates instead of distinct keys.
+    *
+    * Deterministic end-to-end: the sketch only shapes the candidate
+    * superset; the exact verify decides membership and values.
+    * Returns (k, cnt), `key` cast to string.
+    */
+  def heavyHitters(df: DataFrame, key: Column, minFrac: Double): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac=$minFrac")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = math.max(1, math.ceil(1.0 / minFrac).toInt)
+    val keyed = df.select(key.cast("string").as("k"))
+    // (key, weight, partitionRows, isSentinel): one sentinel row per
+    // partition carries N_p so the global N needs no second full pass
+    val summaries = keyed.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { k =>
+        n += 1
+        counters.get(k) match {
+          case Some(c) => counters(k) = c + 1
+          case None if counters.size < m => counters(k) = 1L
+          case None =>
+            // decrement-all step: every live counter pays one
+            val dead = counters.iterator
+              .collect { case (kk, 1L) => kk }.toList
+            counters.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.iterator.map { case (k, w) => (k, w, 0L, false) } ++
+        Iterator(("", 0L, n, true))
+    }.toDF("k", "w", "np", "sentinel").persist()
+    try {
+      val n = summaries.filter(col("sentinel"))
+        .agg(sum("np")).head().getLong(0)
+      val minCount = math.max(1L, math.ceil(minFrac * n).toLong)
+      // materialize the (bounded: ≤ m per partition) candidate set
+      // eagerly so the sketch pass can unpersist without the returned
+      // lazy plan re-running it
+      val cands = summaries.filter(!col("sentinel")).select("k")
+        .distinct().localCheckpoint(true)
+      keyed.join(broadcast(cands), "k")
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+    } finally { summaries.unpersist(); () }
+  }
 }

@@ -811,7 +811,35 @@ object DataOpsQueries {
       |SELECT query_id, rn, vec_id AS neighbor_id, round(cos, 6) AS cos
       |FROM f WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Heavy hitters ([[graft.ext.DataOps.heavyHitters]]): every token
+    * occurring in ≥ 0.5% of the corpus token stream, with EXACT counts
+    * — per-partition Misra–Gries summaries bound the candidate set
+    * (sound superset by the averaging argument), and the exact verify
+    * pass over candidates only decides membership and values, so the
+    * output equals the naive global GROUP BY the oracle runs while the
+    * engine-side shuffle is bounded by candidates, not distinct
+    * tokens. The stop-list mining shape at 100 TB, where distinct
+    * n-grams are corpus-scale but the frequent ones fit a broadcast.
+    */
+  private def heavyHittersGate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("k"))
+    graft.ext.DataOps.heavyHitters(toks, col("k"), minFrac = 0.005)
+      .orderBy(desc("cnt"), col("k"))
+  }
+
+  private val heavyHittersSql =
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(
+      |               lower(trim(text)), '\s+')) AS k
+      |             FROM documents),
+      |n AS (SELECT count(*) AS n FROM tok),
+      |c AS (SELECT k, count(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT k, cnt FROM c, n
+      |WHERE cnt >= greatest(1, ceil(0.005 * n))
+      |ORDER BY cnt DESC, k""".stripMargin
+
   def gates: Seq[Gate] = Seq(
+    Gate("q_heavy_hitters", heavyHittersGate, Some(heavyHittersSql)),
     Gate("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     Gate("q_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     Gate("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),

@@ -1997,6 +1997,102 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** STREAMING cross-surface takedown ([[graft.ext.Takedown]] under
+    * `foreachBatch`): retraction requests drain from a file stream in
+    * two micro-batches, and EACH batch drives one `retract()` through
+    * the registry — BM25 and literal surfaces per delivery, intent
+    * logged before any surface mutates. After the drain, `resume()`
+    * must find nothing pending (every intent completed), and both
+    * surfaces must answer exactly like one batch delete of the whole
+    * set: takedown orchestration is batch-boundary-invariant, the
+    * property that lets a 100 TB deployment feed its takedown queue
+    * straight into the registry without batching logic of its own.
+    */
+  private def streamTakedown(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Takedown
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_std_root_")
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_std_bm25_")
+    val litDir = graft.Gate.tmpDir("gate_std_lit_")
+    graft.ext.LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"),
+      litDir, n = 4, buckets = 16)
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    Takedown.register(s, root, Takedown.Surface("literal", litDir))
+    val doomed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val in = graft.Gate.tmpDir("gate_std_in_")
+    val ckpt = graft.Gate.tmpDir("gate_std_ck_")
+    doomed.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    doomed.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema("doc_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Takedown.retract(s, root, batch, col("doc_id"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(Takedown.resume(s, root).isEmpty,
+      "drained takedown stream left pending intents")
+    val bm = graft.ext.TextSearch.searchSaved(s, bm25Dir,
+        bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+      .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+        col("id"))
+    val needles = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("nid"),
+        substring(col("text"), 8, 20).as("needle"))
+    val lt = graft.ext.LiteralIndex.searchSaved(s, litDir, docs,
+        col("doc_id"), col("text"), needles, col("nid"), col("needle"))
+      .select(lit("literal").as("surface"), col("needle_id").as("qid"),
+        col("id"))
+    bm.unionByName(lt).orderBy("surface", "qid", "id")
+  }
+
+  private val streamTakedownSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |qtok AS (SELECT doc_id AS id,
+      |           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |         FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM qtok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5),
+      |nd AS (SELECT doc_id AS qid, substring(text, 8, 20) AS needle
+      |       FROM documents WHERE doc_id < 4),
+      |lt AS (SELECT 'literal' AS surface, n.qid, d.doc_id AS id
+      |       FROM corpus d CROSS JOIN nd n
+      |       WHERE length(n.needle) >= 4 AND contains(d.text, n.needle))
+      |SELECT surface, qid, id FROM bm
+      |UNION ALL SELECT surface, qid, id FROM lt
+      |ORDER BY surface, qid, id""".stripMargin
+
   /** Delete-then-readd ([[graft.ext.IndexStore]] scoped tombstones):
     * every doc_id % 7 == 3 document is retracted, then a CORRECTED
     * delivery re-ingests the same ids with revised text via
@@ -2786,6 +2882,7 @@ object ExtQueries {
     Gate("q_literal_common", literalCommonGate, Some(literalCommonSql)),
     Gate("q_takedown", takedownGate, Some(takedownSql)),
     Gate("q_bm25_readd", bm25Readd, Some(bm25ReaddSql)),
+    Gate("q_stream_takedown", streamTakedown, Some(streamTakedownSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
     Gate("q_doc_logprob", docLogProb, Some(docLogProbSql)),
     Gate("q_char_entropy", charEntropyGate, Some(charEntropySql)),

@@ -344,6 +344,30 @@ object DataOpsProperties extends Properties("graftDataOps") {
         s"fast=${fast.toList} hof=${hof.toList}"
   }
 
+  /** Heavy hitters equal the naive global count-and-filter for
+    * arbitrary key streams, thresholds, and physical partitionings —
+    * the Misra–Gries candidate superset is sound (no frequent key ever
+    * lost to the sketch) and the exact verify discards every false
+    * candidate, so the sketch is invisible in the output.
+    */
+  property("heavyHittersEqualsNaive") = Prop.forAllNoShrink(
+    Gen.choose(20, 200), Gen.choose(1, 5), Gen.oneOf(0.05, 0.1, 0.25),
+    Gen.choose(0L, 1000000L)) { (n, parts, frac, seed) =>
+    val rnd = new scala.util.Random(seed)
+    // skewed draw: min of two uniforms biases toward low key ids, so
+    // some keys genuinely clear the threshold and most don't
+    val keys = (0 until n)
+      .map(_ => s"k${math.min(rnd.nextInt(12), rnd.nextInt(12))}")
+    val got = graft.ext.DataOps.heavyHitters(
+        keys.toDF("k").repartition(parts), col("k"), frac)
+      .as[(String, Long)].collect().toSet
+    val minCount = math.max(1L, math.ceil(frac * n).toLong)
+    val want = keys.groupBy(identity)
+      .map { case (k, ks) => (k, ks.size.toLong) }
+      .filter(_._2 >= minCount).toSet
+    Prop(got == want) :| s"got=$got want=$want minCount=$minCount"
+  }
+
   /** Stratified sample is a true per-group sample: size min(k, |g|),
     * drawn from the group, stable under physical layout.
     */
