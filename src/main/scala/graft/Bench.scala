@@ -204,6 +204,7 @@ object Bench {
     "q_stream_dedup_index", "q_dedup_incremental", "q_dup_clusters",
     "q_assemble_dataset", "q_stream_incremental", "q_ivf_persist",
     "q_pq_persist", "q_sq_persist", "q_simhash_dedup", "q_ngram_jaccard",
+    "q_simjoin_prefix",
     "q_stream_tws", "q_stream_stateful", "q_dup_clusters_star",
     "q_stream_join", "q_winnow_overlap", "q_upsert_store",
     "q_stream_ingest", "q_stream_ann", "q_stream_session",
@@ -228,7 +229,8 @@ object Bench {
   val headline: Set[String] = Set(
     "q_sql_surface", "q_join_revenue", "q_daily_rollup", "q_user_rollup",
     "q_dedup_exact", "q_dedup_anti", "q_minhash_dedup", "q_simhash_dedup",
-    "q_ngram_jaccard", "q_dup_clusters", "q_embed_topk", "q_embed_lsh_topk",
+    "q_ngram_jaccard", "q_simjoin_prefix", "q_dup_clusters", "q_embed_topk",
+    "q_embed_lsh_topk",
     "q_ivf_topk", "q_sessionize", "q_window_topn", "q_stream_window",
     "q_stream_join", "q_pack_sequences", "q_assemble_dataset",
     "q_salted_join", "q_token_stats", "q_histogram",

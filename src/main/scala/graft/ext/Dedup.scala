@@ -95,6 +95,67 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
+  /** Exact τ-Jaccard similarity self-join via PREFIX FILTERING — the
+    * all-pairs-similarity-search discipline of Chaudhuri et al. (ICDE'06)
+    * and Bayardo et al. "Scaling Up All Pairs Similarity Search" (WWW'07),
+    * re-expressed relationally. Unlike [[jaccardPairs]] (whose `maxDF`
+    * stop-shingle cap changes the score semantics) this join is EXACT:
+    * every pair with true n-gram Jaccard ≥ threshold is emitted with its
+    * true score, and no df cap is needed to stay sub-quadratic.
+    *
+    * Why it scales: order every doc's shingle set by ascending global
+    * document frequency (rarest first; ties broken by the hash value so
+    * the order is total and consistent across docs). Two sets with
+    * J(A,B) ≥ τ MUST share a shingle inside their first
+    * `|X| - ⌈τ·|X|⌉ + 1` shingles under any single total order — so only
+    * those short, rare-heavy prefixes are exploded and self-joined. The
+    * ubiquitous grams ("the ", boilerplate) sit at the END of every
+    * sorted set and never enter the candidate join at all; candidate
+    * volume is bounded by the df of the RARE grams. A length filter
+    * (τ·|A| ≤ |B| ≤ |A|/τ) prunes size-incompatible pairs inside the
+    * join condition, and the final exact `array_intersect` verify keeps
+    * the emitted scores true. 100 TB shape: df table and sorted sets are
+    * hash-partitioned; the only self-join runs over prefix grams (a
+    * (1−τ) fraction of the corpus shingle volume, rarest-first), and the
+    * verify joins full sets for surviving candidates only.
+    */
+  def prefixJaccardPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = hashedShingles(docs, id, text, n)
+    // Global rarity order: (df asc, sh asc) is a total order shared by
+    // every document, which is all the prefix theorem requires.
+    val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sets = sh.join(dfTab, "sh")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("id"),
+        transform(col("ranked"), e => e("sh")).as("set"),
+        size(col("ranked")).as("m"))
+      .persist()
+    val pre = sets.select(col("id"), col("m"),
+      explode(slice(col("set"), lit(1),
+        (col("m") - ceil(col("m") * lit(threshold)) + lit(1)).cast("int")))
+        .as("sh"))
+    val cands = pre.as("a")
+      .join(pre.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.id") < col("b.id") &&
+        col("a.m") * lit(threshold) <= col("b.m") &&
+        col("b.m") * lit(threshold) <= col("a.m"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+        col("m").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+        col("m").as("n_b")), "id_b")
+      .withColumn("common",
+        size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
   /** Asymmetric containment pairs: |A∩B| / |A| ≥ threshold — "document A
     * is (mostly) contained in document B", which symmetric Jaccard
     * misses whenever the containing document is much larger (a quoted

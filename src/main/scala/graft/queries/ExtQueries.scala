@@ -176,6 +176,47 @@ object ExtQueries {
        |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM pairs
        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtered EXACT similarity join ([[Dedup.prefixJaccardPairs]]):
+    * same planted corpus, but true uncapped Jaccard — no stop-shingle df
+    * cap anywhere in the semantics. The oracle is therefore the honest
+    * quadratic ground truth (all-pairs over the full inverted index),
+    * which the engine must reproduce exactly while only ever joining
+    * rarity-ordered prefixes.
+    */
+  private def simjoinPrefix(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixJaccardPairs(dupCorpus(s, d), col("id"), col("t"),
+      n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private val simjoinPrefixSql =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lower(trim(text)) || ' zq zr'
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks FROM corpus),
+      |sh0 AS (SELECT id,
+      |          CASE WHEN len(toks) >= 3
+      |            THEN list_transform(range(len(toks) - 2),
+      |                   i -> array_to_string(toks[i+1:i+3], ' '))
+      |            ELSE [array_to_string(toks, ' ')] END AS shs
+      |        FROM tok),
+      |sh AS (SELECT id, unnest(list_distinct(shs)) AS sh FROM sh0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      |           GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT common.id_a, common.id_b, common.common,
+      |         sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |         CAST(common.common AS DOUBLE)
+      |           / (sa.n_sh + sb.n_sh - common.common) AS jaccard
+      |  FROM common
+      |  JOIN sizes sa ON sa.id = common.id_a
+      |  JOIN sizes sb ON sb.id = common.id_b)
+      |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM pairs
+      |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   /** A sketch-dedup run (candidates + exact verify) with complete recall
     * emits exactly the true pair set — the MinHash gate's oracle (32
     * minhashes in 8 bands make missing a jaccard-0.5 pair vanishingly
@@ -2897,6 +2938,7 @@ object ExtQueries {
     Gate("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Gate("q_lang_id", langId, Some(langIdSql)),
     Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Gate("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
     Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
     Gate("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Gate("q_dedup_delete", dedupDelete, Some(dedupDeleteSql)),

@@ -304,6 +304,41 @@ object DataOpsProperties extends Properties("graftDataOps") {
     Prop(got == want) :| s"got=$got want=$want"
   }
 
+  /** Prefix filtering is an exact algorithm, not a sketch: for random
+    * corpora drawn from a TINY vocabulary (so documents share most of
+    * their grams — the worst case for candidate pruning and precisely
+    * where a df-capped join would lie), [[graft.ext.Dedup.prefixJaccardPairs]]
+    * must emit exactly the naive all-pairs answer: same pair set, same
+    * set sizes, same intersection, same score.
+    */
+  property("prefixJaccardEqualsNaive") = Prop.forAllNoShrink(
+    Gen.listOfN(9, Gen.choose(3, 12)),
+    Gen.oneOf(0.3, 0.5, 0.7), Gen.choose(0L, 1000000L)) {
+    (docLens, tau, seed) =>
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = docLens.zipWithIndex.map { case (l, i) =>
+      (i.toLong, Seq.fill(l)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = graft.ext.Dedup.prefixJaccardPairs(
+        docs.toDF("id", "t"), col("id"), col("t"), n = 3, threshold = tau)
+      .select("id_a", "id_b", "common", "n_a", "n_b")
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    def shingles(t: String): Set[String] = {
+      val toks = t.split("\\s+").toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val sets = docs.map { case (i, t) => i -> shingles(t) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      common = (sa & sb).size
+      j = common.toDouble / (sa.size + sb.size - common)
+      if j >= tau
+    } yield (ia, ib, common, sa.size, sb.size)).toSet
+    Prop(got == want) :| s"tau=$tau got=$got want=$want"
+  }
+
   /** CDC laws on arbitrary strings — INCLUDING supplementary-plane
     * characters (each draw may emit an emoji, two UTF-16 units but one
     * code point): the chunks partition the text exactly (contiguous
