@@ -147,6 +147,56 @@ object TextAnalysis {
       least(lit(1.0), size(toks).cast("double") / 50.0) * 0.3 +
       uniqueRatio(toks) * 0.3
 
+  /** Crawl-text normalization (the pre-tokenization cleanup every corpus
+    * pass assumes has happened): Unicode NFC composition (the codegen'd
+    * [[graft.functions.NfcNormalize]] — "é" and "e"+combining-accent
+    * become one key), then strip format characters (Cf: zero-width
+    * space/joiners, BOM, directional marks), then strip the
+    * non-whitespace C0/DEL controls, then collapse runs of whitespace to
+    * a single space and trim. Pure per-row column arithmetic — compiled,
+    * no shuffle, safe at any scale — and every step after NFC is a plain
+    * `regexp_replace`, so the whole chain is oracle-expressible.
+    */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val nfc = Bridge.toColumn(
+      graft.functions.NfcNormalize(Bridge.toExpr(text)))
+    trim(regexp_replace(regexp_replace(regexp_replace(nfc,
+      "\\p{Cf}", ""),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+  }
+
+  /** Per-domain reputation aggregate (the CCNet / RefinedWeb "judge the
+    * site, not just the page" discipline): document count and mean
+    * token-level [[qualityScore]] per domain. One map-side-combined hash
+    * aggregation over the corpus; the result is domain-cardinality —
+    * thousands of rows for a 100 TB crawl — so downstream consumers
+    * broadcast it rather than shuffling documents.
+    */
+  def domainStats(docs: DataFrame, domain: Column, text: Column): DataFrame =
+    docs.select(domain.as("domain"), qualityScore(tokens(text)).as("q"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("domain_docs"), avg("q").as("domain_quality"))
+
+  /** Domain-reputation filter: keep only documents whose domain is (a)
+    * not on the explicit blocklist and (b) has mean quality ≥
+    * `minQuality` across the corpus. The per-domain table from
+    * [[domainStats]] is broadcast back onto the documents — the corpus
+    * never shuffles; the only wide op is the map-side-combined stats
+    * aggregation. Output = the input columns plus `domain_docs` /
+    * `domain_quality` for every surviving document.
+    */
+  def domainFilter(docs: DataFrame, domain: Column, text: Column,
+      blocklist: Seq[String], minQuality: Double): DataFrame = {
+    val keep = domainStats(docs, domain, text)
+      .filter(!col("domain").isin(blocklist: _*) &&
+        col("domain_quality") >= minQuality)
+      .withColumnRenamed("domain", "__reputation_domain")
+    docs.join(broadcast(keep), domain === col("__reputation_domain"))
+      .drop("__reputation_domain")
+  }
+
   /** Character-level Shannon entropy per document (bits/char) — the
     * quality filter that catches what token signals miss: repeated-
     * character runs and template spam score LOW, base64/binary junk

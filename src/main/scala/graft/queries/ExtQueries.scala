@@ -84,6 +84,75 @@ object ExtQueries {
        |             6) AS quality
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Crawl-text normalization ([[TextAnalysis.normalizeText]]): each doc
+    * is wrapped in a deterministic mess — decomposed accent (e +
+    * U+0301), zero-width space, C0 control, tab runs, BOM, padding —
+    * built identically in Spark and in the oracle from literals, then
+    * normalized. The oracle replays NFC (`nfc_normalize`) and the exact
+    * same strip/collapse regex chain; both engines must produce the
+    * identical composed, stripped, single-spaced string and code-point
+    * length. (NUL is in the strip class but not the fixture — DuckDB
+    * literals can't carry it.)
+    */
+  private def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val messy = concat(lit("  cafe\u0301\u200b  "), col("text"),
+      lit("  x\u0001y\tz \uFEFF w"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.normalizeText(messy).as("norm"))
+      .withColumn("n_norm", length(col("norm")))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql =
+    """WITH m AS (SELECT doc_id,
+      |  '  cafe' || chr(769) || chr(8203) || '  ' || text ||
+      |  '  x' || chr(1) || 'y' || chr(9) || 'z ' || chr(65279) || ' w'
+      |    AS messy FROM documents),
+      |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+      |        nfc_normalize(messy),
+      |        '\p{Cf}', '', 'g'),
+      |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |        '\s+', ' ', 'g')) AS norm FROM m)
+      |SELECT doc_id, norm, CAST(length(norm) AS INTEGER) AS n_norm
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** Domain-reputation filter ([[TextAnalysis.domainFilter]]): block two
+    * domains outright, drop domains whose MEAN document quality falls
+    * below the corpus median (threshold 0.422 splits the synthetic
+    * domains non-vacuously at every sf), and carry the per-domain stats
+    * onto every surviving doc. The oracle recomputes the whole funnel —
+    * per-doc quality, domain aggregate, blocklist, threshold, join-back
+    * — relationally.
+    */
+  private def domainFilterGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.domainFilter(Tables.documents(s, d),
+        col("source"), col("text"),
+        blocklist = Seq("src3", "src7"), minQuality = 0.422)
+      .select(col("doc_id"), col("source").as("domain"), col("domain_docs"),
+        round(col("domain_quality"), 6).as("domain_quality"))
+      .orderBy("doc_id")
+
+  private val domainFilterSql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents),
+       |q AS (SELECT doc_id, source,
+       |        CAST(len(list_filter(toks, x -> x IN ($enList))) AS DOUBLE)
+       |            / len(toks) * 0.4
+       |          + least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.3
+       |          + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3
+       |          AS quality
+       |      FROM t),
+       |d AS (SELECT source, count(*) AS domain_docs, avg(quality) AS mq
+       |      FROM q GROUP BY 1),
+       |keep AS (SELECT * FROM d
+       |         WHERE source NOT IN ('src3', 'src7') AND mq >= 0.422)
+       |SELECT q.doc_id, q.source AS domain, keep.domain_docs,
+       |       round(keep.mq, 6) AS domain_quality
+       |FROM q JOIN keep ON q.source = keep.source
+       |ORDER BY doc_id""".stripMargin
+
   // ---- heuristic language ID --------------------------------------------
   private def langId(s: SparkSession, d: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
@@ -2936,6 +3005,8 @@ object ExtQueries {
     Gate("q_token_stats", tokenStats, Some(tokenStatsSql)),
     Gate("q_fingerprint", fingerprint, Some(fingerprintSql)),
     Gate("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    Gate("q_domain_filter", domainFilterGate, Some(domainFilterSql)),
+    Gate("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     Gate("q_lang_id", langId, Some(langIdSql)),
     Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Gate("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
