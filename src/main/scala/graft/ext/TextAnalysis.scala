@@ -236,6 +236,104 @@ object TextAnalysis {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Distributed BPE MERGE LEARNING (Sennrich et al., ACL'16): learn the
+    * top-`numMerges` byte-pair merges from the corpus. The corpus is
+    * touched exactly once — a word-count aggregation — and every
+    * subsequent iteration runs on the VOCABULARY table (distinct words ×
+    * frequency), which is orders of magnitude smaller than the corpus;
+    * that hoist is what makes BPE learnable on 100 TB of text at all.
+    *
+    * Each word's symbol sequence is carried as a single-space-delimited
+    * string with outer sentinels (`" c h a r s "`), so applying a merge
+    * (l, r) is a left-to-right non-overlapping `regexp_replace` of
+    * `" l r "` with `" lr "` — applied three times so chained
+    * same-symbol runs ("l l l l") merge exactly like the classic greedy
+    * array fold. Pair counting explodes adjacent symbol pairs weighted
+    * by word frequency (one map-side-combined aggregation per
+    * iteration); the argmax (count desc, then lexicographic — a total,
+    * deterministic order) is a one-row `limit(1)` collect. Driver state
+    * is one row per merge; per-iteration cost is vocab-bounded, so the
+    * loop suits learning bounded merge tables (hundreds); full 32k-merge
+    * production tokenizers want a specialized learner.
+    *
+    * Returns (rank, lhs, rhs, merged, pair_count), rank 1-based in
+    * learned order.
+    */
+  def bpeTrain(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var vocab = words.select(
+      concat(lit(" "),
+        array_join(array_remove(split(col("w"), ""), ""), " "),
+        lit(" ")).as("state"),
+      col("cnt")).persist()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    try {
+      for (i <- 1 to numMerges) {
+        val toks = split(trim(col("state")), " ")
+        val pairs = vocab
+          .select(explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (l, r) => struct(l.as("l"), r.as("r")))).as("p"), col("cnt"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+        val best = pairs.orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).as[(String, String, Long)].collect()
+        best.headOption.foreach { case (l, r, c) =>
+          merges += ((i, l, r, l + r, c))
+          val pat = java.util.regex.Pattern.quote(s" $l $r ")
+          val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r ")
+          val next = vocab.select(
+            regexp_replace(regexp_replace(regexp_replace(
+              col("state"), pat, rep), pat, rep), pat, rep).as("state"),
+            col("cnt")).persist()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+    } finally vocab.unpersist()
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a LEARNED merge table ([[bpeTrain]]'s output, or any ordered
+    * (lhs, rhs) list) to the corpus — the inference half of BPE. Unlike
+    * training, application needs NO iteration jobs: the whole merge
+    * chain folds into ONE static projection (3 codegen'd
+    * `regexp_replace`s per merge on the sentinel-delimited state, the
+    * same non-overlapping triple-replace ≡ greedy-fold identity the
+    * trainer uses), and it runs on the distinct-word VOCABULARY, not the
+    * corpus — the corpus is touched once for the word-count aggregation.
+    * At 100 TB: train once, broadcast the merge list as plan constants,
+    * segment everything in a single vocab-bounded pass; per-document
+    * piece sequences are then a map-side join of tokens against this
+    * table.
+    *
+    * Returns (w, cnt, pieces): each distinct word, its corpus frequency,
+    * and its final piece sequence under the merge table.
+    */
+  def bpeApply(docs: DataFrame, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val state0 = concat(lit(" "),
+      array_join(array_remove(split(col("w"), ""), ""), " "), lit(" "))
+    val merged = merges.foldLeft(state0) { case (st, (l, r)) =>
+      val pat = java.util.regex.Pattern.quote(s" $l $r ")
+      val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r ")
+      regexp_replace(regexp_replace(regexp_replace(st, pat, rep), pat, rep),
+        pat, rep)
+    }
+    words.select(col("w"), col("cnt"),
+      split(trim(merged), " ").as("pieces"))
+  }
+
   /** Winnowing document fingerprints (the rolling-hash scheme of MOSS):
     * hash every character k-gram, then keep the minimum hash of each
     * sliding window of `w` consecutive k-gram hashes. Guarantees any

@@ -1327,6 +1327,141 @@ object ExtQueries {
        |         AS total_bpe_tokens
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** BPE merge learning ([[TextAnalysis.bpeTrain]]): the top-6 learned
+    * merges with their pair counts. The oracle replays the identical
+    * algorithm as a chain of MATERIALIZED CTEs (one pair-count + argmax
+    * + replace round per merge — materialization stops DuckDB's CTE
+    * inlining from exponentiating the chain), using the same
+    * delimited-string vocab representation and the same (count desc,
+    * lexicographic) deterministic tie-break.
+    */
+  private def bpeTrainGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables.documents(s, d), col("text"), numMerges = 6)
+      .orderBy("rank")
+
+  /** Shared oracle CTE chain for the BPE gates: words → counts → one
+    * (pair-count, argmax, replace) round per merge. `w` is carried
+    * through every vocab CTE so the apply oracle can key final piece
+    * states by word; the train oracle just ignores it.
+    */
+  private def bpeChainSql(k: Int): String = {
+    def iterCte(i: Int): String = {
+      val prev = s"vocab_${i - 1}"
+      val pat = s"' ' || (SELECT l FROM best_$i) || ' ' || " +
+        s"(SELECT r FROM best_$i) || ' '"
+      val rep = s"' ' || (SELECT l || r FROM best_$i) || ' '"
+      s"""pairs_$i AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_transform(range(len(toks)-1),
+         |          i -> struct_pack(l := toks[CAST(i+1 AS INT)],
+         |                           r := toks[CAST(i+2 AS INT)]))) AS p, cnt
+         |        FROM (SELECT string_split(trim(state), ' ') AS toks, cnt
+         |              FROM $prev))
+         |  GROUP BY 1, 2),
+         |best_$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM pairs_$i ORDER BY c DESC, l, r LIMIT 1),
+         |vocab_$i AS MATERIALIZED (
+         |  SELECT w, replace(replace(replace(state, $pat, $rep), $pat, $rep),
+         |                 $pat, $rep) AS state, cnt
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH words AS (SELECT unnest(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM words
+       |  WHERE w <> '' GROUP BY w),
+       |vocab_0 AS MATERIALIZED (SELECT w, ' ' || array_to_string(
+       |    list_transform(range(length(w)),
+       |      i -> substr(w, CAST(i+1 AS INT), 1)), ' ') || ' ' AS state, cnt
+       |  FROM wc),
+       |""".stripMargin + (1 to k).map(iterCte).mkString(",\n")
+  }
+
+  private val bpeTrainSql: String = {
+    val k = 6
+    bpeChainSql(k) + "\nSELECT * FROM (" +
+      (1 to k).map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, c AS pair_count FROM best_$i")
+        .mkString(" UNION ALL ") + ") ORDER BY rank"
+  }
+
+  /** BPE segmentation under the learned table ([[TextAnalysis.bpeApply]]):
+    * train 6 merges, then segment the whole distinct-word vocabulary in
+    * ONE static projection (no per-merge jobs — the merge chain folds
+    * into plan constants). Output is each word's corpus frequency and
+    * its space-joined piece sequence; the oracle reads the SAME chain's
+    * final vocab state, so the gate proves train + apply agree end to
+    * end on the identity `apply(train(corpus)) = final training state`.
+    */
+  private def bpeApplyGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val merges = TextAnalysis.bpeTrain(docs, col("text"), numMerges = 6)
+      .orderBy("rank").select("lhs", "rhs").as[(String, String)]
+      .collect().toSeq
+    TextAnalysis.bpeApply(docs, col("text"), merges)
+      .select(col("w"), col("cnt"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+      .orderBy("w")
+  }
+
+  private val bpeApplySql: String =
+    bpeChainSql(6) +
+      "\nSELECT w, cnt, trim(state) AS pieces_str FROM vocab_6 ORDER BY w"
+
+  /** Multinomial Naive Bayes language classifier ([[graft.ext.Classify]]):
+    * train with add-one smoothing on the ⅔ split (doc_id % 3 ≠ 0,
+    * labeled by `lang`), predict the held-out ⅓. The fixture's languages
+    * share one synthetic vocabulary by design, so the gate's value is
+    * NOT accuracy — it value-checks the entire scoring pipeline (counts,
+    * smoothing, OOV floor, priors, argmax with rounded-score/label
+    * tie-break, runner-up margin) against a full relational replay.
+    */
+  private def nbLangGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = graft.ext.Classify.nbTrain(
+      docs.filter(col("doc_id") % 3 =!= 0), col("lang"), col("text"))
+    graft.ext.Classify.nbPredict(model,
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val nbLangSql =
+    """WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 3 <> 0),
+      |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |tf AS (SELECT lang, term, count(*) AS cnt
+      |       FROM (SELECT lang, unnest(regexp_split_to_array(
+      |               lower(trim(text)), '\s+')) AS term FROM train)
+      |       WHERE term <> '' GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot
+      |        FROM tf GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS v FROM tf),
+      |pri AS (SELECT lang, ln(CAST(count(*) AS DOUBLE) /
+      |          (SELECT count(*) FROM train)) AS log_prior
+      |        FROM train GROUP BY 1),
+      |stf AS (SELECT doc_id, term, count(*) AS tf
+      |        FROM (SELECT doc_id, unnest(regexp_split_to_array(
+      |                lower(trim(text)), '\s+')) AS term FROM test)
+      |        WHERE term <> '' GROUP BY 1, 2),
+      |sc AS (SELECT s.doc_id, t.lang,
+      |         sum(s.tf * ln(coalesce((f.cnt + 1.0) / (t.tot + v.v),
+      |                                1.0 / (t.tot + v.v))))
+      |           + any_value(p.log_prior) AS score
+      |       FROM stf s
+      |       CROSS JOIN tot t
+      |       LEFT JOIN tf f ON f.lang = t.lang AND f.term = s.term
+      |       JOIN pri p ON p.lang = t.lang, v
+      |       GROUP BY 1, 2),
+      |r AS (SELECT doc_id, lang, score,
+      |        CAST(row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY round(score, 6) DESC, lang) AS INTEGER) AS rn
+      |      FROM sc)
+      |SELECT a.doc_id, a.lang AS pred, round(a.score, 6) AS score,
+      |       round(a.score - b.score, 6) AS margin
+      |FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rn = 2
+      |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin
+
   // ---- winnowing fingerprints ------------------------------------------
   /** Gate runs the pipeline on the md5-derived 48-bit gram hash (xxhash64,
     * the default, has no DuckDB twin) so every stage — normalization,
@@ -2970,6 +3105,9 @@ object ExtQueries {
     Gate("q_cluster_keepers", clusterKeepers, Some(clusterKeepersSql)),
     Gate("q_containment", containment, Some(containmentSql)),
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    Gate("q_bpe_train", bpeTrainGate, Some(bpeTrainSql)),
+    Gate("q_bpe_apply", bpeApplyGate, Some(bpeApplySql)),
+    Gate("q_nb_classify", nbLangGate, Some(nbLangSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),

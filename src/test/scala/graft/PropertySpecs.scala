@@ -339,6 +339,62 @@ object DataOpsProperties extends Properties("graftDataOps") {
     Prop(got == want) :| s"tau=$tau got=$got want=$want"
   }
 
+  /** BPE merge learning equals a naive single-node reference: same word
+    * counting, ARRAY-fold greedy merge application (the classic
+    * left-to-right scan), same (count desc, lexicographic) argmax. The
+    * generator leans on words with same-char runs ("aaa", "aaaa") — the
+    * one case where the engine's delimited-string triple-replace could
+    * diverge from the fold if the sentinel-space arithmetic were wrong.
+    */
+  property("bpeTrainEqualsNaive") = Prop.forAllNoShrink(
+    Gen.listOfN(12, Gen.oneOf("aaa", "aaaa", "aab", "abab", "baaa",
+      "data", "query", "aa", "ab", "b")),
+    Gen.choose(1, 5)) { (ws, k) =>
+    val docs = ws.grouped(3).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    val got = graft.ext.TextAnalysis.bpeTrain(
+        docs.toDF("id", "t"), col("t"), numMerges = k)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // naive reference on symbol ARRAYS
+    var vocab: Map[Vector[String], Long] = ws
+      .groupBy(identity).map { case (w, g) =>
+        w.split("").filter(_.nonEmpty).toVector -> g.size.toLong
+      }
+    def fold(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val want = (1 to k).flatMap { rank =>
+      val counts = vocab.toSeq.flatMap { case (syms, cnt) =>
+        syms.zip(syms.tail).map(p => p -> cnt)
+      }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        vocab = vocab.toSeq
+          .map { case (syms, cnt) => fold(syms, l, r) -> cnt }
+          .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        Some((rank, l, r, l + r, c))
+      }
+    }
+    // the inference half must land on the training chain's final state:
+    // apply(train(corpus)) segments every word exactly as the last
+    // training iteration left it in the naive vocab
+    val applied = graft.ext.TextAnalysis.bpeApply(
+        docs.toDF("id", "t"), col("t"),
+        want.map { case (_, l, r, _, _) => (l, r) })
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, c, p) => w -> ((c, p.toVector)) }.toMap
+    val wantApplied = vocab.map { case (syms, cnt) =>
+      syms.mkString -> ((cnt, syms))
+    }
+    Prop(got == want) :| s"k=$k got=$got want=$want" &&
+      (Prop(applied == wantApplied) :|
+        s"apply got=$applied want=$wantApplied")
+  }
+
   /** CDC laws on arbitrary strings — INCLUDING supplementary-plane
     * characters (each draw may emit an emoji, two UTF-16 units but one
     * code point): the chunks partition the text exactly (contiguous
