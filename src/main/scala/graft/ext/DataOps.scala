@@ -581,4 +581,47 @@ object DataOps {
         .filter(col("cnt") >= minCount)
     } finally { summaries.unpersist(); () }
   }
+
+  /** KMV distinct-count sketches per group ([[graft.functions.KmvAgg]]):
+    * one map-side-combined aggregation whose shuffle carries a ≤k-long
+    * sorted hash array per group — the mergeable alternative to
+    * `approx_count_distinct` when summaries must compose across jobs
+    * (union via [[kmvUnion]]) or replay in another engine. The value is
+    * hashed with [[TextAnalysis.md5Hash48]], so an external oracle
+    * derives the identical sketch. Returns (group, sketch).
+    */
+  def kmvSketches(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame =
+    df.select(group.as("g"),
+        TextAnalysis.md5Hash48(value.cast("string")).as("h"))
+      .groupBy("g")
+      .agg(udaf(new graft.functions.KmvAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sketch"))
+
+  /** Union of KMV sketches: explode the kept hashes and re-aggregate.
+    * Exact by the k-min property — the k smallest hashes of the union
+    * are each inside some input's k smallest — so this is the lossless
+    * roll-up path (per-partition → per-day → global) at 100 TB: only
+    * ≤k-long summaries move, never key domains. Returns one row
+    * (group = `label`, sketch).
+    */
+  def kmvUnion(sketches: DataFrame, label: String, k: Int): DataFrame =
+    sketches.select(explode(col("sketch")).as("h"))
+      .groupBy(lit(label).as("g"))
+      .agg(udaf(new graft.functions.KmvAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sketch"))
+
+  /** The KMV estimator over a sketch column: exact size while the
+    * sketch is under-full (fewer than k distinct seen), else
+    * `(k−1)/ρ(h_k)` with ρ the kth smallest hash normalized to the
+    * md5Hash48 domain (2⁴⁸). Plain column arithmetic — replayable
+    * anywhere.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    val kept = size(sketch)
+    val kth = element_at(sketch, -1)
+    when(kept < k, kept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+        kth.cast("double"))
+  }
 }

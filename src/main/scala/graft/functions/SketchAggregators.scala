@@ -68,6 +68,60 @@ final class MinHashAgg(perms: Int)
     ExpressionEncoder[Seq[Long]]()
 }
 
+/** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al., RANDOM'02;
+  * Beyer et al., SIGMOD'07) as a typed aggregate: the buffer keeps the k
+  * SMALLEST DISTINCT hashes seen, sorted ascending. Unlike HLL the
+  * summary supports closed-form UNION (re-aggregate the kept values —
+  * the global k smallest are each inside their group's k smallest, so
+  * merging summaries is exact) and, because it stores the hashes
+  * themselves, the estimator `(k−1)/ρ(h_k)` replays exactly in any
+  * engine that can hash the same way — which is why the engine feeds it
+  * [[graft.ext.TextAnalysis.md5Hash48]] values. Buffers are k-bounded
+  * and merge associatively (sorted dedup-merge), so map-side partial
+  * aggregation works and the shuffle carries one ≤k-long array per
+  * group, never the key domain.
+  */
+final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) buf // already kept
+    else {
+      val ins = -pos - 1
+      if (ins >= k) buf // larger than every kept value in a full sketch
+      else {
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+      val v = if (takeA) a(i) else b(j)
+      if (takeA) i += 1 else j += 1
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
 /** 64-bit SimHash as a typed aggregate over a document's tokens: the
   * buffer holds per-bit vote sums (+1 if the token-hash bit is set, −1
   * otherwise); `finish` packs vote signs into one long. Same reasoning as

@@ -462,6 +462,49 @@ object AnalyticsQueries {
     * per-key counts plus both bound checks as booleans the oracle pins
     * true — the sketch is seeded, so the run is deterministic.
     */
+  /** KMV distinct sketch ([[graft.ext.DataOps.kmvSketches]]): per-type
+    * distinct-user sketches (k = 8) plus their lossless union row
+    * (`__all__`) — the summary-composition path HLL can't value-check.
+    * Because the sketch keeps the actual k smallest md5Hash48 values,
+    * the ORACLE replays it exactly: k smallest distinct hashes per
+    * group, kth-min, and the `(k−1)/ρ(h_k)` estimate — every kept hash,
+    * not just bounds, is value-checked.
+    */
+  private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val per = graft.ext.DataOps.kmvSketches(Tables.events(s, d),
+      col("event_type"), col("user_id"), k)
+    val all = graft.ext.DataOps.kmvUnion(per, "__all__", k)
+    per.unionByName(all)
+      .select(col("g").as("event_type"),
+        size(col("sketch")).as("n_kept"),
+        element_at(col("sketch"), -1).as("kth_min"),
+        round(graft.ext.DataOps.kmvEstimate(col("sketch"), k), 6)
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
+  private val kmvDistinctSql =
+    """WITH hd AS (SELECT DISTINCT event_type,
+      |              ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |                1, 12))::BIGINT AS h
+      |            FROM events),
+      |rk AS (SELECT event_type, h, row_number() OVER (
+      |         PARTITION BY event_type ORDER BY h) AS rn FROM hd),
+      |grp AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_kept,
+      |          max(h) AS kth_min
+      |        FROM rk WHERE rn <= 8 GROUP BY 1),
+      |grk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+      |        FROM (SELECT DISTINCT h FROM hd)),
+      |u AS (SELECT * FROM grp UNION ALL
+      |      SELECT '__all__', CAST(count(*) AS INTEGER), max(h)
+      |      FROM grk WHERE rn <= 8)
+      |SELECT event_type, n_kept, kth_min,
+      |       round(CASE WHEN n_kept < 8 THEN CAST(n_kept AS DOUBLE)
+      |             ELSE 7.0 * 281474976710656.0 / kth_min END, 6)
+      |         AS est_distinct
+      |FROM u ORDER BY event_type""".stripMargin
+
   private def cmsCounts(s: SparkSession, d: String): DataFrame = {
     val ev = EventsBilling(s, d)
     val total = ev.count()
@@ -873,6 +916,7 @@ object AnalyticsQueries {
     Gate("q_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     Gate("q_scd2", scd2, Some(scd2Sql)),
     Gate("q_pit_join", pitJoin, Some(pitJoinSql)),
+    Gate("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Gate("q_cms_counts", cmsCounts, Some(cmsCountsSql)),
     Gate("q_bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),

@@ -395,6 +395,29 @@ object DataOpsProperties extends Properties("graftDataOps") {
         s"apply got=$applied want=$wantApplied")
   }
 
+  /** KMV sketch ≡ the k smallest distinct md5Hash48 values, for
+    * arbitrary multisets, k, and partitionings — pins the bounded
+    * buffer's insert/dedup/merge against a naive reference (duplicates
+    * and partition boundaries are the ways a capped sorted-merge can go
+    * wrong).
+    */
+  property("kmvSketchEqualsKSmallestDistinct") = Prop.forAllNoShrink(
+    Gen.listOfN(40, Gen.choose(0L, 25L)), Gen.choose(1, 10),
+    Gen.choose(1, 6)) { (vs, k, parts) =>
+    val df = vs.zipWithIndex.map { case (v, i) => (v, i) }
+      .toDF("v", "i").repartition(parts)
+    val got = graft.ext.DataOps.kmvSketches(df, lit("g"), col("v"), k)
+      .select(col("sketch")).as[Seq[Long]].head()
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val want = vs.map(v => h48(v.toString)).distinct.sorted.take(k)
+    Prop(got == want) :| s"k=$k parts=$parts got=$got want=$want"
+  }
+
   /** CDC laws on arbitrary strings — INCLUDING supplementary-plane
     * characters (each draw may emit an emoji, two UTF-16 units but one
     * code point): the chunks partition the text exactly (contiguous
