@@ -89,7 +89,12 @@ object ScaleProbe {
     "q_ivf_topk", "q_ivfpq_topk", "q_embed_lsh_topk",
     "q_dup_clusters_inc", "q_negative_sample",
     "q_dsir_select", "q_ppl_buckets", "q_hard_negatives",
-    "q_literal_search", "q_literal_common", "q_cdc_chunks", "q_cdc_dup")
+    "q_literal_search", "q_literal_common", "q_cdc_chunks", "q_cdc_dup",
+    // round-8 additions: bounded-candidate mining, prefix-filtered
+    // exact similarity join, vocab-iteration BPE learning, counting
+    // classifier, k-bounded distinct sketch
+    "q_heavy_hitters", "q_simjoin_prefix", "q_bpe_train",
+    "q_nb_classify", "q_kmv_distinct")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

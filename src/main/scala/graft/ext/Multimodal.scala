@@ -299,6 +299,116 @@ object Multimodal {
     else Array.tabulate(outLen)(i => payload((i.toLong * payload.length / outLen).toInt))
   }
 
+  // ---- video: frame container, frame-sampled pHash, near-dup ----------
+
+  /** Minimal deterministic video container for the gates/specs: each
+    * frame as 4-byte big-endian length + encoded image bytes,
+    * concatenated. Real codecs aren't in this sandbox; the container
+    * keeps the Spark-side plumbing (binary column in, per-frame rows
+    * out) identical to what an ffmpeg-backed decoder would feed.
+    */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    out.toByteArray
+  }
+
+  def unpackFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    while (in.available() >= 4) {
+      val n = in.readInt()
+      if (n < 0 || n > in.available()) return frames.toSeq // truncated
+      val f = new Array[Byte](n)
+      in.readFully(f)
+      frames += f
+    }
+    frames.toSeq
+  }
+
+  /** Deterministic synthetic video: `nFrames` [[synthImage]] frames
+    * (seed per frame, `shift` as slow luma drift — "motion"), packed.
+    * The same seed under a different image `format` is the re-encoded
+    * clone a frame-level perceptual hash must collapse.
+    */
+  def synthVideo(seed: String, nFrames: Int, format: String,
+      replaceFrame: Int = -1): Array[Byte] =
+    packFrames((0 until nFrames).map { i =>
+      val fseed = if (i == replaceFrame) s"$seed-REPLACED-$i" else s"$seed-f$i"
+      synthImage(fseed, format, shift = i)
+    })
+
+  /** Frame-sampled perceptual hashes: decode every `sampleEvery`-th
+    * frame and pHash it ([[imagePHash]] — real DCT over decoded luma).
+    * One row per (doc, sampled frame); runs as a per-row flatMap, so a
+    * 100 TB corpus distributes by payload rows and no executor ever
+    * holds more than one video. Undecodable frames are skipped (the
+    * honest posture for crawl media).
+    */
+  def videoFramePHashes(spark: SparkSession, media: DataFrame,
+      sampleEvery: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        unpackFrames(payload).zipWithIndex
+          .filter(_._2 % sampleEvery == 0)
+          .flatMap { case (f, i) => imagePHash(f).map(h => (id, i, h)) }
+      }
+      .toDF("doc_id", "frame_no", "phash")
+  }
+
+  /** Frame-level near-duplicate videos: two videos are dups when ≥
+    * `minMatchFrac` of their sampled frames agree at hamming ≤
+    * `maxHamming` FOR THE SAME frame position (temporal alignment —
+    * shuffled copies of the same frames are not the same video).
+    * Candidates come from a banded join — each frame hash splits into
+    * four 16-bit bands keyed (frame_no, band_no, value), so only
+    * videos sharing a near-identical frame ever pair (LSH discipline:
+    * no all-pairs, band buckets bounded by collision counts); the
+    * match fraction then verifies exactly. Returns (id_a, id_b,
+    * frames_matched, match_frac rounded to 6).
+    */
+  def videoDupPairs(spark: SparkSession, media: DataFrame,
+      sampleEvery: Int, maxHamming: Int,
+      minMatchFrac: Double): DataFrame = {
+    val ph = videoFramePHashes(spark, media, sampleEvery)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = ph.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      val bands = ph.select(col("doc_id"), col("frame_no"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("bno"))
+        .select(col("doc_id"), col("frame_no"), col("phash"), col("bno"),
+          expr("(phash >> (bno * 16)) & 65535").as("bval"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.frame_no") === col("b.frame_no") &&
+            col("a.bno") === col("b.bno") &&
+            col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.frame_no").as("frame_no"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct()
+      val matched = cand
+        .filter(expr("bit_count(pa ^ pb)") <= maxHamming)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("frames_matched"))
+      matched
+        .join(counts.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("n_frames", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("n_frames", "n_b"), "id_b")
+        .withColumn("match_frac", round(col("frames_matched") /
+          greatest(col("n_a"), col("n_b")), 6))
+        .filter(col("match_frac") >= minMatchFrac)
+        .select(col("id_a"), col("id_b"),
+          col("frames_matched").cast("long").as("frames_matched"),
+          col("match_frac"))
+    } finally { ph.unpersist(); () }
+  }
+
   /** Byte-range sampling (the "frame sample" analogue): fixed-size slices
     * at a stride, as pure column expressions over the binary payload.
     */

@@ -1281,6 +1281,43 @@ object ExtQueries {
       |FROM documents WHERE doc_id < 60 AND doc_id % 5 = 0
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Frame-sampled video near-dup ([[Multimodal.videoDupPairs]]): 6-frame
+    * synthetic videos (length-prefixed container, real per-frame PNG/BMP
+    * decode + DCT pHash), sampled every 2nd frame, banded per-frame LSH
+    * candidates, temporal-aligned verify. Construction decides the
+    * answer, so the oracle is exact without decoding: every `% 4 == 0`
+    * doc gets a re-encoded clone (all 3 sampled frames collide →
+    * frac 1.0); every `% 4 == 1` doc a clone with sampled frame 2
+    * replaced (2 of 3 → frac ⅔); nothing else may pair.
+    */
+  private def videoDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select("doc_id").as[Long]
+      .flatMap { id =>
+        val base = (id, Multimodal.synthVideo(s"vid-$id", 6, "png"))
+        if (id % 4 == 0)
+          Seq(base,
+            (id + 300000L, Multimodal.synthVideo(s"vid-$id", 6, "bmp")))
+        else if (id % 4 == 1)
+          Seq(base, (id + 300000L,
+            Multimodal.synthVideo(s"vid-$id", 6, "bmp", replaceFrame = 2)))
+        else Seq(base)
+      }.toDF("doc_id", "payload")
+    Multimodal.videoDupPairs(s, media, sampleEvery = 2, maxHamming = 0,
+        minMatchFrac = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val videoDupSql =
+    """SELECT doc_id AS id_a, doc_id + 300000 AS id_b,
+      |       CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS BIGINT)
+      |         AS frames_matched,
+      |       round(CASE WHEN doc_id % 4 = 0 THEN 1.0
+      |             ELSE 2.0 / 3.0 END, 6) AS match_frac
+      |FROM documents WHERE doc_id < 40 AND doc_id % 4 IN (0, 1)
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val mediaDupPairsSql =
     """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       |ch AS (SELECT doc_id, ascii(unnest(split(text, ''))) % 63 AS bin
@@ -3171,6 +3208,7 @@ object ExtQueries {
       Some(multimodalFeaturesSql)),
     Gate("q_media_dup", mediaDupPairs, Some(mediaDupPairsSql)),
     Gate("q_media_dup_real", mediaDupReal, Some(mediaDupRealSql)),
+    Gate("q_video_dup", videoDup, Some(videoDupSql)),
     Gate("q_multimodal_slices", multimodalSlices,
       Some(multimodalSlicesSql)),
   )

@@ -116,4 +116,56 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 0)))
   }
+
+  test("frame container roundtrips and survives truncation") {
+    val frames = Seq(
+      Multimodal.synthImage("f0", "png"),
+      Multimodal.synthImage("f1", "bmp"),
+      Array.emptyByteArray)
+    val packed = Multimodal.packFrames(frames)
+    val back = Multimodal.unpackFrames(packed)
+    assert(back.length == 3)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // truncated mid-frame: earlier complete frames still come back
+    val cut = Multimodal.unpackFrames(packed.take(packed.length - 3))
+    assert(cut.length == 2)
+    assert(Multimodal.unpackFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("videoFramePHashes samples every kth frame with real decode") {
+    val media = Seq((7L, Multimodal.synthVideo("v", 6, "png")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.videoFramePHashes(spark, media, sampleEvery = 2)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(0, 2, 4))
+    // sampled hashes equal direct pHash of the same synth frames
+    got.foreach { case (_, i, h) =>
+      assert(h == Multimodal.imagePHash(
+        Multimodal.synthImage(s"v-f$i", "png", shift = i)).get)
+    }
+  }
+
+  test("videoDupPairs: re-encode clone, partial match, and " +
+      "temporal misalignment") {
+    val v1 = Multimodal.synthVideo("a", 6, "png")
+    val clone = Multimodal.synthVideo("a", 6, "bmp")
+    val partial = Multimodal.synthVideo("a", 6, "bmp", replaceFrame = 2)
+    // same frames, reversed order — content identical, time broken
+    val shuffled = Multimodal.packFrames(
+      Multimodal.unpackFrames(v1).reverse)
+    val other = Multimodal.synthVideo("b", 6, "png")
+    val media = Seq((1L, v1), (2L, clone), (3L, partial),
+      (4L, shuffled), (5L, other)).toDF("doc_id", "payload")
+    val got = Multimodal.videoDupPairs(spark, media, sampleEvery = 2,
+        maxHamming = 0, minMatchFrac = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, m, f) => (a, b, m, f) }.toSet
+    // 1↔2 full (3/3), 1↔3 and 2↔3 partial (2/3); the reversed copy has
+    // no frame agreeing at its own position (frames 0/2/4 ↔ 5/3/1) and
+    // must not pair with anything; 5 shares nothing
+    assert(got == Set(
+      (1L, 2L, 3L, 1.0),
+      (1L, 3L, 2L, 0.666667),
+      (2L, 3L, 2L, 0.666667)))
+  }
 }
