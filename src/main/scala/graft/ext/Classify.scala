@@ -40,24 +40,54 @@ object Classify {
   final case class NbModel(priors: DataFrame, likelihood: DataFrame,
       oov: DataFrame)
 
-  /** Train multinomial NB with add-one (Laplace) smoothing. Exactly two
-    * aggregations touch the corpus: per-(label, term) counts and
-    * per-label document counts; vocabulary size and per-label token
-    * totals derive from the first without re-reading the corpus.
+  /** The model's SUFFICIENT STATISTICS — plain summable counts, the
+    * same partial-aggregate discipline as the BM25 lexicon: two
+    * `NbCounts` merge by adding, so the learner is incrementally
+    * updatable (new labeled batches fold in without touching old data),
+    * persistable as parquet, and distributable as partials that never
+    * re-read the corpus.
+    *
+    * @param termCounts (label, term, cnt) token counts
+    * @param docCounts  (label, n_docs) document counts
     */
-  def nbTrain(train: DataFrame, label: Column, text: Column): NbModel = {
+  final case class NbCounts(termCounts: DataFrame, docCounts: DataFrame)
+
+  /** One pass of counting over a labeled batch — the entire "training"
+    * cost. Two map-side-combined aggregations, nothing else.
+    */
+  def nbCount(train: DataFrame, label: Column, text: Column): NbCounts = {
     val tf = train
       .select(label.as("label"),
         explode(TextAnalysis.tokens(text)).as("term"))
       .filter(col("term") =!= "")
       .groupBy("label", "term").agg(count(lit(1)).as("cnt"))
+    val docs = train.select(label.as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_docs"))
+    NbCounts(tf, docs)
+  }
+
+  /** Merge count partials by summation — associative and commutative,
+    * so batches fold in any order: `model(merge(a, b)) ≡
+    * model(count(batchA ∪ batchB))` exactly.
+    */
+  def nbMerge(a: NbCounts, b: NbCounts): NbCounts = NbCounts(
+    a.termCounts.unionByName(b.termCounts)
+      .groupBy("label", "term").agg(sum("cnt").as("cnt")),
+    a.docCounts.unionByName(b.docCounts)
+      .groupBy("label").agg(sum("n_docs").as("n_docs")))
+
+  /** Derive the scoring model (smoothed log-likelihoods, OOV floor,
+    * priors) from counts. Vocabulary size and per-label token totals
+    * come from the count tables — the corpus is never re-read.
+    */
+  def nbFromCounts(counts: NbCounts): NbModel = {
+    val tf = counts.termCounts
     val totals = tf.groupBy("label").agg(sum("cnt").as("tot"))
     // 1-row vocab-size frame: kept in-plan (broadcast) so training has
     // no driver action and the model stays a pure lineage
     val vocab = tf.select(col("term")).distinct()
       .agg(count(lit(1)).as("v"))
-    val docCounts = train.select(label.as("label"))
-      .groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val docCounts = counts.docCounts
     val priors = docCounts
       .crossJoin(broadcast(docCounts.agg(sum("n_docs").as("n_total"))))
       .select(col("label"),
@@ -71,6 +101,28 @@ object Classify {
         log(lit(1.0) / (col("tot") + col("v"))).as("log_oov"))
     NbModel(priors, likelihood, oov)
   }
+
+  /** Train multinomial NB with add-one (Laplace) smoothing: count one
+    * batch, derive the model. See [[nbCount]]/[[nbMerge]] for the
+    * incremental path.
+    */
+  def nbTrain(train: DataFrame, label: Column, text: Column): NbModel =
+    nbFromCounts(nbCount(train, label, text))
+
+  /** Persist count partials as parquet (the model's durable form) and
+    * load them back — counts are plain relations, so the lakehouse
+    * machinery (manifests, partitioned appends) applies unchanged if
+    * needed; this is the minimal two-table spelling.
+    */
+  def saveCounts(counts: NbCounts, dir: String): Unit = {
+    counts.termCounts.write.mode("overwrite").parquet(s"$dir/term_counts")
+    counts.docCounts.write.mode("overwrite").parquet(s"$dir/doc_counts")
+  }
+
+  def loadCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): NbCounts = NbCounts(
+    spark.read.parquet(s"$dir/term_counts"),
+    spark.read.parquet(s"$dir/doc_counts"))
 
   /** Score every (document, label) pair: Σ_t tf·log P(t|label) +
     * log P(label), with unseen terms taking the label's smoothing floor.

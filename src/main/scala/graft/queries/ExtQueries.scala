@@ -1499,6 +1499,30 @@ object ExtQueries {
       |FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rn = 2
       |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin
 
+  /** Incremental NB ([[graft.ext.Classify.nbMerge]]): the training split
+    * arrives as two batches — the first's count partials are PERSISTED
+    * to parquet and loaded back (the durable model form), the second's
+    * are folded in by summation — and the merged model must predict
+    * byte-identically to [[nbLangGate]]'s from-scratch train: the SAME
+    * oracle gates both. This is the `incremental ≡ rebuild` law every
+    * index family here satisfies, now for the learner.
+    */
+  private def nbIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val c1 = graft.ext.Classify.nbCount(
+      docs.filter(col("doc_id") % 3 === 1), col("lang"), col("text"))
+    val dir = graft.Gate.tmpDir("gate_nb_counts_")
+    graft.ext.Classify.saveCounts(c1, dir)
+    val c2 = graft.ext.Classify.nbCount(
+      docs.filter(col("doc_id") % 3 === 2), col("lang"), col("text"))
+    val model = graft.ext.Classify.nbFromCounts(
+      graft.ext.Classify.nbMerge(graft.ext.Classify.loadCounts(s, dir), c2))
+    graft.ext.Classify.nbPredict(model,
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---- winnowing fingerprints ------------------------------------------
   /** Gate runs the pipeline on the md5-derived 48-bit gram hash (xxhash64,
     * the default, has no DuckDB twin) so every stage — normalization,
@@ -3145,6 +3169,7 @@ object ExtQueries {
     Gate("q_bpe_train", bpeTrainGate, Some(bpeTrainSql)),
     Gate("q_bpe_apply", bpeApplyGate, Some(bpeApplySql)),
     Gate("q_nb_classify", nbLangGate, Some(nbLangSql)),
+    Gate("q_nb_incremental", nbIncremental, Some(nbLangSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),

@@ -70,6 +70,20 @@ class ClassifySpec extends AnyFunSuite {
     assert(got.head._2 == "only" && got.head._4 == 0.0)
   }
 
+  test("nbMerge of batch partials equals counting the union") {
+    val a = Seq(("x", "p q p"), ("y", "r")).toDF("y", "t")
+    val b = Seq(("x", "q s"), ("z", "p")).toDF("y", "t")
+    val merged = Classify.nbMerge(
+      Classify.nbCount(a, col("y"), col("t")),
+      Classify.nbCount(b, col("y"), col("t")))
+    val whole = Classify.nbCount(a.unionByName(b), col("y"), col("t"))
+    def tc(c: Classify.NbCounts) = c.termCounts
+      .as[(String, String, Long)].collect().toSet
+    def dc(c: Classify.NbCounts) = c.docCounts
+      .as[(String, Long)].collect().toSet
+    assert(tc(merged) == tc(whole) && dc(merged) == dc(whole))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
