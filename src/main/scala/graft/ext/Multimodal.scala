@@ -373,15 +373,28 @@ object Multimodal {
     */
   def videoDupPairs(spark: SparkSession, media: DataFrame,
       sampleEvery: Int, maxHamming: Int,
-      minMatchFrac: Double): DataFrame = {
-    val ph = videoFramePHashes(spark, media, sampleEvery)
+      minMatchFrac: Double): DataFrame =
+    frameAlignedDupPairs(videoFramePHashes(spark, media, sampleEvery),
+      nBands = 4, bandBits = 16, maxHamming = maxHamming,
+      minMatchFrac = minMatchFrac)
+
+  /** Shared frame-aligned near-dup core over any (doc_id, frame_no,
+    * phash) relation — video frame pHashes, audio spectral
+    * fingerprints, anything temporally framed. Banded LSH candidates
+    * keyed (frame_no, band, value) → exact hamming verify per aligned
+    * frame → match-fraction threshold over `greatest(n_a, n_b)`.
+    */
+  private[ext] def frameAlignedDupPairs(hashes: DataFrame, nBands: Int,
+      bandBits: Int, maxHamming: Int, minMatchFrac: Double): DataFrame = {
+    val ph = hashes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val mask = (1L << bandBits) - 1
       val counts = ph.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
       val bands = ph.select(col("doc_id"), col("frame_no"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("bno"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("bno"))
         .select(col("doc_id"), col("frame_no"), col("phash"), col("bno"),
-          expr("(phash >> (bno * 16)) & 65535").as("bval"))
+          expr(s"(phash >> (bno * $bandBits)) & $mask").as("bval"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.frame_no") === col("b.frame_no") &&
             col("a.bno") === col("b.bno") &&

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
-import graft.ext.{Dedup, EmbeddingSearch, Multimodal, SemDedup, TextAnalysis}
+import graft.ext.{Audio, Dedup, EmbeddingSearch, Multimodal, SemDedup, TextAnalysis}
 
 /** Gates for the training-data-pipeline extension surface (SURVEY §2.10):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -1498,6 +1498,47 @@ object ExtQueries {
       |       round(a.score - b.score, 6) AS margin
       |FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rn = 2
       |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin
+
+  /** Frame-aligned audio near-dup ([[graft.ext.Audio.audioDupPairs]]):
+    * 4096-sample synthetic WAV clips (hand-rolled RIFF PCM16 writer /
+    * chunk-walking parser), 1024-sample frames fingerprinted via
+    * Goertzel band energies (31 sign-of-adjacent-band bits — the
+    * intra-frame Haitsma–Kalker scheme), shared banded frame-aligned
+    * matching. Construction decides the oracle: `% 4 == 0` docs get a
+    * container-re-encoded clone (junk LIST chunk, same PCM → 4/4
+    * frames), `% 4 == 1` docs a clone with frame 1's samples spliced
+    * from another signal (3/4 frames); nothing else pairs.
+    */
+  private def audioDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 4096
+    val media = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select("doc_id").as[Long]
+      .flatMap { id =>
+        val base = (id,
+          Audio.wavBytes(Audio.synthPcm(s"aud-$id", n), 8000))
+        if (id % 4 == 0)
+          Seq(base, (id + 400000L, Audio.wavBytes(
+            Audio.synthPcm(s"aud-$id", n), 8000, junkChunk = true)))
+        else if (id % 4 == 1)
+          Seq(base, (id + 400000L, Audio.wavBytes(
+            Audio.synthPcm(s"aud-$id", n, replaceFrom = 1024,
+              replaceLen = 1024), 8000, junkChunk = true)))
+        else Seq(base)
+      }.toDF("doc_id", "payload")
+    Audio.audioDupPairs(s, media, frameLen = 1024, maxHamming = 0,
+        minMatchFrac = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val audioDupSql =
+    """SELECT doc_id AS id_a, doc_id + 400000 AS id_b,
+      |       CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS BIGINT)
+      |         AS frames_matched,
+      |       round(CASE WHEN doc_id % 4 = 0 THEN 1.0 ELSE 0.75 END, 6)
+      |         AS match_frac
+      |FROM documents WHERE doc_id < 40 AND doc_id % 4 IN (0, 1)
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Incremental NB ([[graft.ext.Classify.nbMerge]]): the training split
     * arrives as two batches — the first's count partials are PERSISTED
@@ -3234,6 +3275,7 @@ object ExtQueries {
     Gate("q_media_dup", mediaDupPairs, Some(mediaDupPairsSql)),
     Gate("q_media_dup_real", mediaDupReal, Some(mediaDupRealSql)),
     Gate("q_video_dup", videoDup, Some(videoDupSql)),
+    Gate("q_audio_dup", audioDup, Some(audioDupSql)),
     Gate("q_multimodal_slices", multimodalSlices,
       Some(multimodalSlicesSql)),
   )

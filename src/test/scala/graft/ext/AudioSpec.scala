@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.TestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WAV container laws and fingerprint invariances for [[Audio]]. */
+class AudioSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("wav roundtrips, junk chunks are skipped, garbage is rejected") {
+    val pcm = Audio.synthPcm("clip", 2048)
+    val plain = Audio.parseWav(Audio.wavBytes(pcm, 8000))
+    assert(plain.exists { case (r, s) => r == 8000 && s.sameElements(pcm) })
+    // identical samples behind a junk LIST chunk
+    val junk = Audio.parseWav(Audio.wavBytes(pcm, 8000, junkChunk = true))
+    assert(junk.exists(_._2.sameElements(pcm)))
+    assert(Audio.parseWav("RIFFnope".getBytes("US-ASCII")).isEmpty)
+    assert(Audio.parseWav(Array.emptyByteArray).isEmpty)
+    // truncated data chunk: parse refuses rather than mis-reading
+    val whole = Audio.wavBytes(pcm, 8000)
+    assert(Audio.parseWav(whole.take(whole.length - 7)).isEmpty)
+  }
+
+  test("fingerprint is volume-invariant and damage stays frame-local") {
+    val pcm = Audio.synthPcm("vol", 4096)
+    val half = pcm.map(s => (s / 2).toShort)
+    (0 until 4).foreach { f =>
+      val a = Audio.frameFingerprint(pcm, f * 1024, 1024)
+      val b = Audio.frameFingerprint(half, f * 1024, 1024)
+      // energies scale ~uniformly; int rounding may flip near-tie bands
+      assert(java.lang.Long.bitCount(a ^ b) <= 2,
+        s"frame $f moved ${java.lang.Long.bitCount(a ^ b)} bits")
+    }
+    val spliced = Audio.synthPcm("vol", 4096, replaceFrom = 1024,
+      replaceLen = 1024)
+    (0 until 4).foreach { f =>
+      val a = Audio.frameFingerprint(pcm, f * 1024, 1024)
+      val b = Audio.frameFingerprint(spliced, f * 1024, 1024)
+      if (f == 1) assert(java.lang.Long.bitCount(a ^ b) > 2,
+        s"spliced frame only moved ${java.lang.Long.bitCount(a ^ b)}")
+      else assert(a == b, s"undamaged frame $f changed")
+    }
+  }
+
+  test("audioDupPairs: container clone full, splice partial, " +
+      "unrelated and unparseable excluded") {
+    val pcm = Audio.synthPcm("a", 4096)
+    val media = Seq(
+      (1L, Audio.wavBytes(pcm, 8000)),
+      (2L, Audio.wavBytes(pcm, 8000, junkChunk = true)),
+      (3L, Audio.wavBytes(Audio.synthPcm("a", 4096, replaceFrom = 1024,
+        replaceLen = 1024), 8000)),
+      (4L, Audio.wavBytes(Audio.synthPcm("b", 4096), 8000)),
+      (5L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Audio.audioDupPairs(spark, media, frameLen = 1024,
+        maxHamming = 0, minMatchFrac = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 4L, 1.0),
+      (1L, 3L, 3L, 0.75),
+      (2L, 3L, 3L, 0.75)))
+  }
+}
