@@ -167,6 +167,37 @@ object TextAnalysis {
       "\\s+", " "))
   }
 
+  /** Boilerplate-stripping TEXT EXTRACTION from raw HTML — the very
+    * first stage of a crawl pipeline (the simplified, fully-relational
+    * cousin of trafilatura/jusText): drop script/style/comment blocks,
+    * turn block-closing tags into newlines (paragraph structure
+    * survives for downstream chunkers), strip remaining tags, decode
+    * the common entities (`&amp;` LAST so `&amp;lt;` single-decodes),
+    * collapse horizontal whitespace, squeeze blank lines, trim. Every
+    * step is a codegen'd `regexp_replace`/`replace` — per-row column
+    * work, no shuffle, no parser state; at 100 TB this runs inside the
+    * scan's projection.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val structural = regexp_replace(noBlocks,
+      "(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(structural, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
+      }
+    regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \\t\\x0B\\f\\r]+", " "),
+      " ?\\n[ \\n]*", "\n"),
+      "^[\\s]+|[\\s]+$", "")
+  }
+
   /** Per-domain reputation aggregate (the CCNet / RefinedWeb "judge the
     * site, not just the page" discipline): document count and mean
     * token-level [[qualityScore]] per domain. One map-side-combined hash

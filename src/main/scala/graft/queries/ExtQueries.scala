@@ -1499,6 +1499,61 @@ object ExtQueries {
       |FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rn = 2
       |WHERE a.rn = 1 ORDER BY a.doc_id""".stripMargin
 
+  /** HTML boilerplate stripping ([[TextAnalysis.htmlExtract]]): each
+    * document wrapped in a deterministic HTML shell — script with a
+    * `<`-bearing body, style, comment, headings, paragraphs, entities —
+    * then extracted back to text. The oracle rebuilds the identical
+    * HTML in SQL and replays the identical strip/decode/collapse chain
+    * in DuckDB (RE2), value-checking every regex against a second
+    * engine's semantics.
+    */
+  private def htmlExtractGate(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><script type=\"text/javascript\">var t = 1 < 2;" +
+        "</script><style>p { color: red }</style></head><body>" +
+        "<!-- nav\nmenu --><h1>Doc "),
+      col("doc_id"),
+      lit("</h1><p>"), substring(col("text"), 1, 80),
+      lit("</p><div class=\"x\">"), expr("substr(text, 81)"),
+      lit("</div><p>Tom &amp; Jerry &lt;3 &quot;q&quot;&nbsp;&#39;s</p>" +
+        "</body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.htmlExtract(html).as("extracted"))
+      .orderBy("doc_id")
+  }
+
+  private val htmlExtractSql =
+    """WITH h AS (SELECT doc_id,
+      |  '<html><head><script type="text/javascript">var t = 1 < 2;' ||
+      |  '</script><style>p { color: red }</style></head><body>' ||
+      |  '<!-- nav' || chr(10) || 'menu --><h1>Doc ' ||
+      |  CAST(doc_id AS VARCHAR) ||
+      |  '</h1><p>' || substr(text, 1, 80) ||
+      |  '</p><div class="x">' || substr(text, 81) ||
+      |  '</div><p>Tom &amp; Jerry &lt;3 &quot;q&quot;&nbsp;&#39;s</p>' ||
+      |  '</body></html>' AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+      |         html,
+      |         '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |         '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |         '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+      |s2 AS (SELECT doc_id, regexp_replace(t,
+      |         '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table)\b[^>]*>',
+      |         chr(10), 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g')
+      |         AS t FROM s2),
+      |s4 AS (SELECT doc_id,
+      |         replace(replace(replace(replace(replace(replace(t,
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+      |       FROM s3)
+      |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+      |         '[ \t\x0B\f\r]+', ' ', 'g'),
+      |         ' ?\n[ \n]*', chr(10), 'g'),
+      |         '^[\s]+|[\s]+$', '', 'g') AS extracted
+      |FROM s4 ORDER BY doc_id""".stripMargin
+
   /** Frame-aligned audio near-dup ([[graft.ext.Audio.audioDupPairs]]):
     * 4096-sample synthetic WAV clips (hand-rolled RIFF PCM16 writer /
     * chunk-walking parser), 1024-sample frames fingerprinted via
@@ -3276,6 +3331,7 @@ object ExtQueries {
     Gate("q_media_dup_real", mediaDupReal, Some(mediaDupRealSql)),
     Gate("q_video_dup", videoDup, Some(videoDupSql)),
     Gate("q_audio_dup", audioDup, Some(audioDupSql)),
+    Gate("q_html_extract", htmlExtractGate, Some(htmlExtractSql)),
     Gate("q_multimodal_slices", multimodalSlices,
       Some(multimodalSlicesSql)),
   )

@@ -240,4 +240,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(h(3L) - 2.0) < 1e-9)
     assert(h(1L) < h(4L) && h(4L) < h(5L))
   }
+
+  test("htmlExtract strips blocks, keeps structure, decodes entities") {
+    def x(html: String): String =
+      Seq(html).toDF("h")
+        .select(TextAnalysis.htmlExtract(col("h"))).as[String].head()
+    // script bodies may contain < without opening a tag; comments span
+    // lines; block closers become newlines; inline tags become spaces
+    val got = x("<html><head><script>if (a < b) { f(); }</script>" +
+      "<style>p{}</style></head><body><!-- c\nc --><h1>Title</h1>" +
+      "<p>one <b>bold</b> word</p><div>two</div></body></html>")
+    assert(got == "Title\none bold word\ntwo")
+    // &amp;lt; must decode exactly once (to "&lt;"), not twice
+    assert(x("<p>a &amp;lt; b &amp; c &lt;d&gt; &quot;q&quot; &#39;s " +
+      "&nbsp;end</p>") == "a &lt; b & c <d> \"q\" 's end")
+    assert(x("  <p>  spaced\t\tout  </p>  ") == "spaced out")
+    assert(x("") == "")
+  }
 }
