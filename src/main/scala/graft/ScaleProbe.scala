@@ -32,10 +32,19 @@ object ScaleProbe {
     * cross-copy cliques — the corpus scales like more documents, not
     * like 10 exact crawls of the same site.
     */
-  private def rot(k: Int): (String, String) = {
-    val letters = "aeiousnrtl"
-    (letters, letters.drop(k % letters.length) ++
-      letters.take(k % letters.length))
+  private def rot(k: Int): Seq[(String, String)] = {
+    // two coprime rotation periods (10 and 7) → the combined vocabulary
+    // period is lcm = 70 copies. A single period-10 rotation made copies
+    // k and k+10 TEXTUALLY IDENTICAL, so a 30× probe carried 3×-sized
+    // true-duplicate clusters — quadratically more genuine pairs — and
+    // exact pair-enumeration gates read super-linear for reasons that
+    // were the harness's, not the operator's (measured: 291× true-pair
+    // growth at 30× under the old rotation).
+    val l1 = "aeiousnrtl"
+    val l2 = "bcdfghk"
+    Seq(
+      (l1, l1.drop(k % l1.length) ++ l1.take(k % l1.length)),
+      (l2, l2.drop(k % l2.length) ++ l2.take(k % l2.length)))
   }
 
   private def replicate(spark: SparkSession, base: String, out: String,
@@ -67,10 +76,11 @@ object ScaleProbe {
       df.withColumn("event_id", col("event_id") + k * Off)
         .withColumn("user_id", col("user_id") + k * Off) }
     copies("documents") { (df, k) =>
-      val (from, to) = rot(k)
       df.withColumn("doc_id", col("doc_id") + k * Off)
         .withColumn("text",
-          if (k == 0) col("text") else translate(col("text"), from, to)) }
+          if (k == 0) col("text")
+          else rot(k).foldLeft(col("text")) { case (c, (from, to)) =>
+            translate(c, from, to) }) }
     copies("embeddings") { (df, k) =>
       df.withColumn("vec_id", col("vec_id") + k * Off) }
   }

@@ -442,6 +442,15 @@ object DataOps {
     * size). A group spans as many partitions as its size warrants —
     * never `Window.partitionBy(grp)`'s one-task-per-group.
     */
+  /** Global rank over an (id, score) frame by (score asc, id) — the
+    * single-group spelling of [[groupRanks]]: same two-pass distributed
+    * prefix sum, no SinglePartition window anywhere. Adds (rank, __n);
+    * extra columns ride along.
+    */
+  private[ext] def globalRanks(scored: DataFrame): DataFrame =
+    groupRanks(scored.withColumn("grp", lit(0)), descending = false)
+      .drop("grp")
+
   private def groupRanks(scored: DataFrame,
       descending: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -133,14 +133,25 @@ object Dedup {
         size(col("ranked")).as("m"))
       .persist()
     val pre = sets.select(col("id"), col("m"),
-      explode(slice(col("set"), lit(1),
-        (col("m") - ceil(col("m") * lit(threshold)) + lit(1)).cast("int")))
-        .as("sh"))
+      posexplode(slice(col("set"), lit(1),
+        (col("m") - ceil(col("m") * lit(threshold)) + lit(1)).cast("int"))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "sh")
+    // PPJoin positional filter (Xiao et al., WWW'08): for the EARLIEST
+    // shared gram at 0-based ranked positions (p_a, p_b), every common
+    // gram sits at or after it in both rankings, so |A∩B| ≤
+    // min(m_a−p_a, m_b−p_b); a τ-pair needs overlap ≥ ⌈τ/(1+τ)·(m_a+
+    // m_b)⌉. Later shared-gram rows may fail the (tighter) bound, but
+    // the earliest row survives for every true pair — still a sound
+    // superset, now without candidates that share only late-prefix
+    // grams.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.m") + col("b.m")))
     val cands = pre.as("a")
       .join(pre.as("b"), col("a.sh") === col("b.sh") &&
         col("a.id") < col("b.id") &&
         col("a.m") * lit(threshold) <= col("b.m") &&
-        col("b.m") * lit(threshold) <= col("a.m"))
+        col("b.m") * lit(threshold) <= col("a.m") &&
+        least(col("a.m") - col("a.p"), col("b.m") - col("b.p")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -153,6 +164,60 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95): sort
+    * the corpus by a cheap blocking key, pair every record with its
+    * `window − 1` successors in key order, verify candidates with exact
+    * shingle Jaccard. The classic entity-resolution complement to LSH:
+    * candidate volume is DETERMINISTIC — exactly `n·(window−1)` pairs
+    * regardless of key skew — where banded MinHash's bucket sizes
+    * follow the data; and near-identical keys pair even when their
+    * shingle bands happen to miss.
+    *
+    * Scale shape: the global key rank is the two-pass distributed
+    * prefix sum ([[DataOps.globalRanks]] — range partition + per-
+    * partition offsets, never a SinglePartition window); neighbor
+    * candidates come from a bucket equi-join (each record probes its
+    * own `⌈rank/window⌉` bucket and the previous one — bounded 2×
+    * fanout), so no rank-range theta-join ever materializes. Verify is
+    * hash-invariant set arithmetic — the output is identical under any
+    * shingle hashing, which is what lets an external engine replay it
+    * on raw shingle strings.
+    */
+  def sortedNeighborPairs(docs: DataFrame, id: Column, key: Column,
+      text: Column, window: Int, n: Int,
+      minJaccard: Double): DataFrame = {
+    val ranked = DataOps.globalRanks(
+        docs.select(id.as("id"), key.cast("string").as("score")))
+      .select(col("id"), col("rank"))
+    val bucketed = ranked
+      .withColumn("bkt", floor((col("rank") - 1) / window))
+    // a pair (rank_a < rank_b < rank_a + window) always spans at most
+    // one bucket boundary: b probes its own bucket and the previous one
+    val probe = bucketed.select(col("id"), col("rank"),
+      explode(array(col("bkt"), col("bkt") - 1)).as("jbkt"))
+    val cands = bucketed.as("a")
+      .join(probe.as("b"), col("a.bkt") === col("b.jbkt") &&
+        col("b.rank") > col("a.rank") &&
+        col("b.rank") < col("a.rank") + window)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sets = hashedShingles(docs, id, text, n)
+      .groupBy("id").agg(collect_set(col("sh")).as("set"))
+      .select(col("id"), col("set"), size(col("set")).as("m"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+        col("m").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+        col("m").as("n_b")), "id_b")
+      .withColumn("common",
+        size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 

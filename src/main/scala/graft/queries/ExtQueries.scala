@@ -286,6 +286,53 @@ object ExtQueries {
       |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM pairs
       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** Sorted-neighborhood blocking ([[Dedup.sortedNeighborPairs]]): block
+    * on the first 12 squashed characters, pair each doc with its 7 key-
+    * order successors, verify with exact 3-gram Jaccard ≥ 0.1. The
+    * oracle replays rank, the neighbor window, and the hash-invariant
+    * set arithmetic on raw shingle strings.
+    */
+  private def sortedNeighbors(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborPairs(Tables.documents(s, d), col("doc_id"),
+        substring(regexp_replace(lower(trim(col("text"))), "\\s+", ""),
+          1, 12),
+        col("text"), window = 8, n = 3, minJaccard = 0.1)
+      .orderBy("id_a", "id_b")
+
+  private val sortedNeighborsSql =
+    """WITH d AS (SELECT doc_id AS id, lower(trim(text)) AS t
+      |           FROM documents),
+      |k AS (SELECT id, substr(regexp_replace(t, '\s+', '', 'g'), 1, 12)
+      |        AS key FROM d),
+      |r AS (SELECT id, row_number() OVER (ORDER BY key, id) AS rnk
+      |      FROM k),
+      |cand AS (SELECT DISTINCT least(a.id, b.id) AS id_a,
+      |           greatest(a.id, b.id) AS id_b
+      |         FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk < a.rnk + 8),
+      |tok AS (SELECT id, regexp_split_to_array(t, '\s+') AS toks FROM d),
+      |sh0 AS (SELECT id,
+      |          CASE WHEN len(toks) >= 3
+      |            THEN list_transform(range(len(toks) - 2),
+      |                   i -> array_to_string(toks[i+1:i+3], ' '))
+      |            ELSE [array_to_string(toks, ' ')] END AS shs
+      |        FROM tok),
+      |sh AS (SELECT id, unnest(list_distinct(shs)) AS sh FROM sh0),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |common AS (SELECT c.id_a, c.id_b, count(*) AS common
+      |           FROM cand c JOIN sh a ON a.id = c.id_a
+      |           JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+      |           GROUP BY 1, 2)
+      |SELECT common.id_a, common.id_b, common.common,
+      |       sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |       CAST(common.common AS DOUBLE)
+      |         / (sa.n_sh + sb.n_sh - common.common) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.id = common.id_a
+      |JOIN sizes sb ON sb.id = common.id_b
+      |WHERE CAST(common.common AS DOUBLE)
+      |        / (sa.n_sh + sb.n_sh - common.common) >= 0.1
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** A sketch-dedup run (candidates + exact verify) with complete recall
     * emits exactly the true pair set — the MinHash gate's oracle (32
     * minhashes in 8 bands make missing a jaccard-0.5 pair vanishingly
@@ -3306,6 +3353,7 @@ object ExtQueries {
     Gate("q_lang_id", langId, Some(langIdSql)),
     Gate("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Gate("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql)),
+    Gate("q_sorted_neighbors", sortedNeighbors, Some(sortedNeighborsSql)),
     Gate("q_minhash_dedup", minhashDedup, Some(verifiedPairsSql)),
     Gate("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Gate("q_dedup_delete", dedupDelete, Some(dedupDeleteSql)),

@@ -418,6 +418,44 @@ object DataOpsProperties extends Properties("graftDataOps") {
     Prop(got == want) :| s"k=$k parts=$parts got=$got want=$want"
   }
 
+  /** Sorted-neighborhood blocking ≡ naive: in-memory (key, id) rank,
+    * window pairing, exact 2-gram Jaccard — for arbitrary tiny-vocab
+    * corpora (maximal key ties) and window sizes. minJaccard = 0 keeps
+    * every candidate, so the CANDIDATE set (the blocking semantics) is
+    * pinned too, not just the survivors.
+    */
+  property("sortedNeighborsEqualsNaive") = Prop.forAllNoShrink(
+    Gen.listOfN(14, Gen.listOfN(5, Gen.oneOf("a", "b", "c", "d"))),
+    Gen.choose(2, 5)) { (ws, w) =>
+    val docs = ws.zipWithIndex.map { case (ts, i) =>
+      (i.toLong, ts.mkString(" ")) }
+    val keyCol = substring(
+      regexp_replace(lower(trim(col("t"))), "\\s+", ""), 1, 12)
+    val got = graft.ext.Dedup.sortedNeighborPairs(
+        docs.toDF("id", "t"), col("id"), keyCol, col("t"),
+        window = w, n = 2, minJaccard = 0.0)
+      .as[(Long, Long, Int, Int, Int, Double)].collect().toSet
+    def shingles(ts: Seq[String]): Set[String] =
+      if (ts.length >= 2) ts.sliding(2).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    val ranked = docs
+      .map { case (i, t) => (t.replaceAll("\\s+", "").take(12), i) }
+      .sorted.map(_._2)
+    val want = (for {
+      a <- ranked.indices; b <- (a + 1) until math.min(a + w, ranked.length)
+    } yield {
+      // normalize by id like the engine: sizes follow the id-ordered pair
+      val (ia, ib) = (math.min(ranked(a), ranked(b)),
+        math.max(ranked(a), ranked(b)))
+      val (sa, sb) = (shingles(ws(ia.toInt)), shingles(ws(ib.toInt)))
+      val c = (sa intersect sb).size
+      (ia, ib, c, sa.size, sb.size,
+        c.toDouble / (sa.size + sb.size - c))
+    }).toSet
+    Prop(got == want) :| s"w=$w got=${got.size} want=${want.size} " +
+      s"diff=${(got diff want) ++ (want diff got)}"
+  }
+
   /** CDC laws on arbitrary strings — INCLUDING supplementary-plane
     * characters (each draw may emit an emoji, two UTF-16 units but one
     * code point): the chunks partition the text exactly (contiguous
