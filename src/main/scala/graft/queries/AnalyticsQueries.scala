@@ -505,6 +505,58 @@ object AnalyticsQueries {
       |         AS est_distinct
       |FROM u ORDER BY event_type""".stripMargin
 
+  /** KMV resemblance (Broder minwise / Beyer SIGMOD'07 composition):
+    * pairwise Jaccard of the per-type (user, day) activity sets,
+    * estimated ENTIRELY from the k-min sketches — merge two sketches to
+    * the union's k smallest, count how many of those sit in both — and
+    * replayed exactly by the oracle because the sketches hold real
+    * md5Hash48 values. The sketch-algebra story: set EXPRESSIONS
+    * (union/intersection estimates) over summaries that moved ≤k longs
+    * per group, for sets that at 100 TB never co-materialize.
+    */
+  private def kmvResemblance(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val sk = graft.ext.DataOps.kmvSketches(Tables.events(s, d),
+      col("event_type"),
+      concat(col("user_id"), lit("/"), to_date(col("ts")).cast("string")),
+      k)
+    sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("type_a"), col("b.g").as("type_b"),
+        col("a.sketch").as("sa"), col("b.sketch").as("sb"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .select(col("type_a"), col("type_b"),
+        size(col("merged")).as("m_size"),
+        size(array_intersect(col("merged"),
+          array_intersect(col("sa"), col("sb")))).as("shared"))
+      .withColumn("resemblance",
+        round(col("shared").cast("double") / col("m_size"), 6))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val kmvResemblanceSql =
+    """WITH hd AS (SELECT DISTINCT event_type,
+      |              ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '/' ||
+      |                CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 12))::BIGINT
+      |                AS h
+      |            FROM events),
+      |rk AS (SELECT event_type, h, row_number() OVER (
+      |         PARTITION BY event_type ORDER BY h) AS rn FROM hd),
+      |sk AS (SELECT event_type, list_sort(list(h)) AS sketch
+      |       FROM rk WHERE rn <= 64 GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        a.sketch AS sa, b.sketch AS sb,
+      |        list_sort(list_distinct(list_concat(a.sketch, b.sketch)))
+      |          [1:64] AS merged
+      |      FROM sk a JOIN sk b ON a.event_type < b.event_type)
+      |SELECT type_a, type_b,
+      |       CAST(len(merged) AS INTEGER) AS m_size,
+      |       CAST(len(list_intersect(merged, list_intersect(sa, sb)))
+      |         AS INTEGER) AS shared,
+      |       round(CAST(len(list_intersect(merged, list_intersect(sa, sb)))
+      |           AS DOUBLE) / len(merged), 6) AS resemblance
+      |FROM p ORDER BY type_a, type_b""".stripMargin
+
   private def cmsCounts(s: SparkSession, d: String): DataFrame = {
     val ev = EventsBilling(s, d)
     val total = ev.count()
@@ -917,6 +969,7 @@ object AnalyticsQueries {
     Gate("q_scd2", scd2, Some(scd2Sql)),
     Gate("q_pit_join", pitJoin, Some(pitJoinSql)),
     Gate("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Gate("q_kmv_resemblance", kmvResemblance, Some(kmvResemblanceSql)),
     Gate("q_cms_counts", cmsCounts, Some(cmsCountsSql)),
     Gate("q_bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),
