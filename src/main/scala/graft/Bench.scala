@@ -242,5 +242,8 @@ object Bench {
     "q_data_checks", "q_stream_tws", "q_lsh_multiprobe", "q_dedup_drift",
     "q_repeated_spans", "q_time_skip", "q_point_skip",
     "q_incremental_scan", "q_snapshot_store", "q_bm25_topk",
-    "q_ivfpq_topk")
+    "q_ivfpq_topk",
+    // round-8 second wave: learner, tokenizer, sketches, media, crawl
+    "q_bpe_train", "q_nb_classify", "q_kmv_distinct",
+    "q_sorted_neighbors", "q_html_extract", "q_video_dup", "q_audio_dup")
 }

@@ -198,6 +198,36 @@ object TextAnalysis {
       "^[\\s]+|[\\s]+$", "")
   }
 
+  /** URL canonicalization — crawl dedup's first key (the same page
+    * arrives as `HTTPS://WWW.Site.com:443/a/?utm_source=x&b=2&a=1#top`
+    * and `https://site.com/a?a=1&b=2`): lowercase scheme and host, drop
+    * default ports and a leading `www.`, strip the fragment, strip
+    * trailing path slashes (root stays `/`… well, empty path becomes
+    * the bare authority), drop tracking parameters (`utm_*`, `gclid`,
+    * `fbclid`, `ref`), and SORT the surviving query parameters so
+    * argument order stops mattering. Pure column work — regexp
+    * extracts, an array filter/sort, one concat — replayable in any
+    * engine; at 100 TB this is the dedup key computed inside the scan.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    val host = regexp_replace(
+      regexp_replace(hostport, ":(80|443)$", ""), "^www\\.", "")
+    val rawPath = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    val path = regexp_replace(rawPath, "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=") && p =!= "")
+    val canonQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
   /** Per-domain reputation aggregate (the CCNet / RefinedWeb "judge the
     * site, not just the page" discipline): document count and mean
     * token-level [[qualityScore]] per domain. One map-side-combined hash

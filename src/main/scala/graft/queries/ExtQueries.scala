@@ -1601,6 +1601,92 @@ object ExtQueries {
       |         '^[\s]+|[\s]+$', '', 'g') AS extracted
       |FROM s4 ORDER BY doc_id""".stripMargin
 
+  /** URL canonicalization ([[TextAnalysis.canonicalUrl]]): each doc gets
+    * a MESSY variant (rotated by `doc_id % 4`: uppercase www host +
+    * default port + trailing slash / tracking params + fragment /
+    * slash-before-query / gclid + shuffled params) and a CLEAN twin;
+    * both canonicalize and must collapse to the same key. The oracle
+    * rebuilds both URLs and replays the identical canonicalization in
+    * DuckDB, value-checking every regexp/filter/sort step — plus the
+    * `collapsed` flag that IS the dedup-by-URL semantics.
+    */
+  private def urlCanon(s: SparkSession, d: String): DataFrame = {
+    val base = concat(lit("https://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"))
+    val messy = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".EXAMPLE.COM:443/doc/"), col("doc_id").cast("string"),
+          lit("/")))
+      .when(col("doc_id") % 4 === 1,
+        concat(base, lit("?utm_source=feed&b=2&a=1#section")))
+      .when(col("doc_id") % 4 === 2,
+        concat(base, lit("/?a=1&utm_campaign=x&b=2")))
+      .otherwise(concat(lit("https://www."), col("source"),
+        lit(".example.com:443/doc/"), col("doc_id").cast("string"),
+        lit("?b=2&a=1&gclid=xyz")))
+    val clean = when(col("doc_id") % 4 === 0, base)
+      .otherwise(concat(base, lit("?a=1&b=2")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.canonicalUrl(messy).as("canonical"),
+        (TextAnalysis.canonicalUrl(messy) ===
+          TextAnalysis.canonicalUrl(clean)).as("collapsed"))
+      .orderBy("doc_id")
+  }
+
+  private val urlCanonSql = {
+    // the same canonicalization, spelled once as pure expressions over a
+    // fragment-stripped url `nf` and its pre-computed canonical query `q`
+    // single-line expression fragments: embedding multi-line text into
+    // the outer stripMargin string would let the outer margin strip eat
+    // the first '|' of a '||' at line start
+    // coalesce: DuckDB regexp_extract yields NULL on no match where
+    // Spark yields '' — a no-query URL must not NULL the whole concat
+    def qExpr(nf: String): String =
+      s"coalesce(array_to_string(list_sort(list_filter(" +
+        s"string_split(regexp_extract($nf, '\\?(.*)$$', 1), '&'), " +
+        s"p -> NOT regexp_matches(p, " +
+        s"'^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=') AND p <> '')), '&'), '')"
+    def canon(nf: String, q: String): String =
+      s"lower(regexp_extract($nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) " +
+        s"|| '://' || regexp_replace(regexp_replace(" +
+        s"lower(regexp_extract($nf, " +
+        s"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)), " +
+        s"':(80|443)$$', ''), '^www\\.', '') " +
+        s"|| regexp_replace(regexp_extract($nf, " +
+        s"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$$', '') " +
+        s"|| CASE WHEN $q = '' THEN '' ELSE '?' || $q END"
+    s"""WITH u AS (SELECT doc_id,
+       |  CASE
+       |    WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' || upper(source) ||
+       |      '.EXAMPLE.COM:443/doc/' || CAST(doc_id AS VARCHAR) || '/'
+       |    WHEN doc_id % 4 = 1 THEN 'https://' || source ||
+       |      '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+       |      '?utm_source=feed&b=2&a=1#section'
+       |    WHEN doc_id % 4 = 2 THEN 'https://' || source ||
+       |      '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+       |      '/?a=1&utm_campaign=x&b=2'
+       |    ELSE 'https://www.' || source || '.example.com:443/doc/' ||
+       |      CAST(doc_id AS VARCHAR) || '?b=2&a=1&gclid=xyz'
+       |  END AS messy,
+       |  'https://' || source || '.example.com/doc/' ||
+       |    CAST(doc_id AS VARCHAR) ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '' ELSE '?a=1&b=2' END AS clean
+       |  FROM documents),
+       |n AS (SELECT doc_id,
+       |        regexp_replace(messy, '#.*$$', '') AS nfm,
+       |        regexp_replace(clean, '#.*$$', '') AS nfc
+       |      FROM u),
+       |qq AS (SELECT doc_id, nfm, nfc,
+       |         ${qExpr("nfm")} AS qm,
+       |         ${qExpr("nfc")} AS qc
+       |       FROM n)
+       |SELECT doc_id, ${canon("nfm", "qm")} AS canonical,
+       |       (${canon("nfm", "qm")}) = (${canon("nfc", "qc")})
+       |         AS collapsed
+       |FROM qq ORDER BY doc_id""".stripMargin
+  }
+
   /** Frame-aligned audio near-dup ([[graft.ext.Audio.audioDupPairs]]):
     * 4096-sample synthetic WAV clips (hand-rolled RIFF PCM16 writer /
     * chunk-walking parser), 1024-sample frames fingerprinted via
@@ -3380,6 +3466,7 @@ object ExtQueries {
     Gate("q_video_dup", videoDup, Some(videoDupSql)),
     Gate("q_audio_dup", audioDup, Some(audioDupSql)),
     Gate("q_html_extract", htmlExtractGate, Some(htmlExtractSql)),
+    Gate("q_url_canon", urlCanon, Some(urlCanonSql)),
     Gate("q_multimodal_slices", multimodalSlices,
       Some(multimodalSlicesSql)),
   )

@@ -257,4 +257,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(x("  <p>  spaced\t\tout  </p>  ") == "spaced out")
     assert(x("") == "")
   }
+
+  test("canonicalUrl collapses case/port/www/slash/tracking/order/fragment") {
+    def c(url: String): String =
+      Seq(url).toDF("u")
+        .select(TextAnalysis.canonicalUrl(col("u"))).as[String].head()
+    val want = "https://site.com/a?a=1&b=2"
+    assert(c("https://site.com/a?a=1&b=2") == want)
+    assert(c("HTTPS://WWW.Site.COM:443/a/?utm_source=x&b=2&a=1#top") == want)
+    assert(c("https://site.com:443/a?b=2&gclid=z&a=1") == want)
+    assert(c("https://www.site.com/a/?a=1&b=2&fbclid=q") == want)
+    // no query, trailing slash, default http port
+    assert(c("http://www.Site.com:80/p/q/") == "http://site.com/p/q")
+    // bare authority: empty path stays empty, query intact + sorted
+    assert(c("https://site.com?z=1&a=2") == "https://site.com?a=2&z=1")
+    // all params are tracking -> no '?'
+    assert(c("https://site.com/x?utm_a=1&utm_b=2") == "https://site.com/x")
+  }
 }
