@@ -620,6 +620,19 @@ object DataOps {
       .agg(udaf(new graft.functions.KmvAgg(k),
         org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sketch"))
 
+  /** Merge two per-group sketch frames (g, sketch) group-wise — the
+    * incremental path: yesterday's persisted sketches plus today's
+    * batch, re-aggregated through the same k-min buffer. Exact by the
+    * k-min property: `merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)`, so
+    * the sketch table is maintainable forever without revisiting data.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b)
+      .select(col("g"), explode(col("sketch")).as("h"))
+      .groupBy("g")
+      .agg(udaf(new graft.functions.KmvAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)(col("h")).as("sketch"))
+
   /** The KMV estimator over a sketch column: exact size while the
     * sketch is under-full (fewer than k distinct seen), else
     * `(k−1)/ρ(h_k)` with ρ the kth smallest hash normalized to the

@@ -505,6 +505,38 @@ object AnalyticsQueries {
       |         AS est_distinct
       |FROM u ORDER BY event_type""".stripMargin
 
+  /** Incremental KMV ([[graft.ext.DataOps.kmvMerge]]): the event stream
+    * arrives as two batches (event_id parity); batch 1's sketches are
+    * PERSISTED to parquet and loaded back, batch 2's fold in through
+    * the same k-min buffer — and the result must be byte-identical to
+    * sketching the whole corpus at once (`merge(sk(A), sk(B)) ≡
+    * sk(A ∪ B)`, exact by the k-min property), so the SAME oracle gates
+    * both this and [[kmvDistinct]]. The sketch table is maintainable
+    * forever without revisiting history.
+    */
+  private def kmvIncremental(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val ev = Tables.events(s, d)
+    val sk1 = graft.ext.DataOps.kmvSketches(
+      ev.filter(col("event_id") % 2 === 0), col("event_type"),
+      col("user_id"), k)
+    val dir = graft.Gate.tmpDir("gate_kmv_")
+    sk1.write.mode("overwrite").parquet(s"$dir/sketches")
+    val sk2 = graft.ext.DataOps.kmvSketches(
+      ev.filter(col("event_id") % 2 === 1), col("event_type"),
+      col("user_id"), k)
+    val merged = graft.ext.DataOps.kmvMerge(
+      s.read.parquet(s"$dir/sketches"), sk2, k)
+    val all = graft.ext.DataOps.kmvUnion(merged, "__all__", k)
+    merged.unionByName(all)
+      .select(col("g").as("event_type"),
+        size(col("sketch")).as("n_kept"),
+        element_at(col("sketch"), -1).as("kth_min"),
+        round(graft.ext.DataOps.kmvEstimate(col("sketch"), k), 6)
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   /** KMV resemblance (Broder minwise / Beyer SIGMOD'07 composition):
     * pairwise Jaccard of the per-type (user, day) activity sets,
     * estimated ENTIRELY from the k-min sketches — merge two sketches to
@@ -970,6 +1002,7 @@ object AnalyticsQueries {
     Gate("q_pit_join", pitJoin, Some(pitJoinSql)),
     Gate("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Gate("q_kmv_resemblance", kmvResemblance, Some(kmvResemblanceSql)),
+    Gate("q_kmv_incremental", kmvIncremental, Some(kmvDistinctSql)),
     Gate("q_cms_counts", cmsCounts, Some(cmsCountsSql)),
     Gate("q_bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),
