@@ -232,4 +232,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("nb scoring broadcasts the label set; likelihood joins by key") {
+    val p = plan("q_nb_classify")
+    // the tiny label frame rides a broadcast nested-loop cross join;
+    // the (label, term) likelihood table must NOT — it equi-joins
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") && p.contains("log_like"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("kmv sketches partial-aggregate map-side (≤k arrays shuffle)") {
+    val p = plan("q_kmv_distinct")
+    // typed KmvAgg runs as ObjectHashAggregate with a partial pass
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmvagg") || p.contains("partial_KmvAgg")
+      || p.toLowerCase.contains("partial_kmvagg"), p)
+  }
+
+  test("sorted neighbors: no single-partition window, no theta join") {
+    val df = SparkEntry.queries("q_sorted_neighbors")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("frame-aligned media dup joins band keys — never a cartesian") {
+    val p = plan("q_video_dup")
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("html extraction and url canonicalization stay in one projection") {
+    Seq("q_html_extract", "q_url_canon").foreach { q =>
+      val p = plan(q)
+      // per-row column work: no join, no aggregate, no window
+      assert(!p.contains("Join") && !p.contains("Window"), s"$q:\n$p")
+    }
+  }
+
 }
