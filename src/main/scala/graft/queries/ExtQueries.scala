@@ -1728,6 +1728,46 @@ object ExtQueries {
       |FROM documents WHERE doc_id < 40 AND doc_id % 4 IN (0, 1)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Streaming NB scoring ([[graft.ext.Classify.nbPredict]] inside
+    * `foreachBatch`): the model trains once on the static ⅔ split; the
+    * held-out ⅓ then ARRIVES AS A STREAM in two micro-batches, each
+    * scored against the broadcast-side model and appended to a sink.
+    * Per-document predictions are independent of batching, so the
+    * accumulated sink must equal the batch gate exactly — the SAME
+    * oracle gates both. The 100 TB serving shape: classifier tables
+    * built offline, scoring riding every ingest micro-batch.
+    */
+  private def streamNb(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = graft.ext.Classify.nbTrain(
+      docs.filter(col("doc_id") % 3 =!= 0), col("lang"), col("text"))
+    val test = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val in = graft.Gate.tmpDir("gate_snb_in_")
+    val out = graft.Gate.tmpDir("gate_snb_out_")
+    val ckpt = graft.Gate.tmpDir("gate_snb_ck_")
+    test.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    test.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Classify.nbPredict(model, batch, col("doc_id"),
+            col("text"))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Incremental NB ([[graft.ext.Classify.nbMerge]]): the training split
     * arrives as two batches — the first's count partials are PERSISTED
     * to parquet and loaded back (the durable model form), the second's
@@ -3399,6 +3439,7 @@ object ExtQueries {
     Gate("q_bpe_apply", bpeApplyGate, Some(bpeApplySql)),
     Gate("q_nb_classify", nbLangGate, Some(nbLangSql)),
     Gate("q_nb_incremental", nbIncremental, Some(nbLangSql)),
+    Gate("q_stream_nb", streamNb, Some(nbLangSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
