@@ -79,6 +79,59 @@ object TextAnalysis {
           sum("n")).as("mean_logprob"))
   }
 
+  /** Interpolated trigram LM scoring (Jelinek–Mercer): each token's
+    * probability is λ₃·p̂(w|u,v) + λ₂·p̂(w|v) + λ₁·p̂(w) with ML
+    * component estimates from corpus counts — the KenLM-lite quality
+    * filter: the trigram term rewards fluent local word order, the
+    * bigram/unigram terms keep unseen contexts scoreable (scoring the
+    * training corpus itself, every component is defined; the unigram
+    * floor guards division anyway). All relations come off token
+    * explodes and join on their natural keys (trigram, two bigram
+    * roles, two unigram roles) — corpus-token-linear, model tables
+    * vocabulary-sized, no per-doc state. Returns (id, n_trigrams,
+    * mean_logprob).
+    */
+  def trigramLogProbs(docs: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    val t = tokens(col(textCol))
+    val tris0 = transform(sequence(lit(1), size(t) - 2), i =>
+      struct(element_at(t, i).as("u"), element_at(t, i + 1).as("v"),
+        element_at(t, i + 2).as("w")))
+    // guard: sequence(1, n) DESCENDS for n < 1, which would fabricate
+    // indices for docs under three tokens
+    val tris = when(size(t) >= 3, tris0)
+      .otherwise(array().cast("array<struct<u:string,v:string,w:string>>"))
+    val tg = docs.select(col(idCol).as("id"), explode(tris).as("g"))
+      .select(col("id"), col("g.u").as("u"), col("g.v").as("v"),
+        col("g.w").as("w"))
+    val nf = tg.groupBy("id", "u", "v", "w").agg(count(lit(1)).as("n"))
+    val tc = nf.groupBy("u", "v", "w").agg(sum("n").as("t3"))
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (p, c) => struct(p.as("prev"), c.as("cur")))
+    val bc = docs.select(explode(pairs).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .agg(count(lit(1)).as("b2"))
+    val uc = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val tot = uc.agg(sum("c1").as("total"))
+    nf.join(tc, Seq("u", "v", "w"))
+      .join(bc.select(col("prev").as("u"), col("cur").as("v"),
+        col("b2").as("ctx3")), Seq("u", "v"))
+      .join(bc.select(col("prev").as("v"), col("cur").as("w"),
+        col("b2").as("bvw")), Seq("v", "w"))
+      .join(uc.select(col("term").as("v"), col("c1").as("cv")), "v")
+      .join(uc.select(col("term").as("w"), col("c1").as("cw")), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(sum("n").cast("long").as("n_trigrams"),
+        (sum(col("n") * log(
+          lit(l3) * col("t3") / col("ctx3") +
+            lit(l2) * col("bvw") / col("cv") +
+            lit(l1) * col("cw") / col("total"))) / sum("n"))
+          .as("mean_logprob"))
+  }
+
   /** TF-IDF per (doc, term): tf = in-doc term count, idf = ln(N/df) over
     * the corpus. Three relations off one token explode: tf groups by
     * (doc, term); df reduces tf by term; the scalar doc count crossjoins

@@ -3122,6 +3122,51 @@ object ExtQueries {
       |FROM tf JOIN tc USING (term), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated trigram LM ([[TextAnalysis.trigramLogProbs]],
+    * Jelinek–Mercer λ = 0.6/0.3/0.1): per-doc mean token log-prob under
+    * the mixed trigram/bigram/unigram model — the KenLM-lite fluency
+    * filter. The oracle rebuilds all three count tables and the exact
+    * interpolation arithmetic.
+    */
+  private def trigramLogProb(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.trigramLogProbs(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_trigrams"),
+        round(col("mean_logprob"), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+
+  private val trigramLogProbSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |tg AS (SELECT id, unnest(list_transform(range(len(ts) - 2),
+      |         i -> struct_pack(u := ts[i+1], v := ts[i+2],
+      |                          w := ts[i+3]))) AS g
+      |       FROM tok WHERE len(ts) >= 3),
+      |nf AS (SELECT id, g.u AS u, g.v AS v, g.w AS w, count(*) AS n
+      |       FROM tg GROUP BY 1, 2, 3, 4),
+      |tc AS (SELECT u, v, w, CAST(sum(n) AS BIGINT) AS t3
+      |       FROM nf GROUP BY 1, 2, 3),
+      |bg AS (SELECT unnest(list_transform(range(len(ts) - 1),
+      |         i -> struct_pack(p := ts[i+1], c := ts[i+2]))) AS b
+      |       FROM tok WHERE len(ts) >= 2),
+      |bc AS (SELECT b.p AS p, b.c AS c, count(*) AS b2 FROM bg
+      |       GROUP BY 1, 2),
+      |u1 AS (SELECT term, count(*) AS c1
+      |       FROM (SELECT unnest(ts) AS term FROM tok) GROUP BY 1),
+      |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM u1)
+      |SELECT nf.id AS doc_id, CAST(sum(nf.n) AS BIGINT) AS n_trigrams,
+      |       round(sum(nf.n * ln(
+      |           0.6 * CAST(tc.t3 AS DOUBLE) / cx.b2
+      |         + 0.3 * CAST(bw.b2 AS DOUBLE) / uv.c1
+      |         + 0.1 * CAST(uw.c1 AS DOUBLE) / tt.total)) / sum(nf.n), 6)
+      |         AS mean_logprob
+      |FROM nf JOIN tc USING (u, v, w)
+      |JOIN bc cx ON cx.p = nf.u AND cx.c = nf.v
+      |JOIN bc bw ON bw.p = nf.v AND bw.c = nf.w
+      |JOIN u1 uv ON uv.term = nf.v
+      |JOIN u1 uw ON uw.term = nf.w, tt
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Character-entropy quality signal ([[graft.ext.TextAnalysis
     * .charEntropy]]): bits/char per document — the filter that catches
     * repeated-character spam (low) and base64/binary junk (high) that
@@ -3469,6 +3514,7 @@ object ExtQueries {
     Gate("q_cdc_chunks", cdcChunksGate, Some(cdcChunksSql)),
     Gate("q_cdc_dup", cdcDupPairsGate, Some(cdcDupPairsSql)),
     Gate("q_bigram_logprob", bigramLogProb, Some(bigramLogProbSql)),
+    Gate("q_trigram_logprob", trigramLogProb, Some(trigramLogProbSql)),
     Gate("q_winnow_fp", winnowing, Some(winnowingSql)),
     Gate("q_winnow_overlap", winnowOverlap, Some(winnowOverlapSql)),
     Gate("q_dedup_exact", dedupExact, Some(dedupExactSql)),
