@@ -37,20 +37,59 @@ object DataPipelineDemo {
     }
     stage("raw corpus", docs)
 
+    // 0. Crawl front-end: pages arrive as HTML with messy URLs — keep
+    //    one page per CANONICAL url (tracking params, ports, fragments
+    //    collapse), then strip boilerplate inside the scan projection.
+    val pages = docs
+      .withColumn("url", concat(lit("https://www."), col("source"),
+        lit(".example.com:443/doc/"), col("doc_id").cast("string"),
+        lit("?utm_source=crawl#main")))
+      .withColumn("html", concat(lit("<html><head><script>track();" +
+        "</script></head><body><p>"), col("text"),
+        lit("</p></body></html>")))
+    val extracted = stage("html extract + url dedup",
+      pages.withColumn("canon", TextAnalysis.canonicalUrl(col("url")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canon")
+            .orderBy("doc_id")))
+        .filter(col("rk") === 1)
+        .withColumn("text", TextAnalysis.htmlExtract(col("html")))
+        .drop("html", "url", "canon", "rk"))
+
     // 1. Quality floor: char entropy inside the prose band, not too
     //    repetitive, enough tokens. (Signals are per-row expressions +
     //    one entropy aggregation — corpus-linear.)
     val toks = TextAnalysis.tokens(col("text"))
-    val entropy = TextAnalysis.charEntropy(docs, "doc_id", "text")
+    val entropy = TextAnalysis.charEntropy(extracted, "doc_id", "text")
       .select(col("id").as("doc_id"), col("entropy"))
     val quality = stage("quality filter",
-      docs.join(entropy, "doc_id")
+      extracted.join(entropy, "doc_id")
         .filter(col("entropy").between(2.0, 6.0))
         .filter(TextAnalysis.dupNgramRatio(toks, 2) < 0.5)
         .filter(size(toks) >= 5))
 
+    // 1b. Language routing: NB trained on the labeled split (counting
+    //     = training), keep the majority language — the CCNet gate.
+    val nb = graft.ext.Classify.nbTrain(
+      quality.filter(col("doc_id") % 3 =!= 0), col("lang"), col("text"))
+    val langKept = stage("language gate (nb)",
+      quality.join(graft.ext.Classify
+          .nbPredict(nb, quality, col("doc_id"), col("text"))
+          .select(col("id").as("doc_id"), col("pred")), "doc_id")
+        .filter(col("pred") === "en").drop("pred"))
+
+    // 1c. Fluency floor: interpolated trigram LM, drop the worst decile
+    //     (the KenLM-lite perplexity filter).
+    val lm = TextAnalysis.trigramLogProbs(langKept, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("mean_logprob"))
+    val cut = lm.agg(percentile_approx(col("mean_logprob"), lit(0.1),
+      lit(10000)).as("c")).head().getDouble(0)
+    val fluent = stage("fluency filter (trigram lm)",
+      langKept.join(lm, "doc_id")
+        .filter(col("mean_logprob") >= cut).drop("mean_logprob"))
+
     // 2. Exact dedup on the normalization fingerprint (keep min id).
-    val keeper = quality
+    val keeper = fluent
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")
