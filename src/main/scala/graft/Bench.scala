@@ -164,20 +164,31 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.redirectErrorStream(true)
       val p = pb.start()
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream))
-      var t: Option[Double] = None
-      var line = out.readLine()
-      while (line != null) {
-        if (line.startsWith(s"CHILD_TIMING $name "))
-          t = scala.util.Try(
-            line.stripPrefix(s"CHILD_TIMING $name ").trim.toDouble).toOption
-        line = out.readLine()
-      }
+      // drain stdout on its OWN thread: a hung child that keeps stdout
+      // open would otherwise block readLine forever and make the 600 s
+      // waitFor unreachable (the timeout would never fire)
+      @volatile var t: Option[Double] = None
+      val drainer = new Thread(() => {
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        try {
+          var line = out.readLine()
+          while (line != null) {
+            if (line.startsWith(s"CHILD_TIMING $name "))
+              t = scala.util.Try(line.stripPrefix(s"CHILD_TIMING $name ")
+                .trim.toDouble).toOption
+            line = out.readLine()
+          }
+        } catch { case _: java.io.IOException => () }
+      }, s"bench-drain-$name")
+      drainer.setDaemon(true)
+      drainer.start()
       val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { p.destroyForcibly(); None }
-      else if (p.exitValue() != 0) None
-      else t
+      else {
+        drainer.join(10000)
+        if (p.exitValue() != 0) None else t
+      }
     } catch { case _: Exception => None }
 
   /** Delete `spark-*`/`blockmgr-*` scratch under the shared tmpfs local

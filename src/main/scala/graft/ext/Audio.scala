@@ -61,13 +61,17 @@ object Audio {
     * returns (sampleRate, samples) for PCM16 mono, None for anything
     * it can't decode — the skip-undecodable posture crawl media needs.
     */
-  def parseWav(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+  def parseWav(payload: Array[Byte]): Option[(Int, Array[Short])] = try {
     if (payload.length < 12) return None
     val b = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
       val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII")
     }
+    // never reposition past the limit (an odd-length final chunk's pad
+    // byte, or a lying chunk length, must end the walk, not throw)
+    def advance(by: Int): Unit =
+      b.position(math.min(b.limit(), b.position() + math.max(0, by)))
     if (tag() != "RIFF") return None
     b.getInt() // riff length
     if (tag() != "WAVE") return None
@@ -79,11 +83,11 @@ object Audio {
       val len = b.getInt()
       if (len < 0 || len > b.remaining()) return None
       t match {
-        case "fmt " =>
+        case "fmt " if len >= 16 => // PCM fmt is ≥16 bytes; shorter is junk
           val fmt = b.getShort(); val ch = b.getShort()
           rate = b.getInt(); b.getInt(); b.getShort()
           val bits = b.getShort()
-          b.position(b.position() + (len - 16))
+          advance(len - 16)
           ok = fmt == 1 && ch == 1 && bits == 16
         case "data" if ok && rate > 0 =>
           val n = len / 2
@@ -92,10 +96,14 @@ object Audio {
           while (i < n) { out(i) = b.getShort(); i += 1 }
           samples = out
         case _ =>
-          b.position(b.position() + len + (len & 1)) // chunks pad to even
+          advance(len + (len & 1)) // chunks pad to even
       }
     }
     Option(samples).map(s => (rate, s))
+  } catch {
+    // the stated posture is skip-undecodable: a malformed container
+    // must yield None, never kill the fingerprinting task
+    case _: RuntimeException => None
   }
 
   /** Deterministic synthetic clip: a mixture of four sine partials with

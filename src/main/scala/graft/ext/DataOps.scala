@@ -547,6 +547,9 @@ object DataOps {
     *
     * Deterministic end-to-end: the sketch only shapes the candidate
     * superset; the exact verify decides membership and values.
+    * NULL is a key like any other (the exact pass joins null-safely),
+    * so a frequent null surfaces as a (null, cnt) row — the same
+    * answer a SQL GROUP BY gives — instead of silently vanishing.
     * Returns (k, cnt), `key` cast to string.
     */
   def heavyHitters(df: DataFrame, key: Column, minFrac: Double): DataFrame = {
@@ -583,9 +586,13 @@ object DataOps {
       // materialize the (bounded: ≤ m per partition) candidate set
       // eagerly so the sketch pass can unpersist without the returned
       // lazy plan re-running it
-      val cands = summaries.filter(!col("sentinel")).select("k")
-        .distinct().localCheckpoint(true)
-      keyed.join(broadcast(cands), "k")
+      val cands = summaries.filter(!col("sentinel"))
+        .select(col("k").as("ck")).distinct().localCheckpoint(true)
+      // null-safe equality: a frequent NULL key is a legitimate
+      // candidate and must survive the exact pass (plain `join on k`
+      // drops null matches — the one key the sketch found but the
+      // verify would silently lose)
+      keyed.join(broadcast(cands), col("k") <=> col("ck"))
         .groupBy("k").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
     } finally { summaries.unpersist(); () }

@@ -99,8 +99,17 @@ object Takedown {
       idCol: Column): String = {
     val rid = "r-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val fs = fsOf(spark, root)
+    // Stage the id set and RENAME it into place: the intent "lands"
+    // atomically with the rename, so a crash mid-write leaves only an
+    // `ids-staging` dir — which [[pending]] reads as "never landed"
+    // instead of a permanently wedged intent resume() can't parse.
+    val staging = new Path(retractionsDir(root), s"$rid/ids-staging")
+    val landed = new Path(retractionsDir(root), s"$rid/ids")
     ids.select(idCol.as("id")).distinct()
-      .coalesce(1).write.parquet(s"$root/_retractions/$rid/ids")
+      .coalesce(1).write.parquet(staging.toString)
+    require(fs.rename(staging, landed),
+      s"could not publish retraction intent $rid (rename failed)")
     applyIntent(spark, root, rid)
     rid
   }
@@ -140,7 +149,10 @@ object Takedown {
   }
 
   /** Retraction ids whose `_done` marker has not landed — what a crash
-    * left behind.
+    * left behind. Intents whose `ids` dir never landed (a crash during
+    * the staging write, before the publish rename) are NOT pending:
+    * no surface can have been touched for them, so they read as
+    * "retraction never happened" rather than wedging [[resume]].
     */
   def pending(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
@@ -148,6 +160,7 @@ object Takedown {
     fs.listStatus(retractionsDir(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("r-"))
       .filterNot(st => fs.exists(new Path(st.getPath, "_done")))
+      .filter(st => fs.exists(new Path(st.getPath, "ids")))
       .map(_.getPath.getName).sorted
   }
 

@@ -507,14 +507,18 @@ object DataOpsProperties extends Properties("graftDataOps") {
     Gen.choose(0L, 1000000L)) { (n, parts, frac, seed) =>
     val rnd = new scala.util.Random(seed)
     // skewed draw: min of two uniforms biases toward low key ids, so
-    // some keys genuinely clear the threshold and most don't
-    val keys = (0 until n)
-      .map(_ => s"k${math.min(rnd.nextInt(12), rnd.nextInt(12))}")
+    // some keys genuinely clear the threshold and most don't; key 0
+    // maps to NULL — a frequent null must surface like any other key
+    // (the exact pass joins null-safely)
+    val keys: Seq[String] = (0 until n).map { _ =>
+      val k = math.min(rnd.nextInt(12), rnd.nextInt(12))
+      if (k == 0) null else s"k$k"
+    }
     val got = graft.ext.DataOps.heavyHitters(
         keys.toDF("k").repartition(parts), col("k"), frac)
-      .as[(String, Long)].collect().toSet
+      .as[(Option[String], Long)].collect().toSet
     val minCount = math.max(1L, math.ceil(frac * n).toLong)
-    val want = keys.groupBy(identity)
+    val want = keys.groupBy(Option(_))
       .map { case (k, ks) => (k, ks.size.toLong) }
       .filter(_._2 >= minCount).toSet
     Prop(got == want) :| s"got=$got want=$want minCount=$minCount"

@@ -22,6 +22,39 @@ class AudioSpec extends AnyFunSuite {
     assert(Audio.parseWav(whole.take(whole.length - 7)).isEmpty)
   }
 
+  test("malformed chunk walks return None instead of throwing") {
+    def riff(chunks: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + chunks.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(4 + chunks.length)
+      b.put("WAVE".getBytes("US-ASCII")).put(chunks)
+      b.array()
+    }
+    def chunk(tag: String, lenField: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(tag.getBytes("US-ASCII")).putInt(lenField).put(payload)
+      b.array()
+    }
+    // fmt chunk claiming len=8 (<16): parser must not read 16 bytes and
+    // reposition backwards (BufferUnderflow / backwards-seek)
+    assert(Audio.parseWav(riff(chunk("fmt ", 8, new Array[Byte](8)))).isEmpty)
+    // odd-length FINAL chunk: the pad-byte skip would land past the
+    // limit — must end the walk, not throw IllegalArgumentException
+    assert(Audio.parseWav(riff(chunk("LIST", 3, new Array[Byte](3)))).isEmpty)
+    // fmt len<16 followed by a data chunk: skip the junk fmt, stay sane
+    val mixed = riff(chunk("fmt ", 4, new Array[Byte](4)) ++
+      chunk("data", 4, new Array[Byte](4)))
+    assert(Audio.parseWav(mixed).isEmpty) // no valid fmt seen → no decode
+    // fuzz: random byte soup with a RIFF/WAVE header never throws
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val soup = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(soup)
+      Audio.parseWav(riff(soup)) // must not throw
+    }
+  }
+
   test("fingerprint is volume-invariant and damage stays frame-local") {
     val pcm = Audio.synthPcm("vol", 4096)
     val half = pcm.map(s => (s / 2).toShort)

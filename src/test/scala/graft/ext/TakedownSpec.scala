@@ -88,4 +88,22 @@ class TakedownSpec extends SparkSpec {
     // resume with nothing pending is a no-op
     assert(Takedown.resume(spark, root).isEmpty)
   }
+
+  test("crash during the ids write leaves a never-landed intent") {
+    val (root, bm25, lit) = setup()
+    // simulate a crash mid-staging: the ids dir never got renamed into
+    // place — only the staging dir (possibly half-written) exists
+    Seq(1L).toDF("doc_id").select(col("doc_id").as("id"))
+      .coalesce(1).write.parquet(s"$root/_retractions/r-halfwrit/ids-staging")
+    // a half-written intent is NOT pending (no surface was touched for
+    // it) and resume() must neither throw nor apply anything
+    assert(Takedown.pending(spark, root).isEmpty)
+    assert(Takedown.resume(spark, root).isEmpty)
+    assert(bm25Ids(bm25) == Set(1L, 2L, 3L))
+    assert(literalIds(lit) == Set(1L, 2L, 3L))
+    // and the wreck does not block later retractions from completing
+    Takedown.retract(spark, root, Seq(3L).toDF("doc_id"), col("doc_id"))
+    assert(Takedown.pending(spark, root).isEmpty)
+    assert(bm25Ids(bm25) == Set(1L, 2L))
+  }
 }
