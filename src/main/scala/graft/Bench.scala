@@ -141,7 +141,10 @@ object Bench {
     */
   val isolatedSet: Seq[String] = Seq(
     "q_stream_dedup_index", "q_minhash_dedup", "q_dup_clusters_star",
-    "q_cdc_dup", "q_literal_persist", "q_bm25_delete")
+    "q_cdc_dup", "q_literal_persist", "q_bm25_delete",
+    // round-9 additions: the round-8 heavy families, so round-over-round
+    // comparisons cover the new surface
+    "q_takedown", "q_literal_common", "q_video_dup", "q_nb_classify")
 
   /** Run one gate in a fresh JVM (same flags and classpath as this one,
     * via RuntimeMXBean) and return its WARM timing — the child runs the

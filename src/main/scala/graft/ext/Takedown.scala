@@ -30,21 +30,25 @@ import org.apache.spark.sql.functions._
   * Scale shape: takedown batches are small by nature; each surface
   * delete is metadata-bounded (tombstones + negative partials — no
   * corpus rescan), and the registry/log are a handful of tiny files
-  * per retraction. The corpus store itself stays the caller's ledger
-  * (the billing store has its own versioned delete); this module owns
-  * the DERIVED surfaces.
+  * per retraction. The corpus STORE OF RECORD registers like any
+  * derived surface (kind `store`, [[CorpusStore]]), so one intent
+  * covers the row and every index built from it; the billing fact
+  * store keeps its own versioned delete ([[graft.billing.BillingStore
+  * .applyChanges]]) for its composite-keyed CDC flow.
   */
 object Takedown {
 
-  /** A derived surface: `kind` selects the family delete, `path` the
-    * index root. Supported kinds: bm25, dedup, literal (document
-    * indexes, keyed by doc id) and ivf, pq, sq, ivfpq (vector indexes,
-    * keyed by vec id).
+  /** A surface: `kind` selects the family delete, `path` the root.
+    * Supported kinds: bm25, dedup, literal (document indexes, keyed by
+    * doc id); ivf, pq, sq, ivfpq (vector indexes, keyed by vec id);
+    * and store (the corpus STORE OF RECORD, [[CorpusStore]]) — so one
+    * durable intent retracts the corpus row AND every derived index,
+    * the composition a GDPR flow actually needs.
     */
   final case class Surface(kind: String, path: String)
 
   val kinds: Set[String] =
-    Set("bm25", "dedup", "literal", "ivf", "pq", "sq", "ivfpq")
+    Set("store", "bm25", "dedup", "literal", "ivf", "pq", "sq", "ivfpq")
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -138,6 +142,7 @@ object Takedown {
 
   private def applySurface(spark: SparkSession, s: Surface,
       ids: DataFrame): Unit = s.kind match {
+    case "store"   => CorpusStore.deleteRows(spark, s.path, ids, col("id"))
     case "bm25"    => TextSearch.deleteDocs(spark, s.path, ids, col("id"))
     case "dedup"   => DedupIndex.deleteDocs(spark, s.path, ids, col("id"))
     case "literal" => LiteralIndex.deleteDocs(spark, s.path, ids, col("id"))
@@ -172,5 +177,65 @@ object Takedown {
     val ps = pending(spark, root)
     ps.foreach(rid => applyIntent(spark, root, rid))
     ps
+  }
+
+  /** A CONSISTENT version vector across every registered surface —
+    * the cross-surface read snapshot a data-selection run needs: a
+    * selection that reads BM25 + dedup + ANN at independently-resolved
+    * versions can see one surface post-append and another pre-append;
+    * this resolves all of them at one commit point.
+    *
+    * Protocol: sweep every surface's current manifest version, then
+    * sweep again; accept only when two consecutive sweeps agree.
+    * Versions are strictly monotone per root (manifest commits
+    * serialize on the writer lock), so agreement proves NO surface
+    * committed between the sweeps — the vector was the true global
+    * state for that whole window, without holding any writer lock or
+    * blocking any mutator. Bounded retries: under pathological
+    * sustained write pressure this fails loudly rather than returning
+    * a torn vector.
+    *
+    * The returned vector is only durable against GC for the retention
+    * window — readers that outlive it use [[withPinned]], which holds
+    * a TTL lease per surface.
+    */
+  def pinAll(spark: SparkSession, root: String,
+      maxAttempts: Int = 16): Seq[(Surface, Long)] = {
+    val ss = surfaces(spark, root)
+    require(ss.nonEmpty, s"no surfaces registered under $root")
+    def sweep(): Seq[(Surface, Long)] =
+      ss.map(s => s -> IndexStore.snapshot(spark, s.path).version)
+    var prev = sweep()
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      val cur = sweep()
+      if (cur == prev) return cur
+      prev = cur
+      attempt += 1
+    }
+    sys.error(s"pinAll($root): no stable cross-surface version vector " +
+      s"after $maxAttempts sweeps (sustained concurrent commits)")
+  }
+
+  /** Run `body` against a pinned cross-surface vector with a TTL
+    * reader lease held on EVERY surface ([[IndexStore.withLease]]) —
+    * later appends, compactions, and GC cannot drop any pinned
+    * version's segments while `body` runs. Surfaces read their pinned
+    * version via the family `*At` readers ([[TextSearch
+    * .searchSavedAt]], [[CorpusStore.readAt]], [[DedupIndex]] /
+    * vector-index `loadAt`), so the whole selection answers from one
+    * commit point; recording the vector is the lineage contract — an
+    * audit replays the same selection verbatim.
+    */
+  def withPinned[A](spark: SparkSession, root: String,
+      ttlMs: Long = 6 * 3600 * 1000L)(
+      body: Seq[(Surface, Long)] => A): A = {
+    val vector = pinAll(spark, root)
+    def nest(rem: Seq[(Surface, Long)]): A = rem match {
+      case Seq() => body(vector)
+      case (s, v) +: tail =>
+        IndexStore.withLease(spark, s.path, v, ttlMs)(_ => nest(tail))
+    }
+    nest(vector)
   }
 }

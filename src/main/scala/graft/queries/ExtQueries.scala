@@ -433,6 +433,8 @@ object ExtQueries {
     sharedDupIndex(s, d)
     sharedBm25Index(s, d)
     sharedDupPairs(s, d)
+    sharedLiteralIndex(s, d)
+    sharedIvfIndex(s, d)
     ()
   }
 
@@ -453,6 +455,28 @@ object ExtQueries {
     graft.Gate.memoDir(s"bm25_idx:$d", "gate_bm25_idx_") { dir =>
       graft.ext.TextSearch.buildAndSave(Tables.documents(s, d),
         col("doc_id"), col("text"), dir, buckets = bm25Buckets)
+    }
+
+  /** Saved literal (gram-bucket) index over the base corpus, built once
+    * per JVM — the takedown gates mutate a [[graft.Gate.copyDir]] copy,
+    * so their timed window prices RETRACTION, not index construction
+    * (the build lifecycle is priced by q_literal_persist).
+    */
+  private def sharedLiteralIndex(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"literal_idx:$d", "gate_lit_idx_") { dir =>
+      graft.ext.LiteralIndex.buildAndSave(Tables.documents(s, d),
+        col("doc_id"), col("text"), dir, n = 4, buckets = 16)
+    }
+
+  /** Saved IVF index over the base embeddings, built once per JVM (same
+    * contract as [[sharedLiteralIndex]]; the build lifecycle is priced
+    * by q_ivf_persist).
+    */
+  private def sharedIvfIndex(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"ivf_idx:$d", "gate_ivf_idx_") { dir =>
+      graft.ext.IvfIndex.save(
+        graft.ext.IvfIndex.build(Tables.embeddings(s, d),
+          k = 16, sampleFraction = 0.25), dir)
     }
 
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
@@ -2588,9 +2612,7 @@ object ExtQueries {
     val docs = Tables.documents(s, d)
     val root = graft.Gate.tmpDir("gate_std_root_")
     val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_std_bm25_")
-    val litDir = graft.Gate.tmpDir("gate_std_lit_")
-    graft.ext.LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"),
-      litDir, n = 4, buckets = 16)
+    val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_std_lit_")
     Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
     Takedown.register(s, root, Takedown.Surface("literal", litDir))
     val doomed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
@@ -2663,6 +2685,219 @@ object ExtQueries {
       |       FROM documents WHERE doc_id < 4),
       |lt AS (SELECT 'literal' AS surface, n.qid, d.doc_id AS id
       |       FROM corpus d CROSS JOIN nd n
+      |       WHERE length(n.needle) >= 4 AND contains(d.text, n.needle))
+      |SELECT surface, qid, id FROM bm
+      |UNION ALL SELECT surface, qid, id FROM lt
+      |ORDER BY surface, qid, id""".stripMargin
+
+  /** The corpus STORE OF RECORD, built once per JVM (mutating gates
+    * copy it — same contract as [[sharedBm25Index]]).
+    */
+  private def sharedCorpusStore(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"corpus_store:$d", "gate_corpus_store_") { dir =>
+      graft.ext.CorpusStore.build(
+        Tables.documents(s, d).select("doc_id", "text"),
+        col("doc_id"), dir)
+      ()
+    }
+
+  /** Store-of-record takedown ([[graft.ext.CorpusStore]] as a `store`
+    * surface in [[graft.ext.Takedown]]): the corpus table AND three
+    * derived index families register under one takedown root, and ONE
+    * `retract()` — one durable intent — removes the doomed ids from
+    * the store and every index. The output probes all four surfaces
+    * (the store's surviving ids, BM25 top-5, a literal sweep, an
+    * exhaustive-probe ANN top-5) and the oracle recomputes each from
+    * the surviving corpus: the GDPR contract is that no surface —
+    * least of all the one holding the actual rows — still answers for
+    * a retracted document. Retraction stays metadata-bounded on every
+    * surface (scoped tombstones; the store rewrites nothing until its
+    * own compact).
+    */
+  private def takedownStore(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Takedown
+    val docs = Tables.documents(s, d)
+    val embs = Tables.embeddings(s, d)
+    val root = graft.Gate.tmpDir("gate_tds_root_")
+    val storeDir =
+      graft.Gate.copyDir(sharedCorpusStore(s, d), "gate_tds_store_")
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_tds_bm25_")
+    val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_tds_lit_")
+    val ivfDir = graft.Gate.copyDir(sharedIvfIndex(s, d), "gate_tds_ivf_")
+    Takedown.register(s, root, Takedown.Surface("store", storeDir))
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    Takedown.register(s, root, Takedown.Surface("literal", litDir))
+    Takedown.register(s, root, Takedown.Surface("ivf", ivfDir))
+    val doomed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    Takedown.retract(s, root, doomed, col("doc_id"))
+    val st = graft.ext.CorpusStore.read(s, storeDir)
+      .select(lit("store").as("surface"), lit(0L).as("qid"), col("id"))
+    val bm = graft.ext.TextSearch.searchSaved(s, bm25Dir,
+        bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+      .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+        col("id"))
+    val needles = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("nid"),
+        substring(col("text"), 8, 20).as("needle"))
+    val lt = graft.ext.LiteralIndex.searchSaved(s, litDir, docs,
+        col("doc_id"), col("text"), needles, col("nid"), col("needle"))
+      .select(lit("literal").as("surface"), col("needle_id").as("qid"),
+        col("id"))
+    val iv = graft.ext.IvfIndex.search(
+        graft.ext.IvfIndex.load(s, ivfDir, embs),
+        col("vec_id") < 10, k = 5, nProbe = Int.MaxValue)
+      .select(lit("ivf").as("surface"), col("query_id").as("qid"),
+        col("neighbor_id").as("id"))
+    st.unionByName(bm).unionByName(lt).unionByName(iv)
+      .orderBy("surface", "qid", "id")
+  }
+
+  private val takedownStoreSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |qtok AS (SELECT doc_id AS id,
+      |           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |         FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM qtok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |sr AS (SELECT 'store' AS surface, CAST(0 AS BIGINT) AS qid,
+      |              doc_id AS id
+      |       FROM corpus),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5),
+      |nd AS (SELECT doc_id AS qid, substring(text, 8, 20) AS needle
+      |       FROM documents WHERE doc_id < 4),
+      |lt AS (SELECT 'literal' AS surface, n.qid, d.doc_id AS id
+      |       FROM corpus d CROSS JOIN nd n
+      |       WHERE length(n.needle) >= 4 AND contains(d.text, n.needle)),
+      |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 3),
+      |ev AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |       WHERE vec_id % 7 <> 3),
+      |p AS (SELECT qid, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM qs, ev WHERE vec_id <> qid),
+      |iv AS (SELECT 'ivf' AS surface, qid, vec_id AS id
+      |       FROM (SELECT qid, vec_id,
+      |               row_number() OVER (PARTITION BY qid
+      |                 ORDER BY cos DESC, vec_id) AS rank
+      |             FROM p)
+      |       WHERE rank <= 5)
+      |SELECT surface, qid, id FROM sr
+      |UNION ALL SELECT surface, qid, id FROM bm
+      |UNION ALL SELECT surface, qid, id FROM lt
+      |UNION ALL SELECT surface, qid, id FROM iv
+      |ORDER BY surface, qid, id""".stripMargin
+
+  /** Cross-surface consistent read snapshot ([[graft.ext.Takedown
+    * .withPinned]]): BM25 and literal surfaces register under one
+    * root, the gate pins a version VECTOR resolved at one commit
+    * point, then RACES an append of new documents into BOTH surfaces
+    * — and answers every query from the pinned vector via the family
+    * `*At` readers, under per-surface TTL leases that hold GC off.
+    * The oracle computes both searches over the ORIGINAL corpus only:
+    * the appended docs must be invisible on every surface at once,
+    * the property a data-selection run needs so its recorded lineage
+    * (this vector) replays verbatim under audit. Without the vector,
+    * each surface pins independently and a selection racing an ingest
+    * can read BM25 post-append but the literal index pre-append.
+    */
+  private def pinnedRead(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Takedown
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_pin_root_")
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_pin_bm25_")
+    val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_pin_lit_")
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    Takedown.register(s, root, Takedown.Surface("literal", litDir))
+    Takedown.withPinned(s, root) { vector =>
+      val at = vector.map { case (sf, v) => sf.kind -> v }.toMap
+      // the race: a delivery lands on BOTH surfaces AFTER the pin —
+      // doc ids shifted out of the query range, text echoing doc 0's
+      // prefix so an unpinned literal sweep WOULD match them
+      val delivery = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" pinned-race-delivery")).as("text"))
+      graft.ext.TextSearch.appendDocs(s, bm25Dir, delivery,
+        col("doc_id"), col("text"))
+      graft.ext.LiteralIndex.appendDocs(s, litDir, delivery,
+        col("doc_id"), col("text"))
+      val bm = graft.ext.TextSearch.searchSavedAt(s, bm25Dir, at("bm25"),
+          bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+        .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+          col("id"))
+      val needles = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("nid"),
+          substring(col("text"), 8, 20).as("needle"))
+      // verify corpus = original docs ∪ the delivery: a pinned index
+      // must EXCLUDE the delivery by version alone, not because the
+      // verify pass never saw its rows
+      val verifyCorpus = docs.select("doc_id", "text").unionByName(delivery)
+      val lt = graft.ext.LiteralIndex.searchSavedAt(s, litDir,
+          at("literal"), verifyCorpus, col("doc_id"), col("text"),
+          needles, col("nid"), col("needle"))
+        .select(lit("literal").as("surface"), col("needle_id").as("qid"),
+          col("id"))
+      // materialize INSIDE the lease scope — the pinned-read contract is
+      // that segments are guaranteed only while the leases are held
+      bm.unionByName(lt).orderBy("surface", "qid", "id")
+        .localCheckpoint(true)
+    }
+  }
+
+  private val pinnedReadSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM tok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5),
+      |nd AS (SELECT doc_id AS qid, substring(text, 8, 20) AS needle
+      |       FROM documents WHERE doc_id < 4),
+      |lt AS (SELECT 'literal' AS surface, n.qid, d.doc_id AS id
+      |       FROM documents d CROSS JOIN nd n
       |       WHERE length(n.needle) >= 4 AND contains(d.text, n.needle))
       |SELECT surface, qid, id FROM bm
       |UNION ALL SELECT surface, qid, id FROM lt
@@ -2784,12 +3019,8 @@ object ExtQueries {
     val embs = Tables.embeddings(s, d)
     val root = graft.Gate.tmpDir("gate_td_root_")
     val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_td_bm25_")
-    val litDir = graft.Gate.tmpDir("gate_td_lit_")
-    graft.ext.LiteralIndex.buildAndSave(docs, col("doc_id"), col("text"),
-      litDir, n = 4, buckets = 16)
-    val ivfDir = graft.Gate.tmpDir("gate_td_ivf_")
-    graft.ext.IvfIndex.save(
-      graft.ext.IvfIndex.build(embs, k = 16, sampleFraction = 0.25), ivfDir)
+    val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_td_lit_")
+    val ivfDir = graft.Gate.copyDir(sharedIvfIndex(s, d), "gate_td_ivf_")
     Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
     Takedown.register(s, root, Takedown.Surface("literal", litDir))
     Takedown.register(s, root, Takedown.Surface("ivf", ivfDir))
@@ -3506,6 +3737,8 @@ object ExtQueries {
     Gate("q_literal_persist", literalPersistGate, Some(literalPersistSql)),
     Gate("q_literal_common", literalCommonGate, Some(literalCommonSql)),
     Gate("q_takedown", takedownGate, Some(takedownSql)),
+    Gate("q_takedown_store", takedownStore, Some(takedownStoreSql)),
+    Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
     Gate("q_bm25_readd", bm25Readd, Some(bm25ReaddSql)),
     Gate("q_stream_takedown", streamTakedown, Some(streamTakedownSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Store-of-record lifecycle laws for [[CorpusStore]]: build/append/
+  * delete/readd under scoped tombstones, compaction as a no-op on the
+  * live view, and time travel to a retained version.
+  */
+class CorpusStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Long*) =
+    ids.map(i => (i, s"text-$i")).toDF("doc_id", "text")
+
+  private def liveIds(root: String): Set[Long] =
+    CorpusStore.read(spark, root).select("id").as[Long].collect().toSet
+
+  test("build, append, delete, readd — live view tracks intent") {
+    val root = tmpDir("cs_life")
+    CorpusStore.build(rows(1, 2, 3), col("doc_id"), root)
+    assert(liveIds(root) == Set(1L, 2L, 3L))
+    // verbatim columns survive (plus the normalized id key)
+    val r = CorpusStore.read(spark, root).filter(col("id") === 2)
+      .select("text").as[String].collect()
+    assert(r.toSeq == Seq("text-2"))
+    CorpusStore.append(spark, root, rows(4, 5), col("doc_id"))
+    assert(liveIds(root) == Set(1L, 2L, 3L, 4L, 5L))
+    CorpusStore.deleteRows(spark, root, Seq(2L, 4L).toDF("doc_id"),
+      col("doc_id"))
+    assert(liveIds(root) == Set(1L, 3L, 5L))
+    // delete is idempotent (live-presence-judged)
+    CorpusStore.deleteRows(spark, root, Seq(2L).toDF("doc_id"),
+      col("doc_id"))
+    assert(liveIds(root) == Set(1L, 3L, 5L))
+    // readd: the corrected delivery is visible immediately — the old
+    // tombstone is scoped to delete-time segments and cannot mask it
+    CorpusStore.append(spark, root, rows(2), col("doc_id"))
+    assert(liveIds(root) == Set(1L, 2L, 3L, 5L))
+    // and a readded id can be deleted AGAIN
+    CorpusStore.deleteRows(spark, root, Seq(2L).toDF("doc_id"),
+      col("doc_id"))
+    assert(liveIds(root) == Set(1L, 3L, 5L))
+  }
+
+  test("compact preserves the live view and drops tombstone debt") {
+    val root = tmpDir("cs_compact")
+    CorpusStore.build(rows(1, 2, 3, 4), col("doc_id"), root)
+    CorpusStore.deleteRows(spark, root, Seq(3L).toDF("doc_id"),
+      col("doc_id"))
+    CorpusStore.compact(spark, root)
+    assert(liveIds(root) == Set(1L, 2L, 4L))
+    // post-compact the snapshot has one segment and no tombstones
+    assert(IndexStore.segmentCount(spark, root) == 1)
+  }
+
+  test("time travel reads a retained version verbatim") {
+    val root = tmpDir("cs_tt")
+    val v1 = CorpusStore.build(rows(1, 2), col("doc_id"), root,
+      retainVersions = 4)
+    val v2 = CorpusStore.append(spark, root, rows(3), col("doc_id"))
+    assert(v2 > v1)
+    assert(CorpusStore.readAt(spark, root, v1)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(CorpusStore.readAt(spark, root, v2)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("key normalization replaces a pre-existing id column") {
+    val root = tmpDir("cs_key")
+    val df = Seq((10L, "k-a", "x")).toDF("id", "key", "text")
+    CorpusStore.build(df, col("key"), root)
+    val out = CorpusStore.read(spark, root)
+    assert(out.columns.count(_ == "id") == 1)
+    assert(out.select("id").as[String].collect().toSeq == Seq("k-a"))
+  }
+}

@@ -106,4 +106,61 @@ class TakedownSpec extends SparkSpec {
     assert(Takedown.pending(spark, root).isEmpty)
     assert(bm25Ids(bm25) == Set(1L, 2L))
   }
+
+  private def storeIds(path: String): Set[Long] =
+    CorpusStore.read(spark, path).select("id").as[Long].collect().toSet
+
+  test("store-of-record surface: one intent covers corpus rows and indexes") {
+    val (root, bm25, lit) = setup()
+    val store = tmpDir("td_store")
+    CorpusStore.build(docs, col("doc_id"), store)
+    Takedown.register(spark, root, Takedown.Surface("store", store))
+    Takedown.retract(spark, root, Seq(1L, 3L).toDF("doc_id"), col("doc_id"))
+    assert(storeIds(store) == Set(2L, 4L))
+    assert(bm25Ids(bm25) == Set(2L))
+    assert(literalIds(lit) == Set(2L))
+    // crash BEFORE the store surface applies ('store' sorts last in
+    // registry order): corpus rows still live, resume() finishes them
+    Seq(2L).toDF("doc_id").select(col("doc_id").as("id"))
+      .coalesce(1).write.parquet(s"$root/_retractions/r-storecrash/ids")
+    Takedown.applyIntent(spark, root, "r-storecrash", upTo = 2)
+    assert(storeIds(store) == Set(2L, 4L), "store must not have applied yet")
+    assert(Takedown.pending(spark, root) == Seq("r-storecrash"))
+    assert(Takedown.resume(spark, root) == Seq("r-storecrash"))
+    assert(storeIds(store) == Set(4L))
+    assert(bm25Ids(bm25).isEmpty)
+  }
+
+  test("pinAll resolves one commit point; withPinned leases survive GC") {
+    val (root, bm25, lit) = setup()
+    val vector = Takedown.pinAll(spark, root)
+    assert(vector.map(_._1.kind) == Seq("bm25", "literal"))
+    Takedown.withPinned(spark, root) { vec =>
+      val at = vec.map { case (s, v) => s.kind -> v }.toMap
+      // race: new doc lands on both surfaces after the pin, then a
+      // compaction cycle that would GC the pinned version without the
+      // lease (retainVersions=1 keeps only the newest manifest)
+      val nw = Seq((9L, "alpha zulu yankee xray")).toDF("doc_id", "text")
+      TextSearch.appendDocs(spark, bm25, nw, col("doc_id"), col("text"))
+      TextSearch.compact(spark, bm25, retainVersions = 1)
+      LiteralIndex.appendDocs(spark, lit, nw, col("doc_id"), col("text"))
+      LiteralIndex.compact(spark, lit, retainVersions = 1)
+      // the pinned versions answer PRE-append on both surfaces
+      val bmPinned = TextSearch.searchSavedAt(spark, bm25, at("bm25"),
+          Seq((1L, Seq("alpha", "golf"))).toDF("qid", "qterms"),
+          col("qid"), col("qterms"), k = 10)
+        .select("id").as[Long].collect().toSet
+      assert(bmPinned == Set(1L, 2L, 3L), s"pinned bm25 saw $bmPinned")
+      val verifyCorpus = docs.unionByName(nw)
+      val ltPinned = LiteralIndex.searchSavedAt(spark, lit, at("literal"),
+          verifyCorpus, col("doc_id"), col("text"),
+          Seq((7L, "alpha zulu")).toDF("nid", "needle"),
+          col("nid"), col("needle"))
+        .select("id").as[Long].collect().toSet
+      assert(ltPinned.isEmpty, s"pinned literal saw post-append doc $ltPinned")
+    }
+    // leases released: the next GC cycle may drop the pinned versions,
+    // and CURRENT reads see the appended doc on both surfaces
+    assert(bm25Ids(bm25).contains(9L))
+  }
 }
