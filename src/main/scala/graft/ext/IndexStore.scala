@@ -90,23 +90,71 @@ object IndexStore {
       }
   }
 
-  /** Read-through cache of each root's newest (version, lines): a
-    * streaming maintenance loop calls [[snapshot]] several times per
-    * micro-batch (mutator + meta read + compaction policy), and on an
-    * object store every uncached call is a LIST + GET against the
-    * manifest dir. A cached entry is current iff its version file
-    * still exists and the NEXT version does not — two existence probes
+  /** Read-through cache of each root's newest (incarnation, version,
+    * lines): a streaming maintenance loop calls [[snapshot]] several
+    * times per micro-batch (mutator + meta read + compaction policy),
+    * and on an object store every uncached call is a LIST + GET
+    * against the manifest dir. A cached entry is current iff its
+    * ROOT INCARNATION marker still exists, its version file still
+    * exists, and the NEXT version does not — three existence probes
     * (HEADs), valid because commits are strictly sequential under the
     * writer lock; same-JVM commits refresh the cache directly so the
-    * common single-writer loop never even probes. Bounded: cleared
-    * wholesale past 4096 roots (gate tmp dirs churn).
+    * common single-writer loop never even probes.
+    *
+    * The incarnation probe closes the root-recreation hazard the
+    * version probes alone cannot see: a root deleted and rebuilt
+    * OUT-OF-BAND restarts version numbering, so "v exists, v+1
+    * doesn't" can hold for a cached entry whose lines name the OLD
+    * incarnation's (deleted) segments. Each root is stamped with a
+    * UUID marker file at its first commit ([[ensureIncarnation]]);
+    * the marker name IS the identity, so validation is a HEAD of the
+    * cached marker path — a recreated root carries a fresh marker and
+    * the old entry invalidates. Bounded: cleared wholesale past 4096
+    * roots (gate tmp dirs churn).
     */
-  private val latestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+  private val latestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Seq[String])]()
 
-  private def cachePut(root: String, v: Long, lines: Seq[String]): Unit = {
+  private def incarnationDir(root: String) = new Path(root, "_incarnation")
+
+  /** The root's incarnation marker name, "" for a root with no marker
+    * (pre-incarnation legacy, or never committed).
+    */
+  private def incarnationOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): String = {
+    val dir = incarnationDir(root)
+    if (!fs.exists(dir)) ""
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("inc-")).sorted.headOption.getOrElse("")
+  }
+
+  /** Stamp the root's incarnation on first commit (caller holds the
+    * writer lock, so the marker is created exactly once per root
+    * lifetime — deleting the root deletes the marker, and a rebuild
+    * gets a fresh identity).
+    */
+  private def ensureIncarnation(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): String = {
+    val cur = incarnationOf(fs, root)
+    if (cur.nonEmpty) cur
+    else {
+      val name = "inc-" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      fs.mkdirs(incarnationDir(root))
+      fs.create(new Path(incarnationDir(root), name), true).close()
+      name
+    }
+  }
+
+  private def incarnationValid(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, inc: String): Boolean =
+    if (inc.isEmpty) !fs.exists(incarnationDir(root))
+    else fs.exists(new Path(incarnationDir(root), inc))
+
+  private def cachePut(root: String, inc: String, v: Long,
+      lines: Seq[String]): Unit = {
     if (latestCache.size > 4096) latestCache.clear()
-    latestCache.put(root, (v, lines))
+    latestCache.put(root, (inc, v, lines))
     ()
   }
 
@@ -119,26 +167,34 @@ object IndexStore {
     * pruning, so version numbers never restart while a root lives).
     */
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Any]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Any]()
 
   private[ext] def cachedMeta[A](snap: Snapshot)(load: => A): A = {
     if (metaCache.size > 4096) metaCache.clear()
-    metaCache.computeIfAbsent((snap.root, snap.version), _ => load)
+    // keyed by the root's cached incarnation too, so a root rebuilt
+    // out-of-band to the same version number cannot serve the old
+    // incarnation's geometry (the incarnation is free here — snapshot()
+    // just resolved it into latestCache)
+    val inc = Option(latestCache.get(snap.root)).map(_._1).getOrElse("")
+    metaCache.computeIfAbsent((snap.root, inc, snap.version), _ => load)
       .asInstanceOf[A]
   }
 
   def snapshot(spark: SparkSession, root: String): Snapshot = {
     val fs = fsOf(spark, root)
     val cached = Option(latestCache.get(root)).collect {
-      case (v, lines) if !manifest.exists(fs, root, v + 1) &&
-        manifest.exists(fs, root, v) => (v, lines)
+      case (inc, v, lines) if incarnationValid(fs, root, inc) &&
+        !manifest.exists(fs, root, v + 1) &&
+        manifest.exists(fs, root, v) => Snapshot(spark, root, v, lines)
     }
-    cached.orElse(manifest.latest(fs, root)) match {
-      case Some((v, lines)) =>
-        cachePut(root, v, lines)
-        Snapshot(spark, root, v, lines)
-      case None => throw new java.io.FileNotFoundException(
-        s"no index manifest under $root — not an index root, or never built")
+    cached.getOrElse {
+      manifest.latest(fs, root) match {
+        case Some((v, lines)) =>
+          cachePut(root, incarnationOf(fs, root), v, lines)
+          Snapshot(spark, root, v, lines)
+        case None => throw new java.io.FileNotFoundException(
+          s"no index manifest under $root — not an index root, or never built")
+      }
     }
   }
 
@@ -187,10 +243,11 @@ object IndexStore {
   def publishAppend(spark: SparkSession, root: String, seg: String,
       relations: Seq[String]): Long = {
     val fs = fsOf(spark, root)
+    val inc = ensureIncarnation(fs, root)
     val prev = manifest.latest(fs, root).map(_._2).getOrElse(Seq.empty)
     val lines = (prev ++ relations.map(r => s"$seg/$r")).sorted
     val v = manifest.commit(fs, root, lines)
-    cachePut(root, v, lines)
+    cachePut(root, inc, v, lines)
     v
   }
 
@@ -201,9 +258,10 @@ object IndexStore {
   def publishReplace(spark: SparkSession, root: String, seg: String,
       relations: Seq[String], retainVersions: Int = 2): Long = {
     val fs = fsOf(spark, root)
+    val inc = ensureIncarnation(fs, root)
     val lines = relations.map(r => s"$seg/$r").sorted
     val v = manifest.commit(fs, root, lines)
-    cachePut(root, v, lines)
+    cachePut(root, inc, v, lines)
     gc(spark, root, retainVersions)
     v
   }
