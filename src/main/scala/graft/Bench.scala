@@ -44,11 +44,17 @@ object Bench {
     // EXCEPT that known-heavy lifecycle/composition gates run LAST:
     // their GC / page-cache / shuffle-scratch debt measurably inflated
     // unrelated light gates by ~1.3x in r04 when interleaved.
-    // SPARK_GRAFT_ONLY=substr[,substr...] narrows the run for iteration
+    // SPARK_GRAFT_ONLY=substr[,substr...] narrows the run for iteration.
+    // A token that EXACTLY names a gate matches only that gate (so the
+    // isolated child for q_takedown does not also time q_takedown_store);
+    // otherwise substring semantics.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val allNames = SparkEntry.queries.keySet
+    def tokenMatches(t: String, n: String): Boolean =
+      if (allNames.contains(t)) n == t else n.contains(t)
     val isChild = sys.env.contains("SPARK_GRAFT_CHILD")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .filter { case (n, _) => only.forall(_.exists(t => tokenMatches(t, n))) }
       .sortBy { case (n, _) => heavy.contains(n) } // stable: keeps name order
     // child (isolated) mode: run every selected gate once UNTIMED first,
     // so the timed pass below measures warm-JIT, warm-page-cache work —
@@ -259,5 +265,7 @@ object Bench {
     "q_ivfpq_topk",
     // round-8 second wave: learner, tokenizer, sketches, media, crawl
     "q_bpe_train", "q_nb_classify", "q_kmv_distinct",
-    "q_sorted_neighbors", "q_html_extract", "q_video_dup", "q_audio_dup")
+    "q_sorted_neighbors", "q_html_extract", "q_video_dup", "q_audio_dup",
+    // round 9: production-scale BPE apply, store takedown, pinned reads
+    "q_bpe_large", "q_takedown_store", "q_pinned_read")
 }

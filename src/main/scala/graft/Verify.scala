@@ -29,10 +29,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=substr[,substr...] narrows the run for iteration
+    // SPARK_GRAFT_ONLY=substr[,substr...] narrows the run for iteration.
+    // A token that EXACTLY names a gate matches only that gate (so
+    // q_takedown does not also select q_takedown_store); otherwise
+    // substring semantics.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val allNames = SparkEntry.queries.keySet
+    def tokenMatches(t: String, n: String): Boolean =
+      if (allNames.contains(t)) n == t else n.contains(t)
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.contains))
+      only.forall(_.exists(t => tokenMatches(t, name)))
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -402,11 +402,18 @@ object TextAnalysis {
           merges += ((i, l, r, l + r, c))
           val pat = java.util.regex.Pattern.quote(s" $l $r ")
           val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r ")
-          val next = vocab.select(
+          val folded = vocab.select(
             regexp_replace(regexp_replace(regexp_replace(
               col("state"), pat, rep), pat, rep), pat, rep).as("state"),
-            col("cnt")).persist()
-          next.count()
+            col("cnt"))
+          // persist bounds EXECUTION per iteration, but the logical plan
+          // still grows one projection per merge — localCheckpoint every
+          // 16 merges truncates the lineage so analysis/codegen cost
+          // stays flat when learning large merge tables (the same
+          // discipline as the star-contraction loop)
+          val next =
+            if (i % 16 == 0) folded.localCheckpoint(true)
+            else { val p = folded.persist(); p.count(); p }
           vocab.unpersist()
           vocab = next
         }
@@ -446,6 +453,77 @@ object TextAnalysis {
     }
     words.select(col("w"), col("cnt"),
       split(trim(merged), " ").as("pieces"))
+  }
+
+  /** [[bpeApply]] at PRODUCTION vocabulary scale: the folded-projection
+    * spelling is elegant at tens of merges but builds a 3-regex-deep
+    * expression PER MERGE — at a real tokenizer's 30k–50k merges that
+    * is a ~100k-node expression tree that breaks Catalyst analysis and
+    * codegen long before data size matters. This spelling is how real
+    * tokenizers apply BPE: the merge table broadcasts as a rank map,
+    * and each distinct word segments in a `mapPartitions` greedy loop —
+    * repeatedly merge the lowest-rank adjacent pair (all occurrences,
+    * left to right) until none remains. Apply time is flat in merge
+    * count (hash lookups), the corpus is touched once (the word-count
+    * aggregation), and the plan holds two nodes regardless of
+    * vocabulary size.
+    *
+    * Semantics: identical to [[bpeApply]]'s rank-order fold for every
+    * WELL-FORMED merge table — one where each merge side is a single
+    * character or the product of an earlier merge (true of any table
+    * [[bpeTrain]] learns, and of chained tables generally), because a
+    * later merge can then never create an earlier merge's pair. The
+    * property suite pins `bpeSegment ≡ bpeApply` on trained tables.
+    *
+    * Returns (w, cnt, pieces) — same contract as [[bpeApply]].
+    */
+  def bpeSegment(docs: DataFrame, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val rankArr = merges.toArray
+    val rankMap: Map[(String, String), Int] =
+      rankArr.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = spark.sparkContext.broadcast((rankArr, rankMap))
+    words.as[(String, Long)].mapPartitions { it =>
+      val (arr, ranks) = bc.value
+      it.map { case (w, cnt) => (w, cnt, segmentWord(w, arr, ranks)) }
+    }.toDF("w", "cnt", "pieces")
+  }
+
+  /** One word's greedy BPE segmentation under a broadcast rank table:
+    * the classic min-rank merge loop (merge every occurrence of the
+    * best-ranked adjacent pair, left to right, until no pair ranks).
+    */
+  private def segmentWord(w: String, arr: Array[(String, String)],
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Array[String] = w.split("").filter(_.nonEmpty)
+    while (syms.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach(r => if (r < best) best = r)
+        i += 1
+      }
+      if (best == Int.MaxValue) return syms.toSeq
+      val (l, r) = arr(best)
+      val out = Array.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+          out += l + r
+          j += 2
+        } else {
+          out += syms(j)
+          j += 1
+        }
+      }
+      syms = out.result()
+    }
+    syms.toSeq
   }
 
   /** Winnowing document fingerprints (the rolling-hash scheme of MOSS):

@@ -1517,6 +1517,121 @@ object ExtQueries {
     bpeChainSql(6) +
       "\nSELECT w, cnt, trim(state) AS pieces_str FROM vocab_6 ORDER BY w"
 
+  /** BPE at PRODUCTION merge-table scale ([[TextAnalysis.bpeSegment]]):
+    * a 1,000-merge table applies through the broadcast-rank greedy
+    * segmenter — the spelling that survives a real tokenizer's 30k–50k
+    * merges, where [[TextAnalysis.bpeApply]]'s 3-regex-per-merge folded
+    * projection would build a ~100k-node expression tree and break
+    * Catalyst analysis long before data size matters. The working
+    * vocabulary is adjacent-token BIGRAM compounds (the corpus's ~30
+    * distinct words are too few to chain 1,000 merges); the merge
+    * table is the deduped left-to-right prefix chains of the top-400
+    * compounds (frequency-ordered), which is WELL-FORMED by
+    * construction — every merge's left side is produced by an earlier
+    * rank — so the greedy min-rank loop provably equals the rank-order
+    * fold the oracle replays (one recursive-CTE level per rank, the
+    * same sentinel-delimited triple-replace as the q_bpe_train chain).
+    * Words with 4+ same-char runs are excluded from the universe: on
+    * runs ≥5 the delimited-string replace and the classic array fold
+    * legitimately disagree on piece ARRANGEMENT, and the gate pins the
+    * fold semantics. Output: the top-200 compounds' piece sequences —
+    * non-trivial segmentations, because a frequent second word's early
+    * ranks consume its characters before a rarer compound's chain can
+    * cross the word boundary.
+    */
+  private def bpeLarge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = TextAnalysis.tokens(col("text"))
+    val bigrams = docs.select(explode(zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, b))).as("t"))
+    val runPat = ('a' to 'z').map(c => s"$c$c$c$c").mkString("|")
+    val wc = bigrams
+      .filter(col("t") =!= "" && col("t").rlike("^[a-z]+$") &&
+        !col("t").rlike(runPat))
+      .groupBy(col("t").as("w")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      // model derivation on a k-bounded collect (the merge table is the
+      // MODEL — ≤1000 rows by contract): deduped prefix chains of the
+      // top-400 compounds, first occurrence wins, insertion order is
+      // the rank order
+      val topw = wc.filter(length(col("w")) >= 2)
+        .orderBy(col("cnt").desc, col("w")).limit(400)
+        .select("w").as[String].collect()
+      val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      topw.foreach { w =>
+        (1 until w.length).foreach { i =>
+          seen += ((w.substring(0, i), w.substring(i, i + 1)))
+        }
+      }
+      val merges = seen.iterator.take(1000).toSeq
+      val top200 = wc.orderBy(col("cnt").desc, col("w")).limit(200)
+        .select("w")
+      TextAnalysis.bpeSegment(bigrams, col("t"), merges)
+        .join(broadcast(top200), Seq("w"), "left_semi")
+        .select(col("w"), col("cnt"),
+          array_join(col("pieces"), " ").as("pieces_str"))
+        .orderBy("w")
+    } finally { wc.unpersist(); () }
+  }
+
+  private val bpeLargeSql =
+    """WITH RECURSIVE
+      |tok AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+')
+      |          AS toks
+      |        FROM documents),
+      |wb AS (SELECT unnest(list_transform(range(len(toks)-1),
+      |         i -> toks[CAST(i+1 AS INT)] || toks[CAST(i+2 AS INT)]))
+      |         AS w
+      |       FROM tok),
+      |wc AS MATERIALIZED (
+      |  SELECT w, count(*) AS cnt FROM wb
+      |  WHERE w <> '' AND regexp_matches(w, '^[a-z]+$')
+      |    AND NOT regexp_matches(w,
+      |      'aaaa|bbbb|cccc|dddd|eeee|ffff|gggg|hhhh|iiii|jjjj|kkkk|llll|mmmm|nnnn|oooo|pppp|qqqq|rrrr|ssss|tttt|uuuu|vvvv|wwww|xxxx|yyyy|zzzz')
+      |  GROUP BY w),
+      |topw AS MATERIALIZED (
+      |  SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS wo
+      |  FROM wc WHERE length(w) >= 2
+      |  ORDER BY cnt DESC, w LIMIT 400),
+      |chain AS (
+      |  SELECT wo, CAST(t.i AS INT) AS i,
+      |         substr(w, 1, CAST(t.i AS INT)) AS l,
+      |         substr(w, CAST(t.i AS INT) + 1, 1) AS r
+      |  FROM topw, unnest(range(1, length(w))) AS t(i)),
+      |dd AS (
+      |  SELECT l, r, wo, i,
+      |         row_number() OVER (PARTITION BY l, r ORDER BY wo, i) AS occ
+      |  FROM chain),
+      |merges AS MATERIALIZED (
+      |  SELECT l, r, row_number() OVER (ORDER BY wo, i) AS rank
+      |  FROM dd WHERE occ = 1
+      |  QUALIFY rank <= 1000),
+      |top200 AS MATERIALIZED (
+      |  SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 200),
+      |seg AS (
+      |  SELECT w,
+      |    ' ' || array_to_string(list_transform(range(length(w)),
+      |      i -> substr(w, CAST(i+1 AS INT), 1)), ' ') || ' ' AS state,
+      |    0 AS r
+      |  FROM top200
+      |  UNION ALL
+      |  SELECT s.w,
+      |    replace(replace(replace(s.state,
+      |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+      |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+      |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+      |      AS state,
+      |    s.r + 1
+      |  FROM seg s JOIN merges m ON m.rank = s.r + 1)
+      |SELECT t.w, t.cnt, trim(s.state) AS pieces_str
+      |FROM seg s JOIN top200 t USING (w)
+      |WHERE s.r = (SELECT max(rank) FROM merges)
+      |ORDER BY w""".stripMargin
+
   /** Multinomial Naive Bayes language classifier ([[graft.ext.Classify]]):
     * train with add-one smoothing on the ⅔ split (doc_id % 3 ≠ 0,
     * labeled by `lang`), predict the held-out ⅓. The fixture's languages
@@ -3713,6 +3828,7 @@ object ExtQueries {
     Gate("q_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Gate("q_bpe_train", bpeTrainGate, Some(bpeTrainSql)),
     Gate("q_bpe_apply", bpeApplyGate, Some(bpeApplySql)),
+    Gate("q_bpe_large", bpeLarge, Some(bpeLargeSql)),
     Gate("q_nb_classify", nbLangGate, Some(nbLangSql)),
     Gate("q_nb_incremental", nbIncremental, Some(nbLangSql)),
     Gate("q_stream_nb", streamNb, Some(nbLangSql)),

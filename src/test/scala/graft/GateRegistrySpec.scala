@@ -46,9 +46,11 @@ class GateRegistrySpec extends AnyFunSuite {
     "resolves to exactly one gate") {
     val names = Gate.all.map(_.name)
     Bench.isolatedSet.foreach { n =>
-      // the child is launched with ONLY=<n>, a substring filter — a name
-      // that matches several gates would time the wrong work
-      val matched = names.filter(_.contains(n))
+      // the child is launched with ONLY=<n>; an exact gate name matches
+      // only itself (exact-match-wins filter semantics), so the only
+      // requirement is that the name IS a live gate
+      val matched =
+        if (names.contains(n)) Seq(n) else names.filter(_.contains(n))
       assert(matched == Seq(n), s"$n matches $matched")
     }
   }

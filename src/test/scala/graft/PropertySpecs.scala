@@ -395,6 +395,57 @@ object DataOpsProperties extends Properties("graftDataOps") {
         s"apply got=$applied want=$wantApplied")
   }
 
+  /** The broadcast-rank greedy segmenter ([[graft.ext.TextAnalysis
+    * .bpeSegment]]) equals BOTH the naive rank-order array fold and
+    * the folded-projection [[graft.ext.TextAnalysis.bpeApply]] for
+    * WELL-FORMED merge tables (prefix chains — every left side is
+    * produced by an earlier rank), at arbitrary truncation points.
+    * This is the q_bpe_large equivalence: the min-rank greedy loop may
+    * visit ranks in a different ORDER than the fold, but on well-formed
+    * tables a later merge can never create an earlier merge's pair, so
+    * the final segmentation is identical. Words cap same-char runs at
+    * 3 ("aaa"): on runs ≥ 5 the delimited-string triple-replace and
+    * the classic fold legitimately arrange pieces differently, and the
+    * engine pins the fold semantics for the segmenter.
+    */
+  property("bpeSegmentEqualsRankOrderFold") = Prop.forAllNoShrink(
+    Gen.listOfN(12, Gen.oneOf("aaa", "aab", "abab", "baaa", "data",
+      "query", "aa", "ab", "b", "batch", "databa")),
+    Gen.choose(1, 25)) { (ws, cap) =>
+    val docs = ws.grouped(3).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    // prefix-chain table in first-seen order, deduped, truncated at cap
+    val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    ws.distinct.foreach { w =>
+      (1 until w.length).foreach { i =>
+        seen += ((w.substring(0, i), w.substring(i, i + 1)))
+      }
+    }
+    val merges = seen.iterator.take(cap).toSeq
+    def foldPass(syms: Vector[String], l: String, r: String) =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val want = ws.groupBy(identity).map { case (w, g) =>
+      val syms0 = w.split("").filter(_.nonEmpty).toVector
+      val pieces = merges.foldLeft(syms0) { case (s, (l, r)) =>
+        foldPass(s, l, r)
+      }
+      w -> ((g.size.toLong, pieces))
+    }
+    val seg = graft.ext.TextAnalysis.bpeSegment(
+        docs.toDF("id", "t"), col("t"), merges)
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, c, p) => w -> ((c, p.toVector)) }.toMap
+    val app = graft.ext.TextAnalysis.bpeApply(
+        docs.toDF("id", "t"), col("t"), merges)
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, c, p) => w -> ((c, p.toVector)) }.toMap
+    (Prop(seg == want) :| s"segment got=$seg want=$want merges=$merges") &&
+      (Prop(app == want) :| s"apply got=$app want=$want merges=$merges")
+  }
+
   /** KMV sketch ≡ the k smallest distinct md5Hash48 values, for
     * arbitrary multisets, k, and partitionings — pins the bounded
     * buffer's insert/dedup/merge against a naive reference (duplicates
