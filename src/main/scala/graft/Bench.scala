@@ -240,7 +240,8 @@ object Bench {
     "q_dsir_select", "q_ppl_buckets", "q_stream_vec_delete",
     "q_literal_search", "q_literal_persist", "q_cdc_dup",
     "q_literal_common", "q_takedown", "q_stream_takedown",
-    "q_bm25_readd", "q_ivf_readd")
+    "q_bm25_readd", "q_ivf_readd", "q_stream_kmv", "q_takedown_store",
+    "q_pinned_read")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink

@@ -537,6 +537,65 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** STREAMING KMV maintenance ([[graft.ext.DataOps.kmvMerge]] inside
+    * `foreachBatch`): the event stream drains in two micro-batches;
+    * each batch sketches itself (one map-side-combined aggregation
+    * over the batch only) and folds into the PERSISTED sketch table
+    * through the same k-min buffer, publishing a new version per
+    * batch. The exact merge law `merge(sk(A), sk(B)) ≡ sk(A ∪ B)`
+    * makes the table batch-boundary-invariant by construction, so the
+    * SAME oracle gates this, [[kmvIncremental]], and [[kmvDistinct]].
+    * The 100 TB shape: distinct-count summaries maintained forever on
+    * the ingest path, ≤k longs per group per batch moving, history
+    * never revisited.
+    */
+  private def streamKmv(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val in = graft.Gate.tmpDir("gate_skmv_in_")
+    val ckpt = graft.Gate.tmpDir("gate_skmv_ck_")
+    val store = graft.Gate.tmpDir("gate_skmv_store_")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream
+      .schema("event_id LONG, event_type STRING, user_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    def versions(): Seq[Long] =
+      Option(new java.io.File(store).listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .map(_.getName).filter(_.startsWith("v-"))
+        .map(_.stripPrefix("v-").toLong).sorted
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val skB = graft.ext.DataOps.kmvSketches(batch, col("event_type"),
+          col("user_id"), k)
+        val merged = versions().lastOption match {
+          case Some(v) => graft.ext.DataOps.kmvMerge(
+            s.read.parquet(s"$store/v-$v"), skB, k)
+          case None => skB
+        }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$store/v-$bid")
+      }
+      .start()
+    q.awaitTermination()
+    val cur = s.read.parquet(s"$store/v-${versions().last}")
+    val all = graft.ext.DataOps.kmvUnion(cur, "__all__", k)
+    cur.unionByName(all)
+      .select(col("g").as("event_type"),
+        size(col("sketch")).as("n_kept"),
+        element_at(col("sketch"), -1).as("kth_min"),
+        round(graft.ext.DataOps.kmvEstimate(col("sketch"), k), 6)
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   /** KMV resemblance (Broder minwise / Beyer SIGMOD'07 composition):
     * pairwise Jaccard of the per-type (user, day) activity sets,
     * estimated ENTIRELY from the k-min sketches — merge two sketches to
@@ -1003,6 +1062,7 @@ object AnalyticsQueries {
     Gate("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Gate("q_kmv_resemblance", kmvResemblance, Some(kmvResemblanceSql)),
     Gate("q_kmv_incremental", kmvIncremental, Some(kmvDistinctSql)),
+    Gate("q_stream_kmv", streamKmv, Some(kmvDistinctSql)),
     Gate("q_cms_counts", cmsCounts, Some(cmsCountsSql)),
     Gate("q_bloom_membership", bloomMembership, Some(bloomMembershipSql)),
     Gate("q_max_by", maxBy, Some(maxBySql)),
