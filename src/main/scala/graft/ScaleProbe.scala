@@ -33,18 +33,20 @@ object ScaleProbe {
     * like 10 exact crawls of the same site.
     */
   private def rot(k: Int): Seq[(String, String)] = {
-    // two coprime rotation periods (10 and 7) → the combined vocabulary
-    // period is lcm = 70 copies. A single period-10 rotation made copies
+    // three coprime-ish rotation periods (10, 7, 8) → the combined
+    // vocabulary period is lcm = 280 copies, comfortably above the
+    // 100× third-decade probe. A single period-10 rotation made copies
     // k and k+10 TEXTUALLY IDENTICAL, so a 30× probe carried 3×-sized
     // true-duplicate clusters — quadratically more genuine pairs — and
     // exact pair-enumeration gates read super-linear for reasons that
     // were the harness's, not the operator's (measured: 291× true-pair
-    // growth at 30× under the old rotation).
+    // growth at 30× under the old rotation); the two-period lcm-70
+    // variant would have reintroduced the same artifact at 100×.
     val l1 = "aeiousnrtl"
     val l2 = "bcdfghk"
-    Seq(
-      (l1, l1.drop(k % l1.length) ++ l1.take(k % l1.length)),
-      (l2, l2.drop(k % l2.length) ++ l2.take(k % l2.length)))
+    val l3 = "mpqvwxyz"
+    Seq(l1, l2, l3).map(l =>
+      (l, l.drop(k % l.length) ++ l.take(k % l.length)))
   }
 
   private def replicate(spark: SparkSession, base: String, out: String,
