@@ -56,7 +56,7 @@ object Takedown {
   private def surfacesDir(root: String) = new Path(root, "_surfaces")
   private def retractionsDir(root: String) = new Path(root, "_retractions")
 
-  private def surfaceId(s: Surface): String =
+  private[ext] def surfaceId(s: Surface): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"${s.kind}|${s.path}".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString

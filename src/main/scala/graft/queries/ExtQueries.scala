@@ -3018,6 +3018,140 @@ object ExtQueries {
       |UNION ALL SELECT surface, qid, id FROM lt
       |ORDER BY surface, qid, id""".stripMargin
 
+  /** Cross-surface atomic ingest ([[graft.ext.Ingest]] — the append
+    * mirror of `q_takedown_store`): the store of record and three
+    * derived index families register under one root, and ONE
+    * `admit()` — one durable delivery intent — lands ten new
+    * documents-with-embeddings on the store AND every index. The
+    * output probes all four surfaces (store ids, BM25 top-5 with the
+    * delivery in the df/avgdl statistics, a literal sweep that must
+    * find the delivery's echoed prefixes, an exhaustive-probe ANN
+    * top-5 over base ∪ delivery vectors) and the oracle recomputes
+    * each over the UNION corpus: the ingest contract is that no
+    * surface trails the others after one admit. Each surface apply is
+    * live-presence-idempotent, so the same intent crash-replays with
+    * no double-insert (IngestSpec); cost per surface is the delta
+    * encode plus one column-pruned live-id scan — the same class as
+    * the family delete paths.
+    */
+  private def ingestAll(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Ingest, Takedown}
+    val docs = Tables.documents(s, d)
+    val embs = Tables.embeddings(s, d)
+    val root = graft.Gate.tmpDir("gate_ing_root_")
+    // the store base holds text AND embedding — the multimodal source
+    // of truth an Ingest-managed corpus keeps (documents and
+    // embeddings share one id domain in the testdata)
+    val storeDir = graft.Gate.tmpDir("gate_ing_store_")
+    graft.ext.CorpusStore.build(
+      docs.select(col("doc_id").as("id"), col("text"))
+        .join(embs.select(col("vec_id").as("id"),
+          col("embedding").as("emb")), Seq("id")),
+      col("id"), storeDir)
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_ing_bm25_")
+    val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_ing_lit_")
+    val ivfDir = graft.Gate.copyDir(sharedIvfIndex(s, d), "gate_ing_ivf_")
+    Takedown.register(s, root, Takedown.Surface("store", storeDir))
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    Takedown.register(s, root, Takedown.Surface("literal", litDir))
+    Takedown.register(s, root, Takedown.Surface("ivf", ivfDir))
+    val delivery = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 500000).as("id"),
+        concat(col("text"), lit(" ingest-delivery")).as("text"))
+      .join(embs.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 500000).as("id"),
+          reverse(col("embedding")).as("emb")), Seq("id"))
+    Ingest.admit(s, root, delivery, col("id"))
+    val st = graft.ext.CorpusStore.read(s, storeDir)
+      .select(lit("store").as("surface"), lit(0L).as("qid"), col("id"))
+    val bm = graft.ext.TextSearch.searchSaved(s, bm25Dir,
+        bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+      .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+        col("id"))
+    val needles = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("nid"),
+        substring(col("text"), 8, 20).as("needle"))
+    val verifyCorpus = docs.select("doc_id", "text").unionByName(
+      delivery.select(col("id").as("doc_id"), col("text")))
+    val lt = graft.ext.LiteralIndex.searchSaved(s, litDir, verifyCorpus,
+        col("doc_id"), col("text"), needles, col("nid"), col("needle"))
+      .select(lit("literal").as("surface"), col("needle_id").as("qid"),
+        col("id"))
+    val allVecs = embs.select("vec_id", "embedding").unionByName(delivery
+      .select(col("id").as("vec_id"), col("emb").as("embedding")))
+    val iv = graft.ext.IvfIndex.search(
+        graft.ext.IvfIndex.load(s, ivfDir, allVecs),
+        col("vec_id") < 10, k = 5, nProbe = Int.MaxValue)
+      .select(lit("ivf").as("surface"), col("query_id").as("qid"),
+        col("neighbor_id").as("id"))
+    st.unionByName(bm).unionByName(lt).unionByName(iv)
+      .orderBy("surface", "qid", "id")
+  }
+
+  private val ingestAllSql =
+    """WITH delivery AS (
+      |  SELECT doc_id + 500000 AS doc_id, text || ' ingest-delivery' AS text
+      |  FROM documents WHERE doc_id < 10),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM delivery),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT doc_id AS query_id,
+      |        unnest(list_distinct(
+      |          regexp_split_to_array(lower(trim(text)), '\s+')[1:8])) AS term
+      |      FROM documents WHERE doc_id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |sr AS (SELECT 'store' AS surface, CAST(0 AS BIGINT) AS qid,
+      |              doc_id AS id
+      |       FROM corpus),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5),
+      |nd AS (SELECT doc_id AS qid, substring(text, 8, 20) AS needle
+      |       FROM documents WHERE doc_id < 4),
+      |lt AS (SELECT 'literal' AS surface, n.qid, d.doc_id AS id
+      |       FROM corpus d CROSS JOIN nd n
+      |       WHERE length(n.needle) >= 4 AND contains(d.text, n.needle)),
+      |ev AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |       UNION ALL
+      |       SELECT vec_id + 500000, list_reverse(embedding::DOUBLE[])
+      |       FROM embeddings WHERE vec_id < 10),
+      |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id < 10),
+      |p AS (SELECT qid, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM qs, ev WHERE vec_id <> qid),
+      |iv AS (SELECT 'ivf' AS surface, qid, vec_id AS id
+      |       FROM (SELECT qid, vec_id,
+      |               row_number() OVER (PARTITION BY qid
+      |                 ORDER BY cos DESC, vec_id) AS rank
+      |             FROM p)
+      |       WHERE rank <= 5)
+      |SELECT surface, qid, id FROM sr
+      |UNION ALL SELECT surface, qid, id FROM bm
+      |UNION ALL SELECT surface, qid, id FROM lt
+      |UNION ALL SELECT surface, qid, id FROM iv
+      |ORDER BY surface, qid, id""".stripMargin
+
   /** Delete-then-readd ([[graft.ext.IndexStore]] scoped tombstones):
     * every doc_id % 7 == 3 document is retracted, then a CORRECTED
     * delivery re-ingests the same ids with revised text via
@@ -3854,6 +3988,7 @@ object ExtQueries {
     Gate("q_literal_common", literalCommonGate, Some(literalCommonSql)),
     Gate("q_takedown", takedownGate, Some(takedownSql)),
     Gate("q_takedown_store", takedownStore, Some(takedownStoreSql)),
+    Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
     Gate("q_bm25_readd", bm25Readd, Some(bm25ReaddSql)),
     Gate("q_stream_takedown", streamTakedown, Some(streamTakedownSql)),
