@@ -146,6 +146,15 @@ object IndexStore {
     }
   }
 
+  /** The root's current incarnation id ("" for a never-committed or
+    * pre-incarnation root) — the identity that distinguishes THIS index
+    * from a same-versioned rebuild after an out-of-band wipe. Recorded
+    * lineage ([[SelectionLog]]) stores it beside each pinned version so
+    * an audit replay can refuse a root whose content history restarted.
+    */
+  def incarnation(spark: SparkSession, root: String): String =
+    incarnationOf(fsOf(spark, root), root)
+
   private def incarnationValid(fs: org.apache.hadoop.fs.FileSystem,
       root: String, inc: String): Boolean =
     if (inc.isEmpty) !fs.exists(incarnationDir(root))

@@ -3152,6 +3152,87 @@ object ExtQueries {
       |UNION ALL SELECT surface, qid, id FROM iv
       |ORDER BY surface, qid, id""".stripMargin
 
+  /** Durable selection lineage ([[graft.ext.SelectionLog]]): a
+    * data-selection run pins the corpus's surfaces at one commit
+    * point, RECORDS the version vector durably (with each root's
+    * incarnation id) under the registry root, and an AUDIT — here,
+    * after a delivery has landed on both surfaces — replays the
+    * selection from the record alone: `replay(sid)` re-resolves the
+    * file, verifies incarnations, leases the recorded versions, and
+    * answers via the `*At` readers. The oracle computes the store and
+    * BM25 results over the ORIGINAL corpus only: the replayed
+    * selection must be byte-identical to what the recording run saw,
+    * which is the reproducibility contract a training-data audit
+    * needs ("which corpus state produced this dataset?" answered by a
+    * few hundred durable bytes, not by freezing 100 TB).
+    */
+  private def selectionReplay(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{SelectionLog, Takedown}
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_sel_root_")
+    val storeDir =
+      graft.Gate.copyDir(sharedCorpusStore(s, d), "gate_sel_store_")
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_sel_bm25_")
+    Takedown.register(s, root, Takedown.Surface("store", storeDir))
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    // the selection run: pin + record; its own result is not the point
+    val (sid, _) = SelectionLog.run(s, root)(_ => ())
+    // the world moves on — a delivery lands on BOTH surfaces
+    val delivery = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" replay-race-delivery")).as("text"))
+    graft.ext.CorpusStore.append(s, storeDir, delivery, col("doc_id"))
+    graft.ext.TextSearch.appendDocs(s, bm25Dir, delivery,
+      col("doc_id"), col("text"))
+    // the audit: replay from the durable record alone
+    SelectionLog.replay(s, root, sid) { vector =>
+      val at = vector.map { case (sf, v) => sf.kind -> v }.toMap
+      val st = graft.ext.CorpusStore.readAt(s, storeDir, at("store"))
+        .select(lit("store").as("surface"), lit(0L).as("qid"), col("id"))
+      val bm = graft.ext.TextSearch.searchSavedAt(s, bm25Dir, at("bm25"),
+          bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+        .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+          col("id"))
+      // materialize INSIDE the lease scope — segments are guaranteed
+      // only while the replay leases are held
+      st.unionByName(bm).orderBy("surface", "qid", "id")
+        .localCheckpoint(true)
+    }
+  }
+
+  private val selectionReplaySql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM tok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |sr AS (SELECT 'store' AS surface, CAST(0 AS BIGINT) AS qid,
+      |              doc_id AS id
+      |       FROM documents),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5)
+      |SELECT surface, qid, id FROM sr
+      |UNION ALL SELECT surface, qid, id FROM bm
+      |ORDER BY surface, qid, id""".stripMargin
+
   /** Delete-then-readd ([[graft.ext.IndexStore]] scoped tombstones):
     * every doc_id % 7 == 3 document is retracted, then a CORRECTED
     * delivery re-ingests the same ids with revised text via
@@ -3990,6 +4071,7 @@ object ExtQueries {
     Gate("q_takedown_store", takedownStore, Some(takedownStoreSql)),
     Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
+    Gate("q_selection_replay", selectionReplay, Some(selectionReplaySql)),
     Gate("q_bm25_readd", bm25Readd, Some(bm25ReaddSql)),
     Gate("q_stream_takedown", streamTakedown, Some(streamTakedownSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),
