@@ -298,6 +298,45 @@ object IngestQueries {
        |FROM billing GROUP BY operation_type ORDER BY operation_type"""
       .stripMargin
 
+  /** JSONL corpus ingest ([[graft.sources.Jsonl]]): the documents table
+    * round-trips through newline-delimited JSON with deterministic
+    * corrupt lines interleaved (every 50th doc id contributes a
+    * truncated object). The permissive schema'd read must (a) parse
+    * every good line losslessly — md5(text) pins the round trip byte
+    * for byte, JSON escaping included — and (b) capture every corrupt
+    * line WHOLE in the quarantine column, pinned by hashing the
+    * captured raw line against the oracle's reconstruction of it.
+    */
+  private def jsonlScan(s: SparkSession, d: String): DataFrame = {
+    val out = graft.Gate.tmpDir("graft_jsonl_")
+    val docs = Tables.documents(s, d)
+    docs.select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select(concat(lit("{broken json "), col("doc_id")).as("value")))
+      .write.mode("overwrite").text(out)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    // cached: Spark disallows projecting ONLY the corrupt-record column
+    // straight off a raw scan (the `bad` branch below does exactly that)
+    val rows = graft.sources.Jsonl.read(s, schema)(out).persist()
+    val good = rows.filter(col("_corrupt").isNull)
+      .select(col("doc_id").as("id"), lit("ok").as("kind"),
+        md5(col("text")).as("h"))
+    val bad = rows.filter(col("_corrupt").isNotNull)
+      .select(regexp_extract(col("_corrupt"), "(\\d+)$", 1)
+          .cast("long").as("id"),
+        lit("corrupt").as("kind"), md5(col("_corrupt")).as("h"))
+    good.unionByName(bad).orderBy("kind", "id")
+  }
+
+  private val jsonlScanSql =
+    """SELECT doc_id AS id, 'ok' AS kind, md5(text) AS h FROM documents
+      |UNION ALL
+      |SELECT doc_id, 'corrupt', md5('{broken json ' || doc_id)
+      |FROM documents WHERE doc_id % 50 = 0
+      |ORDER BY kind, id""".stripMargin
+
   // Schema evolution on read: two parquet batches written with DIFFERENT
   // column sets (a column added mid-stream, another retired) unify under
   // mergeSchema=true into the superset schema with nulls where a batch
@@ -678,6 +717,7 @@ object IngestQueries {
     Gate("q_s3_scan", s3Scan, Some(s3ScanSql)),
     Gate("q_data_checks", dataChecks, Some(dataChecksSql)),
     Gate("q_csv_permissive", csvPermissive, Some(csvPermissiveSql)),
+    Gate("q_jsonl_scan", jsonlScan, Some(jsonlScanSql)),
     Gate("q_merge_schema", mergeSchema, Some(mergeSchemaSql)),
     Gate("q_compact_store", compactStore, Some(compactStoreSql)),
     Gate("q_table_diff", tableDiff, Some(tableDiffSql)),
