@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   * why deletes are metadata-bounded tombstones (no corpus rewrite on
   * the retract path) and the rewrite happens once, batched, in
   * [[compact]].
+  *
+  * Data skipping: every segment carries a one-row `stats` sidecar
+  * (min/max id, row count) written at publish time, and [[readRange]]
+  * prunes whole segments — whole DELIVERIES — whose id range cannot
+  * overlap the predicate before any row is read. [[compact]]
+  * range-clusters the survivors on id, so after compaction the
+  * intra-segment parquet files carry tight min/max footers too and
+  * Spark's pushed range filter skips row groups inside the one
+  * segment the zone map kept. A point lookup against a 100 TB store
+  * should read one delivery's worth of footers, not 100 TB — the
+  * Delta/Iceberg file-statistics discipline on this store's own
+  * manifest.
   */
 object CorpusStore {
 
@@ -37,6 +49,18 @@ object CorpusStore {
     rows.select(idCol.as("id") +: rest.toIndexedSeq: _*)
   }
 
+  /** One-row zone-map sidecar for a just-written segment, computed
+    * from the written files' id column (columnar, delivery-sized).
+    */
+  private def writeStats(spark: SparkSession, root: String,
+      seg: String): Unit = {
+    spark.read.parquet(s"$root/$seg/rows")
+      .agg(min("id").as("lo"), max("id").as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("seg", lit(seg))
+      .coalesce(1).write.parquet(s"$root/$seg/stats")
+  }
+
   /** Write `rows` as the store's entire content (replace semantics —
     * initial build or full refresh). Returns the committed version.
     */
@@ -46,7 +70,8 @@ object CorpusStore {
     IndexStore.withLock(spark, root) {
       val seg = IndexStore.newSegmentName()
       keyed(rows, idCol).write.parquet(s"$root/$seg/rows")
-      IndexStore.publishReplace(spark, root, seg, Seq("rows"),
+      writeStats(spark, root, seg)
+      IndexStore.publishReplace(spark, root, seg, Seq("rows", "stats"),
         retainVersions)
     }
   }
@@ -65,7 +90,8 @@ object CorpusStore {
       else {
         val seg = IndexStore.newSegmentName()
         delivery.write.parquet(s"$root/$seg/rows")
-        IndexStore.publishAppend(spark, root, seg, Seq("rows"))
+        writeStats(spark, root, seg)
+        IndexStore.publishAppend(spark, root, seg, Seq("rows", "stats"))
       }
     }
 
@@ -84,6 +110,36 @@ object CorpusStore {
     IndexStore.liveRows(IndexStore.snapshotAt(spark, root, version), "rows",
       key = "id")
 
+  /** The live rows with `lo <= id <= hi`, reading ONLY the segments
+    * whose zone map can overlap the range: a handful of tiny `stats`
+    * sidecars decide which deliveries are touched at all, the pushed
+    * range filter prunes row groups inside them, and tombstones still
+    * apply in full. A segment without a sidecar (written before stats
+    * existed) is conservatively kept. For numeric long ids this is the
+    * point-lookup / delivery-window path — cost tracks the matched
+    * slice, never the store.
+    */
+  def readRange(spark: SparkSession, root: String, lo: Long,
+      hi: Long): DataFrame = {
+    val snap = IndexStore.snapshot(spark, root)
+    val segs = snap.segments("rows")
+    val bounds: Map[String, (Long, Long)] =
+      snap.read("stats") match {
+        case None => Map.empty
+        case Some(st) => st.select("seg", "lo", "hi").collect()
+          .filterNot(_.isNullAt(1)) // an all-null-id segment has no map
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      }
+    val keep = segs.filter(sg =>
+      bounds.get(sg).forall { case (l, h) => h >= lo && l <= hi })
+    if (keep.isEmpty)
+      IndexStore.liveRows(snap, "rows", key = "id").filter(lit(false))
+    else
+      IndexStore.liveRows(snap, "rows", key = "id", only = Some(keep))
+        .filter(col("id").between(lo, hi))
+  }
+
   /** Retract rows by id (idempotent, live-presence-judged, scoped
     * tombstone append — the shared takedown delete contract). No
     * corpus bytes are rewritten; the retract path is metadata-bounded.
@@ -93,17 +149,24 @@ object CorpusStore {
     IndexStore.tombstoneIds(spark, root, ids, idCol, "rows", key = "id")
 
   /** Apply tombstones physically and re-cluster every delivery into
-    * one segment (manifest pointer swap; pinned readers keep their
-    * segments until GC retention lapses).
+    * one segment, RANGE-SORTED on id across `clusterPartitions`
+    * parquet files (manifest pointer swap; pinned readers keep their
+    * segments until GC retention lapses). The sort is what makes the
+    * post-compact zone maps tight: each file's parquet footer covers a
+    * disjoint id range, so [[readRange]]'s pushed filter skips all but
+    * the matching files inside the surviving segment.
     */
   def compact(spark: SparkSession, root: String,
-      retainVersions: Int = 2): Unit =
+      retainVersions: Int = 2, clusterPartitions: Int = 8): Unit =
     IndexStore.withLock(spark, root) {
       val live = read(spark, root).persist()
       try {
         val seg = IndexStore.newSegmentName()
-        live.write.parquet(s"$root/$seg/rows")
-        IndexStore.publishReplace(spark, root, seg, Seq("rows"),
+        live.repartitionByRange(clusterPartitions, col("id"))
+          .sortWithinPartitions("id")
+          .write.parquet(s"$root/$seg/rows")
+        writeStats(spark, root, seg)
+        IndexStore.publishReplace(spark, root, seg, Seq("rows", "stats"),
           retainVersions)
         ()
       } finally { live.unpersist(); () }

@@ -334,11 +334,15 @@ object IndexStore {
     * the re-added delivery lands in the unmasked group and is live.
     */
   private[ext] def liveRows(snap: Snapshot, relation: String,
-      key: String = "vec_id"): DataFrame = {
+      key: String = "vec_id", only: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val dataSegs = snap.segments(relation)
+    // `only` restricts the DATA segments read (zone-map pruning —
+    // [[CorpusStore.readRange]]); tombstones still apply in full, each
+    // masking whatever kept segments its scope binds
+    val dataSegs = only.getOrElse(snap.segments(relation))
     val tombSegs = snap.segments("tombstones")
-    if (tombSegs.isEmpty) return snap.read(relation).get
+    if (tombSegs.isEmpty)
+      return snap.readSegments(dataSegs, relation).get
     val scoped: Map[String, Set[String]] =
       snap.read("tombstone_scope")
         .map(_.select("tomb_seg", "seg").collect()

@@ -3018,6 +3018,42 @@ object ExtQueries {
       |UNION ALL SELECT surface, qid, id FROM lt
       |ORDER BY surface, qid, id""".stripMargin
 
+  /** Zone-map data skipping on the corpus store ([[graft.ext
+    * .CorpusStore.readRange]]): three deliveries land as three
+    * segments with one-row min/max sidecars, some in-range ids are
+    * retracted, and a range read prunes every delivery whose zone map
+    * cannot overlap — then answers from the one that can, tombstones
+    * applied, pushed range filter pruning row groups inside it. The
+    * oracle recomputes the surviving range relationally. At 100 TB
+    * this is the point-lookup path: a handful of sidecar rows decide
+    * which deliveries are touched at all (CorpusStoreSpec pins the
+    * single-segment scan via inputFiles).
+    */
+  private def storeSkip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_skip_store_")
+    graft.ext.CorpusStore.build(
+      docs.filter(col("doc_id") < 150).select("doc_id", "text"),
+      col("doc_id"), root)
+    graft.ext.CorpusStore.append(s, root,
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+        .select("doc_id", "text"), col("doc_id"))
+    graft.ext.CorpusStore.append(s, root,
+      docs.filter(col("doc_id") >= 300).select("doc_id", "text"),
+      col("doc_id"))
+    graft.ext.CorpusStore.deleteRows(s, root,
+      docs.filter(col("doc_id").between(160, 240) &&
+        col("doc_id") % 5 === 0).select("doc_id"), col("doc_id"))
+    graft.ext.CorpusStore.readRange(s, root, 160L, 240L)
+      .select(col("id"), md5(col("text")).as("h"))
+      .orderBy("id")
+  }
+
+  private val storeSkipSql =
+    """SELECT doc_id AS id, md5(text) AS h FROM documents
+      |WHERE doc_id BETWEEN 160 AND 240 AND doc_id % 5 <> 0
+      |ORDER BY id""".stripMargin
+
   /** Cross-surface atomic ingest ([[graft.ext.Ingest]] — the append
     * mirror of `q_takedown_store`): the store of record and three
     * derived index families register under one root, and ONE
@@ -4069,6 +4105,7 @@ object ExtQueries {
     Gate("q_literal_common", literalCommonGate, Some(literalCommonSql)),
     Gate("q_takedown", takedownGate, Some(takedownSql)),
     Gate("q_takedown_store", takedownStore, Some(takedownStoreSql)),
+    Gate("q_store_skip", storeSkip, Some(storeSkipSql)),
     Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
     Gate("q_selection_replay", selectionReplay, Some(selectionReplaySql)),

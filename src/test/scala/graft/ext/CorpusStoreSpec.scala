@@ -66,6 +66,36 @@ class CorpusStoreSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("readRange prunes non-overlapping deliveries by zone map") {
+    val root = tmpDir("cs_skip")
+    CorpusStore.build(rows(0L to 9L: _*), col("doc_id"), root)
+    CorpusStore.append(spark, root, rows(100L to 109L: _*), col("doc_id"))
+    CorpusStore.append(spark, root, rows(200L to 209L: _*), col("doc_id"))
+    CorpusStore.deleteRows(spark, root, Seq(105L).toDF("doc_id"),
+      col("doc_id"))
+    val got = CorpusStore.readRange(spark, root, 100L, 150L)
+    assert(got.select("id").as[Long].collect().toSet ==
+      ((100L to 109L).toSet - 105L), "range read must respect tombstones")
+    // the zone map kept exactly ONE of the three delivery segments:
+    // every scanned rows file belongs to a single seg dir
+    val rowSegs = got.inputFiles.filter(_.contains("/rows/"))
+      .map(_.split("/").dropRight(2).last).distinct
+    assert(rowSegs.length == 1,
+      s"expected one pruned segment, scanned ${rowSegs.toSeq}")
+    // a range no delivery covers reads nothing and returns empty
+    assert(CorpusStore.readRange(spark, root, 500L, 600L).count() == 0)
+    // readRange ≡ read().filter — including ranges spanning segments
+    assert(CorpusStore.readRange(spark, root, 5L, 205L)
+      .select("id").as[Long].collect().toSet ==
+      CorpusStore.read(spark, root).filter(col("id").between(5L, 205L))
+        .select("id").as[Long].collect().toSet)
+    // post-compact (range-clustered rewrite) the same reads still hold
+    CorpusStore.compact(spark, root, clusterPartitions = 3)
+    assert(CorpusStore.readRange(spark, root, 100L, 150L)
+      .select("id").as[Long].collect().toSet ==
+      ((100L to 109L).toSet - 105L))
+  }
+
   test("key normalization replaces a pre-existing id column") {
     val root = tmpDir("cs_key")
     val df = Seq((10L, "k-a", "x")).toDF("id", "key", "text")
