@@ -3188,6 +3188,129 @@ object ExtQueries {
       |UNION ALL SELECT surface, qid, id FROM iv
       |ORDER BY surface, qid, id""".stripMargin
 
+  /** Streaming corpus ingest, end to end ([[graft.sources.Jsonl
+    * .readStream]] × [[graft.ext.Ingest.admit]]): a JSONL landing
+    * zone — two deliveries plus a malformed line each — is tailed as
+    * a file stream; every micro-batch quarantines its corrupt lines
+    * and admits the survivors to the store of record, BM25, and the
+    * literal index under ONE durable intent per batch. Because admit
+    * is live-presence-idempotent per id, the maintained surfaces are
+    * batch-boundary-invariant: the same oracle that scores a one-shot
+    * admit scores this two-batch drain (the `q_stream_kmv` /
+    * `q_stream_nb` discipline, now for the whole multi-surface ingest
+    * path). The output probes all three surfaces against the
+    * union-corpus oracle; a crashed batch would resume exactly like a
+    * crashed takedown (IngestSpec).
+    */
+  private def streamIngestAll(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Ingest, Takedown}
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_sia_root_")
+    // a dedicated store whose schema matches the stream's (id, text)
+    // deliveries — segments union by name, so delivery schemas must be
+    // consistent per store root (the documented Ingest contract)
+    val storeDir = graft.Gate.tmpDir("gate_sia_store_")
+    graft.ext.CorpusStore.build(
+      docs.select(col("doc_id").as("id"), col("text")),
+      col("id"), storeDir)
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_sia_bm25_")
+    val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_sia_lit_")
+    Takedown.register(s, root, Takedown.Surface("store", storeDir))
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    Takedown.register(s, root, Takedown.Surface("literal", litDir))
+    val delivery = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("id"),
+        concat(col("text"), lit(" stream-ingest-delivery")).as("text"))
+    val in = graft.Gate.tmpDir("gate_sia_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sia_ck_")
+    Seq(0, 1).foreach { b =>
+      delivery.filter(col("id") % 2 === b)
+        .select(to_json(struct(col("id"), col("text"))).as("value"))
+        .unionByName(s.range(1).select(
+          concat(lit("{stream junk "), lit(b)).as("value")))
+        .coalesce(1).write.mode("overwrite").text(s"$in/d$b")
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val q = graft.sources.Jsonl.readStream(s, schema)(in)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch.filter(col("_corrupt").isNull)
+          .select("id", "text")
+        if (!fresh.isEmpty) { Ingest.admit(s, root, fresh, col("id")); () }
+      }
+      .start()
+    q.awaitTermination()
+    require(Ingest.resume(s, root).isEmpty,
+      "drained ingest stream left pending deliveries")
+    val st = graft.ext.CorpusStore.read(s, storeDir)
+      .select(lit("store").as("surface"), lit(0L).as("qid"), col("id"))
+    val bm = graft.ext.TextSearch.searchSaved(s, bm25Dir,
+        bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+      .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+        col("id"))
+    val needles = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("nid"),
+        substring(col("text"), 8, 20).as("needle"))
+    val verifyCorpus = docs.select("doc_id", "text").unionByName(
+      delivery.select(col("id").as("doc_id"), col("text")))
+    val lt = graft.ext.LiteralIndex.searchSaved(s, litDir, verifyCorpus,
+        col("doc_id"), col("text"), needles, col("nid"), col("needle"))
+      .select(lit("literal").as("surface"), col("needle_id").as("qid"),
+        col("id"))
+    st.unionByName(bm).unionByName(lt).orderBy("surface", "qid", "id")
+  }
+
+  private val streamIngestAllSql =
+    """WITH delivery AS (
+      |  SELECT doc_id + 500000 AS doc_id,
+      |         text || ' stream-ingest-delivery' AS text
+      |  FROM documents WHERE doc_id < 20),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM delivery),
+      |tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM corpus),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT doc_id AS query_id,
+      |        unnest(list_distinct(
+      |          regexp_split_to_array(lower(trim(text)), '\s+')[1:8])) AS term
+      |      FROM documents WHERE doc_id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |sr AS (SELECT 'store' AS surface, CAST(0 AS BIGINT) AS qid,
+      |              doc_id AS id
+      |       FROM corpus),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5),
+      |nd AS (SELECT doc_id AS qid, substring(text, 8, 20) AS needle
+      |       FROM documents WHERE doc_id < 4),
+      |lt AS (SELECT 'literal' AS surface, n.qid, d.doc_id AS id
+      |       FROM corpus d CROSS JOIN nd n
+      |       WHERE length(n.needle) >= 4 AND contains(d.text, n.needle))
+      |SELECT surface, qid, id FROM sr
+      |UNION ALL SELECT surface, qid, id FROM bm
+      |UNION ALL SELECT surface, qid, id FROM lt
+      |ORDER BY surface, qid, id""".stripMargin
+
   /** Durable selection lineage ([[graft.ext.SelectionLog]]): a
     * data-selection run pins the corpus's surfaces at one commit
     * point, RECORDS the version vector durably (with each root's
@@ -4109,6 +4232,7 @@ object ExtQueries {
     Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
     Gate("q_selection_replay", selectionReplay, Some(selectionReplaySql)),
+    Gate("q_stream_ingest_all", streamIngestAll, Some(streamIngestAllSql)),
     Gate("q_bm25_readd", bm25Readd, Some(bm25ReaddSql)),
     Gate("q_stream_takedown", streamTakedown, Some(streamTakedownSql)),
     Gate("q_dup_pagerank", dupPageRank, Some(dupPageRankSql)),

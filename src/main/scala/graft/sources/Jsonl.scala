@@ -36,6 +36,21 @@ object Jsonl {
       .schema(schema.add(corruptCol, StringType))
       .json(paths: _*)
 
+  /** [[read]]'s Structured Streaming twin: a JSONL landing zone
+    * tailed as a file stream, same permissive quarantine semantics per
+    * micro-batch — the arrival half of a streaming corpus ingest (pair
+    * with [[graft.ext.Ingest.admit]] in `foreachBatch`).
+    */
+  def readStream(spark: SparkSession, schema: StructType,
+      corruptCol: String = "_corrupt")(path: String): DataFrame =
+    spark.readStream
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema.add(corruptCol, StringType))
+      .json(path)
+
   /** Schema'd strict scan: the first malformed line fails the read —
     * the right posture for deliveries with a correctness contract.
     */
