@@ -171,4 +171,15 @@ object CorpusStore {
         ()
       } finally { live.unpersist(); () }
     }
+
+  /** [[compact]] only when segment debt crossed `maxSegments` — the
+    * maintenance-loop policy every index family shares (amortizes the
+    * rewrite across many deliveries). Returns whether it compacted.
+    */
+  def maybeCompact(spark: SparkSession, root: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, root) > maxSegments
+    if (due) compact(spark, root)
+    due
+  }
 }

@@ -217,6 +217,39 @@ object Takedown {
       s"after $maxAttempts sweeps (sustained concurrent commits)")
   }
 
+  /** One maintenance sweep over every registered surface — the corpus
+    * cron a production deployment runs: each surface whose segment
+    * debt crossed `maxSegments` compacts (the family `maybeCompact`
+    * policy), then every surface GCs to `retainVersions` — with
+    * versions under an active reader lease ([[withPinned]],
+    * [[SelectionLog.replay]]) surviving regardless, so maintenance can
+    * never pull a pinned selection's segments out from under it.
+    * Returns the surfaces that compacted. Safe to run concurrently
+    * with readers (compaction is a pointer swap) and crash-safe:
+    * every step is an ordinary manifest commit.
+    */
+  def maintain(spark: SparkSession, root: String, maxSegments: Int = 8,
+      retainVersions: Int = 2): Seq[Surface] = {
+    val ss = surfaces(spark, root)
+    val compacted = ss.filter { s =>
+      s.kind match {
+        case "store"   => CorpusStore.maybeCompact(spark, s.path, maxSegments)
+        case "bm25"    => TextSearch.maybeCompact(spark, s.path, maxSegments)
+        case "dedup"   => DedupIndex.maybeCompact(spark, s.path, maxSegments)
+        case "literal" => LiteralIndex.maybeCompact(spark, s.path, maxSegments)
+        case "ivf"     => IvfIndex.maybeCompact(spark, s.path, maxSegments)
+        case "pq"      => PqIndex.maybeCompact(spark, s.path, maxSegments)
+        case "sq"      => SqIndex.maybeCompact(spark, s.path, maxSegments)
+        case "ivfpq"   => IvfPqIndex.maybeCompact(spark, s.path, maxSegments)
+        case other     => sys.error(s"unknown surface kind '$other'")
+      }
+    }
+    ss.foreach(s => IndexStore.withLock(spark, s.path) {
+      IndexStore.gc(spark, s.path, retainVersions)
+    })
+    compacted
+  }
+
   /** Run `body` against a pinned cross-surface vector with a TTL
     * reader lease held on EVERY surface ([[IndexStore.withLease]]) —
     * later appends, compactions, and GC cannot drop any pinned

@@ -131,6 +131,37 @@ class TakedownSpec extends SparkSpec {
     assert(bm25Ids(bm25).isEmpty)
   }
 
+  test("maintain() compacts only debt-laden surfaces and GC honors leases") {
+    val (root, bm25, lit) = setup()
+    // pile segment debt on bm25 only
+    (10L to 13L).foreach { i =>
+      TextSearch.appendDocs(spark, bm25,
+        Seq((i, s"november oscar papa quebec $i")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    }
+    assert(IndexStore.segmentCount(spark, bm25) > 3)
+    val pre = bm25Ids(bm25)
+    // a durably recorded selection from just before the sweep
+    val (sid, _) = SelectionLog.run(spark, root)(identity)
+    val compacted = Takedown.maintain(spark, root, maxSegments = 3,
+      retainVersions = 2)
+    assert(compacted.map(_.kind) == Seq("bm25"),
+      s"only the debt-laden surface compacts, got $compacted")
+    assert(IndexStore.segmentCount(spark, bm25) == 1)
+    assert(bm25Ids(bm25) == pre, "compaction must not change the live view")
+    assert(IndexStore.segmentCount(spark, lit) == 1)
+    // the recorded selection still replays: maintenance pruned history
+    // only to the retention window, which covers the recorded version
+    SelectionLog.replay(spark, root, sid) { vector =>
+      val at = vector.map { case (s, v) => s.kind -> v }.toMap
+      val pinned = TextSearch.searchSavedAt(spark, bm25, at("bm25"),
+          Seq((1L, Seq("alpha", "golf"))).toDF("qid", "qterms"),
+          col("qid"), col("qterms"), k = 10)
+        .select("id").as[Long].collect().toSet
+      assert(pinned == Set(1L, 2L, 3L), s"pinned replay saw $pinned")
+    }
+  }
+
   test("pinAll resolves one commit point; withPinned leases survive GC") {
     val (root, bm25, lit) = setup()
     val vector = Takedown.pinAll(spark, root)
