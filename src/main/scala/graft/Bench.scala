@@ -150,7 +150,9 @@ object Bench {
     "q_cdc_dup", "q_literal_persist", "q_bm25_delete",
     // round-9 additions: the round-8 heavy families, so round-over-round
     // comparisons cover the new surface
-    "q_takedown", "q_literal_common", "q_video_dup", "q_nb_classify")
+    "q_takedown", "q_literal_common", "q_video_dup", "q_nb_classify",
+    // round 9: the multi-surface ingest mirror
+    "q_ingest_all")
 
   /** Run one gate in a fresh JVM (same flags and classpath as this one,
     * via RuntimeMXBean) and return its WARM timing — the child runs the
@@ -241,7 +243,8 @@ object Bench {
     "q_literal_search", "q_literal_persist", "q_cdc_dup",
     "q_literal_common", "q_takedown", "q_stream_takedown",
     "q_bm25_readd", "q_ivf_readd", "q_stream_kmv", "q_takedown_store",
-    "q_pinned_read")
+    "q_pinned_read", "q_ingest_all", "q_stream_ingest_all",
+    "q_selection_replay", "q_store_skip")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -268,5 +271,9 @@ object Bench {
     "q_bpe_train", "q_nb_classify", "q_kmv_distinct",
     "q_sorted_neighbors", "q_html_extract", "q_video_dup", "q_audio_dup",
     // round 9: production-scale BPE apply, store takedown, pinned reads
-    "q_bpe_large", "q_takedown_store", "q_pinned_read")
+    "q_bpe_large", "q_takedown_store", "q_pinned_read",
+    // round-9 second wave: atomic multi-surface ingest (batch + stream),
+    // durable selection replay, JSONL quarantine, zone-map range reads
+    "q_ingest_all", "q_stream_ingest_all", "q_selection_replay",
+    "q_jsonl_scan", "q_store_skip")
 }
