@@ -290,11 +290,13 @@ object DedupIndex {
       idCol: Column): Unit = IndexStore.withLock(spark, path) {
     val snap = IndexStore.snapshot(spark, path)
     val requested = ids.select(idCol.as("id")).distinct()
-    // the doomed contributions come from LIVE shingles: an id that is
-    // already fully masked contributes nothing (idempotent, never a
-    // double-subtract), while a re-added id's live rows — its newest
-    // delivery — are exactly what this delete must retract
-    val dead = IndexStore.liveRows(snap, "shingles", key = "id")
+    // the doomed contributions come from LIVE shingles (Bloom-segment-
+    // pruned: only deliveries that may hold the requested ids are
+    // read): an id that is already fully masked contributes nothing
+    // (idempotent, never a double-subtract), while a re-added id's
+    // live rows — its newest delivery — are exactly what this delete
+    // must retract
+    val dead = IndexStore.liveRowsAmong(snap, "shingles", "id", requested)
       .join(broadcast(requested), "id").persist()
     try if (!dead.isEmpty) {
       val negDf = dead.groupBy("sh").agg((-count(lit(1))).as("cnt"))

@@ -283,9 +283,10 @@ object IndexStore {
     * Judging presence against live rows (not raw rows) makes deletes
     * idempotent (a fully-masked id is a no-op) while still letting a
     * RE-ADDED id be deleted again — the old already-tombstoned
-    * anti-join could not tell those cases apart. Filtering reads only
-    * `relation`'s key column (columnar scan); takedown batches are
-    * small by nature → broadcast joins.
+    * anti-join could not tell those cases apart. The presence judge is
+    * [[liveRowsAmong]] (Bloom-sidecar segment pruning), so a
+    * takedown-sized batch reads only the segments that may hold its
+    * ids, never the whole relation; broadcast joins throughout.
     */
   private[ext] def tombstoneIds(spark: SparkSession, root: String,
       ids: DataFrame, idCol: org.apache.spark.sql.Column,
@@ -294,7 +295,8 @@ object IndexStore {
       val snap = snapshot(spark, root)
       val requested = ids.select(idCol.as(key)).distinct()
       val eff = requested.join(
-        liveRows(snap, relation, key).select(key), Seq(key), "left_semi")
+        liveRowsAmong(snap, relation, key, requested).select(key),
+        Seq(key), "left_semi")
       if (!eff.isEmpty) {
         val seg = newSegmentName()
         eff.coalesce(1).write.parquet(s"$root/$seg/tombstones")
@@ -360,6 +362,39 @@ object IndexStore {
           .select(key).distinct()),
         Seq(key), "left_anti")
     }.reduce(_ unionByName _)
+  }
+
+  /** [[liveRows]] restricted to the segments that may contain one of
+    * `candidates` — the presence probe the ingest-admission and
+    * takedown-delete paths share. Each data segment's id Bloom sidecar
+    * ([[IdBloom]] — built lazily once per immutable segment) is tested
+    * against the candidate batch and only possibly-matching segments
+    * are read, so a probe costs O(segment blooms + matching segments)
+    * instead of O(live ids) — for the token-linear relations (BM25
+    * postings, literal grams) the difference between a takedown batch
+    * reading two deliveries and reading the corpus. Value-identical to
+    * `liveRows(...).join(candidates, semi)` by construction: bloom
+    * false positives only add segments, false negatives are
+    * impossible, and tombstone masking applies unreduced to whatever
+    * is kept. Candidate batches beyond the broadcast-size cap fall
+    * back to the unpruned read (a giant batch amortizes a full scan).
+    * Callers still semi-join the result with their candidates — this
+    * prunes SEGMENTS, not rows.
+    */
+  private[ext] def liveRowsAmong(snap: Snapshot, relation: String,
+      key: String, candidates: DataFrame): DataFrame = {
+    val dataSegs = snap.segments(relation)
+    val hit = IdBloom.collectPairs(candidates, key) match {
+      case None => dataSegs // over the probe cap: unpruned
+      case Some(pairs) => IdBloom.candidateSegments(
+        snap.spark, snap.root, dataSegs, relation, key, pairs)
+    }
+    if (hit.isEmpty && dataSegs.nonEmpty)
+      // no segment can match: empty result, schema from one segment
+      // (filter(false) folds to an empty scan — no data read)
+      liveRows(snap, relation, key, only = Some(Seq(dataSegs.head)))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else liveRows(snap, relation, key, only = Some(hit))
   }
 
   /** Run `body` against `version` pinned under a READER LEASE: a

@@ -109,10 +109,16 @@ object Ingest {
     did
   }
 
-  /** The surface's live id set, from its cheapest id-bearing relation
-    * — the presence judge every apply anti-joins the delivery against.
+  /** The delivery ids already LIVE on `s`, judged against its cheapest
+    * id-bearing relation — the presence judge every apply anti-joins
+    * the delivery against. Bloom-sidecar segment pruning
+    * ([[IndexStore.liveRowsAmong]]) keeps the probe O(segment blooms +
+    * matching segments), not O(live ids) — a fresh-id delivery prunes
+    * every segment and reads nothing but blooms, even on the
+    * token-linear relations (postings, grams).
     */
-  private def liveIds(spark: SparkSession, s: Surface): DataFrame = {
+  private def liveIds(spark: SparkSession, s: Surface,
+      candidates: DataFrame): DataFrame = {
     val snap = IndexStore.snapshot(spark, s.path)
     val (rel, k) = s.kind match {
       case "store"               => ("rows", "id")
@@ -123,7 +129,9 @@ object Ingest {
       case "pq" | "sq" | "ivfpq" => ("codes", "vec_id")
       case other => sys.error(s"unknown surface kind '$other'")
     }
-    IndexStore.liveRows(snap, rel, k).select(col(k).as("id")).distinct()
+    IndexStore.liveRowsAmong(snap, rel, k,
+        candidates.select(col("id").as(k)))
+      .select(col(k).as("id")).distinct()
   }
 
   /** Apply one logged delivery's surfaces up to `upTo` (the test hook
@@ -151,7 +159,7 @@ object Ingest {
       rows: DataFrame): Unit = {
     // ids already live on THIS surface are skipped: dups ⊆ delivery, so
     // broadcasting the probe and the resulting exclusion set is safe
-    val dups = liveIds(spark, s)
+    val dups = liveIds(spark, s, rows.select("id"))
       .join(broadcast(rows.select("id")), Seq("id"), "left_semi")
     val fresh = rows.join(broadcast(dups), Seq("id"), "left_anti")
     // a vec surface registered AFTER a text-only intent landed fails

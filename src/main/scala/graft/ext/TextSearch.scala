@@ -205,12 +205,14 @@ object TextSearch {
     val buckets = bucketsOf(snap)
     val requested = ids.select(idCol.as("id")).distinct()
     // the doomed contributions come from LIVE postings ([[IndexStore
-    // .liveRows]] — scope-aware): an already-masked id nets to nothing
+    // .liveRowsAmong]] — scope-aware, Bloom-segment-pruned: only the
+    // deliveries that may hold the requested ids are read, never the
+    // whole postings relation): an already-masked id nets to nothing
     // (idempotent, never a double-subtract), while a doc re-ingested
     // after an earlier delete has live rows again — its newest delivery
     // — which are exactly what this delete must retract. The delete
     // batch is takedown-sized → broadcast into the postings scan.
-    val dead = IndexStore.liveRows(snap, "postings", key = "id")
+    val dead = IndexStore.liveRowsAmong(snap, "postings", "id", requested)
       .drop("bucket").join(broadcast(requested), "id").persist()
     try if (!dead.isEmpty) {
       val negLex = dead.groupBy("term")
