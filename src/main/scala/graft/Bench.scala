@@ -275,5 +275,7 @@ object Bench {
     // round-9 second wave: atomic multi-surface ingest (batch + stream),
     // durable selection replay, JSONL quarantine, zone-map range reads
     "q_ingest_all", "q_stream_ingest_all", "q_selection_replay",
-    "q_jsonl_scan", "q_store_skip")
+    "q_jsonl_scan", "q_store_skip",
+    // round-9 third wave: store-of-record schema evolution
+    "q_store_evolve")
 }

@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * intent `resume()` finishes.
   *
   * Schema contract: rows are stored verbatim plus a normalized `id`
-  * key column (the delete key every takedown surface shares). At
+  * key column (the delete key every takedown surface shares), and the
+  * schema EVOLVES by addition: a later delivery may carry columns
+  * earlier ones lack — reads union segments by name with missing
+  * columns null-filled, so accreting crawl metadata (a language tag, a
+  * quality score, a license field) never forces a 100 TB rewrite; the
+  * merged schema materializes physically at the next [[compact]]. At
   * 100 TB the store is the biggest surface by bytes, which is exactly
   * why deletes are metadata-bounded tombstones (no corpus rewrite on
   * the retract path) and the rewrite happens once, batched, in

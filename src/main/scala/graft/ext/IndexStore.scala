@@ -81,12 +81,23 @@ object IndexStore {
 
     /** [[read]] restricted to an explicit segment subset — the
       * building block of scope-aware tombstone masking.
+      *
+      * Segments union by name with missing columns null-filled — the
+      * schema-evolution contract: a later delivery may ADD columns
+      * (the store of record's reality at 100 TB — crawl metadata
+      * accretes) and older segments read as null for them, no rewrite.
+      * For the index families, whose relations are written by one code
+      * path, the allowance is inert today and is the forward-compat
+      * path for a format revision adding a column. Column ORDER
+      * follows the first (manifest-sorted) segment with later
+      * segments' new columns appended — select explicitly when order
+      * matters.
       */
     def readSegments(segs: Seq[String], relation: String): Option[DataFrame] =
       segs match {
         case Seq() => None
         case ss => Some(ss.map(s => spark.read.parquet(s"$root/$s/$relation"))
-          .reduce(_ unionByName _))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
       }
   }
 

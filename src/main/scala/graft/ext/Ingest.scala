@@ -49,8 +49,9 @@ import org.apache.spark.sql.functions._
   * indexes). [[admit]] refuses — BEFORE the intent lands — a delivery
   * missing a column some registered surface needs, so an intent can
   * never wedge on a schema it cannot satisfy. The store of record
-  * receives the delivery verbatim (keep delivery schemas consistent
-  * per store root — segments union by name).
+  * receives the delivery verbatim; delivery schemas may EVOLVE by
+  * addition (the store unions segments by name, null-filling columns
+  * older deliveries lack — [[CorpusStore]]'s schema contract).
   */
 object Ingest {
 

@@ -3054,6 +3054,47 @@ object ExtQueries {
       |WHERE doc_id BETWEEN 160 AND 240 AND doc_id % 5 <> 0
       |ORDER BY id""".stripMargin
 
+  /** Schema evolution on the corpus store ([[graft.ext.CorpusStore]]):
+    * a later delivery ADDS a `lang` column the original build lacks —
+    * reads union segments by name with the old rows null-filled, so
+    * accreting crawl metadata never rewrites the store; tombstones
+    * still apply across the heterogeneous segments. The oracle
+    * reconstructs the evolved view relationally (new rows carry the
+    * derived tag, old rows NULL, deleted rows gone). The merged schema
+    * materializes physically at the next compact — CorpusStoreSpec
+    * pins read ≡ across that rewrite.
+    */
+  private def storeEvolve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_evolve_store_")
+    graft.ext.CorpusStore.build(
+      docs.filter(col("doc_id") < 200).select("doc_id", "text"),
+      col("doc_id"), root)
+    graft.ext.CorpusStore.append(s, root,
+      docs.filter(col("doc_id") >= 200).select(
+        col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, "en")
+          .when(col("doc_id") % 3 === 1, "de")
+          .otherwise("fr").as("lang")),
+      col("doc_id"))
+    graft.ext.CorpusStore.deleteRows(s, root,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+      col("doc_id"))
+    graft.ext.CorpusStore.read(s, root)
+      .select(col("id"), col("lang"), md5(col("text")).as("h"))
+      .orderBy("id")
+  }
+
+  private val storeEvolveSql =
+    """SELECT doc_id AS id,
+      |  CASE WHEN doc_id < 200 THEN NULL
+      |       WHEN doc_id % 3 = 0 THEN 'en'
+      |       WHEN doc_id % 3 = 1 THEN 'de'
+      |       ELSE 'fr' END AS lang,
+      |  md5(text) AS h
+      |FROM documents WHERE doc_id % 7 <> 0
+      |ORDER BY id""".stripMargin
+
   /** Cross-surface atomic ingest ([[graft.ext.Ingest]] — the append
     * mirror of `q_takedown_store`): the store of record and three
     * derived index families register under one root, and ONE
@@ -4229,6 +4270,7 @@ object ExtQueries {
     Gate("q_takedown", takedownGate, Some(takedownSql)),
     Gate("q_takedown_store", takedownStore, Some(takedownStoreSql)),
     Gate("q_store_skip", storeSkip, Some(storeSkipSql)),
+    Gate("q_store_evolve", storeEvolve, Some(storeEvolveSql)),
     Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
     Gate("q_selection_replay", selectionReplay, Some(selectionReplaySql)),

@@ -104,4 +104,35 @@ class CorpusStoreSpec extends SparkSpec {
     assert(out.columns.count(_ == "id") == 1)
     assert(out.select("id").as[String].collect().toSeq == Seq("k-a"))
   }
+
+  test("schema evolves by addition: old rows null-fill, no rewrite") {
+    val root = tmpDir("cs_evolve")
+    CorpusStore.build(
+      Seq((1L, "one"), (2L, "two")).toDF("id", "text"), col("id"), root)
+    CorpusStore.append(spark, root,
+      Seq((3L, "three", "en"), (4L, "four", "de"))
+        .toDF("id", "text", "lang"),
+      col("id"))
+    val out = CorpusStore.read(spark, root)
+      .select("id", "text", "lang").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(out == Set((1L, "one", None), (2L, "two", None),
+      (3L, "three", Some("en")), (4L, "four", Some("de"))))
+    // tombstones apply across the heterogeneous segments
+    CorpusStore.deleteRows(spark, root, Seq(1L, 3L).toDF("id"), col("id"))
+    assert(CorpusStore.read(spark, root)
+      .select("id").as[Long].collect().toSet == Set(2L, 4L))
+    // compact materializes the merged schema physically; values and
+    // nulls survive the range-clustered rewrite verbatim
+    CorpusStore.compact(spark, root, clusterPartitions = 2)
+    val post = CorpusStore.read(spark, root)
+      .select("id", "text", "lang").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(post == Set((2L, "two", None), (4L, "four", Some("de"))))
+    // zone-map range reads still prune over evolved segments
+    CorpusStore.append(spark, root,
+      Seq((10L, "ten", "fr")).toDF("id", "text", "lang"), col("id"))
+    assert(CorpusStore.readRange(spark, root, 10L, 10L)
+      .select("id").as[Long].collect().toSeq == Seq(10L))
+  }
 }
