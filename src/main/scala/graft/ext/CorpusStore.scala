@@ -77,7 +77,7 @@ object CorpusStore {
       keyed(rows, idCol).write.parquet(s"$root/$seg/rows")
       writeStats(spark, root, seg)
       IndexStore.publishReplace(spark, root, seg, Seq("rows", "stats"),
-        retainVersions)
+        retainVersions, op = "build")
     }
   }
 
@@ -145,6 +145,74 @@ object CorpusStore {
         .filter(col("id").between(lo, hi))
   }
 
+  /** The change feed since `sinceVersion` (exclusive) — what a
+    * downstream consumer needs to incrementally track a 100 TB store
+    * without re-reading it: each commit's semantic delta, read from
+    * exactly the bytes that commit added. An append's new segment IS
+    * its inserts; a delete's tombstone segment IS its effective
+    * deletes (tombstones are live-presence-filtered at write time, so
+    * the feed never reports deleting a row the consumer never saw);
+    * a compact commit (op-tagged in the manifest, atomic with it) is
+    * a physical rewrite with no semantic delta and contributes
+    * nothing. Any OTHER commit that drops manifest lines — a full
+    * refresh — breaks feed continuity and fails loudly naming the
+    * version: the consumer must re-seed from a snapshot, not silently
+    * miss a world swap.
+    *
+    * Returns the store schema (evolution-merged; delete rows carry
+    * only `id`, other columns null) plus `_change`
+    * ('insert'/'delete') and `_version` (the commit). A row inserted
+    * then deleted inside the window reports both events, in commit
+    * order — standard change-data-feed semantics. Requires
+    * `sinceVersion` and the window's manifests retained (the
+    * time-travel window; hold a lease to tail slower than GC).
+    */
+  def changes(spark: SparkSession, root: String,
+      sinceVersion: Long): DataFrame = {
+    val all = IndexStore.versions(spark, root)
+    require(all.contains(sinceVersion),
+      s"version $sinceVersion at $root is not retained " +
+        s"(have: ${all.mkString(",")}) — re-seed the consumer")
+    val window = all.filter(_ > sinceVersion).sorted
+    var prev = IndexStore.snapshotAt(spark, root, sinceVersion)
+      .lines.toSet
+    val frames = window.flatMap { v =>
+      val snap = IndexStore.snapshotAt(spark, root, v)
+      val cur = snap.lines.toSet
+      val added = cur -- prev
+      val dropped = prev -- cur
+      prev = cur
+      if (dropped.nonEmpty) {
+        val op = IndexStore.opAt(spark, root, v)
+        require(op == "compact",
+          s"change feed broken at version $v of $root: a " +
+            s"'${if (op.isEmpty) "untagged" else op}' commit rewrote " +
+            "the store (only compact rewrites are content-preserving); " +
+            "re-seed the consumer from a fresh snapshot")
+        None
+      } else {
+        val segs = added.map(_.split("/").head).toSeq.distinct.sorted
+        val ins = snap.readSegments(
+            segs.filter(s => added.contains(s"$s/rows")), "rows")
+          .map(_.withColumn("_change", lit("insert"))
+            .withColumn("_version", lit(v)))
+        val del = snap.readSegments(
+            segs.filter(s => added.contains(s"$s/tombstones")),
+            "tombstones")
+          .map(_.select(col("id"))
+            .withColumn("_change", lit("delete"))
+            .withColumn("_version", lit(v)))
+        ins ++ del
+      }
+    }
+    if (frames.nonEmpty)
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else // empty window: empty frame with the store schema + feed cols
+      read(spark, root).filter(lit(false))
+        .withColumn("_change", lit(""))
+        .withColumn("_version", lit(0L))
+  }
+
   /** Retract rows by id (idempotent, live-presence-judged, scoped
     * tombstone append — the shared takedown delete contract). No
     * corpus bytes are rewritten; the retract path is metadata-bounded.
@@ -172,7 +240,7 @@ object CorpusStore {
           .write.parquet(s"$root/$seg/rows")
         writeStats(spark, root, seg)
         IndexStore.publishReplace(spark, root, seg, Seq("rows", "stats"),
-          retainVersions)
+          retainVersions, op = "compact")
         ()
       } finally { live.unpersist(); () }
     }

@@ -261,12 +261,12 @@ object IndexStore {
     * have finished writing the segment's files.
     */
   def publishAppend(spark: SparkSession, root: String, seg: String,
-      relations: Seq[String]): Long = {
+      relations: Seq[String], op: String = "append"): Long = {
     val fs = fsOf(spark, root)
     val inc = ensureIncarnation(fs, root)
     val prev = manifest.latest(fs, root).map(_._2).getOrElse(Seq.empty)
     val lines = (prev ++ relations.map(r => s"$seg/$r")).sorted
-    val v = manifest.commit(fs, root, lines)
+    val v = manifest.commit(fs, root, lines, op)
     cachePut(root, inc, v, lines)
     v
   }
@@ -276,15 +276,22 @@ object IndexStore {
     * manifest references. Caller must hold the lock.
     */
   def publishReplace(spark: SparkSession, root: String, seg: String,
-      relations: Seq[String], retainVersions: Int = 2): Long = {
+      relations: Seq[String], retainVersions: Int = 2,
+      op: String = "replace"): Long = {
     val fs = fsOf(spark, root)
     val inc = ensureIncarnation(fs, root)
     val lines = relations.map(r => s"$seg/$r").sorted
-    val v = manifest.commit(fs, root, lines)
+    val v = manifest.commit(fs, root, lines, op)
     cachePut(root, inc, v, lines)
     gc(spark, root, retainVersions)
     v
   }
+
+  /** The op tag `version` committed with ("" pre-tag) — see
+    * [[graft.store.VersionedManifest.opAt]].
+    */
+  def opAt(spark: SparkSession, root: String, version: Long): String =
+    manifest.opAt(fsOf(spark, root), root, version)
 
   /** Shared tombstone-append for the vector-index family (IVF/PQ/SQ/
     * IVF-PQ) and [[LiteralIndex]]: the requested ids that have LIVE
@@ -313,7 +320,7 @@ object IndexStore {
         eff.coalesce(1).write.parquet(s"$root/$seg/tombstones")
         writeScope(spark, root, seg, snap.segments(relation))
         publishAppend(spark, root, seg,
-          Seq("tombstones", "tombstone_scope"))
+          Seq("tombstones", "tombstone_scope"), op = "delete")
         ()
       }
     }

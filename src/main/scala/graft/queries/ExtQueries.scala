@@ -3095,6 +3095,44 @@ object ExtQueries {
       |FROM documents WHERE doc_id % 7 <> 0
       |ORDER BY id""".stripMargin
 
+  /** Change-data feed on the corpus store ([[graft.ext.CorpusStore
+    * .changes]]): a consumer that saw version 1 reads exactly the
+    * deltas commits 2 (an append — its segment IS the inserts) and 3
+    * (a delete — its tombstone segment IS the effective deletes)
+    * added, never re-reading the store. The oracle reconstructs the
+    * feed relationally from the same mutation predicates. At 100 TB
+    * this is how derived surfaces stay current: tail the feed, not
+    * the table (CorpusStoreSpec pins compact-invariance and the
+    * full-refresh refusal).
+    */
+  private def storeCdc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_cdc_store_")
+    graft.ext.CorpusStore.build( // v1
+      docs.filter(col("doc_id") < 250).select("doc_id", "text"),
+      col("doc_id"), root)
+    graft.ext.CorpusStore.append(s, root, // v2
+      docs.filter(col("doc_id") >= 250).select("doc_id", "text"),
+      col("doc_id"))
+    graft.ext.CorpusStore.deleteRows(s, root, // v3
+      docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
+      col("doc_id"))
+    graft.ext.CorpusStore.changes(s, root, 1L)
+      .select(col("id"), col("_change").as("op"),
+        col("_version").as("ver"), md5(col("text")).as("h"))
+      .orderBy("ver", "id")
+  }
+
+  private val storeCdcSql =
+    """SELECT doc_id AS id, 'insert' AS op, 2::BIGINT AS ver,
+      |       md5(text) AS h
+      |FROM documents WHERE doc_id >= 250
+      |UNION ALL
+      |SELECT doc_id AS id, 'delete' AS op, 3::BIGINT AS ver,
+      |       NULL AS h
+      |FROM documents WHERE doc_id % 6 = 0
+      |ORDER BY ver, id""".stripMargin
+
   /** Cross-surface atomic ingest ([[graft.ext.Ingest]] — the append
     * mirror of `q_takedown_store`): the store of record and three
     * derived index families register under one root, and ONE
@@ -4271,6 +4309,7 @@ object ExtQueries {
     Gate("q_takedown_store", takedownStore, Some(takedownStoreSql)),
     Gate("q_store_skip", storeSkip, Some(storeSkipSql)),
     Gate("q_store_evolve", storeEvolve, Some(storeEvolveSql)),
+    Gate("q_store_cdc", storeCdc, Some(storeCdcSql)),
     Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
     Gate("q_selection_replay", selectionReplay, Some(selectionReplaySql)),

@@ -82,20 +82,42 @@ class VersionedManifest(dirName: String) {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    txt.split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
   }
+
+  /** The `op` tag `version` was committed with ("" for pre-tag
+    * manifests or untagged commits) — carried INSIDE the manifest
+    * file, so it is atomic with the commit it describes. This is what
+    * lets a change-feed reader tell a content-preserving rewrite
+    * (compact) from a semantic replace (full refresh) without diffing
+    * data.
+    */
+  def opAt(fs: FileSystem, root: String, version: Long): String =
+    versionsOn(fs, root).find(_._1 == version).map { case (_, p) =>
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.split("\n").iterator.map(_.trim)
+        .collectFirst { case l if l.startsWith("#op=") => l.drop(4) }
+        .getOrElse("")
+    }.getOrElse("")
 
   /** Publish the next version: write to a hidden temp, atomically rename
     * into place. Caller holds the writer lock, so the next version
-    * number cannot race.
+    * number cannot race. A nonempty `op` is recorded as a `#op=` header
+    * line inside the file (comment lines are invisible to [[latest]]/
+    * [[filesAt]] readers; [[opAt]] reads them back).
     */
-  def commit(fs: FileSystem, root: String, files: Seq[String]): Long = {
+  def commit(fs: FileSystem, root: String, files: Seq[String],
+      op: String = ""): Long = {
     val next = versionsOn(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
     val d = dir(root)
     fs.mkdirs(d)
     val tmp = new Path(d, f".tmp-v$next%012d")
+    val header = if (op.isEmpty) "" else s"#op=$op\n"
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write((header + files.sorted.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
     val target = new Path(d, f"v$next%012d")
     if (!fs.rename(tmp, target)) {

@@ -135,4 +135,49 @@ class CorpusStoreSpec extends SparkSpec {
     assert(CorpusStore.readRange(spark, root, 10L, 10L)
       .select("id").as[Long].collect().toSeq == Seq(10L))
   }
+
+  test("change feed: commit-exact deltas, compact-invariant, " +
+      "refresh-fatal") {
+    val root = tmpDir("cs_cdc")
+    def dump(since: Long): Set[(Long, String, Long)] =
+      CorpusStore.changes(spark, root, since)
+        .select(col("id").as[Long], col("_change").as[String],
+          col("_version").as[Long])
+        .collect().toSet
+    CorpusStore.build( // v1
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "text"),
+      col("id"), root)
+    CorpusStore.append(spark, root, // v2
+      Seq((4L, "four"), (5L, "five")).toDF("id", "text"), col("id"))
+    CorpusStore.deleteRows(spark, root, // v3; both ids live → effective
+      Seq(2L, 4L).toDF("id"), col("id"))
+    CorpusStore.append(spark, root, // v4: readd
+      Seq((2L, "two again")).toDF("id", "text"), col("id"))
+    assert(dump(1L) == Set(
+      (4L, "insert", 2L), (5L, "insert", 2L),
+      (2L, "delete", 3L), (4L, "delete", 3L),
+      (2L, "insert", 4L)))
+    assert(dump(3L) == Set((2L, "insert", 4L)))
+    // a delete of an already-dead id is not an event (write-time
+    // live-presence filter publishes nothing — no commit, no delta)
+    CorpusStore.deleteRows(spark, root, Seq(4L).toDF("id"), col("id"))
+    assert(dump(4L) == Set.empty)
+    // compact rewrites everything physically, changes nothing
+    CorpusStore.compact(spark, root, retainVersions = 10) // v5
+    assert(dump(4L) == Set.empty)
+    assert(dump(1L) == Set(
+      (4L, "insert", 2L), (5L, "insert", 2L),
+      (2L, "delete", 3L), (4L, "delete", 3L),
+      (2L, "insert", 4L)))
+    // a full refresh is a world swap: the feed refuses, naming it
+    CorpusStore.build(Seq((9L, "nine")).toDF("id", "text"), col("id"),
+      root, retainVersions = 10) // v6
+    val e = intercept[IllegalArgumentException](dump(1L))
+    assert(e.getMessage.contains("re-seed"))
+    assert(e.getMessage.contains("6"))
+    // an unretained since-version also refuses rather than undercounts
+    val e2 = intercept[IllegalArgumentException](
+      CorpusStore.changes(spark, root, 999L))
+    assert(e2.getMessage.contains("not retained"))
+  }
 }
