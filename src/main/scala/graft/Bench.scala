@@ -276,6 +276,7 @@ object Bench {
     // durable selection replay, JSONL quarantine, zone-map range reads
     "q_ingest_all", "q_stream_ingest_all", "q_selection_replay",
     "q_jsonl_scan", "q_store_skip",
-    // round-9 third wave: store-of-record schema evolution
-    "q_store_evolve")
+    // round-9 third wave: store-of-record schema evolution + change
+    // feed + derived-surface maintenance from the feed
+    "q_store_evolve", "q_store_cdc", "q_cdc_maintain")
 }

@@ -3133,6 +3133,55 @@ object ExtQueries {
       |FROM documents WHERE doc_id % 6 = 0
       |ORDER BY ver, id""".stripMargin
 
+  /** Derived-surface maintenance FROM the change feed — the
+    * composition the feed exists for: a BM25 index seeded from the
+    * store at version 1 is brought current by applying each later
+    * commit's delta (feed inserts → index append, feed deletes →
+    * index delete, in commit order), never re-reading the store. The
+    * maintained index must then be INDISTINGUISHABLE from one built
+    * off the final corpus — the oracle is `q_bm25_delete`'s
+    * surviving-corpus BM25 recomputation verbatim, scoring df/avgdl
+    * statistics and all. At 100 TB this is the derived-surface
+    * currency story: each maintenance tick costs the delta, and a
+    * row inserted-then-deleted inside the window nets out through
+    * the same live-presence semantics every family shares.
+    */
+  private def cdcMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val store = graft.Gate.tmpDir("gate_cdcm_store_")
+    val bm25 = graft.Gate.tmpDir("gate_cdcm_bm25_")
+    graft.ext.CorpusStore.build( // v1
+      docs.filter(col("doc_id") < 300).select("doc_id", "text"),
+      col("doc_id"), store)
+    graft.ext.TextSearch.buildAndSave( // the surface as of v1
+      graft.ext.CorpusStore.read(s, store), col("id"), col("text"),
+      bm25, buckets = bm25Buckets)
+    graft.ext.CorpusStore.append(s, store, // v2
+      docs.filter(col("doc_id") >= 300).select("doc_id", "text"),
+      col("doc_id"))
+    graft.ext.CorpusStore.deleteRows(s, store, // v3 (spans v1 AND v2 rows)
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+      col("doc_id"))
+    val feed = graft.ext.CorpusStore.changes(s, store, 1L).persist()
+    try {
+      val vs = feed.select("_version").distinct().collect()
+        .map(_.getLong(0)).sorted // commit order — a handful of longs
+      vs.foreach { v =>
+        val delta = feed.filter(col("_version") === v)
+        val ins = delta.filter(col("_change") === "insert")
+        if (!ins.isEmpty)
+          graft.ext.TextSearch.appendDocs(s, bm25, ins, col("id"),
+            col("text"))
+        val del = delta.filter(col("_change") === "delete").select("id")
+        if (!del.isEmpty)
+          graft.ext.TextSearch.deleteDocs(s, bm25, del, col("id"))
+      }
+    } finally { feed.unpersist(); () }
+    graft.ext.TextSearch.searchSaved(s, bm25, bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   /** Cross-surface atomic ingest ([[graft.ext.Ingest]] — the append
     * mirror of `q_takedown_store`): the store of record and three
     * derived index families register under one root, and ONE
@@ -4310,6 +4359,7 @@ object ExtQueries {
     Gate("q_store_skip", storeSkip, Some(storeSkipSql)),
     Gate("q_store_evolve", storeEvolve, Some(storeEvolveSql)),
     Gate("q_store_cdc", storeCdc, Some(storeCdcSql)),
+    Gate("q_cdc_maintain", cdcMaintain, Some(bm25DeleteSql)),
     Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
     Gate("q_selection_replay", selectionReplay, Some(selectionReplaySql)),
