@@ -213,6 +213,45 @@ object CorpusStore {
         .withColumn("_version", lit(0L))
   }
 
+  /** One crash-safe tick of a change-feed consumer: read the durable
+    * cursor at `cursorPath` (absent = the store's oldest retained
+    * version — a fresh consumer starts from the earliest complete
+    * history it can still get), hand `f` the [[changes]] since it, and
+    * advance the cursor ONLY after `f` returns — so a crash mid-`f`
+    * replays the same window on the next tick (at-least-once; pair
+    * with live-presence-idempotent appliers — every index family's
+    * append/delete already is — for exactly-once effects, the
+    * checkpoint-and-replay contract Structured Streaming's
+    * foreachBatch makes). The cursor is a version number staged and
+    * renamed, so a torn write reads as "never advanced", never as a
+    * skipped window. Returns the (from, to] window it processed, or
+    * None when the feed had no new commits.
+    */
+  def tailInto(spark: SparkSession, root: String, cursorPath: String)(
+      f: DataFrame => Unit): Option[(Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(cursorPath)
+    val from =
+      if (fs.exists(cur)) {
+        val in = fs.open(cur)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.trim.toLong
+      } else IndexStore.versions(spark, root).min
+    val to = IndexStore.versions(spark, root).max
+    if (to <= from) return None
+    f(changes(spark, root, from))
+    val tmp = new org.apache.hadoop.fs.Path(
+      cur.getParent, s".${cur.getName}.staging")
+    fs.mkdirs(cur.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(to.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"could not advance cursor $cursorPath")
+    Some((from, to))
+  }
+
   /** Retract rows by id (idempotent, live-presence-judged, scoped
     * tombstone append — the shared takedown delete contract). No
     * corpus bytes are rewritten; the retract path is metadata-bounded.

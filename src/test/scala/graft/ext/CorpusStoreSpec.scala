@@ -180,4 +180,33 @@ class CorpusStoreSpec extends SparkSpec {
       CorpusStore.changes(spark, root, 999L))
     assert(e2.getMessage.contains("not retained"))
   }
+
+  test("tailInto: durable cursor, at-least-once replay on crash") {
+    val root = tmpDir("cs_tail")
+    val cursor = s"$root/_consumer/cursor"
+    val seen = scala.collection.mutable.Buffer[(Long, String, Long)]()
+    def tick(fail: Boolean = false): Option[(Long, Long)] =
+      CorpusStore.tailInto(spark, root, cursor) { df =>
+        val rows = df.select(col("id").as[Long],
+            col("_change").as[String], col("_version").as[Long])
+          .collect()
+        if (fail) sys.error("consumer crashed mid-window")
+        seen ++= rows
+      }
+    CorpusStore.build( // v1
+      Seq((1L, "one"), (2L, "two")).toDF("id", "text"), col("id"), root)
+    assert(tick().isEmpty) // nothing after the seed version: no call
+    CorpusStore.append(spark, root, // v2
+      Seq((3L, "three")).toDF("id", "text"), col("id"))
+    // crash mid-window: cursor must NOT advance
+    intercept[RuntimeException](tick(fail = true))
+    assert(seen.isEmpty)
+    // replay delivers the same window, then advances
+    assert(tick().contains((1L, 2L)))
+    assert(seen.toSet == Set((3L, "insert", 2L)))
+    assert(tick().isEmpty) // advanced: no re-delivery
+    CorpusStore.deleteRows(spark, root, Seq(1L).toDF("id"), col("id"))
+    assert(tick().contains((2L, 3L)))
+    assert(seen.toSet == Set((3L, "insert", 2L), (1L, "delete", 3L)))
+  }
 }
