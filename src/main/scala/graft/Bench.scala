@@ -277,6 +277,7 @@ object Bench {
     "q_ingest_all", "q_stream_ingest_all", "q_selection_replay",
     "q_jsonl_scan", "q_store_skip",
     // round-9 third wave: store-of-record schema evolution + change
-    // feed + derived-surface maintenance from the feed
-    "q_store_evolve", "q_store_cdc", "q_cdc_maintain")
+    // feed + derived-surface maintenance from the feed + steady-state
+    // admission probe
+    "q_store_evolve", "q_store_cdc", "q_cdc_maintain", "q_ingest_probe")
 }

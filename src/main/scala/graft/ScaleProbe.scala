@@ -106,7 +106,12 @@ object ScaleProbe {
     // exact similarity join, vocab-iteration BPE learning, counting
     // classifier, k-bounded distinct sketch
     "q_heavy_hitters", "q_simjoin_prefix", "q_bpe_train",
-    "q_nb_classify", "q_kmv_distinct")
+    "q_nb_classify", "q_kmv_distinct",
+    // round 9: steady-state multi-surface admission (bloom-pruned
+    // presence probes — the only corpus-proportional bytes it touches
+    // are the segment blooms, so the ratio should sit far below the
+    // data factor)
+    "q_ingest_probe")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

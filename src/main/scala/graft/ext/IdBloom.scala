@@ -124,7 +124,11 @@ object IdBloom {
     try {
       val keys = spark.read.parquet(s"$root/$seg/$relation")
         .select(col(key).cast("string").as("k")).filter(col("k").isNotNull)
-      val n = keys.count()
+      // size on DISTINCT keys (approx, map-side): token-linear
+      // relations (postings, grams) repeat each id ~dl times, and
+      // duplicate keys set identical bits — sizing on rows would grow
+      // the sidecar ~dl× for zero FPR gain
+      val n = keys.agg(approx_count_distinct("k")).head().getLong(0)
       val nbits = sizeFor(n)
       // per-partition partial bitsets OR-fold executor-side (treeReduce):
       // only ONE bitset ever reaches the driver, even at the size cap
@@ -144,11 +148,17 @@ object IdBloom {
           while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
           a
         }
-      val staging = new Path(s"$root/$seg/staging-${sidecarName(relation)}")
+      // per-attempt staging name: two concurrent probers each write
+      // their own staging dir and race only on the rename — the loser
+      // deletes its (identical) copy, and a torn shared-staging write
+      // can never be published
+      val attempt = java.util.UUID.randomUUID().toString.take(8)
+      val staging =
+        new Path(s"$root/$seg/staging-$attempt-${sidecarName(relation)}")
       import spark.implicits._
       Seq((nbits, HashCount, n, bits))
         .toDF("nbits", "k", "n", "bits")
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        .coalesce(1).write.parquet(staging.toString)
       if (!fs.rename(staging, target)) {
         fs.delete(staging, true)
         fs.exists(target) // a concurrent prober won; its content is ours
@@ -172,25 +182,31 @@ object IdBloom {
       ensureSidecar(spark, root, s, relation, key))
     val unpruned = segs.diff(ready)
     if (ready.isEmpty) return unpruned
-    val pairs = spark.sparkContext.broadcast(candPairs)
-    val sidecars = ready.map { s =>
-      spark.read.parquet(s"$root/$s/${sidecarName(relation)}")
-        .select(lit(s).as("seg"), col("nbits"), col("bits"))
-    }.reduce(_ unionByName _)
-    val hits = sidecars.rdd.flatMap { r =>
-      val seg = r.getString(0)
-      val nbits = r.getLong(1)
-      val bits = r.getAs[Array[Byte]](2)
-      val cs = pairs.value
-      var i = 0
-      var hit = false
-      while (i < cs.length && !hit) {
-        if (testBits(bits, cs(i)._1, cs(i)._2, nbits)) hit = true
-        i += 1
-      }
-      if (hit) Iterator.single(seg) else Iterator.empty
-    }.collect().toSeq
-    (hits ++ unpruned).distinct
+    try {
+      val pairs = spark.sparkContext.broadcast(candPairs)
+      val sidecars = ready.map { s =>
+        spark.read.parquet(s"$root/$s/${sidecarName(relation)}")
+          .select(lit(s).as("seg"), col("nbits"), col("bits"))
+      }.reduce(_ unionByName _)
+      val hits = sidecars.rdd.flatMap { r =>
+        val seg = r.getString(0)
+        val nbits = r.getLong(1)
+        val bits = r.getAs[Array[Byte]](2)
+        val cs = pairs.value
+        var i = 0
+        var hit = false
+        while (i < cs.length && !hit) {
+          if (testBits(bits, cs(i)._1, cs(i)._2, nbits)) hit = true
+          i += 1
+        }
+        if (hit) Iterator.single(seg) else Iterator.empty
+      }.collect().toSeq
+      (hits ++ unpruned).distinct
+    } catch {
+      // an unreadable sidecar (e.g. torn by a pre-fix writer) degrades
+      // to the unpruned read — pruning is never a correctness gate
+      case scala.util.control.NonFatal(_) => segs
+    }
   }
 
   /** Collect + pre-hash a candidate id column for the bloom probe.
