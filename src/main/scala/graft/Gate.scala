@@ -159,5 +159,6 @@ object Gate {
       queries.ExtQueries.gates ++
       queries.DataOpsQueries.gates ++
       queries.AnalyticsQueries.gates ++
-      queries.ScaleQueries.gates
+      queries.ScaleQueries.gates ++
+      queries.GraphTextQueries.gates
 }

@@ -67,6 +67,25 @@ object EmbeddingSearch {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Exact k-nearest-neighbor GRAPH: every corpus row is a query, top-k
+    * cosine neighbors each (self excluded), ties → smaller vec_id. The
+    * substrate for graph algorithms over embedding similarity —
+    * [[GraphOps.labelPropagate]] seeds spread over it, cluster keepers
+    * rank by it.
+    *
+    * This exact spelling is the small/medium-corpus baseline (and the
+    * oracle): all-pairs is inherently quadratic, so it is priced for
+    * corpora that fit a broadcast (≲10⁶ rows), same shape as
+    * [[bruteForceTopK]] with every row on the query side. At 100 TB the
+    * graph is approximate by necessity: restrict candidates to IVF
+    * cells ([[IvfIndex]] assignments, own + nearest neighbor cells) or
+    * LSH buckets ([[lshTopK]]'s bucketing) and run this same
+    * score+window inside each block — the [[SemDedup]] blocking
+    * pattern, corpus-linear per probe instead of quadratic.
+    */
+  def knnGraph(embs: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(embs, lit(true), k)
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bucket LSH. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

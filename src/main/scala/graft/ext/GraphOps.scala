@@ -79,4 +79,61 @@ object GraphOps {
     Seq(edges, deg).foreach(_.unpersist())
     out
   }
+
+  /** Synchronous label propagation over a DIRECTED edge list
+    * (src, dst) from clamped seed labels — the classic semi-supervised
+    * step downstream of a kNN graph ([[EmbeddingSearch.knnGraph]]) or a
+    * dup graph: a handful of labeled rows spread over the similarity
+    * structure so the unlabeled bulk inherits labels without a model.
+    * Pass both edge directions for undirected graphs.
+    *
+    * Deterministic by construction (the gate requirement): updates are
+    * synchronous (iteration i+1 sees only iteration i's labels), a
+    * node's new label is the argmax of its in-neighbors' label votes
+    * with ties broken by SMALLEST label, seeds are clamped (never
+    * re-voted — the Zhu/Ghahramani clamped variant), and a node with no
+    * labeled in-neighbor stays unlabeled this round. A fixed `iters`
+    * makes the result a pure function of (edges, seeds).
+    *
+    * Scale shape: each round is one src-keyed join (labels onto edges)
+    * and one (dst, label)-keyed partial+final count — edge-linear, both
+    * map-side combinable, no per-vertex driver state; the vote argmax
+    * is a groupBy max(struct(cnt, negLabelKey)) — no window over a
+    * skewable partition. Label frames localCheckpoint every round (they
+    * are node-sized), so lineage stays flat at high iteration counts —
+    * the [[pageRank]] discipline.
+    *
+    * `seeds`: (id, label). Returns (id, label) for every node that
+    * holds a label after `iters` rounds (seeds included; unreached
+    * nodes absent — left-join downstream if "null = unlabeled" rows are
+    * wanted).
+    */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val seed = seeds.select(col("id"), col("label")).persist()
+    var labels = seed
+    var i = 0
+    while (i < iters) {
+      val votes = e
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax(count), tie → min(label): two tiny aggs over the vote
+      // relation (max count per id, then min label among the maxima) —
+      // label stays an opaque orderable type, no struct-ordering trick
+      // that would pin it to a numeric encoding
+      val best = votes.groupBy("id").agg(max(col("c")).as("c"))
+      val winners = votes.join(best, Seq("id", "c"))
+        .groupBy("id").agg(min(col("label")).as("label"))
+      val next = seed.unionByName(
+        winners.join(seed.select("id"), Seq("id"), "left_anti"))
+        .localCheckpoint(true)
+      labels = next
+      i += 1
+    }
+    val out = labels.localCheckpoint(true)
+    Seq(e, seed).foreach(_.unpersist())
+    out
+  }
 }

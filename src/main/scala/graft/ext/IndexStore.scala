@@ -244,6 +244,49 @@ object IndexStore {
   def newSegmentName(): String =
     "seg-" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
+  /** Clone ONE PINNED VERSION of an index to a fresh root — the
+    * backup/restore and environment-promotion primitive (Delta CLONE's
+    * deep form): the destination is a fully independent index whose
+    * version-1 manifest lists exactly the pinned snapshot's lines, with
+    * its OWN incarnation, history, and GC lifecycle. Later mutations on
+    * either side are invisible to the other — no shared files.
+    *
+    * Cost is a file-level copy of the segment directories the pinned
+    * manifest references (live data only — compacted-away and
+    * GC-pending segments do not travel, and no query re-executes).
+    * Segment dirs copy WHOLE, so intra-segment sidecars outside the
+    * manifest's relation lines (id-Bloom filters, zone-map stats,
+    * tombstone scopes) arrive too. On an object store each segment file
+    * is a server-side copy; at 100 TB the copy parallelizes per file
+    * and is bounded by live bytes, never by history length.
+    *
+    * The caller pins `version` (and holds a lease when the copy may
+    * outlive the retention window — [[Takedown.cloneCorpus]] does);
+    * `dstRoot` must not already be an index root. Returns the
+    * destination's first committed version.
+    */
+  def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Long): Long = {
+    val snap = snapshotAt(spark, srcRoot, version)
+    val dfs = fsOf(spark, dstRoot)
+    require(manifest.latest(dfs, dstRoot).isEmpty,
+      s"cloneAt destination $dstRoot is already an index root")
+    val sfs = fsOf(spark, srcRoot)
+    val conf = spark.sessionState.newHadoopConf()
+    snap.lines.map(_.split("/").head).distinct.foreach { seg =>
+      val ok = org.apache.hadoop.fs.FileUtil.copy(
+        sfs, new Path(srcRoot, seg), dfs, new Path(dstRoot, seg),
+        false, true, conf)
+      require(ok, s"cloneAt: copying segment $seg to $dstRoot failed")
+    }
+    withLock(spark, dstRoot) {
+      val inc = ensureIncarnation(dfs, dstRoot)
+      val v = manifest.commit(dfs, dstRoot, snap.lines, "clone")
+      cachePut(dstRoot, inc, v, snap.lines)
+      v
+    }
+  }
+
   /** Distinct segments the CURRENT manifest references — the number of
     * per-relation unions a reader pays, i.e. the compaction-debt gauge.
     */

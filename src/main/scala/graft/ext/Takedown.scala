@@ -217,6 +217,37 @@ object Takedown {
       s"after $maxAttempts sweeps (sustained concurrent commits)")
   }
 
+  /** Clone the WHOLE corpus — store of record plus every derived
+    * index — to a new registry root at ONE consistent commit point:
+    * the disaster-recovery / environment-promotion flow ("stand up a
+    * staging copy of production as of now"). [[pinAll]] resolves the
+    * cross-surface version vector, TTL leases hold every pinned
+    * version against GC for the duration of the copy
+    * ([[withPinned]]), and each surface deep-clones via
+    * [[IndexStore.cloneAt]] into `dstRoot/<kind>-<surfaceId>`,
+    * registering under the destination registry as it lands.
+    *
+    * The clone is a fully independent corpus: fresh incarnations,
+    * fresh (version-1) histories, its own `_surfaces` registry —
+    * appends, takedowns, and GC on either side never touch the other.
+    * Pending retraction intents do NOT travel: the pinned vector is a
+    * pure read snapshot, and an un-applied intent belongs to the
+    * source's mutation stream, not the clone's state. Returns the
+    * destination surfaces paired with the SOURCE versions they were
+    * cloned from (the lineage record).
+    */
+  def cloneCorpus(spark: SparkSession, root: String,
+      dstRoot: String): Seq[(Surface, Long)] =
+    withPinned(spark, root) { vector =>
+      vector.map { case (s, v) =>
+        val dst = s"$dstRoot/${s.kind}-${surfaceId(s)}"
+        IndexStore.cloneAt(spark, s.path, dst, v)
+        val ns = Surface(s.kind, dst)
+        register(spark, dstRoot, ns)
+        ns -> v
+      }
+    }
+
   /** One maintenance sweep over every registered surface — the corpus
     * cron a production deployment runs: each surface whose segment
     * debt crossed `maxSegments` compacts (the family `maybeCompact`

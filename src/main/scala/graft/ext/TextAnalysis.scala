@@ -892,4 +892,106 @@ object TextAnalysis {
       .withColumn("chunk_text", concat_ws(" ", col("__chunk")))
       .drop("__toks", "__chunk")
   }
+
+  /** Paragraph-level EXACT dedup with document reconstruction — the
+    * C4/Gopher boilerplate scrub: across the whole corpus, every
+    * paragraph that occurs more than once keeps only its FIRST
+    * occurrence (smallest (doc id, paragraph index) — a total order, so
+    * the keeper election is deterministic) and every other copy is
+    * dropped; each document is then re-assembled from its surviving
+    * paragraphs in original order. This is the granularity whole-doc
+    * fingerprints miss: nav bars, cookie banners, and license footers
+    * repeat across millions of pages whose bodies are unique.
+    *
+    * `paras` carries one row per paragraph: (id, idx, para). Returns
+    * one row per document: (id, n_paras, kept_paras, clean_text) with
+    * clean_text = kept paragraphs joined by '\n' ('' when everything
+    * was scrubbed — the row survives so the caller sees the hollowing).
+    *
+    * Scale shape: the keeper election groups by a 128-bit paragraph
+    * hash carrying only (doc id, idx) — partial+final `min(struct)`
+    * aggregation, map-side combinable, so a boilerplate paragraph
+    * repeated 10⁹ times contributes one candidate per map partition
+    * instead of 10⁹ rows to one reducer. Paragraph TEXT shuffles
+    * exactly twice (the hash-keyed keep-flag join — where the hot hash
+    * is many paragraph rows against ONE keeper row, a plain hash join,
+    * no aggregation skew — and the doc-keyed reconstruction), never
+    * through a corpus-wide window partition.
+    */
+  def paragraphDedup(paras: DataFrame, id: Column, idx: Column,
+      para: Column): DataFrame = {
+    val p = paras.select(id.as("id"), idx.as("idx"), para.as("para"))
+      .withColumn("h", md5(col("para")))
+    val keepers = p.groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("k"))
+    val kept = p.join(keepers, "h")
+      .withColumn("keep",
+        col("id") === col("k.id") && col("idx") === col("k.idx"))
+    kept.groupBy("id").agg(
+      count(lit(1)).as("n_paras"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept_paras"),
+      // collect_list drops the null (scrubbed) slots; array_sort on
+      // struct(idx, para) restores document order
+      collect_list(when(col("keep"), struct(col("idx"), col("para"))))
+        .as("__kept"))
+      .select(col("id"), col("n_paras"), col("kept_paras"),
+        array_join(transform(array_sort(col("__kept")), s => s("para")),
+          "\n").as("clean_text"))
+  }
+
+  /** One named document-quality rule: `name` reports in the failure
+    * array, `fails` is any boolean Column over the document row
+    * (true = document FAILS the rule).
+    */
+  final case class QualityRule(name: String, fails: Column)
+
+  /** The Gopher-style heuristic rule bank (Rae et al. 2021 §A1.1's
+    * shape): hard document-quality predicates evaluated as ONE
+    * codegen'd projection inside the scan — no shuffle, no UDF — each
+    * document reporting exactly which rules it failed (the audit trail
+    * a filtering pipeline needs; a bare boolean can't explain a 40%
+    * corpus cut). Compose with [[qualityScore]] (soft scoring) and
+    * [[repetitionSignals]]: rules gate, scores rank.
+    *
+    * Returns the input row's `id` plus n_words, failed (the SORTED
+    * array of failed rule names — deterministic), and pass.
+    */
+  def qualityRules(docs: DataFrame, id: Column, text: Column,
+      rules: Seq[QualityRule]): DataFrame = {
+    val failed = array_sort(filter(
+      array(rules.map(r =>
+        when(r.fails, lit(r.name)).otherwise(lit(null))): _*),
+      x => x.isNotNull))
+    docs.select(id.as("id"),
+      size(tokens(text)).as("n_words"),
+      failed.as("failed"),
+      (size(failed) === 0).as("pass"))
+  }
+
+  /** The default rule bank: Gopher's published thresholds where the
+    * signal is computable from whitespace tokens (word count bounds,
+    * mean word length bounds, alphabetic-word ratio, stopword
+    * presence) plus a duplicate-fraction bound (the type-token form of
+    * the repetition family). Every predicate is also expressible in
+    * plain SQL — the oracle checks values, not just shapes.
+    */
+  def gopherRules(text: Column): Seq[QualityRule] = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val meanLen = aggregate(toks, lit(0), (a, t) => a + length(t))
+      .cast("double") / nWords
+    val alphaRatio = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / nWords
+    val nStop = size(filter(toks,
+      t => t.isin(Seq("the", "a", "of", "to", "and"): _*)))
+    val dupFrac = lit(1.0) -
+      size(array_distinct(toks)).cast("double") / nWords
+    Seq(
+      QualityRule("too_short", nWords < 50),
+      QualityRule("too_long", nWords > 100000),
+      QualityRule("word_length", meanLen < 3 || meanLen > 10),
+      QualityRule("alpha_ratio", alphaRatio < 0.8),
+      QualityRule("stopwords", nStop < 2),
+      QualityRule("dup_fraction", dupFrac > 0.8))
+  }
 }

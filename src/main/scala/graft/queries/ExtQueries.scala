@@ -3064,6 +3064,81 @@ object ExtQueries {
       |UNION ALL SELECT surface, qid, id FROM lt
       |ORDER BY surface, qid, id""".stripMargin
 
+  /** Cross-surface corpus CLONE ([[graft.ext.Takedown.cloneCorpus]]):
+    * store-of-record + BM25 surfaces register under one corpus root,
+    * the whole corpus deep-clones at one pinned commit point, and THEN
+    * a delivery lands on the SOURCE surfaces. The gate answers store
+    * reads and BM25 searches from the CLONE — which must reflect the
+    * pinned pre-delivery state, proving the copy is complete (every
+    * manifest relation plus intra-segment sidecars travel) and
+    * independent (post-clone source mutations are invisible). The
+    * oracle recomputes both surfaces from the pre-delivery corpus.
+    */
+  private def storeClone(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{CorpusStore, Takedown, TextSearch}
+    val docs = Tables.documents(s, d)
+    val root = graft.Gate.tmpDir("gate_clone_root_")
+    val storeDir = s"$root/store"
+    CorpusStore.build(docs.select("doc_id", "text"), col("doc_id"),
+      storeDir)
+    val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d),
+      "gate_clone_bm25_")
+    Takedown.register(s, root, Takedown.Surface("store", storeDir))
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
+    val cloneRoot = graft.Gate.tmpDir("gate_clone_dst_")
+    val byKind = Takedown.cloneCorpus(s, root, cloneRoot)
+      .map { case (sf, _) => sf.kind -> sf.path }.toMap
+    // the race: a delivery lands on BOTH source surfaces after the
+    // clone — text echoes the originals so an un-isolated clone's BM25
+    // would rank the impostors
+    val delivery = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" clone-race-delivery")).as("text"))
+    CorpusStore.append(s, storeDir, delivery, col("doc_id"))
+    TextSearch.appendDocs(s, bm25Dir, delivery, col("doc_id"), col("text"))
+    val bm = TextSearch.searchSaved(s, byKind("bm25"), bm25Queries(s, d),
+        col("qid"), col("qterms"), k = 5)
+      .select(lit("bm25").as("surface"), col("query_id").as("qid"),
+        col("id"))
+    val st = CorpusStore.read(s, byKind("store"))
+      .filter(col("id") >= 490)
+      .select(lit("store").as("surface"), lit(-1L).as("qid"), col("id"))
+    bm.unionByName(st).orderBy("surface", "qid", "id")
+  }
+
+  private val storeCloneSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents),
+      |tf AS (SELECT id, term, count(*) AS tf
+      |       FROM (SELECT id, unnest(toks) AS term FROM tok)
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |lex AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT id AS query_id,
+      |        unnest(list_distinct(toks[1:8])) AS term
+      |      FROM tok WHERE id < 8),
+      |sc AS (SELECT q.query_id, tf.id,
+      |         sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw
+      |       FROM q JOIN tf USING (term) JOIN lex USING (term)
+      |       JOIN dl ON dl.id = tf.id, st
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(score_raw, 6) DESC, id) AS INTEGER) AS rn
+      |      FROM sc),
+      |bm AS (SELECT 'bm25' AS surface, query_id AS qid, id
+      |       FROM r WHERE rn <= 5),
+      |sr AS (SELECT 'store' AS surface, CAST(-1 AS BIGINT) AS qid,
+      |              doc_id AS id
+      |       FROM documents WHERE doc_id >= 490)
+      |SELECT surface, qid, id FROM bm
+      |UNION ALL SELECT surface, qid, id FROM sr
+      |ORDER BY surface, qid, id""".stripMargin
+
   /** Zone-map data skipping on the corpus store ([[graft.ext
     * .CorpusStore.readRange]]): three deliveries land as three
     * segments with one-row min/max sidecars, some in-range ids are
@@ -4434,6 +4509,7 @@ object ExtQueries {
     Gate("q_ingest_probe", ingestProbe, Some(ingestProbeSql)),
     Gate("q_ingest_all", ingestAll, Some(ingestAllSql)),
     Gate("q_pinned_read", pinnedRead, Some(pinnedReadSql)),
+    Gate("q_store_clone", storeClone, Some(storeCloneSql)),
     Gate("q_selection_replay", selectionReplay, Some(selectionReplaySql)),
     Gate("q_stream_ingest_all", streamIngestAll, Some(streamIngestAllSql)),
     Gate("q_bm25_readd", bm25Readd, Some(bm25ReaddSql)),

@@ -271,4 +271,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup elects keepers by aggregate, never a " +
+      "paragraph-partitioned window") {
+    val p = plan("q_paragraph_dedup")
+    // the keeper election must be a partial+final min(struct) aggregate
+    // (map-side combinable — a 10⁹-copy boilerplate paragraph sends one
+    // candidate per map partition), not a window whose hot-hash
+    // partition lands on one reducer
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("quality rules evaluate as pure projection — no shuffle at all") {
+    val p = plan("q_quality_rules")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("knn graph broadcasts the query side and windows per query — " +
+      "never a global sort or cartesian") {
+    val p = plan("q_knn_graph")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    // ranking is a per-query-partition window, not a global TopK sort
+    assert(p.contains("Window"), p)
+  }
+
 }

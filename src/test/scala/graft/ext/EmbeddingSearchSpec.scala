@@ -62,4 +62,25 @@ class EmbeddingSearchSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSeq
     assert(plain == Seq((1, 0L), (2, 1L)))
   }
+
+  test("knnGraph: every row gets k neighbors, equal to per-query topk") {
+    val embs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val g = EmbeddingSearch.knnGraph(embs, k = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    // 5 nodes × 2 neighbors
+    assert(g.size === 10)
+    // node 0's nearest is 1 (cos≈0.994), then 4 (cos≈0.707)
+    assert(g.filter(_._1 == 0L).map(t => (t._2, t._3)) ===
+      Seq((1, 1L), (2, 4L)))
+    // graph rows match the single-query brute force for each node
+    val solo = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") === 2L,
+        k = 2).select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(g.filter(_._1 == 2L) === solo)
+  }
 }

@@ -53,4 +53,49 @@ class GraphOpsSpec extends SparkSpec {
       assert(math.abs(eager(id) - rank) < 1e-5)
     }
   }
+
+  // ---- label propagation ----
+
+  private def lp(edges: Seq[(Long, Long)], seeds: Seq[(Long, Int)],
+      iters: Int): Map[Long, Int] = {
+    val sym = edges ++ edges.map(_.swap)
+    GraphOps.labelPropagate(sym.toDF("src", "dst"),
+        seeds.toDF("id", "label"), iters)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("labelPropagate spreads a seed down a path one hop per round") {
+    // 1 — 2 — 3 — 4, seed at 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val seeds = Seq((1L, 7))
+    assert(lp(edges, seeds, 1) === Map(1L -> 7, 2L -> 7))
+    assert(lp(edges, seeds, 2) === Map(1L -> 7, 2L -> 7, 3L -> 7))
+    assert(lp(edges, seeds, 3) ===
+      Map(1L -> 7, 2L -> 7, 3L -> 7, 4L -> 7))
+  }
+
+  test("labelPropagate: majority vote wins, ties break to smaller label") {
+    // node 0 hears label 5 from two neighbors, label 9 from one
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L))
+    val seeds = Seq((1L, 5), (2L, 5), (3L, 9))
+    assert(lp(edges.flatMap(e => Seq(e)), seeds, 1)(0L) === 5)
+    // exact tie (one vote each) → smaller label
+    val tied = lp(Seq((1L, 0L), (3L, 0L)), Seq((1L, 5), (3L, 9)), 1)
+    assert(tied(0L) === 5)
+  }
+
+  test("labelPropagate clamps seeds against neighborhood pressure") {
+    // seed 1 (label 9) surrounded by three label-2 seeds: stays 9
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L))
+    val seeds = Seq((1L, 9), (2L, 2), (3L, 2), (4L, 2))
+    val r = lp(edges, seeds, 3)
+    assert(r(1L) === 9)
+    assert(Seq(2L, 3L, 4L).forall(r(_) === 2))
+  }
+
+  test("labelPropagate leaves unreachable nodes unlabeled") {
+    val edges = Seq((1L, 2L), (3L, 4L)) // two components, seed in one
+    val r = lp(edges, Seq((1L, 1)), 5)
+    assert(!r.contains(3L) && !r.contains(4L))
+  }
 }

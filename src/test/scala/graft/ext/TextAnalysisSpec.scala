@@ -274,4 +274,71 @@ class TextAnalysisSpec extends SparkSpec {
     // all params are tracking -> no '?'
     assert(c("https://site.com/x?utm_a=1&utm_b=2") == "https://site.com/x")
   }
+
+  // ---- paragraph-level exact dedup ----
+
+  private def paraDedup(rows: Seq[(Long, Int, String)]) =
+    TextAnalysis.paragraphDedup(rows.toDF("id", "idx", "para"),
+        col("id"), col("idx"), col("para"))
+      .orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("paragraphDedup keeps only the first occurrence corpus-wide") {
+    val r = paraDedup(Seq(
+      (1L, 0, "unique one"), (1L, 1, "footer"),
+      (2L, 0, "unique two"), (2L, 1, "footer"),
+      (3L, 0, "footer"), (3L, 1, "unique three")))
+    assert(r === Seq(
+      (1L, 2L, 2L, "unique one\nfooter"),
+      (2L, 2L, 1L, "unique two"),
+      (3L, 2L, 1L, "unique three")))
+  }
+
+  test("paragraphDedup: first occurrence is (doc, idx)-ordered, " +
+      "reconstruction preserves in-doc order") {
+    val r = paraDedup(Seq(
+      // doc 1 repeats the same para at idx 0 and 2: idx 0 wins
+      (1L, 0, "dup"), (1L, 1, "mid"), (1L, 2, "dup"),
+      (2L, 0, "dup")))
+    assert(r === Seq(
+      (1L, 3L, 2L, "dup\nmid"),
+      (2L, 1L, 0L, "")))
+  }
+
+  test("paragraphDedup on all-unique input is the identity") {
+    val r = paraDedup(Seq(
+      (1L, 0, "a"), (1L, 1, "b"), (2L, 0, "c")))
+    assert(r === Seq((1L, 2L, 2L, "a\nb"), (2L, 1L, 1L, "c")))
+  }
+
+  // ---- Gopher-style quality rule bank ----
+
+  test("qualityRules reports exactly the failed rules, sorted") {
+    val docs = Seq(
+      // long enough, varied, alphabetic, stopworded → passes
+      (1L, ("the quick brown fox jumps over a lazy dog near the " +
+        "riverbank and of course to everyone watching it keeps " +
+        "going with fresh words every time no repeats here at all " +
+        "plus extra filler tokens that stay varied and readable " +
+        "through the whole passage onwards while clouds drift past " +
+        "distant hills where small birds gather before evening " +
+        "falls gently across quiet fields full of ripened grain")),
+      // short + no stopwords + numeric tokens
+      (2L, "123 456 789"),
+      // heavy repetition of one word (dup_fraction + too_short)
+      (3L, Seq.fill(40)("spam").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityRules(docs, col("doc_id"), col("text"),
+        TextAnalysis.gopherRules(col("text")))
+      .orderBy("id")
+      .select("id", "failed", "pass")
+      .as[(Long, Seq[String], Boolean)].collect().toSeq
+    assert(r(0) === ((1L, Seq.empty[String], true)))
+    assert(r(1)._2.contains("too_short"))
+    assert(r(1)._2.contains("alpha_ratio"))
+    assert(r(1)._2.contains("stopwords"))
+    assert(!r(1)._3)
+    assert(r(2)._2.contains("dup_fraction"))
+    assert(r(2)._2 === r(2)._2.sorted)
+  }
 }
