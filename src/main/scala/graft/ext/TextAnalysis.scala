@@ -526,6 +526,59 @@ object TextAnalysis {
     syms.toSeq
   }
 
+  /** WordPiece segmentation — the OTHER production tokenizer inference
+    * scheme beside BPE ([[bpeSegment]]): greedy longest-match-first
+    * against a fixed vocabulary (the BERT tokenizer's algorithm). At
+    * each position the LONGEST vocab piece matching the remaining word
+    * wins; pieces after the first carry the `##` continuation prefix;
+    * a position with no match makes the whole word `[UNK]` (vocabs
+    * containing every single character never hit it).
+    *
+    * Same shape as [[bpeSegment]]: the corpus is touched once (the
+    * word-count aggregation), the vocabulary broadcasts as a hash set
+    * (30k pieces ≈ a few hundred KB), and each DISTINCT word segments
+    * in a `mapPartitions` loop — vocab-bounded work, two-node plan
+    * regardless of vocabulary size, apply time flat in vocab count
+    * (hash lookups bounded by max piece length). Returns
+    * (w, cnt, pieces).
+    */
+  def wordpieceSegment(docs: DataFrame, text: Column,
+      vocab: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val maxLen = vocab.map(p => p.stripPrefix("##").length)
+      .foldLeft(1)(math.max)
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    words.as[(String, Long)].mapPartitions { it =>
+      val v = bc.value
+      it.map { case (w, cnt) => (w, cnt, wordpieceWord(w, v, maxLen)) }
+    }.toDF("w", "cnt", "pieces")
+  }
+
+  /** One word's greedy longest-match WordPiece segmentation. */
+  private def wordpieceWord(w: String, vocab: Set[String],
+      maxLen: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      var l = math.min(maxLen, w.length - pos)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val raw = w.substring(pos, pos + l)
+        val cand = if (pos == 0) raw else "##" + raw
+        if (vocab.contains(cand)) hit = cand
+        l -= 1
+      }
+      if (hit == null) return Seq("[UNK]")
+      out += hit
+      pos += hit.stripPrefix("##").length
+    }
+    out.result()
+  }
+
   /** Winnowing document fingerprints (the rolling-hash scheme of MOSS):
     * hash every character k-gram, then keep the minimum hash of each
     * sliding window of `w` consecutive k-gram hashes. Guarantees any

@@ -190,6 +190,127 @@ object GraphTextQueries {
       |                           chr(10) ORDER BY idx), '') AS clean_text
       |FROM marked GROUP BY id ORDER BY id""".stripMargin
 
+  // ---- incremental paragraph-dedup registry ----
+
+  /** [[graft.ext.ParagraphIndex]]: the registry is built from the
+    * first 400 documents' paragraphs, then the remaining documents
+    * arrive as a delivery and scrub against everything seen — without
+    * re-reading the base corpus. Because the keeper election is an
+    * associative `min(struct(id, idx))` and ids grow with arrival
+    * order, the incremental result must equal a from-scratch global
+    * [[TextAnalysis.paragraphDedup]] restricted to the delivery's
+    * documents — which is exactly what the oracle computes (the full
+    * marked CTE, filtered to id ≥ 400).
+    */
+  private def paragraphDedupInc(s: SparkSession, d: String): DataFrame = {
+    val all = paraCorpus(s, d)
+    val root = graft.Gate.tmpDir("gate_para_idx_") + "/ix"
+    graft.ext.ParagraphIndex.build(all.filter(col("id") < 400),
+      col("id"), col("idx"), col("para"), root)
+    graft.ext.ParagraphIndex.ingestBatch(s, root,
+      all.filter(col("id") >= 400), col("id"), col("idx"), col("para"))
+      .orderBy("id")
+  }
+
+  private val paragraphDedupIncSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |             FROM documents),
+      |p0 AS (SELECT id, list_append(
+      |         list_transform(range(CAST(ceil(len(toks) / 25.0) AS INT)),
+      |           i -> array_to_string(toks[i*25+1 : i*25+25], ' ')),
+      |         'subscribe to our newsletter edition ' || (id % 3)) AS paras
+      |       FROM tok),
+      |paras AS (SELECT id, r['i'] AS idx, r['p'] AS para
+      |          FROM p0, unnest(list_transform(range(len(paras)),
+      |            i -> {'i': i, 'p': paras[i+1]})) AS t(r)),
+      |marked AS (SELECT id, idx, para,
+      |             row_number() OVER (PARTITION BY para
+      |                                ORDER BY id, idx) AS rn
+      |           FROM paras)
+      |SELECT id,
+      |       count(*) AS n_paras,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS kept_paras,
+      |       coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+      |                           chr(10) ORDER BY idx), '') AS clean_text
+      |FROM marked WHERE id >= 400 GROUP BY id ORDER BY id""".stripMargin
+
+  // ---- WordPiece greedy longest-match segmentation ----
+
+  /** [[graft.ext.TextAnalysis.wordpieceSegment]] under a corpus-derived
+    * vocabulary (all single characters in both positions, the 10 most
+    * frequent words whole, the next 10's 4-char prefixes and ##
+    * 4-char suffixes — every rule relational, so the oracle rebuilds
+    * the identical vocab). The oracle then replays greedy
+    * longest-match-first EXACTLY: a non-recursive (word, position) →
+    * longest-matching-piece table (argmax by length over the vocab
+    * join), and a recursive CTE that walks each word through it —
+    * every piece of every segmentation value-checked, the q_bpe_large
+    * pattern applied to the other production tokenizer family.
+    */
+  private def wordpieceApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = words.orderBy(col("cnt").desc, col("w")).limit(20)
+      .as[(String, Long)].collect()
+    val (topWhole, donors) = top.map(_._1).splitAt(10)
+    val chars = words.select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct().as[String].collect()
+    val vocab = (chars.toSeq.flatMap(c => Seq(c, "##" + c)) ++
+      topWhole ++ donors.map(_.take(4)) ++
+      donors.map(w => "##" + w.takeRight(4))).distinct
+    TextAnalysis.wordpieceSegment(docs, col("text"), vocab)
+      .select(col("w"), col("cnt"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+      .orderBy("w")
+  }
+
+  private val wordpieceApplySql =
+    """WITH RECURSIVE tok AS (SELECT
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |words AS (SELECT w, count(*) AS cnt
+      |          FROM (SELECT unnest(toks) AS w FROM tok)
+      |          WHERE w <> '' GROUP BY w),
+      |top20 AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+      |          FROM words QUALIFY rk <= 20),
+      |chars AS (SELECT DISTINCT substr(w, ci + 1, 1) AS c
+      |          FROM (SELECT w, unnest(range(length(w))) AS ci FROM words)),
+      |vocab AS (
+      |  SELECT c AS piece, false AS cont, c AS raw FROM chars
+      |  UNION SELECT '##' || c, true, c FROM chars
+      |  UNION SELECT w, false, w FROM top20 WHERE rk <= 10
+      |  UNION SELECT left(w, 4), false, left(w, 4) FROM top20
+      |    WHERE rk > 10
+      |  UNION SELECT '##' || right(w, 4), true, right(w, 4) FROM top20
+      |    WHERE rk > 10),
+      |positions AS (SELECT w, p0 + 1 AS pos
+      |  FROM (SELECT w, unnest(range(length(w))) AS p0 FROM words)),
+      |matches AS (SELECT p.w, p.pos, v.piece, length(v.raw) AS len
+      |  FROM positions p JOIN vocab v
+      |    ON v.cont = (p.pos > 1)
+      |   AND substr(p.w, p.pos, length(v.raw)) = v.raw),
+      |best AS (SELECT w, pos, piece, len FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY w, pos
+      |      ORDER BY len DESC, piece) AS rn FROM matches)
+      |  WHERE rn = 1),
+      |seg AS (
+      |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS pieces FROM words
+      |  UNION ALL
+      |  SELECT s.w, s.pos + b.len, s.pieces || ' ' || b.piece
+      |  FROM seg s JOIN best b ON b.w = s.w AND b.pos = s.pos
+      |  WHERE s.pos <= length(s.w)),
+      |done AS (SELECT w, trim(pieces) AS pieces_str FROM seg
+      |         WHERE pos = length(w) + 1)
+      |SELECT wo.w, wo.cnt, coalesce(d.pieces_str, '[UNK]') AS pieces_str
+      |FROM words wo LEFT JOIN done d ON d.w = wo.w
+      |ORDER BY wo.w""".stripMargin
+
   // ---- Gopher-style quality rule bank ----
 
   /** [[graft.ext.TextAnalysis.qualityRules]] with the default Gopher
@@ -241,6 +362,9 @@ object GraphTextQueries {
     Gate("q_knn_graph_blocked", knnGraphBlocked, Some(knnGraphBlockedSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
+    Gate("q_paragraph_dedup_inc", paragraphDedupInc,
+      Some(paragraphDedupIncSql)),
+    Gate("q_wordpiece_apply", wordpieceApply, Some(wordpieceApplySql)),
     Gate("q_quality_rules", qualityRules, Some(qualityRulesSql)),
   )
 }

@@ -311,6 +311,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r === Seq((1L, 2L, 2L, "a\nb"), (2L, 1L, 1L, "c")))
   }
 
+  // ---- WordPiece greedy longest-match segmentation ----
+
+  private def wp(text: String, vocab: Seq[String]): Map[String, Seq[String]] =
+    TextAnalysis.wordpieceSegment(Seq(text).toDF("t"), col("t"), vocab)
+      .select("w", "pieces").as[(String, Seq[String])].collect().toMap
+
+  test("wordpiece: longest match wins at every position") {
+    val vocab = Seq("un", "uncle", "##c", "##l", "##e", "##an",
+      "u", "n", "c", "l", "e", "a")
+    // "unclean": longest pos-0 match is "uncle", then "##an"
+    assert(wp("unclean", vocab)("unclean") === Seq("uncle", "##an"))
+    // "uncle" matches whole
+    assert(wp("uncle", vocab)("uncle") === Seq("uncle"))
+  }
+
+  test("wordpiece: continuation pieces only after the first position") {
+    // "an" exists only as ##an: at pos 0 it must NOT match, so the word
+    // segments through single chars (a exists plain, n only as char)
+    val vocab = Seq("##an", "a", "##n")
+    assert(wp("an", vocab)("an") === Seq("a", "##n"))
+  }
+
+  test("wordpiece: a position with no match yields [UNK]") {
+    val vocab = Seq("a", "##b") // 'z' is uncovered
+    assert(wp("az", vocab)("az") === Seq("[UNK]"))
+    assert(wp("za", vocab)("za") === Seq("[UNK]"))
+  }
+
+  test("wordpiece: char-complete vocab never UNKs; pieces respell " +
+      "the word") {
+    val vocab = ("abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      "abcdefghijklmnopqrstuvwxyz".map(c => s"##$c") ++
+      Seq("tab", "##le")).toSeq
+    val r = wp("table tables", vocab)
+    assert(r("table") === Seq("tab", "##le"))
+    assert(r("tables") === Seq("tab", "##le", "##s"))
+    r.values.foreach { pieces =>
+      assert(!pieces.contains("[UNK]"))
+    }
+  }
+
   // ---- Gopher-style quality rule bank ----
 
   test("qualityRules reports exactly the failed rules, sorted") {
