@@ -244,7 +244,8 @@ object Bench {
     "q_literal_common", "q_takedown", "q_stream_takedown",
     "q_bm25_readd", "q_ivf_readd", "q_stream_kmv", "q_takedown_store",
     "q_pinned_read", "q_ingest_all", "q_stream_ingest_all",
-    "q_selection_replay", "q_store_skip", "q_store_clone")
+    "q_selection_replay", "q_store_skip", "q_store_clone",
+    "q_stream_paragraph", "q_paragraph_dedup_inc")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -284,6 +285,6 @@ object Bench {
     // label propagation), corpus hygiene (paragraph dedup, rule bank),
     // and the pinned cross-surface corpus clone
     "q_knn_graph", "q_knn_graph_blocked", "q_label_prop",
-    "q_paragraph_dedup", "q_paragraph_dedup_inc", "q_wordpiece_apply",
-    "q_quality_rules", "q_store_clone")
+    "q_paragraph_dedup", "q_paragraph_dedup_inc", "q_stream_paragraph",
+    "q_wordpiece_apply", "q_quality_rules", "q_store_clone")
 }

@@ -236,6 +236,47 @@ object GraphTextQueries {
       |                           chr(10) ORDER BY idx), '') AS clean_text
       |FROM marked WHERE id >= 400 GROUP BY id ORDER BY id""".stripMargin
 
+  /** The streaming twin of [[paragraphDedupInc]] — the crawl-ingest
+    * loop as it actually runs: deliveries tail in as a file stream and
+    * each micro-batch scrubs-then-registers under `foreachBatch` ×
+    * [[graft.ext.ParagraphIndex.ingestBatch]]. Deliveries are id-range
+    * split (files process oldest-first), preserving the
+    * ids-grow-with-arrival invariant the min-law composition needs, so
+    * the two-batch drain is batch-boundary-invariant and the SAME
+    * from-scratch oracle as the incremental gate scores it.
+    */
+  private def streamParagraph(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.ParagraphIndex
+    val all = paraCorpus(s, d)
+    val root = graft.Gate.tmpDir("gate_spara_root_") + "/ix"
+    ParagraphIndex.build(all.filter(col("id") < 400),
+      col("id"), col("idx"), col("para"), root)
+    val in = graft.Gate.tmpDir("gate_spara_in_")
+    val ckpt = graft.Gate.tmpDir("gate_spara_ck_")
+    val out = graft.Gate.tmpDir("gate_spara_out_")
+    all.filter(col("id") >= 400 && col("id") < 450).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    all.filter(col("id") >= 450).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream
+      .schema("id LONG, idx INT, para STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ParagraphIndex.ingestBatch(s, root, batch,
+            col("id"), col("idx"), col("para"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/b-$bid")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .orderBy("id")
+  }
+
   // ---- WordPiece greedy longest-match segmentation ----
 
   /** [[graft.ext.TextAnalysis.wordpieceSegment]] under a corpus-derived
@@ -363,6 +404,8 @@ object GraphTextQueries {
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     Gate("q_paragraph_dedup_inc", paragraphDedupInc,
+      Some(paragraphDedupIncSql)),
+    Gate("q_stream_paragraph", streamParagraph,
       Some(paragraphDedupIncSql)),
     Gate("q_wordpiece_apply", wordpieceApply, Some(wordpieceApplySql)),
     Gate("q_quality_rules", qualityRules, Some(qualityRulesSql)),
