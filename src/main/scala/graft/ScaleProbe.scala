@@ -111,7 +111,11 @@ object ScaleProbe {
     // presence probes — the only corpus-proportional bytes it touches
     // are the segment blooms, so the ratio should sit far below the
     // data factor)
-    "q_ingest_probe")
+    "q_ingest_probe",
+    // round-9 third wave: hot-key-immune paragraph keeper election
+    // (map-side-combined min(struct); boilerplate duplication depth
+    // must not reach any reducer) and its incremental-registry twin
+    "q_paragraph_dedup", "q_paragraph_dedup_inc")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
