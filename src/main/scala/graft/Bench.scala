@@ -151,8 +151,9 @@ object Bench {
     // round-9 additions: the round-8 heavy families, so round-over-round
     // comparisons cover the new surface
     "q_takedown", "q_literal_common", "q_video_dup", "q_nb_classify",
-    // round 9: the multi-surface ingest mirror
-    "q_ingest_all")
+    // round 9: the multi-surface ingest mirror and the CDC-driven
+    // surface-maintenance composition
+    "q_ingest_all", "q_cdc_maintain")
 
   /** Run one gate in a fresh JVM (same flags and classpath as this one,
     * via RuntimeMXBean) and return its WARM timing — the child runs the

@@ -291,7 +291,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("knn graph broadcasts the query side and windows per query — " +
       "never a global sort or cartesian") {
-    val p = plan("q_knn_graph")
+    // the gate itself reads the memoized shared graph; pin the
+    // OPERATOR's plan directly
+    val p = graft.ext.EmbeddingSearch.knnGraph(
+        graft.Tables.embeddings(spark, d), k = 3)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") ||
       p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
