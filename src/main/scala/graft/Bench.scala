@@ -246,7 +246,7 @@ object Bench {
     "q_bm25_readd", "q_ivf_readd", "q_stream_kmv", "q_takedown_store",
     "q_pinned_read", "q_ingest_all", "q_stream_ingest_all",
     "q_selection_replay", "q_store_skip", "q_store_clone",
-    "q_stream_paragraph", "q_paragraph_dedup_inc")
+    "q_stream_paragraph", "q_paragraph_dedup_inc", "q_nn_descent")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -285,7 +285,7 @@ object Bench {
     // round-9 fourth wave: graph composition (exact + blocked kNN,
     // label propagation), corpus hygiene (paragraph dedup, rule bank),
     // and the pinned cross-surface corpus clone
-    "q_knn_graph", "q_knn_graph_blocked", "q_label_prop",
+    "q_knn_graph", "q_knn_graph_blocked", "q_nn_descent", "q_label_prop",
     "q_paragraph_dedup", "q_paragraph_dedup_inc", "q_stream_paragraph",
     "q_wordpiece_apply", "q_quality_rules", "q_store_clone")
 }

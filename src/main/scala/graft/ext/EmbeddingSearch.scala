@@ -86,6 +86,96 @@ object EmbeddingSearch {
   def knnGraph(embs: DataFrame, k: Int): DataFrame =
     bruteForceTopK(embs, lit(true), k)
 
+  /** NN-Descent (Dong et al., WWW'11): the APPROXIMATE kNN graph built
+    * WITHOUT any quantizer or bucketing — start from an arbitrary
+    * k-regular graph and repeatedly improve it through the one
+    * observation that makes the algorithm work: *a neighbor of a
+    * neighbor is likely a neighbor*. Each round expands every node's
+    * candidate set to its current neighbors' neighbors (both
+    * directions), scores the candidates exactly, and keeps the top-k.
+    * This is the cell-free scale path for graph construction at
+    * 100 TB — no trained structure, cost per round n·k² candidate
+    * scorings (corpus-LINEAR, never all-pairs), and the candidate
+    * expansion is two self-joins of a (node, neighbor) edge list on
+    * the shared node — plain shuffle-parallel equi-joins.
+    *
+    * Deterministic by construction: the seed graph is the id-ring
+    * (node i's initial neighbors are the next k ids in id order — no
+    * RNG), candidate scoring reuses the sequential-fold [[dot]], and
+    * ranking ties break to the smaller neighbor id. Per-round
+    * localCheckpoint keeps the iteration lineage flat ([[GraphOps]]
+    * discipline). Returns (query_id, neighbor_id, cos, rank) like
+    * [[knnGraph]]; recall against the exact graph rises with rounds.
+    * Tuning honesty: convergence speed depends on LOCAL STRUCTURE —
+    * on clustered real-world embeddings small k and 2–3 rounds
+    * suffice (Dong et al.), while near-uniform random vectors (this
+    * repo's synthetic worst case) need a wide descent (internal
+    * k ≈ 32) to reach 90%+ top-3 recall; the gate runs wide and ranks
+    * the top-3 afterwards. EmbeddingSearchSpec pins exactness on
+    * clustered data and round-over-round improvement.
+    */
+  def nnDescent(embs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = prepared(embs).persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // id-ring seed: node i → the next k ids in id order (wrapping) —
+    // no RNG, connected by construction (expansion can reach the whole
+    // graph), and the rank is the distributed two-pass prefix sum
+    // ([[DataOps.globalRanks]]), never a single-partition window
+    val ids = DataOps.globalRanks(
+        e.select(col("vec_id").as("id"), col("vec_id").as("score")))
+      .select(col("id").as("vec_id"), col("rank").as("rk"), col("__n"))
+    val ring = ids
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("nrk", (col("rk") - 1 + col("j")) % col("__n") + 1)
+      .join(ids.select(col("rk").as("nrk"),
+        col("vec_id").as("neighbor_id")), "nrk")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("query_id"), col("neighbor_id"))
+    var graph = scoreAndRank(e, ring, w, k).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val edges = graph.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      val undirected = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      // neighbor-of-neighbor expansion: src —x— cand for every shared x
+      val expanded = undirected.as("l")
+        .join(undirected.as("r"), col("l.dst") === col("r.src"))
+        .select(col("l.src").as("query_id"),
+          col("r.dst").as("neighbor_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .unionByName(edges.select(col("src").as("query_id"),
+          col("dst").as("neighbor_id")))
+        .distinct()
+      graph = scoreAndRank(e, expanded, w, k).localCheckpoint(true)
+      i += 1
+    }
+    e.unpersist()
+    graph
+  }
+
+  /** Score a candidate edge list exactly and keep each node's top-k —
+    * the shared half of [[nnDescent]]'s seed and refinement rounds.
+    * Joins are id-keyed equi-joins; the window partitions by query
+    * (per-node candidate sets are k²-bounded, no skew).
+    */
+  private def scoreAndRank(e: DataFrame, cand: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      k: Int): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("nrm")), "neighbor_id")
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bucket LSH. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -93,6 +93,44 @@ object GraphTextQueries {
   private val knnGraphBlockedSql =
     """SELECT count(*) AS n_nodes, true AS graph_ok FROM embeddings"""
 
+  // ---- NN-Descent: quantizer-free approximate kNN graph ----
+
+  /** [[graft.ext.EmbeddingSearch.nnDescent]] from the deterministic
+    * id-ring seed: descend with internal k=32 for 5 rounds, rank the
+    * top-3. Data-dependent like the IVF gate, so the checkable
+    * contract is again graph recall vs the memoized exact graph — the
+    * floor (≥80% of nodes recover ≥1 of their true top-3) is the same
+    * as q_knn_graph_blocked's, letting the two scale paths (trained
+    * cells vs descent rounds) be read side by side. Measured 94–100%
+    * across the SFs. The near-random test embeddings are NN-Descent's
+    * WORST case (neighbor-of-neighbor correlation needs local
+    * structure): internal k=3 converged to only ~10% recall, which is
+    * why the descent runs wide (k=32) and deep (5 rounds) here —
+    * clustered real-world embeddings converge in 2–3 rounds at small k
+    * (Dong et al. report ~90%+ on real datasets with k·iters an order
+    * of magnitude lower).
+    */
+  private def nnDescentGate(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val ann = EmbeddingSearch.nnDescent(embs, k = 32, iters = 5)
+      .filter(col("rank") <= 3)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    embs.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_nodes"),
+        (col("n_ok") >= col("n_nodes") * 0.8).as("graph_ok"))
+  }
+
+  private val nnDescentSql =
+    """SELECT count(*) AS n_nodes, true AS graph_ok FROM embeddings"""
+
   // ---- label propagation over the kNN graph ----
 
   /** [[graft.ext.GraphOps.labelPropagate]] on the symmetrized kNN
@@ -413,6 +451,7 @@ object GraphTextQueries {
   val gates: Seq[Gate] = Seq(
     Gate("q_knn_graph", knnGraph, Some(knnGraphSql)),
     Gate("q_knn_graph_blocked", knnGraphBlocked, Some(knnGraphBlockedSql)),
+    Gate("q_nn_descent", nnDescentGate, Some(nnDescentSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     Gate("q_paragraph_dedup_inc", paragraphDedupInc,

@@ -83,4 +83,50 @@ class EmbeddingSearchSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSeq.sorted
     assert(g.filter(_._1 == 2L) === solo)
   }
+
+  // ---- NN-Descent ----
+
+  /** Two tight clusters: NN-Descent's favorable case — the
+    * neighbor-of-neighbor property holds strongly, so a couple of
+    * rounds from the id-ring seed (which connects ACROSS clusters,
+    * the worst seed) must land on the exact graph.
+    */
+  private def clustered = (0 until 12).map { i =>
+    val base = if (i % 2 == 0) Array(10f, 0f, 0f) else Array(0f, 10f, 0f)
+    // ids interleave clusters so the ring seed is maximally wrong
+    (i.toLong, base.zipWithIndex.map { case (v, j) =>
+      v + (if (j == 2) i * 0.01f else 0f) })
+  }.toDF("vec_id", "embedding")
+
+  test("nnDescent converges to the exact graph on clustered data") {
+    val exact = EmbeddingSearch.knnGraph(clustered, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val nd = EmbeddingSearch.nnDescent(clustered, k = 3, iters = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(nd === exact)
+  }
+
+  test("nnDescent recall never falls as rounds increase") {
+    val exact = EmbeddingSearch.knnGraph(clustered, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(iters: Int): Int =
+      EmbeddingSearch.nnDescent(clustered, k = 3, iters = iters)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(exact)
+    val r = Seq(0, 1, 2, 3).map(recall)
+    assert(r === r.sorted, s"recall per round: $r")
+    assert(r.last === exact.size)
+  }
+
+  test("nnDescent output schema and self-exclusion match knnGraph") {
+    val nd = EmbeddingSearch.nnDescent(clustered, k = 2, iters = 1)
+    assert(nd.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "cos", "rank"))
+    val rows = nd.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(rows.forall { case (q, nb) => q != nb })
+    assert(rows.groupBy(_._1).forall(_._2.length == 2))
+  }
 }
