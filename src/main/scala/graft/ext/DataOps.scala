@@ -653,4 +653,34 @@ object DataOps {
       .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
         kth.cast("double"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala
+    * '07) — the privacy gate a dataset release runs BEFORE a takedown
+    * flow is ever needed: group rows into equivalence classes by
+    * their quasi-identifier columns and report, per class, its size
+    * (re-identification risk: a class smaller than `k` pins an
+    * individual to ≤ k candidates) and the number of DISTINCT
+    * sensitive values (a class where everyone shares one sensitive
+    * value leaks it even at large k — l-diversity). Returns one row
+    * per class: (quasi..., class_size, l_distinct, k_anonymous,
+    * l_diverse).
+    *
+    * Shape: one partial+final hash aggregate over the quasi columns —
+    * the exact COUNT(DISTINCT sensitive) plans Spark's Expand (×2 row
+    * duplication pre-shuffle), correct for an audit that must not
+    * approximate; swap the sensitive count for a KMV/HLL sketch when
+    * screening at 100 TB and re-run exactly on the failures.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+      k: Int, l: Int): DataFrame = {
+    val names = quasi.indices.map(i => s"q$i")
+    val keyed = df.select(
+      quasi.zip(names).map { case (c, n) => c.as(n) } :+
+        sensitive.as("__sens"): _*)
+    keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("__sens")).as("l_distinct"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("l_distinct") >= l)
+  }
 }

@@ -310,6 +310,33 @@ object DataOpsQueries {
         lit(" or call +1 415-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("planted"))
 
+  /** k-anonymity / l-diversity release audit
+    * ([[graft.ext.DataOps.kAnonymity]]) over the customer table:
+    * quasi-identifiers (nation, market segment), sensitive attribute =
+    * the account-balance sign band. Every class size, distinct-count,
+    * and verdict value-checked relationally.
+    */
+  private def kAnonymity(s: SparkSession, d: String): DataFrame =
+    graft.ext.DataOps.kAnonymity(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        when(col("c_acctbal") < 0, "neg").otherwise("pos"),
+        k = 8, l = 2)
+      .select(col("q0").as("nation"), col("q1").as("segment"),
+        col("class_size"), col("l_distinct"),
+        col("k_anonymous"), col("l_diverse"))
+      .orderBy("nation", "segment")
+
+  private val kAnonymitySql =
+    """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |       count(*) AS class_size,
+      |       count(DISTINCT CASE WHEN c_acctbal < 0
+      |         THEN 'neg' ELSE 'pos' END) AS l_distinct,
+      |       count(*) >= 8 AS k_anonymous,
+      |       count(DISTINCT CASE WHEN c_acctbal < 0
+      |         THEN 'neg' ELSE 'pos' END) >= 2 AS l_diverse
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def piiScrub(s: SparkSession, d: String): DataFrame =
     plantedSpark(s, d)
       .select(col("doc_id"),
@@ -859,6 +886,7 @@ object DataOpsQueries {
     Gate("q_dup_clusters_inc", dupClustersInc, Some(dupClustersStarSql)),
     Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Gate("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     Gate("q_repetition", repetition, Some(repetitionSql)),
   )
 }

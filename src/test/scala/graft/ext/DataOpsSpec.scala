@@ -319,4 +319,24 @@ class DataOpsSpec extends SparkSpec {
     // floor((rk-1)*3/10): ranks 1-4 -> 0, 5-7 -> 1, 8-10 -> 2
     assert(b == Map(0 -> 4L, 1 -> 3L, 2 -> 3L))
   }
+
+  test("k-anonymity: class sizes, sensitive diversity, both verdicts") {
+    val rows = Seq(
+      // class (us, a): 3 rows, 2 sensitive values -> k(3) ok, l(2) ok
+      ("us", "a", "x"), ("us", "a", "y"), ("us", "a", "x"),
+      // class (us, b): 1 row -> too small, 1 value -> not diverse
+      ("us", "b", "x"),
+      // class (de, a): 3 rows but one sensitive value -> not diverse
+      ("de", "a", "z"), ("de", "a", "z"), ("de", "a", "z"),
+    ).toDF("country", "seg", "diag")
+    val r = DataOps.kAnonymity(rows,
+        Seq(col("country"), col("seg")), col("diag"), k = 3, l = 2)
+      .orderBy("q0", "q1")
+      .as[(String, String, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    assert(r === Seq(
+      ("de", "a", 3L, 1L, true, false),
+      ("us", "a", 3L, 2L, true, true),
+      ("us", "b", 1L, 1L, false, false)))
+  }
 }
