@@ -683,4 +683,33 @@ object DataOps {
       .withColumn("k_anonymous", col("class_size") >= k)
       .withColumn("l_diverse", col("l_distinct") >= l)
   }
+
+  /** Differentially-private count release (Dwork '06): per-group counts
+    * with Laplace(1/ε) noise — sensitivity 1 for counting queries — so
+    * the released table is ε-DP while staying useful in aggregate. The
+    * noise is SEEDED: the uniform draw comes from the md5 of
+    * (seed, group key), so a release is reproducible byte-for-byte
+    * given its recorded seed (the audit/replay posture every release
+    * artifact here follows; rotate the seed per release). Inverse-CDF
+    * Laplace: u ∈ (−½, ½) from 48 bits of the hash,
+    * noise = −(1/ε)·sign(u)·ln(1 − 2|u|) — plain codegen'd column
+    * arithmetic over the aggregate, replayable by any engine with md5
+    * and ln. Returns (group, true count, noisy count rounded to 6).
+    *
+    * Shape: one partial+final count aggregate plus a map-side
+    * projection — the noise never shuffles, and at 100 TB the released
+    * table is group-bounded, not row-bounded.
+    */
+  def dpCounts(df: DataFrame, group: Column, epsilon: Double,
+      seed: String): DataFrame = {
+    val grouped = df.groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n"))
+    val u01 = conv(substring(md5(concat(lit(seed), col("g"))), 1, 12),
+      16, 10).cast("double") / lit(math.pow(16.0, 12))
+    val u = u01 - lit(0.5)
+    val noise = (-lit(1.0 / epsilon)) * signum(u) *
+      log(lit(1.0) - lit(2.0) * abs(u))
+    grouped.select(col("g"), col("n"),
+      round(col("n") + noise, 6).as("n_noisy"))
+  }
 }

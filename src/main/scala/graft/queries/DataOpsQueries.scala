@@ -337,6 +337,30 @@ object DataOpsQueries {
       |         THEN 'neg' ELSE 'pos' END) >= 2 AS l_diverse
       |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ε-DP noisy count release ([[graft.ext.DataOps.dpCounts]]) over the
+    * event-type histogram: seeded inverse-CDF Laplace(1/ε) noise, so
+    * the released values replay byte-for-byte from the recorded seed —
+    * which is exactly what the oracle does (same md5-derived uniform,
+    * same closed form, both engines' ln compared at 6 decimals).
+    */
+  private def dpCounts(s: SparkSession, d: String): DataFrame =
+    graft.ext.DataOps.dpCounts(Tables.events(s, d),
+        col("event_type"), epsilon = 0.5, seed = "rel1")
+      .select(col("g").as("event_type"), col("n"), col("n_noisy"))
+      .orderBy("event_type")
+
+  private val dpCountsSql =
+    """WITH c AS (SELECT event_type AS g, count(*) AS n
+      |           FROM events GROUP BY 1),
+      |u AS (SELECT g, n,
+      |        ('0x' || substr(md5('rel1' || g), 1, 12))::BIGINT
+      |          / power(16, 12) - 0.5 AS u
+      |      FROM c)
+      |SELECT g AS event_type, n,
+      |       round(n + (-2.0) * sign(u) * ln(1 - 2 * abs(u)), 6)
+      |         AS n_noisy
+      |FROM u ORDER BY event_type""".stripMargin
+
   private def piiScrub(s: SparkSession, d: String): DataFrame =
     plantedSpark(s, d)
       .select(col("doc_id"),
@@ -887,6 +911,7 @@ object DataOpsQueries {
     Gate("q_decontaminate", decontaminate, Some(decontaminateSql)),
     Gate("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Gate("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    Gate("q_dp_counts", dpCounts, Some(dpCountsSql)),
     Gate("q_repetition", repetition, Some(repetitionSql)),
   )
 }
