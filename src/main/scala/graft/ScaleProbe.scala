@@ -115,7 +115,16 @@ object ScaleProbe {
     // round-9 third wave: hot-key-immune paragraph keeper election
     // (map-side-combined min(struct); boilerplate duplication depth
     // must not reach any reducer) and its incremental-registry twin
-    "q_paragraph_dedup", "q_paragraph_dedup_inc")
+    "q_paragraph_dedup", "q_paragraph_dedup_inc",
+    // NN-Descent graph construction: n·k² per round — linear by
+    // design, the probe checks the constant. q_knn_graph_blocked is
+    // deliberately NOT probed: its timed window includes the recall
+    // harness's exact-graph baseline, which is quadratic BY
+    // CONSTRUCTION (all-pairs is the definition of the ground truth) —
+    // probing it measures the harness, not the operator. The blocked
+    // build itself is corpus-linear now that its cell count scales
+    // with the corpus (constant cell size × fixed nProbe).
+    "q_nn_descent")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

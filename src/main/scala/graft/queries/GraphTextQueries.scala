@@ -72,7 +72,14 @@ object GraphTextQueries {
     */
   private def knnGraphBlocked(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
-    val model = graft.ext.IvfIndex.build(embs, k = 16,
+    // cells scale with the corpus (constant ~125-vector cells), so
+    // per-node candidate work is CONSTANT and the whole graph build is
+    // corpus-linear — the fixed-cell-count spelling degrades to
+    // probing a constant FRACTION of the corpus (quadratic total). At
+    // the gate SFs (500–2000 vectors) this resolves to the same 16
+    // cells as before; the formula is the 100 TB design point.
+    val cells = math.max(16, (embs.count() / 125L).toInt)
+    val model = graft.ext.IvfIndex.build(embs, k = cells,
       sampleFraction = 0.25)
     val ann = graft.ext.IvfIndex.search(model, lit(true), k = 3,
       nProbe = 4)
