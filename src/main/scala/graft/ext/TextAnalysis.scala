@@ -558,6 +558,76 @@ object TextAnalysis {
     }.toDF("w", "cnt", "pieces")
   }
 
+  /** Minimum-cost segmentation — the unigram-LM (SentencePiece) shape
+    * completing the tokenizer triple beside [[bpeSegment]] (merge
+    * rules) and [[wordpieceSegment]] (greedy longest match): each word
+    * segments into the piece sequence of MINIMUM TOTAL COST under a
+    * piece→cost table, found by the classic left-to-right Viterbi DP.
+    * Costs are INTEGERS rather than float log-probs — the
+    * engine-portable determinism choice (production tokenizers
+    * quantize LM scores for exactly this reproducibility; a float DP's
+    * argmin can flip on last-ulp ln differences across engines), with
+    * ties broken to the lexicographically smallest piece string — a
+    * total order the DP preserves under suffix extension (the piece
+    * separator ' ' sorts below every word character).
+    *
+    * Same scale shape as the other two: corpus touched once (the
+    * word-count aggregation), cost table broadcast, each DISTINCT word
+    * runs an O(len × maxPieceLen) DP in `mapPartitions`; plan size
+    * constant in vocabulary size. A position with no reachable
+    * segmentation yields `[UNK]` (cost −1). Returns
+    * (w, cnt, cost, pieces).
+    */
+  def minCostSegment(docs: DataFrame, text: Column,
+      costs: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val maxLen = costs.keys.map(_.length).foldLeft(1)(math.max)
+    val bc = spark.sparkContext.broadcast(costs)
+    words.as[(String, Long)].mapPartitions { it =>
+      val c = bc.value
+      it.map { case (w, cnt) =>
+        viterbiWord(w, c, maxLen) match {
+          case Some((cost, pieces)) => (w, cnt, cost, pieces)
+          case None => (w, cnt, -1, Seq("[UNK]"))
+        }
+      }
+    }.toDF("w", "cnt", "cost", "pieces")
+  }
+
+  /** One word's min-cost DP: best(p) = min by (cost, pieces-string)
+    * over pieces ending at p. Returns None when position len(w) is
+    * unreachable.
+    */
+  private def viterbiWord(w: String, costs: Map[String, Int],
+      maxLen: Int): Option[(Int, Seq[String])] = {
+    val best = Array.fill[(Int, String)](w.length + 1)(null)
+    best(0) = (0, "")
+    var p = 1
+    while (p <= w.length) {
+      var l = 1
+      while (l <= math.min(maxLen, p)) {
+        if (best(p - l) != null) {
+          val piece = w.substring(p - l, p)
+          costs.get(piece).foreach { pc =>
+            val cost = best(p - l)._1 + pc
+            val pieces = if (best(p - l)._2.isEmpty) piece
+              else best(p - l)._2 + " " + piece
+            if (best(p) == null || cost < best(p)._1 ||
+              (cost == best(p)._1 && pieces < best(p)._2))
+              best(p) = (cost, pieces)
+          }
+        }
+        l += 1
+      }
+      p += 1
+    }
+    Option(best(w.length)).map { case (c, s) => (c, s.split(" ").toSeq) }
+  }
+
   /** One word's greedy longest-match WordPiece segmentation. */
   private def wordpieceWord(w: String, vocab: Set[String],
       maxLen: Int): Seq[String] = {

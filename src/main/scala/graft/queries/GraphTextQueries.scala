@@ -409,6 +409,96 @@ object GraphTextQueries {
       |FROM words wo LEFT JOIN done d ON d.w = wo.w
       |ORDER BY wo.w""".stripMargin
 
+  // ---- unigram-LM-shape minimum-cost segmentation ----
+
+  /** [[graft.ext.TextAnalysis.minCostSegment]] under a corpus-derived
+    * integer cost table (single chars cost 3, top-10 words cost 1, the
+    * next 10's 4-char prefixes/suffixes cost 2 — collisions resolve to
+    * the MIN cost, both engines). Unlike the greedy gates this one has
+    * real optimization structure: the DP can pick a shorter prefix to
+    * reach a cheaper tail. The oracle unrolls the Viterbi DP
+    * relationally — one CTE level per word position (max token length
+    * in the corpus is 8; 12 levels for headroom), each level the argmin
+    * by (cost, pieces) over the ≤8 piece lengths ending there — so
+    * every cost and every piece sequence is value-checked.
+    */
+  private def minCostSegment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = words.orderBy(col("cnt").desc, col("w")).limit(20)
+      .as[(String, Long)].collect()
+    val (topWhole, donors) = top.map(_._1).splitAt(10)
+    val chars = words.select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct().as[String].collect()
+    val raw = chars.toSeq.map(_ -> 3) ++ topWhole.map(_ -> 1) ++
+      donors.map(_.take(4) -> 2) ++ donors.map(_.takeRight(4) -> 2)
+    val costs = raw.groupBy(_._1).map { case (p, cs) =>
+      p -> cs.map(_._2).min }
+    TextAnalysis.minCostSegment(docs, col("text"), costs)
+      .select(col("w"), col("cnt"), col("cost"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+      .orderBy("w")
+  }
+
+  private val minCostSegmentSql = {
+    def level(p: Int) = {
+      val branches = (1 to math.min(8, p)).map { l =>
+        s"""SELECT b.w, b.cost + v.cost AS cost,
+           |  CASE WHEN b.pieces = '' THEN v.piece
+           |       ELSE b.pieces || ' ' || v.piece END AS pieces
+           |FROM b${p - l} b JOIN vocabc v
+           |  ON v.len = $l AND length(b.w) >= $p
+           | AND substr(b.w, ${p - l + 1}, $l) = v.piece""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""b$p AS MATERIALIZED (SELECT w, cost, pieces FROM (
+         |  SELECT w, cost, pieces,
+         |         row_number() OVER (PARTITION BY w
+         |                            ORDER BY cost, pieces) AS rn
+         |  FROM (
+         |$branches
+         |)) WHERE rn = 1)""".stripMargin
+    }
+    val levels = (1 to 12).map(level).mkString(",\n")
+    val fin = (1 to 12)
+      .map(p => s"SELECT w, cost, pieces, $p AS p FROM b$p")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT w, count(*) AS cnt
+       |          FROM (SELECT unnest(toks) AS w FROM tok)
+       |          WHERE w <> '' GROUP BY w),
+       |top20 AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+       |          FROM words QUALIFY rk <= 20),
+       |chars AS (SELECT DISTINCT substr(w, ci + 1, 1) AS c
+       |          FROM (SELECT w, unnest(range(length(w))) AS ci FROM words)),
+       |vocab0 AS (
+       |  SELECT c AS piece, 3 AS cost FROM chars
+       |  UNION ALL SELECT w, 1 FROM top20 WHERE rk <= 10
+       |  UNION ALL SELECT left(w, 4), 2 FROM top20 WHERE rk > 10
+       |  UNION ALL SELECT right(w, 4), 2 FROM top20 WHERE rk > 10),
+       |vocabc AS MATERIALIZED (SELECT piece,
+       |                  CAST(min(cost) AS INTEGER) AS cost,
+       |                  length(piece) AS len
+       |           FROM vocab0 GROUP BY piece),
+       |b0 AS MATERIALIZED (SELECT w, 0 AS cost,
+       |       CAST('' AS VARCHAR) AS pieces
+       |       FROM words),
+       |$levels,
+       |fin AS (
+       |$fin)
+       |SELECT wo.w, wo.cnt,
+       |       CAST(coalesce(f.cost, -1) AS INTEGER) AS cost,
+       |       coalesce(f.pieces, '[UNK]') AS pieces_str
+       |FROM words wo LEFT JOIN fin f
+       |  ON f.w = wo.w AND f.p = length(wo.w)
+       |ORDER BY wo.w""".stripMargin
+  }
+
   // ---- Gopher-style quality rule bank ----
 
   /** [[graft.ext.TextAnalysis.qualityRules]] with the default Gopher
@@ -466,6 +556,7 @@ object GraphTextQueries {
     Gate("q_stream_paragraph", streamParagraph,
       Some(paragraphDedupIncSql)),
     Gate("q_wordpiece_apply", wordpieceApply, Some(wordpieceApplySql)),
+    Gate("q_unigram_segment", minCostSegment, Some(minCostSegmentSql)),
     Gate("q_quality_rules", qualityRules, Some(qualityRulesSql)),
   )
 }

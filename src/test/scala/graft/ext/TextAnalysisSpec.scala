@@ -352,6 +352,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  // ---- unigram-LM-shape minimum-cost segmentation ----
+
+  private def seg(text: String, costs: Map[String, Int]) =
+    TextAnalysis.minCostSegment(Seq(text).toDF("t"), col("t"), costs)
+      .select("w", "cost", "pieces")
+      .as[(String, Int, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("minCostSegment finds the optimum where greedy longest-match " +
+      "fails") {
+    // greedy takes "abc" (cost 5) then is stuck with chars c,d (4+4);
+    // the optimum takes "ab" + "cd" = 2
+    val costs = Map("abc" -> 5, "ab" -> 1, "cd" -> 1,
+      "a" -> 4, "b" -> 4, "c" -> 4, "d" -> 4)
+    assert(seg("abcd", costs)("abcd") === ((2, Seq("ab", "cd"))))
+  }
+
+  test("minCostSegment: equal-cost ties break to the smaller pieces " +
+      "string") {
+    // "aa" via ["aa"] cost 2 or ["a","a"] cost 2: "a a" < "aa"
+    val costs = Map("aa" -> 2, "a" -> 1)
+    assert(seg("aa", costs)("aa") === ((2, Seq("a", "a"))))
+  }
+
+  test("minCostSegment: unreachable words report [UNK] at cost -1") {
+    val r = seg("axb", Map("a" -> 1, "b" -> 1))
+    assert(r("axb") === ((-1, Seq("[UNK]"))))
+  }
+
   // ---- Gopher-style quality rule bank ----
 
   test("qualityRules reports exactly the failed rules, sorted") {
