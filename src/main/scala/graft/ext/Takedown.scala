@@ -239,14 +239,46 @@ object Takedown {
   def cloneCorpus(spark: SparkSession, root: String,
       dstRoot: String): Seq[(Surface, Long)] =
     withPinned(spark, root) { vector =>
-      vector.map { case (s, v) =>
+      val cloned = vector.map { case (s, v) =>
         val dst = s"$dstRoot/${s.kind}-${surfaceId(s)}"
         IndexStore.cloneAt(spark, s.path, dst, v)
         val ns = Surface(s.kind, dst)
         register(spark, dstRoot, ns)
-        ns -> v
+        (s, v, ns)
       }
+      // provenance record: which corpus, which per-surface versions AND
+      // incarnations this clone was cut from — the "where did staging
+      // come from" audit answer. One tiny file, staged + renamed so a
+      // crash mid-write never leaves a half-readable record.
+      val fs = fsOf(spark, dstRoot)
+      val lines = s"source\t$root" +: cloned.map { case (s, v, ns) =>
+        s"${s.kind}\t${s.path}\t${IndexStore.incarnation(spark, s.path)}" +
+          s"\t$v\t${ns.path}"
+      }
+      val tmp = new Path(dstRoot, "_provenance.staging")
+      val out = fs.create(tmp, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, new Path(dstRoot, "_provenance")),
+        s"could not publish clone provenance under $dstRoot")
+      cloned.map { case (_, v, ns) => ns -> v }
     }
+
+  /** The clone's provenance record: (kind, source path, source
+    * incarnation at clone time, source version cloned, destination
+    * path), plus the source registry root under kind "source". Empty
+    * for a root that is not a [[cloneCorpus]] destination.
+    */
+  def provenance(spark: SparkSession,
+      dstRoot: String): Seq[Seq[String]] = {
+    val fs = fsOf(spark, dstRoot)
+    val f = new Path(dstRoot, "_provenance")
+    if (!fs.exists(f)) return Seq.empty
+    val in = fs.open(f)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.trim.split("\n").toSeq.map(_.split("\t").toSeq)
+  }
 
   /** One maintenance sweep over every registered surface — the corpus
     * cron a production deployment runs: each surface whose segment

@@ -103,5 +103,16 @@ class CloneSpec extends SparkSpec {
     Takedown.retract(spark, dstRoot, Seq(2L).toDF("id"), col("id"))
     assert(liveIds(byKind("store")) === Set(1L, 3L, 4L))
     assert(liveIds(store) === Set(1L, 2L, 3L, 4L, 7L))
+    // provenance names the source corpus and, per surface, the source
+    // path + incarnation + version the clone was cut from
+    val prov = Takedown.provenance(spark, dstRoot)
+    assert(prov.head === Seq("source", root))
+    val byK = prov.tail.map(r => r(0) -> r).toMap
+    assert(byK.keySet === Set("store", "bm25"))
+    assert(byK("store")(1) === store)
+    assert(byK("store")(2) === IndexStore.incarnation(spark, store))
+    assert(byK("store")(4) === byKind("store"))
+    // a non-clone root has no provenance
+    assert(Takedown.provenance(spark, root).isEmpty)
   }
 }
