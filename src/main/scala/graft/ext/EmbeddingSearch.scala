@@ -114,7 +114,21 @@ object EmbeddingSearch {
     * the top-3 afterwards. EmbeddingSearchSpec pins exactness on
     * clustered data and round-over-round improvement.
     */
-  def nnDescent(embs: DataFrame, k: Int, iters: Int): DataFrame = {
+  def nnDescent(embs: DataFrame, k: Int, iters: Int): DataFrame =
+    nnDescentFrom(embs, None, k, iters)
+
+  /** [[nnDescent]] with an optional WARM-START seed — the incremental
+    * graph-maintenance path: when a delivery lands, seed with the
+    * PREVIOUS converged graph's edges (restricted to surviving nodes)
+    * instead of the ring, and the descent only has to wire the new
+    * nodes in — most nodes' neighborhoods are already correct, so far
+    * fewer rounds converge (EmbeddingSearchSpec pins one round on the
+    * clustered fixture vs three from cold). Nodes absent from the seed
+    * (the delivery) get ring edges, so expansion reaches them; seed
+    * edges pointing at dropped nodes are filtered by the score join.
+    */
+  def nnDescentFrom(embs: DataFrame, seed: Option[DataFrame], k: Int,
+      iters: Int): DataFrame = {
     val e = prepared(embs).persist()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
@@ -133,7 +147,16 @@ object EmbeddingSearch {
         col("vec_id").as("neighbor_id")), "nrk")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id").as("query_id"), col("neighbor_id"))
-    var graph = scoreAndRank(e, ring, w, k).localCheckpoint(true)
+    val seeded = seed match {
+      case None => ring
+      case Some(prev) =>
+        val pe = prev.select(col("query_id"), col("neighbor_id"))
+        // ring edges only for nodes the previous graph doesn't know
+        ring.join(pe.select("query_id").distinct(),
+            Seq("query_id"), "left_anti")
+          .unionByName(pe).distinct()
+    }
+    var graph = scoreAndRank(e, seeded, w, k).localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val edges = graph.select(col("query_id").as("src"),

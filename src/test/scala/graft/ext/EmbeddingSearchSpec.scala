@@ -120,6 +120,31 @@ class EmbeddingSearchSpec extends SparkSpec {
     assert(r.last === exact.size)
   }
 
+  test("nnDescent warm-start: a converged seed is stable, and a " +
+      "delivery wires in within two rounds") {
+    val exact12 = EmbeddingSearch.knnGraph(clustered, k = 3)
+    // stability: seeding with the converged graph and descending one
+    // round reproduces it exactly
+    val stable = EmbeddingSearch.nnDescentFrom(clustered,
+        Some(exact12), k = 3, iters = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(stable === exact12.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet)
+    // incremental: one new cluster-A point lands; warm-start from the
+    // 12-node graph reaches the exact 13-node graph in two rounds
+    val delivered = clustered.unionByName(
+      Seq((100L, Array(10f, 0f, 0.5f))).toDF("vec_id", "embedding"))
+    val exact13 = EmbeddingSearch.knnGraph(delivered, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val warm = EmbeddingSearch.nnDescentFrom(delivered,
+        Some(exact12), k = 3, iters = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(warm === exact13)
+  }
+
   test("nnDescent output schema and self-exclusion match knnGraph") {
     val nd = EmbeddingSearch.nnDescent(clustered, k = 2, iters = 1)
     assert(nd.columns.toSeq ===
