@@ -287,7 +287,8 @@ object Bench {
     // and the pinned cross-surface corpus clone
     "q_knn_graph", "q_knn_graph_blocked", "q_nn_descent", "q_label_prop",
     "q_paragraph_dedup", "q_paragraph_dedup_inc", "q_stream_paragraph",
-    "q_wordpiece_apply", "q_unigram_segment", "q_quality_rules",
+    "q_wordpiece_apply", "q_unigram_segment", "q_unigram_prune",
+    "q_quality_rules",
     "q_store_clone",
     "q_k_anonymity", "q_dp_counts")
 }

@@ -628,6 +628,37 @@ object TextAnalysis {
     Option(best(w.length)).map { case (c, s) => (c, s.split(" ").toSeq) }
   }
 
+  /** One vocabulary-PRUNING round — the SentencePiece training step
+    * [[minCostSegment]] is the inference half of: segment the corpus
+    * under the candidate cost table, count how often each piece is
+    * actually USED (weighted by word frequency), drop every
+    * multi-character piece used fewer than `minUses` times (single
+    * characters always survive — the base alphabet keeps every word
+    * segmentable, SentencePiece's required-character rule), and
+    * re-segment under the pruned table. Iterating this to a fixpoint
+    * is unigram-LM training; one round is the gate-checkable unit.
+    *
+    * Scale shape: both segmentation passes are the [[minCostSegment]]
+    * vocab-bounded `mapPartitions`; the usage count is one explode +
+    * partial+final sum over the (distinct-word × pieces) relation —
+    * vocabulary-sized, never corpus-sized — and the pruned table is a
+    * driver-side filter of the (bounded) candidate map, the same
+    * collect class as [[bpeTrain]]'s merge table. Returns the pruned
+    * cost table and the re-segmented words.
+    */
+  def unigramPrune(docs: DataFrame, text: Column,
+      costs: Map[String, Int],
+      minUses: Long): (Map[String, Int], DataFrame) = {
+    val first = minCostSegment(docs, text, costs)
+    val usage = first
+      .select(explode(col("pieces")).as("p"), col("cnt"))
+      .groupBy("p").agg(sum("cnt").as("uses"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = costs.filter { case (p, _) =>
+      p.length == 1 || usage.getOrElse(p, 0L) >= minUses }
+    (kept, minCostSegment(docs, text, kept))
+  }
+
   /** One word's greedy longest-match WordPiece segmentation. */
   private def wordpieceWord(w: String, vocab: Set[String],
       maxLen: Int): Seq[String] = {

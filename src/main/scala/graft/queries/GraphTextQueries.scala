@@ -444,17 +444,22 @@ object GraphTextQueries {
       .orderBy("w")
   }
 
-  private val minCostSegmentSql = {
+  /** The unrolled Viterbi-DP CTE stack over `vocab`, with CTE names
+    * prefixed `pre` — shared by the segmentation and pruning oracles.
+    * Produces `${pre}fin` with (w, cost, pieces, p); join on
+    * p = length(w) for each word's optimum.
+    */
+  private def dpStack(vocab: String, pre: String): String = {
     def level(p: Int) = {
       val branches = (1 to math.min(8, p)).map { l =>
         s"""SELECT b.w, b.cost + v.cost AS cost,
            |  CASE WHEN b.pieces = '' THEN v.piece
            |       ELSE b.pieces || ' ' || v.piece END AS pieces
-           |FROM b${p - l} b JOIN vocabc v
+           |FROM $pre${p - l} b JOIN $vocab v
            |  ON v.len = $l AND length(b.w) >= $p
            | AND substr(b.w, ${p - l + 1}, $l) = v.piece""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""b$p AS MATERIALIZED (SELECT w, cost, pieces FROM (
+      s"""$pre$p AS MATERIALIZED (SELECT w, cost, pieces FROM (
          |  SELECT w, cost, pieces,
          |         row_number() OVER (PARTITION BY w
          |                            ORDER BY cost, pieces) AS rn
@@ -464,8 +469,17 @@ object GraphTextQueries {
     }
     val levels = (1 to 12).map(level).mkString(",\n")
     val fin = (1 to 12)
-      .map(p => s"SELECT w, cost, pieces, $p AS p FROM b$p")
+      .map(p => s"SELECT w, cost, pieces, $p AS p FROM $pre$p")
       .mkString("\nUNION ALL\n")
+    s"""${pre}0 AS MATERIALIZED (SELECT w, 0 AS cost,
+       |       CAST('' AS VARCHAR) AS pieces
+       |       FROM words),
+       |$levels,
+       |${pre}fin AS (
+       |$fin)""".stripMargin
+  }
+
+  private val minCostSegmentSql = {
     s"""WITH tok AS (SELECT
        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
        |  FROM documents),
@@ -485,19 +499,102 @@ object GraphTextQueries {
        |                  CAST(min(cost) AS INTEGER) AS cost,
        |                  length(piece) AS len
        |           FROM vocab0 GROUP BY piece),
-       |b0 AS MATERIALIZED (SELECT w, 0 AS cost,
-       |       CAST('' AS VARCHAR) AS pieces
-       |       FROM words),
-       |$levels,
-       |fin AS (
-       |$fin)
+       |${dpStack("vocabc", "b")}
        |SELECT wo.w, wo.cnt,
        |       CAST(coalesce(f.cost, -1) AS INTEGER) AS cost,
        |       coalesce(f.pieces, '[UNK]') AS pieces_str
-       |FROM words wo LEFT JOIN fin f
+       |FROM words wo LEFT JOIN bfin f
        |  ON f.w = wo.w AND f.p = length(wo.w)
        |ORDER BY wo.w""".stripMargin
   }
+
+  // ---- unigram vocabulary pruning (the training step) ----
+
+  /** [[graft.ext.TextAnalysis.unigramPrune]]: the candidate table is
+    * the q_unigram_segment vocab PLUS every distinct 2-char substring
+    * (cost 2) — an over-complete candidate set, the unigram-training
+    * starting point. One prune round segments, counts weighted piece
+    * usage, drops multi-char pieces used fewer than total-words/50
+    * times (a data-derived threshold so the gate prunes meaningfully
+    * at every SF), and re-segments. The oracle replays BOTH Viterbi
+    * passes (two unrolled DP stacks), the usage count, and the prune
+    * filter — every post-prune cost and piece sequence value-checked.
+    */
+  private def unigramPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = words.orderBy(col("cnt").desc, col("w")).limit(20)
+      .as[(String, Long)].collect()
+    val (topWhole, donors) = top.map(_._1).splitAt(10)
+    val chars = words.select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct().as[String].collect()
+    val grams2 = words.select(col("w"))
+      .as[String].collect().toSeq
+      .flatMap(w => (0 until math.max(0, w.length - 1))
+        .map(i => w.substring(i, i + 2))).distinct
+    val raw = chars.toSeq.map(_ -> 3) ++ topWhole.map(_ -> 1) ++
+      donors.map(_.take(4) -> 2) ++ donors.map(_.takeRight(4) -> 2) ++
+      grams2.map(_ -> 2)
+    val costs = raw.groupBy(_._1).map { case (p, cs) =>
+      p -> cs.map(_._2).min }
+    val total = words.agg(sum("cnt")).head().getLong(0)
+    val (_, second) = TextAnalysis.unigramPrune(docs, col("text"),
+      costs, minUses = total / 50)
+    second
+      .select(col("w"), col("cnt"), col("cost"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+      .orderBy("w")
+  }
+
+  private val unigramPruneSql =
+    s"""WITH tok AS (SELECT
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT w, count(*) AS cnt
+       |          FROM (SELECT unnest(toks) AS w FROM tok)
+       |          WHERE w <> '' GROUP BY w),
+       |top20 AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+       |          FROM words QUALIFY rk <= 20),
+       |chars AS (SELECT DISTINCT substr(w, ci + 1, 1) AS c
+       |          FROM (SELECT w, unnest(range(length(w))) AS ci FROM words)),
+       |grams2 AS (SELECT DISTINCT substr(w, gi + 1, 2) AS g
+       |           FROM (SELECT w, unnest(range(length(w) - 1)) AS gi
+       |                 FROM words WHERE length(w) >= 2)),
+       |vocab0 AS (
+       |  SELECT c AS piece, 3 AS cost FROM chars
+       |  UNION ALL SELECT w, 1 FROM top20 WHERE rk <= 10
+       |  UNION ALL SELECT left(w, 4), 2 FROM top20 WHERE rk > 10
+       |  UNION ALL SELECT right(w, 4), 2 FROM top20 WHERE rk > 10
+       |  UNION ALL SELECT g, 2 FROM grams2),
+       |vocabc AS MATERIALIZED (SELECT piece,
+       |                  CAST(min(cost) AS INTEGER) AS cost,
+       |                  length(piece) AS len
+       |           FROM vocab0 GROUP BY piece),
+       |${dpStack("vocabc", "a")},
+       |done1 AS (SELECT wo.w, wo.cnt, f.pieces
+       |          FROM words wo JOIN afin f
+       |            ON f.w = wo.w AND f.p = length(wo.w)),
+       |usage AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS uses
+       |  FROM (SELECT cnt, unnest(string_split(pieces, ' ')) AS piece
+       |        FROM done1)
+       |  GROUP BY piece),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM words),
+       |vocab2 AS MATERIALIZED (
+       |  SELECT v.piece, v.cost, v.len
+       |  FROM vocabc v LEFT JOIN usage u ON u.piece = v.piece, tot
+       |  WHERE v.len = 1 OR coalesce(u.uses, 0) >= tot.t // 50),
+       |${dpStack("vocab2", "c")}
+       |SELECT wo.w, wo.cnt,
+       |       CAST(coalesce(f.cost, -1) AS INTEGER) AS cost,
+       |       coalesce(f.pieces, '[UNK]') AS pieces_str
+       |FROM words wo LEFT JOIN cfin f
+       |  ON f.w = wo.w AND f.p = length(wo.w)
+       |ORDER BY wo.w""".stripMargin
 
   // ---- Gopher-style quality rule bank ----
 
@@ -557,6 +654,7 @@ object GraphTextQueries {
       Some(paragraphDedupIncSql)),
     Gate("q_wordpiece_apply", wordpieceApply, Some(wordpieceApplySql)),
     Gate("q_unigram_segment", minCostSegment, Some(minCostSegmentSql)),
+    Gate("q_unigram_prune", unigramPrune, Some(unigramPruneSql)),
     Gate("q_quality_rules", qualityRules, Some(qualityRulesSql)),
   )
 }

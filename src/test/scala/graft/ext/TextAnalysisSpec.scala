@@ -381,6 +381,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("axb") === ((-1, Seq("[UNK]"))))
   }
 
+  test("unigramPrune drops unused multi-char pieces, keeps the " +
+      "alphabet, and re-segments under the survivors") {
+    // corpus: "ab ab ab cd" — "ab" is used 3×, "cd" once; candidates
+    // include both plus chars. minUses=2 prunes "cd" but never chars.
+    val docs = Seq("ab ab ab cd").toDF("t")
+    val costs = Map("ab" -> 1, "cd" -> 1,
+      "a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2)
+    val (kept, second) = TextAnalysis.unigramPrune(docs, col("t"),
+      costs, minUses = 2L)
+    assert(kept.keySet === Set("ab", "a", "b", "c", "d"))
+    val r = second.select("w", "pieces")
+      .as[(String, Seq[String])].collect().toMap
+    assert(r("ab") === Seq("ab"))
+    assert(r("cd") === Seq("c", "d")) // its piece was pruned
+  }
+
   // ---- Gopher-style quality rule bank ----
 
   test("qualityRules reports exactly the failed rules, sorted") {
