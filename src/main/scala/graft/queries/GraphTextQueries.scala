@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
 import graft.ext.{EmbeddingSearch, GraphOps, TextAnalysis}
 
-/** Round-9 third wave: graph composition over embedding similarity
-  * (exact kNN graph, label propagation) and corpus-hygiene text ops
-  * (paragraph-level exact dedup, the Gopher quality-rule bank). Every
-  * gate is value-checked against a DuckDB oracle that recomputes the
-  * same derivation relationally — iterative ops unroll their fixed
-  * iteration count as CTE stacks (the q_dup_pagerank pattern).
+/** Round-9 graph + corpus-hygiene + tokenizer gates: embedding-graph
+  * composition (exact kNN graph, IVF-blocked and NN-Descent scale
+  * paths, label propagation), paragraph-level exact dedup (batch,
+  * incremental registry, streaming), the Gopher quality-rule bank,
+  * and the segmentation family (WordPiece greedy longest-match,
+  * unigram min-cost Viterbi, unigram vocabulary pruning). Every
+  * SQL-expressible gate is value-checked against a DuckDB oracle that
+  * recomputes the same derivation relationally — iterative ops unroll
+  * their fixed iteration/DP depth as (materialized) CTE stacks, the
+  * q_dup_pagerank pattern; data-trained graph gates use the
+  * recall-vs-exact-graph contract, the q_ivf_topk pattern.
   */
 object GraphTextQueries {
 
