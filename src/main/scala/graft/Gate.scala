@@ -160,5 +160,6 @@ object Gate {
       queries.DataOpsQueries.gates ++
       queries.AnalyticsQueries.gates ++
       queries.ScaleQueries.gates ++
-      queries.GraphTextQueries.gates
+      queries.GraphTextQueries.gates ++
+      queries.MaintainQueries.gates
 }

@@ -112,6 +112,11 @@ object ScaleProbe {
     // are the segment blooms, so the ratio should sit far below the
     // data factor)
     "q_ingest_probe",
+    // round 10: the change feed itself — each commit's delta read from
+    // exactly that commit's bytes, so the probe's ratio should track
+    // the delta size (which replicates with the corpus here), never
+    // super-linear in the store
+    "q_store_cdc",
     // round-9 third wave: hot-key-immune paragraph keeper election
     // (map-side-combined min(struct); boilerplate duplication depth
     // must not reach any reducer) and its incremental-registry twin

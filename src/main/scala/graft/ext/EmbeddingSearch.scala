@@ -199,6 +199,102 @@ object EmbeddingSearch {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"), col("rank"))
 
+  /** GRAPH-BASED ANN SERVING — answer external queries by beam descent
+    * over a prebuilt kNN graph (the HNSW/DiskANN search shape, minus
+    * the layer hierarchy: one flat graph, a small deterministic entry
+    * set standing in for the upper layers). This is the quantizer-free
+    * query path the NN-Descent construction/maintenance family feeds:
+    * no trained IVF/PQ structure, just the (maintained) edge list.
+    *
+    * Per query: start from the `entryPoints` smallest node ids (a
+    * deterministic entry set every engine reproduces), and for `hops`
+    * rounds expand the `beamWidth` best not-yet-expanded candidates
+    * through the symmetrized edge list, exact-scoring only the NEWLY
+    * reached nodes (visited-set semantics — nothing rescored). The
+    * walk is relational end to end: the frontier is a per-query
+    * window top-beam, the expansion is one equi-join of the frontier
+    * against the edge list, and the visited set is a left-anti join —
+    * no driver-side traversal, all queries advance in one shuffle
+    * round per hop, per-round localCheckpoint keeps lineage flat (the
+    * [[nnDescentFrom]] discipline).
+    *
+    * External-lookup semantics match [[bruteForceTopKFor]]: `queries`
+    * is its own (vec_id, embedding) frame, nothing is self-excluded.
+    * Fixed `hops` (not score-convergence) keeps the plan and the
+    * result deterministic; recall rises with beamWidth/hops/entry
+    * count — the standard serving knobs. 100 TB shape: per hop the
+    * work is |queries| × beamWidth edge lookups + scorings — query-
+    * linear and corpus-INDEPENDENT given the graph (the corpus is
+    * touched only via id-keyed equi-joins for candidate vectors,
+    * which prune to the reached ids); contrast [[bruteForceTopKFor]],
+    * which streams the whole corpus per query batch.
+    *
+    * Returns (query_id, neighbor_id, cos, rank), rank ≤ k by
+    * descending cosine, ties to the smaller neighbor id.
+    */
+  def graphSearch(embs: DataFrame, graph: DataFrame, queries: DataFrame,
+      k: Int, beamWidth: Int = 8, hops: Int = 3,
+      entryPoints: Int = 4): DataFrame = {
+    val e = prepared(embs).persist()
+    val q = prepared(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val edges = graph.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"))
+    // symmetrize: kNN edges are directed, but a navigable walk needs
+    // both directions (HNSW stores back-links for the same reason)
+    val und = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    // entry set: the smallest node ids present in the graph — bounded,
+    // deterministic, engine-portable (no RNG, no data-dependent seed)
+    val entries = und.select(col("src").as("node_id")).distinct()
+      .orderBy("node_id").limit(entryPoints)
+    // score ONLY the candidate (query, node) pairs: node vectors via
+    // id equi-join, query vectors broadcast (the query set is the
+    // bounded side of a serving call)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e.select(col("vec_id").as("node_id"), col("v"),
+          col("nrm")), "node_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cos",
+          dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+        .select(col("query_id"), col("node_id"), col("cos"))
+    val wBeam = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("node_id").asc)
+    // visited state: every scored node, with its expansion flag
+    var state = score(q.select("query_id")
+        .crossJoin(broadcast(entries)))
+      .withColumn("expanded", lit(false))
+      .localCheckpoint(true)
+    var h = 0
+    while (h < hops) {
+      val frontier = state.filter(!col("expanded"))
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beamWidth)
+        .select("query_id", "node_id")
+      val fresh = frontier.join(und,
+          frontier("node_id") === und("src"))
+        .select(col("query_id"), col("dst").as("node_id")).distinct()
+        .join(state.select("query_id", "node_id"),
+          Seq("query_id", "node_id"), "left_anti")
+      state = state
+        .join(frontier.withColumn("f", lit(true)),
+          Seq("query_id", "node_id"), "left")
+        .withColumn("expanded",
+          col("expanded") || coalesce(col("f"), lit(false)))
+        .drop("f")
+        .unionByName(score(fresh).withColumn("expanded", lit(false)))
+        .localCheckpoint(true)
+      h += 1
+    }
+    e.unpersist()
+    und.unpersist()
+    state.withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bucket LSH. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -659,6 +659,48 @@ object TextAnalysis {
     (kept, minCostSegment(docs, text, kept))
   }
 
+  /** Unigram-LM vocabulary TRAINING — [[unigramPrune]] iterated to a
+    * FIXPOINT, the SentencePiece training schedule the one-round gate
+    * was the checkable unit of: segment the corpus under the current
+    * candidate table, drop under-used multi-character pieces, and
+    * repeat until the vocabulary stops shrinking or `maxRounds` is
+    * reached. Each round is one [[minCostSegment]] pass (corpus
+    * word-counts aggregated once and reused implicitly through the
+    * distinct-word relation) plus one vocab-bounded usage count; the
+    * only driver-side state is the candidate cost table itself — the
+    * same bounded collect class as [[bpeTrain]]'s merge table, never
+    * a corpus- or distinct-word-sized relation.
+    *
+    * Early-stop soundness: re-segmenting under an unchanged vocabulary
+    * is idempotent, so stopping at the fixpoint returns exactly what
+    * running the remaining rounds would — an oracle may replay a FIXED
+    * round count and match regardless of where convergence landed.
+    *
+    * Returns (final cost table, final segmentation à la
+    * [[minCostSegment]], rounds actually run).
+    */
+  def unigramTrain(docs: DataFrame, text: Column,
+      costs: Map[String, Int], minUses: Long,
+      maxRounds: Int): (Map[String, Int], DataFrame, Int) = {
+    var cur = costs
+    var seg = minCostSegment(docs, text, cur)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val usage = seg
+        .select(explode(col("pieces")).as("p"), col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("uses"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = cur.filter { case (p, _) =>
+        p.length == 1 || usage.getOrElse(p, 0L) >= minUses }
+      converged = kept.size == cur.size
+      cur = kept
+      if (!converged) seg = minCostSegment(docs, text, cur)
+      rounds += 1
+    }
+    (cur, seg, rounds)
+  }
+
   /** One word's greedy longest-match WordPiece segmentation. */
   private def wordpieceWord(w: String, vocab: Set[String],
       maxLen: Int): Seq[String] = {

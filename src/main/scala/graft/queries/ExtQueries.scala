@@ -569,6 +569,13 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q_dedup_delete's oracle, shared verbatim by q_cdc_maintain_dedup
+    * ([[MaintainQueries]]): the feed-maintained index reaches exactly
+    * the same final state (full corpus admitted, doc_id % 10 == 5
+    * retracted), so the surviving-corpus true-pair set is the same.
+    */
+  private[queries] def dedupDeleteOracle: String = dedupDeleteSql
+
   private val dedupDeleteSql =
     s"""${truePairsCte.replace(
         "SELECT doc_id AS id, lower(trim(text)) AS t FROM documents",

@@ -34,6 +34,12 @@ object GraphTextQueries {
     * (label propagation, blocked-graph recall) pay for THEIR work,
     * not a graph re-run.
     */
+  /** [[sharedKnnGraph]] for sibling gate modules (q_stream_knn's
+    * recall harness reads the same memoized exact graph).
+    */
+  private[queries] def sharedKnnGraphDir(s: SparkSession,
+      d: String): String = sharedKnnGraph(s, d)
+
   private def sharedKnnGraph(s: SparkSession, d: String): String =
     graft.Gate.memoDir(s"knn_graph:$d", "gate_knn_") { dir =>
       EmbeddingSearch.knnGraph(Tables.embeddings(s, d), k = 3)
@@ -122,9 +128,23 @@ object GraphTextQueries {
     * (Dong et al. report ~90%+ on real datasets with k·iters an order
     * of magnitude lower).
     */
+  /** The converged NN-Descent graph shared by the descent-family gates
+    * (same contract as [[sharedKnnGraph]]): descend once per JVM at
+    * internal k=32 for 5 rounds, store the top-8 edges. q_nn_descent
+    * (the first accessor in bench order) prices the construction;
+    * q_search_graph prices the WALK over it, not a second descent.
+    */
+  private def sharedDescentGraph(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"descent_graph:$d", "gate_nnd_") { dir =>
+      EmbeddingSearch.nnDescent(Tables.embeddings(s, d), k = 32,
+          iters = 5)
+        .filter(col("rank") <= 8)
+        .write.mode("overwrite").parquet(s"$dir/graph")
+    }
+
   private def nnDescentGate(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
-    val ann = EmbeddingSearch.nnDescent(embs, k = 32, iters = 5)
+    val ann = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
       .filter(col("rank") <= 3)
     val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
     val hits = ann.select("query_id", "neighbor_id")
@@ -142,6 +162,49 @@ object GraphTextQueries {
 
   private val nnDescentSql =
     """SELECT count(*) AS n_nodes, true AS graph_ok FROM embeddings"""
+
+  // ---- graph-based ANN serving: beam search over the descent graph ----
+
+  /** [[graft.ext.EmbeddingSearch.graphSearch]]: external queries
+    * (vec_id < 20, lookup semantics) answered by beam descent over the
+    * MAINTAINED NN-Descent graph ([[sharedDescentGraph]]) — the
+    * quantizer-free serving path: no IVF/PQ structure is trained or
+    * loaded, the walk uses only the edge list the construction /
+    * warm-start maintenance family already produces. Data-dependent
+    * like its siblings, so the checkable contract is recall vs the
+    * memoized exact graph: ≥80% of queries must recover ≥1 of their
+    * true top-3 neighbors (self-hits excluded — the walk legitimately
+    * ranks the query's own corpus row first, the exact graph never
+    * contains it). The walk probes ≤ entries + hops × beam × degree
+    * nodes per query — corpus-independent given the graph, the number
+    * that matters at 100 TB. EmbeddingSearchSpec pins EXACTNESS on the
+    * clustered fixture (walk ≡ brute force) and the visited-set bound.
+    */
+  private def searchGraph(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
+    val queries = embs.filter(col("vec_id") < 20)
+    val got = graft.ext.EmbeddingSearch.graphSearch(embs, graph, queries,
+        k = 5, beamWidth = 16, hops = 4, entryPoints = 16)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+      .filter(col("query_id") < 20)
+    val hits = got.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  private val searchGraphSql =
+    """SELECT count(*) AS n_queries, true AS search_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
 
   // ---- label propagation over the kNN graph ----
 
@@ -525,27 +588,50 @@ object GraphTextQueries {
     * passes (two unrolled DP stacks), the usage count, and the prune
     * filter — every post-prune cost and piece sequence value-checked.
     */
-  private def unigramPrune(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val words = docs
-      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+  /** The distinct-word relation the whole segmentation family derives
+    * from — never collected (tens of millions of rows of unbounded
+    * junk tokens at 100 TB).
+    */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** The over-complete unigram candidate cost table shared by the
+    * prune and train gates: every distinct character (cost 3, the
+    * base alphabet), the top-10 words whole (cost 1), the next 10's
+    * 4-char prefixes/suffixes (cost 2), and every distinct 2-char
+    * substring (cost 2) — the unigram-training starting point.
+    * Candidate DERIVATION is fully relational — the 2-grams come from
+    * an in-plan substring explode + distinct, the same shape as the
+    * chars derivation — and only the BOUNDED relations are collected
+    * (distinct chars ≤ |alphabet|, distinct 2-grams ≤ |alphabet|²,
+    * top-20 words): the r9-flagged all-distinct-words driver collect
+    * is gone from the flow.
+    */
+  private def unigramCandidates(s: SparkSession,
+      words: DataFrame): Map[String, Int] = {
+    import s.implicits._
     val top = words.orderBy(col("cnt").desc, col("w")).limit(20)
       .as[(String, Long)].collect()
     val (topWhole, donors) = top.map(_._1).splitAt(10)
     val chars = words.select(explode(split(col("w"), "")).as("c"))
       .filter(col("c") =!= "").distinct().as[String].collect()
-    val grams2 = words.select(col("w"))
-      .as[String].collect().toSeq
-      .flatMap(w => (0 until math.max(0, w.length - 1))
-        .map(i => w.substring(i, i + 2))).distinct
+    val grams2 = words.filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+        .as("g"))
+      .distinct().as[String].collect()
     val raw = chars.toSeq.map(_ -> 3) ++ topWhole.map(_ -> 1) ++
       donors.map(_.take(4) -> 2) ++ donors.map(_.takeRight(4) -> 2) ++
-      grams2.map(_ -> 2)
-    val costs = raw.groupBy(_._1).map { case (p, cs) =>
-      p -> cs.map(_._2).min }
+      grams2.toSeq.map(_ -> 2)
+    raw.groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).min }
+  }
+
+  private def unigramPrune(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = wordCounts(docs)
+    val costs = unigramCandidates(s, words)
     val total = words.agg(sum("cnt")).head().getLong(0)
     val (_, second) = TextAnalysis.unigramPrune(docs, col("text"),
       costs, minUses = total / 50)
@@ -601,6 +687,85 @@ object GraphTextQueries {
        |  ON f.w = wo.w AND f.p = length(wo.w)
        |ORDER BY wo.w""".stripMargin
 
+  // ---- unigram-LM TRAINING: prune iterated to a fixpoint ----
+
+  /** [[graft.ext.TextAnalysis.unigramTrain]]: the full SentencePiece
+    * training schedule over the same over-complete candidate table —
+    * segment → count usage → prune → re-segment, iterated (maxRounds
+    * = 2 here; early-stop at the fixpoint is idempotent, so the
+    * oracle's FIXED two-round replay matches wherever convergence
+    * lands). The threshold (total-words/30) prunes more aggressively
+    * than q_unigram_prune's /50, so the first round's re-segmentation
+    * measurably shifts usage and the second round has real work. The
+    * oracle replays BOTH rounds relationally: three unrolled Viterbi
+    * DP stacks with the two usage-count/prune filters between them —
+    * every post-training cost and piece sequence value-checked.
+    */
+  private def unigramTrainGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = wordCounts(docs)
+    val costs = unigramCandidates(s, words)
+    val total = words.agg(sum("cnt")).head().getLong(0)
+    val (_, seg, _) = TextAnalysis.unigramTrain(docs, col("text"),
+      costs, minUses = total / 30, maxRounds = 2)
+    seg
+      .select(col("w"), col("cnt"), col("cost"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+      .orderBy("w")
+  }
+
+  private val unigramTrainSql = {
+    def usageAndPrune(doneFrom: String, fromVocab: String,
+        toVocab: String, n: Int): String =
+      s"""done$n AS (SELECT wo.w, wo.cnt, f.pieces
+         |  FROM words wo JOIN ${doneFrom}fin f
+         |    ON f.w = wo.w AND f.p = length(wo.w)),
+         |usage$n AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS uses
+         |  FROM (SELECT cnt, unnest(string_split(pieces, ' ')) AS piece
+         |        FROM done$n)
+         |  GROUP BY piece),
+         |$toVocab AS MATERIALIZED (
+         |  SELECT v.piece, v.cost, v.len
+         |  FROM $fromVocab v LEFT JOIN usage$n u ON u.piece = v.piece, tot
+         |  WHERE v.len = 1 OR coalesce(u.uses, 0) >= tot.t // 30)""".stripMargin
+    s"""WITH tok AS (SELECT
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT w, count(*) AS cnt
+       |          FROM (SELECT unnest(toks) AS w FROM tok)
+       |          WHERE w <> '' GROUP BY w),
+       |top20 AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+       |          FROM words QUALIFY rk <= 20),
+       |chars AS (SELECT DISTINCT substr(w, ci + 1, 1) AS c
+       |          FROM (SELECT w, unnest(range(length(w))) AS ci FROM words)),
+       |grams2 AS (SELECT DISTINCT substr(w, gi + 1, 2) AS g
+       |           FROM (SELECT w, unnest(range(length(w) - 1)) AS gi
+       |                 FROM words WHERE length(w) >= 2)),
+       |vocab0 AS (
+       |  SELECT c AS piece, 3 AS cost FROM chars
+       |  UNION ALL SELECT w, 1 FROM top20 WHERE rk <= 10
+       |  UNION ALL SELECT left(w, 4), 2 FROM top20 WHERE rk > 10
+       |  UNION ALL SELECT right(w, 4), 2 FROM top20 WHERE rk > 10
+       |  UNION ALL SELECT g, 2 FROM grams2),
+       |vocabc AS MATERIALIZED (SELECT piece,
+       |                  CAST(min(cost) AS INTEGER) AS cost,
+       |                  length(piece) AS len
+       |           FROM vocab0 GROUP BY piece),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM words),
+       |${dpStack("vocabc", "a")},
+       |${usageAndPrune("a", "vocabc", "vocab2", 1)},
+       |${dpStack("vocab2", "c")},
+       |${usageAndPrune("c", "vocab2", "vocab3", 2)},
+       |${dpStack("vocab3", "e")}
+       |SELECT wo.w, wo.cnt,
+       |       CAST(coalesce(f.cost, -1) AS INTEGER) AS cost,
+       |       coalesce(f.pieces, '[UNK]') AS pieces_str
+       |FROM words wo LEFT JOIN efin f
+       |  ON f.w = wo.w AND f.p = length(wo.w)
+       |ORDER BY wo.w""".stripMargin
+  }
+
   // ---- Gopher-style quality rule bank ----
 
   /** [[graft.ext.TextAnalysis.qualityRules]] with the default Gopher
@@ -651,6 +816,7 @@ object GraphTextQueries {
     Gate("q_knn_graph", knnGraph, Some(knnGraphSql)),
     Gate("q_knn_graph_blocked", knnGraphBlocked, Some(knnGraphBlockedSql)),
     Gate("q_nn_descent", nnDescentGate, Some(nnDescentSql)),
+    Gate("q_search_graph", searchGraph, Some(searchGraphSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     Gate("q_paragraph_dedup_inc", paragraphDedupInc,
@@ -660,6 +826,7 @@ object GraphTextQueries {
     Gate("q_wordpiece_apply", wordpieceApply, Some(wordpieceApplySql)),
     Gate("q_unigram_segment", minCostSegment, Some(minCostSegmentSql)),
     Gate("q_unigram_prune", unigramPrune, Some(unigramPruneSql)),
+    Gate("q_unigram_train", unigramTrainGate, Some(unigramTrainSql)),
     Gate("q_quality_rules", qualityRules, Some(qualityRulesSql)),
   )
 }

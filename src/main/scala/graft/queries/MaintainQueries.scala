@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Gate, Tables}
+import graft.ext.{CorpusStore, DedupIndex, EmbeddingSearch, IvfIndex,
+  KnnGraphIndex}
+
+/** Round-10 derived-surface MAINTENANCE gates: the corpus store's
+  * change feed ([[graft.ext.CorpusStore.changes]]) drives the two
+  * index families whose from-scratch rebuilds actually hurt at 100 TB
+  * — the ANN index and the near-dup index — and the kNN graph is
+  * maintained from a STREAM of deliveries via warm-start NN-Descent.
+  * The checkable contract everywhere: a surface maintained
+  * incrementally from deltas must answer exactly (or, for the
+  * data-trained graph, within the family recall floor of) a surface
+  * built from the final corpus — the q_cdc_maintain /
+  * surviving-corpus oracle pattern extended to the expensive
+  * families.
+  */
+object MaintainQueries {
+
+  // ---- CDC feed → IVF index maintenance ----
+
+  /** [[graft.ext.CorpusStore.changes]] driving a saved
+    * [[graft.ext.IvfIndex]]: the store of record (vec_id-keyed
+    * embeddings) commits an append (v2) and a takedown (v3) after the
+    * index was seeded from v1; the maintenance loop replays the feed
+    * in commit order — inserts land via `saveAppend` (frozen
+    * quantizer, delta-only encode), deletes via `deleteVecs`
+    * (tombstones) — then one compact applies them physically. The
+    * oracle is brute force over the SURVIVING corpus (the q_ivf_delete
+    * contract): a feed-maintained index must be indistinguishable from
+    * one built over the final corpus. Per-tick cost is the commit's
+    * delta bytes + the assignment encode — never a corpus re-read;
+    * that is what makes the feed the 100 TB maintenance path.
+    */
+  private def cdcMaintainIvf(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val store = graft.Gate.tmpDir("gate_cdcivf_store_")
+    val idx = graft.Gate.tmpDir("gate_cdcivf_idx_")
+    CorpusStore.build( // v1: two thirds of the corpus
+      embs.filter(col("vec_id") % 3 =!= 0), col("vec_id"), store)
+    val seeded = IvfIndex.build(
+      CorpusStore.read(s, store).select(col("vec_id"), col("embedding")),
+      k = 16, sampleFraction = 0.25)
+    IvfIndex.save(seeded, idx)
+    CorpusStore.append(s, store, // v2: the remaining third
+      embs.filter(col("vec_id") % 3 === 0), col("vec_id"))
+    CorpusStore.deleteRows(s, store, // v3: takedown spanning v1 AND v2
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      col("vec_id"))
+    val feed = CorpusStore.changes(s, store, 1L).persist()
+    try {
+      val vs = feed.select("_version").distinct().collect()
+        .map(_.getLong(0)).sorted // commit order — a handful of longs
+      vs.foreach { v =>
+        val delta = feed.filter(col("_version") === v)
+        val ins = delta.filter(col("_change") === "insert")
+          .select(col("vec_id"), col("embedding"))
+        if (!ins.isEmpty)
+          IvfIndex.saveAppend(IvfIndex.load(s, idx, embs), ins, idx)
+        val del = delta.filter(col("_change") === "delete")
+          .select(col("id").as("vec_id"))
+        if (!del.isEmpty)
+          IvfIndex.deleteVecs(s, idx, del, col("vec_id"))
+      }
+    } finally { feed.unpersist(); () }
+    IvfIndex.compact(s, idx)
+    IvfIndex.search(IvfIndex.load(s, idx, embs), col("vec_id") < 10,
+        k = 5, nProbe = Int.MaxValue)
+      .orderBy("query_id", "rank")
+  }
+
+  private val cdcMaintainIvfSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 3),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |      WHERE vec_id % 7 <> 3),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- CDC feed → dedup index maintenance ----
+
+  /** The change feed driving a saved [[graft.ext.DedupIndex]]: store
+    * of record on the normalized documents (v1 seed → v2 append → v3
+    * takedown), feed replayed in commit order (inserts `append`
+    * delta-encode against the saved MinHash geometry, deletes
+    * tombstone), one compact, then the q_dedup_delete batch probe: a
+    * planted near-dup batch dedups against the maintained index and
+    * must land on exactly the full-corpus true-pair values over the
+    * SURVIVING corpus — the oracle is q_dedup_delete's verbatim
+    * (same final state reached through the feed instead of direct
+    * calls). df partials stay consistent because append publishes
+    * summable deltas and delete publishes negative partials — the
+    * q_dedup_incremental discipline, here exercised via the feed.
+    */
+  private def cdcMaintainDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), lower(trim(col("text"))).as("t"))
+    val store = graft.Gate.tmpDir("gate_cdcdd_store_")
+    val idx = graft.Gate.tmpDir("gate_cdcdd_idx_")
+    CorpusStore.build(docs.filter(col("id") < 300), col("id"), store) // v1
+    DedupIndex.build(CorpusStore.read(s, store), col("id"), col("t"),
+      idx, n = 3)
+    CorpusStore.append(s, store, // v2
+      docs.filter(col("id") >= 300), col("id"))
+    CorpusStore.deleteRows(s, store, // v3 (spans v1 AND v2 rows)
+      docs.filter(col("id") % 10 === 5).select("id"), col("id"))
+    val feed = CorpusStore.changes(s, store, 1L).persist()
+    try {
+      val vs = feed.select("_version").distinct().collect()
+        .map(_.getLong(0)).sorted
+      vs.foreach { v =>
+        val delta = feed.filter(col("_version") === v)
+        val ins = delta.filter(col("_change") === "insert")
+          .select(col("id"), col("t"))
+        if (!ins.isEmpty)
+          DedupIndex.append(s, idx, ins, col("id"), col("t"))
+        val del = delta.filter(col("_change") === "delete").select("id")
+        if (!del.isEmpty)
+          DedupIndex.deleteDocs(s, idx, del, col("id"))
+      }
+    } finally { feed.unpersist(); () }
+    DedupIndex.compact(s, idx)
+    val nw = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("id"),
+        concat(lower(trim(col("text"))), lit(" zq zr")).as("t"))
+    DedupIndex.dedupBatch(s, idx, nw, col("id"), col("t"),
+        threshold = 0.5, maxDF = 20)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- CDC feed → persisted kNN-graph maintenance ----
+
+  /** The change feed driving the persisted graph index
+    * ([[graft.ext.KnnGraphIndex]]) — the third expensive family under
+    * feed maintenance, and the one whose maintenance is a genuine
+    * RE-WIRE rather than a delta encode: each insert window admits the
+    * delivery via warm-start NN-Descent (2 rounds against the live
+    * graph seed vs 5 cold), publishing only the delivery's vectors +
+    * the rewired nodes' new edge sets; deletes tombstone. After one
+    * compact (dangling-reference scrub) the index serves external
+    * queries by beam descent, and the checkable contract is recall vs
+    * exact brute force over the SURVIVING corpus: ≥80% of the 20
+    * external queries recover ≥1 of their true top-3 survivors
+    * (self-hits excluded on both sides).
+    */
+  private def cdcMaintainGraph(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val store = graft.Gate.tmpDir("gate_cdcg_store_")
+    val idx = graft.Gate.tmpDir("gate_cdcg_idx_")
+    CorpusStore.build( // v1
+      embs.filter(col("vec_id") % 3 =!= 0), col("vec_id"), store)
+    KnnGraphIndex.build(
+      CorpusStore.read(s, store).select(col("vec_id"), col("embedding")),
+      idx, k = 32, iters = 5)
+    CorpusStore.append(s, store, // v2
+      embs.filter(col("vec_id") % 3 === 0), col("vec_id"))
+    CorpusStore.deleteRows(s, store, // v3
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      col("vec_id"))
+    val feed = CorpusStore.changes(s, store, 1L).persist()
+    try {
+      val vs = feed.select("_version").distinct().collect()
+        .map(_.getLong(0)).sorted
+      vs.foreach { v =>
+        val delta = feed.filter(col("_version") === v)
+        val ins = delta.filter(col("_change") === "insert")
+          .select(col("vec_id"), col("embedding"))
+        if (!ins.isEmpty) KnnGraphIndex.append(s, idx, ins, warmIters = 2)
+        val del = delta.filter(col("_change") === "delete")
+          .select(col("id").as("vec_id"))
+        if (!del.isEmpty) KnnGraphIndex.deleteVecs(s, idx, del,
+          col("vec_id"))
+      }
+    } finally { feed.unpersist(); () }
+    KnnGraphIndex.compact(s, idx)
+    val queries = embs.filter(col("vec_id") < 20)
+    val got = KnnGraphIndex.search(s, idx, queries, k = 6)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val survivors = embs.filter(col("vec_id") % 7 =!= 3)
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    val truth = EmbeddingSearch.bruteForceTopKFor(survivors, queries, 4)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val hits = got.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  private val cdcMaintainGraphSql =
+    """SELECT count(*) AS n_queries, true AS search_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
+  // ---- streaming kNN-graph maintenance (warm-start NN-Descent) ----
+
+  /** The production graph-maintenance shape: embedding deliveries
+    * drain from a file stream in two micro-batches, and each batch
+    * re-wires the kNN graph via
+    * [[graft.ext.EmbeddingSearch.nnDescentFrom]] seeded with the
+    * PREVIOUS batch's converged graph — the cold path's 5 rounds run
+    * once, every later delivery pays 2 warm rounds (most
+    * neighborhoods are already correct; EmbeddingSearchSpec pins the
+    * warm/cold round contract on the clustered fixture). The drained
+    * graph must meet the q_nn_descent recall floor against the
+    * memoized EXACT graph over the union corpus: ≥80% of nodes
+    * recover ≥1 of their true top-3 neighbors. Per-batch cost is
+    * n·k²·warmRounds candidate scorings — corpus-linear, and at
+    * 100 TB the warm seed is what keeps maintenance from ever paying
+    * cold-start convergence again.
+    */
+  private def streamKnn(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val in = graft.Gate.tmpDir("gate_sknn_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sknn_ck_")
+    val state = graft.Gate.tmpDir("gate_sknn_state_")
+    embs.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    embs.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    var delivered = 0
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$state/corpus")
+        val corpus = s.read.parquet(s"$state/corpus")
+        val seed = if (delivered == 0) None
+          else Some(s.read.parquet(s"$state/graph"))
+        // cold start converges once; warm deliveries re-wire locally
+        val iters = if (seed.isEmpty) 5 else 2
+        EmbeddingSearch.nnDescentFrom(corpus, seed, k = 32, iters = iters)
+          .write.mode("overwrite").parquet(s"$state/graph_next")
+        // publish for the next batch (read-then-overwrite of the same
+        // path inside one job is unsafe; stage-and-swap instead)
+        s.read.parquet(s"$state/graph_next")
+          .write.mode("overwrite").parquet(s"$state/graph")
+        delivered += 1
+        ()
+      }.start()
+    q.awaitTermination()
+    val ann = s.read.parquet(s"$state/graph").filter(col("rank") <= 3)
+    val exact = s.read.parquet(s"${GraphTextQueries.sharedKnnGraphDir(s, d)}/knn")
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    embs.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_nodes"),
+        (col("n_ok") >= col("n_nodes") * 0.8).as("graph_ok"))
+  }
+
+  private val streamKnnSql =
+    """SELECT count(*) AS n_nodes, true AS graph_ok FROM embeddings"""
+
+  val gates: Seq[Gate] = Seq(
+    Gate("q_cdc_maintain_ivf", cdcMaintainIvf, Some(cdcMaintainIvfSql)),
+    Gate("q_cdc_maintain_dedup", cdcMaintainDedup,
+      Some(ExtQueries.dedupDeleteOracle)),
+    Gate("q_cdc_maintain_graph", cdcMaintainGraph,
+      Some(cdcMaintainGraphSql)),
+    Gate("q_stream_knn", streamKnn, Some(streamKnnSql)),
+  )
+}

@@ -145,6 +145,48 @@ class EmbeddingSearchSpec extends SparkSpec {
     assert(warm === exact13)
   }
 
+  // ---- graph-based ANN serving (beam descent) ----
+
+  test("graphSearch over the exact graph equals brute force on " +
+      "clustered data") {
+    val exactGraph = EmbeddingSearch.knnGraph(clustered, k = 3)
+    val queries = clustered.filter(col("vec_id") < 4)
+    // the two clusters are two disconnected kNN components; the entry
+    // set (smallest ids 0 and 1) covers one node of each, so the walk
+    // must reach and exactly rank every true neighbor
+    val got = EmbeddingSearch.graphSearch(clustered, exactGraph, queries,
+        k = 3, beamWidth = 6, hops = 4, entryPoints = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = EmbeddingSearch.bruteForceTopKFor(clustered, queries, 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("graphSearch lookup semantics: a corpus-identical query ranks " +
+      "itself first") {
+    val graph = EmbeddingSearch.knnGraph(embs, k = 2)
+    val got = EmbeddingSearch.graphSearch(embs, graph,
+        embs.filter(col("vec_id") === 0), k = 2, beamWidth = 4,
+        hops = 3, entryPoints = 2)
+      .orderBy("rank").select("neighbor_id", "cos")
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 === 0L)
+    assert(math.abs(got.head._2 - 1.0) < 1e-9)
+    assert(got(1)._1 === 1L) // vec 0's true nearest non-self neighbor
+  }
+
+  test("graphSearch visits stay bounded: zero hops returns only " +
+      "entry-point scorings") {
+    val graph = EmbeddingSearch.knnGraph(embs, k = 2)
+    val got = EmbeddingSearch.graphSearch(embs, graph,
+        embs.filter(col("vec_id") === 3), k = 10, beamWidth = 4,
+        hops = 0, entryPoints = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(0L, 1L)) // the two smallest node ids, nothing else
+  }
+
   test("nnDescent output schema and self-exclusion match knnGraph") {
     val nd = EmbeddingSearch.nnDescent(clustered, k = 2, iters = 1)
     assert(nd.columns.toSeq ===

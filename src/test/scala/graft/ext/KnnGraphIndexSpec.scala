@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class KnnGraphIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two tight clusters, ids interleaved (even = A, odd = B) — the
+    * EmbeddingSearchSpec fixture: NN-Descent converges exactly, and
+    * the smallest-id entry set {0, 1} covers one node per kNN
+    * component, so beam search must answer brute force.
+    */
+  private def clustered = (0 until 12).map { i =>
+    val base = if (i % 2 == 0) Array(10f, 0f, 0f) else Array(0f, 10f, 0f)
+    (i.toLong, base.zipWithIndex.map { case (v, j) =>
+      v + (if (j == 2) i * 0.01f else 0f) })
+  }.toDF("vec_id", "embedding")
+
+  private def dir() = graft.Gate.tmpDir("spec_knngi_")
+
+  private def answers(path: String, queries: org.apache.spark.sql.DataFrame,
+      k: Int = 3) =
+    KnnGraphIndex.search(spark, path, queries, k = k, beamWidth = 6,
+        hops = 4, entryPoints = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+
+  test("build + search answers brute force on clustered data") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val queries = clustered.filter(col("vec_id") < 4)
+    val want = EmbeddingSearch.bruteForceTopKFor(clustered, queries, 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(answers(path, queries) === want)
+  }
+
+  test("append wires a delivery in warm and is live-presence idempotent") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val delivery = Seq((100L, Array(10f, 0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val v1 = KnnGraphIndex.append(spark, path, delivery, warmIters = 2)
+    // re-admitting the same delivery publishes nothing
+    assert(KnnGraphIndex.append(spark, path, delivery, warmIters = 2)
+      === v1)
+    // live edges ≡ the exact 13-node graph (warm start converges on
+    // clustered data — the EmbeddingSearchSpec warm contract, here
+    // read back through the index's tombstone-masked live view)
+    val all = clustered.unionByName(delivery)
+    val want = EmbeddingSearch.knnGraph(all, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val live = KnnGraphIndex
+      .liveEdges(IndexStore.snapshot(spark, path))
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(live === want)
+    // and the new node answers as a query over the updated index
+    val got = answers(path, all.filter(col("vec_id") === 100L))
+    val bf = EmbeddingSearch.bruteForceTopKFor(all,
+        all.filter(col("vec_id") === 100L), 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === bf)
+  }
+
+  test("delete masks a node, searches answer over survivors, readd revives") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    // node 2 (cluster A, not an entry point) goes away
+    KnnGraphIndex.deleteVecs(spark, path, Seq(2L).toDF("vec_id"),
+      col("vec_id"))
+    val probe = clustered.filter(col("vec_id") === 2L)
+    val gotIds = answers(path, probe, k = 3).map(_._3)
+    assert(!gotIds.contains(2L))
+    assert(gotIds.forall(id => id % 2 == 0)) // still lands in cluster A
+    // idempotent: deleting again publishes nothing
+    val v = IndexStore.snapshot(spark, path).version
+    KnnGraphIndex.deleteVecs(spark, path, Seq(2L).toDF("vec_id"),
+      col("vec_id"))
+    assert(IndexStore.snapshot(spark, path).version === v)
+    // readd: the same node re-admits (scoped tombstones — live again)
+    KnnGraphIndex.append(spark, path,
+      clustered.filter(col("vec_id") === 2L), warmIters = 2)
+    val revived = answers(path, probe, k = 1)
+    assert(revived.map(_._3) === Set(2L)) // ranks itself first again
+  }
+
+  test("compact preserves answers and scrubs dangling references") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    KnnGraphIndex.deleteVecs(spark, path, Seq(2L, 4L).toDF("vec_id"),
+      col("vec_id"))
+    val queries = clustered.filter(col("vec_id") % 2 === 1)
+    val before = answers(path, queries)
+    KnnGraphIndex.compact(spark, path)
+    assert(answers(path, queries) === before)
+    val live = KnnGraphIndex.liveEdges(IndexStore.snapshot(spark, path))
+    assert(live.filter(col("neighbor_id").isin(2L, 4L)).isEmpty)
+    assert(live.filter(col("vec_id").isin(2L, 4L)).isEmpty)
+  }
+
+  test("searchAt answers the retained pre-delivery version") {
+    val path = dir()
+    val v1 = KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val delivery = Seq((100L, Array(10f, 0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    KnnGraphIndex.append(spark, path, delivery, warmIters = 2)
+    // as of v1 the delivery does not exist: a query AT its vector must
+    // answer the old corpus (node 100 absent from the results)
+    val got = KnnGraphIndex.searchAt(spark, path, v1, delivery, k = 3,
+        beamWidth = 6, hops = 4, entryPoints = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(100L))
+    assert(got.nonEmpty && got.forall(_ % 2 == 0)) // its true cluster, pre-delivery
+  }
+}
