@@ -285,12 +285,12 @@ object Bench {
     // q_search_graph reads the memoized descent graph — it must run
     // AFTER q_nn_descent (name order within the heavy group) so its
     // timed window prices the walk, not the shared construction
-    "q_search_graph",
+    "q_search_graph", "q_search_graph_filtered",
     // round 10: feed-driven maintenance lifecycles (store build +
     // index seed + feed replay + compact + probe in one window) and
     // the streaming warm-start graph drain
     "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
-    "q_stream_knn", "q_unigram_train")
+    "q_stream_knn", "q_unigram_train", "q_unigram_em")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -327,6 +327,7 @@ object Bench {
     "q_quality_rules", "q_bpe_large", "q_k_anonymity",
     // round 10: graph serving, unigram training, CDC-driven ANN/dedup
     // maintenance, streaming graph maintenance
-    "q_search_graph", "q_unigram_train", "q_cdc_maintain_ivf",
-    "q_cdc_maintain_dedup", "q_cdc_maintain_graph", "q_stream_knn")
+    "q_search_graph", "q_unigram_train", "q_unigram_em",
+    "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
+    "q_stream_knn")
 }

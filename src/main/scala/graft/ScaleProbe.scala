@@ -115,8 +115,15 @@ object ScaleProbe {
     // round 10: the change feed itself — each commit's delta read from
     // exactly that commit's bytes, so the probe's ratio should track
     // the delta size (which replicates with the corpus here), never
-    // super-linear in the store
-    "q_store_cdc",
+    // super-linear in the store — and the fixpoint unigram trainer
+    // (three segmentation passes over distinct words + vocab-bounded
+    // usage counts; candidate tables grow with the vocabulary, not the
+    // corpus). q_search_graph / q_stream_knn are NOT probed for the
+    // q_knn_graph_blocked reason: their recall harnesses read the
+    // memoized all-pairs exact graph, which a fresh replica dir
+    // rebuilds inside the timed window — the probe would measure the
+    // quadratic oracle, not the operator.
+    "q_store_cdc", "q_unigram_train",
     // round-9 third wave: hot-key-immune paragraph keeper election
     // (map-side-combined min(struct); boilerplate duplication depth
     // must not reach any reducer) and its incremental-registry twin

@@ -295,6 +295,34 @@ object EmbeddingSearch {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Predicate-filtered graph serving — [[graphSearch]]'s answer
+    * restricted to corpus rows passing `where` (the filtered-ANN
+    * contract [[IvfIndex.searchWhere]] exposes for the trained
+    * family). POST-FILTER variant: the walk runs over the FULL graph
+    * and over-fetches `k × overFetch` candidates, then passing nodes
+    * re-rank — constraining the walk itself to passing nodes can
+    * strand the beam where the predicate is sparse (filtered-DiskANN's
+    * documented failure mode), while the full-graph walk keeps its
+    * navigability and the filter costs one semi-join. Selective
+    * predicates want a larger `overFetch`; the recall gate is the
+    * contract, not a result-count guarantee.
+    */
+  def graphSearchWhere(embs: DataFrame, graph: DataFrame,
+      queries: DataFrame, where: Column, k: Int, beamWidth: Int = 16,
+      hops: Int = 4, entryPoints: Int = 16,
+      overFetch: Int = 4): DataFrame = {
+    val wide = graphSearch(embs, graph, queries, k * overFetch,
+      beamWidth, hops, entryPoints)
+    val pass = embs.filter(where).select(col("vec_id").as("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    wide.join(pass, Seq("neighbor_id"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bucket LSH. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

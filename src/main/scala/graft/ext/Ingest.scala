@@ -75,7 +75,7 @@ object Ingest {
     Set("bm25", "dedup", "literal").contains(kind)
 
   private def needsEmb(kind: String): Boolean =
-    Set("ivf", "pq", "sq", "ivfpq").contains(kind)
+    Set("ivf", "pq", "sq", "ivfpq", "graph").contains(kind)
 
   /** Admit `delivery` to every registered surface. The intent commits
     * durably BEFORE any surface is touched, so a crash at any point
@@ -128,6 +128,7 @@ object Ingest {
       case "literal"             => ("grams", "id")
       case "ivf"                 => ("cells", "vec_id")
       case "pq" | "sq" | "ivfpq" => ("codes", "vec_id")
+      case "graph"               => ("vectors", "vec_id")
       case other => sys.error(s"unknown surface kind '$other'")
     }
     IndexStore.liveRowsAmong(snap, rel, k,
@@ -192,6 +193,11 @@ object Ingest {
       case "ivfpq" =>
         IvfPqIndex.saveAppend(
           IvfPqIndex.load(spark, s.path, vecs), vecs, s.path)
+      // warm-start rewire: the delivery wires into the live graph in
+      // 2 rounds (append is itself live-presence idempotent, so the
+      // fresh-rows pre-filter above is belt and braces here)
+      case "graph" =>
+        KnnGraphIndex.append(spark, s.path, vecs, warmIters = 2); ()
       case other => sys.error(s"unknown surface kind '$other'")
     }
   }

@@ -48,7 +48,8 @@ object Takedown {
   final case class Surface(kind: String, path: String)
 
   val kinds: Set[String] =
-    Set("store", "bm25", "dedup", "literal", "ivf", "pq", "sq", "ivfpq")
+    Set("store", "bm25", "dedup", "literal", "ivf", "pq", "sq", "ivfpq",
+      "graph")
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -150,6 +151,7 @@ object Takedown {
     case "pq"      => PqIndex.deleteVecs(spark, s.path, ids, col("id"))
     case "sq"      => SqIndex.deleteVecs(spark, s.path, ids, col("id"))
     case "ivfpq"   => IvfPqIndex.deleteVecs(spark, s.path, ids, col("id"))
+    case "graph"   => KnnGraphIndex.deleteVecs(spark, s.path, ids, col("id"))
     case other     => sys.error(s"unknown surface kind '$other'")
   }
 
@@ -304,6 +306,7 @@ object Takedown {
         case "pq"      => PqIndex.maybeCompact(spark, s.path, maxSegments)
         case "sq"      => SqIndex.maybeCompact(spark, s.path, maxSegments)
         case "ivfpq"   => IvfPqIndex.maybeCompact(spark, s.path, maxSegments)
+        case "graph"   => KnnGraphIndex.maybeCompact(spark, s.path, maxSegments)
         case other     => sys.error(s"unknown surface kind '$other'")
       }
     }

@@ -701,6 +701,51 @@ object TextAnalysis {
     (cur, seg, rounds)
   }
 
+  /** Unigram-LM EM training — the cost-RE-ESTIMATION half [[unigramTrain]]
+    * (pure pruning) leaves out, completing the SentencePiece schedule:
+    * each round segments under the current table, prunes under-used
+    * multi-character pieces, and RE-DERIVES every survivor's cost from
+    * its observed usage share — the M-step. Costs stay INTEGER for
+    * engine-portable determinism (the [[minCostSegment]] contract): a
+    * piece's cost is `1 + bitlength(totalUses / max(uses, 1))`, the
+    * integer log₂ of its inverse frequency — monotone in -log p like a
+    * real LM cost, computed in exact integer arithmetic both engines
+    * replay bit-identically (`1 + length(bin(t // greatest(uses, 1)))`
+    * in SQL; no float log whose last ulp could flip an argmin). A
+    * never-used surviving piece (a base-alphabet char the corpus
+    * spells around) gets the max cost `1 + bitlength(totalUses)`.
+    *
+    * Fixed `rounds` (costs keep moving, so there is no vocab-size
+    * fixpoint to stop at) keeps the oracle a finite relational replay.
+    * Scale shape identical to [[unigramTrain]]: corpus touched once
+    * per round through the distinct-word relation, usage counts
+    * vocab-bounded, the only driver-side state the candidate table.
+    * Returns (final cost table, final segmentation, rounds).
+    */
+  def unigramTrainEm(docs: DataFrame, text: Column,
+      costs: Map[String, Int], minUses: Long,
+      rounds: Int): (Map[String, Int], DataFrame, Int) = {
+    var cur = costs
+    var seg = minCostSegment(docs, text, cur)
+    var r = 0
+    while (r < rounds) {
+      val usage = seg
+        .select(explode(col("pieces")).as("p"), col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("uses"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      val totUses = usage.values.sum
+      val kept = cur.keySet.filter(p =>
+        p.length == 1 || usage.getOrElse(p, 0L) >= minUses)
+      cur = kept.map { p =>
+        val denom = math.max(usage.getOrElse(p, 0L), 1L)
+        p -> (1 + java.lang.Long.toBinaryString(totUses / denom).length)
+      }.toMap
+      seg = minCostSegment(docs, text, cur)
+      r += 1
+    }
+    (cur, seg, r)
+  }
+
   /** One word's greedy longest-match WordPiece segmentation. */
   private def wordpieceWord(w: String, vocab: Set[String],
       maxLen: Int): Seq[String] = {

@@ -206,6 +206,47 @@ object GraphTextQueries {
     """SELECT count(*) AS n_queries, true AS search_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  /** [[graft.ext.EmbeddingSearch.graphSearchWhere]]: the filtered-ANN
+    * contract on the graph-serving path (q_ann_filtered's predicate —
+    * `vec_id % 3 = 0` — on the quantizer-free family): the walk runs
+    * over the full descent graph, over-fetches 4k, and the passing
+    * nodes re-rank. The recall contract is vs EXACT brute force over
+    * the FILTERED corpus (computed fresh — the memoized exact graph's
+    * top-3 is predicate-blind): ≥80% of the 20 queries recover ≥1 of
+    * their true filtered top-3.
+    */
+  private def searchGraphFiltered(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
+    val queries = embs.filter(col("vec_id") < 20)
+    val pred = col("vec_id") % 3 === 0
+    val got = graft.ext.EmbeddingSearch.graphSearchWhere(embs, graph,
+        queries, pred, k = 5, beamWidth = 16, hops = 4,
+        entryPoints = 16)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rank"))
+    val truth = graft.ext.EmbeddingSearch
+      .bruteForceTopKFor(embs.filter(pred), queries, 4)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val hits = got.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  private val searchGraphFilteredSql =
+    """SELECT count(*) AS n_queries, true AS search_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
   // ---- label propagation over the kNN graph ----
 
   /** [[graft.ext.GraphOps.labelPropagate]] on the symmetrized kNN
@@ -766,6 +807,88 @@ object GraphTextQueries {
        |ORDER BY wo.w""".stripMargin
   }
 
+  // ---- unigram-LM EM training: prune + integer-log2 cost M-step ----
+
+  /** [[graft.ext.TextAnalysis.unigramTrainEm]]: two EM rounds over the
+    * same candidate table — segment, prune (threshold total/50), and
+    * RE-DERIVE every survivor's cost as the integer log₂ of its
+    * inverse usage share (`1 + bitlength(totalUses / max(uses,1))`) —
+    * exact integer arithmetic both engines replay bit-identically, no
+    * float log in the argmin path. The oracle unrolls both rounds:
+    * three Viterbi DP stacks with usage-count → prune → re-cost
+    * between them, every final cost and piece sequence value-checked.
+    */
+  private def unigramEmGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = wordCounts(docs)
+    val costs = unigramCandidates(s, words)
+    val total = words.agg(sum("cnt")).head().getLong(0)
+    val (_, seg, _) = TextAnalysis.unigramTrainEm(docs, col("text"),
+      costs, minUses = total / 50, rounds = 2)
+    seg
+      .select(col("w"), col("cnt"), col("cost"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+      .orderBy("w")
+  }
+
+  private val unigramEmSql = {
+    def emStep(doneFrom: String, fromVocab: String, toVocab: String,
+        n: Int): String =
+      s"""done$n AS (SELECT wo.w, wo.cnt, f.pieces
+         |  FROM words wo JOIN ${doneFrom}fin f
+         |    ON f.w = wo.w AND f.p = length(wo.w)),
+         |usage$n AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS uses
+         |  FROM (SELECT cnt, unnest(string_split(pieces, ' ')) AS piece
+         |        FROM done$n)
+         |  GROUP BY piece),
+         |totu$n AS (SELECT CAST(sum(uses) AS BIGINT) AS t FROM usage$n),
+         |$toVocab AS MATERIALIZED (
+         |  SELECT v.piece,
+         |         CAST(1 + length(bin(tu.t
+         |           // greatest(coalesce(u.uses, 0), 1))) AS INTEGER)
+         |           AS cost,
+         |         v.len
+         |  FROM $fromVocab v LEFT JOIN usage$n u ON u.piece = v.piece,
+         |       totu$n tu, tot
+         |  WHERE v.len = 1 OR coalesce(u.uses, 0) >= tot.t // 50)""".stripMargin
+    s"""WITH tok AS (SELECT
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT w, count(*) AS cnt
+       |          FROM (SELECT unnest(toks) AS w FROM tok)
+       |          WHERE w <> '' GROUP BY w),
+       |top20 AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+       |          FROM words QUALIFY rk <= 20),
+       |chars AS (SELECT DISTINCT substr(w, ci + 1, 1) AS c
+       |          FROM (SELECT w, unnest(range(length(w))) AS ci FROM words)),
+       |grams2 AS (SELECT DISTINCT substr(w, gi + 1, 2) AS g
+       |           FROM (SELECT w, unnest(range(length(w) - 1)) AS gi
+       |                 FROM words WHERE length(w) >= 2)),
+       |vocab0 AS (
+       |  SELECT c AS piece, 3 AS cost FROM chars
+       |  UNION ALL SELECT w, 1 FROM top20 WHERE rk <= 10
+       |  UNION ALL SELECT left(w, 4), 2 FROM top20 WHERE rk > 10
+       |  UNION ALL SELECT right(w, 4), 2 FROM top20 WHERE rk > 10
+       |  UNION ALL SELECT g, 2 FROM grams2),
+       |vocabc AS MATERIALIZED (SELECT piece,
+       |                  CAST(min(cost) AS INTEGER) AS cost,
+       |                  length(piece) AS len
+       |           FROM vocab0 GROUP BY piece),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM words),
+       |${dpStack("vocabc", "a")},
+       |${emStep("a", "vocabc", "vocab2", 1)},
+       |${dpStack("vocab2", "c")},
+       |${emStep("c", "vocab2", "vocab3", 2)},
+       |${dpStack("vocab3", "e")}
+       |SELECT wo.w, wo.cnt,
+       |       CAST(coalesce(f.cost, -1) AS INTEGER) AS cost,
+       |       coalesce(f.pieces, '[UNK]') AS pieces_str
+       |FROM words wo LEFT JOIN efin f
+       |  ON f.w = wo.w AND f.p = length(wo.w)
+       |ORDER BY wo.w""".stripMargin
+  }
+
   // ---- Gopher-style quality rule bank ----
 
   /** [[graft.ext.TextAnalysis.qualityRules]] with the default Gopher
@@ -817,6 +940,8 @@ object GraphTextQueries {
     Gate("q_knn_graph_blocked", knnGraphBlocked, Some(knnGraphBlockedSql)),
     Gate("q_nn_descent", nnDescentGate, Some(nnDescentSql)),
     Gate("q_search_graph", searchGraph, Some(searchGraphSql)),
+    Gate("q_search_graph_filtered", searchGraphFiltered,
+      Some(searchGraphFilteredSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     Gate("q_paragraph_dedup_inc", paragraphDedupInc,
@@ -827,6 +952,7 @@ object GraphTextQueries {
     Gate("q_unigram_segment", minCostSegment, Some(minCostSegmentSql)),
     Gate("q_unigram_prune", unigramPrune, Some(unigramPruneSql)),
     Gate("q_unigram_train", unigramTrainGate, Some(unigramTrainSql)),
+    Gate("q_unigram_em", unigramEmGate, Some(unigramEmSql)),
     Gate("q_quality_rules", qualityRules, Some(qualityRulesSql)),
   )
 }

@@ -187,6 +187,22 @@ class EmbeddingSearchSpec extends SparkSpec {
     assert(got === Set(0L, 1L)) // the two smallest node ids, nothing else
   }
 
+  test("graphSearchWhere equals filtered brute force on clustered data") {
+    val exactGraph = EmbeddingSearch.knnGraph(clustered, k = 3)
+    val queries = clustered.filter(col("vec_id") < 4)
+    val pred = col("vec_id") % 3 === 0
+    val got = EmbeddingSearch.graphSearchWhere(clustered, exactGraph,
+        queries, pred, k = 2, beamWidth = 6, hops = 4, entryPoints = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = EmbeddingSearch.bruteForceTopKFor(
+        clustered.filter(pred), queries, 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want)
+    assert(got.forall(_._3 % 3 == 0))
+  }
+
   test("nnDescent output schema and self-exclusion match knnGraph") {
     val nd = EmbeddingSearch.nnDescent(clustered, k = 2, iters = 1)
     assert(nd.columns.toSeq ===

@@ -102,6 +102,32 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(live.filter(col("vec_id").isin(2L, 4L)).isEmpty)
   }
 
+  test("graph registers as a takedown/ingest surface: one admit lands " +
+      "on store AND graph, one retract scrubs both") {
+    val root = dir()
+    val store = dir()
+    val gidx = dir()
+    val base = clustered.select(col("vec_id").as("id"),
+      col("embedding").as("emb"))
+    CorpusStore.build(base, col("id"), store)
+    KnnGraphIndex.build(clustered, gidx, k = 3, iters = 3)
+    Takedown.register(spark, root, Takedown.Surface("store", store))
+    Takedown.register(spark, root, Takedown.Surface("graph", gidx))
+    val delivery = Seq((100L, Array(10f, 0f, 0.5f))).toDF("id", "emb")
+    Ingest.admit(spark, root, delivery, col("id"))
+    // both surfaces answer: the store row exists, the graph serves the
+    // new vector as its own nearest neighbor
+    assert(CorpusStore.read(spark, store)
+      .filter(col("id") === 100L).count() === 1L)
+    val q = Seq((100L, Array(10f, 0f, 0.5f))).toDF("vec_id", "embedding")
+    assert(answers(gidx, q, k = 1).map(_._3) === Set(100L))
+    // one retract scrubs both
+    Takedown.retract(spark, root, Seq(100L).toDF("id"), col("id"))
+    assert(CorpusStore.read(spark, store)
+      .filter(col("id") === 100L).isEmpty)
+    assert(!answers(gidx, q, k = 3).map(_._3).contains(100L))
+  }
+
   test("searchAt answers the retained pre-delivery version") {
     val path = dir()
     val v1 = KnnGraphIndex.build(clustered, path, k = 3, iters = 3)

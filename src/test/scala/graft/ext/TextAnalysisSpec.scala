@@ -397,6 +397,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("cd") === Seq("c", "d")) // its piece was pruned
   }
 
+  test("unigramTrain iterates prune to a fixpoint and stops early") {
+    val docs = Seq("ab ab ab cd").toDF("t")
+    val costs = Map("ab" -> 1, "cd" -> 1,
+      "a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2)
+    // round 1 prunes "cd", round 2 prunes nothing → converged at 2
+    val (kept, seg2, rounds) = TextAnalysis.unigramTrain(docs, col("t"),
+      costs, minUses = 2L, maxRounds = 5)
+    assert(kept.keySet === Set("ab", "a", "b", "c", "d"))
+    assert(rounds === 2)
+    // extra rounds are idempotent: same vocab, same segmentation
+    val (kept4, seg4, _) = TextAnalysis.unigramTrain(docs, col("t"),
+      costs, minUses = 2L, maxRounds = 2)
+    assert(kept4 === kept)
+    assert(seg2.select("w", "pieces").as[(String, Seq[String])]
+      .collect().toMap ===
+      seg4.select("w", "pieces").as[(String, Seq[String])]
+        .collect().toMap)
+  }
+
+  test("unigramTrainEm re-derives integer-log2 costs from usage") {
+    // corpus: "ab ab ab cd" → pieces after round 1 under the full
+    // candidate set: ab used 3×, c and d once each (cd pruned at
+    // minUses=2), a/b unused. totalUses = 3+1+1 = 5 →
+    // cost(ab) = 1+bitlen(5/3=1) = 2; cost(c)=cost(d)=1+bitlen(5)=4;
+    // unused a/b = 1+bitlen(5)=4.
+    val docs = Seq("ab ab ab cd").toDF("t")
+    val costs = Map("ab" -> 1, "cd" -> 1,
+      "a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2)
+    val (cs, seg1, _) = TextAnalysis.unigramTrainEm(docs, col("t"),
+      costs, minUses = 2L, rounds = 1)
+    assert(cs === Map("ab" -> 2, "a" -> 4, "b" -> 4, "c" -> 4, "d" -> 4))
+    assert(seg1.select("w", "cost").as[(String, Int)].collect().toMap
+      === Map("ab" -> 2, "cd" -> 8))
+    // a second round is deterministic and keeps the alphabet
+    val (cs2, _, rounds) = TextAnalysis.unigramTrainEm(docs, col("t"),
+      costs, minUses = 2L, rounds = 2)
+    assert(rounds === 2)
+    assert(Set("a", "b", "c", "d").subsetOf(cs2.keySet))
+  }
+
   // ---- Gopher-style quality rule bank ----
 
   test("qualityRules reports exactly the failed rules, sorted") {
