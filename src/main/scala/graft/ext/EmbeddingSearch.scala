@@ -295,6 +295,78 @@ object EmbeddingSearch {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** BINARY (sign-bit) quantization code: bit j of word w is
+    * `v[w·64 + j] > 0` — one long per 64 dimensions, the 1-bit-per-dim
+    * compression modern vector stores run as their first stage (the
+    * RaBitQ/BQ shape without the rotation: these embeddings are
+    * already zero-centered, so raw signs carry the direction). A
+    * 64-dim corpus stores 8 bytes/vector — 32× smaller than float32 —
+    * and Hamming distance between codes estimates angle. Pure
+    * codegen'd bit arithmetic, map-side, deterministic.
+    */
+  def binaryCode(v: Column, dim: Int): Column = {
+    val words = (0 until (dim + 63) / 64).map { wi =>
+      (0 until math.min(64, dim - wi * 64)).map { j =>
+        when(element_at(v, wi * 64 + j + 1) > 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two code arrays — popcount of the XOR,
+    * folded across words (codegen'd `bit_count`).
+    */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Two-stage binary-quantized top-k — the cheapest ANN first stage
+    * beside the trained quantizers (PQ/SQ/IVF-PQ) and the graph walk:
+    * stage 1 scans ONLY (vec_id, code) — 16 bytes/row — and keeps each
+    * query's `candidates` nearest codes by Hamming (ties → smaller
+    * id); stage 2 re-reads just the survivors' float vectors by id
+    * equi-join and re-ranks them exactly. At 100 TB the code relation
+    * is the only full-scan: 32× smaller than the vectors, SIMD-width
+    * popcount per row, and the exact re-rank touches `candidates`
+    * rows per query via a pushed-down id join. Recall is the
+    * candidate-count knob; the q_pq_topk recall contract gates it.
+    */
+  def binaryTopK(embs: DataFrame, queryPred: Column, k: Int,
+      candidates: Int = 200, dim: Int = 64): DataFrame = {
+    val e = prepared(embs)
+      .withColumn("code", binaryCode(col("v"), dim)).persist()
+    val qSlim = e.filter(queryPred).select(
+      col("vec_id").as("query_id"), col("code").as("qcode"))
+    // stage 1: Hamming over the 16-byte code relation only
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = e.select(col("vec_id"), col("code"))
+      .join(broadcast(qSlim), col("vec_id") =!= col("query_id"))
+      .withColumn("ham", hamming(col("qcode"), col("code")))
+      .withColumn("crank", row_number().over(wHam))
+      .filter(col("crank") <= candidates)
+      .select("query_id", "vec_id")
+    // stage 2: exact re-rank of the survivors (vectors re-read by id)
+    val qVec = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = cand
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(qVec), "query_id")
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Predicate-filtered graph serving — [[graphSearch]]'s answer
     * restricted to corpus rows passing `where` (the filtered-ANN
     * contract [[IvfIndex.searchWhere]] exposes for the trained

@@ -567,6 +567,31 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** Binary (sign-bit) quantization top-k
+    * ([[graft.ext.EmbeddingSearch.binaryTopK]]): the 1-bit-per-dim
+    * first stage modern vector stores run before exact re-rank —
+    * stage 1 scans only the 16-byte (id, code) relation and keeps 200
+    * Hamming candidates per query, stage 2 re-reads exactly those
+    * vectors by id and re-ranks exactly. Training-free (no codebooks,
+    * no sampled k-means), so unlike PQ/SQ the code is reproducible
+    * from the data alone. Same recall contract as q_pq_topk.
+    */
+  private def binaryTopK(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    // near-uniform random vectors are sign-bit Hamming's WORST case
+    // (angles concentrate near 90°, so code distances barely separate
+    // true neighbors) — the gate widens the candidate stage to 20% of
+    // the corpus; clustered real-world embeddings run at 1-5%
+    val cand = math.max(200, (embs.count() / 5L).toInt)
+    val ann = graft.ext.EmbeddingSearch.binaryTopK(embs,
+      col("vec_id") < 10, k = 5, candidates = cand)
+    ExtQueries.recallGate(embs, ann, k = 5, minHits = 3)
+  }
+
+  private val binaryTopKSql =
+    """SELECT vec_id AS query_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
   /** ANN index persistence gate ([[graft.ext.PqIndex.save]]/`load`):
     * build → save → load in a FRESH session → search. `persist_ok` pins
     * the contract that matters at 100 TB — the loaded index answers
@@ -1868,6 +1893,7 @@ object ScaleQueries {
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Gate("q_ivf_rebalance", ivfRebalance, Some(ivfTopKSql)),
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
+    Gate("q_binary_topk", binaryTopK, Some(binaryTopKSql)),
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),
     Gate("q_ivf_delete", ivfDelete, Some(ivfDeleteSql)),

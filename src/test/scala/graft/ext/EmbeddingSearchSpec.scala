@@ -84,6 +84,37 @@ class EmbeddingSearchSpec extends SparkSpec {
     assert(g.filter(_._1 == 2L) === solo)
   }
 
+  // ---- binary (sign-bit) quantization ----
+
+  test("binaryCode packs sign bits; hamming counts differing bits") {
+    val df = Seq(
+      (0L, Array(1.0, -1.0, 2.0)),   // bits: 1,0,1 → 0b101 = 5
+      (1L, Array(-1.0, 1.0, 2.0)),   // bits: 0,1,1 → 0b110 = 6
+    ).toDF("id", "v")
+    val codes = df.select(col("id"),
+      EmbeddingSearch.binaryCode(col("v"), dim = 3).as("c"))
+    val m = codes.as[(Long, Seq[Long])].collect().toMap
+    assert(m(0L) === Seq(5L))
+    assert(m(1L) === Seq(6L))
+    val h = codes.as("a").join(codes.as("b"),
+        col("a.id") < col("b.id"))
+      .select(EmbeddingSearch.hamming(col("a.c"), col("b.c")))
+      .as[Long].head()
+    assert(h === 2L) // bits 0 and 1 differ
+  }
+
+  test("binaryTopK with full candidate coverage equals brute force") {
+    val got = EmbeddingSearch.binaryTopK(embs, col("vec_id") === 0,
+        k = 4, candidates = 10, dim = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = EmbeddingSearch.bruteForceTopK(embs,
+        col("vec_id") === 0, k = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want) // re-rank is exact once stage 1 passes everything
+  }
+
   // ---- NN-Descent ----
 
   /** Two tight clusters: NN-Descent's favorable case — the
