@@ -245,9 +245,16 @@ object EmbeddingSearch {
     val und = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    // entry set: the smallest node ids present in the graph — bounded,
-    // deterministic, engine-portable (no RNG, no data-dependent seed)
+    // entry set: the smallest LIVE node ids present in the graph —
+    // bounded, deterministic, engine-portable (no RNG, no
+    // data-dependent seed). The semi-join against the corpus matters
+    // on a maintained graph: a deleted node can linger in OTHER nodes'
+    // edge lists until compaction, and a dead entry would silently
+    // shrink the effective entry set (it scores nothing, so nothing
+    // expands from it)
     val entries = und.select(col("src").as("node_id")).distinct()
+      .join(e.select(col("vec_id").as("node_id")),
+        Seq("node_id"), "left_semi")
       .orderBy("node_id").limit(entryPoints)
     // score ONLY the candidate (query, node) pairs: node vectors via
     // id equi-join, query vectors broadcast (the query set is the

@@ -125,14 +125,7 @@ object KnnGraphIndex {
           // either direction — deterministic recompute makes unchanged
           // neighborhoods byte-identical, so the symmetric difference
           // is exactly the delta
-          val keyCols = Seq("vec_id", "neighbor_id", "rank")
-          val changed = stored.select(keyCols.map(col): _*)
-            .join(oldEdges.select(keyCols.map(col): _*),
-              keyCols, "left_anti")
-            .unionByName(oldEdges.select(keyCols.map(col): _*)
-              .join(stored.select(keyCols.map(col): _*),
-                keyCols, "left_anti"))
-            .select("vec_id").distinct()
+          val changed = changedNodes(stored, oldEdges)
           val seg = IndexStore.newSegmentName()
           delivery.write.parquet(s"$path/$seg/vectors")
           stored.join(changed, Seq("vec_id"), "left_semi")
@@ -141,6 +134,49 @@ object KnnGraphIndex {
             Seq("vectors", "edges"))
         }
       } finally { delivery.unpersist(); () }
+    }
+
+  /** Nodes whose (neighbor, rank) set differs between the new and old
+    * graphs, in either direction — deterministic recompute makes
+    * unchanged neighborhoods byte-identical, so the symmetric
+    * difference is exactly the publish delta.
+    */
+  private def changedNodes(stored: DataFrame,
+      oldEdges: DataFrame): DataFrame = {
+    val keyCols = Seq("vec_id", "neighbor_id", "rank")
+    stored.select(keyCols.map(col): _*)
+      .join(oldEdges.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(oldEdges.select(keyCols.map(col): _*)
+        .join(stored.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      .select("vec_id").distinct()
+  }
+
+  /** RE-WIRE maintenance: warm descent rounds over the live corpus
+    * with no delivery — restores node degrees after deletes and
+    * compaction scrubbed dangling references ([[compact]] is
+    * layout-only by contract, so degrees stay < k until someone
+    * re-wires) and generally tightens neighborhoods. Publishes only
+    * the changed nodes' new edge sets under a fresh gen (the
+    * [[append]] delta discipline); an unchanged graph publishes
+    * nothing.
+    */
+  def rewire(spark: SparkSession, path: String, iters: Int = 1): Long =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val k = readK(snap)
+      val corpus = liveVectors(snap).select("vec_id", "embedding")
+      val oldEdges = liveEdges(snap).localCheckpoint(true)
+      val stored = asStored(EmbeddingSearch.nnDescentFrom(corpus,
+          Some(asGraph(oldEdges)), k, iters), gen = snap.version + 1)
+        .localCheckpoint(true)
+      val changed = changedNodes(stored, oldEdges)
+      if (changed.isEmpty) snap.version
+      else {
+        val seg = IndexStore.newSegmentName()
+        stored.join(changed, Seq("vec_id"), "left_semi")
+          .write.parquet(s"$path/$seg/edges")
+        IndexStore.publishAppend(spark, path, seg, Seq("edges"))
+      }
     }
 
   /** Retract nodes: one scoped tombstone masks the ids' rows in BOTH

@@ -102,6 +102,33 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(live.filter(col("vec_id").isin(2L, 4L)).isEmpty)
   }
 
+  test("rewire restores full degrees after delete + compact and " +
+      "re-converges to the survivors' exact graph") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    KnnGraphIndex.deleteVecs(spark, path, Seq(2L, 4L).toDF("vec_id"),
+      col("vec_id"))
+    KnnGraphIndex.compact(spark, path) // scrubs dangling refs → degree < k
+    val survivors = clustered.filter(!col("vec_id").isin(2L, 4L))
+    val before = KnnGraphIndex
+      .liveEdges(IndexStore.snapshot(spark, path))
+      .groupBy("vec_id").count()
+      .agg(min("count")).as[Long].head()
+    assert(before < 3L)
+    KnnGraphIndex.rewire(spark, path, iters = 2)
+    val live = KnnGraphIndex
+      .liveEdges(IndexStore.snapshot(spark, path))
+      .select(col("vec_id"), col("rank"), col("neighbor_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val want = EmbeddingSearch.knnGraph(survivors, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(live === want)
+    // an already-converged graph re-wires to a no-op publish
+    val v = IndexStore.snapshot(spark, path).version
+    assert(KnnGraphIndex.rewire(spark, path, iters = 1) === v)
+  }
+
   test("graph registers as a takedown/ingest surface: one admit lands " +
       "on store AND graph, one retract scrubs both") {
     val root = dir()
