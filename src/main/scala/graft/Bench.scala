@@ -329,5 +329,5 @@ object Bench {
     // maintenance, streaming graph maintenance
     "q_search_graph", "q_unigram_train", "q_unigram_em",
     "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
-    "q_stream_knn", "q_binary_topk")
+    "q_stream_knn", "q_binary_topk", "q_store_federate")
 }

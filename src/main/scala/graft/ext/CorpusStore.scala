@@ -107,6 +107,28 @@ object CorpusStore {
     IndexStore.liveRows(IndexStore.snapshot(spark, root), "rows",
       key = "id")
 
+  /** FEDERATED read across multiple stores with precedence: the live
+    * rows of every root, id collisions resolved to the EARLIEST root
+    * in the list — the multi-corpus composition a correction overlay,
+    * staging-over-production swap, or multi-region merge needs WITHOUT
+    * physically merging 100 TB stores. Deletes compose naturally: a
+    * root with no live row for an id simply cedes to the next root
+    * (retract the correction → the original shows through). Schemas
+    * union by name (the evolution contract — a root missing a later
+    * column reads null). Resolution is one source-rank column + a
+    * min-rank-per-id aggregate + an equi-join — never a window, and
+    * each root still applies its own zone maps/tombstones before any
+    * row travels.
+    */
+  def readFederated(spark: SparkSession, roots: Seq[String]): DataFrame = {
+    require(roots.nonEmpty, "readFederated needs at least one root")
+    val ranked = roots.zipWithIndex.map { case (r, i) =>
+      read(spark, r).withColumn("__src", lit(i)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val winner = ranked.groupBy("id").agg(min("__src").as("__src"))
+    ranked.join(winner, Seq("id", "__src")).drop("__src")
+  }
+
   /** The live corpus as of a RETAINED version — the lineage path: a
     * selection run records the store version it read, an audit replays
     * it verbatim (hold [[IndexStore.withLease]] to pin against GC).

@@ -436,6 +436,7 @@ object ExtQueries {
     sharedLiteralIndex(s, d)
     sharedIvfIndex(s, d)
     sharedIngestRoot(s, d)
+    MaintainQueries.sharedGraphSeed(s, d)
     ()
   }
 
