@@ -181,6 +181,39 @@ class CorpusStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("not retained"))
   }
 
+  test("readFederated: earliest root wins, deletes cede, schemas merge") {
+    val a = tmpDir("cs_fed_a")
+    val b = tmpDir("cs_fed_b")
+    // overlay carries an extra column the production store lacks
+    CorpusStore.build(
+      Seq((1L, "one-fixed", "r2"), (2L, "two-fixed", "r2"))
+        .toDF("doc_id", "text", "rev"),
+      org.apache.spark.sql.functions.col("doc_id"), a)
+    CorpusStore.build(rows(1L, 2L, 3L),
+      org.apache.spark.sql.functions.col("doc_id"), b)
+    def fed: Map[Long, (String, Option[String])] =
+      CorpusStore.readFederated(spark, Seq(a, b))
+        .select("id", "text", "rev").as[(Long, String, Option[String])]
+        .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // precedence: overlay wins 1 and 2, production serves 3 (rev null)
+    assert(fed === Map(
+      1L -> (("one-fixed", Some("r2"))),
+      2L -> (("two-fixed", Some("r2"))),
+      3L -> (("text-3", None))))
+    // a retracted overlay row cedes to production
+    CorpusStore.deleteRows(spark, a, Seq(1L).toDF("id"),
+      org.apache.spark.sql.functions.col("id"))
+    assert(fed(1L) === (("text-1", None)))
+    // a production takedown with a live overlay row still serves
+    CorpusStore.deleteRows(spark, b, Seq(2L).toDF("id"),
+      org.apache.spark.sql.functions.col("id"))
+    assert(fed(2L) === (("two-fixed", Some("r2"))))
+    // deleted everywhere → gone
+    CorpusStore.deleteRows(spark, a, Seq(2L).toDF("id"),
+      org.apache.spark.sql.functions.col("id"))
+    assert(!fed.contains(2L))
+  }
+
   test("tailInto: durable cursor, at-least-once replay on crash") {
     val root = tmpDir("cs_tail")
     val cursor = s"$root/_consumer/cursor"
