@@ -290,7 +290,7 @@ object Bench {
     // index seed + feed replay + compact + probe in one window) and
     // the streaming warm-start graph drain
     "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
-    "q_stream_knn", "q_unigram_train", "q_unigram_em")
+    "q_stream_knn", "q_unigram_train", "q_unigram_em", "q_graph_rewire")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -329,5 +329,6 @@ object Bench {
     // maintenance, streaming graph maintenance
     "q_search_graph", "q_unigram_train", "q_unigram_em",
     "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
-    "q_stream_knn", "q_binary_topk", "q_store_federate")
+    "q_stream_knn", "q_binary_topk", "q_store_federate",
+    "q_graph_rewire")
 }

@@ -343,7 +343,7 @@ object EmbeddingSearch {
   def binaryTopK(embs: DataFrame, queryPred: Column, k: Int,
       candidates: Int = 200, dim: Int = 64): DataFrame = {
     val e = prepared(embs)
-      .withColumn("code", binaryCode(col("v"), dim)).persist()
+      .withColumn("code", binaryCode(col("v"), dim))
     val qSlim = e.filter(queryPred).select(
       col("vec_id").as("query_id"), col("code").as("qcode"))
     // stage 1: Hamming over the 16-byte code relation only
@@ -360,7 +360,7 @@ object EmbeddingSearch {
       col("v").as("qv"), col("nrm").as("qnrm"))
     val wCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val out = cand
+    cand
       .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .join(broadcast(qVec), "query_id")
       .withColumn("cos",
@@ -369,9 +369,6 @@ object EmbeddingSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos"), col("rank"))
-      .localCheckpoint(true)
-    e.unpersist()
-    out
   }
 
   /** Predicate-filtered graph serving — [[graphSearch]]'s answer

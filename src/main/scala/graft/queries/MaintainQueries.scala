@@ -232,6 +232,55 @@ object MaintainQueries {
     """SELECT count(*) AS n_queries, true AS search_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  // ---- graph rewire: the degree-restoring maintenance pass ----
+
+  /** [[graft.ext.KnnGraphIndex.rewire]] under the driver gate: start
+    * from the memoized cold-built graph, take down every seventh node,
+    * compact (which scrubs dangling references and leaves degrees
+    * BELOW k — compaction is layout-only by contract), then one warm
+    * rewire round restores full neighborhoods with a delta-only
+    * publish. The contract is the family recall floor over the
+    * SURVIVING corpus — after rewire, beam search must recover ≥80%
+    * of the 20 external queries' true top-3 survivors.
+    */
+  private def graphRewire(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val seed = sharedGraphSeed(s, d)
+    val idx = graft.Gate.copyDir(s"$seed/graph", "gate_grw_idx_")
+    // the memoized seed covers vec_id % 3 =!= 0; admit the rest so the
+    // takedown spans both the cold build and a warm delivery
+    KnnGraphIndex.append(s, idx,
+      embs.filter(col("vec_id") % 3 === 0), warmIters = 2)
+    KnnGraphIndex.deleteVecs(s, idx,
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      col("vec_id"))
+    KnnGraphIndex.compact(s, idx)
+    KnnGraphIndex.rewire(s, idx, iters = 1)
+    val queries = embs.filter(col("vec_id") < 20)
+    val got = KnnGraphIndex.search(s, idx, queries, k = 6)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val survivors = embs.filter(col("vec_id") % 7 =!= 3)
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    val truth = EmbeddingSearch.bruteForceTopKFor(survivors, queries, 4)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val hits = got.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  private val graphRewireSql =
+    """SELECT count(*) AS n_queries, true AS search_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
   // ---- cross-corpus federation: precedence read over two stores ----
 
   /** [[graft.ext.CorpusStore.readFederated]]: a corrections overlay
@@ -350,5 +399,6 @@ object MaintainQueries {
       Some(cdcMaintainGraphSql)),
     Gate("q_stream_knn", streamKnn, Some(streamKnnSql)),
     Gate("q_store_federate", storeFederate, Some(storeFederateSql)),
+    Gate("q_graph_rewire", graphRewire, Some(graphRewireSql)),
   )
 }

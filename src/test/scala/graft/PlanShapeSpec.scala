@@ -303,4 +303,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("federated read resolves precedence with an aggregate + join, " +
+      "never a window") {
+    val p = plan("q_store_federate")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("binary quantization: broadcast query side, per-query windows, " +
+      "no cartesian over the corpus") {
+    val p = graft.ext.EmbeddingSearch.binaryTopK(
+        graft.Tables.embeddings(spark, d), org.apache.spark.sql.functions
+          .col("vec_id") < 3, k = 2, candidates = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    // stage 1 (Hamming candidates) + stage 2 (exact re-rank): both
+    // windows partition per query — never a global sort
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    // the query side broadcasts in both stages; the non-equi stage-1
+    // join is a broadcast nested loop over the BOUNDED query set
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
 }
