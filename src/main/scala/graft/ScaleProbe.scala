@@ -124,6 +124,13 @@ object ScaleProbe {
     // rebuilds inside the timed window — the probe would measure the
     // quadratic oracle, not the operator.
     "q_store_cdc", "q_unigram_train",
+    // round-10 second wave: precedence federation (two full live reads
+    // + one min-rank aggregate — corpus-linear by design, the probe
+    // pins the constant) and the binary-quantization two-stage search
+    // (stage 1 is a corpus-linear 16-byte scan; candidates scale with
+    // the corpus in the gate, so the ratio should track data, never
+    // exceed it)
+    "q_store_federate", "q_binary_topk",
     // round-9 third wave: hot-key-immune paragraph keeper election
     // (map-side-combined min(struct); boilerplate duplication depth
     // must not reach any reducer) and its incremental-registry twin
