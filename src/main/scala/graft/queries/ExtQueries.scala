@@ -3357,14 +3357,17 @@ object ExtQueries {
     val docs = Tables.documents(s, d)
     val embs = Tables.embeddings(s, d)
     val root = graft.Gate.tmpDir("gate_ing_root_")
-    // the store base holds text AND embedding — the multimodal source
-    // of truth an Ingest-managed corpus keeps (documents and
-    // embeddings share one id domain in the testdata)
+    // the store base holds text AND (where one exists) embedding — the
+    // multimodal source of truth an Ingest-managed corpus keeps. LEFT
+    // join: every document is a corpus row whether or not it has been
+    // embedded yet (at sf0.1 the embeddings table covers only part of
+    // the document id domain — an INNER join silently dropped 3000
+    // store rows there, caught by the round-10 full-suite sf0.1 verify)
     val storeDir = graft.Gate.tmpDir("gate_ing_store_")
     graft.ext.CorpusStore.build(
       docs.select(col("doc_id").as("id"), col("text"))
         .join(embs.select(col("vec_id").as("id"),
-          col("embedding").as("emb")), Seq("id")),
+          col("embedding").as("emb")), Seq("id"), "left"),
       col("id"), storeDir)
     val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_ing_bm25_")
     val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_ing_lit_")
