@@ -152,10 +152,13 @@ object Bench {
       .map { case (k, t) =>
         t.fold(s""""$k":"err"""")(v => s""""$k":${num(v)}""") }
       .mkString("{", ",", "}")
+    // attempts are PER SECTION: the in-suite map is single-run, the
+    // isolated section is min-of-3 from child JVMs — a flat top-level
+    // count misread the isolated numbers as single runs (r10 verdict nit)
     val fullJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${
         entries(results)},"isolated":$iso,"sf":"$sfDir","failed":${
-        failures.size},"attempts":$attempts}"""
+        failures.size},"attempts":{"queries":$attempts,"isolated":3}}"""
     val artifact = if (isChild || only.nonEmpty) None else scala.util.Try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
@@ -188,7 +191,11 @@ object Bench {
     "q_takedown", "q_literal_common", "q_video_dup", "q_nb_classify",
     // round 9: the multi-surface ingest mirror and the CDC-driven
     // surface-maintenance composition
-    "q_ingest_all", "q_cdc_maintain")
+    "q_ingest_all", "q_cdc_maintain",
+    // round 11: q_point_skip sat exactly at the 2x in-suite flag
+    // threshold in r10 with no code change behind it (the known host-I/O
+    // variance pattern) — track it min-of-3 so that ambiguity can't recur
+    "q_point_skip")
 
   /** Run one gate in a fresh JVM (same flags and classpath as this one,
     * via RuntimeMXBean) and return its WARM timing — the child runs the
@@ -290,7 +297,10 @@ object Bench {
     // index seed + feed replay + compact + probe in one window) and
     // the streaming warm-start graph drain
     "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
-    "q_stream_knn", "q_unigram_train", "q_unigram_em", "q_graph_rewire")
+    "q_stream_knn", "q_unigram_train", "q_unigram_em", "q_graph_rewire",
+    // round 11: the delta-bounded insert tick and the value-checked
+    // beam-walk replay (its oracle unrolls the walk over the exact graph)
+    "q_graph_insert", "q_search_graph_exact")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -330,5 +340,9 @@ object Bench {
     "q_search_graph", "q_unigram_train", "q_unigram_em",
     "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
     "q_stream_knn", "q_binary_topk", "q_store_federate",
-    "q_graph_rewire")
+    "q_graph_rewire",
+    // round 11: delta-bounded insertion, value-checked walk replay,
+    // persisted binary codes, federated search, incremental label prop
+    "q_graph_insert", "q_search_graph_exact", "q_binary_persist",
+    "q_search_federate", "q_label_prop_inc")
 }

@@ -1,0 +1,217 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED binary (sign-bit) quantization index — the 1-bit-per-dim
+  * first stage ([[EmbeddingSearch.binaryCode]]) promoted from an
+  * in-plan expression to a full index family on the shared
+  * [[IndexStore]] lifecycle: codes are computed ONCE at build/append
+  * time and stored as a (vec_id, code) relation — 16 bytes a row at
+  * dim 64, 32× smaller than the float vectors — instead of being
+  * recomputed from the floats on every query (what
+  * [[EmbeddingSearch.binaryTopK]] does, which at 100 TB re-reads the
+  * very relation the codec exists to avoid). Search stage 1 scans only
+  * the persisted codes (codegen'd XOR+popcount Hamming); stage 2
+  * re-reads just the surviving candidates' float vectors by id
+  * equi-join and re-ranks exactly.
+  *
+  * The family contract everyone else has: `save`/`saveAppend` with
+  * FROZEN geometry (the stored `dim` — deliveries are width-asserted
+  * against it, [[EmbeddingSearch.checkedDim]]), `deleteVecs` as scoped
+  * tombstones, `compact` as the physical apply, `loadAt` time travel,
+  * and registration as a [[Takedown]]/[[Ingest]] surface (kind
+  * `binary`). Training-free: the "model" is one integer, so unlike
+  * IVF/PQ/SQ there is no drift and append never degrades — the
+  * cheapest persisted ANN family to operate.
+  *
+  * Everything is closed-form deterministic integer/double arithmetic
+  * (sign tests, popcounts, sequential-fold dots), so the q_binary_persist
+  * gate hash-checks the ENTIRE lifecycle against a DuckDB oracle that
+  * replays codes, Hamming candidates, and the exact re-rank as values —
+  * the q_sq_persist posture, not a recall floor.
+  */
+object BinaryIndex {
+
+  /** `dim`: the frozen embedding width. `codes`: (vec_id, code:
+    * array<long>). `vecs`: the prepared corpus (vec_id, v, nrm) the
+    * exact re-rank reads — not duplicated into the index, the corpus
+    * parquet stays the source of truth ([[SqIndex]]'s split).
+    */
+  final case class Model(dim: Int, codes: DataFrame, vecs: DataFrame)
+
+  /** Map-side sign-bit encode against the frozen width; the delivery's
+    * width is asserted (a silently-truncating mismatch would fold
+    * out-of-range dims to 0 bits and quietly lose stage-1 recall).
+    */
+  def encode(dim: Int, embs: DataFrame): DataFrame = {
+    val d = EmbeddingSearch.checkedDim(embs, dim)
+    EmbeddingSearch.prepared(embs)
+      .select(col("vec_id"),
+        EmbeddingSearch.binaryCode(col("v"), d).as("code"))
+  }
+
+  def build(embs: DataFrame): Model = {
+    val dim = EmbeddingSearch.checkedDim(embs, 0)
+    Model(dim, encode(dim, embs), EmbeddingSearch.prepared(embs))
+  }
+
+  def append(model: Model, newEmbs: DataFrame): Model =
+    model.copy(
+      codes = model.codes.unionByName(encode(model.dim, newEmbs)),
+      vecs = model.vecs.unionByName(EmbeddingSearch.prepared(newEmbs)))
+
+  /** Persist: one-row meta (dim) plus the code relation. */
+  def save(model: Model, path: String, retainVersions: Int = 2): Unit = {
+    val spark = model.codes.sparkSession
+    import spark.implicits._
+    IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      Seq(model.dim).toDF("dim").coalesce(1)
+        .write.parquet(s"$path/$seg/meta")
+      model.codes.write.parquet(s"$path/$seg/codes")
+      IndexStore.publishReplace(spark, path, seg, Seq("meta", "codes"),
+        retainVersions)
+      ()
+    }
+  }
+
+  def buildAndSave(embs: DataFrame, path: String): Model = {
+    val m = build(embs)
+    save(m, path)
+    m
+  }
+
+  /** Incremental encode of new vectors into a saved index — one
+    * appended segment of delta codes under the frozen dim; an empty
+    * delivery publishes nothing.
+    */
+  def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit = {
+    val spark = model.codes.sparkSession
+    if (!newEmbs.isEmpty) IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      encode(model.dim, newEmbs).write.parquet(s"$path/$seg/codes")
+      IndexStore.publishAppend(spark, path, seg, Seq("codes"))
+      ()
+    }
+  }
+
+  /** Retract vectors: scoped-tombstone append, layout untouched — the
+    * shared vector-family delete ([[SqIndex.deleteVecs]]'s contract:
+    * idempotent, readd-able, applied physically by [[compact]]).
+    */
+  def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: Column): Unit =
+    IndexStore.tombstoneIds(spark, path, ids, idCol, "codes")
+
+  /** Tombstones apply physically; per-delivery code files collapse. */
+  def compact(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val seg = IndexStore.newSegmentName()
+      IndexStore.liveRows(snap, "codes").write.parquet(s"$path/$seg/codes")
+      snap.read("meta").get.coalesce(1).write.parquet(s"$path/$seg/meta")
+      IndexStore.publishReplace(spark, path, seg, Seq("meta", "codes"),
+        retainVersions)
+      ()
+    }
+
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Int): Boolean = {
+    val due = IndexStore.segmentCount(spark, path) > maxSegments
+    if (due) compact(spark, path)
+    due
+  }
+
+  def load(spark: SparkSession, path: String, embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshot(spark, path), embs)
+
+  /** [[load]] against a pinned manifest version (time travel within
+    * the GC retention window — the family `loadAt` contract).
+    */
+  def loadAt(spark: SparkSession, path: String, version: Long,
+      embs: DataFrame): Model =
+    loadSnapshot(IndexStore.snapshotAt(spark, path, version), embs)
+
+  private def loadSnapshot(snap: IndexStore.Snapshot,
+      embs: DataFrame): Model = {
+    val dim = IndexStore.cachedMeta(snap) {
+      snap.read("meta").getOrElse(
+        sys.error(s"no meta relation under ${snap.root}"))
+        .head().getAs[Int]("dim")
+    }
+    Model(dim, IndexStore.liveRows(snap, "codes"),
+      EmbeddingSearch.prepared(embs))
+  }
+
+  /** Top-k per query over queries drawn from the corpus (self
+    * excluded — [[EmbeddingSearch.binaryTopK]]'s semantics): stage 1
+    * keeps each query's `candidates` nearest PERSISTED codes by
+    * Hamming (ties → smaller id), stage 2 re-ranks exactly. Live codes
+    * define membership: a tombstoned id neither answers nor queries.
+    */
+  def search(model: Model, queryPred: Column, k: Int,
+      candidates: Int = 200): DataFrame = {
+    val live = model.vecs.join(model.codes.select("vec_id"), "vec_id")
+    searchImpl(model,
+      live.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnrm")),
+      k, candidates, excludeSelf = true)
+  }
+
+  /** Top-k for EXTERNAL query vectors (lookup semantics, nothing
+    * self-excluded; queries encode map-side against the frozen dim).
+    */
+  def searchVectors(model: Model, queries: DataFrame, k: Int,
+      candidates: Int = 200): DataFrame =
+    searchImpl(model,
+      EmbeddingSearch.prepared(queries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm")),
+      k, candidates, excludeSelf = false)
+
+  private def searchImpl(model: Model, q0: DataFrame, k: Int,
+      candidates: Int, excludeSelf: Boolean): DataFrame = {
+    // the query side is bounded — one tiny agg buys the same loud
+    // width check the encode path has (a narrow query would otherwise
+    // fold its missing dims to 0 bits and silently lose recall)
+    val qw = q0.agg(min(size(col("qv"))).as("lo"),
+      max(size(col("qv"))).as("hi")).head()
+    if (!qw.isNullAt(0))
+      require(qw.getAs[Int]("lo") == model.dim &&
+        qw.getAs[Int]("hi") == model.dim,
+        s"query width ${qw.getAs[Int]("lo")}..${qw.getAs[Int]("hi")} " +
+          s"does not match the index's frozen dim ${model.dim}")
+    val q = q0.withColumn("qcode",
+      EmbeddingSearch.binaryCode(col("qv"), model.dim))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    // stage 1: Hamming over the persisted 16-byte code relation ONLY —
+    // the float vectors are untouched until the re-rank
+    val wHam = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = model.codes
+      .join(broadcast(q.select("query_id", "qcode")), joinCond)
+      .withColumn("ham",
+        EmbeddingSearch.hamming(col("qcode"), col("code")))
+      .withColumn("crank", row_number().over(wHam))
+      .filter(col("crank") <= candidates)
+      .select("query_id", "vec_id")
+    // stage 2: exact re-rank of the survivors (vectors by id equi-join)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(model.vecs.select(col("vec_id"), col("v"), col("nrm")),
+        "vec_id")
+      .join(broadcast(q.select("query_id", "qv", "qnrm")), "query_id")
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("qv"), col("v")) /
+          sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+}

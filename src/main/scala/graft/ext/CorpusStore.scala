@@ -123,7 +123,12 @@ object CorpusStore {
   def readFederated(spark: SparkSession, roots: Seq[String]): DataFrame = {
     require(roots.nonEmpty, "readFederated needs at least one root")
     val ranked = roots.zipWithIndex.map { case (r, i) =>
-      read(spark, r).withColumn("__src", lit(i)) }
+      val live = read(spark, r)
+      // the rank column must not shadow (and then silently drop) a user
+      // column — withColumn overwrites on name collision
+      require(!live.columns.contains("__src"),
+        s"readFederated: store $r already has a '__src' column")
+      live.withColumn("__src", lit(i)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val winner = ranked.groupBy("id").agg(min("__src").as("__src"))
     ranked.join(winner, Seq("id", "__src")).drop("__src")

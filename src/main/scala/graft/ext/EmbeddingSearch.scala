@@ -235,6 +235,28 @@ object EmbeddingSearch {
   def graphSearch(embs: DataFrame, graph: DataFrame, queries: DataFrame,
       k: Int, beamWidth: Int = 8, hops: Int = 3,
       entryPoints: Int = 4): DataFrame = {
+    val state = graphSearchState(embs, graph, queries, beamWidth, hops,
+      entryPoints)
+    val wBeam = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("node_id").asc)
+    state.withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** The walk's full VISITED STATE — every (query, node) pair the beam
+    * descent scored, with raw cosines: [[graphSearch]] is its top-k,
+    * [[insertEdges]] harvests it as the delivered vectors' candidate
+    * neighborhoods (the DiskANN insertion trick: the search already
+    * visited exactly the nodes worth linking), and
+    * KnnGraphIndexSpec's scale law counts its rows — the walk's total
+    * scoring work is |state| ≤ |queries| × (entries + hops × beam ×
+    * max-degree), CORPUS-INDEPENDENT given the graph.
+    */
+  private[graft] def graphSearchState(embs: DataFrame, graph: DataFrame,
+      queries: DataFrame, beamWidth: Int, hops: Int,
+      entryPoints: Int): DataFrame = {
     val e = prepared(embs).persist()
     val q = prepared(queries).select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qnrm"))
@@ -296,10 +318,93 @@ object EmbeddingSearch {
     }
     e.unpersist()
     und.unpersist()
-    state.withColumn("rank", row_number().over(wBeam))
-      .filter(col("rank") <= k)
+    state
+  }
+
+  /** INSERT-BY-SEARCH edge wiring (the HNSW/DiskANN insertion shape) —
+    * the delta-bounded alternative to re-running warm NN-Descent over
+    * the whole corpus on every delivery. Each delivered vector
+    * beam-searches the EXISTING graph for its neighborhood; its
+    * candidates are the walk's visited state (every node the search
+    * scored) plus EXACT intra-delivery pairs (deliveries must see each
+    * other — a batch insert has no sequential ordering to lean on), and
+    * its edge set is the top-k of that union. Each selected OLD
+    * neighbor then merges the back-link into its standing edge list
+    * (top-k over old edges + proposed reverse edges) — the
+    * bidirectional connect every production graph index performs on
+    * insert.
+    *
+    * Compute is delta-bounded: |delivery| × (entries + hops × beam ×
+    * degree) walk scorings + |delivery|² intra pairs + |delivery| × k
+    * reverse merges — CORPUS-INDEPENDENT given the graph, vs
+    * NN-Descent's n·k² per warm round (KnnGraphIndexSpec pins the law
+    * on the visited state). Quality converges from below: a node whose
+    * true neighbor arrived in the delivery but proposed no back-link
+    * stays stale until the periodic [[graft.ext.KnnGraphIndex.rewire]]
+    * descent pass — the standard freshness/quality split. Deliveries
+    * are delta-SIZED by contract; a corpus-sized bulk load should
+    * build from scratch ([[nnDescent]]), not insert.
+    *
+    * Returns (newNodeEdges, mergedTouched): the delivered nodes' edge
+    * sets, and the full re-ranked edge sets of every OLD node that was
+    * proposed a back-link (changed or not — the caller diffs). Both in
+    * (query_id, neighbor_id, cos, rank) form, cos rounded to 6 like
+    * every stored graph.
+    */
+  private[ext] def insertEdges(oldEmbs: DataFrame, oldGraph: DataFrame,
+      newEmbs: DataFrame, k: Int, beamWidth: Int, hops: Int,
+      entryPoints: Int): (DataFrame, DataFrame) = {
+    val walked = graphSearchState(oldEmbs, oldGraph, newEmbs, beamWidth,
+        hops, entryPoints)
       .select(col("query_id"), col("node_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
+        round(col("cos"), 6).as("cos"))
+    val d = prepared(newEmbs).localCheckpoint(true)
+    val intra = d.as("a").join(d.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        round(dot(col("a.v"), col("b.v")) /
+          sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val newEdges = walked.unionByName(intra)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint(true)
+    // back-links: only new→OLD selections propose (intra-delivery pairs
+    // are already symmetric in the candidate union above). dot's
+    // sequential fold commutes element-wise, so the reversed cos is
+    // bit-identical — no re-scoring.
+    val newIds = d.select(col("vec_id").as("neighbor_id"))
+    val rev = newEdges.join(broadcast(newIds), Seq("neighbor_id"),
+        "left_anti")
+      .select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id"), col("cos"))
+    val touched = rev.select("query_id").distinct()
+    val merged = oldGraph.select("query_id", "neighbor_id", "cos")
+      .join(broadcast(touched), Seq("query_id"), "left_semi")
+      .unionByName(rev)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint(true)
+    (newEdges, merged)
+  }
+
+  /** The UPDATED whole graph after an insert-by-search delivery — the
+    * bare-edge-list composition streaming maintenance uses
+    * ([[insertEdges]] plus the untouched nodes' old edges verbatim).
+    * Same row contract as [[nnDescent]].
+    */
+  def graphInsert(oldEmbs: DataFrame, oldGraph: DataFrame,
+      newEmbs: DataFrame, k: Int, beamWidth: Int = 16, hops: Int = 4,
+      entryPoints: Int = 16): DataFrame = {
+    val (newEdges, mergedTouched) = insertEdges(oldEmbs, oldGraph,
+      newEmbs, k, beamWidth, hops, entryPoints)
+    val touched = mergedTouched.select("query_id").distinct()
+    oldGraph.select("query_id", "neighbor_id", "cos", "rank")
+      .join(broadcast(touched), Seq("query_id"), "left_anti")
+      .unionByName(mergedTouched)
+      .unionByName(newEdges)
   }
 
   /** BINARY (sign-bit) quantization code: bit j of word w is
@@ -319,6 +424,23 @@ object EmbeddingSearch {
       }.reduce((a, b) => a.bitwiseOR(b))
     }
     array(words: _*)
+  }
+
+  /** The corpus's embedding width, verified uniform; `dim <= 0` derives
+    * it from the data, an explicit `dim` is ASSERTED against it. Guards
+    * the sign-bit codec: `element_at` past the array end folds to a
+    * 0 bit, so a silently-truncating dim would degrade stage-1 recall
+    * with no error — mismatches must fail loudly instead.
+    */
+  private[ext] def checkedDim(embs: DataFrame, dim: Int): Int = {
+    val row = embs.agg(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    val (lo, hi) = (row.getAs[Int]("lo"), row.getAs[Int]("hi"))
+    require(lo == hi, s"binary codec needs a uniform embedding width, " +
+      s"corpus has sizes $lo..$hi")
+    if (dim <= 0) lo
+    else { require(dim == lo, s"binary codec dim=$dim but corpus " +
+      s"embeddings have ${lo} dimensions"); dim }
   }
 
   /** Hamming distance between two code arrays — popcount of the XOR,
@@ -341,9 +463,10 @@ object EmbeddingSearch {
     * candidate-count knob; the q_pq_topk recall contract gates it.
     */
   def binaryTopK(embs: DataFrame, queryPred: Column, k: Int,
-      candidates: Int = 200, dim: Int = 64): DataFrame = {
+      candidates: Int = 200, dim: Int = 0): DataFrame = {
+    val d = checkedDim(embs, dim)
     val e = prepared(embs)
-      .withColumn("code", binaryCode(col("v"), dim))
+      .withColumn("code", binaryCode(col("v"), d))
     val qSlim = e.filter(queryPred).select(
       col("vec_id").as("query_id"), col("code").as("qcode"))
     // stage 1: Hamming over the 16-byte code relation only

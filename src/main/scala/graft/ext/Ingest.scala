@@ -75,7 +75,7 @@ object Ingest {
     Set("bm25", "dedup", "literal").contains(kind)
 
   private def needsEmb(kind: String): Boolean =
-    Set("ivf", "pq", "sq", "ivfpq", "graph").contains(kind)
+    Set("ivf", "pq", "sq", "ivfpq", "graph", "binary").contains(kind)
 
   /** Admit `delivery` to every registered surface. The intent commits
     * durably BEFORE any surface is touched, so a crash at any point
@@ -127,7 +127,7 @@ object Ingest {
       case "dedup"               => ("sizes", "id")
       case "literal"             => ("grams", "id")
       case "ivf"                 => ("cells", "vec_id")
-      case "pq" | "sq" | "ivfpq" => ("codes", "vec_id")
+      case "pq" | "sq" | "ivfpq" | "binary" => ("codes", "vec_id")
       case "graph"               => ("vectors", "vec_id")
       case other => sys.error(s"unknown surface kind '$other'")
     }
@@ -170,7 +170,12 @@ object Ingest {
       require(rows.columns.contains("emb"),
         s"surface ${s.kind}@${s.path} needs an 'emb' column the " +
           s"logged delivery lacks")
-      fresh.select(col("id").as("vec_id"), col("emb").as("embedding"))
+      // a mixed delivery legitimately carries text-only rows (the store
+      // keeps them; embeddings may arrive later) — but a null embedding
+      // must never reach a vector index, where prepared() would flow
+      // null v/nrm into every cosine
+      fresh.filter(col("emb").isNotNull)
+        .select(col("id").as("vec_id"), col("emb").as("embedding"))
     }
     s.kind match {
       case "store" =>
@@ -193,11 +198,15 @@ object Ingest {
       case "ivfpq" =>
         IvfPqIndex.saveAppend(
           IvfPqIndex.load(spark, s.path, vecs), vecs, s.path)
-      // warm-start rewire: the delivery wires into the live graph in
-      // 2 rounds (append is itself live-presence idempotent, so the
+      case "binary" =>
+        BinaryIndex.saveAppend(
+          BinaryIndex.load(spark, s.path, vecs), vecs, s.path)
+      // insert-by-search: the delivery beam-searches the live graph for
+      // its neighborhood — delta-bounded compute, never a corpus-wide
+      // descent (insert is itself live-presence idempotent, so the
       // fresh-rows pre-filter above is belt and braces here)
       case "graph" =>
-        KnnGraphIndex.append(spark, s.path, vecs, warmIters = 2); ()
+        KnnGraphIndex.insert(spark, s.path, vecs); ()
       case other => sys.error(s"unknown surface kind '$other'")
     }
   }

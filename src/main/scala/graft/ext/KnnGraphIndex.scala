@@ -27,15 +27,18 @@ import org.apache.spark.sql.functions._
   * so maintenance publishes exactly the delta (the delivery's vectors
   * + the changed nodes' new edge sets), never a graph rewrite.
   *
-  * 100 TB shape: per maintenance tick the descent cost is
-  * n·k²·warmRounds candidate scorings (corpus-linear, two equi-joins
-  * per round) and the PUBLISHED bytes are delta-bounded — deliveries
-  * plus rewired neighborhoods, which Dong et al.'s locality argument
-  * keeps near the delivery's size on clustered real-world embeddings.
-  * Deletes are metadata-bounded tombstones; edges POINTING AT deleted
-  * nodes stay until [[compact]] scrubs them (searches drop them
-  * naturally — a candidate with no live vector scores nothing — at a
-  * bounded recall cost, the standard graph-index posture).
+  * 100 TB shape: the steady-state maintenance tick is [[insert]] —
+  * insert-by-search, compute ∝ |delivery| × walk + |delivery|² +
+  * |delivery| × k scorings, CORPUS-INDEPENDENT given the graph — with
+  * [[rewire]]/[[append]]'s warm NN-Descent (n·k² per round,
+  * corpus-linear) demoted to the periodic background quality pass that
+  * restores the neighborhoods insertion never revisits. Published
+  * bytes are delta-bounded on both paths: deliveries plus changed
+  * neighborhoods. Deletes are metadata-bounded tombstones; edges
+  * POINTING AT deleted nodes stay until [[compact]] scrubs them
+  * (searches drop them naturally — a candidate with no live vector
+  * scores nothing — at a bounded recall cost, the standard graph-index
+  * posture).
   */
 object KnnGraphIndex {
 
@@ -46,6 +49,25 @@ object KnnGraphIndex {
   private def asStored(graph: DataFrame, gen: Long): DataFrame =
     graph.select(col("query_id").as("vec_id"), col("neighbor_id"),
       col("cos"), col("rank"), lit(gen).as("gen"))
+
+  /** Commit `seg` and ENFORCE the invariant the max-gen edge read
+    * depends on: rows were stamped `gen = snap.version + 1`, so the
+    * publish must actually land as that version — commits are strictly
+    * sequential under the writer lock, but if the manifest's versioning
+    * discipline ever changed, two commits stamping one gen would make
+    * the (vec_id, gen) read return duplicate merged edge sets. Assumed
+    * silently before; asserted now.
+    */
+  private def publishStamped(spark: SparkSession, path: String,
+      seg: String, relations: Seq[String],
+      snap: IndexStore.Snapshot): Long = {
+    val v = IndexStore.publishAppend(spark, path, seg, relations)
+    require(v == snap.version + 1,
+      s"graph commit landed as version $v but its edge rows are " +
+        s"stamped gen ${snap.version + 1} — manifest versioning broke " +
+        s"the monotone-gen invariant under $path")
+    v
+  }
 
   private def readK(snap: IndexStore.Snapshot): Int =
     IndexStore.cachedMeta(snap) {
@@ -91,11 +113,12 @@ object KnnGraphIndex {
     }
   }
 
-  /** One maintenance tick: admit a delivery and re-wire the graph by
-    * WARM-START descent seeded with the current live edges — most
-    * neighborhoods are already correct, so `warmIters` (default 2)
-    * converges where a cold build needs 5 (EmbeddingSearchSpec pins
-    * the contract). Live-presence idempotent: already-admitted ids
+  /** Admit a delivery by WARM-START descent seeded with the current
+    * live edges — the DESCENT-QUALITY admission: every node's
+    * neighborhood re-converges, at n·k²·warmIters corpus-linear cost
+    * per call. The steady-state feed path is [[insert]] (delta-bounded
+    * insert-by-search); use this when a delivery should double as a
+    * full quality pass. Live-presence idempotent: already-admitted ids
     * drop out, an empty delta publishes nothing. The commit carries
     * the delivery's vectors plus the full new edge sets of every node
     * whose neighborhood CHANGED, stamped `gen = version + 1` so reads
@@ -130,8 +153,60 @@ object KnnGraphIndex {
           delivery.write.parquet(s"$path/$seg/vectors")
           stored.join(changed, Seq("vec_id"), "left_semi")
             .write.parquet(s"$path/$seg/edges")
-          IndexStore.publishAppend(spark, path, seg,
-            Seq("vectors", "edges"))
+          publishStamped(spark, path, seg, Seq("vectors", "edges"), snap)
+        }
+      } finally { delivery.unpersist(); () }
+    }
+
+  /** The DELTA-BOUNDED maintenance tick — insert-by-search (the
+    * HNSW/DiskANN insertion shape, [[EmbeddingSearch.insertEdges]]):
+    * each delivered vector beam-searches the LIVE graph for its
+    * neighborhood, wires its top-k edges from the walk's visited state
+    * plus exact intra-delivery pairs, and merges back-links into only
+    * the touched old nodes' edge lists. Compute is
+    * |delivery| × walk + |delivery|² + |delivery| × k scorings —
+    * CORPUS-INDEPENDENT given the graph, where [[append]]'s warm
+    * NN-Descent re-scores every node's neighbor-of-neighbor candidates
+    * (n·k² per round) even for a one-vector delivery. This is the
+    * steady-state feed path; [[rewire]] remains the periodic
+    * full-quality descent pass (insertion never revisits an old node
+    * nobody linked to). Publish discipline matches [[append]]: the
+    * delivery's vectors plus the CHANGED nodes' new edge sets under a
+    * fresh gen; live-presence idempotent, empty delta publishes
+    * nothing.
+    */
+  def insert(spark: SparkSession, path: String, newEmbs: DataFrame,
+      beamWidth: Int = 16, hops: Int = 4, entryPoints: Int = 16): Long =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val k = readK(snap)
+      val oldVec = liveVectors(snap)
+      val delivery = newEmbs.select(col("vec_id"), col("embedding"))
+        .join(oldVec.select("vec_id"), Seq("vec_id"), "left_anti")
+        .persist()
+      try {
+        if (delivery.isEmpty) snap.version
+        else {
+          val oldEdges = liveEdges(snap).localCheckpoint(true)
+          val (newEdges, mergedTouched) = EmbeddingSearch.insertEdges(
+            oldVec, asGraph(oldEdges), delivery, k, beamWidth, hops,
+            entryPoints)
+          // diff within the touched set only (delta × k rows a side) —
+          // never a corpus-wide symmetric difference
+          val touched = mergedTouched.select(col("query_id").as("vec_id"))
+            .distinct()
+          val oldTouched = oldEdges.join(broadcast(touched),
+            Seq("vec_id"), "left_semi")
+          val gen = snap.version + 1
+          val changed = changedNodes(asStored(mergedTouched, gen),
+            oldTouched)
+          val seg = IndexStore.newSegmentName()
+          delivery.write.parquet(s"$path/$seg/vectors")
+          asStored(newEdges, gen)
+            .unionByName(asStored(mergedTouched, gen)
+              .join(changed, Seq("vec_id"), "left_semi"))
+            .write.parquet(s"$path/$seg/edges")
+          publishStamped(spark, path, seg, Seq("vectors", "edges"), snap)
         }
       } finally { delivery.unpersist(); () }
     }
@@ -175,7 +250,7 @@ object KnnGraphIndex {
         val seg = IndexStore.newSegmentName()
         stored.join(changed, Seq("vec_id"), "left_semi")
           .write.parquet(s"$path/$seg/edges")
-        IndexStore.publishAppend(spark, path, seg, Seq("edges"))
+        publishStamped(spark, path, seg, Seq("edges"), snap)
       }
     }
 
@@ -230,8 +305,12 @@ object KnnGraphIndex {
         Seq(k).toDF("k").coalesce(1).write.parquet(s"$path/$seg/meta")
         vecs.write.parquet(s"$path/$seg/vectors")
         edges.write.parquet(s"$path/$seg/edges")
-        IndexStore.publishReplace(spark, path, seg,
+        val v = IndexStore.publishReplace(spark, path, seg,
           Seq("meta", "vectors", "edges"), retainVersions, op = "compact")
+        require(v == snap.version + 1,
+          s"graph compact landed as version $v, rows stamped gen " +
+            s"${snap.version + 1} under $path")
+        v
       } finally { vecs.unpersist(); () }
     }
 

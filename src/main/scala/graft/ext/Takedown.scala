@@ -40,16 +40,17 @@ object Takedown {
 
   /** A surface: `kind` selects the family delete, `path` the root.
     * Supported kinds: bm25, dedup, literal (document indexes, keyed by
-    * doc id); ivf, pq, sq, ivfpq (vector indexes, keyed by vec id);
-    * and store (the corpus STORE OF RECORD, [[CorpusStore]]) — so one
-    * durable intent retracts the corpus row AND every derived index,
-    * the composition a GDPR flow actually needs.
+    * doc id); ivf, pq, sq, ivfpq, graph, binary (vector indexes, keyed
+    * by vec id); and store (the corpus STORE OF RECORD,
+    * [[CorpusStore]]) — so one durable intent retracts the corpus row
+    * AND every derived index, the composition a GDPR flow actually
+    * needs.
     */
   final case class Surface(kind: String, path: String)
 
   val kinds: Set[String] =
     Set("store", "bm25", "dedup", "literal", "ivf", "pq", "sq", "ivfpq",
-      "graph")
+      "graph", "binary")
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -152,6 +153,7 @@ object Takedown {
     case "sq"      => SqIndex.deleteVecs(spark, s.path, ids, col("id"))
     case "ivfpq"   => IvfPqIndex.deleteVecs(spark, s.path, ids, col("id"))
     case "graph"   => KnnGraphIndex.deleteVecs(spark, s.path, ids, col("id"))
+    case "binary"  => BinaryIndex.deleteVecs(spark, s.path, ids, col("id"))
     case other     => sys.error(s"unknown surface kind '$other'")
   }
 
@@ -307,6 +309,7 @@ object Takedown {
         case "sq"      => SqIndex.maybeCompact(spark, s.path, maxSegments)
         case "ivfpq"   => IvfPqIndex.maybeCompact(spark, s.path, maxSegments)
         case "graph"   => KnnGraphIndex.maybeCompact(spark, s.path, maxSegments)
+        case "binary"  => BinaryIndex.maybeCompact(spark, s.path, maxSegments)
         case other     => sys.error(s"unknown surface kind '$other'")
       }
     }

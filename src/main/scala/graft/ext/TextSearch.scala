@@ -719,6 +719,53 @@ object TextSearch {
     searchSnapshot(IndexStore.snapshotAt(spark, path, version), queries,
       qid, qterms, k, k1, b, maxDF)
 
+  /** PRECEDENCE-AWARE FEDERATED SEARCH across N saved indexes — the
+    * search twin of [[CorpusStore.readFederated]]: a corrections
+    * overlay (or staging layer, or regional shard) queried WITH
+    * production under overlay-wins / delete-cedes semantics, without
+    * physically merging the indexes or hand-fusing results. Each root
+    * answers from its OWN index (its own df/avgdl — scores are fused
+    * raw, the documented federation trade), over-fetching k×overFetch;
+    * a hit from root i is then DISQUALIFIED iff any higher-precedence
+    * root j < i has that id LIVE — the id's authoritative version
+    * lives there, so a superseded version must not serve even when the
+    * authority's ranking didn't surface it. An id retracted from the
+    * overlay cedes back: it is not live there, so production's hit
+    * stands.
+    *
+    * Scale shape: per root one bucket-pruned saved search; the
+    * precedence probe tests only RESULT ids (bounded by queries × k ×
+    * overFetch) against higher roots' live postings via Bloom-pruned
+    * segment reads ([[IndexStore.liveRowsAmong]]) — never a corpus
+    * read, never a window for the resolution (anti-joins); the final
+    * top-k re-rank is the standard per-query window over ≤ N × k ×
+    * overFetch rows. Returns [[search]]'s shape
+    * (query_id, rn, id, matched, score).
+    */
+  def searchFederated(spark: SparkSession, roots: Seq[String],
+      queries: DataFrame, qid: Column, qterms: Column, k: Int,
+      overFetch: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+      maxDF: Long = Long.MaxValue): DataFrame = {
+    require(roots.nonEmpty, "searchFederated needs at least one root")
+    val perRoot = roots.zipWithIndex.map { case (r, i) =>
+      val hits = searchSaved(spark, r, queries, qid, qterms,
+        k * overFetch, k1, b, maxDF)
+      (0 until i).foldLeft(hits) { (acc, j) =>
+        val snapJ = IndexStore.snapshot(spark, roots(j))
+        val liveJ = IndexStore.liveRowsAmong(snapJ, "postings", "id",
+          acc.select("id")).select("id").distinct()
+        acc.join(liveJ, Seq("id"), "left_anti")
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("id"))
+    perRoot.reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("id"), col("matched"),
+        col("score"))
+  }
+
   private def searchSnapshot(snap: IndexStore.Snapshot, queries: DataFrame,
       qid: Column, qterms: Column, k: Int, k1: Double, b: Double,
       maxDF: Long): DataFrame = {

@@ -3795,9 +3795,13 @@ object ExtQueries {
     val bm25Dir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_td_bm25_")
     val litDir = graft.Gate.copyDir(sharedLiteralIndex(s, d), "gate_td_lit_")
     val ivfDir = graft.Gate.copyDir(sharedIvfIndex(s, d), "gate_td_ivf_")
+    // the binary-code index builds in one encode pass — no shared memo
+    val binDir = graft.Gate.tmpDir("gate_td_bin_")
+    graft.ext.BinaryIndex.buildAndSave(embs, binDir)
     Takedown.register(s, root, Takedown.Surface("bm25", bm25Dir))
     Takedown.register(s, root, Takedown.Surface("literal", litDir))
     Takedown.register(s, root, Takedown.Surface("ivf", ivfDir))
+    Takedown.register(s, root, Takedown.Surface("binary", binDir))
     val doomed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
     Takedown.retract(s, root, doomed, col("doc_id"))
     Takedown.retract(s, root, doomed, col("doc_id"))
@@ -3816,7 +3820,17 @@ object ExtQueries {
         col("vec_id") < 10, k = 5, nProbe = Int.MaxValue)
       .select(lit("ivf").as("surface"), col("query_id").as("qid"),
         col("neighbor_id").as("id"))
-    bm.unionByName(lt).unionByName(iv).orderBy("surface", "qid", "id")
+    // binary two-stage over SURVIVING codes, value-checked end to end
+    // (q_binary_topk's 20%-of-corpus candidate stage — the near-uniform
+    // fixture is sign-bit Hamming's worst case)
+    val bi = graft.ext.BinaryIndex.load(s, binDir, embs)
+    val bCand = math.max(200, (bi.codes.count() / 5L).toInt)
+    val bn = graft.ext.BinaryIndex.search(bi, col("vec_id") < 10, k = 5,
+        candidates = bCand)
+      .select(lit("binary").as("surface"), col("query_id").as("qid"),
+        col("neighbor_id").as("id"))
+    bm.unionByName(lt).unionByName(iv).unionByName(bn)
+      .orderBy("surface", "qid", "id")
   }
 
   private val takedownSql =
@@ -3869,10 +3883,30 @@ object ExtQueries {
       |               row_number() OVER (PARTITION BY qid
       |                 ORDER BY cos DESC, vec_id) AS rank
       |             FROM p)
+      |       WHERE rank <= 5),
+      |bh AS (SELECT qs.qid, ev.vec_id,
+      |         list_sum(list_transform(range(1, len(ev.ev) + 1),
+      |           i -> CASE WHEN (qs.qv[i] > 0) <> (ev.ev[i] > 0)
+      |                THEN 1 ELSE 0 END)) AS ham
+      |       FROM qs, ev WHERE ev.vec_id <> qs.qid),
+      |bcand AS (SELECT qid, vec_id FROM (
+      |            SELECT qid, vec_id,
+      |              row_number() OVER (PARTITION BY qid
+      |                ORDER BY ham, vec_id) AS rn
+      |            FROM bh)
+      |          WHERE rn <= greatest(200,
+      |            (SELECT count(*) FROM ev) // 5)),
+      |bn AS (SELECT 'binary' AS surface, qid, vec_id AS id FROM (
+      |         SELECT p.qid, p.vec_id,
+      |           row_number() OVER (PARTITION BY p.qid
+      |             ORDER BY p.cos DESC, p.vec_id) AS rank
+      |         FROM p JOIN bcand c
+      |           ON c.qid = p.qid AND c.vec_id = p.vec_id)
       |       WHERE rank <= 5)
       |SELECT surface, qid, id FROM bm
       |UNION ALL SELECT surface, qid, id FROM lt
       |UNION ALL SELECT surface, qid, id FROM iv
+      |UNION ALL SELECT surface, qid, id FROM bn
       |ORDER BY surface, qid, id""".stripMargin
 
   /** Hybrid retrieval ([[graft.ext.HybridSearch.rrf]]): BM25 top-20 and

@@ -206,6 +206,95 @@ object GraphTextQueries {
     """SELECT count(*) AS n_queries, true AS search_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  // ---- the beam walk VALUE-CHECKED: relational replay in DuckDB ----
+
+  /** [[graft.ext.EmbeddingSearch.graphSearch]] with every hop
+    * value-checked: the walk is DETERMINISTIC (fixed smallest-id entry
+    * set, fixed hop count, cos-desc/id-asc tie-breaks), so over the
+    * EXACT kNN graph — which the oracle can rebuild all-pairs, as
+    * q_knn_graph already does — the whole descent replays relationally:
+    * one unrolled CTE level per hop carrying the visited state
+    * (query, node, cos, expanded), each level selecting the top-beam
+    * unexpanded frontier, expanding it through the symmetrized edge
+    * list, and exact-scoring only the newly reached nodes. Every
+    * frontier choice, every score, and the final top-k hash-compare —
+    * the Viterbi/BPE-unroll discipline applied to the serving path,
+    * closing the gap where the graph family's gates certified only
+    * count+floor.
+    */
+  private def searchGraphExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val queries = embs.filter(col("vec_id") < 20)
+    graft.ext.EmbeddingSearch.graphSearch(embs, exact, queries, k = 3,
+        beamWidth = 4, hops = 3, entryPoints = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private val searchGraphExactSql = {
+    def hop(prev: Int, cur: Int): String =
+      s"""f$cur AS MATERIALIZED (SELECT query_id, node_id FROM (
+         |  SELECT query_id, node_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, node_id) AS rn
+         |  FROM s$prev WHERE NOT expanded) WHERE rn <= 4),
+         |n$cur AS MATERIALIZED (
+         |  SELECT DISTINCT f.query_id, u.dst AS node_id
+         |  FROM f$cur f JOIN und u ON u.src = f.node_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$prev s
+         |    WHERE s.query_id = f.query_id AND s.node_id = u.dst)),
+         |s$cur AS MATERIALIZED (
+         |  SELECT s.query_id, s.node_id, s.cos,
+         |    s.expanded OR EXISTS (SELECT 1 FROM f$cur f
+         |      WHERE f.query_id = s.query_id AND f.node_id = s.node_id)
+         |      AS expanded
+         |  FROM s$prev s
+         |  UNION ALL
+         |  SELECT n.query_id, n.node_id,
+         |    list_dot_product(q.qv, e.v)
+         |      / sqrt(list_dot_product(q.qv, q.qv)
+         |             * list_dot_product(e.v, e.v)) AS cos,
+         |    false AS expanded
+         |  FROM n$cur n JOIN q ON q.query_id = n.query_id
+         |  JOIN e ON e.vec_id = n.node_id)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+       |                     FROM r WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT src, dst FROM knn
+       |                     UNION SELECT dst, src FROM knn),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       |                   WHERE vec_id < 20),
+       |entries AS (SELECT node_id FROM (
+       |              SELECT DISTINCT src AS node_id FROM und)
+       |            ORDER BY node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |${hop(0, 1)},
+       |${hop(1, 2)},
+       |${hop(2, 3)}
+       |SELECT query_id, node_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, node_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, node_id) AS rank
+       |      FROM s3)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** [[graft.ext.EmbeddingSearch.graphSearchWhere]]: the filtered-ANN
     * contract on the graph-serving path (q_ann_filtered's predicate —
     * `vec_id % 3 = 0` — on the quantizer-free family): the walk runs
@@ -940,6 +1029,8 @@ object GraphTextQueries {
     Gate("q_knn_graph_blocked", knnGraphBlocked, Some(knnGraphBlockedSql)),
     Gate("q_nn_descent", nnDescentGate, Some(nnDescentSql)),
     Gate("q_search_graph", searchGraph, Some(searchGraphSql)),
+    Gate("q_search_graph_exact", searchGraphExact,
+      Some(searchGraphExactSql)),
     Gate("q_search_graph_filtered", searchGraphFiltered,
       Some(searchGraphFilteredSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),

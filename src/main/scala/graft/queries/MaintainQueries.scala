@@ -149,16 +149,16 @@ object MaintainQueries {
 
   /** The change feed driving the persisted graph index
     * ([[graft.ext.KnnGraphIndex]]) — the third expensive family under
-    * feed maintenance, and the one whose maintenance is a genuine
-    * RE-WIRE rather than a delta encode: each insert window admits the
-    * delivery via warm-start NN-Descent (2 rounds against the live
-    * graph seed vs 5 cold), publishing only the delivery's vectors +
-    * the rewired nodes' new edge sets; deletes tombstone. After one
-    * compact (dangling-reference scrub) the index serves external
-    * queries by beam descent, and the checkable contract is recall vs
-    * exact brute force over the SURVIVING corpus: ≥80% of the 20
-    * external queries recover ≥1 of their true top-3 survivors
-    * (self-hits excluded on both sides).
+    * feed maintenance: each insert window admits the delivery via
+    * INSERT-BY-SEARCH ([[graft.ext.KnnGraphIndex.insert]] — each
+    * delivered vector beam-searches the live graph for its
+    * neighborhood, delta-bounded compute, publishing only the
+    * delivery's vectors + the touched nodes' changed edge sets);
+    * deletes tombstone. After one compact (dangling-reference scrub)
+    * the index serves external queries by beam descent, and the
+    * checkable contract is recall vs exact brute force over the
+    * SURVIVING corpus: ≥80% of the 20 external queries recover ≥1 of
+    * their true top-3 survivors (self-hits excluded on both sides).
     */
   /** The v1 store + cold-built graph index the CDC-graph gate starts
     * from, built ONCE per JVM ([[graft.Gate.memoDir]] — the memoized
@@ -199,7 +199,7 @@ object MaintainQueries {
         val delta = feed.filter(col("_version") === v)
         val ins = delta.filter(col("_change") === "insert")
           .select(col("vec_id"), col("embedding"))
-        if (!ins.isEmpty) KnnGraphIndex.append(s, idx, ins, warmIters = 2)
+        if (!ins.isEmpty) KnnGraphIndex.insert(s, idx, ins)
         val del = delta.filter(col("_change") === "delete")
           .select(col("id").as("vec_id"))
         if (!del.isEmpty) KnnGraphIndex.deleteVecs(s, idx, del,
@@ -232,6 +232,49 @@ object MaintainQueries {
     """SELECT count(*) AS n_queries, true AS search_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  // ---- insert-by-search: the delta-bounded graph maintenance tick ----
+
+  /** [[graft.ext.KnnGraphIndex.insert]] as its own gate: the memoized
+    * cold-built graph (2/3 of the corpus) takes the remaining third as
+    * one insert-by-search delivery — each delivered vector wires in by
+    * beam-searching the LIVE graph (walk state + exact intra-delivery
+    * pairs → top-k; back-links merge into touched nodes only), compute
+    * delta-bounded, never a corpus descent. Contract: after the
+    * delivery, beam search over the maintained index must recover ≥80%
+    * of the 20 external queries' true top-3 over the UNION corpus —
+    * the same floor the warm-descent path held, now met at
+    * corpus-independent tick cost (KnnGraphIndexSpec pins the
+    * scored-candidate bound; BASELINE.md probes the tick at 10×/30×).
+    */
+  private def graphInsert(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val seed = sharedGraphSeed(s, d)
+    val idx = graft.Gate.copyDir(s"$seed/graph", "gate_gins_idx_")
+    KnnGraphIndex.insert(s, idx, embs.filter(col("vec_id") % 3 === 0))
+    val queries = embs.filter(col("vec_id") < 20)
+    val got = KnnGraphIndex.search(s, idx, queries, k = 6)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    val truth = EmbeddingSearch.bruteForceTopKFor(embs, queries, 4)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val hits = got.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  private val graphInsertSql =
+    """SELECT count(*) AS n_queries, true AS search_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
   // ---- graph rewire: the degree-restoring maintenance pass ----
 
   /** [[graft.ext.KnnGraphIndex.rewire]] under the driver gate: start
@@ -248,9 +291,8 @@ object MaintainQueries {
     val seed = sharedGraphSeed(s, d)
     val idx = graft.Gate.copyDir(s"$seed/graph", "gate_grw_idx_")
     // the memoized seed covers vec_id % 3 =!= 0; admit the rest so the
-    // takedown spans both the cold build and a warm delivery
-    KnnGraphIndex.append(s, idx,
-      embs.filter(col("vec_id") % 3 === 0), warmIters = 2)
+    // takedown spans both the cold build and an inserted delivery
+    KnnGraphIndex.insert(s, idx, embs.filter(col("vec_id") % 3 === 0))
     KnnGraphIndex.deleteVecs(s, idx,
       embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
       col("vec_id"))
@@ -326,19 +368,17 @@ object MaintainQueries {
   // ---- streaming kNN-graph maintenance (warm-start NN-Descent) ----
 
   /** The production graph-maintenance shape: embedding deliveries
-    * drain from a file stream in two micro-batches, and each batch
-    * re-wires the kNN graph via
-    * [[graft.ext.EmbeddingSearch.nnDescentFrom]] seeded with the
-    * PREVIOUS batch's converged graph — the cold path's 5 rounds run
-    * once, every later delivery pays 2 warm rounds (most
-    * neighborhoods are already correct; EmbeddingSearchSpec pins the
-    * warm/cold round contract on the clustered fixture). The drained
-    * graph must meet the q_nn_descent recall floor against the
-    * memoized EXACT graph over the union corpus: ≥80% of nodes
-    * recover ≥1 of their true top-3 neighbors. Per-batch cost is
-    * n·k²·warmRounds candidate scorings — corpus-linear, and at
-    * 100 TB the warm seed is what keeps maintenance from ever paying
-    * cold-start convergence again.
+    * drain from a file stream in two micro-batches — the FIRST pays
+    * the one-time cold NN-Descent build, every later batch wires in by
+    * INSERT-BY-SEARCH ([[graft.ext.EmbeddingSearch.graphInsert]]: each
+    * delivered vector beam-searches the standing graph, back-links
+    * merge into touched nodes only). The drained graph must meet the
+    * q_nn_descent recall floor against the memoized EXACT graph over
+    * the union corpus: ≥80% of nodes recover ≥1 of their true top-3
+    * neighbors. Per-batch cost is |batch| × walk + |batch|² scorings —
+    * DELTA-bounded, corpus-independent given the graph; at 100 TB
+    * delivery rates this (not warm descent, which re-scores the whole
+    * corpus per tick) is the maintenance loop that survives.
     */
   private def streamKnn(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
@@ -357,14 +397,20 @@ object MaintainQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(s"$state/corpus")
-        val corpus = s.read.parquet(s"$state/corpus")
-        val seed = if (delivered == 0) None
-          else Some(s.read.parquet(s"$state/graph"))
-        // cold start converges once; warm deliveries re-wire locally
-        val iters = if (seed.isEmpty) 5 else 2
-        EmbeddingSearch.nnDescentFrom(corpus, seed, k = 32, iters = iters)
-          .write.mode("overwrite").parquet(s"$state/graph_next")
+        if (delivered == 0) {
+          batch.write.mode("append").parquet(s"$state/corpus")
+          EmbeddingSearch.nnDescent(s.read.parquet(s"$state/corpus"),
+              k = 32, iters = 5)
+            .write.mode("overwrite").parquet(s"$state/graph_next")
+        } else {
+          // materialize the inserted graph BEFORE appending the batch
+          // to the corpus dir: the standing-corpus read is lazy, and an
+          // early append would leak the delivery into its own walk
+          EmbeddingSearch.graphInsert(s.read.parquet(s"$state/corpus"),
+              s.read.parquet(s"$state/graph"), batch, k = 32)
+            .write.mode("overwrite").parquet(s"$state/graph_next")
+          batch.write.mode("append").parquet(s"$state/corpus")
+        }
         // publish for the next batch (read-then-overwrite of the same
         // path inside one job is unsafe; stage-and-swap instead)
         s.read.parquet(s"$state/graph_next")
@@ -400,5 +446,6 @@ object MaintainQueries {
     Gate("q_stream_knn", streamKnn, Some(streamKnnSql)),
     Gate("q_store_federate", storeFederate, Some(storeFederateSql)),
     Gate("q_graph_rewire", graphRewire, Some(graphRewireSql)),
+    Gate("q_graph_insert", graphInsert, Some(graphInsertSql)),
   )
 }

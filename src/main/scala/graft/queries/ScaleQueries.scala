@@ -1029,6 +1029,72 @@ object ScaleQueries {
       |       CAST(rank AS INTEGER) AS rank
       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Persisted binary-code index lifecycle
+    * ([[graft.ext.BinaryIndex]]): build on 90% of the corpus, save,
+    * incremental `saveAppend` of the rest under the frozen width,
+    * tombstone every ninth vector, compact (physical apply), load in a
+    * FRESH session, search. The codec is closed-form (sign bits →
+    * Hamming candidates → exact re-rank), so the oracle replays the
+    * ENTIRE lifecycle as values over the surviving corpus — unlike the
+    * trained families' recall-style persist gates, this one
+    * hash-checks that the persisted 16-byte code relation answers
+    * exactly what the never-persisted computation defines, deletes and
+    * compaction included.
+    */
+  private def binaryPersist(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    val dir = graft.Gate.tmpDir("gate_bin_persist_")
+    val model = graft.ext.BinaryIndex.build(base)
+    graft.ext.BinaryIndex.save(model, dir)
+    graft.ext.BinaryIndex.saveAppend(model, delta, dir)
+    graft.ext.BinaryIndex.deleteVecs(s, dir,
+      embs.filter(col("vec_id") % 9 === 4).select("vec_id"),
+      col("vec_id"))
+    graft.ext.BinaryIndex.compact(s, dir)
+    val fresh = s.newSession()
+    val loaded = graft.ext.BinaryIndex.load(fresh, dir,
+      Tables.embeddings(fresh, d))
+    // q_binary_topk's worst-case candidate widening, over LIVE codes
+    val cand = math.max(200, (loaded.codes.count() / 5L).toInt)
+    graft.ext.BinaryIndex.search(loaded, col("vec_id") < 10, k = 5,
+        candidates = cand)
+      .write.mode("overwrite").parquet(s"$dir/out")
+    s.read.parquet(s"$dir/out").orderBy("query_id", "rank")
+  }
+
+  private val binaryPersistSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |           FROM embeddings WHERE vec_id % 9 <> 4),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |bh AS (SELECT q.query_id, e.vec_id,
+      |         list_sum(list_transform(range(1, len(e.v) + 1),
+      |           i -> CASE WHEN (q.qv[i] > 0) <> (e.v[i] > 0)
+      |                THEN 1 ELSE 0 END)) AS ham
+      |       FROM q, e WHERE e.vec_id <> q.query_id),
+      |cand AS (SELECT query_id, vec_id FROM (
+      |           SELECT query_id, vec_id,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY ham, vec_id) AS rn
+      |           FROM bh)
+      |         WHERE rn <= greatest(200, (SELECT count(*) FROM e) // 5)),
+      |rr AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+      |              list_dot_product(a.v, b.v)
+      |                / sqrt(list_dot_product(a.v, a.v)
+      |                       * list_dot_product(b.v, b.v)) AS cosx,
+      |              row_number() OVER (PARTITION BY c.query_id
+      |                ORDER BY list_dot_product(a.v, b.v)
+      |                  / sqrt(list_dot_product(a.v, a.v)
+      |                         * list_dot_product(b.v, b.v)) DESC,
+      |                  c.vec_id) AS rank
+      |       FROM cand c
+      |       JOIN e a ON a.vec_id = c.query_id
+      |       JOIN e b ON b.vec_id = c.vec_id)
+      |SELECT query_id, neighbor_id, round(cosx, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Streaming ANN lookup: query vectors arrive as a STREAM and each
     * micro-batch searches a static, pre-built [[graft.ext.SqIndex]] via
     * `foreachBatch` + [[graft.ext.SqIndex.searchVectors]] (lookup
@@ -1906,6 +1972,7 @@ object ScaleQueries {
     Gate("q_ivfpq_persist", ivfPqPersist, Some(ivfPqPersistSql)),
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),
     Gate("q_sq_persist", sqPersist, Some(sqPersistSql)),
+    Gate("q_binary_persist", binaryPersist, Some(binaryPersistSql)),
     Gate("q_stream_ann", streamAnn, Some(streamAnnSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
     Gate("q_stream_incremental", streamIncremental,

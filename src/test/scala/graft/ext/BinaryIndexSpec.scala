@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BinaryIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic mixed-sign 8-dim vectors — every sign pattern
+    * differs, so Hamming actually separates candidates.
+    */
+  private def corpus = (0 until 24).map { i =>
+    (i.toLong, Array.tabulate(8)(j =>
+      math.sin(i * 2.1 + j * 0.7).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private def dir() = graft.Gate.tmpDir("spec_binidx_")
+
+  private def hits(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+
+  test("loaded index answers row-identical to the in-memory model " +
+      "(save + frozen-dim saveAppend)") {
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 5 === 0)
+    val path = dir()
+    val m = BinaryIndex.build(base)
+    assert(m.dim === 8)
+    BinaryIndex.save(m, path)
+    BinaryIndex.saveAppend(m, delta, path)
+    val mem = BinaryIndex.append(m, delta)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val loaded = BinaryIndex.load(spark, path, corpus)
+    assert(hits(BinaryIndex.searchVectors(loaded, queries, k = 4,
+        candidates = 8)) ===
+      hits(BinaryIndex.searchVectors(mem, queries, k = 4,
+        candidates = 8)))
+  }
+
+  test("delete masks, delete is idempotent, readd revives, compact " +
+      "preserves answers") {
+    val path = dir()
+    BinaryIndex.buildAndSave(corpus, path)
+    BinaryIndex.deleteVecs(spark, path, Seq(5L).toDF("vec_id"),
+      col("vec_id"))
+    val probe = corpus.filter(col("vec_id") === 5L)
+    def served() = hits(BinaryIndex.searchVectors(
+      BinaryIndex.load(spark, path, corpus), probe, k = 3,
+      candidates = 24)).map(_._3)
+    assert(!served().contains(5L))
+    // idempotent: a second delete publishes nothing
+    val v = IndexStore.snapshot(spark, path).version
+    BinaryIndex.deleteVecs(spark, path, Seq(5L).toDF("vec_id"),
+      col("vec_id"))
+    assert(IndexStore.snapshot(spark, path).version === v)
+    // readd: the scoped tombstone does not mask the new segment
+    val m = BinaryIndex.load(spark, path, corpus)
+    BinaryIndex.saveAppend(m, probe, path)
+    assert(served().contains(5L)) // ranks itself first again
+    val before = served()
+    BinaryIndex.compact(spark, path)
+    assert(served() === before)
+    // compaction applied the tombstone physically and kept the readd
+    val live = IndexStore.liveRows(IndexStore.snapshot(spark, path),
+      "codes")
+    assert(live.filter(col("vec_id") === 5L).count() === 1L)
+  }
+
+  test("width mismatches fail loudly instead of truncating codes") {
+    val path = dir()
+    val m = BinaryIndex.buildAndSave(corpus, path)
+    val narrow = Seq((100L, Array(1f, -1f, 1f, -1f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      BinaryIndex.saveAppend(m, narrow, path)
+    }
+    intercept[IllegalArgumentException] {
+      BinaryIndex.searchVectors(m, narrow, k = 3).count()
+    }
+    // and a mixed-width corpus refuses to build at all
+    intercept[IllegalArgumentException] {
+      BinaryIndex.build(corpus.unionByName(narrow))
+    }
+  }
+}

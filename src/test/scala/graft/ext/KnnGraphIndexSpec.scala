@@ -66,6 +66,66 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(got === bf)
   }
 
+  test("insert wires a delivery by beam search and is live-presence " +
+      "idempotent") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val delivery = Seq((100L, Array(10f, 0f, 0.5f)),
+        (101L, Array(0f, 10f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val v1 = KnnGraphIndex.insert(spark, path, delivery)
+    // re-inserting the same delivery publishes nothing
+    assert(KnnGraphIndex.insert(spark, path, delivery) === v1)
+    // each new node answers as a query ≡ brute force over the union
+    val all = clustered.unionByName(delivery)
+    val want = EmbeddingSearch.bruteForceTopKFor(all, delivery, 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(answers(path, delivery) === want)
+    // back-links landed: the delivered nodes are reachable as NEIGHBORS
+    // from old nodes in their clusters (k = 7 — each delivery sits at
+    // the far z-edge of its 6-node cluster, so it ranks exactly 7th)
+    val probeA = clustered.filter(col("vec_id") === 0L)
+    assert(answers(path, probeA, k = 7).map(_._3).contains(100L))
+    val probeB = clustered.filter(col("vec_id") === 1L)
+    assert(answers(path, probeB, k = 7).map(_._3).contains(101L))
+  }
+
+  test("insert-by-search scoring is walk-bounded, never corpus-bounded") {
+    // the law behind the delta-bounded maintenance tick: the walk's
+    // visited state (= every candidate the insertion scores against the
+    // old corpus) obeys |delivery| × (entries + hops × beam × degree) —
+    // corpus size NEVER enters the bound. Checked on two corpora 3×
+    // apart with identical knobs.
+    def corpus(n: Int) = (0 until n).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(4)(j =>
+        (if (j == c % 4) 10f else 0f) * (if (c < 4) 1f else -1f) +
+          i * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val delivery = Seq((9000L, Array(10f, 0.2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def walkState(n: Int): (Long, Long) = {
+      val embs = corpus(n)
+      val graph = EmbeddingSearch.nnDescent(embs, k = 3, iters = 3)
+      val e = graph.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      val maxDeg = e.unionByName(e.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        .groupBy("src").count().agg(max("count")).as[Long].head()
+      val st = EmbeddingSearch.graphSearchState(embs, graph, delivery,
+        beamWidth = 4, hops = 3, entryPoints = 2)
+      (st.count(), maxDeg)
+    }
+    val (c1, d1) = walkState(64)
+    val (c2, d2) = walkState(192)
+    assert(c1 <= 2 + 3 * 4 * d1)
+    assert(c2 <= 2 + 3 * 4 * d2)
+    // and strictly sub-corpus at the larger scale: the walk visited a
+    // neighborhood, not the corpus (brute force would score 192)
+    assert(c2 < 192)
+  }
+
   test("delete masks a node, searches answer over survivors, readd revives") {
     val path = dir()
     KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
