@@ -298,9 +298,12 @@ object Bench {
     // the streaming warm-start graph drain
     "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
     "q_stream_knn", "q_unigram_train", "q_unigram_em", "q_graph_rewire",
-    // round 11: the delta-bounded insert tick and the value-checked
-    // beam-walk replay (its oracle unrolls the walk over the exact graph)
-    "q_graph_insert", "q_search_graph_exact")
+    // round 11: the delta-bounded insert tick, the value-checked
+    // beam-walk replay (its oracle unrolls the walk over the exact
+    // graph), the streamed persisted-graph drain (cold build inside),
+    // and federated search (overlay index build + two saved searches)
+    "q_graph_insert", "q_search_graph_exact", "q_stream_graph_index",
+    "q_search_federate", "q_label_prop_inc")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -342,7 +345,8 @@ object Bench {
     "q_stream_knn", "q_binary_topk", "q_store_federate",
     "q_graph_rewire",
     // round 11: delta-bounded insertion, value-checked walk replay,
-    // persisted binary codes, federated search, incremental label prop
+    // persisted binary codes, federated search, incremental label
+    // prop, streamed persisted-graph maintenance
     "q_graph_insert", "q_search_graph_exact", "q_binary_persist",
-    "q_search_federate", "q_label_prop_inc")
+    "q_search_federate", "q_label_prop_inc", "q_stream_graph_index")
 }

@@ -234,9 +234,9 @@ object EmbeddingSearch {
     */
   def graphSearch(embs: DataFrame, graph: DataFrame, queries: DataFrame,
       k: Int, beamWidth: Int = 8, hops: Int = 3,
-      entryPoints: Int = 4): DataFrame = {
+      entryPoints: Int = 4, hubEntries: Boolean = false): DataFrame = {
     val state = graphSearchState(embs, graph, queries, beamWidth, hops,
-      entryPoints)
+      entryPoints, hubEntries)
     val wBeam = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("node_id").asc)
     state.withColumn("rank", row_number().over(wBeam))
@@ -256,7 +256,7 @@ object EmbeddingSearch {
     */
   private[graft] def graphSearchState(embs: DataFrame, graph: DataFrame,
       queries: DataFrame, beamWidth: Int, hops: Int,
-      entryPoints: Int): DataFrame = {
+      entryPoints: Int, hubEntries: Boolean = false): DataFrame = {
     val e = prepared(embs).persist()
     val q = prepared(queries).select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qnrm"))
@@ -267,17 +267,30 @@ object EmbeddingSearch {
     val und = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    // entry set: the smallest LIVE node ids present in the graph —
-    // bounded, deterministic, engine-portable (no RNG, no
-    // data-dependent seed). The semi-join against the corpus matters
-    // on a maintained graph: a deleted node can linger in OTHER nodes'
-    // edge lists until compaction, and a dead entry would silently
-    // shrink the effective entry set (it scores nothing, so nothing
-    // expands from it)
-    val entries = und.select(col("src").as("node_id")).distinct()
+    // entry set — two deterministic strategies, both restricted to
+    // LIVE nodes (the semi-join matters on a maintained graph: a
+    // deleted node can linger in OTHER nodes' edge lists until
+    // compaction, and a dead entry would silently shrink the effective
+    // entry set — it scores nothing, so nothing expands from it):
+    //   default — the smallest live node ids: structure-blind but
+    //     portable (no RNG, no data-dependent seed);
+    //   hubEntries — the highest-DEGREE live nodes (ties → smaller
+    //     id): the HNSW upper-layer idea flattened — cluster centers
+    //     accumulate reverse kNN edges, so starting there shortens
+    //     walks on clustered corpora (EmbeddingSearchSpec shows hubs
+    //     reach at hops−1 what smallest-id entries need an extra hop
+    //     for). Degree ranks over the already-built symmetrized list;
+    //     a production deployment would precompute it with the graph.
+    val liveNodes = und.select(col("src").as("node_id")).distinct()
       .join(e.select(col("vec_id").as("node_id")),
         Seq("node_id"), "left_semi")
-      .orderBy("node_id").limit(entryPoints)
+    val entries = (if (hubEntries)
+      und.groupBy(col("src").as("node_id"))
+        .agg(count(lit(1)).as("deg"))
+        .join(liveNodes, Seq("node_id"), "left_semi")
+        .orderBy(col("deg").desc, col("node_id").asc)
+    else liveNodes.orderBy("node_id"))
+      .limit(entryPoints).select("node_id")
     // score ONLY the candidate (query, node) pairs: node vectors via
     // id equi-join, query vectors broadcast (the query set is the
     // bounded side of a serving call)
@@ -351,7 +364,7 @@ object EmbeddingSearch {
     * (query_id, neighbor_id, cos, rank) form, cos rounded to 6 like
     * every stored graph.
     */
-  private[ext] def insertEdges(oldEmbs: DataFrame, oldGraph: DataFrame,
+  private[graft] def insertEdges(oldEmbs: DataFrame, oldGraph: DataFrame,
       newEmbs: DataFrame, k: Int, beamWidth: Int, hops: Int,
       entryPoints: Int): (DataFrame, DataFrame) = {
     val walked = graphSearchState(oldEmbs, oldGraph, newEmbs, beamWidth,

@@ -136,4 +136,68 @@ object GraphOps {
     Seq(e, seed).foreach(_.unpersist())
     out
   }
+
+  /** FIXPOINT MIN-label propagation: every node takes the SMALLEST
+    * seed label present anywhere in its connected component (null when
+    * the component has no seed). This is the monotone member of the
+    * label-propagation family — min is associative, commutative, and
+    * idempotent, so unlike the majority vote ([[labelPropagate]],
+    * whose winner can flip when votes arrive in a different order) the
+    * fixpoint is order-free and therefore INCREMENTALLY FOLDABLE
+    * ([[minLabelFold]]): a delivery merges into standing labels
+    * without re-propagating the corpus, the
+    * [[Dedup.incrementalComponents]] discipline applied to labels.
+    *
+    * `nodes` is (id, seed) with seed null for unlabeled nodes; `edges`
+    * is an undirected pair list (id_a, id_b). Returns the standing
+    * STATE (id, cluster, seed, label) the fold consumes — `cluster` is
+    * the component's min member id ([[Dedup.dupClustersStar]]), kept
+    * so the fold can scope relabeling to affected components; readers
+    * wanting just the labeling project (id, label).
+    */
+  def minLabelPropagate(nodes: DataFrame, edges: DataFrame,
+      parallelism: Option[Int] = None): DataFrame = {
+    val comps = Dedup.dupClustersStar(nodes.select("id"),
+      edges.select("id_a", "id_b"), parallelism = parallelism)
+    val withSeed = comps.join(nodes.select("id", "seed"), Seq("id"))
+    val cmin = withSeed.groupBy("cluster").agg(min("seed").as("label"))
+    withSeed.join(cmin, Seq("cluster"))
+      .select("id", "cluster", "seed", "label")
+  }
+
+  /** Fold a delivery (new nodes with optional seeds, new edges — every
+    * edge touching at least one new node or bridging standing
+    * components) into standing [[minLabelPropagate]] state at
+    * DELTA-proportional cost: components fold via
+    * [[Dedup.incrementalComponents]] (untouched clusters carry over
+    * verbatim), and labels re-elect ONLY inside affected components.
+    * The re-election is exact because a component's membership can
+    * only change if one of its members touches a delta edge — so every
+    * member of every merged component is in the affected set, and the
+    * per-new-cluster `min(seed)` over affected members equals the
+    * from-scratch component min. Result ≡ [[minLabelPropagate]] over
+    * the union graph, row for row (GraphOpsSpec pins the law; the
+    * q_label_prop_inc gate pins it against the recursive-CTE oracle).
+    */
+  def minLabelFold(prev: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame, parallelism: Option[Int] = None): DataFrame = {
+    val edges = newEdges.select("id_a", "id_b").localCheckpoint(true)
+    val touched = edges.select(col("id_a").as("id"))
+      .unionAll(edges.select(col("id_b").as("id"))).distinct()
+    val oldAffected = prev.join(touched, Seq("id"))
+      .select("cluster").distinct().localCheckpoint(true)
+    val comps = Dedup.incrementalComponents(prev.select("id", "cluster"),
+      newNodes.select("id"), edges, parallelism = parallelism)
+    // every member of every changed component is here: old members of
+    // affected clusters plus the delivery — delta × cluster-size rows
+    val changedSeeds = prev.join(broadcast(oldAffected), Seq("cluster"))
+      .select("id", "seed")
+      .unionAll(newNodes.select("id", "seed"))
+    val newAssign = comps.join(changedSeeds, Seq("id"))
+    val cmin = newAssign.groupBy("cluster").agg(min("seed").as("label"))
+    prev.join(broadcast(oldAffected), Seq("cluster"), "left_anti")
+      .select("id", "cluster", "seed", "label")
+      .unionByName(newAssign.join(cmin, Seq("cluster"))
+        .select("id", "cluster", "seed", "label"))
+  }
 }

@@ -2163,6 +2163,90 @@ object ExtQueries {
     * .searchSaved]]'s maxDF so the lexicon-first bucket tightening is
     * the exercised code path.
     */
+  /** FEDERATED SEARCH ([[graft.ext.TextSearch.searchFederated]]): a
+    * corrections overlay (every fifth document re-indexed with amended
+    * text, a third of the corrections later retracted) searched WITH
+    * the production index under q_store_federate's precedence —
+    * overlay wins on id collision even when the overlay's own ranking
+    * didn't surface the id (the superseded production version must not
+    * serve), retracted corrections cede back to production. Each root
+    * scores with its OWN corpus statistics and the fused top-5
+    * re-ranks raw. The oracle rebuilds BOTH BM25 models relationally
+    * (survivors only — deletes are negative partials on both engines),
+    * applies the precedence mask, and re-ranks — every fused score
+    * value-checked.
+    */
+  private def searchFederate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val overlayDir = graft.Gate.tmpDir("gate_sfed_a_")
+    graft.ext.TextSearch.buildAndSave(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" corrected"))),
+      col("doc_id"), col("text"), overlayDir, buckets = bm25Buckets)
+    graft.ext.TextSearch.deleteDocs(s, overlayDir, // retracted fixes
+      docs.filter(col("doc_id") % 3 === 1).select("doc_id"),
+      col("doc_id"))
+    val prodDir = graft.Gate.copyDir(sharedBm25Index(s, d), "gate_sfed_b_")
+    graft.ext.TextSearch.deleteDocs(s, prodDir, // production takedown
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+      col("doc_id"))
+    graft.ext.TextSearch.searchFederated(s, Seq(overlayDir, prodDir),
+        bm25Queries(s, d), col("qid"), col("qterms"), k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private val searchFederateSql = {
+    def bmBlock(src: String, corpus: String): String =
+      s"""tok_$src AS (SELECT doc_id AS id,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM $corpus),
+         |tf_$src AS (SELECT id, term, count(*) AS tf
+         |  FROM (SELECT id, unnest(toks) AS term FROM tok_$src)
+         |  GROUP BY 1, 2),
+         |dl_$src AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl
+         |  FROM tf_$src GROUP BY 1),
+         |lex_$src AS (SELECT term, count(*) AS df FROM tf_$src GROUP BY 1),
+         |st_$src AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+         |  FROM dl_$src),
+         |sc_$src AS (SELECT q.query_id, tf.id,
+         |    sum(ln(1 + (st.n_docs - lex.df + 0.5) / (lex.df + 0.5))
+         |        * tf.tf * 2.2
+         |        / (tf.tf + 0.3 + 0.9 * dl.dl / st.avgdl)) AS score_raw,
+         |    count(*) AS matched
+         |  FROM q JOIN tf_$src tf USING (term)
+         |  JOIN lex_$src lex USING (term)
+         |  JOIN dl_$src dl ON dl.id = tf.id, st_$src st
+         |  GROUP BY 1, 2),
+         |h_$src AS (SELECT query_id, id, matched,
+         |    round(score_raw, 6) AS score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY round(score_raw, 6) DESC, id) AS rn
+         |        FROM sc_$src)
+         |  WHERE rn <= 20)""".stripMargin
+    s"""WITH qtok AS (SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |q AS (SELECT id AS query_id,
+       |        unnest(list_distinct(toks[1:8])) AS term
+       |      FROM qtok WHERE id < 8),
+       |ca AS (SELECT doc_id, text || ' corrected' AS text FROM documents
+       |       WHERE doc_id % 5 = 0 AND doc_id % 3 <> 1),
+       |cb AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+       |${bmBlock("a", "ca")},
+       |${bmBlock("b", "cb")},
+       |fed AS (SELECT * FROM h_a
+       |        UNION ALL
+       |        SELECT * FROM h_b
+       |        WHERE NOT (id % 5 = 0 AND id % 3 <> 1)),
+       |fin AS (SELECT query_id,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, id) AS INTEGER) AS rn,
+       |          id, matched, score
+       |        FROM fed)
+       |SELECT query_id, rn, id, matched, score
+       |FROM fin WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
   private def bm25Capped(s: SparkSession, d: String): DataFrame = {
     val cap = Tables.documents(s, d).count() * 78L / 100L
     graft.ext.TextSearch.searchSaved(s, sharedBm25Index(s, d),
@@ -4527,6 +4611,7 @@ object ExtQueries {
     Gate("q_stream_nb", streamNb, Some(nbLangSql)),
     Gate("q_tfidf", tfidfTop, Some(tfidfTopSql)),
     Gate("q_bm25_topk", bm25TopK, Some(bm25Sql)),
+    Gate("q_search_federate", searchFederate, Some(searchFederateSql)),
     Gate("q_bm25_persist", bm25Persist, Some(bm25Sql)),
     Gate("q_bm25_append", bm25Append, Some(bm25AppendSql)),
     Gate("q_bm25_timetravel", bm25TimeTravel, Some(bm25Sql)),

@@ -295,6 +295,69 @@ object GraphTextQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- the serving walk and the insert tick as SCALE PROBES ----
+
+  /** The serving walk ALONE, timed against a graph built outside the
+    * window: 100 external queries beam-descend the memoized descent
+    * graph ([[sharedDescentGraph]] — corpus-linear to build, so the
+    * 10×/30× ScaleProbe replicas can afford the untimed warm build the
+    * probe harness gives them). The q_search_graph recall harness
+    * embeds the quadratic exact-graph oracle and so cannot be probed
+    * (the documented exclusion); THIS gate's timed window contains
+    * nothing but the walk, so its BASELINE.md ratio is the measured
+    * form of the "corpus-independent given the graph" claim. The
+    * checkable contract here is result-set cardinality (a graph with
+    * ≥ entries live nodes must fill every query's top-5 exactly);
+    * walk QUALITY is owned by q_search_graph (recall floor) and
+    * q_search_graph_exact (value-checked replay).
+    */
+  private def graphServe(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
+    val queries = embs.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    graft.ext.EmbeddingSearch.graphSearch(embs, graph, queries, k = 5,
+        beamWidth = 16, hops = 4, entryPoints = 16)
+      .groupBy((col("query_id") - 1000000).as("query_id"))
+      .agg(count(lit(1)).as("n_results"))
+      .orderBy("query_id")
+  }
+
+  private val graphServeSql =
+    """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results
+      |FROM embeddings WHERE vec_id < 100 ORDER BY query_id""".stripMargin
+
+  /** One INSERT TICK alone — the delta-bounded maintenance cost
+    * ([[graft.ext.EmbeddingSearch.insertEdges]]) with everything else
+    * outside the window: a FIXED 64-vector delivery wires into the
+    * memoized descent graph (restricted to the standing corpus), so at
+    * the 10×/30× replicas the timed work is 64 walks + 64² intra
+    * pairs + back-link merges against a 10×/30× larger corpus — the
+    * near-flat-ratio claim behind retiring warm descent as the tick.
+    * Contract: every delivered vector wires exactly k=8 edges (the
+    * walk always visits ≥ entries ≫ 8 candidates), value-checked as
+    * cardinality; tick QUALITY is owned by q_graph_insert's recall
+    * floor.
+    */
+  private def graphInsertTick(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
+    val standing = embs.filter(col("vec_id") >= 64)
+    val standingGraph = graph
+      .filter(col("query_id") >= 64 && col("neighbor_id") >= 64)
+    val delivery = embs.filter(col("vec_id") < 64)
+    val (newEdges, _) = graft.ext.EmbeddingSearch.insertEdges(standing,
+      standingGraph, delivery, k = 8, beamWidth = 16, hops = 4,
+      entryPoints = 16)
+    newEdges.groupBy("query_id")
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("query_id")
+  }
+
+  private val graphInsertTickSql =
+    """SELECT vec_id AS query_id, CAST(8 AS BIGINT) AS n_edges
+      |FROM embeddings WHERE vec_id < 64 ORDER BY query_id""".stripMargin
+
   /** [[graft.ext.EmbeddingSearch.graphSearchWhere]]: the filtered-ANN
     * contract on the graph-serving path (q_ann_filtered's predicate —
     * `vec_id % 3 = 0` — on the quantizer-free family): the walk runs
@@ -393,6 +456,68 @@ object GraphTextQueries {
        |FROM embeddings e LEFT JOIN l_2 l ON l.id = e.vec_id
        |ORDER BY id""".stripMargin
   }
+
+  // ---- incremental min-label propagation over the kNN graph ----
+
+  /** [[graft.ext.GraphOps.minLabelFold]]: the monotone (fixpoint
+    * min-label) member of the label-prop family maintained
+    * INCREMENTALLY — standing labels computed over the first 60% of
+    * the kNN graph, then the remaining nodes and every edge touching
+    * them fold in at delta cost (affected components re-elect, the
+    * rest carry over verbatim). The result must equal the from-scratch
+    * fixpoint over the FULL graph, which the oracle computes exactly
+    * with a recursive reachability CTE (the q_dup_clusters_inc
+    * contract applied to labels) — every propagated label
+    * value-checked, no iteration-count coupling.
+    */
+  private def labelPropInc(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val knn = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val nodes = embs.select(col("vec_id").as("id"),
+      when(col("vec_id") % 5 === 0, col("label")).as("seed"))
+    val b = embs.count() * 3 / 5
+    val prev = GraphOps.minLabelPropagate(
+        nodes.filter(col("id") < b),
+        knn.filter(col("id_a") < b && col("id_b") < b),
+        parallelism = Some(8))
+      .localCheckpoint(true)
+    GraphOps.minLabelFold(prev,
+        nodes.filter(col("id") >= b),
+        knn.filter(col("id_a") >= b || col("id_b") >= b),
+        parallelism = Some(8))
+      .select(col("id"), col("label"))
+      .orderBy("id")
+  }
+
+  private val labelPropIncSql =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+      |             list_dot_product(a.v, b.v)
+      |               / sqrt(list_dot_product(a.v, a.v)
+      |                      * list_dot_product(b.v, b.v)) AS cos
+      |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p),
+      |knn AS (SELECT query_id AS src, vec_id AS dst FROM r
+      |        WHERE rank <= 3),
+      |edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+      |  UNION
+      |  SELECT ed.dst AS id, reach.r FROM edges ed
+      |  JOIN reach ON reach.id = ed.src),
+      |seeds AS (SELECT vec_id AS id, label FROM embeddings
+      |          WHERE vec_id % 5 = 0),
+      |lab AS (SELECT reach.id, min(s.label) AS label
+      |        FROM reach JOIN seeds s ON s.id = reach.r
+      |        GROUP BY reach.id)
+      |SELECT emb.vec_id AS id, l.label
+      |FROM embeddings emb LEFT JOIN lab l ON l.id = emb.vec_id
+      |ORDER BY id""".stripMargin
 
   // ---- paragraph-level exact dedup (the C4 boilerplate scrub) ----
 
@@ -1031,9 +1156,13 @@ object GraphTextQueries {
     Gate("q_search_graph", searchGraph, Some(searchGraphSql)),
     Gate("q_search_graph_exact", searchGraphExact,
       Some(searchGraphExactSql)),
+    Gate("q_graph_serve", graphServe, Some(graphServeSql)),
+    Gate("q_graph_insert_tick", graphInsertTick,
+      Some(graphInsertTickSql)),
     Gate("q_search_graph_filtered", searchGraphFiltered,
       Some(searchGraphFilteredSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
+    Gate("q_label_prop_inc", labelPropInc, Some(labelPropIncSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     Gate("q_paragraph_dedup_inc", paragraphDedupInc,
       Some(paragraphDedupIncSql)),

@@ -437,6 +437,70 @@ object MaintainQueries {
   private val streamKnnSql =
     """SELECT count(*) AS n_nodes, true AS graph_ok FROM embeddings"""
 
+  // ---- streamed maintenance of the PERSISTED graph index ----
+
+  /** [[graft.ext.KnnGraphIndex]] maintained from a delivery STREAM:
+    * where q_stream_knn maintains bare parquet state dirs, this gate
+    * composes `foreachBatch` with the real index lifecycle — the first
+    * micro-batch cold-builds the index ([[graft.ext.KnnGraphIndex
+    * .build]], priced once), every later batch lands via delta-bounded
+    * [[graft.ext.KnnGraphIndex.insert]] — so the streamed graph gets
+    * tombstones, time travel, takedown registration, and atomic
+    * publishes for free. Contract: after the drain, beam serving meets
+    * the family recall floor (≥80% of 20 external queries recover ≥1
+    * true top-3 over the union corpus); the batch split is
+    * deterministic (id parity), and KnnGraphIndexSpec pins that a
+    * takedown BETWEEN batches masks the node in the next batch's
+    * serving.
+    */
+  private def streamGraphIndex(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val in = graft.Gate.tmpDir("gate_sgi_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sgi_ck_")
+    val idx = graft.Gate.tmpDir("gate_sgi_idx_") + "/ix"
+    embs.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    embs.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    var delivered = 0
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (delivered == 0)
+          KnnGraphIndex.build(batch, idx, k = 32, iters = 5)
+        else KnnGraphIndex.insert(s, idx, batch)
+        delivered += 1
+        ()
+      }.start()
+    q.awaitTermination()
+    val queries = embs.filter(col("vec_id") < 20)
+    val got = KnnGraphIndex.search(s, idx, queries, k = 6)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    val truth = EmbeddingSearch.bruteForceTopKFor(embs, queries, 4)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val hits = got.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  private val streamGraphIndexSql =
+    """SELECT count(*) AS n_queries, true AS search_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
   val gates: Seq[Gate] = Seq(
     Gate("q_cdc_maintain_ivf", cdcMaintainIvf, Some(cdcMaintainIvfSql)),
     Gate("q_cdc_maintain_dedup", cdcMaintainDedup,
@@ -447,5 +511,7 @@ object MaintainQueries {
     Gate("q_store_federate", storeFederate, Some(storeFederateSql)),
     Gate("q_graph_rewire", graphRewire, Some(graphRewireSql)),
     Gate("q_graph_insert", graphInsert, Some(graphInsertSql)),
+    Gate("q_stream_graph_index", streamGraphIndex,
+      Some(streamGraphIndexSql)),
   )
 }

@@ -234,6 +234,33 @@ class EmbeddingSearchSpec extends SparkSpec {
     assert(got.forall(_._3 % 3 == 0))
   }
 
+  test("hub entries reach at hops-1 what smallest-id entries need an " +
+      "extra hop for") {
+    // hub-and-spokes geometry: 19 spokes share one dominant axis plus a
+    // private orthogonal component, the center (id 19) sits on the
+    // axis. Every spoke's nearest neighbor is the center, so the
+    // center's symmetrized degree is ~n while spoke 0 (the smallest-id
+    // entry) has degree 2 — the structure-blind entry starts the walk
+    // at the graph's edge, the degree-ranked one at its hub.
+    val dim = 21
+    val rows = (0 until 19).map { i =>
+      val a = 2.0f - 0.01f * i
+      (i.toLong, Array.tabulate(dim)(j =>
+        if (j == 0) 10f else if (j == i + 1) a else 0f))
+    } :+ ((19L, Array.tabulate(dim)(j => if (j == 0) 10f else 0f)))
+    val hubEmbs = rows.toDF("vec_id", "embedding")
+    val graph = EmbeddingSearch.knnGraph(hubEmbs, 2)
+    val query = hubEmbs.filter(col("vec_id") === 5L)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    def top1(hops: Int, hub: Boolean): Long =
+      EmbeddingSearch.graphSearch(hubEmbs, graph, query, k = 1,
+          beamWidth = 4, hops = hops, entryPoints = 1, hubEntries = hub)
+        .select("neighbor_id").as[Long].head()
+    assert(top1(hops = 1, hub = true) === 5L)  // hub reaches in one hop
+    assert(top1(hops = 1, hub = false) !== 5L) // edge entry cannot
+    assert(top1(hops = 2, hub = false) === 5L) // ...it needs a second
+  }
+
   test("nnDescent output schema and self-exclusion match knnGraph") {
     val nd = EmbeddingSearch.nnDescent(clustered, k = 2, iters = 1)
     assert(nd.columns.toSeq ===

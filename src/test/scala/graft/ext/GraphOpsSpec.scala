@@ -98,4 +98,36 @@ class GraphOpsSpec extends SparkSpec {
     val r = lp(edges, Seq((1L, 1)), 5)
     assert(!r.contains(3L) && !r.contains(4L))
   }
+
+  test("minLabelFold ≡ from-scratch fixpoint: component merge, new " +
+      "seeds, untouched components carried verbatim") {
+    import org.apache.spark.sql.functions.col
+    // base: {0,1,2} (seed b), {3,4} (seedless), {8,9} (seed q, never
+    // touched by the delta); delivery: node 5 (seed a) BRIDGES the
+    // first two components, plus a brand-new pair {6,7} (seed z)
+    val nodes = Seq(
+      (0L, None: Option[String]), (1L, Some("b")), (2L, None),
+      (3L, None), (4L, None), (8L, None), (9L, Some("q")),
+      (5L, Some("a")), (6L, None), (7L, Some("z")))
+      .toDF("id", "seed")
+    val baseEdges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val deltaEdges = Seq((2L, 5L), (5L, 3L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val prev = GraphOps.minLabelPropagate(
+      nodes.filter(col("id") <= 4 || col("id") === 8 || col("id") === 9),
+      baseEdges).localCheckpoint(true)
+    val folded = GraphOps.minLabelFold(prev,
+      nodes.filter(col("id").isin(5L, 6L, 7L)), deltaEdges)
+    val scratch = GraphOps.minLabelPropagate(nodes,
+      baseEdges.unionAll(deltaEdges))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster", "seed", "label")
+        .as[(Long, Long, Option[String], Option[String])].collect().toSet
+    assert(rows(folded) === rows(scratch))
+    // the merge elected the smaller of the two seeds across the bridge
+    assert(rows(folded).filter(_._1 <= 5).forall(_._4 === Some("a")))
+    assert(rows(folded).filter(r => r._1 == 8 || r._1 == 9)
+      .forall(_._4 === Some("q")))
+  }
 }

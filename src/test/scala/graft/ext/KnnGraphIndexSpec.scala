@@ -215,6 +215,42 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(!answers(gidx, q, k = 3).map(_._3).contains(100L))
   }
 
+  test("streamed index maintenance: a takedown between micro-batches " +
+      "masks the node in the next batch's serving") {
+    val path = dir()
+    val in = graft.Gate.tmpDir("spec_sgi_in_")
+    val ckpt = graft.Gate.tmpDir("spec_sgi_ck_")
+    val all = clustered
+    all.filter(col("vec_id") < 6).coalesce(1)
+      .write.parquet(s"$in/d1")
+    all.filter(col("vec_id") >= 6).coalesce(1)
+      .write.parquet(s"$in/d2")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    var delivered = 0
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (delivered == 0) {
+          KnnGraphIndex.build(batch, path, k = 3, iters = 3)
+          // the takedown lands BETWEEN batches — the next batch's
+          // insert and every later serving must not resurrect node 2
+          KnnGraphIndex.deleteVecs(spark, path, Seq(2L).toDF("vec_id"),
+            col("vec_id"))
+        } else KnnGraphIndex.insert(spark, path, batch)
+        delivered += 1
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(delivered === 2)
+    val got = answers(path, all.filter(col("vec_id") % 2 === 0), k = 4)
+    assert(!got.map(_._3).contains(2L))
+    // the second batch's nodes serve (they were inserted post-delete)
+    assert(got.map(_._3).exists(_ >= 6L))
+  }
+
   test("searchAt answers the retained pre-delivery version") {
     val path = dir()
     val v1 = KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
