@@ -303,7 +303,10 @@ object Bench {
     // graph), the streamed persisted-graph drain (cold build inside),
     // and federated search (overlay index build + two saved searches)
     "q_graph_insert", "q_search_graph_exact", "q_stream_graph_index",
-    "q_search_federate", "q_label_prop_inc")
+    "q_search_federate", "q_label_prop_inc", "q_ann_federate",
+    // all-pairs standing-graph build inside the window by design (the
+    // oracle must rebuild the same graph)
+    "q_graph_insert_exact")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -347,6 +350,7 @@ object Bench {
     // round 11: delta-bounded insertion, value-checked walk replay,
     // persisted binary codes, federated search, incremental label
     // prop, streamed persisted-graph maintenance
-    "q_graph_insert", "q_search_graph_exact", "q_binary_persist",
-    "q_search_federate", "q_label_prop_inc", "q_stream_graph_index")
+    "q_graph_insert", "q_search_graph_exact", "q_graph_insert_exact",
+    "q_binary_persist", "q_search_federate", "q_ann_federate",
+    "q_label_prop_inc", "q_stream_graph_index")
 }

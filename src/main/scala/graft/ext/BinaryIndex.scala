@@ -172,6 +172,42 @@ object BinaryIndex {
           col("nrm").as("qnrm")),
       k, candidates, excludeSelf = false)
 
+  /** PRECEDENCE-AWARE FEDERATED ANN across saved binary indexes — the
+    * vector twin of [[TextSearch.searchFederated]], same semantics:
+    * `roots` ordered highest-precedence first, each paired with the
+    * corpus frame its exact re-rank reads; every root answers from its
+    * OWN codes over-fetching k×overFetch, a hit from root i is
+    * disqualified iff any higher root has the id LIVE (the
+    * authoritative — possibly amended — version lives there), and a
+    * retracted overlay id cedes back. Unlike BM25 federation the final
+    * fuse is CALIBRATED: stage 2 re-ranked every candidate by exact
+    * cosine, so cross-root scores are directly comparable. The
+    * precedence probe tests only result ids against higher roots' live
+    * codes (Bloom-pruned segments) — bounded, never a corpus read.
+    */
+  def searchFederatedVectors(spark: SparkSession,
+      roots: Seq[(String, DataFrame)], queries: DataFrame, k: Int,
+      candidates: Int = 200, overFetch: Int = 4): DataFrame = {
+    require(roots.nonEmpty, "searchFederatedVectors needs ≥ 1 root")
+    val perRoot = roots.zipWithIndex.map { case ((path, embs), i) =>
+      val hits = searchVectors(load(spark, path, embs), queries,
+        k * overFetch, candidates)
+      (0 until i).foldLeft(hits) { (acc, j) =>
+        val snapJ = IndexStore.snapshot(spark, roots(j)._1)
+        val liveJ = IndexStore.liveRowsAmong(snapJ, "codes", "vec_id",
+            acc.select(col("neighbor_id").as("vec_id")))
+          .select(col("vec_id").as("neighbor_id")).distinct()
+        acc.join(liveJ, Seq("neighbor_id"), "left_anti")
+      }
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    perRoot.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   private def searchImpl(model: Model, q0: DataFrame, k: Int,
       candidates: Int, excludeSelf: Boolean): DataFrame = {
     // the query side is bounded — one tiny agg buys the same loud

@@ -231,32 +231,41 @@ object GraphTextQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** One unrolled walk hop for the relational beam-descent replays:
+    * elect the top-`beam` unexpanded frontier from state `s<prev>`,
+    * expand through `und`, score only newly reached nodes → `s<cur>`.
+    * Expects CTEs `e` (vec_id, v), `q` (query_id, qv), `und`
+    * (src, dst) in scope — shared by the q_search_graph_exact and
+    * q_graph_insert_exact oracles.
+    */
+  private def walkHop(prev: Int, cur: Int, beam: Int): String =
+    s"""f$cur AS MATERIALIZED (SELECT query_id, node_id FROM (
+       |  SELECT query_id, node_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, node_id) AS rn
+       |  FROM s$prev WHERE NOT expanded) WHERE rn <= $beam),
+       |n$cur AS MATERIALIZED (
+       |  SELECT DISTINCT f.query_id, u.dst AS node_id
+       |  FROM f$cur f JOIN und u ON u.src = f.node_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM s$prev s
+       |    WHERE s.query_id = f.query_id AND s.node_id = u.dst)),
+       |s$cur AS MATERIALIZED (
+       |  SELECT s.query_id, s.node_id, s.cos,
+       |    s.expanded OR EXISTS (SELECT 1 FROM f$cur f
+       |      WHERE f.query_id = s.query_id AND f.node_id = s.node_id)
+       |      AS expanded
+       |  FROM s$prev s
+       |  UNION ALL
+       |  SELECT n.query_id, n.node_id,
+       |    list_dot_product(q.qv, e.v)
+       |      / sqrt(list_dot_product(q.qv, q.qv)
+       |             * list_dot_product(e.v, e.v)) AS cos,
+       |    false AS expanded
+       |  FROM n$cur n JOIN q ON q.query_id = n.query_id
+       |  JOIN e ON e.vec_id = n.node_id)""".stripMargin
+
   private val searchGraphExactSql = {
-    def hop(prev: Int, cur: Int): String =
-      s"""f$cur AS MATERIALIZED (SELECT query_id, node_id FROM (
-         |  SELECT query_id, node_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, node_id) AS rn
-         |  FROM s$prev WHERE NOT expanded) WHERE rn <= 4),
-         |n$cur AS MATERIALIZED (
-         |  SELECT DISTINCT f.query_id, u.dst AS node_id
-         |  FROM f$cur f JOIN und u ON u.src = f.node_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM s$prev s
-         |    WHERE s.query_id = f.query_id AND s.node_id = u.dst)),
-         |s$cur AS MATERIALIZED (
-         |  SELECT s.query_id, s.node_id, s.cos,
-         |    s.expanded OR EXISTS (SELECT 1 FROM f$cur f
-         |      WHERE f.query_id = s.query_id AND f.node_id = s.node_id)
-         |      AS expanded
-         |  FROM s$prev s
-         |  UNION ALL
-         |  SELECT n.query_id, n.node_id,
-         |    list_dot_product(q.qv, e.v)
-         |      / sqrt(list_dot_product(q.qv, q.qv)
-         |             * list_dot_product(e.v, e.v)) AS cos,
-         |    false AS expanded
-         |  FROM n$cur n JOIN q ON q.query_id = n.query_id
-         |  JOIN e ON e.vec_id = n.node_id)""".stripMargin
+    def hop(prev: Int, cur: Int): String = walkHop(prev, cur, 4)
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
        |  FROM embeddings),
        |p AS (SELECT a.vec_id AS query_id, b.vec_id,
@@ -293,6 +302,97 @@ object GraphTextQueries {
        |          ORDER BY cos DESC, node_id) AS rank
        |      FROM s3)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- the INSERTION algebra value-checked end to end ----
+
+  /** [[graft.ext.EmbeddingSearch.insertEdges]] with every step
+    * value-checked: 20 held-out vectors insert into the EXACT kNN
+    * graph over the standing corpus (which the oracle rebuilds
+    * all-pairs), and the oracle replays the whole insertion
+    * relationally — the beam walk (the q_search_graph_exact unrolled
+    * CTE stack), the exact intra-delivery pairs, each new node's top-k
+    * election over their union, the back-link proposals, and every
+    * touched node's merged re-ranked edge set. Both output relations
+    * (the delivered nodes' edges and the touched nodes' merged edges)
+    * hash-compare — the count+floor posture of q_graph_insert is the
+    * trained-graph contract; THIS gate proves the algebra itself.
+    */
+  private def graphInsertExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val standing = embs.filter(col("vec_id") >= 20)
+    val graph = graft.ext.EmbeddingSearch.knnGraph(standing, k = 3)
+    val delivery = embs.filter(col("vec_id") < 20)
+    val (newEdges, merged) = graft.ext.EmbeddingSearch.insertEdges(
+      standing, graph, delivery, k = 3, beamWidth = 4, hops = 3,
+      entryPoints = 4)
+    newEdges.withColumn("part", lit("new"))
+      .unionByName(merged.withColumn("part", lit("merged")))
+      .orderBy("part", "query_id", "rank")
+  }
+
+  private val graphInsertExactSql = {
+    val hops = (1 to 3).map(h => walkHop(h - 1, h, 4)).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id >= 20),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+       |                     FROM r WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT src, dst FROM knn
+       |                     UNION SELECT dst, src FROM knn),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id,
+       |                     embedding::DOUBLE[] AS qv
+       |                   FROM embeddings WHERE vec_id < 20),
+       |entries AS (SELECT node_id FROM (
+       |              SELECT DISTINCT src AS node_id FROM und)
+       |            ORDER BY node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |$hops,
+       |walked AS (SELECT query_id, node_id AS neighbor_id,
+       |             round(cos, 6) AS cos FROM s3),
+       |intra AS (SELECT a.query_id,
+       |            b.query_id AS neighbor_id,
+       |            round(list_dot_product(a.qv, b.qv)
+       |              / sqrt(list_dot_product(a.qv, a.qv)
+       |                     * list_dot_product(b.qv, b.qv)), 6) AS cos
+       |          FROM q a, q b WHERE a.query_id <> b.query_id),
+       |newe AS MATERIALIZED (SELECT query_id, neighbor_id, cos, rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM (SELECT * FROM walked UNION ALL SELECT * FROM intra))
+       |  WHERE rank <= 3),
+       |rev AS (SELECT neighbor_id AS query_id, query_id AS neighbor_id,
+       |          cos
+       |        FROM newe WHERE neighbor_id >= 20),
+       |knge AS (SELECT query_id, vec_id AS neighbor_id,
+       |           round(cos, 6) AS cos
+       |         FROM r WHERE rank <= 3),
+       |merged AS (SELECT query_id, neighbor_id, cos, rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM (SELECT k.* FROM knge k
+       |              WHERE k.query_id IN (SELECT query_id FROM rev)
+       |              UNION ALL SELECT * FROM rev))
+       |  WHERE rank <= 3)
+       |SELECT 'new' AS part, query_id, neighbor_id, cos,
+       |       CAST(rank AS INTEGER) AS rank FROM newe
+       |UNION ALL
+       |SELECT 'merged', query_id, neighbor_id, cos,
+       |       CAST(rank AS INTEGER) FROM merged
+       |ORDER BY part, query_id, rank""".stripMargin
   }
 
   // ---- the serving walk and the insert tick as SCALE PROBES ----
@@ -1156,6 +1256,8 @@ object GraphTextQueries {
     Gate("q_search_graph", searchGraph, Some(searchGraphSql)),
     Gate("q_search_graph_exact", searchGraphExact,
       Some(searchGraphExactSql)),
+    Gate("q_graph_insert_exact", graphInsertExact,
+      Some(graphInsertExactSql)),
     Gate("q_graph_serve", graphServe, Some(graphServeSql)),
     Gate("q_graph_insert_tick", graphInsertTick,
       Some(graphInsertTickSql)),

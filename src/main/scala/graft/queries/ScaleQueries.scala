@@ -1095,6 +1095,89 @@ object ScaleQueries {
       |       CAST(rank AS INTEGER) AS rank
       |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** FEDERATED ANN ([[graft.ext.BinaryIndex.searchFederatedVectors]]):
+    * an overlay of AMENDED embeddings (every fifth vector re-delivered
+    * NEGATED — maximally different, so a superseded production version
+    * serving would be visible in the values; a third of the amendments
+    * later retracted) searched with production under overlay-wins /
+    * delete-cedes precedence. Each root answers from its own persisted
+    * codes; the exact re-rank makes cross-root scores calibrated, so
+    * the fused top-5 is meaningful. The codec is closed-form, so the
+    * oracle replays BOTH roots' two-stage searches, the precedence
+    * mask, and the fused re-rank as values — the federated-ANN answer
+    * is hash-checked end to end.
+    */
+  private def annFederate(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val amended = embs.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val aDir = graft.Gate.tmpDir("gate_annfed_a_")
+    val bDir = graft.Gate.tmpDir("gate_annfed_b_")
+    graft.ext.BinaryIndex.buildAndSave(amended, aDir)
+    graft.ext.BinaryIndex.deleteVecs(s, aDir, // retracted amendments
+      embs.filter(col("vec_id") % 3 === 1).select("vec_id"),
+      col("vec_id"))
+    graft.ext.BinaryIndex.buildAndSave(embs, bDir)
+    graft.ext.BinaryIndex.deleteVecs(s, bDir, // production takedown
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      col("vec_id"))
+    val queries = embs.filter(col("vec_id") < 10)
+    // one shared candidate knob, sized to the BIGGER root (q_binary_topk's
+    // worst-case widening); the small overlay degenerates to full coverage
+    val liveB = graft.ext.BinaryIndex.load(s, bDir, embs).codes.count()
+    val cand = math.max(200, (liveB / 5L).toInt)
+    graft.ext.BinaryIndex.searchFederatedVectors(s,
+        Seq(aDir -> amended, bDir -> embs), queries, k = 5,
+        candidates = cand)
+      .orderBy("query_id", "rank")
+  }
+
+  private val annFederateSql = {
+    def stage(src: String, corpus: String): String =
+      s"""ham_$src AS (SELECT q.query_id, e.vec_id,
+         |    list_sum(list_transform(range(1, len(e.v) + 1),
+         |      i -> CASE WHEN (q.qv[i] > 0) <> (e.v[i] > 0)
+         |           THEN 1 ELSE 0 END)) AS ham
+         |  FROM q, $corpus e),
+         |cand_$src AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ham, vec_id) AS rn
+         |    FROM ham_$src), cnd
+         |  WHERE rn <= cnd.c),
+         |rr_$src AS (SELECT c.query_id, c.vec_id,
+         |    list_dot_product(q.qv, e.v)
+         |      / sqrt(list_dot_product(q.qv, q.qv)
+         |             * list_dot_product(e.v, e.v)) AS cos
+         |  FROM cand_$src c JOIN q USING (query_id)
+         |  JOIN $corpus e ON e.vec_id = c.vec_id),
+         |h_$src AS (SELECT query_id, vec_id, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rn FROM rr_$src)
+         |  WHERE rn <= 20)""".stripMargin
+    s"""WITH ea AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> -x) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 3 <> 1),
+       |eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE vec_id % 7 <> 3),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |cnd AS (SELECT greatest(200, (SELECT count(*) FROM eb) // 5) AS c),
+       |${stage("a", "ea")},
+       |${stage("b", "eb")},
+       |fed AS (SELECT * FROM h_a
+       |        UNION ALL
+       |        SELECT * FROM h_b
+       |        WHERE NOT (vec_id % 5 = 0 AND vec_id % 3 <> 1))
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY round(cos, 6) DESC, vec_id) AS rank
+       |      FROM fed)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Streaming ANN lookup: query vectors arrive as a STREAM and each
     * micro-batch searches a static, pre-built [[graft.ext.SqIndex]] via
     * `foreachBatch` + [[graft.ext.SqIndex.searchVectors]] (lookup
@@ -1973,6 +2056,7 @@ object ScaleQueries {
     Gate("q_sq_topk", sqTopK, Some(sqTopKSql)),
     Gate("q_sq_persist", sqPersist, Some(sqPersistSql)),
     Gate("q_binary_persist", binaryPersist, Some(binaryPersistSql)),
+    Gate("q_ann_federate", annFederate, Some(annFederateSql)),
     Gate("q_stream_ann", streamAnn, Some(streamAnnSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
     Gate("q_stream_incremental", streamIncremental,

@@ -67,6 +67,30 @@ class BinaryIndexSpec extends SparkSpec {
     assert(live.filter(col("vec_id") === 5L).count() === 1L)
   }
 
+  test("federated search: a live overlay version is authoritative, a " +
+      "retracted one cedes back to production") {
+    val amended = corpus.filter(col("vec_id") === 1L)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val pa = dir()
+    val pb = dir()
+    BinaryIndex.buildAndSave(amended, pa)
+    BinaryIndex.buildAndSave(corpus, pb)
+    val q = corpus.filter(col("vec_id") === 1L) // the RAW vector
+    def fed(k: Int) = BinaryIndex.searchFederatedVectors(spark,
+      Seq(pa -> amended, pb -> corpus), q, k = k, candidates = 24)
+    // id 1's only servable version is the NEGATED overlay one (cos −1
+    // to the raw query): it must not rank first, and the production
+    // (cos 1) version must not serve at any rank
+    assert(fed(1).select("neighbor_id").as[Long].head() !== 1L)
+    val id1 = fed(24).filter(col("neighbor_id") === 1L)
+      .select("cos").as[Double].collect()
+    assert(id1.nonEmpty && id1.forall(_ < 0))
+    // retraction cedes: production's raw id 1 ranks itself first again
+    BinaryIndex.deleteVecs(spark, pa, Seq(1L).toDF("vec_id"),
+      col("vec_id"))
+    assert(fed(1).select("neighbor_id").as[Long].head() === 1L)
+  }
+
   test("width mismatches fail loudly instead of truncating codes") {
     val path = dir()
     val m = BinaryIndex.buildAndSave(corpus, path)
