@@ -55,7 +55,13 @@ object Bench {
     val isChild = sys.env.contains("SPARK_GRAFT_CHILD")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(t => tokenMatches(t, n))) }
-      .sortBy { case (n, _) => heavy.contains(n) } // stable: keeps name order
+      // heavy gates run last, name-ordered — EXCEPT q_nn_descent, which
+      // runs first among them: it prices the shared descent-graph memo
+      // that q_graph_serve / q_graph_insert_tick / q_search_graph read,
+      // and those now precede it alphabetically (r11: the tick gate
+      // silently absorbed the 17 s build into its window)
+      .sortBy { case (n, _) =>
+        (heavy.contains(n), if (n == "q_nn_descent") "" else n) }
     // child (isolated) mode: run every selected gate once UNTIMED first,
     // so the timed pass below measures warm-JIT, warm-page-cache work —
     // without this, isolated numbers carry ~5 s of JVM/codegen warmup
@@ -306,7 +312,11 @@ object Bench {
     "q_search_federate", "q_label_prop_inc", "q_ann_federate",
     // all-pairs standing-graph build inside the window by design (the
     // oracle must rebuild the same graph)
-    "q_graph_insert_exact")
+    "q_graph_insert_exact",
+    // probe twins + binary lifecycle: heavy ALSO so they schedule after
+    // q_nn_descent (first among heavy), which prices the shared descent
+    // memo their windows read
+    "q_graph_serve", "q_graph_insert_tick", "q_binary_persist")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -333,24 +343,29 @@ object Bench {
     // text search, quantized ANN, semantic dedup
     "q_simjoin_prefix", "q_dup_clusters_star", "q_stream_dedup_index",
     "q_bm25_topk", "q_ivfpq_topk", "q_semdedup",
-    // store-of-record + cross-surface lifecycle
-    "q_takedown_store", "q_pinned_read", "q_ingest_all",
+    // store-of-record + cross-surface lifecycle (clone/replay/pinned/
+    // per-family CDC rows trimmed r11 for the 2 KB stdout budget —
+    // q_cdc_maintain + q_cdc_maintain_graph track the composition,
+    // BENCH_FULL.json always carries every gate)
+    "q_takedown_store", "q_ingest_all",
     "q_stream_ingest_all", "q_ingest_probe", "q_cdc_maintain",
-    "q_store_cdc", "q_selection_replay", "q_store_clone",
+    "q_store_cdc",
     // graph + corpus hygiene + tokenizer + governance trackers
-    "q_nn_descent", "q_knn_graph", "q_knn_graph_blocked", "q_label_prop",
-    "q_paragraph_dedup", "q_stream_paragraph", "q_unigram_prune",
+    "q_nn_descent", "q_knn_graph", "q_label_prop",
+    "q_paragraph_dedup",
     "q_quality_rules", "q_bpe_large", "q_k_anonymity",
-    // round 10: graph serving, unigram training, CDC-driven ANN/dedup
+    // round 10: graph serving, unigram training, CDC-driven
     // maintenance, streaming graph maintenance
     "q_search_graph", "q_unigram_train", "q_unigram_em",
-    "q_cdc_maintain_ivf", "q_cdc_maintain_dedup", "q_cdc_maintain_graph",
+    "q_cdc_maintain_graph",
     "q_stream_knn", "q_binary_topk", "q_store_federate",
     "q_graph_rewire",
-    // round 11: delta-bounded insertion, value-checked walk replay,
-    // persisted binary codes, federated search, incremental label
-    // prop, streamed persisted-graph maintenance
+    // round 11: delta-bounded insertion + its exact replay + flat-tick
+    // probes, value-checked walk replay, persisted binary codes,
+    // federated search ×2, incremental label prop, streamed
+    // persisted-graph maintenance
     "q_graph_insert", "q_search_graph_exact", "q_graph_insert_exact",
     "q_binary_persist", "q_search_federate", "q_ann_federate",
-    "q_label_prop_inc", "q_stream_graph_index")
+    "q_label_prop_inc", "q_stream_graph_index", "q_graph_serve",
+    "q_graph_insert_tick")
 }
