@@ -39,6 +39,77 @@ object HybridSearch {
       .select("query_id", "rn", "id", "n_lists", "rrf")
   }
 
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    * SIGIR 1998): greedily re-rank a retriever's per-query candidates so
+    * each pick maximizes `λ·rel − (1−λ)·max-sim-to-already-picked` —
+    * the standard redundancy cut for retrieval-augmented training-data
+    * assembly (near-duplicate passages crowding a context window add
+    * tokens, not information). `candidates` carries
+    * (query_id, id, rel) — rel the retriever's relevance score, already
+    * per-query top-N bounded; `embs` (vec_id, embedding) supplies the
+    * vectors for candidate-vs-candidate cosine.
+    *
+    * Fully deterministic: the first pick is the max-rel candidate, each
+    * later pick the max-MMR-score one, ties → smaller id; output scores
+    * round to 6 decimals so an external engine replays the selection
+    * (q_mmr_rerank unrolls all k steps in DuckDB).
+    *
+    * Scale shape: the greedy loop runs k (small, fixed) rounds; every
+    * round is one left-anti + one equi-join on query_id over frames
+    * bounded by N × queries — per-query work is N × step, never
+    * corpus-sized, and rounds parallelize across queries. The driver
+    * loop only builds the plan; no per-query driver work.
+    *
+    * Returns (query_id, step, id, mmr), step 1..k in pick order.
+    */
+  def mmr(candidates: DataFrame, embs: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"mmr needs k >= 1, got $k")
+    val dot = graft.ext.EmbeddingSearch.dot _
+    val vecs = embs.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cand = candidates.select(col("query_id"), col("id"),
+        col("rel").cast("double").as("rel"))
+      .join(vecs, "id")
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .localCheckpoint(true)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("id"))
+    var selected = cand
+      .withColumn("score", lit(lambda) * col("rel"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("id"), col("score"),
+        lit(1).as("step"))
+      .localCheckpoint(true)
+    var s = 2
+    while (s <= k) {
+      val selVecs = selected.select("query_id", "id")
+        .join(cand.select(col("query_id"), col("id"),
+          col("v").as("sv"), col("nrm").as("snrm")),
+          Seq("query_id", "id"))
+        .select(col("query_id"), col("sv"), col("snrm"))
+      val pick = cand
+        .join(selected.select("query_id", "id"),
+          Seq("query_id", "id"), "left_anti")
+        .join(selVecs, Seq("query_id"))
+        .withColumn("sim",
+          dot(col("v"), col("sv")) / sqrt(col("nrm") * col("snrm")))
+        .groupBy("query_id", "id")
+        .agg(max("rel").as("rel"), max("sim").as("max_sim"))
+        .withColumn("score", lit(lambda) * col("rel")
+          - lit(1.0 - lambda) * col("max_sim"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("id"), col("score"),
+          lit(s).as("step"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+      s += 1
+    }
+    selected.select(col("query_id"), col("step"), col("id"),
+      round(col("score"), 6).as("mmr"))
+  }
+
   /** Score-calibrated convex fusion (weighted CombSUM, Fox & Shaw,
     * TREC-2): per (query, list) the scores min-max normalize to [0, 1]
     * — BM25 and cosine become comparable without a learned calibration

@@ -4102,6 +4102,96 @@ object ExtQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** MMR diversification ([[graft.ext.HybridSearch.mmr]]): the dense
+    * top-20 (exact cosine, self excluded) re-ranks under
+    * `0.7·rel − 0.3·max-sim-to-picked` for 5 greedy steps. The oracle
+    * unrolls every step relationally — step 1's max-rel election, each
+    * later step's anti-join against the picked set, the max-similarity
+    * aggregate over raw cosines, and the argmax window with id
+    * tie-break — so the whole greedy selection is value-checked, the
+    * Viterbi/beam-walk unroll discipline applied to diversification.
+    * Two cross-engine traps are part of what this gate pins: (a) the
+    * oracle's constants are cast `::DOUBLE` — DuckDB parses `0.7` as
+    * DECIMAL, so `(1 - 0.7)` would be EXACTLY 0.3 where Spark computes
+    * the IEEE double 0.30000000000000004; (b) relevance enters RAW
+    * (not pre-rounded) — a 6-decimal rel times 0.7 lands exactly on
+    * 7th-decimal HALVES (probability ~1/10 per row, structural), where
+    * Spark's decimal-string HALF_UP and DuckDB's binary-double rounding
+    * disagree; raw doubles keep the rounded outputs off the half grid
+    * (both caught at sf0.01).
+    */
+  private def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val e = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", EmbeddingSearch.dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("qv"), col("v"))
+          / sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("vec_id").as("id"),
+        col("cos").as("rel"))
+    graft.ext.HybridSearch.mmr(cand, embs, k = 5, lambda = 0.7)
+      .orderBy("query_id", "step")
+  }
+
+  private val mmrRerankSql = {
+    def step(prev: Int, cur: Int): String =
+      s"""ms$cur AS (SELECT r.query_id, r.id, max(r.rel) AS rel,
+         |  max(list_dot_product(r.v, sv.v)
+         |    / sqrt(list_dot_product(r.v, r.v)
+         |           * list_dot_product(sv.v, sv.v))) AS msim
+         |  FROM cv r JOIN (SELECT c.query_id, c.id, v.v
+         |                  FROM c$prev c JOIN e v ON v.vec_id = c.id) sv
+         |    ON sv.query_id = r.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM c$prev x
+         |    WHERE x.query_id = r.query_id AND x.id = r.id)
+         |  GROUP BY 1, 2),
+         |sel$cur AS (SELECT query_id, id, score, $cur AS step FROM (
+         |  SELECT query_id, id, 0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * msim AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * msim DESC, id) AS rn
+         |  FROM ms$cur) WHERE rn = 1),
+         |c$cur AS (SELECT * FROM c$prev UNION ALL
+         |          SELECT * FROM sel$cur)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id < 8),
+       |p AS (SELECT query_id, vec_id,
+       |        list_dot_product(qv, v)
+       |          / sqrt(list_dot_product(qv, qv)
+       |                 * list_dot_product(v, v)) AS cos
+       |      FROM qd JOIN e ON vec_id <> query_id),
+       |cand AS (SELECT query_id, vec_id AS id, cos AS rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank FROM p)
+       |  WHERE rank <= 20),
+       |cv AS MATERIALIZED (SELECT c.query_id, c.id, c.rel, e.v
+       |  FROM cand c JOIN e ON e.vec_id = c.id),
+       |sel1 AS (SELECT query_id, id, score, 1 AS step FROM (
+       |  SELECT query_id, id, 0.7::DOUBLE * rel AS score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY 0.7::DOUBLE * rel DESC, id) AS rn
+       |  FROM cv) WHERE rn = 1),
+       |c1 AS (SELECT * FROM sel1),
+       |${step(1, 2)},
+       |${step(2, 3)},
+       |${step(3, 4)},
+       |${step(4, 5)}
+       |SELECT query_id, CAST(step AS INTEGER) AS step, id,
+       |       round(score, 6) AS mmr
+       |FROM c5 ORDER BY query_id, step""".stripMargin
+  }
+
   private val hybridRrfSql =
     """WITH tok AS (SELECT doc_id AS id,
       |               regexp_split_to_array(lower(trim(text)), '\s+')
@@ -4622,6 +4712,7 @@ object ExtQueries {
     Gate("q_bm25_capped", bm25Capped, Some(bm25CappedSql)),
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Gate("q_hybrid_weighted", hybridWeighted, Some(hybridWeightedSql)),
+    Gate("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Gate("q_phrase_persist", phrasePersist, Some(phraseSearchSql)),
     Gate("q_proximity", proximity, Some(proximitySql)),

@@ -499,6 +499,79 @@ object GraphTextQueries {
     """SELECT count(*) AS n_queries, true AS search_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  // ---- the FILTERED walk VALUE-CHECKED: over-fetch + post-filter ----
+
+  /** [[graft.ext.EmbeddingSearch.graphSearchWhere]] with every step
+    * value-checked: over the EXACT kNN graph the whole filtered-serving
+    * pipeline is deterministic — the q_search_graph_exact beam walk
+    * (same [[walkHop]] CTE stack), the raw-cosine top-(k·overFetch)
+    * over-fetch election, the 6-decimal rounding at the walk boundary,
+    * the predicate semi-join (`node_id % 3 = 0`, q_ann_filtered's
+    * predicate), and the ROUNDED-cosine re-rank to the final top-k.
+    * The rounding boundary matters and is part of what's checked: the
+    * wide list is elected on raw cosines inside the walk, but the
+    * filtered re-rank orders by the rounded scores the walk publishes —
+    * an oracle that re-ranked on raw values could disagree on
+    * near-ties. q_search_graph_filtered keeps owning recall on the
+    * trained descent graph; THIS gate proves the post-filter algebra.
+    */
+  private def searchGraphFilteredExact(s: SparkSession,
+      d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val queries = embs.filter(col("vec_id") < 20)
+    graft.ext.EmbeddingSearch.graphSearchWhere(embs, exact, queries,
+        col("vec_id") % 3 === 0, k = 3, beamWidth = 4, hops = 3,
+        entryPoints = 4, overFetch = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private val searchGraphFilteredExactSql = {
+    def hop(prev: Int, cur: Int): String = walkHop(prev, cur, 4)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+       |                     FROM r WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT src, dst FROM knn
+       |                     UNION SELECT dst, src FROM knn),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       |                   WHERE vec_id < 20),
+       |entries AS (SELECT node_id FROM (
+       |              SELECT DISTINCT src AS node_id FROM und)
+       |            ORDER BY node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |${hop(0, 1)},
+       |${hop(1, 2)},
+       |${hop(2, 3)},
+       |wide AS (SELECT query_id, node_id, round(cos, 6) AS cos
+       |  FROM (SELECT query_id, node_id, cos,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, node_id) AS rn
+       |        FROM s3)
+       |  WHERE rn <= 12)
+       |SELECT query_id, node_id AS neighbor_id, cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, node_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, node_id) AS rank
+       |      FROM wide WHERE node_id % 3 = 0)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- label propagation over the kNN graph ----
 
   /** [[graft.ext.GraphOps.labelPropagate]] on the symmetrized kNN
@@ -1263,6 +1336,8 @@ object GraphTextQueries {
       Some(graphInsertTickSql)),
     Gate("q_search_graph_filtered", searchGraphFiltered,
       Some(searchGraphFilteredSql)),
+    Gate("q_search_graph_filtered_exact", searchGraphFilteredExact,
+      Some(searchGraphFilteredExactSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_label_prop_inc", labelPropInc, Some(labelPropIncSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),

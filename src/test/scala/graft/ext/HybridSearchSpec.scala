@@ -48,6 +48,62 @@ class HybridSearchSpec extends SparkSpec {
     assert(out.head._4 == 2L)
   }
 
+  test("mmr equals the naive greedy selection") {
+    // 2D-ish vectors padded to 4 dims: docs 10/11 near-duplicates along
+    // one axis, 12 orthogonal, 13 in between. Relevance favors the
+    // duplicate pair; MMR must interleave the orthogonal doc.
+    val vecs = Map(
+      10L -> Array(1.0, 0.0, 0.1, 0.0),
+      11L -> Array(0.98, 0.05, 0.1, 0.0),
+      12L -> Array(0.0, 1.0, 0.0, 0.1),
+      13L -> Array(0.5, 0.5, 0.0, 0.0))
+    val rel = Map(10L -> 0.95, 11L -> 0.94, 12L -> 0.6, 13L -> 0.7)
+    val embs = vecs.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val cand = rel.toSeq.map { case (id, r) => (1L, id, r) }
+      .toDF("query_id", "id", "rel")
+    val lambda = 0.7
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // naive greedy on the driver
+    var picked = Vector.empty[Long]
+    var expect = Vector.empty[(Long, Double)]
+    (1 to 4).foreach { _ =>
+      val scored = rel.keys.filterNot(picked.contains).map { id =>
+        val msim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => cos(vecs(id), vecs(p))).max
+        val score =
+          if (picked.isEmpty) lambda * rel(id)
+          else lambda * rel(id) - (1.0 - lambda) * msim
+        (id, score)
+      }.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      picked :+= scored.head._1
+      expect :+= scored.head
+    }
+    val got = HybridSearch.mmr(cand, embs, k = 4, lambda = lambda)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == expect.map(_._1))
+    got.zip(expect).foreach { case (g, (_, sc)) =>
+      assert(math.abs(g._4 - sc) < 1e-6)
+    }
+    // the near-duplicate of the top pick must NOT be pick 2
+    assert(got(0)._3 == 10L && got(1)._3 != 11L)
+  }
+
+  test("mmr handles queries with fewer candidates than k") {
+    val embs = Seq((10L, Array(1.0, 0.0)), (11L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 10L, 0.5))
+      .toDF("query_id", "id", "rel")
+    val out = HybridSearch.mmr(cand, embs, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out.count(_._1 == 2L) == 1)
+  }
+
   test("weighted: single-candidate list normalizes to 1.0, missing to 0") {
     val a = Seq((1L, 10L, 3.0)).toDF("query_id", "id", "score")
     val b = Seq((1L, 11L, 0.2), (1L, 12L, 0.1))
