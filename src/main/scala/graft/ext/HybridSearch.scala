@@ -65,6 +65,8 @@ object HybridSearch {
   def mmr(candidates: DataFrame, embs: DataFrame, k: Int,
       lambda: Double = 0.7): DataFrame = {
     require(k >= 1, s"mmr needs k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmr needs lambda in [0, 1], got $lambda")
     val dot = graft.ext.EmbeddingSearch.dot _
     val vecs = embs.select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("v"))

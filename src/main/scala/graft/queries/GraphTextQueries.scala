@@ -163,6 +163,155 @@ object GraphTextQueries {
   private val nnDescentSql =
     """SELECT count(*) AS n_nodes, true AS graph_ok FROM embeddings"""
 
+  // ---- NN-Descent VALUE-CHECKED: the descent algebra replayed ----
+
+  /** [[graft.ext.EmbeddingSearch.nnDescent]] with every round
+    * value-checked: the descent is deterministic end to end — the
+    * id-ring seed (node i's neighbors are the next k ids in id order,
+    * a row_number any engine reproduces), the exact candidate scoring
+    * (sequential-fold dot), and the cos-desc/id-asc top-k election —
+    * so the whole construction replays relationally: one CTE pair per
+    * round (symmetrize + neighbor-of-neighbor expansion, then
+    * score-and-rank), exactly the algebra [[nnDescentGate]]'s recall
+    * floor exercises at production width. Runs narrow (k=4, 2 rounds)
+    * so the oracle stays n·(2k)² per round; the production-width gate
+    * keeps owning convergence QUALITY, this gate proves every edge,
+    * score, and rank of the descent itself — the remaining count+true
+    * family member after the serving walk (q_search_graph_exact),
+    * the insertion (q_graph_insert_exact), and the filtered walk
+    * (q_search_graph_filtered_exact) were closed.
+    */
+  private def nnDescentExact(s: SparkSession, d: String): DataFrame =
+    EmbeddingSearch.nnDescent(Tables.embeddings(s, d), k = 4, iters = 2)
+      .orderBy("query_id", "rank")
+
+  private val nnDescentExactSql = {
+    // score candidate edges exactly, keep each node's top-k (raw-cos
+    // ranking, id tie-break, 6-decimal cos in the output — the
+    // scoreAndRank contract)
+    def scoreRank(cand: String, out: String, k: Int): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, cos, rank FROM (
+         |    SELECT query_id, neighbor_id, cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM (SELECT c.query_id, c.neighbor_id,
+         |            list_dot_product(a.v, b.v)
+         |              / sqrt(list_dot_product(a.v, a.v)
+         |                     * list_dot_product(b.v, b.v)) AS cos
+         |          FROM $cand c
+         |          JOIN e a ON a.vec_id = c.query_id
+         |          JOIN e b ON b.vec_id = c.neighbor_id))
+         |  WHERE rank <= $k)""".stripMargin
+    // one descent round: symmetrize g<prev>, expand neighbor-of-
+    // neighbor, union the standing edges, dedup, re-score
+    def round(prev: Int, cur: Int, k: Int): String =
+      s"""u$cur AS (SELECT query_id AS src, neighbor_id AS dst FROM g$prev
+         |  UNION ALL
+         |  SELECT neighbor_id, query_id FROM g$prev),
+         |x$cur AS (SELECT DISTINCT query_id, neighbor_id FROM (
+         |  SELECT l.src AS query_id, r.dst AS neighbor_id
+         |  FROM u$cur l JOIN u$cur r ON l.dst = r.src
+         |  WHERE l.src <> r.dst
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id FROM g$prev)),
+         |${scoreRank(s"x$cur", s"g$cur", k)}""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |rk AS (SELECT vec_id,
+       |         row_number() OVER (ORDER BY vec_id) AS rk,
+       |         count(*) OVER () AS n
+       |       FROM e),
+       |ring AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM rk a, range(1, 5) t(j)
+       |  JOIN rk b ON b.rk = (a.rk - 1 + t.j) % a.n + 1
+       |  WHERE a.vec_id <> b.vec_id),
+       |${scoreRank("ring", "g0", 4)},
+       |${round(0, 1, 4)},
+       |${round(1, 2, 4)}
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM g2 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The WARM-START seed mixing value-checked — the
+    * [[graft.ext.EmbeddingSearch.nnDescentFrom]] path `rewire` and the
+    * periodic quality pass run: seed with a standing graph's edges
+    * (here the exact kNN graph of the `vec_id >= 20` corpus), give
+    * ring edges only to the 20 unseeded delivery nodes (the anti-join
+    * + union + dedup mixing), then one descent round over the union
+    * corpus. Every seeded edge, every round-1 expansion, and the final
+    * ranks replay relationally — q_nn_descent_exact proves the cold
+    * algebra, THIS gate proves the seed-mixing algebra layered on it.
+    */
+  private def nnDescentWarmExact(s: SparkSession,
+      d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val standing = embs.filter(col("vec_id") >= 20)
+    val seed = EmbeddingSearch.knnGraph(standing, k = 4)
+    EmbeddingSearch.nnDescentFrom(embs, Some(seed), k = 4, iters = 1)
+      .orderBy("query_id", "rank")
+  }
+
+  private val nnDescentWarmExactSql = {
+    def scoreRank(cand: String, out: String, k: Int): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, cos, rank FROM (
+         |    SELECT query_id, neighbor_id, cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM (SELECT c.query_id, c.neighbor_id,
+         |            list_dot_product(a.v, b.v)
+         |              / sqrt(list_dot_product(a.v, a.v)
+         |                     * list_dot_product(b.v, b.v)) AS cos
+         |          FROM $cand c
+         |          JOIN e a ON a.vec_id = c.query_id
+         |          JOIN e b ON b.vec_id = c.neighbor_id))
+         |  WHERE rank <= $k)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |es AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+       |sp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         list_dot_product(a.v, b.v)
+       |           / sqrt(list_dot_product(a.v, a.v)
+       |                  * list_dot_product(b.v, b.v)) AS cos
+       |       FROM es a, es b WHERE a.vec_id <> b.vec_id),
+       |seed AS MATERIALIZED (SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM sp)
+       |  WHERE rank <= 4),
+       |rk AS (SELECT vec_id,
+       |         row_number() OVER (ORDER BY vec_id) AS rk,
+       |         count(*) OVER () AS n
+       |       FROM e),
+       |ring AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM rk a, range(1, 5) t(j)
+       |  JOIN rk b ON b.rk = (a.rk - 1 + t.j) % a.n + 1
+       |  WHERE a.vec_id <> b.vec_id),
+       |sd AS (SELECT DISTINCT query_id, neighbor_id FROM (
+       |  SELECT r.query_id, r.neighbor_id FROM ring r
+       |  WHERE NOT EXISTS (SELECT 1 FROM seed s
+       |    WHERE s.query_id = r.query_id)
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id FROM seed)),
+       |${scoreRank("sd", "g0", 4)},
+       |u1 AS (SELECT query_id AS src, neighbor_id AS dst FROM g0
+       |  UNION ALL
+       |  SELECT neighbor_id, query_id FROM g0),
+       |x1 AS (SELECT DISTINCT query_id, neighbor_id FROM (
+       |  SELECT l.src AS query_id, r.dst AS neighbor_id
+       |  FROM u1 l JOIN u1 r ON l.dst = r.src
+       |  WHERE l.src <> r.dst
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id FROM g0)),
+       |${scoreRank("x1", "g1", 4)}
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM g1 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- graph-based ANN serving: beam search over the descent graph ----
 
   /** [[graft.ext.EmbeddingSearch.graphSearch]]: external queries
@@ -286,6 +435,68 @@ object GraphTextQueries {
        |entries AS (SELECT node_id FROM (
        |              SELECT DISTINCT src AS node_id FROM und)
        |            ORDER BY node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |${hop(0, 1)},
+       |${hop(1, 2)},
+       |${hop(2, 3)}
+       |SELECT query_id, node_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, node_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, node_id) AS rank
+       |      FROM s3)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The HUB-ENTRY election value-checked: [[graphSearch]] with
+    * `hubEntries = true` starts the walk from the highest-DEGREE live
+    * nodes (ties → smaller id) instead of the smallest ids — the
+    * round-11 HNSW-upper-layer flattening, until now certified only by
+    * EmbeddingSearchSpec's recall comparison. Over the exact graph the
+    * election is one aggregate over the symmetrized edge list and the
+    * rest of the walk is the q_search_graph_exact replay verbatim, so
+    * the oracle swaps ONLY the entries CTE — degree count, desc order,
+    * id tie-break — and every downstream frontier, score, and rank is
+    * hash-compared through the changed entry set.
+    */
+  private def searchGraphHubExact(s: SparkSession,
+      d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val queries = embs.filter(col("vec_id") < 20)
+    graft.ext.EmbeddingSearch.graphSearch(embs, exact, queries, k = 3,
+        beamWidth = 4, hops = 3, entryPoints = 4, hubEntries = true)
+      .orderBy("query_id", "rank")
+  }
+
+  private val searchGraphHubExactSql = {
+    def hop(prev: Int, cur: Int): String = walkHop(prev, cur, 4)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+       |                     FROM r WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT src, dst FROM knn
+       |                     UNION SELECT dst, src FROM knn),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       |                   WHERE vec_id < 20),
+       |entries AS (SELECT node_id FROM (
+       |              SELECT src AS node_id, count(*) AS deg
+       |              FROM und GROUP BY src)
+       |            ORDER BY deg DESC, node_id LIMIT 4),
        |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
        |  list_dot_product(q.qv, e.v)
        |    / sqrt(list_dot_product(q.qv, q.qv)
@@ -1326,6 +1537,11 @@ object GraphTextQueries {
     Gate("q_knn_graph", knnGraph, Some(knnGraphSql)),
     Gate("q_knn_graph_blocked", knnGraphBlocked, Some(knnGraphBlockedSql)),
     Gate("q_nn_descent", nnDescentGate, Some(nnDescentSql)),
+    Gate("q_nn_descent_exact", nnDescentExact, Some(nnDescentExactSql)),
+    Gate("q_nn_descent_warm_exact", nnDescentWarmExact,
+      Some(nnDescentWarmExactSql)),
+    Gate("q_search_graph_hub_exact", searchGraphHubExact,
+      Some(searchGraphHubExactSql)),
     Gate("q_search_graph", searchGraph, Some(searchGraphSql)),
     Gate("q_search_graph_exact", searchGraphExact,
       Some(searchGraphExactSql)),
