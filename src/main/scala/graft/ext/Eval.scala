@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval and classifier evaluation as relational operators — the
+  * measurement half every curation pipeline needs next to its search
+  * and labeling operators (recall\@k for an ANN family's quality bar,
+  * per-class F1 for a filter model, both computed where the data lives
+  * instead of collecting result sets to a driver).
+  *
+  * Everything here is a bounded aggregate: rank metrics group by query
+  * over per-query top-k frames (k × queries rows, never corpus-sized),
+  * classifier metrics group by class label. Deterministic given
+  * deterministic inputs; scores round to 6 decimals on report so an
+  * external engine replays them (q_rank_eval / q_class_eval unroll the
+  * whole computation in DuckDB).
+  */
+object Eval {
+
+  /** Per-query ranking metrics against graded relevance judgments.
+    *
+    * `results` carries (query_id, id, rank) — a retriever's per-query
+    * top-k, rank 1-based; `qrels` carries (query_id, id, rel) — graded
+    * relevance (higher = better, > 0). Returns one row per qrels query:
+    * (query_id, n_rel, n_hit, recall, mrr, ndcg) where recall =
+    * n_hit/n_rel, mrr = 1/rank-of-first-relevant (0 if none), and ndcg
+    * uses the standard exponential gain `(2^rel − 1)/log2(rank + 1)`
+    * with the ideal DCG computed from the query's own qrels in
+    * rel-desc/id-asc order. nDCG\@k semantics: cap `qrels` to the top-k
+    * judgments per query before calling (here n_rel ≤ k throughout).
+    * Queries present in `results` but never judged are out of scope —
+    * the qrels set is the evaluation spine.
+    */
+  def rankMetrics(results: DataFrame, qrels: DataFrame): DataFrame = {
+    def gain(rel: org.apache.spark.sql.Column,
+        pos: org.apache.spark.sql.Column) =
+      (pow(lit(2.0), rel) - lit(1.0)) /
+        (log(pos.cast("double") + lit(1.0)) / log(lit(2.0)))
+    val hits = results.join(qrels, Seq("query_id", "id"))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_hit"),
+        min("rank").as("first_hit"),
+        sum(gain(col("rel"), col("rank"))).as("dcg"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(desc("rel"), col("id"))
+    val ideal = qrels.withColumn("j", row_number().over(wIdeal))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_rel"),
+        sum(gain(col("rel"), col("j"))).as("idcg"))
+    ideal.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_rel"), 6)
+          .as("recall"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6)
+          .as("mrr"),
+        round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 6)
+          .as("ndcg"))
+  }
+
+  /** Per-class classifier metrics over a scored frame carrying one row
+    * per example with its TRUE label (`labelCol`) and PREDICTED label
+    * (`predCol`). Returns one row per class seen in either column:
+    * (clazz, support, predicted_n, tp, precision, recall, f1) with the
+    * zero-denominator conventions (precision 0 when the class is never
+    * predicted, recall 0 when it has no support, f1 0 when p + r = 0).
+    * One pass of three group-bounded aggregates — class cardinality,
+    * not corpus size, bounds every frame after the scan.
+    */
+  def classifierMetrics(scored: DataFrame, labelCol: String = "label",
+      predCol: String = "predicted"): DataFrame = {
+    val tp = scored.filter(col(labelCol) === col(predCol))
+      .groupBy(col(labelCol).as("clazz"))
+      .agg(count(lit(1)).as("tp"))
+    val support = scored.groupBy(col(labelCol).as("clazz"))
+      .agg(count(lit(1)).as("support"))
+    val predicted = scored.groupBy(col(predCol).as("clazz"))
+      .agg(count(lit(1)).as("predicted_n"))
+    val p = coalesce(col("tp") / col("predicted_n"), lit(0.0))
+    val r = coalesce(col("tp") / col("support"), lit(0.0))
+    support.join(predicted, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted_n"), lit(0L)).as("predicted_n"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        round(p, 6).as("precision"),
+        round(r, 6).as("recall"),
+        round(when(p + r > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), 6).as("f1"))
+  }
+}

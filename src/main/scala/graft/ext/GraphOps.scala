@@ -200,4 +200,32 @@ object GraphOps {
       .unionByName(newAssign.join(cmin, Seq("cluster"))
         .select("id", "cluster", "seed", "label"))
   }
+
+  /** k-nearest-neighbor classification over a prebuilt kNN graph:
+    * each node's predicted label is the majority vote of its top-`k`
+    * neighbors' labels (ties → smallest label value — deterministic,
+    * engine-portable). The non-parametric label model riding the graph
+    * the embedding family already maintains: no training, predictions
+    * improve as the graph does.
+    *
+    * `graph` carries (query_id, neighbor_id, rank) — [[knnGraph]] /
+    * NN-Descent / maintained-index output; `labels` carries
+    * (id, label). Scale shape: one rank filter, one id-keyed equi-join
+    * against the label table, one (node, label) count aggregate, one
+    * per-node window over ≤ distinct-label rows — edge-linear, no
+    * per-node driver work. Returns (id, predicted).
+    */
+  def knnClassify(graph: DataFrame, labels: DataFrame,
+      k: Int): DataFrame = {
+    val votes = graph.filter(col("rank") <= k)
+      .join(labels.select(col("id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .groupBy(col("query_id").as("id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("c"), col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label").as("predicted"))
+  }
 }

@@ -185,54 +185,65 @@ object GraphTextQueries {
     EmbeddingSearch.nnDescent(Tables.embeddings(s, d), k = 4, iters = 2)
       .orderBy("query_id", "rank")
 
-  private val nnDescentExactSql = {
-    // score candidate edges exactly, keep each node's top-k (raw-cos
-    // ranking, id tie-break, 6-decimal cos in the output — the
-    // scoreAndRank contract)
-    def scoreRank(cand: String, out: String, k: Int): String =
-      s"""$out AS MATERIALIZED (
-         |  SELECT query_id, neighbor_id, cos, rank FROM (
-         |    SELECT query_id, neighbor_id, cos,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM (SELECT c.query_id, c.neighbor_id,
-         |            list_dot_product(a.v, b.v)
-         |              / sqrt(list_dot_product(a.v, a.v)
-         |                     * list_dot_product(b.v, b.v)) AS cos
-         |          FROM $cand c
-         |          JOIN e a ON a.vec_id = c.query_id
-         |          JOIN e b ON b.vec_id = c.neighbor_id))
-         |  WHERE rank <= $k)""".stripMargin
-    // one descent round: symmetrize g<prev>, expand neighbor-of-
-    // neighbor, union the standing edges, dedup, re-score
-    def round(prev: Int, cur: Int, k: Int): String =
-      s"""u$cur AS (SELECT query_id AS src, neighbor_id AS dst FROM g$prev
-         |  UNION ALL
-         |  SELECT neighbor_id, query_id FROM g$prev),
-         |x$cur AS (SELECT DISTINCT query_id, neighbor_id FROM (
-         |  SELECT l.src AS query_id, r.dst AS neighbor_id
-         |  FROM u$cur l JOIN u$cur r ON l.dst = r.src
-         |  WHERE l.src <> r.dst
-         |  UNION ALL
-         |  SELECT query_id, neighbor_id FROM g$prev)),
-         |${scoreRank(s"x$cur", s"g$cur", k)}""".stripMargin
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
-       |  FROM embeddings),
-       |rk AS (SELECT vec_id,
+  /** Score candidate edges exactly against CTE `e`, keep each node's
+    * top-k (raw-cos ranking, id tie-break — the scoreAndRank contract;
+    * cos left RAW, rounded only where a result boundary requires it).
+    * Shared by the descent-family exact oracles.
+    */
+  private def descentScoreRank(cand: String, out: String,
+      k: Int): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, cos, rank FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM (SELECT c.query_id, c.neighbor_id,
+       |            list_dot_product(a.v, b.v)
+       |              / sqrt(list_dot_product(a.v, a.v)
+       |                     * list_dot_product(b.v, b.v)) AS cos
+       |          FROM $cand c
+       |          JOIN e a ON a.vec_id = c.query_id
+       |          JOIN e b ON b.vec_id = c.neighbor_id))
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** One descent round: symmetrize g<prev>, expand neighbor-of-
+    * neighbor, union the standing edges, dedup, re-score.
+    */
+  private def descentRound(prev: Int, cur: Int, k: Int): String =
+    s"""u$cur AS (SELECT query_id AS src, neighbor_id AS dst FROM g$prev
+       |  UNION ALL
+       |  SELECT neighbor_id, query_id FROM g$prev),
+       |x$cur AS (SELECT DISTINCT query_id, neighbor_id FROM (
+       |  SELECT l.src AS query_id, r.dst AS neighbor_id
+       |  FROM u$cur l JOIN u$cur r ON l.dst = r.src
+       |  WHERE l.src <> r.dst
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id FROM g$prev)),
+       |${descentScoreRank(s"x$cur", s"g$cur", k)}""".stripMargin
+
+  /** The id-ring seed over CTE `e` (row_number in id order, next-k
+    * wrap) — [[descentScoreRank]]'s g0 input.
+    */
+  private def descentRingCtes(k: Int): String =
+    s"""rk AS (SELECT vec_id,
        |         row_number() OVER (ORDER BY vec_id) AS rk,
        |         count(*) OVER () AS n
        |       FROM e),
        |ring AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
-       |  FROM rk a, range(1, 5) t(j)
+       |  FROM rk a, range(1, ${k + 1}) t(j)
        |  JOIN rk b ON b.rk = (a.rk - 1 + t.j) % a.n + 1
-       |  WHERE a.vec_id <> b.vec_id),
-       |${scoreRank("ring", "g0", 4)},
-       |${round(0, 1, 4)},
-       |${round(1, 2, 4)}
+       |  WHERE a.vec_id <> b.vec_id)""".stripMargin
+
+  private val nnDescentExactSql =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |${descentRingCtes(4)},
+       |${descentScoreRank("ring", "g0", 4)},
+       |${descentRound(0, 1, 4)},
+       |${descentRound(1, 2, 4)}
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos,
        |       CAST(rank AS INTEGER) AS rank
        |FROM g2 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** The WARM-START seed mixing value-checked — the
     * [[graft.ext.EmbeddingSearch.nnDescentFrom]] path `rewire` and the
@@ -253,21 +264,7 @@ object GraphTextQueries {
       .orderBy("query_id", "rank")
   }
 
-  private val nnDescentWarmExactSql = {
-    def scoreRank(cand: String, out: String, k: Int): String =
-      s"""$out AS MATERIALIZED (
-         |  SELECT query_id, neighbor_id, cos, rank FROM (
-         |    SELECT query_id, neighbor_id, cos,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM (SELECT c.query_id, c.neighbor_id,
-         |            list_dot_product(a.v, b.v)
-         |              / sqrt(list_dot_product(a.v, a.v)
-         |                     * list_dot_product(b.v, b.v)) AS cos
-         |          FROM $cand c
-         |          JOIN e a ON a.vec_id = c.query_id
-         |          JOIN e b ON b.vec_id = c.neighbor_id))
-         |  WHERE rank <= $k)""".stripMargin
+  private val nnDescentWarmExactSql =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
        |  FROM embeddings),
        |es AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
@@ -282,35 +279,18 @@ object GraphTextQueries {
        |            ORDER BY cos DESC, neighbor_id) AS rank
        |        FROM sp)
        |  WHERE rank <= 4),
-       |rk AS (SELECT vec_id,
-       |         row_number() OVER (ORDER BY vec_id) AS rk,
-       |         count(*) OVER () AS n
-       |       FROM e),
-       |ring AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
-       |  FROM rk a, range(1, 5) t(j)
-       |  JOIN rk b ON b.rk = (a.rk - 1 + t.j) % a.n + 1
-       |  WHERE a.vec_id <> b.vec_id),
+       |${descentRingCtes(4)},
        |sd AS (SELECT DISTINCT query_id, neighbor_id FROM (
        |  SELECT r.query_id, r.neighbor_id FROM ring r
        |  WHERE NOT EXISTS (SELECT 1 FROM seed s
        |    WHERE s.query_id = r.query_id)
        |  UNION ALL
        |  SELECT query_id, neighbor_id FROM seed)),
-       |${scoreRank("sd", "g0", 4)},
-       |u1 AS (SELECT query_id AS src, neighbor_id AS dst FROM g0
-       |  UNION ALL
-       |  SELECT neighbor_id, query_id FROM g0),
-       |x1 AS (SELECT DISTINCT query_id, neighbor_id FROM (
-       |  SELECT l.src AS query_id, r.dst AS neighbor_id
-       |  FROM u1 l JOIN u1 r ON l.dst = r.src
-       |  WHERE l.src <> r.dst
-       |  UNION ALL
-       |  SELECT query_id, neighbor_id FROM g0)),
-       |${scoreRank("x1", "g1", 4)}
+       |${descentScoreRank("sd", "g0", 4)},
+       |${descentRound(0, 1, 4)}
        |SELECT query_id, neighbor_id, round(cos, 6) AS cos,
        |       CAST(rank AS INTEGER) AS rank
        |FROM g1 ORDER BY query_id, rank""".stripMargin
-  }
 
   // ---- graph-based ANN serving: beam search over the descent graph ----
 
@@ -515,6 +495,199 @@ object GraphTextQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- kNN classification + evaluation over the graph family ----
+
+  /** [[graft.ext.GraphOps.knnClassify]] on the memoized exact kNN
+    * graph: each vector's label predicted by majority vote of its
+    * top-3 neighbors' labels (ties → smallest label). The
+    * non-parametric classifier riding the graph the embedding family
+    * already maintains; fully deterministic, so the oracle replays the
+    * all-pairs graph, the vote counts, and the tie-break — every
+    * prediction value-checked next to its true label.
+    */
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val labels = embs.select(col("vec_id").as("id"), col("label"))
+    GraphOps.knnClassify(graph, labels, k = 3)
+      .join(labels, Seq("id"))
+      .select(col("id"), col("label"), col("predicted"))
+      .orderBy("id")
+  }
+
+  private val knnVoteCtes =
+    """knng AS (SELECT query_id, vec_id AS neighbor_id
+      |         FROM r WHERE rank <= 3),
+      |lbl AS (SELECT vec_id AS id, label FROM embeddings),
+      |votes AS (SELECT k.query_id AS id, l.label, count(*) AS c
+      |          FROM knng k JOIN lbl l ON l.id = k.neighbor_id
+      |          GROUP BY 1, 2),
+      |pred AS (SELECT id, label AS predicted FROM (
+      |  SELECT id, label, row_number() OVER (PARTITION BY id
+      |    ORDER BY c DESC, label) AS rn
+      |  FROM votes) WHERE rn = 1),
+      |scored AS (SELECT t.id, t.label, p.predicted
+      |           FROM lbl t JOIN pred p USING (id))""".stripMargin
+
+  private val knnClassifySql =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |$knnVoteCtes
+       |SELECT id, label, predicted FROM scored ORDER BY id""".stripMargin
+
+  /** [[graft.ext.Eval.classifierMetrics]] over the kNN classifier's
+    * predictions: per-class support, predicted count, true positives,
+    * precision, recall, F1 (zero-denominator conventions pinned). The
+    * oracle recomputes the predictions AND the metric arithmetic, so
+    * the evaluation operator itself is value-checked, not just its
+    * input.
+    */
+  private def classEval(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val labels = embs.select(col("vec_id").as("id"), col("label"))
+    val scored = GraphOps.knnClassify(graph, labels, k = 3)
+      .join(labels, Seq("id"))
+    graft.ext.Eval.classifierMetrics(scored).orderBy("clazz")
+  }
+
+  private val classEvalSql =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |$knnVoteCtes,
+       |tpc AS (SELECT label AS clazz, count(*) AS tp FROM scored
+       |        WHERE label = predicted GROUP BY 1),
+       |sup AS (SELECT label AS clazz, count(*) AS support FROM scored
+       |        GROUP BY 1),
+       |prd AS (SELECT predicted AS clazz, count(*) AS predicted_n
+       |        FROM scored GROUP BY 1)
+       |SELECT clazz,
+       |  CAST(coalesce(support, 0) AS BIGINT) AS support,
+       |  CAST(coalesce(predicted_n, 0) AS BIGINT) AS predicted_n,
+       |  CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+       |  round(coalesce(tp / predicted_n, 0), 6) AS precision,
+       |  round(coalesce(tp / support, 0), 6) AS recall,
+       |  round(CASE WHEN coalesce(tp / predicted_n, 0)
+       |                  + coalesce(tp / support, 0) > 0
+       |    THEN 2.0 * coalesce(tp / predicted_n, 0)
+       |             * coalesce(tp / support, 0)
+       |         / (coalesce(tp / predicted_n, 0)
+       |            + coalesce(tp / support, 0))
+       |    ELSE 0 END, 6) AS f1
+       |FROM sup FULL OUTER JOIN prd USING (clazz)
+       |LEFT JOIN tpc USING (clazz)
+       |ORDER BY clazz""".stripMargin
+
+  /** [[graft.ext.Eval.rankMetrics]] with the whole evaluation
+    * value-checked: the system under test is the beam walk over the
+    * exact graph (the q_search_graph_exact configuration, widened to
+    * top-5) and the judgments are the exact top-3 graded 3/2/1 plus
+    * the query's own row at grade 4 (lookup semantics — the walk
+    * legitimately ranks the corpus-identical row first). The walk is
+    * lossy at beam 4 (recall/mrr/ndcg land strictly inside (0, 1] and
+    * vary per query), so the metric arithmetic — hit join, 2^rel
+    * gains, per-query ideal DCG, the zero conventions — is exercised
+    * on non-degenerate values and replayed relationally end to end.
+    */
+  private def rankEval(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val queries = embs.filter(col("vec_id") < 20)
+    val results = graft.ext.EmbeddingSearch.graphSearch(embs, exact,
+        queries, k = 5, beamWidth = 4, hops = 3, entryPoints = 4)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+    val qrels = queries
+      .select(col("vec_id").as("query_id"), col("vec_id").as("id"),
+        lit(4).as("rel"))
+      .unionByName(exact.filter(col("query_id") < 20)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          (lit(4) - col("rank")).as("rel")))
+    graft.ext.Eval.rankMetrics(results, qrels).orderBy("query_id")
+  }
+
+  private val rankEvalSql = {
+    def hop(prev: Int, cur: Int): String = walkHop(prev, cur, 4)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+       |                     FROM r WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT src, dst FROM knn
+       |                     UNION SELECT dst, src FROM knn),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       |                   WHERE vec_id < 20),
+       |entries AS (SELECT node_id FROM (
+       |              SELECT DISTINCT src AS node_id FROM und)
+       |            ORDER BY node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |${hop(0, 1)},
+       |${hop(1, 2)},
+       |${hop(2, 3)},
+       |res AS (SELECT query_id, node_id AS id, rank
+       |  FROM (SELECT query_id, node_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, node_id) AS rank
+       |        FROM s3)
+       |  WHERE rank <= 5),
+       |qr AS (SELECT query_id, query_id AS id, 4 AS rel FROM q
+       |  UNION ALL
+       |  SELECT query_id, vec_id AS id, 4 - rank AS rel
+       |  FROM r WHERE rank <= 3 AND query_id < 20),
+       |hits AS (SELECT res.query_id, count(*) AS n_hit,
+       |    min(res.rank) AS first_hit,
+       |    sum((power(2.0, qr.rel) - 1)
+       |      / (ln(CAST(res.rank + 1 AS DOUBLE)) / ln(2.0))) AS dcg
+       |  FROM res JOIN qr ON qr.query_id = res.query_id
+       |    AND qr.id = res.id
+       |  GROUP BY 1),
+       |ideal AS (SELECT query_id, count(*) AS n_rel,
+       |    sum((power(2.0, rel) - 1)
+       |      / (ln(CAST(j + 1 AS DOUBLE)) / ln(2.0))) AS idcg
+       |  FROM (SELECT query_id, id, rel,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rel DESC, id) AS j
+       |        FROM qr)
+       |  GROUP BY 1)
+       |SELECT i.query_id, i.n_rel,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) / i.n_rel, 6) AS recall,
+       |  round(coalesce(1.0 / h.first_hit, 0), 6) AS mrr,
+       |  round(coalesce(h.dcg / i.idcg, 0), 6) AS ndcg
+       |FROM ideal i LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ---- the INSERTION algebra value-checked end to end ----
 
   /** [[graft.ext.EmbeddingSearch.insertEdges]] with every step
@@ -604,6 +777,106 @@ object GraphTextQueries {
        |SELECT 'merged', query_id, neighbor_id, cos,
        |       CAST(rank AS INTEGER) FROM merged
        |ORDER BY part, query_id, rank""".stripMargin
+  }
+
+  // ---- the PERSISTED index lifecycle value-checked end to end ----
+
+  /** [[graft.ext.KnnGraphIndex]]'s whole lifecycle as VALUES: build
+    * the index with a narrow descent (k=4, 2 rounds — the
+    * q_nn_descent_exact algebra) over the standing corpus, `insert`
+    * one 20-vector delivery (the q_graph_insert_exact algebra, here
+    * over the DESCENT graph the index actually stores), tombstone
+    * every 9th id, then read `liveEdges`. The oracle replays all of
+    * it relationally — the descent, the beam-walk insertion, the
+    * back-link merges — and then the PERSISTENCE semantics this gate
+    * exists for: per-node max-gen supersession (a touched standing
+    * node's gen-2 edge set wins over its gen-1 build rows; an
+    * unchanged node's gen-1 rows survive — and since the recompute is
+    * deterministic, either resolution yields the same values, which
+    * is itself the invariant `changedNodes` relies on), and scoped
+    * tombstones masking a deleted node's OWN rows while edges
+    * pointing AT it stay until compaction (the documented graph-index
+    * posture, now hash-checked rather than asserted).
+    */
+  private def graphIndexExact(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gidx_exact_")
+    val embs = Tables.embeddings(s, d)
+    val standing = embs.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding"))
+    val delivery = embs.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    graft.ext.KnnGraphIndex.build(standing, dir, k = 4, iters = 2)
+    graft.ext.KnnGraphIndex.insert(s, dir, delivery, beamWidth = 4, hops = 3,
+      entryPoints = 4)
+    graft.ext.KnnGraphIndex.deleteVecs(s, dir,
+      embs.filter(col("vec_id") % 9 === 0), col("vec_id"))
+    val snap = graft.ext.IndexStore.snapshot(s, dir)
+    graft.ext.KnnGraphIndex.liveEdges(snap).orderBy("vec_id", "rank")
+  }
+
+  private val graphIndexExactSql = {
+    val hops = (1 to 3).map(h => walkHop(h - 1, h, 4)).mkString(",\n")
+    s"""WITH eall AS MATERIALIZED (SELECT vec_id,
+       |    embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |e AS MATERIALIZED (SELECT vec_id, v FROM eall
+       |  WHERE vec_id >= 20),
+       |${descentRingCtes(4)},
+       |${descentScoreRank("ring", "g0", 4)},
+       |${descentRound(0, 1, 4)},
+       |${descentRound(1, 2, 4)},
+       |und AS MATERIALIZED (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM g2
+       |  UNION
+       |  SELECT neighbor_id, query_id FROM g2),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM eall
+       |                   WHERE vec_id < 20),
+       |entries AS (SELECT node_id FROM (
+       |              SELECT DISTINCT src AS node_id FROM und)
+       |            ORDER BY node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |$hops,
+       |walked AS (SELECT query_id, node_id AS neighbor_id,
+       |             round(cos, 6) AS cos FROM s3),
+       |intra AS (SELECT a.query_id,
+       |            b.query_id AS neighbor_id,
+       |            round(list_dot_product(a.qv, b.qv)
+       |              / sqrt(list_dot_product(a.qv, a.qv)
+       |                     * list_dot_product(b.qv, b.qv)), 6) AS cos
+       |          FROM q a, q b WHERE a.query_id <> b.query_id),
+       |newe AS MATERIALIZED (SELECT query_id, neighbor_id, cos, rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM (SELECT * FROM walked UNION ALL SELECT * FROM intra))
+       |  WHERE rank <= 4),
+       |rev AS (SELECT neighbor_id AS query_id, query_id AS neighbor_id,
+       |          cos
+       |        FROM newe WHERE neighbor_id >= 20),
+       |oldg AS (SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+       |           rank
+       |         FROM g2),
+       |merged AS (SELECT query_id, neighbor_id, cos, rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM (SELECT o.query_id, o.neighbor_id, o.cos FROM oldg o
+       |              WHERE o.query_id IN (SELECT query_id FROM rev)
+       |              UNION ALL SELECT * FROM rev))
+       |  WHERE rank <= 4),
+       |live AS (
+       |  SELECT query_id AS vec_id, neighbor_id, cos, rank FROM newe
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, cos, rank FROM merged
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, cos, rank FROM oldg
+       |  WHERE query_id NOT IN (SELECT query_id FROM rev))
+       |SELECT vec_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+       |FROM live WHERE vec_id % 9 <> 0
+       |ORDER BY vec_id, rank""".stripMargin
   }
 
   // ---- the serving walk and the insert tick as SCALE PROBES ----
@@ -1547,6 +1820,8 @@ object GraphTextQueries {
       Some(searchGraphExactSql)),
     Gate("q_graph_insert_exact", graphInsertExact,
       Some(graphInsertExactSql)),
+    Gate("q_graph_index_exact", graphIndexExact,
+      Some(graphIndexExactSql)),
     Gate("q_graph_serve", graphServe, Some(graphServeSql)),
     Gate("q_graph_insert_tick", graphInsertTick,
       Some(graphInsertTickSql)),
@@ -1554,6 +1829,9 @@ object GraphTextQueries {
       Some(searchGraphFilteredSql)),
     Gate("q_search_graph_filtered_exact", searchGraphFilteredExact,
       Some(searchGraphFilteredExactSql)),
+    Gate("q_knn_classify", knnClassify, Some(knnClassifySql)),
+    Gate("q_class_eval", classEval, Some(classEvalSql)),
+    Gate("q_rank_eval", rankEval, Some(rankEvalSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_label_prop_inc", labelPropInc, Some(labelPropIncSql)),
     Gate("q_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),

@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankMetrics matches hand-computed recall/mrr/ndcg") {
+    // query 1: qrels {10:3, 11:2, 12:1}; results [13, 11, 12]
+    //   hits: 11@2 (rel 2), 12@3 (rel 1) → recall 2/3
+    //   mrr = 1/2
+    //   dcg = 3/log2(3) + 1/log2(4) = 3/1.58496 + 0.5
+    //   idcg = 7/log2(2) + 3/log2(3) + 1/log2(4)
+    val results = Seq((1L, 13L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "id", "rank")
+    val qrels = Seq((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1))
+      .toDF("query_id", "id", "rel")
+    val m = Eval.rankMetrics(results, qrels)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(m._2 == 3L && m._3 == 2L)
+    assert(math.abs(m._4 - 2.0 / 3) < 1e-6)
+    assert(m._5 == 0.5)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = 3.0 / lg2(3) + 1.0 / lg2(4)
+    val idcg = 7.0 / lg2(2) + 3.0 / lg2(3) + 1.0 / lg2(4)
+    assert(math.abs(m._6 - dcg / idcg) < 1e-6)
+  }
+
+  test("rankMetrics: zero hits give zero metrics, spine is qrels") {
+    val results = Seq((1L, 99L, 1), (3L, 98L, 1))
+      .toDF("query_id", "id", "rank")
+    val qrels = Seq((1L, 10L, 1), (2L, 20L, 1))
+      .toDF("query_id", "id", "rel")
+    val m = Eval.rankMetrics(results, qrels)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    // query 3 is unjudged → absent; queries 1 and 2 all-zero
+    assert(m.map(_._1).toSeq == Seq(1L, 2L))
+    m.foreach { r =>
+      assert(r._3 == 0L && r._4 == 0.0 && r._5 == 0.0 && r._6 == 0.0)
+    }
+  }
+
+  test("classifierMetrics matches hand-computed per-class P/R/F1") {
+    // class a: 2 support, predicted 3 times, 2 tp → p=2/3, r=1
+    // class b: 2 support, predicted 2 times, 1 tp → p=1/2, r=1/2
+    // class c: 1 support, never predicted → p=0, r=0, f1=0
+    val scored = Seq(("a", "a"), ("a", "a"), ("b", "a"), ("b", "b"),
+      ("c", "b")).toDF("label", "predicted")
+    val m = Eval.classifierMetrics(scored)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(m.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq(("a", 2L, 3L, 2L), ("b", 2L, 2L, 1L), ("c", 1L, 0L, 0L)))
+    val a = m(0); val b = m(1); val c = m(2)
+    assert(math.abs(a._5 - 2.0 / 3) < 1e-6 && a._6 == 1.0)
+    assert(math.abs(a._7 - 2 * (2.0 / 3) / (2.0 / 3 + 1)) < 1e-6)
+    assert(b._5 == 0.5 && b._6 == 0.5)
+    assert(math.abs(b._7 - 0.5) < 1e-6)
+    assert(c._5 == 0.0 && c._6 == 0.0 && c._7 == 0.0)
+  }
+
+  test("classifierMetrics: predicted-only class appears with 0 support") {
+    val scored = Seq(("a", "z")).toDF("label", "predicted")
+    val m = Eval.classifierMetrics(scored)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(m.map(r => (r._1, r._2, r._3)) ==
+      Seq(("a", 1L, 0L), ("z", 0L, 1L)))
+    assert(m.forall(r => r._5 == 0.0 && r._6 == 0.0 && r._7 == 0.0))
+  }
+
+  test("knnClassify majority vote with smallest-label tie-break") {
+    val graph = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // labels 7,7,8 → 7
+      (2L, 10L, 1), (2L, 12L, 2),               // labels 7,8 tie → 7
+      (3L, 12L, 1), (3L, 13L, 2), (3L, 14L, 3), // labels 8,8,7 → 8
+      (3L, 10L, 4)                              // rank 4: cut by k=3
+    ).toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq((10L, 7), (11L, 7), (12L, 8), (13L, 8), (14L, 7))
+      .toDF("id", "label")
+    val got = GraphOps.knnClassify(graph, labels, k = 3)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 7), (2L, 7), (3L, 8)))
+  }
+}
