@@ -59,9 +59,13 @@ object Bench {
       // runs first among them: it prices the shared descent-graph memo
       // that q_graph_serve / q_graph_insert_tick / q_search_graph read,
       // and those now precede it alphabetically (r11: the tick gate
-      // silently absorbed the 17 s build into its window)
+      // silently absorbed the 17 s build into its window). q_knn_graph
+      // is pinned first among the LIGHT gates for the same reason: it
+      // prices the shared EXACT-graph memo, and the r11 eval gates
+      // (q_class_eval, ...) now precede it alphabetically.
       .sortBy { case (n, _) =>
-        (heavy.contains(n), if (n == "q_nn_descent") "" else n) }
+        (heavy.contains(n),
+          if (n == "q_nn_descent" || n == "q_knn_graph") "" else n) }
     // child (isolated) mode: run every selected gate once UNTIMED first,
     // so the timed pass below measures warm-JIT, warm-page-cache work —
     // without this, isolated numbers carry ~5 s of JVM/codegen warmup
@@ -311,8 +315,11 @@ object Bench {
     "q_graph_insert", "q_search_graph_exact", "q_stream_graph_index",
     "q_search_federate", "q_label_prop_inc", "q_ann_federate",
     // all-pairs standing-graph build inside the window by design (the
-    // oracle must rebuild the same graph)
-    "q_graph_insert_exact",
+    // oracle must rebuild the same graph); same for the warm-start
+    // replay's seed and the persisted-index lifecycle replay's
+    // build+insert+delete window
+    "q_graph_insert_exact", "q_nn_descent_warm_exact",
+    "q_graph_index_exact",
     // probe twins + binary lifecycle: heavy ALSO so they schedule after
     // q_nn_descent (first among heavy), which prices the shared descent
     // memo their windows read
