@@ -33,6 +33,32 @@ object DataOps {
       valPct: Double = 0.1): DataFrame =
     df.withColumn("split", splitOf(id, trainPct, valPct))
 
+  /** LEAKAGE-SAFE split: rows split by their GROUP's hash, not their
+    * own, so the members of one group — a near-dup cluster, a domain,
+    * a conversation — can never straddle the train/test boundary (the
+    * classic eval-contamination bug: doc-level splitting puts one copy
+    * of a duplicated passage in train and its twin in test, and the
+    * benchmark measures memorization). `groups` carries (id, cluster);
+    * rows with no group fall back to their own id (singleton group),
+    * so a partial clustering degrades to [[stratifiedSplit]], never to
+    * an error. One left equi-join + the same hash projection —
+    * corpus-linear, assignment stable under re-partitioning. An id
+    * carrying SEVERAL group rows resolves to its min cluster (one
+    * aggregate) — a left join against a multi-mapping would otherwise
+    * silently DUPLICATE corpus rows, a far worse failure than any
+    * split-assignment choice.
+    */
+  def groupSplit(df: DataFrame, id: Column, groups: DataFrame,
+      trainPct: Double = 0.8, valPct: Double = 0.1): DataFrame = {
+    val g = groups.select(col("id").as("__gid"),
+      col("cluster").as("__grp"))
+      .groupBy("__gid").agg(min("__grp").as("__grp"))
+    df.join(g, id === col("__gid"), "left")
+      .withColumn("split",
+        splitOf(coalesce(col("__grp"), id), trainPct, valPct))
+      .drop("__gid", "__grp")
+  }
+
   /** Weighted mixing: keep each row with probability `weight(source)`,
     * decided by a second, independent hash byte — deterministic
     * downsampling per source (weights > 1 are capped at keep-all; true

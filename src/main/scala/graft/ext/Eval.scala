@@ -60,6 +60,55 @@ object Eval {
           .as("ndcg"))
   }
 
+  /** Pair-counting clustering quality — precision/recall/F1 over
+    * same-cluster pairs plus purity — computed WITHOUT enumerating
+    * pairs: every pair total folds out of the (cluster, label)
+    * contingency cells via C(n, 2) = n·(n−1)/2, so the whole
+    * evaluation is one count aggregate over the assignment⋈truth join
+    * and three sums over cells — frames bounded by clusters × labels,
+    * never n² (at 100 TB the naive pairwise join is ~10¹⁷ rows; this
+    * is the only shape that survives). Integer pair counts use
+    * integral division (exact at any corpus size — a double would
+    * silently lose precision past 2^53 pairs).
+    *
+    * `assign` carries (id, cluster), `truth` (id, label); ids must
+    * match 1:1 on the evaluated population (inner join — unassigned or
+    * unlabeled ids drop out). Returns ONE row: (n, pair_tp, pair_fp,
+    * pair_fn, pair_precision, pair_recall, pair_f1, purity) with the
+    * zero-denominator conventions (all-singleton clustering →
+    * precision 0, single-class truth with no same-label pairs →
+    * recall 0).
+    */
+  def clusteringMetrics(assign: DataFrame, truth: DataFrame): DataFrame = {
+    def pairs2(c: org.apache.spark.sql.Column) =
+      shiftright(c * (c - lit(1L)), 1)
+    val cells = assign.select(col("id"), col("cluster"))
+      .join(truth.select(col("id"), col("label")), "id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val byCluster = cells.groupBy("cluster")
+      .agg(sum("nij").as("ai"), max("nij").as("mx"))
+    val tots = cells.agg(sum(pairs2(col("nij"))).as("tp"),
+        sum(col("nij")).as("n"))
+      .crossJoin(byCluster.agg(sum(pairs2(col("ai"))).as("sc"),
+        sum(col("mx")).as("pure")))
+      .crossJoin(cells.groupBy("label").agg(sum("nij").as("bj"))
+        .agg(sum(pairs2(col("bj"))).as("sl")))
+    // try_divide: an all-singleton clustering (sc = 0) or single-class
+    // truth with one member per class (sl = 0) is a legal input, not an
+    // arithmetic error (ANSI mode would throw on the plain division)
+    val p = coalesce(try_divide(col("tp"), col("sc")), lit(0.0))
+    val r = coalesce(try_divide(col("tp"), col("sl")), lit(0.0))
+    tots.select(col("n"), col("tp").as("pair_tp"),
+      (col("sc") - col("tp")).as("pair_fp"),
+      (col("sl") - col("tp")).as("pair_fn"),
+      round(p, 6).as("pair_precision"),
+      round(r, 6).as("pair_recall"),
+      round(when(p + r > 0, lit(2.0) * p * r / (p + r))
+        .otherwise(lit(0.0)), 6).as("pair_f1"),
+      round(col("pure") / col("n"), 6).as("purity"))
+  }
+
   /** Per-class classifier metrics over a scored frame carrying one row
     * per example with its TRUE label (`labelCol`) and PREDICTED label
     * (`predCol`). Returns one row per class seen in either column:

@@ -25,6 +25,48 @@ object DataOpsQueries {
   private val trainCut = f"${(0.8 * 256).toInt}%02x"
   private val valCut = f"${(0.9 * 256).toInt}%02x"
 
+  /** [[graft.ext.DataOps.groupSplit]]: the LEAKAGE-SAFE split — rows
+    * split by their dup-CLUSTER's hash (exact-dup groups via text md5,
+    * min-id representative), so duplicate copies can never straddle
+    * train/test and an eval benchmark can't measure memorization. The
+    * oracle replays the grouping, the representative election, the
+    * hash-bucket assignment, and the per-split rollup; the
+    * members-stay-together law itself is pinned in DataOpsSpec.
+    */
+  private def splitGroups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keyed = docs.withColumn("__k", md5(lower(trim(col("text")))))
+    val reps = keyed.groupBy("__k").agg(min("doc_id").as("cluster"))
+    val assign = keyed.join(reps, "__k")
+      .select(col("doc_id").as("id"), col("cluster"))
+    DataOps.groupSplit(docs, col("doc_id"), assign)
+      .join(assign.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split")
+  }
+
+  private val splitGroupsSql =
+    s"""WITH cl AS (
+       |  SELECT doc_id, n_chars,
+       |         min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+       |           AS cluster
+       |  FROM documents),
+       |t AS (
+       |  SELECT *,
+       |         CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 2)
+       |                < '$trainCut' THEN 'train'
+       |              WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 2)
+       |                < '$valCut' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM cl)
+       |SELECT split, count(*) AS n_docs,
+       |       count(DISTINCT cluster) AS n_clusters,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM t GROUP BY split ORDER BY split""".stripMargin
+
   private val splitAssignSql =
     s"""WITH t AS (
        |  SELECT *,
@@ -897,6 +939,7 @@ object DataOpsQueries {
     Gate("q_temperature_mix", temperatureMixGate, Some(temperatureMixSql)),
     Gate("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Gate("q_split_assign", splitAssign, Some(splitAssignSql)),
+    Gate("q_split_groups", splitGroups, Some(splitGroupsSql)),
     Gate("q_negative_sample", negativeSample, Some(negativeSampleSql)),
     Gate("q_profile", profileCols, Some(profileColsSql)),
     Gate("q_token_budget", tokenBudget, Some(tokenBudgetSql)),

@@ -596,6 +596,87 @@ object GraphTextQueries {
        |LEFT JOIN tpc USING (clazz)
        |ORDER BY clazz""".stripMargin
 
+  /** [[graft.ext.Eval.clusteringMetrics]]: pair-counting P/R/F1 +
+    * purity for a deterministic clustering — connected components
+    * ([[graft.ext.Dedup.dupClusters]]) over the MUTUAL-1NN graph
+    * (a→b and b→a both rank 1), evaluated against the embedding
+    * labels. Mutual-1NN yields many small clusters, so every
+    * contingency quantity is non-degenerate. The scale point is the
+    * operator's shape: all pair totals fold out of (cluster, label)
+    * cells via C(n,2) — no pairwise join exists anywhere — and the
+    * oracle replays the components (recursive CTE), the cells, and
+    * the binomial arithmetic exactly.
+    */
+  private def clusterEval(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val top1 = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val mutual = top1.as("a").join(top1.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id") &&
+          col("a.query_id") < col("a.neighbor_id"))
+      .select(col("a.query_id").as("id_a"),
+        col("a.neighbor_id").as("id_b"))
+    val nodes = embs.select(col("vec_id").as("id"))
+    val assign = graft.ext.Dedup.dupClusters(nodes, mutual,
+      parallelism = Some(8))
+    val truth = embs.select(col("vec_id").as("id"), col("label"))
+    graft.ext.Eval.clusteringMetrics(assign, truth)
+  }
+
+  private val clusterEvalSql =
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id,
+       |    embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |top1 AS (SELECT query_id, vec_id FROM r WHERE rank = 1),
+       |mut AS (SELECT a.query_id AS id_a, a.vec_id AS id_b
+       |        FROM top1 a JOIN top1 b
+       |          ON b.query_id = a.vec_id AND b.vec_id = a.query_id
+       |        WHERE a.query_id < a.vec_id),
+       |edges AS (SELECT id_a AS s, id_b AS t FROM mut
+       |          UNION ALL SELECT id_b, id_a FROM mut),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS rr FROM embeddings
+       |  UNION
+       |  SELECT ed.s, reach.rr FROM edges ed JOIN reach ON ed.t = reach.id),
+       |comp AS (SELECT id, min(rr) AS cluster FROM reach GROUP BY id),
+       |cells AS (SELECT c.cluster, t.label, count(*) AS nij
+       |          FROM comp c
+       |          JOIN (SELECT vec_id AS id, label FROM embeddings) t
+       |            USING (id)
+       |          GROUP BY 1, 2),
+       |bycl AS (SELECT cluster, sum(nij) AS ai, max(nij) AS mx
+       |         FROM cells GROUP BY 1),
+       |bylb AS (SELECT label, sum(nij) AS bj FROM cells GROUP BY 1),
+       |tots AS (SELECT
+       |  CAST((SELECT sum((nij * (nij - 1)) // 2) FROM cells) AS BIGINT)
+       |    AS tp,
+       |  CAST((SELECT sum(nij) FROM cells) AS BIGINT) AS n,
+       |  CAST((SELECT sum((ai * (ai - 1)) // 2) FROM bycl) AS BIGINT)
+       |    AS sc,
+       |  CAST((SELECT sum(mx) FROM bycl) AS BIGINT) AS pure,
+       |  CAST((SELECT sum((bj * (bj - 1)) // 2) FROM bylb) AS BIGINT)
+       |    AS sl)
+       |SELECT n, tp AS pair_tp, sc - tp AS pair_fp, sl - tp AS pair_fn,
+       |  round(coalesce(tp / sc, 0), 6) AS pair_precision,
+       |  round(coalesce(tp / sl, 0), 6) AS pair_recall,
+       |  round(CASE WHEN coalesce(tp / sc, 0) + coalesce(tp / sl, 0) > 0
+       |    THEN 2.0 * coalesce(tp / sc, 0) * coalesce(tp / sl, 0)
+       |         / (coalesce(tp / sc, 0) + coalesce(tp / sl, 0))
+       |    ELSE 0 END, 6) AS pair_f1,
+       |  round(pure / n, 6) AS purity
+       |FROM tots""".stripMargin
+
   /** [[graft.ext.Eval.rankMetrics]] with the whole evaluation
     * value-checked: the system under test is the beam walk over the
     * exact graph (the q_search_graph_exact configuration, widened to
@@ -1831,6 +1912,7 @@ object GraphTextQueries {
       Some(searchGraphFilteredExactSql)),
     Gate("q_knn_classify", knnClassify, Some(knnClassifySql)),
     Gate("q_class_eval", classEval, Some(classEvalSql)),
+    Gate("q_cluster_eval", clusterEval, Some(clusterEvalSql)),
     Gate("q_rank_eval", rankEval, Some(rankEvalSql)),
     Gate("q_label_prop", labelProp, Some(labelPropSql)),
     Gate("q_label_prop_inc", labelPropInc, Some(labelPropIncSql)),

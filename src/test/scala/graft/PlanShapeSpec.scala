@@ -327,4 +327,31 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("knn classification: vote window partitions per node — never a " +
+      "single-partition sort") {
+    val p = plan("q_knn_classify")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("rank metrics: per-query windows and aggregates only, no " +
+      "single partition") {
+    val p = plan("q_rank_eval")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("mmr: every greedy step joins on query_id — no cartesian, no " +
+      "single-partition window") {
+    val p = plan("q_mmr_rerank")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("group split: one left equi-join plus the hash projection — " +
+      "no window, no cartesian") {
+    val p = plan("q_split_groups")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
 }

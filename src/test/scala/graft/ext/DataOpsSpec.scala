@@ -31,6 +31,32 @@ class DataOpsSpec extends SparkSpec {
     assert(subset.forall { case (id, s) => full(id) == s })
   }
 
+  test("groupSplit keeps every group member in one split; " +
+      "ungrouped rows fall back to their own id") {
+    // groups of 4 consecutive ids; ids >= 200 ungrouped
+    val groups = (0L until 200L).map(i => (i, (i / 4) * 4))
+      .toDF("id", "cluster")
+    val got = DataOps.groupSplit(docs, col("id"), groups)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    (0L until 200L by 4).foreach { g =>
+      val splits = (g until g + 4).map(got).toSet
+      assert(splits.size == 1, s"group $g straddles: $splits")
+    }
+    // ungrouped rows match the per-id assignment exactly
+    val solo = DataOps.stratifiedSplit(docs, col("id"))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    (200L until 400L).foreach(i => assert(got(i) == solo(i)))
+    // grouped rows take the REPRESENTATIVE's per-id assignment
+    (0L until 200L).foreach(i => assert(got(i) == solo((i / 4) * 4)))
+    // an id mapped to several groups resolves to min-cluster and NEVER
+    // duplicates corpus rows
+    val multi = Seq((5L, 100L), (5L, 4L)).toDF("id", "cluster")
+    val dup = DataOps.groupSplit(docs, col("id"), multi)
+    assert(dup.count() == 400)
+    assert(dup.filter(col("id") === 5L).select("split")
+      .as[String].head() == solo(4L))
+  }
+
   test("weighted mix keeps all rows at weight 1.0 and none at 0.0") {
     val w = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5, "src3" -> 0.5)
     val kept = DataOps.weightedMix(docs, col("id"), col("source"), w)

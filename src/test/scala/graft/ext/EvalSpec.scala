@@ -70,6 +70,37 @@ class EvalSpec extends SparkSpec {
     assert(m.forall(r => r._5 == 0.0 && r._6 == 0.0 && r._7 == 0.0))
   }
 
+  test("clusteringMetrics matches hand-computed pair counts and purity") {
+    // clusters: {1,2,3} labels a,a,b ; {4,5} labels b,b ; {6} label a
+    // cells: (c1,a)=2 (c1,b)=1 (c2,b)=2 (c3,a)=1
+    // tp = C(2,2)+C(2,2) = 2; same-cluster = C(3,2)+C(2,2) = 4
+    // same-label: a=3 → 3 pairs, b=3 → 3 pairs → 6
+    // fp = 2, fn = 4; p = 1/2, r = 1/3, f1 = 2·(1/6)/(5/6) = 0.4
+    // purity = (2 + 2 + 1)/6
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 30L)).toDF("id", "cluster")
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+      (5L, "b"), (6L, "a")).toDF("id", "label")
+    val m = Eval.clusteringMetrics(assign, truth)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(m == ((6L, 2L, 2L, 4L, 0.5, round6(1.0 / 3), 0.4,
+      round6(5.0 / 6))))
+  }
+
+  test("clusteringMetrics: all-singleton clustering gives zero precision") {
+    val assign = Seq((1L, 1L), (2L, 2L)).toDF("id", "cluster")
+    val truth = Seq((1L, "a"), (2L, "a")).toDF("id", "label")
+    val m = Eval.clusteringMetrics(assign, truth)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(m._2 == 0L && m._5 == 0.0 && m._6 == 0.0 && m._7 == 0.0)
+    assert(m._8 == 1.0) // singletons are trivially pure
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("knnClassify majority vote with smallest-label tie-break") {
     val graph = Seq(
       (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // labels 7,7,8 → 7
