@@ -164,11 +164,16 @@ object Bench {
       .mkString("{", ",", "}")
     // attempts are PER SECTION: the in-suite map is single-run, the
     // isolated section is min-of-3 from child JVMs — a flat top-level
-    // count misread the isolated numbers as single runs (r10 verdict nit)
+    // count misread the isolated numbers as single runs (r10 verdict
+    // nit). When the isolated section was SKIPPED (child mode,
+    // SPARK_GRAFT_ONLY, SPARK_GRAFT_ISOLATED=0) its attempts report 0,
+    // not 3 — an empty-map-with-attempts-3 artifact would misstate the
+    // methodology the same way the flat count did
+    val isoAttempts = if (isolated.isEmpty) 0 else 3
     val fullJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${
         entries(results)},"isolated":$iso,"sf":"$sfDir","failed":${
-        failures.size},"attempts":{"queries":$attempts,"isolated":3}}"""
+        failures.size},"attempts":{"queries":$attempts,"isolated":$isoAttempts}}"""
     val artifact = if (isChild || only.nonEmpty) None else scala.util.Try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))

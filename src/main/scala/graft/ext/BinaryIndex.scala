@@ -46,21 +46,38 @@ object BinaryIndex {
     * out-of-range dims to 0 bits and quietly lose stage-1 recall).
     */
   def encode(dim: Int, embs: DataFrame): DataFrame = {
-    val d = EmbeddingSearch.checkedDim(embs, dim)
+    require(dim > 0, s"encode needs the frozen width, got dim=$dim")
+    // width enforcement rides the encode projection itself
+    // (EmbeddingSearch.widthGuard) — loud at execution on the first
+    // mismatched row, no up-front corpus aggregate per delivery
     EmbeddingSearch.prepared(embs)
       .select(col("vec_id"),
-        EmbeddingSearch.binaryCode(col("v"), d).as("code"))
+        EmbeddingSearch.binaryCode(
+          EmbeddingSearch.widthGuard(col("v"), dim), dim).as("code"))
   }
 
   def build(embs: DataFrame): Model = {
+    // one uniform-width aggregate at BUILD time freezes the geometry
+    // (and rejects an empty corpus — a silently-frozen dim=0 could
+    // never assert anything again); deliveries thereafter pay only the
+    // in-plan guard
     val dim = EmbeddingSearch.checkedDim(embs, 0)
     Model(dim, encode(dim, embs), EmbeddingSearch.prepared(embs))
   }
 
-  def append(model: Model, newEmbs: DataFrame): Model =
+  /** Already-coded ids drop out of the delivery (live-presence
+    * idempotent, the [[KnnGraphIndex.insert]] discipline): a retried
+    * or overlapping delivery must not land an id's code twice — stage
+    * 1 would rank the duplicate at two candidate slots and silently
+    * crowd a true neighbor out of the top-k.
+    */
+  def append(model: Model, newEmbs: DataFrame): Model = {
+    val fresh = newEmbs.join(model.codes.select("vec_id"),
+      Seq("vec_id"), "left_anti")
     model.copy(
-      codes = model.codes.unionByName(encode(model.dim, newEmbs)),
-      vecs = model.vecs.unionByName(EmbeddingSearch.prepared(newEmbs)))
+      codes = model.codes.unionByName(encode(model.dim, fresh)),
+      vecs = model.vecs.unionByName(EmbeddingSearch.prepared(fresh)))
+  }
 
   /** Persist: one-row meta (dim) plus the code relation. */
   def save(model: Model, path: String, retainVersions: Int = 2): Unit = {
@@ -84,15 +101,24 @@ object BinaryIndex {
   }
 
   /** Incremental encode of new vectors into a saved index — one
-    * appended segment of delta codes under the frozen dim; an empty
-    * delivery publishes nothing.
+    * appended segment of delta codes under the frozen dim. Ids with a
+    * LIVE persisted code drop out first (a retried delivery whose
+    * publish actually committed must not duplicate codes — see
+    * [[append]]), so an empty or fully-duplicate delivery publishes
+    * nothing; the liveness read happens under the writer lock.
     */
   def saveAppend(model: Model, newEmbs: DataFrame, path: String): Unit = {
     val spark = model.codes.sparkSession
     if (!newEmbs.isEmpty) IndexStore.withLock(spark, path) {
-      val seg = IndexStore.newSegmentName()
-      encode(model.dim, newEmbs).write.parquet(s"$path/$seg/codes")
-      IndexStore.publishAppend(spark, path, seg, Seq("codes"))
+      val snap = IndexStore.snapshot(spark, path)
+      val fresh = newEmbs.join(
+        IndexStore.liveRows(snap, "codes").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty) {
+        val seg = IndexStore.newSegmentName()
+        encode(model.dim, fresh).write.parquet(s"$path/$seg/codes")
+        IndexStore.publishAppend(spark, path, seg, Seq("codes"))
+      }
       ()
     }
   }
@@ -210,18 +236,15 @@ object BinaryIndex {
 
   private def searchImpl(model: Model, q0: DataFrame, k: Int,
       candidates: Int, excludeSelf: Boolean): DataFrame = {
-    // the query side is bounded — one tiny agg buys the same loud
-    // width check the encode path has (a narrow query would otherwise
-    // fold its missing dims to 0 bits and silently lose recall)
-    val qw = q0.agg(min(size(col("qv"))).as("lo"),
-      max(size(col("qv"))).as("hi")).head()
-    if (!qw.isNullAt(0))
-      require(qw.getAs[Int]("lo") == model.dim &&
-        qw.getAs[Int]("hi") == model.dim,
-        s"query width ${qw.getAs[Int]("lo")}..${qw.getAs[Int]("hi")} " +
-          s"does not match the index's frozen dim ${model.dim}")
+    // width enforcement rides the qcode projection (the same loud
+    // check the encode path has — a narrow query would otherwise fold
+    // its missing dims to 0 bits and silently lose recall); in-plan,
+    // so search() never pays an eager job just to validate (the
+    // corpus-drawn query side of search() would otherwise execute the
+    // vecs⋈codes join once for the check and again for the search)
     val q = q0.withColumn("qcode",
-      EmbeddingSearch.binaryCode(col("qv"), model.dim))
+      EmbeddingSearch.binaryCode(
+        EmbeddingSearch.widthGuard(col("qv"), model.dim), model.dim))
     val joinCond =
       if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
     // stage 1: Hamming over the persisted 16-byte code relation ONLY —

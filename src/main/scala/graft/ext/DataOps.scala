@@ -53,9 +53,14 @@ object DataOps {
     val g = groups.select(col("id").as("__gid"),
       col("cluster").as("__grp"))
       .groupBy("__gid").agg(min("__grp").as("__grp"))
+    // both coalesce arms cast to string INDEPENDENTLY: a common-type
+    // coercion (e.g. a DOUBLE cluster column vs a LONG id) would
+    // rewrite the ungrouped rows' hash input ("200" → "200.0") and
+    // silently break the degrades-to-stratifiedSplit law
     df.join(g, id === col("__gid"), "left")
       .withColumn("split",
-        splitOf(coalesce(col("__grp"), id), trainPct, valPct))
+        splitOf(coalesce(col("__grp").cast("string"),
+          id.cast("string")), trainPct, valPct))
       .drop("__gid", "__grp")
   }
 

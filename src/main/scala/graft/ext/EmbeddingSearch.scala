@@ -411,8 +411,15 @@ object EmbeddingSearch {
   def graphInsert(oldEmbs: DataFrame, oldGraph: DataFrame,
       newEmbs: DataFrame, k: Int, beamWidth: Int = 16, hops: Int = 4,
       entryPoints: Int = 16): DataFrame = {
+    // already-present ids drop out (the KnnGraphIndex.insert guard at
+    // the bare-edge-list layer too): a checkpoint-replayed delivery
+    // would otherwise keep the node's old edge group verbatim AND
+    // union a fresh top-k set — duplicate (query_id, rank) groups
+    // corrupting every later batch with no error
+    val fresh = newEmbs.join(oldEmbs.select("vec_id"),
+      Seq("vec_id"), "left_anti")
     val (newEdges, mergedTouched) = insertEdges(oldEmbs, oldGraph,
-      newEmbs, k, beamWidth, hops, entryPoints)
+      fresh, k, beamWidth, hops, entryPoints)
     val touched = mergedTouched.select("query_id").distinct()
     oldGraph.select("query_id", "neighbor_id", "cos", "rank")
       .join(broadcast(touched), Seq("query_id"), "left_anti")
@@ -448,13 +455,36 @@ object EmbeddingSearch {
   private[ext] def checkedDim(embs: DataFrame, dim: Int): Int = {
     val row = embs.agg(min(size(col("embedding"))).as("lo"),
       max(size(col("embedding"))).as("hi")).head()
-    val (lo, hi) = (row.getAs[Int]("lo"), row.getAs[Int]("hi"))
-    require(lo == hi, s"binary codec needs a uniform embedding width, " +
-      s"corpus has sizes $lo..$hi")
-    if (dim <= 0) lo
-    else { require(dim == lo, s"binary codec dim=$dim but corpus " +
-      s"embeddings have ${lo} dimensions"); dim }
+    if (row.isNullAt(0)) {
+      // empty frame: a frozen width passes through vacuously (an empty
+      // delta append is a no-op, not a width error); DERIVING a width
+      // from nothing must fail loudly — getAs[Int] would otherwise
+      // unbox the null aggregate to dim=0 and freeze a zero-width
+      // codec that can never assert anything again
+      require(dim > 0, "binary codec: cannot derive an embedding " +
+        "width from an empty corpus")
+      dim
+    } else {
+      val (lo, hi) = (row.getAs[Int]("lo"), row.getAs[Int]("hi"))
+      require(lo == hi, s"binary codec needs a uniform embedding " +
+        s"width, corpus has sizes $lo..$hi")
+      if (dim <= 0) lo
+      else { require(dim == lo, s"binary codec dim=$dim but corpus " +
+        s"embeddings have ${lo} dimensions"); dim }
+    }
   }
+
+  /** In-plan width guard: passes `v` through when it has exactly `dim`
+    * elements, raises at EXECUTION time otherwise — the same loud
+    * failure as [[checkedDim]] without its up-front corpus aggregate
+    * (a whole extra scan per call on the query hot path). The check
+    * rides the projection that consumes the vector, so it can't be
+    * pruned away.
+    */
+  private[ext] def widthGuard(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"binary codec dim=$dim but embedding has "),
+      size(v).cast("string"), lit(" dimensions"))))
 
   /** Hamming distance between two code arrays — popcount of the XOR,
     * folded across words (codegen'd `bit_count`).
@@ -477,9 +507,17 @@ object EmbeddingSearch {
     */
   def binaryTopK(embs: DataFrame, queryPred: Column, k: Int,
       candidates: Int = 200, dim: Int = 0): DataFrame = {
-    val d = checkedDim(embs, dim)
+    // derive the width from the first row when not given (one cheap
+    // head, not a corpus aggregate); uniformity is enforced IN-PLAN by
+    // widthGuard — a ragged corpus fails loudly at execution without
+    // this hot path paying an extra full scan per call
+    val d =
+      if (dim > 0) dim
+      else embs.select(size(col("embedding")).as("d")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(
+          sys.error("binaryTopK: empty corpus — no width to derive"))
     val e = prepared(embs)
-      .withColumn("code", binaryCode(col("v"), d))
+      .withColumn("code", binaryCode(widthGuard(col("v"), d), d))
     val qSlim = e.filter(queryPred).select(
       col("vec_id").as("query_id"), col("code").as("qcode"))
     // stage 1: Hamming over the 16-byte code relation only

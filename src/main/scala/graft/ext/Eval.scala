@@ -68,8 +68,10 @@ object Eval {
     * and three sums over cells — frames bounded by clusters × labels,
     * never n² (at 100 TB the naive pairwise join is ~10¹⁷ rows; this
     * is the only shape that survives). Integer pair counts use
-    * integral division (exact at any corpus size — a double would
-    * silently lose precision past 2^53 pairs).
+    * integral arithmetic — exact where a double would silently lose
+    * precision past 2^53 pairs; past LONG range (one group above
+    * ~4.3×10⁹ members) ANSI arithmetic fails loudly rather than
+    * wrapping.
     *
     * `assign` carries (id, cluster), `truth` (id, label); ids must
     * match 1:1 on the evaluated population (inner join — unassigned or

@@ -70,6 +70,16 @@ object HybridSearch {
     val dot = graft.ext.EmbeddingSearch.dot _
     val vecs = embs.select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("v"))
+    // fail loudly on a candidate id with no embedding row (stale
+    // retriever output, id-space mismatch): an inner join would
+    // silently drop it — possibly the highest-rel candidate — and
+    // return a quietly-wrong selection. Candidates are bounded
+    // (top-N × queries), so this check is one small job.
+    val orphans = candidates.select("id").distinct()
+      .join(vecs.select("id"), Seq("id"), "left_anti")
+    val sample = orphans.limit(3).collect().map(_.get(0)).mkString(", ")
+    require(sample.isEmpty,
+      s"mmr: candidate ids missing from embs (first: $sample)")
     val cand = candidates.select(col("query_id"), col("id"),
         col("rel").cast("double").as("rel"))
       .join(vecs, "id")

@@ -96,15 +96,37 @@ class BinaryIndexSpec extends SparkSpec {
     val m = BinaryIndex.buildAndSave(corpus, path)
     val narrow = Seq((100L, Array(1f, -1f, 1f, -1f)))
       .toDF("vec_id", "embedding")
-    intercept[IllegalArgumentException] {
+    // append/search guards ride the encode projection (in-plan
+    // raise_error — no extra corpus pass), so they surface as Spark
+    // runtime failures at execution, not plan-time requires
+    intercept[RuntimeException] {
       BinaryIndex.saveAppend(m, narrow, path)
     }
-    intercept[IllegalArgumentException] {
+    intercept[Exception] {
       BinaryIndex.searchVectors(m, narrow, k = 3).count()
     }
-    // and a mixed-width corpus refuses to build at all
+    // and a mixed-width corpus refuses to build at all (the one
+    // remaining up-front aggregate — build freezes the geometry)
     intercept[IllegalArgumentException] {
       BinaryIndex.build(corpus.unionByName(narrow))
     }
+  }
+
+  test("empty and duplicate deliveries are no-ops, never duplicate codes") {
+    val path = dir()
+    val m = BinaryIndex.buildAndSave(corpus, path)
+    val v0 = graft.ext.IndexStore.snapshot(spark, path).version
+    // empty delta: publishes nothing, no width error
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    BinaryIndex.saveAppend(m, empty, path)
+    assert(graft.ext.IndexStore.snapshot(spark, path).version == v0)
+    // re-delivered live ids: drop out, both persisted and in-memory
+    BinaryIndex.saveAppend(m, corpus.limit(2), path)
+    assert(graft.ext.IndexStore.snapshot(spark, path).version == v0)
+    val m2 = BinaryIndex.append(m, corpus.limit(2))
+    assert(m2.codes.count() == m.codes.count())
+    // an empty corpus refuses to build (a frozen dim=0 could never
+    // assert anything again)
+    intercept[IllegalArgumentException] { BinaryIndex.build(empty) }
   }
 }
