@@ -319,6 +319,8 @@ object Bench {
     // and federated search (overlay index build + two saved searches)
     "q_graph_insert", "q_search_graph_exact", "q_stream_graph_index",
     "q_search_federate", "q_label_prop_inc", "q_ann_federate",
+    // two in-window quantizer trainings by design (per-root indexes)
+    "q_ivf_federate",
     // all-pairs standing-graph build inside the window by design (the
     // oracle must rebuild the same graph); same for the warm-start
     // replay's seed and the persisted-index lifecycle replay's

@@ -350,6 +350,47 @@ object IvfIndex {
         col("v").as("qv"), col("nrm").as("qnrm")),
       k, nProbe, excludeSelf = false)
 
+  /** PRECEDENCE-AWARE FEDERATED ANN across saved IVF indexes — the
+    * trained-family twin of
+    * [[BinaryIndex.searchFederatedVectors]], same semantics: `roots`
+    * ordered highest-precedence first, each paired with the corpus
+    * frame its cell assignment re-attaches; every root answers from
+    * its OWN index over-fetching k×overFetch, a hit from root i is
+    * disqualified iff any higher root has the id LIVE (the
+    * authoritative — possibly amended — version lives there), and a
+    * retracted overlay id cedes back. Scores are exact cosines, so
+    * the cross-root fuse is calibrated. Each root keeps its own
+    * quantizer — federation never requires co-trained centroids —
+    * and with EXHAUSTIVE probes each root's answer is exactly brute
+    * force over its live corpus (the [[searchWhere]] value-check
+    * trick), which is how the gate hash-checks the whole federation.
+    * The precedence probe tests only result ids against higher
+    * roots' live cells (Bloom-pruned segments) — bounded, never a
+    * corpus read.
+    */
+  def searchFederatedVectors(spark: SparkSession,
+      roots: Seq[(String, DataFrame)], queries: DataFrame, k: Int,
+      nProbe: Int, overFetch: Int = 4): DataFrame = {
+    require(roots.nonEmpty, "searchFederatedVectors needs ≥ 1 root")
+    val perRoot = roots.zipWithIndex.map { case ((path, embs), i) =>
+      val hits = searchVectors(load(spark, path, embs), queries,
+        k * overFetch, nProbe)
+      (0 until i).foldLeft(hits) { (acc, j) =>
+        val snapJ = IndexStore.snapshot(spark, roots(j)._1)
+        val liveJ = IndexStore.liveRowsAmong(snapJ, "cells", "vec_id",
+            acc.select(col("neighbor_id").as("vec_id")))
+          .select(col("vec_id").as("neighbor_id")).distinct()
+        acc.join(liveJ, Seq("neighbor_id"), "left_anti")
+      }
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    perRoot.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   private def searchImpl(model: Model, q: DataFrame, k: Int, nProbe: Int,
       excludeSelf: Boolean): DataFrame = {
     // rank cells per query by centroid distance (centroids are tiny)

@@ -1178,6 +1178,75 @@ object ScaleQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** FEDERATED TRAINED-FAMILY ANN
+    * ([[graft.ext.IvfIndex.searchFederatedVectors]]): the q_ann_federate
+    * fixture (amended-negated overlay with partial retraction over
+    * production with its own takedown) answered from per-root IVF
+    * indexes — each root trains its OWN quantizer, federation never
+    * requires co-trained centroids. Probes are EXHAUSTIVE (nProbe =
+    * nCells), so each root's answer is exactly brute force over its
+    * live corpus — the q_ann_filtered value-check trick — and the
+    * oracle replays both roots' top-20, the precedence mask, and the
+    * fused re-rank as plain relational cosine arithmetic; quantizer
+    * nondeterminism (k-means float-sum order) cannot reach the result.
+    */
+  private def ivfFederate(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val amended = embs.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val aDir = graft.Gate.tmpDir("gate_ivffed_a_")
+    val bDir = graft.Gate.tmpDir("gate_ivffed_b_")
+    IvfIndex.save(IvfIndex.build(amended, k = 8), aDir)
+    IvfIndex.deleteVecs(s, aDir, // retracted amendments
+      embs.filter(col("vec_id") % 3 === 1).select("vec_id"),
+      col("vec_id"))
+    IvfIndex.save(IvfIndex.build(embs, k = 8), bDir)
+    IvfIndex.deleteVecs(s, bDir, // production takedown
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      col("vec_id"))
+    val queries = embs.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    IvfIndex.searchFederatedVectors(s,
+        Seq(aDir -> amended, bDir -> embs), queries, k = 5, nProbe = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfFederateSql = {
+    def stage(src: String, corpus: String): String =
+      s"""h_$src AS (SELECT query_id, vec_id, cos FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      list_dot_product(q.qv, e.v)
+         |        / sqrt(list_dot_product(q.qv, q.qv)
+         |               * list_dot_product(e.v, e.v)) AS cos,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, e.v)
+         |          / sqrt(list_dot_product(q.qv, q.qv)
+         |                 * list_dot_product(e.v, e.v)) DESC,
+         |          e.vec_id) AS rn
+         |    FROM q, $corpus e)
+         |  WHERE rn <= 20)""".stripMargin
+    s"""WITH ea AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> -x) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 3 <> 1),
+       |eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE vec_id % 7 <> 3),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |${stage("a", "ea")},
+       |${stage("b", "eb")},
+       |fed AS (SELECT * FROM h_a
+       |        UNION ALL
+       |        SELECT * FROM h_b
+       |        WHERE NOT (vec_id % 5 = 0 AND vec_id % 3 <> 1))
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY round(cos, 6) DESC, vec_id) AS rank
+       |      FROM fed)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Streaming ANN lookup: query vectors arrive as a STREAM and each
     * micro-batch searches a static, pre-built [[graft.ext.SqIndex]] via
     * `foreachBatch` + [[graft.ext.SqIndex.searchVectors]] (lookup
@@ -2057,6 +2126,7 @@ object ScaleQueries {
     Gate("q_sq_persist", sqPersist, Some(sqPersistSql)),
     Gate("q_binary_persist", binaryPersist, Some(binaryPersistSql)),
     Gate("q_ann_federate", annFederate, Some(annFederateSql)),
+    Gate("q_ivf_federate", ivfFederate, Some(ivfFederateSql)),
     Gate("q_stream_ann", streamAnn, Some(streamAnnSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
     Gate("q_stream_incremental", streamIncremental,

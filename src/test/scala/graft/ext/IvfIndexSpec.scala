@@ -102,6 +102,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("federated search: live overlay version authoritative, retraction cedes") {
+    val embs = Tables.embeddings(spark, sf0001).limit(100)
+    val amended = embs.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val pa = graft.Gate.tmpDir("ivf_fed_a_")
+    val pb = graft.Gate.tmpDir("ivf_fed_b_")
+    IvfIndex.save(IvfIndex.build(amended, k = 2), pa)
+    IvfIndex.save(IvfIndex.build(embs, k = 4), pb)
+    val q = embs.filter(col("vec_id") === 0).select("vec_id", "embedding")
+    def fed(k: Int) = IvfIndex.searchFederatedVectors(spark,
+      Seq(pa -> amended, pb -> embs), q, k, nProbe = 4)
+    // id 0's only servable version is the NEGATED overlay one (cos -1
+    // to the raw query): the production cos-1.0 copy must not serve
+    val top = fed(1).select("neighbor_id").as[Long].head()
+    assert(top !== 0L)
+    val id0 = fed(100).filter(col("neighbor_id") === 0L)
+      .select("cos").as[Double].collect()
+    assert(id0.nonEmpty && id0.forall(_ < 0))
+    // retraction cedes: production's raw id 0 ranks itself first again
+    IvfIndex.deleteVecs(spark, pa, Seq(0L).toDF("vec_id"), col("vec_id"))
+    assert(fed(1).select("neighbor_id").as[Long].head() === 0L)
+  }
+
   test("deleteVecs masks at search, compact removes physically, loadAt pins") {
     val embs = Tables.embeddings(spark, sf0001).limit(200)
     val model = IvfIndex.build(embs, k = 4)
