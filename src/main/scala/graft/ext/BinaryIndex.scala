@@ -69,11 +69,13 @@ object BinaryIndex {
     * idempotent, the [[KnnGraphIndex.insert]] discipline): a retried
     * or overlapping delivery must not land an id's code twice — stage
     * 1 would rank the duplicate at two candidate slots and silently
-    * crowd a true neighbor out of the top-k.
+    * crowd a true neighbor out of the top-k. dropDuplicates guards the
+    * WITHIN-delivery variant of the same hazard (two rows sharing a
+    * vec_id inside one delivery both survive the anti-join).
     */
   def append(model: Model, newEmbs: DataFrame): Model = {
-    val fresh = newEmbs.join(model.codes.select("vec_id"),
-      Seq("vec_id"), "left_anti")
+    val fresh = newEmbs.dropDuplicates("vec_id")
+      .join(model.codes.select("vec_id"), Seq("vec_id"), "left_anti")
     model.copy(
       codes = model.codes.unionByName(encode(model.dim, fresh)),
       vecs = model.vecs.unionByName(EmbeddingSearch.prepared(fresh)))
@@ -111,7 +113,7 @@ object BinaryIndex {
     val spark = model.codes.sparkSession
     if (!newEmbs.isEmpty) IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
-      val fresh = newEmbs.join(
+      val fresh = newEmbs.dropDuplicates("vec_id").join(
         IndexStore.liveRows(snap, "codes").select("vec_id"),
         Seq("vec_id"), "left_anti")
       if (!fresh.isEmpty) {

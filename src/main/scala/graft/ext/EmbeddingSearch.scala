@@ -234,9 +234,10 @@ object EmbeddingSearch {
     */
   def graphSearch(embs: DataFrame, graph: DataFrame, queries: DataFrame,
       k: Int, beamWidth: Int = 8, hops: Int = 3,
-      entryPoints: Int = 4, hubEntries: Boolean = false): DataFrame = {
+      entryPoints: Int = 4, hubEntries: Boolean = false,
+      entriesOverride: Option[DataFrame] = None): DataFrame = {
     val state = graphSearchState(embs, graph, queries, beamWidth, hops,
-      entryPoints, hubEntries)
+      entryPoints, hubEntries, entriesOverride)
     val wBeam = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("node_id").asc)
     state.withColumn("rank", row_number().over(wBeam))
@@ -256,7 +257,8 @@ object EmbeddingSearch {
     */
   private[graft] def graphSearchState(embs: DataFrame, graph: DataFrame,
       queries: DataFrame, beamWidth: Int, hops: Int,
-      entryPoints: Int, hubEntries: Boolean = false): DataFrame = {
+      entryPoints: Int, hubEntries: Boolean = false,
+      entriesOverride: Option[DataFrame] = None): DataFrame = {
     val e = prepared(embs).persist()
     val q = prepared(queries).select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qnrm"))
@@ -281,16 +283,25 @@ object EmbeddingSearch {
     //     reach at hops−1 what smallest-id entries need an extra hop
     //     for). Degree ranks over the already-built symmetrized list;
     //     a production deployment would precompute it with the graph.
-    val liveNodes = und.select(col("src").as("node_id")).distinct()
-      .join(e.select(col("vec_id").as("node_id")),
-        Seq("node_id"), "left_semi")
-    val entries = (if (hubEntries)
-      und.groupBy(col("src").as("node_id"))
-        .agg(count(lit(1)).as("deg"))
-        .join(liveNodes, Seq("node_id"), "left_semi")
-        .orderBy(col("deg").desc, col("node_id").asc)
-    else liveNodes.orderBy("node_id"))
-      .limit(entryPoints).select("node_id")
+    //   entriesOverride — a PRECOMPUTED entry relation (node_id rows,
+    //     already elected, ordered, and bounded by the caller): the
+    //     persisted-index serving path ([[KnnGraphIndex]]) maintains its
+    //     hub/degree relations at commit time and passes them here, so
+    //     the query window never recomputes an edge-wide aggregate.
+    val entries = entriesOverride match {
+      case Some(pre) => pre.select("node_id")
+      case None =>
+        val liveNodes = und.select(col("src").as("node_id")).distinct()
+          .join(e.select(col("vec_id").as("node_id")),
+            Seq("node_id"), "left_semi")
+        (if (hubEntries)
+          und.groupBy(col("src").as("node_id"))
+            .agg(count(lit(1)).as("deg"))
+            .join(liveNodes, Seq("node_id"), "left_semi")
+            .orderBy(col("deg").desc, col("node_id").asc)
+        else liveNodes.orderBy("node_id"))
+          .limit(entryPoints).select("node_id")
+    }
     // score ONLY the candidate (query, node) pairs: node vectors via
     // id equi-join, query vectors broadcast (the query set is the
     // bounded side of a serving call)
@@ -366,12 +377,25 @@ object EmbeddingSearch {
     */
   private[graft] def insertEdges(oldEmbs: DataFrame, oldGraph: DataFrame,
       newEmbs: DataFrame, k: Int, beamWidth: Int, hops: Int,
-      entryPoints: Int): (DataFrame, DataFrame) = {
+      entryPoints: Int, maxDelivery: Int = 4096): (DataFrame, DataFrame) = {
     val walked = graphSearchState(oldEmbs, oldGraph, newEmbs, beamWidth,
         hops, entryPoints)
       .select(col("query_id"), col("node_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos"))
     val d = prepared(newEmbs).localCheckpoint(true)
+    // ENFORCE the delta-sized contract instead of assuming it: the exact
+    // intra-delivery pairing below is |delivery|² scorings BY DESIGN, so
+    // an oversized delivery must fail loudly here, not silently go
+    // quadratic (the checkedDim/widthGuard discipline applied to the
+    // insertion path). The checkpoint above already materialized the
+    // delivery, so the count is a metadata read, not an extra job.
+    val dn = d.count()
+    require(dn <= maxDelivery,
+      s"insertEdges: delivery of $dn vectors exceeds maxDelivery=" +
+        s"$maxDelivery — intra-delivery pairing is |delivery|² by " +
+        "design (deliveries are delta-sized by contract); build from " +
+        "scratch (nnDescent) for bulk loads, or raise maxDelivery " +
+        "deliberately")
     val intra = d.as("a").join(d.as("b"),
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"),
@@ -410,16 +434,19 @@ object EmbeddingSearch {
     */
   def graphInsert(oldEmbs: DataFrame, oldGraph: DataFrame,
       newEmbs: DataFrame, k: Int, beamWidth: Int = 16, hops: Int = 4,
-      entryPoints: Int = 16): DataFrame = {
+      entryPoints: Int = 16, maxDelivery: Int = 4096): DataFrame = {
     // already-present ids drop out (the KnnGraphIndex.insert guard at
     // the bare-edge-list layer too): a checkpoint-replayed delivery
     // would otherwise keep the node's old edge group verbatim AND
     // union a fresh top-k set — duplicate (query_id, rank) groups
-    // corrupting every later batch with no error
-    val fresh = newEmbs.join(oldEmbs.select("vec_id"),
-      Seq("vec_id"), "left_anti")
+    // corrupting every later batch with no error. dropDuplicates
+    // guards the WITHIN-delivery variant of the same hazard (two rows
+    // sharing a vec_id inside one delivery would both survive the
+    // left-anti and land duplicate edge groups).
+    val fresh = newEmbs.dropDuplicates("vec_id")
+      .join(oldEmbs.select("vec_id"), Seq("vec_id"), "left_anti")
     val (newEdges, mergedTouched) = insertEdges(oldEmbs, oldGraph,
-      fresh, k, beamWidth, hops, entryPoints)
+      fresh, k, beamWidth, hops, entryPoints, maxDelivery)
     val touched = mergedTouched.select("query_id").distinct()
     oldGraph.select("query_id", "neighbor_id", "cos", "rank")
       .join(broadcast(touched), Seq("query_id"), "left_anti")
@@ -559,10 +586,10 @@ object EmbeddingSearch {
     */
   def graphSearchWhere(embs: DataFrame, graph: DataFrame,
       queries: DataFrame, where: Column, k: Int, beamWidth: Int = 16,
-      hops: Int = 4, entryPoints: Int = 16,
-      overFetch: Int = 4): DataFrame = {
+      hops: Int = 4, entryPoints: Int = 16, overFetch: Int = 4,
+      entriesOverride: Option[DataFrame] = None): DataFrame = {
     val wide = graphSearch(embs, graph, queries, k * overFetch,
-      beamWidth, hops, entryPoints)
+      beamWidth, hops, entryPoints, hubEntries = false, entriesOverride)
     val pass = embs.filter(where).select(col("vec_id").as("neighbor_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -33,16 +33,52 @@ object Eval {
     * Queries present in `results` but never judged are out of scope —
     * the qrels set is the evaluation spine.
     */
-  def rankMetrics(results: DataFrame, qrels: DataFrame): DataFrame = {
-    def gain(rel: org.apache.spark.sql.Column,
-        pos: org.apache.spark.sql.Column) =
-      (pow(lit(2.0), rel) - lit(1.0)) /
-        (log(pos.cast("double") + lit(1.0)) / log(lit(2.0)))
-    val hits = results.join(qrels, Seq("query_id", "id"))
+  def rankMetrics(results: DataFrame, qrels: DataFrame): DataFrame =
+    rankMetricsFrom(rankHits(results, qrels), qrels)
+
+  private def gain(rel: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column) =
+    (pow(lit(2.0), rel) - lit(1.0)) /
+      (log(pos.cast("double") + lit(1.0)) / log(lit(2.0)))
+
+  /** The per-query HIT PARTIALS of [[rankMetrics]] — (query_id, n_hit,
+    * first_hit, dcg) over one results batch. The incremental-evaluation
+    * half: partials from disjoint result batches MERGE by
+    * sum/min/sum ([[rankHitsMerge]]) into exactly the one-shot frame,
+    * so a streaming curation loop keeps running metrics without
+    * re-scoring history (the nbCount/nbMerge summable-partials law
+    * applied to evaluation). Batches must partition the result set —
+    * a (query_id, id) pair split across batches would double-count;
+    * WITHIN a batch duplicate (query_id, id) rows collapse to their
+    * best (min-rank) occurrence first, so a duplicated result row
+    * can't push recall past 1 or inflate dcg silently.
+    */
+  def rankHits(results: DataFrame, qrels: DataFrame): DataFrame = {
+    val deduped = results.groupBy("query_id", "id")
+      .agg(min("rank").as("rank"))
+    deduped.join(qrels, Seq("query_id", "id"))
       .groupBy("query_id").agg(
         count(lit(1)).as("n_hit"),
         min("rank").as("first_hit"),
         sum(gain(col("rel"), col("rank"))).as("dcg"))
+  }
+
+  /** Merge hit partials from disjoint batches: counts and gains sum,
+    * the first hit is the min. Associative and commutative — fold in
+    * any order.
+    */
+  def rankHitsMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "rankHitsMerge needs ≥ 1 partial")
+    parts.reduce(_ unionByName _).groupBy("query_id").agg(
+      sum("n_hit").as("n_hit"),
+      min("first_hit").as("first_hit"),
+      sum("dcg").as("dcg"))
+  }
+
+  /** Final metrics from (merged) hit partials — [[rankMetrics]] ≡
+    * `rankMetricsFrom(rankHits(results, qrels), qrels)`.
+    */
+  def rankMetricsFrom(hits: DataFrame, qrels: DataFrame): DataFrame = {
     val wIdeal = Window.partitionBy("query_id")
       .orderBy(desc("rel"), col("id"))
     val ideal = qrels.withColumn("j", row_number().over(wIdeal))
@@ -88,6 +124,13 @@ object Eval {
       .join(truth.select(col("id"), col("label")), "id")
       .groupBy("cluster", "label").agg(count(lit(1)).as("nij"))
       .localCheckpoint(true)
+    // an id-space mismatch (assign and truth share no ids) must fail
+    // loudly, not return one NULL-count row that reads as "metrics
+    // computed" — the family's loud-failure posture; the checkpoint
+    // above already materialized the cells, so this is a cheap probe
+    require(!cells.isEmpty,
+      "clusteringMetrics: assign ⋈ truth is empty — the id spaces " +
+        "share no rows (wrong join key or stale population?)")
     val byCluster = cells.groupBy("cluster")
       .agg(sum("nij").as("ai"), max("nij").as("mx"))
     val tots = cells.agg(sum(pairs2(col("nij"))).as("tp"),
@@ -141,5 +184,59 @@ object Eval {
         round(r, 6).as("recall"),
         round(when(p + r > 0, lit(2.0) * p * r / (p + r))
           .otherwise(lit(0.0)), 6).as("f1"))
+  }
+
+  /** The per-class COUNT PARTIALS of [[classifierMetrics]] — one row
+    * per class seen in either column of this batch: (clazz, support,
+    * predicted_n, tp), zeros coalesced. Partials from disjoint example
+    * batches merge by plain sums ([[classifierCountsMerge]]), and
+    * [[classifierMetricsFrom]] finishes them into exactly the one-shot
+    * metrics — the incremental-evaluation path (q_class_eval_inc is
+    * gated against q_class_eval's own oracle). Batches must partition
+    * the example set; an example counted twice inflates every count it
+    * touches.
+    */
+  def classifierCounts(scored: DataFrame, labelCol: String = "label",
+      predCol: String = "predicted"): DataFrame = {
+    val tp = scored.filter(col(labelCol) === col(predCol))
+      .groupBy(col(labelCol).as("clazz"))
+      .agg(count(lit(1)).as("tp"))
+    val support = scored.groupBy(col(labelCol).as("clazz"))
+      .agg(count(lit(1)).as("support"))
+    val predicted = scored.groupBy(col(predCol).as("clazz"))
+      .agg(count(lit(1)).as("predicted_n"))
+    support.join(predicted, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted_n"), lit(0L)).as("predicted_n"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+  }
+
+  /** Merge count partials from disjoint batches — associative,
+    * commutative sums per class.
+    */
+  def classifierCountsMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "classifierCountsMerge needs ≥ 1 partial")
+    parts.reduce(_ unionByName _).groupBy("clazz").agg(
+      sum("support").as("support"),
+      sum("predicted_n").as("predicted_n"),
+      sum("tp").as("tp"))
+  }
+
+  /** Final per-class metrics from (merged) count partials — the same
+    * arithmetic and zero-denominator conventions as
+    * [[classifierMetrics]] (`try_divide`: a class never predicted or
+    * with no support divides 0-count, a legal input, not an error).
+    */
+  def classifierMetricsFrom(counts: DataFrame): DataFrame = {
+    val p = coalesce(try_divide(col("tp"), col("predicted_n")), lit(0.0))
+    val r = coalesce(try_divide(col("tp"), col("support")), lit(0.0))
+    counts.select(col("clazz"), col("support"), col("predicted_n"),
+      col("tp"),
+      round(p, 6).as("precision"),
+      round(r, 6).as("recall"),
+      round(when(p + r > 0, lit(2.0) * p * r / (p + r))
+        .otherwise(lit(0.0)), 6).as("f1"))
   }
 }

@@ -213,7 +213,12 @@ object GraphOps {
     * (id, label). Scale shape: one rank filter, one id-keyed equi-join
     * against the label table, one (node, label) count aggregate, one
     * per-node window over ≤ distinct-label rows — edge-linear, no
-    * per-node driver work. Returns (id, predicted).
+    * per-node driver work. Returns (id, predicted) with one row per
+    * graph QUERY node: a node whose top-k neighbors all lack label
+    * rows predicts NULL instead of silently dropping out — downstream
+    * [[Eval.classifierMetrics]] support/accuracy would otherwise be
+    * computed over an invisibly shrunken population; callers count
+    * coverage from the NULL rows.
     */
   def knnClassify(graph: DataFrame, labels: DataFrame,
       k: Int): DataFrame = {
@@ -224,8 +229,11 @@ object GraphOps {
       .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(desc("c"), col("label"))
-    votes.withColumn("rn", row_number().over(w))
+    val pred = votes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("label").as("predicted"))
+    graph.select(col("query_id").as("id")).distinct()
+      .join(pred, Seq("id"), "left")
+      .select(col("id"), col("predicted"))
   }
 }

@@ -122,6 +122,93 @@ object HybridSearch {
       round(col("score"), 6).as("mmr"))
   }
 
+  /** [[mmr]] with PER-GROUP CAPS — the RAG-assembly variant: at most
+    * `cap` picks per (query, group), where `groups` maps each
+    * candidate id to its group (source domain, dedup cluster, shard —
+    * the `selectUnderBudgetBy` discipline applied to the greedy loop).
+    * A candidate whose group already holds `cap` picks is excluded
+    * from that query's later elections; a query whose every remaining
+    * candidate is capped out simply stops early (fewer than k steps —
+    * coverage is visible in the output, never padded). Everything else
+    * is [[mmr]] verbatim: max-rel first pick, `λ·rel − (1−λ)·max-sim`
+    * elections, id tie-breaks, 6-decimal output rounding, and the same
+    * orphan guard extended to ids missing a GROUP row (a silently
+    * uncapped candidate would defeat the cap's purpose).
+    *
+    * Scale shape unchanged from [[mmr]] (frames bounded by
+    * N × queries; the cap check is one extra bounded groupBy + join
+    * per round). Returns (query_id, step, id, grp, mmr).
+    */
+  def mmrCapped(candidates: DataFrame, embs: DataFrame,
+      groups: DataFrame, k: Int, lambda: Double = 0.7,
+      cap: Int = 1): DataFrame = {
+    require(k >= 1, s"mmrCapped needs k >= 1, got $k")
+    require(cap >= 1, s"mmrCapped needs cap >= 1, got $cap")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrCapped needs lambda in [0, 1], got $lambda")
+    val dot = graft.ext.EmbeddingSearch.dot _
+    val vecs = embs.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val g = groups.select(col("id"), col("grp"))
+    val orphans = candidates.select("id").distinct()
+      .join(vecs.select("id"), Seq("id"), "left_anti")
+      .withColumn("what", lit("embedding"))
+      .unionByName(candidates.select("id").distinct()
+        .join(g.select("id"), Seq("id"), "left_anti")
+        .withColumn("what", lit("group")))
+    val sample = orphans.limit(3).collect()
+      .map(r => s"${r.get(0)} (no ${r.getString(1)})").mkString(", ")
+    require(sample.isEmpty,
+      s"mmrCapped: candidate ids missing rows (first: $sample)")
+    val cand = candidates.select(col("query_id"), col("id"),
+        col("rel").cast("double").as("rel"))
+      .join(vecs, "id").join(g, "id")
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .localCheckpoint(true)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("id"))
+    var selected = cand
+      .withColumn("score", lit(lambda) * col("rel"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("id"), col("grp"), col("score"),
+        lit(1).as("step"))
+      .localCheckpoint(true)
+    var s = 2
+    while (s <= k) {
+      val selVecs = selected.select("query_id", "id")
+        .join(cand.select(col("query_id"), col("id"),
+          col("v").as("sv"), col("nrm").as("snrm")),
+          Seq("query_id", "id"))
+        .select(col("query_id"), col("sv"), col("snrm"))
+      // groups already at the cap for this query drop out of the
+      // election — one bounded aggregate over the picked set
+      val full = selected.groupBy("query_id", "grp")
+        .agg(count(lit(1)).as("n_picked"))
+        .filter(col("n_picked") >= cap)
+        .select("query_id", "grp")
+      val pick = cand
+        .join(selected.select("query_id", "id"),
+          Seq("query_id", "id"), "left_anti")
+        .join(full, Seq("query_id", "grp"), "left_anti")
+        .join(selVecs, Seq("query_id"))
+        .withColumn("sim",
+          dot(col("v"), col("sv")) / sqrt(col("nrm") * col("snrm")))
+        .groupBy("query_id", "id", "grp")
+        .agg(max("rel").as("rel"), max("sim").as("max_sim"))
+        .withColumn("score", lit(lambda) * col("rel")
+          - lit(1.0 - lambda) * col("max_sim"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("id"), col("grp"), col("score"),
+          lit(s).as("step"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+      s += 1
+    }
+    selected.select(col("query_id"), col("step"), col("id"), col("grp"),
+      round(col("score"), 6).as("mmr"))
+  }
+
   /** Score-calibrated convex fusion (weighted CombSUM, Fox & Shaw,
     * TREC-2): per (query, list) the scores min-max normalize to [0, 1]
     * — BM25 and cosine become comparable without a learned calibration

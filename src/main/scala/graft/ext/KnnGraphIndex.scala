@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The kNN GRAPH as a persisted, maintainable, searchable index — the
@@ -14,9 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `vectors` (vec_id, embedding) and `edges` (vec_id,
   * neighbor_id, cos, rank, gen — node vec_id's top-k as of commit
-  * generation `gen`), plus a one-row `meta` (k). A node DELETE is one
-  * scoped tombstone masking the id's rows in both relations — the
-  * family-standard path. A maintenance REWIRE never tombstones:
+  * generation `gen`), plus a one-row `meta` (k, hubs). A node DELETE
+  * is one scoped tombstone masking the id's rows in all relations —
+  * the family-standard path. A maintenance REWIRE never tombstones:
   * rewired nodes' new edge sets land with a HIGHER `gen` (commit
   * versions are strictly monotone under the writer lock) and reads
   * resolve each node to its max-gen edge set — last-writer-wins
@@ -27,18 +28,38 @@ import org.apache.spark.sql.functions._
   * so maintenance publishes exactly the delta (the delivery's vectors
   * + the changed nodes' new edge sets), never a graph rewrite.
   *
+  * Two SERVING relations ride every commit so the query window never
+  * recomputes an edge-wide aggregate (the round-11 weak mark):
+  * `degrees` — summable (vec_id, d) delta rows, d the node's
+  * directed-endpoint count (out-degree + in-degree over the stored
+  * edge list; out-degree is the constant k for full nodes, so ranking
+  * by this total ≡ ranking by reverse-kNN in-degree, the HNSW hub
+  * signal) — and `hubs` — the elected top-`hubCount` entry set
+  * (vec_id, deg, gen; reads take the max-gen set). Build/rewire/
+  * compact re-elect hubs over ALL live degrees (those ops are
+  * corpus-linear passes anyway); [[insert]] updates degrees by the
+  * commit's own edge delta and re-elects among {standing hubs ∪
+  * delta-touched nodes} only — delta-bounded, at the documented cost
+  * that a never-touched node just below the cut enters only at the
+  * next full election. Deletes mask a node's degree/hub rows by the
+  * same scoped tombstone; degrees of nodes that POINTED at it go
+  * stale until [[compact]] recomputes (entry election is a heuristic,
+  * staleness trades nothing but entry quality).
+  *
   * 100 TB shape: the steady-state maintenance tick is [[insert]] —
   * insert-by-search, compute ∝ |delivery| × walk + |delivery|² +
-  * |delivery| × k scorings, CORPUS-INDEPENDENT given the graph — with
+  * |delivery| × k scorings, CORPUS-INDEPENDENT given the graph (and
+  * the |delivery|² term is now GUARDED: an oversized delivery fails
+  * loudly — [[EmbeddingSearch.insertEdges]]) — with
   * [[rewire]]/[[append]]'s warm NN-Descent (n·k² per round,
   * corpus-linear) demoted to the periodic background quality pass that
   * restores the neighborhoods insertion never revisits. Published
   * bytes are delta-bounded on both paths: deliveries plus changed
-  * neighborhoods. Deletes are metadata-bounded tombstones; edges
-  * POINTING AT deleted nodes stay until [[compact]] scrubs them
-  * (searches drop them naturally — a candidate with no live vector
-  * scores nothing — at a bounded recall cost, the standard graph-index
-  * posture).
+  * neighborhoods (plus their bounded degree deltas). Deletes are
+  * metadata-bounded tombstones; edges POINTING AT deleted nodes stay
+  * until [[compact]] scrubs them (searches drop them naturally — a
+  * candidate with no live vector scores nothing — at a bounded recall
+  * cost, the standard graph-index posture).
   */
 object KnnGraphIndex {
 
@@ -69,12 +90,14 @@ object KnnGraphIndex {
     v
   }
 
-  private def readK(snap: IndexStore.Snapshot): Int =
+  private def readMeta(snap: IndexStore.Snapshot): (Int, Int) =
     IndexStore.cachedMeta(snap) {
-      snap.read("meta").getOrElse(
-        sys.error(s"no meta relation under ${snap.root}"))
-        .head().getAs[Int]("k")
+      val row = snap.read("meta").getOrElse(
+        sys.error(s"no meta relation under ${snap.root}")).head()
+      (row.getAs[Int]("k"), row.getAs[Int]("hubs"))
     }
+
+  private def readK(snap: IndexStore.Snapshot): Int = readMeta(snap)._1
 
   def liveVectors(snap: IndexStore.Snapshot): DataFrame =
     IndexStore.liveRows(snap, "vectors", key = "vec_id")
@@ -92,24 +115,89 @@ object KnnGraphIndex {
       .select("vec_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Per-node degree totals: the summable delta rows folded by sum —
+    * node-bounded, read only by maintenance-time hub elections (the
+    * SERVING path reads [[liveHubs]], never this).
+    */
+  def liveDegrees(snap: IndexStore.Snapshot): DataFrame =
+    IndexStore.liveRows(snap, "degrees", key = "vec_id")
+      .groupBy("vec_id").agg(sum("d").as("d"))
+
+  /** The elected hub entry set as of the latest election: live hub
+    * rows at the max generation. The ONLY relation hub serving reads —
+    * PlanShapeSpec pins that its plan never touches the edge list.
+    */
+  def liveHubs(snap: IndexStore.Snapshot): DataFrame = {
+    val hr = IndexStore.liveRows(snap, "hubs", key = "vec_id")
+    val mx = hr.agg(max("gen").as("__mxg"))
+    hr.join(broadcast(mx), col("gen") === col("__mxg"))
+      .select("vec_id", "deg")
+  }
+
+  /** The top-`entryPoints` persisted hubs as a walk entry frame
+    * (deg desc, id asc — the [[EmbeddingSearch.graphSearch]] hub
+    * ordering). Deleted hubs are already masked by their scoped
+    * tombstones, so the frame touches ONLY the hubs relation.
+    */
+  private[graft] def hubEntryFrame(snap: IndexStore.Snapshot,
+      entryPoints: Int): DataFrame =
+    liveHubs(snap).orderBy(col("deg").desc, col("vec_id").asc)
+      .limit(entryPoints).select(col("vec_id").as("node_id"))
+
+  /** Directed-endpoint degree contributions of an edge frame in stored
+    * (vec_id, neighbor_id) form: each edge adds 1 to both endpoints,
+    * scaled by `sign` (+1 for committed rows, −1 for replaced ones) —
+    * the summable-partials discipline applied to degrees, so
+    * maintenance never rescans the edge relation to keep them current.
+    */
+  private def degreeDelta(edges: DataFrame, sign: Int): DataFrame =
+    edges.select(col("vec_id"))
+      .unionByName(edges.select(col("neighbor_id").as("vec_id")))
+      .groupBy("vec_id").agg((count(lit(1)) * sign).as("d"))
+
+  /** Elect the top-`h` entry set from summed degree totals. */
+  private def electHubs(totals: DataFrame, h: Int, gen: Long): DataFrame =
+    totals.groupBy("vec_id").agg(sum("d").as("deg"))
+      .filter(col("deg") > 0)
+      .orderBy(col("deg").desc, col("vec_id").asc).limit(h)
+      .select(col("vec_id"), col("deg"), lit(gen).as("gen"))
+
   /** Cold build: full NN-Descent from the id-ring seed, published as
     * version 1. `k` is the stored INTERNAL degree — search quality
     * rises with it; rank-truncate at read time if a consumer wants a
-    * thinner graph.
+    * thinner graph. `hubCount` bounds the persisted entry set
+    * ([[liveHubs]]).
     */
   def build(embs: DataFrame, path: String, k: Int = 32,
-      iters: Int = 5): Long = {
+      iters: Int = 5, hubCount: Int = 64): Long =
+    buildFrom(embs, EmbeddingSearch.nnDescent(embs, k, iters), path, k,
+      hubCount)
+
+  /** Persist a PROVIDED graph (query_id, neighbor_id, cos, rank ≤ k)
+    * as version 1 — the admission path for graphs constructed outside
+    * the cold descent: blocked/cell-bounded builds at 100 TB, an exact
+    * graph for a small corpus, a graph imported from another engine.
+    * Degrees and the hub entry set derive from the committed edges —
+    * no extra scan.
+    */
+  def buildFrom(embs: DataFrame, graph: DataFrame, path: String,
+      k: Int, hubCount: Int = 64): Long = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val graph = EmbeddingSearch.nnDescent(embs, k, iters)
     IndexStore.withLock(spark, path) {
       val seg = IndexStore.newSegmentName()
-      Seq(k).toDF("k").coalesce(1).write.parquet(s"$path/$seg/meta")
+      Seq((k, hubCount)).toDF("k", "hubs").coalesce(1)
+        .write.parquet(s"$path/$seg/meta")
       embs.select(col("vec_id"), col("embedding"))
         .write.parquet(s"$path/$seg/vectors")
-      asStored(graph, gen = 1L).write.parquet(s"$path/$seg/edges")
+      val stored = asStored(graph, gen = 1L).localCheckpoint(true)
+      stored.write.parquet(s"$path/$seg/edges")
+      val deg = degreeDelta(stored, 1).localCheckpoint(true)
+      deg.write.parquet(s"$path/$seg/degrees")
+      electHubs(deg, hubCount, gen = 1L)
+        .write.parquet(s"$path/$seg/hubs")
       IndexStore.publishReplace(spark, path, seg,
-        Seq("meta", "vectors", "edges"), op = "build")
+        Seq("meta", "vectors", "edges", "degrees", "hubs"), op = "build")
     }
   }
 
@@ -123,15 +211,18 @@ object KnnGraphIndex {
     * the delivery's vectors plus the full new edge sets of every node
     * whose neighborhood CHANGED, stamped `gen = version + 1` so reads
     * supersede those nodes' older rows. Live edges after the commit ≡
-    * the descent's output graph, row for row.
+    * the descent's output graph, row for row. Degrees update by the
+    * changed nodes' old-vs-new edge delta; hubs re-elect FULLY (this
+    * op is corpus-linear anyway).
     */
   def append(spark: SparkSession, path: String, newEmbs: DataFrame,
       warmIters: Int = 2): Long =
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
-      val k = readK(snap)
+      val (k, hubCount) = readMeta(snap)
       val oldVec = liveVectors(snap)
-      val delivery = newEmbs.select(col("vec_id"), col("embedding"))
+      val delivery = newEmbs.dropDuplicates("vec_id")
+        .select(col("vec_id"), col("embedding"))
         .join(oldVec.select("vec_id"), Seq("vec_id"), "left_anti")
         .persist()
       try {
@@ -149,11 +240,21 @@ object KnnGraphIndex {
           // neighborhoods byte-identical, so the symmetric difference
           // is exactly the delta
           val changed = changedNodes(stored, oldEdges)
+          val newRows = stored.join(changed, Seq("vec_id"), "left_semi")
+            .localCheckpoint(true)
+          val oldRows = oldEdges.select(col("vec_id"), col("neighbor_id"))
+            .join(changed, Seq("vec_id"), "left_semi")
+          val deg = degreeDelta(newRows, 1)
+            .unionByName(degreeDelta(oldRows, -1)).localCheckpoint(true)
           val seg = IndexStore.newSegmentName()
           delivery.write.parquet(s"$path/$seg/vectors")
-          stored.join(changed, Seq("vec_id"), "left_semi")
-            .write.parquet(s"$path/$seg/edges")
-          publishStamped(spark, path, seg, Seq("vectors", "edges"), snap)
+          newRows.write.parquet(s"$path/$seg/edges")
+          deg.write.parquet(s"$path/$seg/degrees")
+          electHubs(liveDegrees(snap).unionByName(deg), hubCount,
+              gen = snap.version + 1)
+            .write.parquet(s"$path/$seg/hubs")
+          publishStamped(spark, path, seg,
+            Seq("vectors", "edges", "degrees", "hubs"), snap)
         }
       } finally { delivery.unpersist(); () }
     }
@@ -167,21 +268,28 @@ object KnnGraphIndex {
     * |delivery| × walk + |delivery|² + |delivery| × k scorings —
     * CORPUS-INDEPENDENT given the graph, where [[append]]'s warm
     * NN-Descent re-scores every node's neighbor-of-neighbor candidates
-    * (n·k² per round) even for a one-vector delivery. This is the
-    * steady-state feed path; [[rewire]] remains the periodic
-    * full-quality descent pass (insertion never revisits an old node
-    * nobody linked to). Publish discipline matches [[append]]: the
-    * delivery's vectors plus the CHANGED nodes' new edge sets under a
-    * fresh gen; live-presence idempotent, empty delta publishes
-    * nothing.
+    * (n·k² per round) even for a one-vector delivery. The |delivery|²
+    * term is enforced delta-sized: a delivery past `maxDelivery` fails
+    * loudly with a build-from-scratch message instead of silently
+    * going quadratic. This is the steady-state feed path; [[rewire]]
+    * remains the periodic full-quality descent pass (insertion never
+    * revisits an old node nobody linked to). Publish discipline
+    * matches [[append]]: the delivery's vectors plus the CHANGED
+    * nodes' new edge sets under a fresh gen, plus the bounded degree
+    * delta and a BOUNDED hub re-election ({standing hubs ∪
+    * delta-touched nodes} only — never a corpus aggregate, the tick
+    * stays corpus-independent); live-presence idempotent, empty delta
+    * publishes nothing.
     */
   def insert(spark: SparkSession, path: String, newEmbs: DataFrame,
-      beamWidth: Int = 16, hops: Int = 4, entryPoints: Int = 16): Long =
+      beamWidth: Int = 16, hops: Int = 4, entryPoints: Int = 16,
+      maxDelivery: Int = 4096): Long =
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
-      val k = readK(snap)
+      val (k, hubCount) = readMeta(snap)
       val oldVec = liveVectors(snap)
-      val delivery = newEmbs.select(col("vec_id"), col("embedding"))
+      val delivery = newEmbs.dropDuplicates("vec_id")
+        .select(col("vec_id"), col("embedding"))
         .join(oldVec.select("vec_id"), Seq("vec_id"), "left_anti")
         .persist()
       try {
@@ -190,7 +298,7 @@ object KnnGraphIndex {
           val oldEdges = liveEdges(snap).localCheckpoint(true)
           val (newEdges, mergedTouched) = EmbeddingSearch.insertEdges(
             oldVec, asGraph(oldEdges), delivery, k, beamWidth, hops,
-            entryPoints)
+            entryPoints, maxDelivery)
           // diff within the touched set only (delta × k rows a side) —
           // never a corpus-wide symmetric difference
           val touched = mergedTouched.select(col("query_id").as("vec_id"))
@@ -200,13 +308,36 @@ object KnnGraphIndex {
           val gen = snap.version + 1
           val changed = changedNodes(asStored(mergedTouched, gen),
             oldTouched)
+          val changedRows = asStored(mergedTouched, gen)
+            .join(changed, Seq("vec_id"), "left_semi")
+            .localCheckpoint(true)
+          val newRows = asStored(newEdges, gen).localCheckpoint(true)
+          val deg = degreeDelta(newRows, 1)
+            .unionByName(degreeDelta(changedRows, 1))
+            .unionByName(degreeDelta(
+              oldTouched.join(changed, Seq("vec_id"), "left_semi"), -1))
+            .localCheckpoint(true)
+          // BOUNDED hub re-election: only standing hubs and nodes whose
+          // degree this commit touched can change the elected set's
+          // membership order upward; a full election here would make
+          // the tick corpus-linear again. A node whose rank should rise
+          // because a hub FELL waits for the next full election
+          // (rewire/compact/append) — documented entry-set staleness.
+          val cands = liveHubs(snap).select("vec_id")
+            .unionByName(deg.select("vec_id")).distinct()
+          val standing = IndexStore.liveRows(snap, "degrees",
+              key = "vec_id")
+            .join(broadcast(cands), Seq("vec_id"), "left_semi")
+            .select(col("vec_id"), col("d"))
           val seg = IndexStore.newSegmentName()
           delivery.write.parquet(s"$path/$seg/vectors")
-          asStored(newEdges, gen)
-            .unionByName(asStored(mergedTouched, gen)
-              .join(changed, Seq("vec_id"), "left_semi"))
+          newRows.unionByName(changedRows)
             .write.parquet(s"$path/$seg/edges")
-          publishStamped(spark, path, seg, Seq("vectors", "edges"), snap)
+          deg.write.parquet(s"$path/$seg/degrees")
+          electHubs(standing.unionByName(deg), hubCount, gen)
+            .write.parquet(s"$path/$seg/hubs")
+          publishStamped(spark, path, seg,
+            Seq("vectors", "edges", "degrees", "hubs"), snap)
         }
       } finally { delivery.unpersist(); () }
     }
@@ -232,13 +363,13 @@ object KnnGraphIndex {
     * layout-only by contract, so degrees stay < k until someone
     * re-wires) and generally tightens neighborhoods. Publishes only
     * the changed nodes' new edge sets under a fresh gen (the
-    * [[append]] delta discipline); an unchanged graph publishes
-    * nothing.
+    * [[append]] delta discipline) plus their degree delta and a FULL
+    * hub re-election; an unchanged graph publishes nothing.
     */
   def rewire(spark: SparkSession, path: String, iters: Int = 1): Long =
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
-      val k = readK(snap)
+      val (k, hubCount) = readMeta(snap)
       val corpus = liveVectors(snap).select("vec_id", "embedding")
       val oldEdges = liveEdges(snap).localCheckpoint(true)
       val stored = asStored(EmbeddingSearch.nnDescentFrom(corpus,
@@ -247,18 +378,30 @@ object KnnGraphIndex {
       val changed = changedNodes(stored, oldEdges)
       if (changed.isEmpty) snap.version
       else {
+        val newRows = stored.join(changed, Seq("vec_id"), "left_semi")
+          .localCheckpoint(true)
+        val oldRows = oldEdges.select(col("vec_id"), col("neighbor_id"))
+          .join(changed, Seq("vec_id"), "left_semi")
+        val deg = degreeDelta(newRows, 1)
+          .unionByName(degreeDelta(oldRows, -1)).localCheckpoint(true)
         val seg = IndexStore.newSegmentName()
-        stored.join(changed, Seq("vec_id"), "left_semi")
-          .write.parquet(s"$path/$seg/edges")
-        publishStamped(spark, path, seg, Seq("edges"), snap)
+        newRows.write.parquet(s"$path/$seg/edges")
+        deg.write.parquet(s"$path/$seg/degrees")
+        electHubs(liveDegrees(snap).unionByName(deg), hubCount,
+            gen = snap.version + 1)
+          .write.parquet(s"$path/$seg/hubs")
+        publishStamped(spark, path, seg,
+          Seq("edges", "degrees", "hubs"), snap)
       }
     }
 
-  /** Retract nodes: one scoped tombstone masks the ids' rows in BOTH
-    * relations (vector gone, own edge list gone). Idempotent — only
-    * currently-live ids tombstone. Edges of OTHER nodes pointing at
-    * the deleted ids stay until [[compact]]; searches drop them via
-    * the live-vector score join.
+  /** Retract nodes: one scoped tombstone masks the ids' rows in ALL
+    * relations (vector gone, own edge list gone, own degree rows and
+    * hub membership gone). Idempotent — only currently-live ids
+    * tombstone. Edges of OTHER nodes pointing at the deleted ids stay
+    * until [[compact]]; searches drop them via the live-vector score
+    * join, and those nodes' stored degrees overstate until compaction
+    * recomputes (entry-election staleness only).
     */
   def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
       idCol: Column): Unit = IndexStore.withLock(spark, path) {
@@ -273,7 +416,8 @@ object KnnGraphIndex {
       val seg = IndexStore.newSegmentName()
       eff.coalesce(1).write.parquet(s"$path/$seg/tombstones")
       IndexStore.writeScope(spark, path, seg,
-        (snap.segments("vectors") ++ snap.segments("edges")).distinct)
+        (snap.segments("vectors") ++ snap.segments("edges") ++
+          snap.segments("degrees") ++ snap.segments("hubs")).distinct)
       IndexStore.publishAppend(spark, path, seg,
         Seq("tombstones", "tombstone_scope"), op = "delete")
       ()
@@ -283,17 +427,17 @@ object KnnGraphIndex {
   /** Apply tombstones physically and scrub dangling references: live
     * vectors and live edges rewrite into one segment, edges keep only
     * rows whose NEIGHBOR is still a live vector (the dead references
-    * deletes leave behind). Node degrees may drop below k until the
-    * next [[append]] re-wires them — compaction is a layout + scrub
+    * deletes leave behind). Degrees recompute from the scrubbed edges
+    * (folding every delta and clearing delete-staleness) and hubs
+    * re-elect fully. Node degrees may drop below k until the next
+    * [[append]] re-wires them — compaction is a layout + scrub
     * pass, never a re-train (the family contract).
     */
   def compact(spark: SparkSession, path: String,
       retainVersions: Int = 2): Long =
     IndexStore.withLock(spark, path) {
-      val spark0 = spark
-      import spark0.implicits._
       val snap = IndexStore.snapshot(spark, path)
-      val k = readK(snap)
+      val (_, hubCount) = readMeta(snap)
       val vecs = liveVectors(snap).persist()
       try {
         val edges = liveEdges(snap)
@@ -301,12 +445,18 @@ object KnnGraphIndex {
             Seq("neighbor_id"), "left_semi")
           .select(col("vec_id"), col("neighbor_id"), col("cos"),
             col("rank"), lit(snap.version + 1).as("gen"))
+          .localCheckpoint(true)
         val seg = IndexStore.newSegmentName()
-        Seq(k).toDF("k").coalesce(1).write.parquet(s"$path/$seg/meta")
+        snap.read("meta").get.coalesce(1).write.parquet(s"$path/$seg/meta")
         vecs.write.parquet(s"$path/$seg/vectors")
         edges.write.parquet(s"$path/$seg/edges")
+        val deg = degreeDelta(edges, 1).localCheckpoint(true)
+        deg.write.parquet(s"$path/$seg/degrees")
+        electHubs(deg, hubCount, gen = snap.version + 1)
+          .write.parquet(s"$path/$seg/hubs")
         val v = IndexStore.publishReplace(spark, path, seg,
-          Seq("meta", "vectors", "edges"), retainVersions, op = "compact")
+          Seq("meta", "vectors", "edges", "degrees", "hubs"),
+          retainVersions, op = "compact")
         require(v == snap.version + 1,
           s"graph compact landed as version $v, rows stamped gen " +
             s"${snap.version + 1} under $path")
@@ -324,12 +474,19 @@ object KnnGraphIndex {
   /** Serve external queries by beam descent over the live graph —
     * [[EmbeddingSearch.graphSearch]] with this index's live vectors
     * and edges. Lookup semantics (nothing self-excluded).
+    * `hubEntries = true` starts the walk from the PERSISTED hub entry
+    * set ([[liveHubs]], maintained at commit time) — unlike the
+    * bare-edge-list path, no degree aggregate runs in the query
+    * window. `where` serves the filtered-ANN contract
+    * ([[EmbeddingSearch.graphSearchWhere]]'s over-fetch + post-filter
+    * shape) against the live corpus.
     */
   def search(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, beamWidth: Int = 16, hops: Int = 4,
-      entryPoints: Int = 16): DataFrame =
+      entryPoints: Int = 16, hubEntries: Boolean = false,
+      where: Option[Column] = None, overFetch: Int = 4): DataFrame =
     searchSnap(IndexStore.snapshot(spark, path), queries, k,
-      beamWidth, hops, entryPoints)
+      beamWidth, hops, entryPoints, hubEntries, where, overFetch)
 
   /** [[search]] against a RETAINED version — the time-travel/lineage
     * reader every family exposes (hold [[IndexStore.withLease]] to
@@ -337,12 +494,63 @@ object KnnGraphIndex {
     */
   def searchAt(spark: SparkSession, path: String, version: Long,
       queries: DataFrame, k: Int, beamWidth: Int = 16, hops: Int = 4,
-      entryPoints: Int = 16): DataFrame =
+      entryPoints: Int = 16, hubEntries: Boolean = false,
+      where: Option[Column] = None, overFetch: Int = 4): DataFrame =
     searchSnap(IndexStore.snapshotAt(spark, path, version), queries, k,
-      beamWidth, hops, entryPoints)
+      beamWidth, hops, entryPoints, hubEntries, where, overFetch)
+
+  /** PRECEDENCE-AWARE FEDERATED graph search across saved indexes —
+    * the serving twin of [[BinaryIndex.searchFederatedVectors]] for
+    * the graph family (a corrections overlay over a production graph
+    * index finally has a search path, not just a read path): `roots`
+    * ordered highest-precedence first; every root's walk over-fetches
+    * k×overFetch from its OWN live graph, a hit from root i is
+    * disqualified iff any higher root has the id LIVE (the
+    * authoritative — possibly amended — version lives there), and a
+    * retracted overlay id cedes back. The fuse is CALIBRATED: every
+    * root scores raw cosines against its own vectors, so the fused
+    * re-rank (rounded cos desc, id asc) is meaningful. The precedence
+    * probe tests only result ids against higher roots' live vectors
+    * (Bloom-pruned segment reads) — bounded, never a corpus read.
+    */
+  def searchFederatedVectors(spark: SparkSession, roots: Seq[String],
+      queries: DataFrame, k: Int, beamWidth: Int = 16, hops: Int = 4,
+      entryPoints: Int = 16, overFetch: Int = 4): DataFrame = {
+    require(roots.nonEmpty, "searchFederatedVectors needs ≥ 1 root")
+    val perRoot = roots.zipWithIndex.map { case (path, i) =>
+      val hits = search(spark, path, queries, k * overFetch, beamWidth,
+        hops, entryPoints)
+      (0 until i).foldLeft(hits) { (acc, j) =>
+        val snapJ = IndexStore.snapshot(spark, roots(j))
+        val liveJ = IndexStore.liveRowsAmong(snapJ, "vectors", "vec_id",
+            acc.select(col("neighbor_id").as("vec_id")))
+          .select(col("vec_id").as("neighbor_id")).distinct()
+        acc.join(liveJ, Seq("neighbor_id"), "left_anti")
+      }
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    perRoot.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
 
   private def searchSnap(snap: IndexStore.Snapshot, queries: DataFrame,
-      k: Int, beamWidth: Int, hops: Int, entryPoints: Int): DataFrame =
-    EmbeddingSearch.graphSearch(liveVectors(snap), asGraph(liveEdges(snap)),
-      queries, k, beamWidth, hops, entryPoints)
+      k: Int, beamWidth: Int, hops: Int, entryPoints: Int,
+      hubEntries: Boolean = false, where: Option[Column] = None,
+      overFetch: Int = 4): DataFrame = {
+    val vecs = liveVectors(snap)
+    val graph = asGraph(liveEdges(snap))
+    val entries =
+      if (hubEntries) Some(hubEntryFrame(snap, entryPoints)) else None
+    where match {
+      case None =>
+        EmbeddingSearch.graphSearch(vecs, graph, queries, k, beamWidth,
+          hops, entryPoints, hubEntries = false, entries)
+      case Some(pred) =>
+        EmbeddingSearch.graphSearchWhere(vecs, graph, queries, pred, k,
+          beamWidth, hops, entryPoints, overFetch, entries)
+    }
+  }
 }
