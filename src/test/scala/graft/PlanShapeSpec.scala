@@ -354,4 +354,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("persisted hub entry election reads ONLY the hubs relation — " +
+      "no edge scan, no degree aggregate in the serving window") {
+    import spark.implicits._
+    val embs = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 10f else 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val path = Gate.tmpDir("spec_hubplan_")
+    ext.KnnGraphIndex.buildFrom(embs,
+      ext.EmbeddingSearch.knnGraph(embs, 2), path, k = 2)
+    val snap = ext.IndexStore.snapshot(spark, path)
+    val p = ext.KnnGraphIndex.hubEntryFrame(snap, 4)
+      .queryExecution.executedPlan.toString
+    // every scan reads the hubs schema (vec_id, deg, gen) — the edge
+    // relation (neighbor_id, cos, rank) is never touched (file paths
+    // are truncated in plan dumps, so pin the ReadSchema instead)
+    assert(p.contains("deg:bigint"), p)
+    assert(!p.contains("neighbor_id"), p)
+    // the degree is READ from the elected relation, never recomputed:
+    // no count aggregate anywhere in the serving-entry plan (the only
+    // aggregate is the max-gen election read over the tiny hub rows)
+    assert(!p.contains("count("), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
 }

@@ -114,4 +114,76 @@ class EvalSpec extends SparkSpec {
       .as[(Long, Int)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 7), (2L, 7), (3L, 8)))
   }
+
+  test("knnClassify: a node whose neighbors all lack labels predicts " +
+      "NULL instead of vanishing") {
+    val graph = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),
+      (2L, 98L, 1), (2L, 99L, 2) // 98/99 have no label rows
+    ).toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq((10L, 7), (11L, 7)).toDF("id", "label")
+    val got = GraphOps.knnClassify(graph, labels, k = 3)
+      .as[(Long, Option[Int])].collect().sortBy(_._1).toSeq
+    // coverage is visible: node 2 is present with no prediction
+    assert(got == Seq((1L, Some(7)), (2L, None)))
+  }
+
+  test("rank hit partials from disjoint batches merge into the " +
+      "one-shot metrics (sum/min/sum law)") {
+    val results = Seq((1L, 13L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 11L, 2))
+      .toDF("query_id", "id", "rank")
+    val qrels = Seq((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1),
+      (2L, 10L, 2), (2L, 12L, 1))
+      .toDF("query_id", "id", "rel")
+    val b1 = results.filter($"rank" <= 1)
+    val b2 = results.filter($"rank" > 1)
+    val merged = Eval.rankMetricsFrom(
+      Eval.rankHitsMerge(Seq(Eval.rankHits(b1, qrels),
+        Eval.rankHits(b2, qrels))), qrels)
+    val oneShot = Eval.rankMetrics(results, qrels)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    assert(key(merged) == key(oneShot))
+  }
+
+  test("rankMetrics: duplicate result rows collapse to their best " +
+      "rank — recall cannot exceed 1") {
+    val dup = Seq((1L, 10L, 1), (1L, 10L, 3), (1L, 11L, 2))
+      .toDF("query_id", "id", "rank")
+    val clean = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("query_id", "id", "rank")
+    val qrels = Seq((1L, 10L, 2), (1L, 11L, 1))
+      .toDF("query_id", "id", "rel")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    val got = key(Eval.rankMetrics(dup, qrels))
+    assert(got == key(Eval.rankMetrics(clean, qrels)))
+    assert(got.forall(_._4 <= 1.0))
+  }
+
+  test("classifier count partials from disjoint batches merge into " +
+      "the one-shot metrics") {
+    val scored = Seq(("a", "a"), ("a", "a"), ("b", "a"), ("b", "b"),
+      ("c", "b"), ("a", "c")).toDF("label", "predicted")
+      .withColumn("part",
+        org.apache.spark.sql.functions.monotonically_increasing_id() % 2)
+    val parts = Seq(0, 1).map(p =>
+      Eval.classifierCounts(scored.filter($"part" === p)))
+    val merged = Eval.classifierMetricsFrom(
+      Eval.classifierCountsMerge(parts))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(String, Long, Long, Long, Double, Double, Double)]
+        .collect().toSet
+    assert(key(merged) == key(Eval.classifierMetrics(scored)))
+  }
+
+  test("clusteringMetrics fails loudly on disjoint id spaces") {
+    val assign = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    val truth = Seq((8L, "a"), (9L, "a")).toDF("id", "label")
+    val e = intercept[IllegalArgumentException] {
+      Eval.clusteringMetrics(assign, truth).collect()
+    }
+    assert(e.getMessage.contains("id spaces"))
+  }
 }

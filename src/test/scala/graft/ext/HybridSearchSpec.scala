@@ -114,4 +114,51 @@ class HybridSearchSpec extends SparkSpec {
     assert(out.map(r => (r._3, r._5)).toSeq ==
       Seq((10L, 0.5), (11L, 0.5), (12L, 0.0)))
   }
+
+  private def cappedFixture = {
+    // two groups: {10, 11} near-duplicates on one axis (group "x"),
+    // {12, 13} on the other (group "y"); relevance favors group x
+    val embs = Seq(
+      (10L, Array(1.0, 0.0, 0.1, 0.0)),
+      (11L, Array(0.98, 0.05, 0.1, 0.0)),
+      (12L, Array(0.0, 1.0, 0.0, 0.1)),
+      (13L, Array(0.05, 0.98, 0.0, 0.1)))
+      .toDF("vec_id", "embedding")
+    val cand = Seq((1L, 10L, 0.95), (1L, 11L, 0.94), (1L, 12L, 0.6),
+      (1L, 13L, 0.59)).toDF("query_id", "id", "rel")
+    val groups = Seq((10L, "x"), (11L, "x"), (12L, "y"), (13L, "y"))
+      .toDF("id", "grp")
+    (embs, cand, groups)
+  }
+
+  test("mmrCapped: cap=1 admits at most one pick per group and stops " +
+      "early when every group is exhausted") {
+    val (embs, cand, groups) = cappedFixture
+    val got = HybridSearch.mmrCapped(cand, embs, groups, k = 4, cap = 1)
+      .as[(Long, Int, Long, String, Double)].collect().sortBy(_._2)
+    // only 2 groups → only 2 picks despite k=4 (no padding)
+    assert(got.length == 2)
+    assert(got.map(_._4).toSet == Set("x", "y"))
+    assert(got.head._3 == 10L) // step 1 is still the max-rel pick
+  }
+
+  test("mmrCapped with a non-binding cap equals mmr") {
+    val (embs, cand, groups) = cappedFixture
+    val capped = HybridSearch
+      .mmrCapped(cand, embs, groups, k = 4, cap = 4)
+      .select("query_id", "step", "id", "mmr")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val plain = HybridSearch.mmr(cand, embs, k = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(capped == plain)
+  }
+
+  test("mmrCapped fails loudly on a candidate with no group row") {
+    val (embs, cand, groups) = cappedFixture
+    val e = intercept[IllegalArgumentException] {
+      HybridSearch.mmrCapped(cand, embs,
+        groups.filter($"id" =!= 12L), k = 2)
+    }
+    assert(e.getMessage.contains("missing"))
+  }
 }

@@ -265,4 +265,148 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(!got.contains(100L))
     assert(got.nonEmpty && got.forall(_ % 2 == 0)) // its true cluster, pre-delivery
   }
+
+  test("an oversized delivery fails loudly with a build-from-scratch " +
+      "message instead of going quadratic") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val bulk = (200 until 210).map(i =>
+      (i.toLong, Array(10f, 0f, i * 0.01f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraphIndex.insert(spark, path, bulk, maxDelivery = 4)
+    }
+    assert(e.getMessage.contains("build from scratch"))
+    // and the guarded delivery admits fine when the cap allows it
+    assert(KnnGraphIndex.insert(spark, path, bulk, maxDelivery = 16) >= 2L)
+  }
+
+  /** Recompute directed-endpoint degrees from the live edges — the
+    * invariant the summable degree deltas must maintain.
+    */
+  private def degreesFromEdges(path: String): Set[(Long, Long)] = {
+    val edges = KnnGraphIndex.liveEdges(IndexStore.snapshot(spark, path))
+    edges.select(col("vec_id"))
+      .unionByName(edges.select(col("neighbor_id").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("degree deltas stay consistent with the live edges through " +
+      "build, insert, append, and rewire") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    def liveDeg = KnnGraphIndex
+      .liveDegrees(IndexStore.snapshot(spark, path))
+      .as[(Long, Long)].collect().toSet
+    assert(liveDeg === degreesFromEdges(path))
+    KnnGraphIndex.insert(spark, path,
+      Seq((100L, Array(10f, 0f, 0.5f))).toDF("vec_id", "embedding"))
+    assert(liveDeg === degreesFromEdges(path))
+    KnnGraphIndex.append(spark, path,
+      Seq((101L, Array(0f, 10f, 0.5f))).toDF("vec_id", "embedding"),
+      warmIters = 2)
+    assert(liveDeg === degreesFromEdges(path))
+    KnnGraphIndex.rewire(spark, path, iters = 1)
+    assert(liveDeg === degreesFromEdges(path))
+  }
+
+  test("hubs re-elect at maintenance time and a deleted hub leaves " +
+      "the persisted entry set") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val snap0 = IndexStore.snapshot(spark, path)
+    val hubs0 = KnnGraphIndex.liveHubs(snap0)
+      .as[(Long, Long)].collect().toMap
+    // the elected set ≡ a full election over the degree totals
+    val want = KnnGraphIndex.liveDegrees(snap0)
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, d) => (-d, id) }.take(64).toMap
+    assert(hubs0 === want)
+    val victim = hubs0.keys.min
+    KnnGraphIndex.deleteVecs(spark, path,
+      Seq(victim).toDF("vec_id"), col("vec_id"))
+    val hubs1 = KnnGraphIndex
+      .liveHubs(IndexStore.snapshot(spark, path))
+      .as[(Long, Long)].collect().toMap
+    assert(!hubs1.contains(victim))
+  }
+
+  test("persisted hub serving answers from the hubs relation — " +
+      "hub-and-spokes geometry reached at hops=1") {
+    // the EmbeddingSearchSpec hub law, replayed through the PERSISTED
+    // entry set: 19 spokes share a dominant axis plus a private
+    // orthogonal component, the center (id 19) sits on the axis —
+    // every spoke's nearest neighbor is the center, so the center's
+    // reverse-kNN in-degree is ~n and the degree-elected entry IS the
+    // hub, while the smallest-id entry sits at the graph's edge.
+    val dim = 21
+    val rows = (0 until 19).map { i =>
+      val a = 2.0f - 0.01f * i
+      (i.toLong, Array.tabulate(dim)(j =>
+        if (j == 0) 10f else if (j == i + 1) a else 0f))
+    } :+ ((19L, Array.tabulate(dim)(j => if (j == 0) 10f else 0f)))
+    val hubEmbs = rows.toDF("vec_id", "embedding")
+    val graph = EmbeddingSearch.knnGraph(hubEmbs, 2)
+    val path = dir()
+    KnnGraphIndex.buildFrom(hubEmbs, graph, path, k = 2)
+    val query = hubEmbs.filter(col("vec_id") === 5L)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    def top1(hub: Boolean): Long =
+      KnnGraphIndex.search(spark, path, query, k = 1, beamWidth = 4,
+          hops = 1, entryPoints = 1, hubEntries = hub)
+        .select("neighbor_id").as[Long].head()
+    assert(top1(hub = true) === 5L) // hub entry reaches in one hop
+    assert(top1(hub = false) !== 5L) // smallest-id entry does not
+  }
+
+  test("persisted filtered serving matches graphSearchWhere over the " +
+      "same graph") {
+    val path = dir()
+    val graph = EmbeddingSearch.knnGraph(clustered, 3)
+    KnnGraphIndex.buildFrom(clustered, graph, path, k = 3)
+    val queries = clustered.filter(col("vec_id") < 4)
+    val pred = col("vec_id") % 2 === 1
+    val got = KnnGraphIndex.search(spark, path, queries, k = 2,
+        beamWidth = 6, hops = 4, entryPoints = 2, where = Some(pred))
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = EmbeddingSearch.graphSearchWhere(clustered, graph,
+        queries, pred, k = 2, beamWidth = 6, hops = 4, entryPoints = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.forall(_._3 % 2 == 1))
+  }
+
+  test("federated graph search: overlay wins, delete cedes back to " +
+      "production") {
+    val overlay = dir()
+    val prod = dir()
+    // production: the clustered corpus; overlay: node 0 re-delivered
+    // AMENDED (flipped to cluster B) — a federated query at node 0's
+    // ORIGINAL vector must resolve node 0 through the overlay (where
+    // it now sits in cluster B, scoring low), so production's node 0
+    // may NOT answer even though it matches exactly
+    val amended = Seq((0L, Array(0f, 10f, 0f)))
+      .toDF("vec_id", "embedding")
+    KnnGraphIndex.build(amended, overlay, k = 1, iters = 1)
+    KnnGraphIndex.build(clustered, prod, k = 3, iters = 3)
+    val query = Seq((1000L, Array(10f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = KnnGraphIndex.searchFederatedVectors(spark,
+        Seq(overlay, prod), query, k = 3, beamWidth = 6, hops = 4,
+        entryPoints = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(0L)) // overlay owns id 0; its amended vector scores low
+    assert(got.nonEmpty && got.forall(_ % 2 == 0))
+    // retract the amendment: id 0 cedes back to production and, being
+    // the query's exact match there, answers at rank 1
+    KnnGraphIndex.deleteVecs(spark, overlay, Seq(0L).toDF("vec_id"),
+      col("vec_id"))
+    val after = KnnGraphIndex.searchFederatedVectors(spark,
+        Seq(overlay, prod), query, k = 3, beamWidth = 6, hops = 4,
+        entryPoints = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(after(1) === 0L)
+  }
 }
