@@ -330,7 +330,16 @@ object Bench {
     // probe twins + binary lifecycle: heavy ALSO so they schedule after
     // q_nn_descent (first among heavy), which prices the shared descent
     // memo their windows read
-    "q_graph_serve", "q_graph_insert_tick", "q_binary_persist")
+    "q_graph_serve", "q_graph_insert_tick", "q_binary_persist",
+    // round 12: federated graph search (two in-window all-pairs graph
+    // builds by design — the oracle must rebuild the same graphs), the
+    // persisted hub/filtered serving gates (index build from the shared
+    // exact graph inside the window; heavy also so they schedule after
+    // q_knn_graph prices that memo — alphabetically they'd precede it
+    // among the light gates), and the insert-maintained hub lifecycle
+    // (reads the shared descent memo → must follow q_nn_descent)
+    "q_graph_federate", "q_graph_hub_persist_exact",
+    "q_graph_filtered_persist", "q_graph_hub_persist")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -370,16 +379,20 @@ object Bench {
     "q_quality_rules", "q_bpe_large", "q_k_anonymity",
     // round 10: graph serving, unigram training, CDC-driven
     // maintenance, streaming graph maintenance
-    "q_search_graph", "q_unigram_train", "q_unigram_em",
+    "q_search_graph", "q_unigram_train",
     "q_cdc_maintain_graph",
-    "q_stream_knn", "q_binary_topk", "q_store_federate",
+    "q_stream_knn", "q_binary_topk",
     "q_graph_rewire",
-    // round 11: delta-bounded insertion + its exact replay + flat-tick
-    // probes, value-checked walk replay, persisted binary codes,
-    // federated search ×2, incremental label prop, streamed
-    // persisted-graph maintenance
-    "q_graph_insert", "q_search_graph_exact", "q_graph_insert_exact",
-    "q_binary_persist", "q_search_federate", "q_ann_federate",
-    "q_label_prop_inc", "q_stream_graph_index", "q_graph_serve",
-    "q_graph_insert_tick")
+    // round 11: delta-bounded insertion, flat-tick probes, federated
+    // search, streamed persisted-graph maintenance (the exact-replay
+    // twins, q_unigram_em, q_store_federate, q_binary_persist,
+    // q_ann_federate, q_label_prop_inc were trimmed r12 for the 2 KB
+    // stdout budget — BENCH_FULL.json always carries every gate)
+    "q_graph_insert", "q_search_federate",
+    "q_stream_graph_index", "q_graph_serve",
+    "q_graph_insert_tick",
+    // round 12: federated graph serving, persisted hub lifecycle,
+    // trained-family exact twin, group-capped MMR, incremental eval
+    "q_graph_federate", "q_graph_hub_persist", "q_ivf_topk_exact",
+    "q_mmr_capped", "q_class_eval_inc")
 }

@@ -4192,6 +4192,97 @@ object ExtQueries {
        |FROM c5 ORDER BY query_id, step""".stripMargin
   }
 
+  /** Group-capped MMR ([[graft.ext.HybridSearch.mmrCapped]]): the
+    * q_mmr_rerank fixture diversified under a per-group cap of 1 —
+    * each embedding's label is its group (source domain / dedup
+    * cluster stand-in), so no two picks per query may share a label.
+    * The oracle unrolls every greedy step like q_mmr_rerank's and adds
+    * the cap predicate to each election (a candidate whose group
+    * already holds a pick is excluded via NOT EXISTS over the picked
+    * set) — the per-source-cap RAG-assembly discipline value-checked
+    * step by step. Same cross-engine traps pinned (::DOUBLE constants,
+    * raw rel into the arithmetic, rounding only at output).
+    */
+  private def mmrCapped(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val e = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", EmbeddingSearch.dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        EmbeddingSearch.dot(col("qv"), col("v"))
+          / sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("vec_id").as("id"),
+        col("cos").as("rel"))
+    val groups = embs.select(col("vec_id").as("id"),
+      col("label").as("grp"))
+    graft.ext.HybridSearch.mmrCapped(cand, embs, groups, k = 5,
+        lambda = 0.7, cap = 1)
+      .orderBy("query_id", "step")
+  }
+
+  private val mmrCappedSql = {
+    def step(prev: Int, cur: Int): String =
+      s"""ms$cur AS (SELECT r.query_id, r.id, r.grp, max(r.rel) AS rel,
+         |  max(list_dot_product(r.v, sv.v)
+         |    / sqrt(list_dot_product(r.v, r.v)
+         |           * list_dot_product(sv.v, sv.v))) AS msim
+         |  FROM cvg r JOIN (SELECT c.query_id, c.id, v.v
+         |                  FROM c$prev c JOIN e v ON v.vec_id = c.id) sv
+         |    ON sv.query_id = r.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM c$prev x
+         |    WHERE x.query_id = r.query_id AND x.id = r.id)
+         |    AND NOT EXISTS (SELECT 1 FROM c$prev x2
+         |    WHERE x2.query_id = r.query_id AND x2.grp = r.grp)
+         |  GROUP BY 1, 2, 3),
+         |sel$cur AS (SELECT query_id, id, grp, score, $cur AS step FROM (
+         |  SELECT query_id, id, grp,
+         |    0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * msim AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * msim DESC, id) AS rn
+         |  FROM ms$cur) WHERE rn = 1),
+         |c$cur AS (SELECT * FROM c$prev UNION ALL
+         |          SELECT * FROM sel$cur)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |qd AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id < 8),
+       |p AS (SELECT query_id, vec_id,
+       |        list_dot_product(qv, v)
+       |          / sqrt(list_dot_product(qv, qv)
+       |                 * list_dot_product(v, v)) AS cos
+       |      FROM qd JOIN e ON vec_id <> query_id),
+       |cand AS (SELECT query_id, vec_id AS id, cos AS rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank FROM p)
+       |  WHERE rank <= 20),
+       |cvg AS MATERIALIZED (SELECT c.query_id, c.id, c.rel, e.v, g.grp
+       |  FROM cand c JOIN e ON e.vec_id = c.id
+       |  JOIN (SELECT vec_id AS gid, label AS grp FROM embeddings) g
+       |    ON g.gid = c.id),
+       |sel1 AS (SELECT query_id, id, grp, score, 1 AS step FROM (
+       |  SELECT query_id, id, grp, 0.7::DOUBLE * rel AS score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY 0.7::DOUBLE * rel DESC, id) AS rn
+       |  FROM cvg) WHERE rn = 1),
+       |c1 AS (SELECT * FROM sel1),
+       |${step(1, 2)},
+       |${step(2, 3)},
+       |${step(3, 4)},
+       |${step(4, 5)}
+       |SELECT query_id, CAST(step AS INTEGER) AS step, id, grp,
+       |       round(score, 6) AS mmr
+       |FROM c5 ORDER BY query_id, step""".stripMargin
+  }
+
   private val hybridRrfSql =
     """WITH tok AS (SELECT doc_id AS id,
       |               regexp_split_to_array(lower(trim(text)), '\s+')
@@ -4713,6 +4804,7 @@ object ExtQueries {
     Gate("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Gate("q_hybrid_weighted", hybridWeighted, Some(hybridWeightedSql)),
     Gate("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    Gate("q_mmr_capped", mmrCapped, Some(mmrCappedSql)),
     Gate("q_phrase_search", phraseSearch, Some(phraseSearchSql)),
     Gate("q_phrase_persist", phrasePersist, Some(phraseSearchSql)),
     Gate("q_proximity", proximity, Some(proximitySql)),

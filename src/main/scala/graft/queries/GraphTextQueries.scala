@@ -365,33 +365,36 @@ object GraphTextQueries {
     * expand through `und`, score only newly reached nodes → `s<cur>`.
     * Expects CTEs `e` (vec_id, v), `q` (query_id, qv), `und`
     * (src, dst) in scope — shared by the q_search_graph_exact and
-    * q_graph_insert_exact oracles.
+    * q_graph_insert_exact oracles. `sfx` namespaces every CTE (state,
+    * corpus, edge list — the query CTE `q` stays shared) so one oracle
+    * can replay several roots' walks side by side (q_graph_federate).
     */
-  private def walkHop(prev: Int, cur: Int, beam: Int): String =
-    s"""f$cur AS MATERIALIZED (SELECT query_id, node_id FROM (
+  private def walkHop(prev: Int, cur: Int, beam: Int,
+      sfx: String = ""): String =
+    s"""f$sfx$cur AS MATERIALIZED (SELECT query_id, node_id FROM (
        |  SELECT query_id, node_id,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, node_id) AS rn
-       |  FROM s$prev WHERE NOT expanded) WHERE rn <= $beam),
-       |n$cur AS MATERIALIZED (
+       |  FROM s$sfx$prev WHERE NOT expanded) WHERE rn <= $beam),
+       |n$sfx$cur AS MATERIALIZED (
        |  SELECT DISTINCT f.query_id, u.dst AS node_id
-       |  FROM f$cur f JOIN und u ON u.src = f.node_id
-       |  WHERE NOT EXISTS (SELECT 1 FROM s$prev s
+       |  FROM f$sfx$cur f JOIN und$sfx u ON u.src = f.node_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM s$sfx$prev s
        |    WHERE s.query_id = f.query_id AND s.node_id = u.dst)),
-       |s$cur AS MATERIALIZED (
+       |s$sfx$cur AS MATERIALIZED (
        |  SELECT s.query_id, s.node_id, s.cos,
-       |    s.expanded OR EXISTS (SELECT 1 FROM f$cur f
+       |    s.expanded OR EXISTS (SELECT 1 FROM f$sfx$cur f
        |      WHERE f.query_id = s.query_id AND f.node_id = s.node_id)
        |      AS expanded
-       |  FROM s$prev s
+       |  FROM s$sfx$prev s
        |  UNION ALL
        |  SELECT n.query_id, n.node_id,
        |    list_dot_product(q.qv, e.v)
        |      / sqrt(list_dot_product(q.qv, q.qv)
        |             * list_dot_product(e.v, e.v)) AS cos,
        |    false AS expanded
-       |  FROM n$cur n JOIN q ON q.query_id = n.query_id
-       |  JOIN e ON e.vec_id = n.node_id)""".stripMargin
+       |  FROM n$sfx$cur n JOIN q ON q.query_id = n.query_id
+       |  JOIN e$sfx e ON e.vec_id = n.node_id)""".stripMargin
 
   private val searchGraphExactSql = {
     def hop(prev: Int, cur: Int): String = walkHop(prev, cur, 4)
@@ -1135,6 +1138,316 @@ object GraphTextQueries {
        |          ORDER BY cos DESC, node_id) AS rank
        |      FROM wide WHERE node_id % 3 = 0)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- PERSISTED hub/filtered serving, value-checked + floor ----
+
+  /** [[graft.ext.KnnGraphIndex]] hub serving VALUE-CHECKED: the index
+    * is built from the exact kNN graph ([[graft.ext.KnnGraphIndex
+    * .buildFrom]] — the admission path for externally-constructed
+    * graphs), which freezes the `degrees` relation (directed endpoint
+    * counts over the committed edges — out-degree is the constant k
+    * for full nodes, so the ranking ≡ reverse-kNN in-degree, the HNSW
+    * hub signal) and elects the `hubs` relation at COMMIT time. The
+    * serve then reads entries from the persisted hubs — no edge-wide
+    * aggregate in the query window (PlanShapeSpec pins the plan) —
+    * and the oracle replays the degree accounting, the election
+    * (deg desc, id asc, top-4), and every downstream hop of the walk:
+    * the q_search_graph_hub_exact discipline moved onto the persisted
+    * relations the 100 TB deployment would actually serve from.
+    */
+  private def graphHubPersistExact(s: SparkSession,
+      d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gate_ghpx_")
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    graft.ext.KnnGraphIndex.buildFrom(
+      embs.select(col("vec_id"), col("embedding")), exact, dir, k = 3)
+    val queries = embs.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    graft.ext.KnnGraphIndex.search(s, dir, queries, k = 3,
+        beamWidth = 4, hops = 3, entryPoints = 4, hubEntries = true)
+      .orderBy("query_id", "rank")
+  }
+
+  private val graphHubPersistExactSql = {
+    def hop(prev: Int, cur: Int): String = walkHop(prev, cur, 4)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+       |                     FROM r WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT src, dst FROM knn
+       |                     UNION SELECT dst, src FROM knn),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       |                   WHERE vec_id < 20),
+       |deg AS (SELECT node_id, count(*) AS deg FROM (
+       |          SELECT src AS node_id FROM knn
+       |          UNION ALL SELECT dst FROM knn) GROUP BY 1),
+       |entries AS (SELECT node_id FROM deg
+       |            ORDER BY deg DESC, node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |${hop(0, 1)},
+       |${hop(1, 2)},
+       |${hop(2, 3)}
+       |SELECT query_id, node_id AS neighbor_id, round(cos, 6) AS cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, node_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, node_id) AS rank
+       |      FROM s3)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** [[graft.ext.KnnGraphIndex.search]] with a predicate — the
+    * filtered-ANN contract finally reachable THROUGH the persisted
+    * index (round 11's persisted serving could only do smallest-id,
+    * unfiltered): over-fetch 4k on the full live graph, post-filter,
+    * re-rank on the rounded walk scores. Built from the exact graph,
+    * so the whole pipeline is the q_search_graph_filtered_exact
+    * algebra verbatim and shares its oracle — the persisted round-trip
+    * (buildFrom → liveEdges → walk) must be value-invisible.
+    */
+  private def graphFilteredPersist(s: SparkSession,
+      d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gate_gfp_")
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    graft.ext.KnnGraphIndex.buildFrom(
+      embs.select(col("vec_id"), col("embedding")), exact, dir, k = 3)
+    val queries = embs.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    graft.ext.KnnGraphIndex.search(s, dir, queries, k = 3,
+        beamWidth = 4, hops = 3, entryPoints = 4,
+        where = Some(col("vec_id") % 3 === 0), overFetch = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The INSERT-MAINTAINED hub path under the recall floor: the index
+    * builds from the memoized descent graph restricted to the standing
+    * corpus (vec_id ≥ 20), a 20-vector delivery lands via the
+    * delta-bounded [[graft.ext.KnnGraphIndex.insert]] — which updates
+    * `degrees` by the commit's own edge delta and re-elects `hubs`
+    * among {standing hubs ∪ delta-touched nodes} only — and serving
+    * answers from the PERSISTED hub entries. Contract: ≥80% of the 20
+    * queries recover ≥1 of their true top-3 (self-hits excluded —
+    * each query's own inserted row legitimately ranks first).
+    * q_graph_hub_persist_exact owns the election algebra; THIS gate
+    * owns the maintained lifecycle's serving quality.
+    */
+  private def graphHubPersist(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gate_ghp_")
+    val embs = Tables.embeddings(s, d)
+    val standing = embs.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding"))
+    val graph = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
+      .filter(col("query_id") >= 20 && col("neighbor_id") >= 20)
+    graft.ext.KnnGraphIndex.buildFrom(standing, graph, dir, k = 8)
+    graft.ext.KnnGraphIndex.insert(s, dir,
+      embs.filter(col("vec_id") < 20).select(col("vec_id"),
+        col("embedding")))
+    val queries = embs.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val got = graft.ext.KnnGraphIndex.search(s, dir, queries, k = 5,
+        beamWidth = 16, hops = 4, entryPoints = 16, hubEntries = true)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+      .filter(col("query_id") < 20)
+    val hits = got.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  private val graphHubPersistSql =
+    """SELECT count(*) AS n_queries, true AS search_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
+  // ---- FEDERATED graph search, value-checked end to end ----
+
+  /** [[graft.ext.KnnGraphIndex.searchFederatedVectors]]: the
+    * q_ann_federate fixture (an overlay of AMENDED embeddings — every
+    * fifth vector re-delivered negated, a third of the amendments
+    * later retracted — over production with its own takedown) answered
+    * by BEAM WALKS over per-root persisted graph indexes. Each root is
+    * built from ITS OWN exact kNN graph ([[graft.ext.KnnGraphIndex
+    * .buildFrom]]), so the oracle replays everything: both roots'
+    * graphs all-pairs, the tombstone-masked live edge lists (a
+    * deleted node's own edge group vanishes, dangling edges AT it
+    * stay and its reached candidates score nothing — the documented
+    * posture, here hash-checked through federation), both walks
+    * (suffixed [[walkHop]] stacks), the k×overFetch per-root
+    * over-fetch on raw cosines, the precedence mask (overlay wins,
+    * delete cedes), and the calibrated fused re-rank on the rounded
+    * scores.
+    */
+  private def graphFederate(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val amended = embs.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+      .select(col("vec_id"), col("embedding"))
+    val aDir = graft.Gate.tmpDir("gate_gfed_a_")
+    val bDir = graft.Gate.tmpDir("gate_gfed_b_")
+    graft.ext.KnnGraphIndex.buildFrom(amended,
+      EmbeddingSearch.knnGraph(amended, 3), aDir, k = 3)
+    graft.ext.KnnGraphIndex.deleteVecs(s, aDir, // retracted amendments
+      embs.filter(col("vec_id") % 3 === 1).select("vec_id"),
+      col("vec_id"))
+    graft.ext.KnnGraphIndex.buildFrom(
+      embs.select(col("vec_id"), col("embedding")),
+      s.read.parquet(s"${sharedKnnGraph(s, d)}/knn"), bDir, k = 3)
+    graft.ext.KnnGraphIndex.deleteVecs(s, bDir, // production takedown
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      col("vec_id"))
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    graft.ext.KnnGraphIndex.searchFederatedVectors(s, Seq(aDir, bDir),
+        queries, k = 5, beamWidth = 4, hops = 3, entryPoints = 4,
+        overFetch = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private val graphFederateSql = {
+    /** One root's graph + walk + top-20: exact kNN over the FULL root
+      * corpus `ef<sfx>`, live edges = groups of non-deleted nodes,
+      * entries = 4 smallest LIVE nodes of the symmetrized list, 3
+      * beam-4 hops scoring only the LIVE corpus `e<sfx>`.
+      */
+    def root(sfx: String): String =
+      s"""p$sfx AS (SELECT a.vec_id AS query_id, b.vec_id,
+         |             list_dot_product(a.v, b.v)
+         |               / sqrt(list_dot_product(a.v, a.v)
+         |                      * list_dot_product(b.v, b.v)) AS cos
+         |      FROM ef$sfx a, ef$sfx b WHERE a.vec_id <> b.vec_id),
+         |knn$sfx AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+         |  FROM (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, vec_id) AS rank
+         |        FROM p$sfx)
+         |  WHERE rank <= 3),
+         |lv$sfx AS (SELECT src, dst FROM knn$sfx
+         |  WHERE src IN (SELECT vec_id FROM e$sfx)),
+         |und$sfx AS MATERIALIZED (SELECT src, dst FROM lv$sfx
+         |  UNION SELECT dst, src FROM lv$sfx),
+         |entries$sfx AS (SELECT node_id FROM (
+         |    SELECT DISTINCT src AS node_id FROM und$sfx
+         |    WHERE src IN (SELECT vec_id FROM e$sfx))
+         |  ORDER BY node_id LIMIT 4),
+         |s${sfx}0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+         |  list_dot_product(q.qv, e.v)
+         |    / sqrt(list_dot_product(q.qv, q.qv)
+         |           * list_dot_product(e.v, e.v)) AS cos,
+         |  false AS expanded
+         |  FROM q CROSS JOIN entries$sfx en
+         |  JOIN e$sfx e ON e.vec_id = en.node_id),
+         |${walkHop(0, 1, 4, sfx)},
+         |${walkHop(1, 2, 4, sfx)},
+         |${walkHop(2, 3, 4, sfx)},
+         |h$sfx AS (SELECT query_id, node_id, round(cos, 6) AS cos FROM (
+         |    SELECT query_id, node_id, cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, node_id) AS rn
+         |    FROM s${sfx}3)
+         |  WHERE rn <= 20)""".stripMargin
+    s"""WITH efa AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> -x) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |ea AS MATERIALIZED (SELECT vec_id, v FROM efa
+       |  WHERE vec_id % 3 <> 1),
+       |efb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |eb AS MATERIALIZED (SELECT vec_id, v FROM efb
+       |  WHERE vec_id % 7 <> 3),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id,
+       |    embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |${root("a")},
+       |${root("b")},
+       |fed AS (SELECT * FROM ha
+       |        UNION ALL
+       |        SELECT * FROM hb
+       |        WHERE NOT (node_id % 5 = 0 AND node_id % 3 <> 1))
+       |SELECT query_id, node_id AS neighbor_id, cos,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT query_id, node_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, node_id) AS rank
+       |      FROM fed)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- INCREMENTAL evaluation: summable partials, same oracles ----
+
+  /** [[graft.ext.Eval.classifierCounts]] /
+    * [[graft.ext.Eval.classifierMetricsFrom]]: the q_class_eval
+    * evaluation recomputed INCREMENTALLY — the scored population
+    * splits into three disjoint batches, each contributes per-class
+    * (support, predicted_n, tp) count partials, the partials merge by
+    * plain sums, and the finisher computes the same P/R/F1. Gated
+    * against q_class_eval's OWN oracle: the incremental path must be
+    * value-invisible (the nbCount/nbMerge summable-partials law
+    * applied to evaluation, so streaming curation keeps running
+    * metrics without re-scoring history).
+    */
+  private def classEvalInc(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val labels = embs.select(col("vec_id").as("id"), col("label"))
+    val scored = GraphOps.knnClassify(graph, labels, k = 3)
+      .join(labels, Seq("id"))
+    val parts = (0 until 3).map(i =>
+      graft.ext.Eval.classifierCounts(scored.filter(col("id") % 3 === i)))
+    graft.ext.Eval.classifierMetricsFrom(
+        graft.ext.Eval.classifierCountsMerge(parts))
+      .orderBy("clazz")
+  }
+
+  /** [[graft.ext.Eval.rankHits]] / [[graft.ext.Eval.rankMetricsFrom]]:
+    * q_rank_eval recomputed incrementally — the walk's result lists
+    * split by rank parity into two disjoint batches, per-query
+    * (n_hit, first_hit, dcg) hit partials merge by sum/min/sum, and
+    * the finisher joins the ideal-DCG spine. Same oracle as
+    * q_rank_eval: the split must be value-invisible.
+    */
+  private def rankEvalInc(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val queries = embs.filter(col("vec_id") < 20)
+    val results = graft.ext.EmbeddingSearch.graphSearch(embs, exact,
+        queries, k = 5, beamWidth = 4, hops = 3, entryPoints = 4)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+    val qrels = queries
+      .select(col("vec_id").as("query_id"), col("vec_id").as("id"),
+        lit(4).as("rel"))
+      .unionByName(exact.filter(col("query_id") < 20)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          (lit(4) - col("rank")).as("rel")))
+    val parts = Seq(results.filter(col("rank") % 2 === 0),
+        results.filter(col("rank") % 2 === 1))
+      .map(b => graft.ext.Eval.rankHits(b, qrels))
+    graft.ext.Eval.rankMetricsFrom(graft.ext.Eval.rankHitsMerge(parts),
+        qrels)
+      .orderBy("query_id")
   }
 
   // ---- label propagation over the kNN graph ----
@@ -1910,6 +2223,15 @@ object GraphTextQueries {
       Some(searchGraphFilteredSql)),
     Gate("q_search_graph_filtered_exact", searchGraphFilteredExact,
       Some(searchGraphFilteredExactSql)),
+    Gate("q_graph_hub_persist_exact", graphHubPersistExact,
+      Some(graphHubPersistExactSql)),
+    Gate("q_graph_filtered_persist", graphFilteredPersist,
+      Some(searchGraphFilteredExactSql)),
+    Gate("q_graph_hub_persist", graphHubPersist,
+      Some(graphHubPersistSql)),
+    Gate("q_graph_federate", graphFederate, Some(graphFederateSql)),
+    Gate("q_class_eval_inc", classEvalInc, Some(classEvalSql)),
+    Gate("q_rank_eval_inc", rankEvalInc, Some(rankEvalSql)),
     Gate("q_knn_classify", knnClassify, Some(knnClassifySql)),
     Gate("q_class_eval", classEval, Some(classEvalSql)),
     Gate("q_cluster_eval", clusterEval, Some(clusterEvalSql)),

@@ -521,6 +521,102 @@ object ScaleQueries {
     """SELECT vec_id AS query_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** Brute-force cosine top-5 (queries ⊂ corpus, self excluded, raw-cos
+    * ranking, 6-decimal output) — the shared oracle for the
+    * trained-family EXACT twins below: with exhaustive probing /
+    * corpus-wide shortlists each trained index's answer collapses to
+    * exactly this, so quantizer nondeterminism (k-means float-sum
+    * order) never reaches the result and the SEARCH ALGEBRA itself is
+    * value-checked (the q_ivf_federate trick promoted to the base topk
+    * gates; the nProbe/shortlist-bounded recall floors keep owning
+    * pruning quality).
+    */
+  private val bruteTopK5Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** [[graft.ext.IvfIndex.search]] with EXHAUSTIVE probes — cells
+    * partition the corpus, so probing all of them scores every row
+    * exactly once and the answer ≡ brute force regardless of what the
+    * k-means trainer did. Value-checks cell assignment, probe union,
+    * exact scoring, and ranking end to end (q_ivf_rebalance pins the
+    * same equality as a rows-only recall; this gate hash-checks the
+    * values).
+    */
+  private def ivfTopKExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
+    IvfIndex.search(model, col("vec_id") < 10, k = 5,
+        nProbe = Int.MaxValue)
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[graft.ext.PqIndex.search]] with a CORPUS-WIDE shortlist: the
+    * trained ADC stage keeps everything, so the exact-cosine re-rank
+    * is brute force and the codebooks can't affect the result — the
+    * two-stage search algebra value-checked.
+    */
+  private def pqTopKExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = graft.ext.PqIndex.build(embs, m = 8, k = 32,
+      sampleFraction = 0.5)
+    graft.ext.PqIndex.search(model, col("vec_id") < 10, k = 5,
+        shortlist = embs.count().toInt)
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[graft.ext.SqIndex.search]] with a corpus-wide shortlist — same
+    * exact-twin posture as [[pqTopKExact]] for the scalar quantizer.
+    */
+  private def sqTopKExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = graft.ext.SqIndex.build(embs)
+    graft.ext.SqIndex.search(model, col("vec_id") < 10, k = 5,
+        shortlist = embs.count().toInt)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The IVF-blocked kNN GRAPH with exhaustive probes: every row
+    * queries every cell, so the blocked build ≡ the exact graph
+    * row-for-row — the q_knn_graph_blocked recall floor's exact twin
+    * (the floor keeps owning bounded-probe quality; this proves the
+    * blocked construction loses nothing but the pruning).
+    */
+  private def knnGraphBlockedExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val model = IvfIndex.build(embs, k = 16, sampleFraction = 0.25)
+    IvfIndex.search(model, lit(true), k = 3, nProbe = Int.MaxValue)
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnGraphBlockedExactSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+      |             list_dot_product(a.v, b.v)
+      |               / sqrt(list_dot_product(a.v, a.v)
+      |                      * list_dot_product(b.v, b.v)) AS cos
+      |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** IVF cell rebalance ([[graft.ext.IvfIndex.rebalance]]): split every
     * cell above n/24 vectors, then search with EXHAUSTIVE probing —
     * which must equal brute force exactly (minHits = k), because a
@@ -2109,6 +2205,11 @@ object ScaleQueries {
     Gate("q_runtime_filter_join", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     Gate("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Gate("q_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Gate("q_ivf_topk_exact", ivfTopKExact, Some(bruteTopK5Sql)),
+    Gate("q_pq_topk_exact", pqTopKExact, Some(bruteTopK5Sql)),
+    Gate("q_sq_topk_exact", sqTopKExact, Some(bruteTopK5Sql)),
+    Gate("q_knn_graph_blocked_exact", knnGraphBlockedExact,
+      Some(knnGraphBlockedExactSql)),
     Gate("q_ivf_rebalance", ivfRebalance, Some(ivfTopKSql)),
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_binary_topk", binaryTopK, Some(binaryTopKSql)),
