@@ -339,7 +339,10 @@ object Bench {
     // among the light gates), and the insert-maintained hub lifecycle
     // (reads the shared descent memo → must follow q_nn_descent)
     "q_graph_federate", "q_graph_hub_persist_exact",
-    "q_graph_filtered_persist", "q_graph_hub_persist")
+    "q_graph_filtered_persist", "q_graph_hub_persist",
+    // streamed lifecycle replay: drain + in-window all-pairs batch-1
+    // graph + |delivery|² insertion oracle work by design
+    "q_stream_graph_exact")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink

@@ -1396,6 +1396,124 @@ object GraphTextQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- STREAMED persisted-graph lifecycle, value-checked ----
+
+  /** The STREAMED index lifecycle as VALUES: q_stream_graph_index's
+    * two-batch drain (first batch builds, second lands via
+    * delta-bounded insert) with the cold build swapped for
+    * [[graft.ext.KnnGraphIndex.buildFrom]] over the first batch's
+    * EXACT graph — which makes the WHOLE streamed composition
+    * deterministic: the oracle replays batch 1's all-pairs graph,
+    * batch 2's insertion algebra (the q_graph_insert_exact CTE stack —
+    * beam walk, exact intra-delivery pairs, top-k election, back-link
+    * merges), and the final tombstone-free live read with max-gen
+    * supersession. q_stream_graph_index keeps owning the
+    * descent-built lifecycle's recall floor; THIS gate proves the
+    * stream → build → insert → liveEdges composition row for row
+    * (checkpointed micro-batch boundaries included — the batch split
+    * is id parity, so any batch-assignment drift changes the hash).
+    */
+  private def streamGraphExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val in = graft.Gate.tmpDir("gate_sgx_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sgx_ck_")
+    val idx = graft.Gate.tmpDir("gate_sgx_idx_") + "/ix"
+    embs.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    embs.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    var delivered = 0
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (delivered == 0) {
+          val b = batch.select(col("vec_id"), col("embedding"))
+            .localCheckpoint(true)
+          graft.ext.KnnGraphIndex.buildFrom(b,
+            EmbeddingSearch.knnGraph(b, 3), idx, k = 3)
+          ()
+        } else graft.ext.KnnGraphIndex.insert(s, idx, batch,
+          beamWidth = 4, hops = 3, entryPoints = 4)
+        delivered += 1
+        ()
+      }.start()
+    q.awaitTermination()
+    graft.ext.KnnGraphIndex
+      .liveEdges(graft.ext.IndexStore.snapshot(s, idx))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val streamGraphExactSql = {
+    val hops = (1 to 3).map(h => walkHop(h - 1, h, 4)).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+       |             list_dot_product(a.v, b.v)
+       |               / sqrt(list_dot_product(a.v, a.v)
+       |                      * list_dot_product(b.v, b.v)) AS cos
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, vec_id) AS rank
+       |      FROM p),
+       |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+       |                     FROM r WHERE rank <= 3),
+       |und AS MATERIALIZED (SELECT src, dst FROM knn
+       |                     UNION SELECT dst, src FROM knn),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id,
+       |                     embedding::DOUBLE[] AS qv
+       |                   FROM embeddings WHERE vec_id % 2 = 1),
+       |entries AS (SELECT node_id FROM (
+       |              SELECT DISTINCT src AS node_id FROM und)
+       |            ORDER BY node_id LIMIT 4),
+       |s0 AS MATERIALIZED (SELECT q.query_id, en.node_id,
+       |  list_dot_product(q.qv, e.v)
+       |    / sqrt(list_dot_product(q.qv, q.qv)
+       |           * list_dot_product(e.v, e.v)) AS cos,
+       |  false AS expanded
+       |  FROM q CROSS JOIN entries en JOIN e ON e.vec_id = en.node_id),
+       |$hops,
+       |walked AS (SELECT query_id, node_id AS neighbor_id,
+       |             round(cos, 6) AS cos FROM s3),
+       |intra AS (SELECT a.query_id,
+       |            b.query_id AS neighbor_id,
+       |            round(list_dot_product(a.qv, b.qv)
+       |              / sqrt(list_dot_product(a.qv, a.qv)
+       |                     * list_dot_product(b.qv, b.qv)), 6) AS cos
+       |          FROM q a, q b WHERE a.query_id <> b.query_id),
+       |newe AS MATERIALIZED (SELECT query_id, neighbor_id, cos, rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM (SELECT * FROM walked UNION ALL SELECT * FROM intra))
+       |  WHERE rank <= 3),
+       |rev AS (SELECT neighbor_id AS query_id, query_id AS neighbor_id,
+       |          cos
+       |        FROM newe WHERE neighbor_id % 2 = 0),
+       |knge AS (SELECT query_id, vec_id AS neighbor_id,
+       |           round(cos, 6) AS cos, rank
+       |         FROM r WHERE rank <= 3),
+       |merged AS (SELECT query_id, neighbor_id, cos, rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rank
+       |        FROM (SELECT k.query_id, k.neighbor_id, k.cos FROM knge k
+       |              WHERE k.query_id IN (SELECT query_id FROM rev)
+       |              UNION ALL SELECT * FROM rev))
+       |  WHERE rank <= 3),
+       |live AS (
+       |  SELECT query_id AS vec_id, neighbor_id, cos, rank FROM newe
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, cos, rank FROM merged
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, cos, rank FROM knge
+       |  WHERE query_id NOT IN (SELECT query_id FROM rev))
+       |SELECT vec_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+       |FROM live ORDER BY vec_id, rank""".stripMargin
+  }
+
   // ---- INCREMENTAL evaluation: summable partials, same oracles ----
 
   /** [[graft.ext.Eval.classifierCounts]] /
@@ -2230,6 +2348,8 @@ object GraphTextQueries {
     Gate("q_graph_hub_persist", graphHubPersist,
       Some(graphHubPersistSql)),
     Gate("q_graph_federate", graphFederate, Some(graphFederateSql)),
+    Gate("q_stream_graph_exact", streamGraphExact,
+      Some(streamGraphExactSql)),
     Gate("q_class_eval_inc", classEvalInc, Some(classEvalSql)),
     Gate("q_rank_eval_inc", rankEvalInc, Some(rankEvalSql)),
     Gate("q_knn_classify", knnClassify, Some(knnClassifySql)),
