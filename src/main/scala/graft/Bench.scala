@@ -341,8 +341,9 @@ object Bench {
     "q_graph_federate", "q_graph_hub_persist_exact",
     "q_graph_filtered_persist", "q_graph_hub_persist",
     // streamed lifecycle replay: drain + in-window all-pairs batch-1
-    // graph + |delivery|² insertion oracle work by design
-    "q_stream_graph_exact")
+    // graph + |delivery|² insertion oracle work by design; streamed
+    // evaluation reads the shared exact-graph memo from a stream drain
+    "q_stream_graph_exact", "q_stream_eval")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink

@@ -325,8 +325,12 @@ object KnnGraphIndex {
           // (rewire/compact/append) — documented entry-set staleness.
           val cands = liveHubs(snap).select("vec_id")
             .unionByName(deg.select("vec_id")).distinct()
-          val standing = IndexStore.liveRows(snap, "degrees",
-              key = "vec_id")
+          // Bloom-pruned segment reads: only degree segments that might
+          // hold a candidate id are touched — the tick's degree lookup
+          // is bounded by the candidate set, not the relation's commit
+          // history (compact folds that history anyway)
+          val standing = IndexStore.liveRowsAmong(snap, "degrees",
+              "vec_id", cands)
             .join(broadcast(cands), Seq("vec_id"), "left_semi")
             .select(col("vec_id"), col("d"))
           val seg = IndexStore.newSegmentName()

@@ -1568,6 +1568,59 @@ object GraphTextQueries {
       .orderBy("query_id")
   }
 
+  /** STREAMING evaluation — the rank-metric partials maintained across
+    * micro-batches: queries arrive as a stream (the serving shape —
+    * evaluation traffic is a query stream, not a batch), each batch
+    * runs the deterministic beam walk and appends its per-query
+    * (n_hit, first_hit, dcg) HIT PARTIALS ([[graft.ext.Eval.rankHits]])
+    * to a running store; after the drain the partials merge by
+    * sum/min/sum and the finisher joins the ideal-DCG spine. Batch
+    * boundaries cannot change any metric (the merge law EvalSpec pins),
+    * so the gate shares q_rank_eval's oracle — running metrics for a
+    * streaming curation loop without re-scoring history, value-checked.
+    */
+  private def streamEval(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    val queries = embs.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val qrels = queries
+      .select(col("vec_id").as("query_id"), col("vec_id").as("id"),
+        lit(4).as("rel"))
+      .unionByName(exact.filter(col("query_id") < 20)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          (lit(4) - col("rank")).as("rel")))
+      .localCheckpoint(true)
+    val in = graft.Gate.tmpDir("gate_seval_in_")
+    val ckpt = graft.Gate.tmpDir("gate_seval_ck_")
+    val out = graft.Gate.tmpDir("gate_seval_out_")
+    queries.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b1")
+    queries.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b2")
+    val stream = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val results = graft.ext.EmbeddingSearch.graphSearch(embs, exact,
+            batch, k = 5, beamWidth = 4, hops = 3, entryPoints = 4)
+          .select(col("query_id"), col("neighbor_id").as("id"),
+            col("rank"))
+        graft.ext.Eval.rankHits(results, qrels)
+          .write.mode("append").parquet(out)
+      }.start()
+    q.awaitTermination()
+    val partials = s.read.schema(
+        "query_id LONG, n_hit LONG, first_hit INT, dcg DOUBLE")
+      .parquet(out)
+    graft.ext.Eval.rankMetricsFrom(
+        graft.ext.Eval.rankHitsMerge(Seq(partials)), qrels)
+      .orderBy("query_id")
+  }
+
   // ---- label propagation over the kNN graph ----
 
   /** [[graft.ext.GraphOps.labelPropagate]] on the symmetrized kNN
@@ -2352,6 +2405,7 @@ object GraphTextQueries {
       Some(streamGraphExactSql)),
     Gate("q_class_eval_inc", classEvalInc, Some(classEvalSql)),
     Gate("q_rank_eval_inc", rankEvalInc, Some(rankEvalSql)),
+    Gate("q_stream_eval", streamEval, Some(rankEvalSql)),
     Gate("q_knn_classify", knnClassify, Some(knnClassifySql)),
     Gate("q_class_eval", classEval, Some(classEvalSql)),
     Gate("q_cluster_eval", clusterEval, Some(clusterEvalSql)),
