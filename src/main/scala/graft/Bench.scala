@@ -399,4 +399,18 @@ object Bench {
     // trained-family exact twin, group-capped MMR, incremental eval
     "q_graph_federate", "q_graph_hub_persist", "q_ivf_topk_exact",
     "q_mmr_capped", "q_class_eval_inc")
+
+  /** Gates trimmed FROM [[headline]] for the 2 KB stdout budget but
+    * still pinned BY NAME: the headline subset exists partly as
+    * silent-rename protection (a renamed gate would shrink the driver's
+    * per-query metrics without failing anything), and the r12 trim
+    * narrowed that protection. This list restores it independent of
+    * what the contract line prints — GateRegistrySpec asserts every
+    * entry is a live gate and stays disjoint from [[headline]].
+    * BENCH_FULL.json always carries these gates' numbers.
+    */
+  val trimmedTracked: Set[String] = Set(
+    "q_unigram_em", "q_store_federate", "q_binary_persist",
+    "q_search_graph_exact", "q_graph_insert_exact", "q_ann_federate",
+    "q_label_prop_inc")
 }

@@ -94,6 +94,7 @@ object HybridSearch {
       .select(col("query_id"), col("id"), col("score"),
         lit(1).as("step"))
       .localCheckpoint(true)
+    var picked = selected.count()
     var s = 2
     while (s <= k) {
       val selVecs = selected.select("query_id", "id")
@@ -116,7 +117,14 @@ object HybridSearch {
         .select(col("query_id"), col("id"), col("score"),
           lit(s).as("step"))
       selected = selected.unionByName(pick).localCheckpoint(true)
-      s += 1
+      // an empty pick round is ABSORBING (same standing set → same
+      // election → empty again), so once no query elected anything the
+      // remaining rounds would each burn the joins + checkpoint for
+      // nothing — large k over few candidates otherwise runs k−1 no-op
+      // Spark jobs. The count is one cheap job on the checkpointed frame.
+      val n = selected.count()
+      s = if (n == picked) k + 1 else s + 1
+      picked = n
     }
     selected.select(col("query_id"), col("step"), col("id"),
       round(col("score"), 6).as("mmr"))
@@ -174,6 +182,7 @@ object HybridSearch {
       .select(col("query_id"), col("id"), col("grp"), col("score"),
         lit(1).as("step"))
       .localCheckpoint(true)
+    var picked = selected.count()
     var s = 2
     while (s <= k) {
       val selVecs = selected.select("query_id", "id")
@@ -203,7 +212,12 @@ object HybridSearch {
         .select(col("query_id"), col("id"), col("grp"), col("score"),
           lit(s).as("step"))
       selected = selected.unionByName(pick).localCheckpoint(true)
-      s += 1
+      // same absorbing-empty-round break as [[mmr]] — with caps it
+      // matters MORE: every query's remaining candidates can cap out
+      // long before step k (cap=1 with g groups stops at step g)
+      val n = selected.count()
+      s = if (n == picked) k + 1 else s + 1
+      picked = n
     }
     selected.select(col("query_id"), col("step"), col("id"), col("grp"),
       round(col("score"), 6).as("mmr"))

@@ -36,6 +36,17 @@ class GateRegistrySpec extends AnyFunSuite {
     assert(dead.isEmpty, s"headline entries with no gate: $dead")
   }
 
+  test("every headline-trimmed tracked name is a live gate, disjoint " +
+    "from the headline") {
+    val names = Gate.all.map(_.name).toSet
+    val dead = Bench.trimmedTracked.filterNot(names)
+    assert(dead.isEmpty, s"trimmedTracked entries with no gate: $dead")
+    // a name back in the headline must leave the trimmed list — two
+    // overlapping pins would let a later trim silently drop one
+    val both = Bench.trimmedTracked.intersect(Bench.headline)
+    assert(both.isEmpty, s"pinned in both headline and trimmedTracked: $both")
+  }
+
   test("every bench heavy name is a live gate") {
     val names = Gate.all.map(_.name).toSet
     val dead = Bench.heavy.filterNot(names)
