@@ -69,12 +69,13 @@ object BinaryIndex {
     * idempotent, the [[KnnGraphIndex.insert]] discipline): a retried
     * or overlapping delivery must not land an id's code twice — stage
     * 1 would rank the duplicate at two candidate slots and silently
-    * crowd a true neighbor out of the top-k. dropDuplicates guards the
+    * crowd a true neighbor out of the top-k. dedupDelivery guards the
     * WITHIN-delivery variant of the same hazard (two rows sharing a
-    * vec_id inside one delivery both survive the anti-join).
+    * vec_id inside one delivery both survive the anti-join) and fails
+    * loudly when the duplicates CONFLICT.
     */
   def append(model: Model, newEmbs: DataFrame): Model = {
-    val fresh = newEmbs.dropDuplicates("vec_id")
+    val fresh = EmbeddingSearch.dedupDelivery(newEmbs)
       .join(model.codes.select("vec_id"), Seq("vec_id"), "left_anti")
     model.copy(
       codes = model.codes.unionByName(encode(model.dim, fresh)),
@@ -113,7 +114,7 @@ object BinaryIndex {
     val spark = model.codes.sparkSession
     if (!newEmbs.isEmpty) IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
-      val fresh = newEmbs.dropDuplicates("vec_id").join(
+      val fresh = EmbeddingSearch.dedupDelivery(newEmbs).join(
         IndexStore.liveRows(snap, "codes").select("vec_id"),
         Seq("vec_id"), "left_anti")
       if (!fresh.isEmpty) {

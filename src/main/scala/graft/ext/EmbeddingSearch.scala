@@ -345,6 +345,30 @@ object EmbeddingSearch {
     state
   }
 
+  /** Collapse EXACT duplicate rows within a delivery, and fail loudly
+    * when one id carries two DIFFERENT embeddings: a bare
+    * `dropDuplicates(key)` would pick an arbitrary survivor — silent
+    * nondeterminism feeding an otherwise value-checked index (which of
+    * the two vectors got coded/wired would vary run to run with no
+    * error). Retried deliveries (same rows twice) stay harmless; a
+    * CONFLICTING delivery is an upstream bug and surfaces here, the
+    * [[insertEdges]] maxDelivery fail-loud posture applied to delivery
+    * CONTENT. One delivery-bounded aggregate — never corpus work.
+    */
+  private[ext] def dedupDelivery(df: DataFrame,
+      key: String = "vec_id"): DataFrame = {
+    val conflicts = df.groupBy(col(key))
+      .agg(countDistinct(col("embedding")).as("n"))
+      .filter(col("n") > 1)
+    val sample = conflicts.limit(3).collect().map(_.get(0)).mkString(", ")
+    require(sample.isEmpty,
+      s"delivery carries CONFLICTING rows for the same $key (first: " +
+        s"$sample) — two different embeddings under one id would make " +
+        "the surviving vector arbitrary; fix the upstream feed or " +
+        "re-key the rows")
+    df.dropDuplicates(key)
+  }
+
   /** INSERT-BY-SEARCH edge wiring (the HNSW/DiskANN insertion shape) —
     * the delta-bounded alternative to re-running warm NN-Descent over
     * the whole corpus on every delivery. Each delivered vector
@@ -439,11 +463,12 @@ object EmbeddingSearch {
     // the bare-edge-list layer too): a checkpoint-replayed delivery
     // would otherwise keep the node's old edge group verbatim AND
     // union a fresh top-k set — duplicate (query_id, rank) groups
-    // corrupting every later batch with no error. dropDuplicates
+    // corrupting every later batch with no error. dedupDelivery
     // guards the WITHIN-delivery variant of the same hazard (two rows
     // sharing a vec_id inside one delivery would both survive the
-    // left-anti and land duplicate edge groups).
-    val fresh = newEmbs.dropDuplicates("vec_id")
+    // left-anti and land duplicate edge groups) and fails loudly on
+    // conflicting duplicates.
+    val fresh = dedupDelivery(newEmbs)
       .join(oldEmbs.select("vec_id"), Seq("vec_id"), "left_anti")
     val (newEdges, mergedTouched) = insertEdges(oldEmbs, oldGraph,
       fresh, k, beamWidth, hops, entryPoints, maxDelivery)

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,11 +91,23 @@ object KnnGraphIndex {
     v
   }
 
+  /** Default hub-entry-set size for indexes persisted BEFORE the
+    * degrees/hubs serving relations existed (their one-row meta carries
+    * only `k`): legacy indexes read with this and lazily backfill the
+    * relations on their first maintenance commit ([[degreesBaseline]])
+    * instead of failing with an opaque field-not-found — the
+    * retained-version/time-travel posture demands old layouts keep
+    * reading.
+    */
+  private val legacyHubCount = 64
+
   private def readMeta(snap: IndexStore.Snapshot): (Int, Int) =
     IndexStore.cachedMeta(snap) {
       val row = snap.read("meta").getOrElse(
         sys.error(s"no meta relation under ${snap.root}")).head()
-      (row.getAs[Int]("k"), row.getAs[Int]("hubs"))
+      val hubs = if (row.schema.fieldNames.contains("hubs"))
+        row.getAs[Int]("hubs") else legacyHubCount
+      (row.getAs[Int]("k"), hubs)
     }
 
   private def readK(snap: IndexStore.Snapshot): Int = readMeta(snap)._1
@@ -117,22 +130,35 @@ object KnnGraphIndex {
 
   /** Per-node degree totals: the summable delta rows folded by sum —
     * node-bounded, read only by maintenance-time hub elections (the
-    * SERVING path reads [[liveHubs]], never this).
+    * SERVING path reads [[liveHubs]], never this). A LEGACY index (no
+    * degrees relation persisted yet) derives the totals from its live
+    * edges — one edge-relation pass, paid only until the first
+    * maintenance commit backfills the relation ([[degreesBaseline]]).
     */
   def liveDegrees(snap: IndexStore.Snapshot): DataFrame =
-    IndexStore.liveRows(snap, "degrees", key = "vec_id")
+    if (snap.segments("degrees").isEmpty)
+      degreeDelta(liveEdges(snap), 1)
+    else IndexStore.liveRows(snap, "degrees", key = "vec_id")
       .groupBy("vec_id").agg(sum("d").as("d"))
 
   /** The elected hub entry set as of the latest election: live hub
     * rows at the max generation. The ONLY relation hub serving reads —
     * PlanShapeSpec pins that its plan never touches the edge list.
+    * LEGACY indexes (no hubs relation yet) elect on the fly from
+    * [[liveDegrees]] — an edge-wide aggregate in the query window,
+    * exactly what the persisted relation exists to avoid, accepted
+    * only as the migration read until the first maintenance commit.
     */
-  def liveHubs(snap: IndexStore.Snapshot): DataFrame = {
-    val hr = IndexStore.liveRows(snap, "hubs", key = "vec_id")
-    val mx = hr.agg(max("gen").as("__mxg"))
-    hr.join(broadcast(mx), col("gen") === col("__mxg"))
-      .select("vec_id", "deg")
-  }
+  def liveHubs(snap: IndexStore.Snapshot): DataFrame =
+    if (snap.segments("hubs").isEmpty)
+      electHubs(liveDegrees(snap), readMeta(snap)._2, gen = snap.version)
+        .select("vec_id", "deg")
+    else {
+      val hr = IndexStore.liveRows(snap, "hubs", key = "vec_id")
+      val mx = hr.agg(max("gen").as("__mxg"))
+      hr.join(broadcast(mx), col("gen") === col("__mxg"))
+        .select("vec_id", "deg")
+    }
 
   /** The top-`entryPoints` persisted hubs as a walk entry frame
     * (deg desc, id asc — the [[EmbeddingSearch.graphSearch]] hub
@@ -161,6 +187,37 @@ object KnnGraphIndex {
       .filter(col("deg") > 0)
       .orderBy(col("deg").desc, col("vec_id").asc).limit(h)
       .select(col("vec_id"), col("deg"), lit(gen).as("gen"))
+
+  /** Restrict a commit's degree-delta rows to ids LIVE after the
+    * commit (standing live vectors plus the delivery): a changed
+    * node's −1 contributions otherwise include endpoints already
+    * TOMBSTONED — the dangling references the change is dropping — and
+    * those rows would land in a NEW segment the old tombstone's scope
+    * does not mask, so [[liveDegrees]] would report phantom
+    * negative-degree rows for dead ids until [[compact]]. The probe is
+    * Bloom-pruned segment reads bounded by the delta's ids, never a
+    * corpus pass (a legacy backfill's corpus-sized delta falls back to
+    * the unpruned read, which it was going to pay anyway).
+    */
+  private def liveEndpointDeltas(snap: IndexStore.Snapshot,
+      deg: DataFrame, delivered: DataFrame): DataFrame = {
+    val liveIds = IndexStore.liveRowsAmong(snap, "vectors", "vec_id",
+        deg.select("vec_id"))
+      .select("vec_id").unionByName(delivered).distinct()
+    deg.join(liveIds, Seq("vec_id"), "left_semi")
+  }
+
+  /** The degree rows a maintenance commit publishes: normally just the
+    * commit's own delta — but a LEGACY index (persisted before the
+    * degrees relation existed) gets the full pre-commit totals derived
+    * from its live edges unioned in, so this one commit BACKFILLS the
+    * relation and every later read is delta-summable again. One
+    * edge-relation pass, paid once per legacy index.
+    */
+  private def degreesBaseline(snap: IndexStore.Snapshot,
+      oldEdges: DataFrame, delta: DataFrame): DataFrame =
+    if (snap.segments("degrees").nonEmpty) delta
+    else degreeDelta(oldEdges, 1).unionByName(delta)
 
   /** Cold build: full NN-Descent from the id-ring seed, published as
     * version 1. `k` is the stored INTERNAL degree — search quality
@@ -196,8 +253,10 @@ object KnnGraphIndex {
       deg.write.parquet(s"$path/$seg/degrees")
       electHubs(deg, hubCount, gen = 1L)
         .write.parquet(s"$path/$seg/hubs")
-      IndexStore.publishReplace(spark, path, seg,
+      val v = IndexStore.publishReplace(spark, path, seg,
         Seq("meta", "vectors", "edges", "degrees", "hubs"), op = "build")
+      clearDebt(spark, path, keepTombstones = false)
+      v
     }
   }
 
@@ -221,7 +280,7 @@ object KnnGraphIndex {
       val snap = IndexStore.snapshot(spark, path)
       val (k, hubCount) = readMeta(snap)
       val oldVec = liveVectors(snap)
-      val delivery = newEmbs.dropDuplicates("vec_id")
+      val delivery = EmbeddingSearch.dedupDelivery(newEmbs)
         .select(col("vec_id"), col("embedding"))
         .join(oldVec.select("vec_id"), Seq("vec_id"), "left_anti")
         .persist()
@@ -244,17 +303,25 @@ object KnnGraphIndex {
             .localCheckpoint(true)
           val oldRows = oldEdges.select(col("vec_id"), col("neighbor_id"))
             .join(changed, Seq("vec_id"), "left_semi")
-          val deg = degreeDelta(newRows, 1)
-            .unionByName(degreeDelta(oldRows, -1)).localCheckpoint(true)
+          val deg = liveEndpointDeltas(snap, degreesBaseline(snap,
+              oldEdges, degreeDelta(newRows, 1)
+                .unionByName(degreeDelta(oldRows, -1))),
+              delivery.select("vec_id"))
+            .localCheckpoint(true)
+          val electFrom = if (snap.segments("degrees").isEmpty) deg
+            else liveDegrees(snap).unionByName(deg)
           val seg = IndexStore.newSegmentName()
           delivery.write.parquet(s"$path/$seg/vectors")
           newRows.write.parquet(s"$path/$seg/edges")
           deg.write.parquet(s"$path/$seg/degrees")
-          electHubs(liveDegrees(snap).unionByName(deg), hubCount,
-              gen = snap.version + 1)
+          electHubs(electFrom, hubCount, gen = snap.version + 1)
             .write.parquet(s"$path/$seg/hubs")
-          publishStamped(spark, path, seg,
+          val v = publishStamped(spark, path, seg,
             Seq("vectors", "edges", "degrees", "hubs"), snap)
+          // warm descent re-converged every neighborhood AND elected
+          // hubs fully — an append IS a quality pass; debt resets
+          clearDebt(spark, path, keepTombstones = false)
+          v
         }
       } finally { delivery.unpersist(); () }
     }
@@ -288,7 +355,7 @@ object KnnGraphIndex {
       val snap = IndexStore.snapshot(spark, path)
       val (k, hubCount) = readMeta(snap)
       val oldVec = liveVectors(snap)
-      val delivery = newEmbs.dropDuplicates("vec_id")
+      val delivery = EmbeddingSearch.dedupDelivery(newEmbs)
         .select(col("vec_id"), col("embedding"))
         .join(oldVec.select("vec_id"), Seq("vec_id"), "left_anti")
         .persist()
@@ -312,36 +379,47 @@ object KnnGraphIndex {
             .join(changed, Seq("vec_id"), "left_semi")
             .localCheckpoint(true)
           val newRows = asStored(newEdges, gen).localCheckpoint(true)
-          val deg = degreeDelta(newRows, 1)
-            .unionByName(degreeDelta(changedRows, 1))
-            .unionByName(degreeDelta(
-              oldTouched.join(changed, Seq("vec_id"), "left_semi"), -1))
+          val deg = liveEndpointDeltas(snap, degreesBaseline(snap,
+              oldEdges, degreeDelta(newRows, 1)
+                .unionByName(degreeDelta(changedRows, 1))
+                .unionByName(degreeDelta(
+                  oldTouched.join(changed, Seq("vec_id"), "left_semi"),
+                  -1))),
+              delivery.select("vec_id"))
             .localCheckpoint(true)
           // BOUNDED hub re-election: only standing hubs and nodes whose
           // degree this commit touched can change the elected set's
           // membership order upward; a full election here would make
           // the tick corpus-linear again. A node whose rank should rise
           // because a hub FELL waits for the next full election
-          // (rewire/compact/append) — documented entry-set staleness.
-          val cands = liveHubs(snap).select("vec_id")
-            .unionByName(deg.select("vec_id")).distinct()
-          // Bloom-pruned segment reads: only degree segments that might
-          // hold a candidate id are touched — the tick's degree lookup
-          // is bounded by the candidate set, not the relation's commit
-          // history (compact folds that history anyway)
-          val standing = IndexStore.liveRowsAmong(snap, "degrees",
-              "vec_id", cands)
-            .join(broadcast(cands), Seq("vec_id"), "left_semi")
-            .select(col("vec_id"), col("d"))
+          // (rewire/compact/append) — documented entry-set staleness,
+          // now BOUNDED by [[maybeRewire]]'s debt policy. A LEGACY
+          // index's backfill commit elects fully from the baselined
+          // delta instead (that commit is corpus-linear by design).
+          val electFrom = if (snap.segments("degrees").isEmpty) deg
+            else {
+              val cands = liveHubs(snap).select("vec_id")
+                .unionByName(deg.select("vec_id")).distinct()
+              // Bloom-pruned segment reads: only degree segments that
+              // might hold a candidate id are touched — the tick's
+              // degree lookup is bounded by the candidate set, not the
+              // relation's commit history (compact folds that anyway)
+              IndexStore.liveRowsAmong(snap, "degrees", "vec_id", cands)
+                .join(broadcast(cands), Seq("vec_id"), "left_semi")
+                .select(col("vec_id"), col("d"))
+                .unionByName(deg)
+            }
           val seg = IndexStore.newSegmentName()
           delivery.write.parquet(s"$path/$seg/vectors")
           newRows.unionByName(changedRows)
             .write.parquet(s"$path/$seg/edges")
           deg.write.parquet(s"$path/$seg/degrees")
-          electHubs(standing.unionByName(deg), hubCount, gen)
+          electHubs(electFrom, hubCount, gen)
             .write.parquet(s"$path/$seg/hubs")
-          publishStamped(spark, path, seg,
+          val v = publishStamped(spark, path, seg,
             Seq("vectors", "edges", "degrees", "hubs"), snap)
+          bumpDebt(spark, path, dDeliveries = 1, dTombstones = 0)
+          v
         }
       } finally { delivery.unpersist(); () }
     }
@@ -380,23 +458,51 @@ object KnnGraphIndex {
           Some(asGraph(oldEdges)), k, iters), gen = snap.version + 1)
         .localCheckpoint(true)
       val changed = changedNodes(stored, oldEdges)
-      if (changed.isEmpty) snap.version
-      else {
+      val noIds = corpus.select("vec_id").limit(0)
+      val v = if (changed.isEmpty) {
+        // no edge changed — but this is still the FULL ELECTION the
+        // bounded insert-time elections defer to: if accumulated
+        // insert/delete staleness moved the true top-H away from the
+        // standing set, publish a hubs-only refresh (otherwise the
+        // staleness insert's delta-bounded election documents would
+        // outlive every rewire that found the edges converged).
+        val full = electHubs(liveEndpointDeltas(snap, liveDegrees(snap),
+          noIds), hubCount, gen = snap.version + 1)
+        val cur = liveHubs(snap).select("vec_id", "deg")
+        val drift = full.select("vec_id", "deg").exceptAll(cur)
+          .unionByName(cur.exceptAll(full.select("vec_id", "deg")))
+        if (drift.isEmpty) snap.version
+        else {
+          val seg = IndexStore.newSegmentName()
+          full.write.parquet(s"$path/$seg/hubs")
+          publishStamped(spark, path, seg, Seq("hubs"), snap)
+        }
+      } else {
         val newRows = stored.join(changed, Seq("vec_id"), "left_semi")
           .localCheckpoint(true)
         val oldRows = oldEdges.select(col("vec_id"), col("neighbor_id"))
           .join(changed, Seq("vec_id"), "left_semi")
-        val deg = degreeDelta(newRows, 1)
-          .unionByName(degreeDelta(oldRows, -1)).localCheckpoint(true)
+        val deg = liveEndpointDeltas(snap, degreesBaseline(snap,
+            oldEdges, degreeDelta(newRows, 1)
+              .unionByName(degreeDelta(oldRows, -1))),
+            noIds)
+          .localCheckpoint(true)
+        val electFrom = if (snap.segments("degrees").isEmpty) deg
+          else liveEndpointDeltas(snap, liveDegrees(snap), noIds)
+            .unionByName(deg)
         val seg = IndexStore.newSegmentName()
         newRows.write.parquet(s"$path/$seg/edges")
         deg.write.parquet(s"$path/$seg/degrees")
-        electHubs(liveDegrees(snap).unionByName(deg), hubCount,
-            gen = snap.version + 1)
+        electHubs(electFrom, hubCount, gen = snap.version + 1)
           .write.parquet(s"$path/$seg/hubs")
         publishStamped(spark, path, seg,
           Seq("edges", "degrees", "hubs"), snap)
       }
+      // either branch leaves the hub set ≡ a full election over the
+      // post-commit live degrees and every live neighborhood descent-
+      // converged — the maintenance debt is paid in full
+      clearDebt(spark, path, keepTombstones = false)
+      v
     }
 
   /** Retract nodes: one scoped tombstone masks the ids' rows in ALL
@@ -424,7 +530,7 @@ object KnnGraphIndex {
           snap.segments("degrees") ++ snap.segments("hubs")).distinct)
       IndexStore.publishAppend(spark, path, seg,
         Seq("tombstones", "tombstone_scope"), op = "delete")
-      ()
+      bumpDebt(spark, path, dDeliveries = 0, dTombstones = 1)
     }
   }
 
@@ -464,6 +570,12 @@ object KnnGraphIndex {
         require(v == snap.version + 1,
           s"graph compact landed as version $v, rows stamped gen " +
             s"${snap.version + 1} under $path")
+        // compact folds degrees from the scrubbed edges and elects
+        // hubs fully — the ELECTION debt is paid; the TOMBSTONE debt
+        // is not (scrubbed nodes keep sub-k degrees until a re-wire,
+        // the layout-only contract), so it carries forward and keeps
+        // counting toward [[maybeRewire]]
+        clearDebt(spark, path, keepTombstones = true)
         v
       } finally { vecs.unpersist(); () }
     }
@@ -472,6 +584,84 @@ object KnnGraphIndex {
       maxSegments: Int): Boolean = {
     val due = IndexStore.segmentCount(spark, path) > maxSegments
     if (due) compact(spark, path)
+    due
+  }
+
+  // ---- maintenance debt: the trigger [[maybeRewire]] fires on ----
+
+  private def debtFile(root: String) = new Path(root, "_graph_debt")
+
+  /** (deliveries since the last full-quality pass, tombstone commits
+    * since the last re-wire) — the two staleness sources the docs
+    * above call out: a delta-bounded [[insert]]'s hub election never
+    * promotes a never-touched node just below the cut, and a delete's
+    * victims leave their old neighbors with sub-k degrees that
+    * [[compact]] by contract does not restore. Tracked in a root-level
+    * sidecar updated under the writer lock; a missing or torn file
+    * reads as zero debt (the policy is a heuristic — undercounting
+    * delays a rewire, never corrupts data). [[IndexStore.cloneAt]]
+    * copies segments only, so a clone starts debt-free by design.
+    */
+  def debt(spark: SparkSession, root: String): (Long, Long) = {
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(debtFile(root))) (0L, 0L)
+    else {
+      val in = fs.open(debtFile(root))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.split("\\s+") match {
+        case Array(d, t) =>
+          (scala.util.Try(d.toLong).getOrElse(0L),
+            scala.util.Try(t.toLong).getOrElse(0L))
+        case _ => (0L, 0L)
+      }
+    }
+  }
+
+  private def writeDebt(spark: SparkSession, root: String, d: Long,
+      t: Long): Unit = {
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val out = fs.create(debtFile(root), true)
+    try out.write(s"$d $t".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Callers hold the writer lock (every mutator goes through
+    * [[IndexStore.withLock]]), so read-modify-write cannot race.
+    */
+  private def bumpDebt(spark: SparkSession, root: String,
+      dDeliveries: Long, dTombstones: Long): Unit = {
+    val (d, t) = debt(spark, root)
+    writeDebt(spark, root, d + dDeliveries, t + dTombstones)
+  }
+
+  private def clearDebt(spark: SparkSession, root: String,
+      keepTombstones: Boolean): Unit = {
+    val t = if (keepTombstones) debt(spark, root)._2 else 0L
+    writeDebt(spark, root, 0L, t)
+  }
+
+  /** Fire [[rewire]] once accumulated maintenance debt crosses
+    * `maxDebt` — the [[maybeCompact]] size-tier policy applied to
+    * graph QUALITY, closing the "nothing ever calls rewire" gap: a
+    * pure insert/delete workload otherwise accumulates hub-election
+    * staleness and sub-k degrees forever, because [[insert]]'s
+    * election is delta-bounded by design and [[compact]] is
+    * layout-only by contract. Debt is [[debt]]'s two counters summed
+    * (each published insert delivery +1, each tombstone commit +1);
+    * [[build]]/[[buildFrom]]/[[append]]/[[rewire]] clear it,
+    * [[compact]] clears the election half only. [[Takedown.maintain]]
+    * runs this for every registered graph surface, so the registry
+    * sweep restores quality, not just layout. Returns whether a
+    * rewire fired; after a fire the hub set ≡ a full election over
+    * the live degrees (KnnGraphIndexSpec pins the law).
+    */
+  def maybeRewire(spark: SparkSession, path: String, maxDebt: Int = 8,
+      iters: Int = 1): Boolean = {
+    val (d, t) = debt(spark, path)
+    val due = d + t > maxDebt
+    if (due) { rewire(spark, path, iters); () }
     due
   }
 

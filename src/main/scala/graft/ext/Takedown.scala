@@ -287,16 +287,22 @@ object Takedown {
   /** One maintenance sweep over every registered surface — the corpus
     * cron a production deployment runs: each surface whose segment
     * debt crossed `maxSegments` compacts (the family `maybeCompact`
-    * policy), then every surface GCs to `retainVersions` — with
-    * versions under an active reader lease ([[withPinned]],
-    * [[SelectionLog.replay]]) surviving regardless, so maintenance can
-    * never pull a pinned selection's segments out from under it.
-    * Returns the surfaces that compacted. Safe to run concurrently
-    * with readers (compaction is a pointer swap) and crash-safe:
-    * every step is an ordinary manifest commit.
+    * policy), graph surfaces whose QUALITY debt crossed `maxGraphDebt`
+    * re-wire ([[KnnGraphIndex.maybeRewire]] — compaction restores
+    * layout but by contract leaves post-delete degrees below k and
+    * insert-time hub elections delta-bounded; without this trigger
+    * nothing ever called rewire and a long-lived insert/delete
+    * workload's graph quality drifted unboundedly), then every surface
+    * GCs to `retainVersions` — with versions under an active reader
+    * lease ([[withPinned]], [[SelectionLog.replay]]) surviving
+    * regardless, so maintenance can never pull a pinned selection's
+    * segments out from under it. Returns the surfaces that compacted
+    * or rewired. Safe to run concurrently with readers (compaction is
+    * a pointer swap) and crash-safe: every step is an ordinary
+    * manifest commit.
     */
   def maintain(spark: SparkSession, root: String, maxSegments: Int = 8,
-      retainVersions: Int = 2): Seq[Surface] = {
+      retainVersions: Int = 2, maxGraphDebt: Int = 8): Seq[Surface] = {
     val ss = surfaces(spark, root)
     val compacted = ss.filter { s =>
       s.kind match {
@@ -313,10 +319,15 @@ object Takedown {
         case other     => sys.error(s"unknown surface kind '$other'")
       }
     }
+    // quality pass AFTER the layout pass: compact may clear part of
+    // the debt (its full hub election), and rewire over a scrubbed
+    // layout re-wires exactly the sub-k survivors
+    val rewired = ss.filter(s => s.kind == "graph" &&
+      KnnGraphIndex.maybeRewire(spark, s.path, maxGraphDebt))
     ss.foreach(s => IndexStore.withLock(spark, s.path) {
       IndexStore.gc(spark, s.path, retainVersions)
     })
-    compacted
+    (compacted ++ rewired).distinct
   }
 
   /** Run `body` against a pinned cross-surface vector with a TTL

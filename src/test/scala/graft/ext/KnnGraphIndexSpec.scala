@@ -310,6 +310,155 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(liveDeg === degreesFromEdges(path))
   }
 
+  test("maybeRewire fires exactly once past the debt threshold and the " +
+      "post-fire hub set equals a full election") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    assert(KnnGraphIndex.debt(spark, path) === ((0L, 0L)))
+    KnnGraphIndex.insert(spark, path,
+      Seq((100L, Array(10f, 0f, 0.5f))).toDF("vec_id", "embedding"))
+    KnnGraphIndex.insert(spark, path,
+      Seq((101L, Array(0f, 10f, 0.5f))).toDF("vec_id", "embedding"))
+    assert(KnnGraphIndex.debt(spark, path) === ((2L, 0L)))
+    // at the threshold: does NOT fire (one below the trigger)
+    assert(!KnnGraphIndex.maybeRewire(spark, path, maxDebt = 2))
+    KnnGraphIndex.deleteVecs(spark, path, Seq(2L).toDF("vec_id"),
+      col("vec_id"))
+    assert(KnnGraphIndex.debt(spark, path) === ((2L, 1L)))
+    // past the threshold: fires, pays the debt in full…
+    assert(KnnGraphIndex.maybeRewire(spark, path, maxDebt = 2))
+    assert(KnnGraphIndex.debt(spark, path) === ((0L, 0L)))
+    // …and therefore fires exactly once
+    assert(!KnnGraphIndex.maybeRewire(spark, path, maxDebt = 2))
+    // post-fire law: the persisted hub set ≡ a full election over the
+    // live degree totals (deg desc, id asc, top-H, deg > 0)
+    val snap = IndexStore.snapshot(spark, path)
+    val hubs = KnnGraphIndex.liveHubs(snap)
+      .as[(Long, Long)].collect().toMap
+    val want = KnnGraphIndex.liveDegrees(snap)
+      .as[(Long, Long)].collect().filter(_._2 > 0)
+      .sortBy { case (id, d) => (-d, id) }.take(64).toMap
+    assert(hubs === want)
+  }
+
+  test("Takedown.maintain triggers the graph quality pass past " +
+      "maxGraphDebt") {
+    val root = dir()
+    val gidx = dir()
+    KnnGraphIndex.build(clustered, gidx, k = 3, iters = 3)
+    Takedown.register(spark, root, Takedown.Surface("graph", gidx))
+    (0 until 3).foreach { i =>
+      KnnGraphIndex.insert(spark, gidx,
+        Seq((200L + i, Array(10f, 0f, 1f + i * 0.01f)))
+          .toDF("vec_id", "embedding"))
+      ()
+    }
+    assert(KnnGraphIndex.debt(spark, gidx) === ((3L, 0L)))
+    val swept = Takedown.maintain(spark, root, maxSegments = 100,
+      maxGraphDebt = 2)
+    assert(swept.map(_.kind) === Seq("graph"))
+    assert(KnnGraphIndex.debt(spark, gidx) === ((0L, 0L)))
+    // the debt is paid: the next sweep is a no-op
+    assert(Takedown.maintain(spark, root, maxSegments = 100,
+      maxGraphDebt = 2).isEmpty)
+  }
+
+  test("delete then rewire leaves no phantom degree rows for dead ids") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    KnnGraphIndex.deleteVecs(spark, path, Seq(2L, 4L).toDF("vec_id"),
+      col("vec_id"))
+    def liveDeg = KnnGraphIndex
+      .liveDegrees(IndexStore.snapshot(spark, path))
+      .as[(Long, Long)].collect().toSet
+    def liveOnly(s: Set[(Long, Long)]) =
+      s.filterNot(kv => kv._1 == 2L || kv._1 == 4L)
+    // stored totals may only OVERSTATE live nodes (the dead nodes' own
+    // masked edges contributed +1s keyed under their live endpoints —
+    // the documented stale-until-compact posture); they must never
+    // understate, and dead ids must carry no rows at all
+    def staleOnlyOverstates(): Unit = {
+      val derived = liveOnly(degreesFromEdges(path)).toMap
+      val stored = liveDeg
+      assert(!stored.exists(kv => kv._1 == 2L || kv._1 == 4L),
+        s"phantom degree rows for dead ids: $stored")
+      assert(stored.forall(_._2 > 0L))
+      assert(stored.map(_._1) === derived.keySet)
+      stored.foreach { case (id, d) =>
+        assert(d >= derived(id), s"node $id stored $d < live-edge " +
+          s"count ${derived(id)} — a phantom NEGATIVE delta landed")
+      }
+    }
+    staleOnlyOverstates()
+    // rewire WITHOUT compact: changed nodes drop their dangling
+    // references — the −1 endpoint contributions for the dead ids must
+    // NOT land as new unmasked rows (pre-fix: net-negative phantom
+    // rows for ids 2 and 4 until compact)
+    KnnGraphIndex.rewire(spark, path, iters = 2)
+    staleOnlyOverstates()
+    // compact clears the overstatement: exact equality from then on
+    KnnGraphIndex.compact(spark, path)
+    assert(liveDeg === liveOnly(degreesFromEdges(path)))
+  }
+
+  test("a delivery with conflicting duplicate rows fails loudly; exact " +
+      "duplicate rows collapse") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val conflicting = Seq((100L, Array(10f, 0f, 0.5f)),
+        (100L, Array(0f, 10f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraphIndex.insert(spark, path, conflicting)
+    }
+    assert(e.getMessage.contains("CONFLICTING"))
+    // nothing landed: the index is still at its build version
+    assert(IndexStore.snapshot(spark, path).version === 1L)
+    // an exact duplicate (a retried row) collapses and admits once
+    val dup = Seq((100L, Array(10f, 0f, 0.5f)),
+        (100L, Array(10f, 0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    KnnGraphIndex.insert(spark, path, dup)
+    assert(KnnGraphIndex
+      .liveVectors(IndexStore.snapshot(spark, path))
+      .filter(col("vec_id") === 100L).count() === 1L)
+  }
+
+  test("a legacy index (meta without hubs, no degrees/hubs relations) " +
+      "serves and backfills on its first maintenance commit") {
+    val path = dir()
+    // hand-publish the pre-serving-relations layout: one segment with
+    // meta(k)+vectors+edges only — what round-11 code persisted
+    IndexStore.withLock(spark, path) {
+      val seg = IndexStore.newSegmentName()
+      Seq(3).toDF("k").coalesce(1).write.parquet(s"$path/$seg/meta")
+      clustered.write.parquet(s"$path/$seg/vectors")
+      EmbeddingSearch.knnGraph(clustered, 3)
+        .select(col("query_id").as("vec_id"), col("neighbor_id"),
+          col("cos"), col("rank"), lit(1L).as("gen"))
+        .write.parquet(s"$path/$seg/edges")
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("meta", "vectors", "edges"), op = "build")
+    }
+    // hub serving works via the fallback election (no opaque
+    // field-not-found / missing-relation error)
+    val q = clustered.filter(col("vec_id") === 0L)
+    val got = KnnGraphIndex.search(spark, path, q, k = 3, beamWidth = 6,
+        hops = 4, entryPoints = 2, hubEntries = true)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ % 2 == 0))
+    // the first maintenance commit BACKFILLS both relations…
+    KnnGraphIndex.insert(spark, path,
+      Seq((100L, Array(10f, 0f, 0.5f))).toDF("vec_id", "embedding"))
+    val snap = IndexStore.snapshot(spark, path)
+    assert(snap.segments("degrees").nonEmpty)
+    assert(snap.segments("hubs").nonEmpty)
+    // …and the summable-delta invariant holds from then on
+    val liveDeg = KnnGraphIndex.liveDegrees(snap)
+      .as[(Long, Long)].collect().toSet
+    assert(liveDeg === degreesFromEdges(path))
+  }
+
   test("hubs re-elect at maintenance time and a deleted hub leaves " +
       "the persisted entry set") {
     val path = dir()
