@@ -340,6 +340,9 @@ object Bench {
     // (reads the shared descent memo → must follow q_nn_descent)
     "q_graph_federate", "q_graph_hub_persist_exact",
     "q_graph_filtered_persist", "q_graph_hub_persist",
+    // round 13: the health-stats fixture builds from the shared exact
+    // graph too (same post-q_knn_graph scheduling requirement)
+    "q_graph_stats",
     // streamed lifecycle replay: drain + in-window all-pairs batch-1
     // graph + |delivery|² insertion oracle work by design; streamed
     // evaluation reads the shared exact-graph memo from a stream drain
@@ -398,7 +401,9 @@ object Bench {
     // round 12: federated graph serving, persisted hub lifecycle,
     // trained-family exact twin, group-capped MMR, incremental eval
     "q_graph_federate", "q_graph_hub_persist", "q_ivf_topk_exact",
-    "q_mmr_capped", "q_class_eval_inc")
+    "q_mmr_capped", "q_class_eval_inc",
+    // round 13: index health stats (the maybeRewire decision relation)
+    "q_graph_stats")
 
   /** Gates trimmed FROM [[headline]] for the 2 KB stdout budget but
     * still pinned BY NAME: the headline subset exists partly as

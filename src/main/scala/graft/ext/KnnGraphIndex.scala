@@ -665,6 +665,72 @@ object KnnGraphIndex {
     due
   }
 
+  /** INDEX HEALTH as a relation — the numbers that DECIDE maintenance
+    * (when [[maybeRewire]]/[[maybeCompact]] should fire) and that an
+    * operator dashboards at 100 TB, today recomputable only by ad-hoc
+    * queries against the raw relations. One (metric, value) row each
+    * for: manifest `version`; `live_nodes` / `live_edges` (the served
+    * graph's size); `dangling_edges` (live edge rows whose neighbor's
+    * vector is tombstoned — deletes leave them for [[compact]], and
+    * each one is a wasted walk candidate); `deg_min`/`deg_max`/
+    * `deg_sum` over the STORED degree totals (the degree histogram's
+    * envelope — `deg_min` < k means delete-damaged neighborhoods a
+    * [[rewire]] would restore; overstatement vs the live edges is the
+    * documented delete staleness); `hub_count` and `hub_election_age`
+    * (versions since the last election — bounded insert elections age
+    * the entry set); `segments`/`tombstone_segments` (compaction
+    * debt); `debt_deliveries`/`debt_tombstones` ([[debt]]'s counters).
+    * Cost is index-relation-bounded (edge + degree + hub scans, one
+    * anti-join) — never a corpus read; q_graph_stats value-checks
+    * every number against an oracle recomputing them from the raw
+    * relations.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val vecs = liveVectors(snap).select("vec_id").persist()
+    val edges = liveEdges(snap).persist()
+    try {
+      val liveNodes = vecs.count()
+      val liveEdgeCnt = edges.count()
+      val dangling = edges
+        .join(vecs.select(col("vec_id").as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
+        .count()
+      val degRow = liveDegrees(snap)
+        .agg(min("d").as("lo"), max("d").as("hi"), sum("d").as("sm"))
+        .head()
+      def longAt(i: Int): Long =
+        if (degRow.isNullAt(i)) 0L else degRow.getLong(i)
+      val hubCount = liveHubs(snap).count()
+      val hubGen =
+        if (snap.segments("hubs").isEmpty) snap.version
+        else {
+          val g = IndexStore.liveRows(snap, "hubs", key = "vec_id")
+            .agg(max("gen")).head()
+          if (g.isNullAt(0)) snap.version else g.getLong(0)
+        }
+      val segs = snap.lines.map(_.split("/").head).distinct.size.toLong
+      val tombSegs = snap.segments("tombstones").size.toLong
+      val (dDebt, tDebt) = debt(spark, path)
+      Seq(
+        "dangling_edges" -> dangling,
+        "debt_deliveries" -> dDebt,
+        "debt_tombstones" -> tDebt,
+        "deg_max" -> longAt(1),
+        "deg_min" -> longAt(0),
+        "deg_sum" -> longAt(2),
+        "hub_count" -> hubCount,
+        "hub_election_age" -> (snap.version - hubGen),
+        "live_edges" -> liveEdgeCnt,
+        "live_nodes" -> liveNodes,
+        "segments" -> segs,
+        "tombstone_segments" -> tombSegs,
+        "version" -> snap.version,
+      ).toDF("metric", "value")
+    } finally { vecs.unpersist(); edges.unpersist(); () }
+  }
+
   /** Serve external queries by beam descent over the live graph —
     * [[EmbeddingSearch.graphSearch]] with this index's live vectors
     * and edges. Lookup semantics (nothing self-excluded).

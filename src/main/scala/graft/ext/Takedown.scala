@@ -330,6 +330,31 @@ object Takedown {
     (compacted ++ rewired).distinct
   }
 
+  /** REGISTRY-WIDE health: one row per registered surface with the
+    * manifest version, segment count (the compaction-debt gauge
+    * [[maintain]] fires on), tombstone-segment count (un-applied
+    * takedown debt), and — for graph surfaces — [[KnnGraphIndex
+    * .debt]]'s quality counters (what [[KnnGraphIndex.maybeRewire]]
+    * fires on). Metadata-bounded: manifest lines + one sidecar read
+    * per surface, never a relation scan — the dashboard an operator
+    * polls to decide when the next [[maintain]] sweep is due.
+    * Per-surface DEEP health (degree histograms, dangling edges) is
+    * [[KnnGraphIndex.stats]].
+    */
+  def health(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    surfaces(spark, root).map { s =>
+      val snap = IndexStore.snapshot(spark, s.path)
+      val segs = snap.lines.map(_.split("/").head).distinct.size
+      val tombs = snap.segments("tombstones").size
+      val (gd, gt) =
+        if (s.kind == "graph") KnnGraphIndex.debt(spark, s.path)
+        else (0L, 0L)
+      (s.kind, s.path, snap.version, segs, tombs, gd, gt)
+    }.toDF("kind", "path", "version", "segments", "tombstone_segments",
+      "graph_debt_deliveries", "graph_debt_tombstones")
+  }
+
   /** Run `body` against a pinned cross-surface vector with a TTL
     * reader lease held on EVERY surface ([[IndexStore.withLease]]) —
     * later appends, compactions, and GC cannot drop any pinned

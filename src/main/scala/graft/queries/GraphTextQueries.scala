@@ -1283,6 +1283,76 @@ object GraphTextQueries {
     """SELECT count(*) AS n_queries, true AS search_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  // ---- index health stats, value-checked number by number ----
+
+  /** [[graft.ext.KnnGraphIndex.stats]]: the health relation that
+    * decides WHEN maintenance fires (maybeRewire's debt counters,
+    * maybeCompact's segment gauge) and what an operator dashboards at
+    * 100 TB. The fixture is fully deterministic — buildFrom over the
+    * memoized exact graph, then a takedown of every seventh node — so
+    * the oracle recomputes every number from the raw derivation:
+    * live/dangling edge counts over the masked groups, the stored
+    * degree envelope (endpoint counts over the FULL build-time graph,
+    * masked to live ids — stored totals keep the delete staleness by
+    * design, and the oracle replays exactly that), the build-time hub
+    * election minus its tombstoned members, the election age, the
+    * segment/tombstone layout constants, and the debt counters
+    * (buildFrom clears, the delete bumps).
+    */
+  private def graphStats(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gate_gstats_")
+    val embs = Tables.embeddings(s, d)
+    val exact = s.read.parquet(s"${sharedKnnGraph(s, d)}/knn")
+    graft.ext.KnnGraphIndex.buildFrom(
+      embs.select(col("vec_id"), col("embedding")), exact, dir, k = 3)
+    graft.ext.KnnGraphIndex.deleteVecs(s, dir,
+      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      col("vec_id"))
+    graft.ext.KnnGraphIndex.stats(s, dir).orderBy("metric")
+  }
+
+  private val graphStatsSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS query_id, b.vec_id,
+      |             list_dot_product(a.v, b.v)
+      |               / sqrt(list_dot_product(a.v, a.v)
+      |                      * list_dot_product(b.v, b.v)) AS cos
+      |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+      |knn AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst
+      |  FROM (SELECT query_id, vec_id,
+      |          row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cos DESC, vec_id) AS rank
+      |        FROM p)
+      |  WHERE rank <= 3),
+      |dead AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3),
+      |lv AS (SELECT src, dst FROM knn
+      |       WHERE src NOT IN (SELECT vec_id FROM dead)),
+      |deg AS (SELECT node_id, count(*) AS dg FROM (
+      |          SELECT src AS node_id FROM knn
+      |          UNION ALL SELECT dst FROM knn) GROUP BY 1),
+      |livedeg AS (SELECT * FROM deg
+      |            WHERE node_id NOT IN (SELECT vec_id FROM dead)),
+      |hubs AS (SELECT node_id FROM deg
+      |         ORDER BY dg DESC, node_id LIMIT 64)
+      |SELECT * FROM (
+      |  SELECT 'dangling_edges' AS metric, count(*)::BIGINT AS value
+      |  FROM lv WHERE dst IN (SELECT vec_id FROM dead)
+      |  UNION ALL SELECT 'debt_deliveries', 0::BIGINT
+      |  UNION ALL SELECT 'debt_tombstones', 1::BIGINT
+      |  UNION ALL SELECT 'deg_max', max(dg)::BIGINT FROM livedeg
+      |  UNION ALL SELECT 'deg_min', min(dg)::BIGINT FROM livedeg
+      |  UNION ALL SELECT 'deg_sum', sum(dg)::BIGINT FROM livedeg
+      |  UNION ALL SELECT 'hub_count', count(*)::BIGINT FROM hubs
+      |    WHERE node_id NOT IN (SELECT vec_id FROM dead)
+      |  UNION ALL SELECT 'hub_election_age', 1::BIGINT
+      |  UNION ALL SELECT 'live_edges', count(*)::BIGINT FROM lv
+      |  UNION ALL SELECT 'live_nodes', count(*)::BIGINT FROM embeddings
+      |    WHERE vec_id % 7 <> 3
+      |  UNION ALL SELECT 'segments', 2::BIGINT
+      |  UNION ALL SELECT 'tombstone_segments', 1::BIGINT
+      |  UNION ALL SELECT 'version', 2::BIGINT)
+      |ORDER BY metric""".stripMargin
+
   // ---- FEDERATED graph search, value-checked end to end ----
 
   /** [[graft.ext.KnnGraphIndex.searchFederatedVectors]]: the
@@ -2400,6 +2470,7 @@ object GraphTextQueries {
       Some(searchGraphFilteredExactSql)),
     Gate("q_graph_hub_persist", graphHubPersist,
       Some(graphHubPersistSql)),
+    Gate("q_graph_stats", graphStats, Some(graphStatsSql)),
     Gate("q_graph_federate", graphFederate, Some(graphFederateSql)),
     Gate("q_stream_graph_exact", streamGraphExact,
       Some(streamGraphExactSql)),

@@ -43,6 +43,36 @@ class TakedownSpec extends SparkSpec {
         col("nid"), col("needle"))
       .select("id").as[Long].collect().toSet
 
+  test("health() reports per-surface version/segment/tombstone state " +
+    "and the graph quality debt") {
+    val (root, bm25, lit) = setup()
+    val gidx = tmpDir("td_gidx")
+    val embs = (0 until 8).map(i => (i.toLong,
+      Array(if (i % 2 == 0) 10f else 0f, if (i % 2 == 0) 0f else 10f,
+        i * 0.01f))).toDF("vec_id", "embedding")
+    KnnGraphIndex.build(embs, gidx, k = 3, iters = 3)
+    Takedown.register(spark, root, Takedown.Surface("graph", gidx))
+    KnnGraphIndex.insert(spark, gidx,
+      Seq((100L, Array(10f, 0f, 0.5f))).toDF("vec_id", "embedding"))
+    TextSearch.deleteDocs(spark, bm25, Seq(1L).toDF("doc_id"),
+      col("doc_id"))
+    val h = Takedown.health(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(h.keySet === Set("bm25", "graph", "literal"))
+    // bm25: build(v1) + delete(v2), one tombstone segment
+    assert(h("bm25").getAs[Long]("version") === 2L)
+    assert(h("bm25").getAs[Int]("tombstone_segments") === 1)
+    // literal: untouched since build
+    assert(h("literal").getAs[Long]("version") === 1L)
+    assert(h("literal").getAs[Int]("tombstone_segments") === 0)
+    // graph: build + one insert → 2 segments, quality debt (1, 0)
+    assert(h("graph").getAs[Long]("version") === 2L)
+    assert(h("graph").getAs[Int]("segments") === 2)
+    assert(h("graph").getAs[Long]("graph_debt_deliveries") === 1L)
+    assert(h("graph").getAs[Long]("graph_debt_tombstones") === 0L)
+    assert(h("bm25").getAs[Long]("graph_debt_deliveries") === 0L)
+  }
+
   test("registry is idempotent and stable-ordered") {
     val (root, bm25, lit) = setup()
     Takedown.register(spark, root, Takedown.Surface("bm25", bm25))
