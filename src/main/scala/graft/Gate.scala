@@ -116,6 +116,16 @@ object Gate {
     */
   def copyDir(src: String, prefix: String): String = {
     val dst = tmpDir(prefix)
+    copyInto(src, dst)
+    dst
+  }
+
+  /** [[copyDir]] into an EXPLICIT destination — for staging a private
+    * copy of one artifact INSIDE another [[memoDir]] (a memo body that
+    * allocated its own scratch dir would see it swept by
+    * [[sweepNewStaging]], which keeps only the memoized roots).
+    */
+  def copyInto(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val t = java.nio.file.Paths.get(dst)
     val walk = java.nio.file.Files.walk(s)
@@ -130,7 +140,6 @@ object Gate {
         ()
       }
     } finally walk.close()
-    dst
   }
 
   /** Run `body` with session confs temporarily set, restoring (or

@@ -437,6 +437,7 @@ object ExtQueries {
     sharedIvfIndex(s, d)
     sharedIngestRoot(s, d)
     MaintainQueries.sharedGraphSeed(s, d)
+    MaintainQueries.sharedRewireSeed(s, d)
     ()
   }
 

