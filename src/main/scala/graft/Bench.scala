@@ -341,8 +341,11 @@ object Bench {
     "q_graph_federate", "q_graph_hub_persist_exact",
     "q_graph_filtered_persist", "q_graph_hub_persist",
     // round 13: the health-stats fixture builds from the shared exact
-    // graph too (same post-q_knn_graph scheduling requirement)
-    "q_graph_stats",
+    // graph too (same post-q_knn_graph scheduling requirement), and
+    // the federated-serving probe twin reads the shared descent memo
+    // (post-q_nn_descent; its own two-root fixture memoizes in its
+    // first window — construction its siblings' gates already price)
+    "q_graph_stats", "q_graph_fed_serve",
     // streamed lifecycle replay: drain + in-window all-pairs batch-1
     // graph + |delivery|² insertion oracle work by design; streamed
     // evaluation reads the shared exact-graph memo from a stream drain
@@ -403,7 +406,8 @@ object Bench {
     "q_graph_federate", "q_graph_hub_persist", "q_ivf_topk_exact",
     "q_mmr_capped", "q_class_eval_inc",
     // round 13: index health stats (the maybeRewire decision relation)
-    "q_graph_stats")
+    // and the federated-serving probe twins
+    "q_graph_stats", "q_graph_fed_serve", "q_ann_fed_serve")
 
   /** Gates trimmed FROM [[headline]] for the 2 KB stdout budget but
     * still pinned BY NAME: the headline subset exists partly as

@@ -150,13 +150,21 @@ object ScaleProbe {
     // touches the edge list only through one frontier equi-join per
     // hop, the tick through 64 walks + 64² intra pairs; both ratios
     // should sit far below the data factor.
-    "q_graph_serve", "q_graph_insert_tick")
+    "q_graph_serve", "q_graph_insert_tick",
+    // round 13: federated SERVING probe twins — the one flagship scale
+    // claim (precedence probes bounded by result ids, Bloom-pruned)
+    // that was still made from construction rather than measurement.
+    // Roots are memoized fixtures (warmBig populates them per scale);
+    // the timed window is two walks / two-stage scans + the precedence
+    // mask + the fuse.
+    "q_graph_fed_serve", "q_ann_fed_serve")
 
   /** Gates whose timed window assumes a memoized shared build: they
     * get one UNTIMED run at the replica scale too, so the big-side
     * timing prices the operator, not the shared-graph construction.
     */
-  private val warmBig = Set("q_graph_serve", "q_graph_insert_tick")
+  private val warmBig = Set("q_graph_serve", "q_graph_insert_tick",
+    "q_graph_fed_serve", "q_ann_fed_serve")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

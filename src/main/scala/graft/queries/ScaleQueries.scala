@@ -1274,6 +1274,62 @@ object ScaleQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** FEDERATED binary-ANN SERVING alone, timed against roots encoded
+    * outside the window (the q_graph_fed_serve discipline applied to
+    * the training-free family — q_ann_federate itself hash-checks the
+    * VALUES but prices two in-window corpus encodes, so its number is
+    * not a serving-boundedness measurement): the memoized roots are
+    * the same amended-overlay / production-takedown fixture, and the
+    * timed window holds only [[graft.ext.BinaryIndex
+    * .searchFederatedVectors]] — two 16-byte stage-1 scans,
+    * candidate-bounded exact re-ranks, the Bloom-pruned precedence
+    * probe of result ids, and the fused re-rank. Candidates scale with
+    * the corpus (the q_binary_topk knob), so the probe ratio should
+    * track data and the precedence term should stay result-bounded.
+    * Contract: every query's fused top-5 fills exactly.
+    */
+  private def annFedServe(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val pre = sharedFedBinaryRoots(s, d)
+    val amended = embs.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val queries = embs.filter(col("vec_id") < 100)
+    val cand = math.max(200,
+      (graft.ext.BinaryIndex.load(s, s"$pre/prod", embs).codes.count()
+        / 5L).toInt)
+    graft.ext.BinaryIndex.searchFederatedVectors(s,
+        Seq(s"$pre/overlay" -> amended, s"$pre/prod" -> embs), queries,
+        k = 5, candidates = cand)
+      .groupBy("query_id").agg(count(lit(1)).as("n_results"))
+      .orderBy("query_id")
+  }
+
+  private val annFedServeSql =
+    """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results
+      |FROM embeddings WHERE vec_id < 100 ORDER BY query_id""".stripMargin
+
+  /** The two persisted binary-code roots q_ann_fed_serve federates
+    * over (amended-negated overlay with a %3 retraction; production
+    * with a %7 takedown), encoded once per (JVM, dir) — the
+    * training-free codec makes this cheap, but it is still two corpus
+    * passes that belong outside a serving-cost window.
+    */
+  private def sharedFedBinaryRoots(s: SparkSession, d: String): String =
+    graft.Gate.memoDir(s"annfed_serve:$d", "gate_afsrv_") { dir =>
+      val embs = Tables.embeddings(s, d)
+      val amended = embs.filter(col("vec_id") % 5 === 0)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      graft.ext.BinaryIndex.buildAndSave(amended, s"$dir/overlay")
+      graft.ext.BinaryIndex.deleteVecs(s, s"$dir/overlay",
+        embs.filter(col("vec_id") % 3 === 1).select("vec_id"),
+        col("vec_id"))
+      graft.ext.BinaryIndex.buildAndSave(embs, s"$dir/prod")
+      graft.ext.BinaryIndex.deleteVecs(s, s"$dir/prod",
+        embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
+        col("vec_id"))
+      ()
+    }
+
   /** FEDERATED TRAINED-FAMILY ANN
     * ([[graft.ext.IvfIndex.searchFederatedVectors]]): the q_ann_federate
     * fixture (amended-negated overlay with partial retraction over
@@ -2227,6 +2283,7 @@ object ScaleQueries {
     Gate("q_sq_persist", sqPersist, Some(sqPersistSql)),
     Gate("q_binary_persist", binaryPersist, Some(binaryPersistSql)),
     Gate("q_ann_federate", annFederate, Some(annFederateSql)),
+    Gate("q_ann_fed_serve", annFedServe, Some(annFedServeSql)),
     Gate("q_ivf_federate", ivfFederate, Some(ivfFederateSql)),
     Gate("q_stream_ann", streamAnn, Some(streamAnnSql)),
     Gate("q_stream_ingest", streamIngest, Some(streamIngestSql)),
