@@ -39,6 +39,11 @@ object Bench {
     // here, outside every timed window (the build itself is priced by
     // the lifecycle gates, not by the composition gates)
     queries.ExtQueries.prewarmSharedIndex(spark, sfDir)
+    // q_graph_rewire's pre-rewire fixture: Bench-only prewarm (its %3
+    // bulk insert is delivery-capped at the ScaleProbe replica scales,
+    // and the gate is deliberately not probed — the fixture would pay
+    // a corpus-sized insert there for nothing)
+    queries.MaintainQueries.sharedRewireSeed(spark, sfDir)
     // name-sorted so timings are position-stable as gates get added
     // (Map iteration order reshuffles whenever the key set changes),
     // EXCEPT that known-heavy lifecycle/composition gates run LAST:
@@ -344,8 +349,11 @@ object Bench {
     // graph too (same post-q_knn_graph scheduling requirement), and
     // the federated-serving probe twin reads the shared descent memo
     // (post-q_nn_descent; its own two-root fixture memoizes in its
-    // first window — construction its siblings' gates already price)
-    "q_graph_stats", "q_graph_fed_serve",
+    // first window — construction its siblings' gates already price);
+    // cross-modal assembly runs real PNG/BMP decode + a store +
+    // takedown lifecycle in one window (q_media_dup_real + q_takedown
+    // composition)
+    "q_graph_stats", "q_graph_fed_serve", "q_assemble_multimodal",
     // streamed lifecycle replay: drain + in-window all-pairs batch-1
     // graph + |delivery|² insertion oracle work by design; streamed
     // evaluation reads the shared exact-graph memo from a stream drain
@@ -405,9 +413,11 @@ object Bench {
     // trained-family exact twin, group-capped MMR, incremental eval
     "q_graph_federate", "q_graph_hub_persist", "q_ivf_topk_exact",
     "q_mmr_capped", "q_class_eval_inc",
-    // round 13: index health stats (the maybeRewire decision relation)
-    // and the federated-serving probe twins
-    "q_graph_stats", "q_graph_fed_serve", "q_ann_fed_serve")
+    // round 13: index health stats (the maybeRewire decision relation),
+    // the federated-serving probe twins, cross-modal pair assembly,
+    // and the deterministic shard writer
+    "q_graph_stats", "q_graph_fed_serve", "q_ann_fed_serve",
+    "q_assemble_multimodal", "q_shard_writer")
 
   /** Gates trimmed FROM [[headline]] for the 2 KB stdout budget but
     * still pinned BY NAME: the headline subset exists partly as

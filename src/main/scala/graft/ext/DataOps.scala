@@ -158,6 +158,61 @@ object DataOps {
         floor((sum(nTokens).over(w) - nTokens) / budget))
   }
 
+  /** DETERMINISTIC OUTPUT SHARDING — the WebDataset/TFRecord landing
+    * shape, i.e. the last step a training-data pipeline actually runs:
+    * lay the corpus out in a seeded md5 order (the [[splitOf]]/
+    * [[gumbelTopK]] hash-derandomization discipline applied to OUTPUT
+    * layout), cut it into fixed-token shards, and return each row's
+    * (shard, ord) so `write.partitionBy("shard")` +
+    * `sortWithinPartitions("ord")` lands a byte-identical corpus from
+    * nothing but (corpus version, seed) — a training run's shard
+    * contents replay exactly, and two engines derive the same layout.
+    * A document crossing a shard boundary belongs to the shard its
+    * starting token offset falls in (the [[packSequences]] rule).
+    *
+    * The global token offsets are the [[selectUnderBudget]] two-pass
+    * distributed prefix sum over the seeded order — range-partition on
+    * the shuffle key, per-partition sums to the driver (one tiny row
+    * per partition), exclusive offsets broadcast back into a
+    * PARTITION-LOCAL window — never a single-partition global window
+    * (PlanShapeSpec pins the plan). Returns the input plus
+    * (shard BIGINT, ord BIGINT): `ord` is the 1-based global seeded
+    * rank, so intra-shard order is `ord` ascending.
+    */
+  def shardPacked(df: DataFrame, id: Column, nTokens: Column,
+      shardTokens: Long, seed: String = "s1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardTokens > 0, s"shardPacked needs shardTokens > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .withColumn("__n", nTokens.cast("long"))
+      .withColumn("__key",
+        md5(concat(lit(seed), lit(":"), id.cast("string"))))
+      .repartitionByRange(col("__key"), id)
+      .sortWithinPartitions(col("__key"), id)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val parts = keyed.groupBy("__pid")
+      .agg(count(lit(1)).as("c"), sum("__n").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var rows = 0L
+    var toks = 0L
+    val offsets = parts.map { case (p, c, t) =>
+      val o = (p, rows, toks); rows += c; toks += t; o
+    }
+    val offDf = offsets.toSeq.toDF("__pid", "__rowOff", "__tokOff")
+    val w = Window.partitionBy("__pid").orderBy(col("__key"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offDf), "__pid")
+      .withColumn("ord", count(lit(1)).over(w) + col("__rowOff"))
+      .withColumn("shard",
+        floor((sum(col("__n")).over(w) + col("__tokOff") - col("__n"))
+          / shardTokens))
+      .drop("__pid", "__rowOff", "__tokOff", "__n", "__key")
+  }
+
   /** Benchmark decontamination: flag documents sharing any word n-gram
     * with the benchmark corpus. The benchmark shingle set is tiny
     * relative to the corpus → broadcast semi/left join; corpus text never

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Gate, Tables}
-import graft.ext.{DataOps, Dedup, EmbeddingSearch, TextAnalysis}
+import graft.ext.{CorpusStore, DataOps, Dedup, EmbeddingSearch,
+  Multimodal, Takedown, TextAnalysis}
 
 /** Gates for the dataset-assembly operators (training-data pipelines):
   * deterministic train/val/test splitting, weighted source mixing,
@@ -508,6 +509,154 @@ object DataOpsQueries {
       .orderBy("split")
   }
 
+  // ---- deterministic output sharding (the training-data landing) ----
+
+  /** [[graft.ext.DataOps.shardPacked]]: the corpus laid out in seeded
+    * md5 order and cut into fixed-token shards — every row's (shard,
+    * ord) derives from (corpus, seed) alone, so the training run's
+    * shard contents replay byte-identically and the oracle recomputes
+    * the ENTIRE layout (order keys, global seeded rank, running token
+    * offsets, boundary rule: a doc belongs to the shard its starting
+    * offset falls in). The prefix sum is the two-pass distributed
+    * spelling (PlanShapeSpec pins no SinglePartition).
+    */
+  private def shardWriter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+    DataOps.shardPacked(docs, col("doc_id"), col("n_tok"),
+        shardTokens = 8000L, seed = "w1")
+      .select(col("doc_id"), col("shard"), col("ord"))
+      .orderBy("ord")
+  }
+
+  private val shardWriterSql =
+    """WITH tok AS (SELECT doc_id,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
+      |      AS n_tok
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tok,
+      |    md5('w1:' || CAST(doc_id AS VARCHAR)) AS key FROM tok),
+      |r AS (SELECT doc_id, n_tok,
+      |    row_number() OVER (ORDER BY key, doc_id) AS ord,
+      |    sum(n_tok) OVER (ORDER BY key, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM o)
+      |SELECT doc_id, CAST((cum - n_tok) // 8000 AS BIGINT) AS shard, ord
+      |FROM r ORDER BY ord""".stripMargin
+
+  // ---- CROSS-MODAL dataset assembly (text ⨝ media, masks composed) ----
+
+  /** The multimodal extension of [[assembleDataset]]: documents join
+    * their MEDIA rows and the final selection composes three masks
+    * into (doc, media, caption) training records — the pair-assembly
+    * step a caption↔image training pipeline runs after hygiene.
+    *
+    *   - captions are PARAGRAPH-SCRUBBED (the q_paragraph_dedup
+    *     derivation on the same slice: 25-token paragraphs plus the
+    *     planted boilerplate footer, global min-(id, idx) keeper
+    *     election, kept paragraphs re-joined) — replayed fully by the
+    *     oracle's marked CTE;
+    *   - media dedups in the PIXEL domain ([[graft.ext.Multimodal
+    *     .imageDupPairs]], the q_media_dup_real fixture: every doc a
+    *     deterministic 16×16 PNG under media_id doc+500000, every
+    *     fifth doc ALSO a BMP re-encode of the same pixels under
+    *     doc+700000 — byte-different, so only a real decode + DCT
+    *     pHash collapses it; the keeper is the smaller id). The clone
+    *     construction is deterministic and collision-free, so the
+    *     oracle states the mask in closed form — the q_media_dup_real
+    *     contract, whose gate hash-checks exactly this pair set;
+    *   - the TAKEDOWN mask drives a real registered surface: a corpus
+    *     store under a [[graft.ext.Takedown]] registry, one durable
+    *     retract intent for every thirteenth doc, live rows read back.
+    *
+    * 100 TB shape: the media dedup is banded-LSH-then-verify (never
+    * all-pairs), the paragraph election one hash aggregation, the
+    * joins broadcast-able id maps — each mask is its own scalable
+    * operator and the assembly is three equi-joins.
+    */
+  private def assembleMultimodal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+    val media = docs.select("doc_id").as[Long]
+      .flatMap { id =>
+        val base =
+          (id + 500000L, id, Multimodal.synthImage(s"doc-$id", "png"))
+        if (id % 5 == 0)
+          Seq(base,
+            (id + 700000L, id, Multimodal.synthImage(s"doc-$id", "bmp")))
+        else Seq(base)
+      }.toDF("media_id", "doc_id", "payload")
+    // pixel-domain dedup mask: the dropped side of each hamming-0 pair
+    val dropped = Multimodal.imageDupPairs(s,
+        media.select(col("media_id").as("doc_id"), col("payload")),
+        maxHamming = 0)
+      .select(col("id_b").as("media_id")).distinct()
+    val keptMedia = media.join(dropped, Seq("media_id"), "left_anti")
+    // takedown mask through the real registry surface
+    val root = graft.Gate.tmpDir("gate_amm_root_")
+    val store = graft.Gate.tmpDir("gate_amm_store_")
+    CorpusStore.build(docs.select(col("doc_id").as("id"), col("text")),
+      col("id"), store)
+    Takedown.register(s, root, Takedown.Surface("store", store))
+    Takedown.retract(s, root,
+      docs.filter(col("doc_id") % 13 === 7).select(col("doc_id").as("id")),
+      col("id"))
+    val live = CorpusStore.read(s, store).select(col("id").as("doc_id"))
+    // paragraph-scrubbed captions (the paraCorpus derivation, <60 slice)
+    val toks = TextAnalysis.tokens(col("text"))
+    val paras = docs
+      .select(col("doc_id").as("id"), toks.as("toks"))
+      .select(col("id"), concat(
+        transform(
+          sequence(lit(0),
+            (ceil(size(col("toks")) / lit(25.0)) - 1).cast("int")),
+          i => array_join(slice(col("toks"), i * 25 + 1, lit(25)), " ")),
+        array(concat(lit("subscribe to our newsletter edition "),
+          col("id") % 3))).as("paras"))
+      .select(col("id"), posexplode(col("paras")).as(Seq("idx", "para")))
+    val captions = TextAnalysis.paragraphDedup(paras, col("id"),
+        col("idx"), col("para"))
+      .select(col("id").as("doc_id"),
+        md5(col("clean_text")).as("caption_h"))
+    keptMedia.join(live, Seq("doc_id"))
+      .join(captions, Seq("doc_id"))
+      .select(col("doc_id"), col("media_id"), col("caption_h"))
+      .orderBy("doc_id", "media_id")
+  }
+
+  private val assembleMultimodalSql =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |             FROM documents WHERE doc_id < 60),
+      |p0 AS (SELECT id, list_append(
+      |         list_transform(range(CAST(ceil(len(toks) / 25.0) AS INT)),
+      |           i -> array_to_string(toks[i*25+1 : i*25+25], ' ')),
+      |         'subscribe to our newsletter edition ' || (id % 3)) AS paras
+      |       FROM tok),
+      |paras AS (SELECT id, r['i'] AS idx, r['p'] AS para
+      |          FROM p0, unnest(list_transform(range(len(paras)),
+      |            i -> {'i': i, 'p': paras[i+1]})) AS t(r)),
+      |marked AS (SELECT id, idx, para,
+      |             row_number() OVER (PARTITION BY para
+      |                                ORDER BY id, idx) AS rn
+      |           FROM paras),
+      |clean AS (SELECT id,
+      |            coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+      |                                chr(10) ORDER BY idx), '')
+      |              AS clean_text
+      |          FROM marked GROUP BY id),
+      |media AS (SELECT doc_id, doc_id + 500000 AS media_id
+      |          FROM documents WHERE doc_id < 60
+      |          UNION ALL
+      |          SELECT doc_id, doc_id + 700000 FROM documents
+      |          WHERE doc_id < 60 AND doc_id % 5 = 0)
+      |SELECT m.doc_id, m.media_id, md5(c.clean_text) AS caption_h
+      |FROM media m JOIN clean c ON c.id = m.doc_id
+      |WHERE m.media_id < 700000
+      |  AND m.doc_id % 13 <> 7
+      |ORDER BY doc_id, media_id""".stripMargin
+
   private val assembleDatasetSql = {
     def q(re: String) = re.replace("'", "''")
     val enList = TextAnalysis.langProfiles.head._2
@@ -948,6 +1097,9 @@ object DataOpsQueries {
     Gate("q_weighted_resample", weightedResample, Some(weightedResampleSql)),
     Gate("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Gate("q_assemble_dataset", assembleDataset, Some(assembleDatasetSql)),
+    Gate("q_assemble_multimodal", assembleMultimodal,
+      Some(assembleMultimodalSql)),
+    Gate("q_shard_writer", shardWriter, Some(shardWriterSql)),
     Gate("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     Gate("q_dup_clusters_star", dupClustersStar, Some(dupClustersStarSql)),
     Gate("q_dup_clusters_inc", dupClustersInc, Some(dupClustersStarSql)),

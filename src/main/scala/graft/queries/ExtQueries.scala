@@ -437,7 +437,6 @@ object ExtQueries {
     sharedIvfIndex(s, d)
     sharedIngestRoot(s, d)
     MaintainQueries.sharedGraphSeed(s, d)
-    MaintainQueries.sharedRewireSeed(s, d)
     ()
   }
 

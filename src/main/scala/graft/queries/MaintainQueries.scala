@@ -322,7 +322,7 @@ object MaintainQueries {
     * inserted delivery, exactly the lifecycle the gate replayed
     * in-window before r13.
     */
-  private[queries] def sharedRewireSeed(s: SparkSession,
+  private[graft] def sharedRewireSeed(s: SparkSession,
       d: String): String = {
     // resolve the parent memo BEFORE entering this one: memoDir is a
     // computeIfAbsent, and a nested resolution inside the body is a

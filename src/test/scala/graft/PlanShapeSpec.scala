@@ -134,6 +134,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("shard-writer prefix sum: partition-local window, no single " +
+    "partition") {
+    val p = plan("q_shard_writer")
+    // the global seeded rank + token offsets must be the two-pass
+    // distributed prefix sum (range partition → per-partition sums →
+    // broadcast offsets → partition-local window), never the
+    // all-rows-to-one-task global window
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("phrase search over the saved index prunes to the phrase buckets") {
     val p = plan("q_phrase_persist")
     // partition pruning on the term-hash bucket shows up as a pushed

@@ -346,6 +346,47 @@ class DataOpsSpec extends SparkSpec {
     assert(b == Map(0 -> 4L, 1 -> 3L, 2 -> 3L))
   }
 
+  test("shardPacked: seeded layout replays exactly, boundary rule holds, " +
+    "written shards land the same corpus") {
+    val docs = (0L until 200L).map(i => (i, 10L + i % 7))
+      .toDF("doc_id", "n_tok")
+    def layout() = DataOps.shardPacked(docs, col("doc_id"),
+        col("n_tok"), shardTokens = 100L, seed = "w1")
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Long, Long)].collect().toSet
+    val l1 = layout()
+    // byte-identical replay from (corpus, seed)
+    assert(l1 === layout())
+    // a different seed is a different layout
+    val l2 = DataOps.shardPacked(docs, col("doc_id"), col("n_tok"),
+        100L, seed = "w2")
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(l1 !== l2)
+    // ord is the 1..n global rank; the boundary rule matches the
+    // single-window reference spelling (doc belongs to the shard its
+    // STARTING offset falls in, in seeded md5 order)
+    assert(l1.map(_._3) === (1L to 200L).toSet)
+    val byOrd = l1.toSeq.sortBy(_._3)
+    val nTok = docs.as[(Long, Long)].collect().toMap
+    var cum = 0L
+    byOrd.foreach { case (id, shard, _) =>
+      assert(shard === cum / 100L, s"doc $id")
+      cum += nTok(id)
+    }
+    // and the written landing round-trips: partitionBy(shard) +
+    // sortWithinPartitions(ord) reads back as exactly the same layout
+    val out = tmpDir("shardw") + "/corpus"
+    DataOps.shardPacked(docs, col("doc_id"), col("n_tok"), 100L, "w1")
+      .repartition(col("shard"))
+      .sortWithinPartitions("ord")
+      .write.partitionBy("shard").parquet(out)
+    val back = spark.read.parquet(out)
+      .select("doc_id", "shard", "ord")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(back === l1)
+  }
+
   test("k-anonymity: class sizes, sensitive diversity, both verdicts") {
     val rows = Seq(
       // class (us, a): 3 rows, 2 sensitive values -> k(3) ok, l(2) ok
