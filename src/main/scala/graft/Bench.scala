@@ -357,7 +357,10 @@ object Bench {
     // streamed lifecycle replay: drain + in-window all-pairs batch-1
     // graph + |delivery|² insertion oracle work by design; streamed
     // evaluation reads the shared exact-graph memo from a stream drain
-    "q_stream_graph_exact", "q_stream_eval")
+    "q_stream_graph_exact", "q_stream_eval",
+    // round 13: the bare-state streamed twin shares the in-window
+    // all-pairs batch-1 graph + |delivery|² insertion oracle shape
+    "q_stream_knn_exact")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink

@@ -1650,6 +1650,69 @@ object GraphTextQueries {
        |FROM live ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** The BARE-STATE streamed lifecycle as VALUES — q_stream_knn's own
+    * flow (parquet state dirs, stage-and-swap graph publish, corpus
+    * appended only AFTER the inserted graph materializes) with the
+    * cold build swapped for the exact kNN graph: the
+    * q_stream_graph_exact trick applied to the [[EmbeddingSearch
+    * .graphInsert]] composition. [[graft.ext.KnnGraphIndex.insert]]
+    * and graphInsert share [[EmbeddingSearch.insertEdges]], but the
+    * bare path's WHOLE-GRAPH union (untouched old groups ∪ re-ranked
+    * touched groups ∪ new groups) and its state-staging discipline
+    * were floor-only over a stream boundary until now (r12 verdict
+    * ask #6) — here batch 1 lands the even ids' exact graph, batch
+    * 2's odd ids wire in by insert-by-search, and the final published
+    * graph hash-checks against the SAME relational replay
+    * q_stream_graph_exact uses (identical fixture and knobs, identical
+    * final semantics — a touched-but-unchanged node's re-ranked group
+    * ≡ its old group, so the index's changed-rows delta publish and
+    * the bare path's full-group rewrite read back identically).
+    * q_stream_knn keeps owning the descent-built lifecycle's recall
+    * floor.
+    */
+  private def streamKnnExact(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val in = graft.Gate.tmpDir("gate_sknx_in_")
+    val ckpt = graft.Gate.tmpDir("gate_sknx_ck_")
+    val state = graft.Gate.tmpDir("gate_sknx_state_")
+    embs.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d1")
+    embs.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/d2")
+    val stream = s.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    var delivered = 0
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (delivered == 0) {
+          batch.write.mode("append").parquet(s"$state/corpus")
+          EmbeddingSearch.knnGraph(s.read.parquet(s"$state/corpus"), 3)
+            .write.mode("overwrite").parquet(s"$state/graph_next")
+        } else {
+          // inserted graph materializes BEFORE the corpus append — the
+          // q_stream_knn staging discipline, here hash-checked: an
+          // early append would leak the delivery into its own walk
+          EmbeddingSearch.graphInsert(s.read.parquet(s"$state/corpus"),
+              s.read.parquet(s"$state/graph"), batch, k = 3,
+              beamWidth = 4, hops = 3, entryPoints = 4)
+            .write.mode("overwrite").parquet(s"$state/graph_next")
+          batch.write.mode("append").parquet(s"$state/corpus")
+        }
+        s.read.parquet(s"$state/graph_next")
+          .write.mode("overwrite").parquet(s"$state/graph")
+        delivered += 1
+        ()
+      }.start()
+    q.awaitTermination()
+    s.read.parquet(s"$state/graph")
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("cos"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
   // ---- INCREMENTAL evaluation: summable partials, same oracles ----
 
   /** [[graft.ext.Eval.classifierCounts]] /
@@ -2540,6 +2603,8 @@ object GraphTextQueries {
     Gate("q_graph_stats", graphStats, Some(graphStatsSql)),
     Gate("q_graph_federate", graphFederate, Some(graphFederateSql)),
     Gate("q_stream_graph_exact", streamGraphExact,
+      Some(streamGraphExactSql)),
+    Gate("q_stream_knn_exact", streamKnnExact,
       Some(streamGraphExactSql)),
     Gate("q_class_eval_inc", classEvalInc, Some(classEvalSql)),
     Gate("q_rank_eval_inc", rankEvalInc, Some(rankEvalSql)),
