@@ -412,10 +412,10 @@ object Bench {
     "q_graph_insert", "q_search_federate",
     "q_stream_graph_index", "q_graph_serve",
     "q_graph_insert_tick",
-    // round 12: federated graph serving, persisted hub lifecycle,
-    // trained-family exact twin, group-capped MMR, incremental eval
-    "q_graph_federate", "q_graph_hub_persist", "q_ivf_topk_exact",
-    "q_mmr_capped", "q_class_eval_inc",
+    // round 12: federated graph serving (q_graph_hub_persist,
+    // q_ivf_topk_exact, q_mmr_capped, q_class_eval_inc trimmed r13 for
+    // the 2 KB stdout budget → trimmedTracked)
+    "q_graph_federate",
     // round 13: index health stats (the maybeRewire decision relation),
     // the federated-serving probe twins, cross-modal pair assembly,
     // and the deterministic shard writer
@@ -434,5 +434,10 @@ object Bench {
   val trimmedTracked: Set[String] = Set(
     "q_unigram_em", "q_store_federate", "q_binary_persist",
     "q_search_graph_exact", "q_graph_insert_exact", "q_ann_federate",
-    "q_label_prop_inc")
+    "q_label_prop_inc",
+    // trimmed r13 (round-12 showcases; their families stay tracked by
+    // q_ivf_topk/q_ivfpq_topk, q_graph_federate, q_mmr_rerank's gate,
+    // q_class_eval's gate — all in BENCH_FULL.json regardless)
+    "q_graph_hub_persist", "q_ivf_topk_exact", "q_mmr_capped",
+    "q_class_eval_inc")
 }
