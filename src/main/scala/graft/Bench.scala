@@ -359,8 +359,11 @@ object Bench {
     // evaluation reads the shared exact-graph memo from a stream drain
     "q_stream_graph_exact", "q_stream_eval",
     // round 13: the bare-state streamed twin shares the in-window
-    // all-pairs batch-1 graph + |delivery|² insertion oracle shape
-    "q_stream_knn_exact")
+    // all-pairs batch-1 graph + |delivery|² insertion oracle shape;
+    // the health fixture builds three surfaces in-window; the
+    // auto-maintain lifecycle reads the shared seed (post-
+    // q_cdc_maintain_graph) and runs 3 inserts + retract + sweep
+    "q_stream_knn_exact", "q_corpus_health", "q_graph_maintain_auto")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink

@@ -157,7 +157,11 @@ object ScaleProbe {
     // Roots are memoized fixtures (warmBig populates them per scale);
     // the timed window is two walks / two-stage scans + the precedence
     // mask + the fuse.
-    "q_graph_fed_serve", "q_ann_fed_serve")
+    "q_graph_fed_serve", "q_ann_fed_serve",
+    // round 13: the deterministic shard writer carries the two-pass
+    // distributed prefix sum — exactly the pattern the probe set
+    // exists to tripwire (q_token_budget's shape applied to layout)
+    "q_shard_writer")
 
   /** Gates whose timed window assumes a memoized shared build: they
     * get one UNTIMED run at the replica scale too, so the big-side

@@ -437,6 +437,10 @@ object ExtQueries {
     sharedIvfIndex(s, d)
     sharedIngestRoot(s, d)
     MaintainQueries.sharedGraphSeed(s, d)
+    // the federated binary roots are training-free corpus encodes with
+    // no dependency on a bench-priced memo — safe to prime here so
+    // q_ann_fed_serve's window prices the SERVE at every scale point
+    ScaleQueries.sharedFedBinaryRoots(s, d)
     ()
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.{Gate, Tables}
 import graft.ext.{CorpusStore, DedupIndex, EmbeddingSearch, IvfIndex,
-  KnnGraphIndex}
+  KnnGraphIndex, Takedown}
 
 /** Round-10 derived-surface MAINTENANCE gates: the corpus store's
   * change feed ([[graft.ext.CorpusStore.changes]]) drives the two
@@ -352,6 +352,104 @@ object MaintainQueries {
     """SELECT count(*) AS n_queries, true AS search_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  // ---- registry health + the quality sweep END TO END ----
+
+  /** [[graft.ext.Takedown.health]] under the driver gate: three
+    * surfaces (store of record, BM25, graph) registered under one
+    * root, a deterministic op on each (BM25 takes a delete, the graph
+    * takes one insert delivery, the store stays at its build), then
+    * the registry dashboard reads back — version, segment count (the
+    * maybeCompact gauge), tombstone segments (un-applied takedown
+    * debt), and the graph's maybeRewire debt counters. Every number is
+    * a layout CONSTANT of the fixture, so the oracle states the whole
+    * relation in closed form — the health numbers an operator
+    * dashboards at 100 TB are value-checked, not spec-only.
+    */
+  private def corpusHealth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val embs = Tables.embeddings(s, d)
+    val root = graft.Gate.tmpDir("gate_health_root_")
+    val store = graft.Gate.tmpDir("gate_health_store_")
+    val bm25 = graft.Gate.tmpDir("gate_health_bm25_")
+    val gidx = graft.Gate.tmpDir("gate_health_gidx_")
+    CorpusStore.build(docs.select(col("doc_id").as("id"), col("text")),
+      col("id"), store)
+    graft.ext.TextSearch.buildAndSave(docs, col("doc_id"), col("text"),
+      bm25, buckets = 4)
+    graft.ext.TextSearch.deleteDocs(s, bm25,
+      docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
+      col("doc_id"))
+    KnnGraphIndex.build(embs.filter(col("vec_id") < 100), gidx,
+      k = 4, iters = 2)
+    KnnGraphIndex.insert(s, gidx,
+      embs.filter(col("vec_id") >= 100 && col("vec_id") < 120))
+    Takedown.register(s, root, Takedown.Surface("store", store))
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25))
+    Takedown.register(s, root, Takedown.Surface("graph", gidx))
+    Takedown.health(s, root)
+      .select(col("kind"), col("version"), col("segments"),
+        col("tombstone_segments"), col("graph_debt_deliveries"),
+        col("graph_debt_tombstones"))
+      .orderBy("kind")
+  }
+
+  private val corpusHealthSql =
+    """SELECT * FROM (VALUES
+      |  ('bm25',  CAST(2 AS BIGINT), CAST(2 AS INTEGER),
+      |   CAST(1 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('graph', CAST(2 AS BIGINT), CAST(2 AS INTEGER),
+      |   CAST(0 AS INTEGER), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('store', CAST(1 AS BIGINT), CAST(1 AS INTEGER),
+      |   CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+      |  AS t(kind, version, segments, tombstone_segments,
+      |       graph_debt_deliveries, graph_debt_tombstones)
+      |ORDER BY kind""".stripMargin
+
+  /** The maybeRewire debt policy driven END TO END by the registry
+    * sweep — the lifecycle the policy exists for: the memoized
+    * post-takedown state ([[sharedRewireSeed]] — seed graph + one
+    * delta delivery + a takedown + compact) carries exactly the debt
+    * the policy tracks (compact paid the election half, the TOMBSTONE
+    * half (0, 1) rides the copied sidecar), and then
+    * [[graft.ext.Takedown.maintain]] — NOT the caller — fires the
+    * rewire that restores the sub-k post-delete degrees. Contract:
+    * the sweep reports the graph surface, the debt reads (0, 0)
+    * after, and serving over the swept index holds the family ≥80%
+    * recall floor against the memoized survivors' brute-force truth —
+    * q_graph_rewire's exact quality bar, reached through the REGISTRY
+    * instead of a manual rewire call. The spec law pins the policy
+    * mechanics; THIS gate proves the production composition
+    * (feed state → debt → sweep → quality) as a driver-checked query.
+    */
+  private def graphMaintainAuto(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val pre = sharedRewireSeed(s, d)
+    val idx = graft.Gate.copyDir(s"$pre/graph", "gate_gma_idx_")
+    val root = graft.Gate.tmpDir("gate_gma_root_")
+    Takedown.register(s, root, Takedown.Surface("graph", idx))
+    val swept = Takedown.maintain(s, root, maxSegments = 100,
+      maxGraphDebt = 0)
+    val fired = swept.exists(_.kind == "graph") &&
+      KnnGraphIndex.debt(s, idx) == ((0L, 0L))
+    val queries = embs.filter(col("vec_id") < 20)
+    val got = KnnGraphIndex.search(s, idx, queries, k = 6)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val truth = s.read.parquet(s"$pre/truth")
+    val hits = got.select("query_id", "neighbor_id")
+      .join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) >= 1, 1L)
+          .otherwise(0L)).as("n_ok"))
+      .select(col("n_queries"),
+        (col("n_ok") >= col("n_queries") * 0.8 && lit(fired))
+          .as("search_ok"))
+  }
+
   // ---- cross-corpus federation: precedence read over two stores ----
 
   /** [[graft.ext.CorpusStore.readFederated]]: a corrections overlay
@@ -539,6 +637,9 @@ object MaintainQueries {
     Gate("q_stream_knn", streamKnn, Some(streamKnnSql)),
     Gate("q_store_federate", storeFederate, Some(storeFederateSql)),
     Gate("q_graph_rewire", graphRewire, Some(graphRewireSql)),
+    Gate("q_corpus_health", corpusHealth, Some(corpusHealthSql)),
+    Gate("q_graph_maintain_auto", graphMaintainAuto,
+      Some(cdcMaintainGraphSql)),
     Gate("q_graph_insert", graphInsert, Some(graphInsertSql)),
     Gate("q_stream_graph_index", streamGraphIndex,
       Some(streamGraphIndexSql)),

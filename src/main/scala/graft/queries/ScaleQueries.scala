@@ -1314,7 +1314,8 @@ object ScaleQueries {
     * training-free codec makes this cheap, but it is still two corpus
     * passes that belong outside a serving-cost window.
     */
-  private def sharedFedBinaryRoots(s: SparkSession, d: String): String =
+  private[queries] def sharedFedBinaryRoots(s: SparkSession,
+      d: String): String =
     graft.Gate.memoDir(s"annfed_serve:$d", "gate_afsrv_") { dir =>
       val embs = Tables.embeddings(s, d)
       val amended = embs.filter(col("vec_id") % 5 === 0)
