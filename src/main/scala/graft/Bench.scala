@@ -44,6 +44,14 @@ object Bench {
     // and the gate is deliberately not probed — the fixture would pay
     // a corpus-sized insert there for nothing)
     queries.MaintainQueries.sharedRewireSeed(spark, sfDir)
+    // r14 bench-window hygiene: q_corpus_health's three-surface fixture
+    // and q_graph_fed_serve's two-root fixture build here, untimed —
+    // both gates price READS/SERVES; their fixtures are gate-private
+    // memos (deliberately not in prewarmSharedIndex: the fed-serve
+    // fixture runs its own descent so this prewarm cannot steal
+    // q_nn_descent's shared-descent-memo pricing)
+    queries.MaintainQueries.sharedHealthFixture(spark, sfDir)
+    queries.GraphTextQueries.sharedFedGraphRoots(spark, sfDir)
     // name-sorted so timings are position-stable as gates get added
     // (Map iteration order reshuffles whenever the key set changes),
     // EXCEPT that known-heavy lifecycle/composition gates run LAST:
@@ -346,10 +354,9 @@ object Bench {
     "q_graph_federate", "q_graph_hub_persist_exact",
     "q_graph_filtered_persist", "q_graph_hub_persist",
     // round 13: the health-stats fixture builds from the shared exact
-    // graph too (same post-q_knn_graph scheduling requirement), and
-    // the federated-serving probe twin reads the shared descent memo
-    // (post-q_nn_descent; its own two-root fixture memoizes in its
-    // first window — construction its siblings' gates already price);
+    // graph too (same post-q_knn_graph scheduling requirement); the
+    // federated-serving probe twin's two-root fixture is a gate-private
+    // memo prewarmed by Bench since r14 (its window prices the serve);
     // cross-modal assembly runs real PNG/BMP decode + a store +
     // takedown lifecycle in one window (q_media_dup_real + q_takedown
     // composition)
@@ -360,10 +367,21 @@ object Bench {
     "q_stream_graph_exact", "q_stream_eval",
     // round 13: the bare-state streamed twin shares the in-window
     // all-pairs batch-1 graph + |delivery|² insertion oracle shape;
-    // the health fixture builds three surfaces in-window; the
-    // auto-maintain lifecycle reads the shared seed (post-
-    // q_cdc_maintain_graph) and runs 3 inserts + retract + sweep
-    "q_stream_knn_exact", "q_corpus_health", "q_graph_maintain_auto")
+    // the health fixture is a Bench-prewarmed memo since r14 (the
+    // window prices the dashboard read); the auto-maintain lifecycle
+    // reads the shared seed (post-q_cdc_maintain_graph) and runs the
+    // sweep + rewire + serve
+    "q_stream_knn_exact", "q_corpus_health", "q_graph_maintain_auto",
+    // round 14: registry-driven trained-family maintenance (store +
+    // index builds + two sweeps in-window), the four-family stats
+    // fixture (four index lifecycles in one window), quantizer-refresh
+    // gates (two builds + corpus-wide-shortlist exact scans each),
+    // federated lineage (two stores + record/replay), and the recall
+    // probe (reads the shared exact-graph memo → post-q_knn_graph)
+    "q_ivf_rebalance_auto", "q_index_stats", "q_pq_retrain",
+    "q_sq_retrain", "q_selection_replay_fed", "q_recall_probe",
+    // and the registry sweep (fixture memo + surface copies in-window)
+    "q_maintain_sweep")
 
   /** Contract-line subset (kept object-level so GateRegistrySpec can pin
     * every name to a live gate — a silent rename would otherwise shrink
@@ -415,15 +433,16 @@ object Bench {
     "q_graph_insert", "q_search_federate",
     "q_stream_graph_index", "q_graph_serve",
     "q_graph_insert_tick",
-    // round 12: federated graph serving (q_graph_hub_persist,
-    // q_ivf_topk_exact, q_mmr_capped, q_class_eval_inc trimmed r13 for
-    // the 2 KB stdout budget → trimmedTracked)
-    "q_graph_federate",
-    // round 13: index health stats (the maybeRewire decision relation),
-    // the federated-serving probe twins, cross-modal pair assembly,
-    // and the deterministic shard writer
-    "q_graph_stats", "q_graph_fed_serve", "q_ann_fed_serve",
-    "q_assemble_multimodal", "q_shard_writer")
+    // round 12/13 showcases trimmed r14 for the 2 KB stdout budget →
+    // trimmedTracked (q_graph_federate, q_graph_stats,
+    // q_graph_fed_serve, q_ann_fed_serve, q_assemble_multimodal,
+    // q_shard_writer — BENCH_FULL.json always carries every gate)
+    // round 14: registry-driven IVF rebalance, four-family health
+    // stats, quantizer refresh (PQ + SQ), federated selection lineage,
+    // and the measured serving-quality probe
+    "q_ivf_rebalance_auto", "q_index_stats", "q_pq_retrain",
+    "q_sq_retrain", "q_selection_replay_fed", "q_recall_probe",
+    "q_maintain_sweep")
 
   /** Gates trimmed FROM [[headline]] for the 2 KB stdout budget but
     * still pinned BY NAME: the headline subset exists partly as
@@ -442,5 +461,10 @@ object Bench {
     // q_ivf_topk/q_ivfpq_topk, q_graph_federate, q_mmr_rerank's gate,
     // q_class_eval's gate — all in BENCH_FULL.json regardless)
     "q_graph_hub_persist", "q_ivf_topk_exact", "q_mmr_capped",
-    "q_class_eval_inc")
+    "q_class_eval_inc",
+    // trimmed r14 (round-12/13 showcases; graph serving stays tracked
+    // by q_graph_serve/q_search_federate, health by q_index_stats +
+    // q_corpus_health, media/sharding by their families' other gates)
+    "q_graph_federate", "q_graph_stats", "q_graph_fed_serve",
+    "q_ann_fed_serve", "q_assemble_multimodal", "q_shard_writer")
 }

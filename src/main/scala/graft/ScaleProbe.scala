@@ -161,14 +161,20 @@ object ScaleProbe {
     // round 13: the deterministic shard writer carries the two-pass
     // distributed prefix sum — exactly the pattern the probe set
     // exists to tripwire (q_token_budget's shape applied to layout)
-    "q_shard_writer")
+    "q_shard_writer",
+    // round 14: the registry maintenance sweep over a multi-surface
+    // root — claimed metadata-bounded plus corpus-linear compaction of
+    // the debt-laden surfaces; the fixture memoizes (warmBig) and the
+    // timed window is surface copies + the sweep, so the ratio should
+    // track the copied/compacted bytes, never exceed the data factor
+    "q_maintain_sweep")
 
   /** Gates whose timed window assumes a memoized shared build: they
     * get one UNTIMED run at the replica scale too, so the big-side
     * timing prices the operator, not the shared-graph construction.
     */
   private val warmBig = Set("q_graph_serve", "q_graph_insert_tick",
-    "q_graph_fed_serve", "q_ann_fed_serve")
+    "q_graph_fed_serve", "q_ann_fed_serve", "q_maintain_sweep")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

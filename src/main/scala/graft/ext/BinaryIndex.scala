@@ -72,7 +72,9 @@ object BinaryIndex {
     * crowd a true neighbor out of the top-k. dedupDelivery guards the
     * WITHIN-delivery variant of the same hazard (two rows sharing a
     * vec_id inside one delivery both survive the anti-join) and fails
-    * loudly when the duplicates CONFLICT.
+    * loudly when the duplicates CONFLICT — which makes this otherwise
+    * lazy in-memory append EAGER: the conflict check runs a Spark job
+    * at call time (the documented dedupDelivery trade).
     */
   def append(model: Model, newEmbs: DataFrame): Model = {
     val fresh = EmbeddingSearch.dedupDelivery(newEmbs)

@@ -178,6 +178,11 @@ object DataOps {
     * (PlanShapeSpec pins the plan). Returns the input plus
     * (shard BIGINT, ord BIGINT): `ord` is the 1-based global seeded
     * rank, so intra-shard order is `ord` ascending.
+    *
+    * REQUIRES unique `id` values (asserted, riding the prefix-sum
+    * aggregate): duplicate ids share a seed key, making their relative
+    * layout arbitrary — the nondeterminism this operator exists to
+    * remove.
     */
   def shardPacked(df: DataFrame, id: Column, nTokens: Column,
       shardTokens: Long, seed: String = "s1"): DataFrame = {
@@ -193,13 +198,28 @@ object DataOps {
       .sortWithinPartitions(col("__key"), id)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+    // the per-partition sums ALSO carry a distinct-id count: duplicate
+    // ids share an md5 key (and range-partition together), so rows >
+    // distinct ids in any partition means the seeded order is not a
+    // total order and the rows-between window would assign ord/shard
+    // ARBITRARILY among the duplicates — exactly the run-to-run
+    // nondeterminism the seeded layout exists to eliminate. Fail loudly
+    // instead of silently shipping an unreplayable layout; the check
+    // rides the prefix-sum aggregate this pass already pays.
     val parts = keyed.groupBy("__pid")
-      .agg(count(lit(1)).as("c"), sum("__n").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .agg(count(lit(1)).as("c"), sum("__n").as("t"),
+        countDistinct(col("__key")).as("u"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
+    require(parts.forall { case (_, c, _, u) => c == u },
+      "shardPacked requires UNIQUE ids: the input carries duplicate id " +
+        "values, whose relative ord/shard assignment would be arbitrary " +
+        "run to run — dedup the corpus (or re-key it) before sharding")
+    val offsets0 = parts.map { case (p, c, t, _) => (p, c, t) }
     var rows = 0L
     var toks = 0L
-    val offsets = parts.map { case (p, c, t) =>
+    val offsets = offsets0.map { case (p, c, t) =>
       val o = (p, rows, toks); rows += c; toks += t; o
     }
     val offDf = offsets.toSeq.toDF("__pid", "__rowOff", "__tokOff")

@@ -353,19 +353,30 @@ object EmbeddingSearch {
     * error). Retried deliveries (same rows twice) stay harmless; a
     * CONFLICTING delivery is an upstream bug and surfaces here, the
     * [[insertEdges]] maxDelivery fail-loud posture applied to delivery
-    * CONTENT. One delivery-bounded aggregate — never corpus work.
+    * CONTENT. A NULL embedding delivered beside a non-null one under
+    * the same id is a conflict too — `countDistinct` ignores nulls, so
+    * the null/non-null mix is caught by the count(*) vs
+    * count(embedding) mismatch instead. One delivery-bounded aggregate
+    * — never corpus work.
+    *
+    * NOTE this check is an EAGER driver-side action: calling through
+    * an otherwise-lazy API (an in-memory [[BinaryIndex]] append,
+    * [[graphInsert]]) triggers a Spark job at call time even for a
+    * clean delivery — the price of failing at the call site that
+    * delivered the conflict, not inside some later unrelated action.
     */
   private[ext] def dedupDelivery(df: DataFrame,
       key: String = "vec_id"): DataFrame = {
     val conflicts = df.groupBy(col(key))
-      .agg(countDistinct(col("embedding")).as("n"))
-      .filter(col("n") > 1)
+      .agg(countDistinct(col("embedding")).as("nd"),
+        count(col("embedding")).as("nn"), count(lit(1)).as("n"))
+      .filter(col("nd") > 1 || (col("nn") > 0 && col("nn") < col("n")))
     val sample = conflicts.limit(3).collect().map(_.get(0)).mkString(", ")
     require(sample.isEmpty,
       s"delivery carries CONFLICTING rows for the same $key (first: " +
-        s"$sample) — two different embeddings under one id would make " +
-        "the surviving vector arbitrary; fix the upstream feed or " +
-        "re-key the rows")
+        s"$sample) — two different embeddings (or a null beside a " +
+        "non-null) under one id would make the surviving vector " +
+        "arbitrary; fix the upstream feed or re-key the rows")
     df.dropDuplicates(key)
   }
 
@@ -454,7 +465,9 @@ object EmbeddingSearch {
   /** The UPDATED whole graph after an insert-by-search delivery — the
     * bare-edge-list composition streaming maintenance uses
     * ([[insertEdges]] plus the untouched nodes' old edges verbatim).
-    * Same row contract as [[nnDescent]].
+    * Same row contract as [[nnDescent]]. NOT fully lazy: the
+    * [[dedupDelivery]] conflict check runs one delivery-bounded Spark
+    * job at call time (its documented fail-at-the-call-site trade).
     */
   def graphInsert(oldEmbs: DataFrame, oldGraph: DataFrame,
       newEmbs: DataFrame, k: Int, beamWidth: Int = 16, hops: Int = 4,

@@ -183,6 +183,97 @@ object IvfIndex {
     }
   }
 
+  /** [[rebalance]] applied to a SAVED index in one committed
+    * maintenance pass: load the live assignment (vectors re-attached
+    * from `embs`, the corpus source of truth), split the oversized
+    * cells, and publish the rebalanced centroids + cells as a manifest
+    * pointer swap. Exhaustive-probe answers are unchanged by
+    * construction (a rebalance re-partitions the corpus into cells);
+    * a reader racing the commit pins the old or the new layout.
+    */
+  def rebalanceSaved(spark: SparkSession, path: String, embs: DataFrame,
+      maxCellSize: Long, sampleCap: Int = 10000, maxIter: Int = 10,
+      seed: Long = 42L, maxCellsPerPass: Int = 64,
+      retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val model = load(spark, path, embs)
+      val reb = rebalance(model, maxCellSize, sampleCap, maxIter, seed,
+        maxCellsPerPass)
+      val seg = IndexStore.newSegmentName()
+      writeSegment(reb.centroids, reb.assigned, path, seg)
+      IndexStore.publishReplace(spark, path, seg,
+        Seq("centroids", "cells"), retainVersions)
+      ()
+    }
+
+  /** The biggest LIVE cell of a saved index — the per-probe-latency
+    * gauge [[maybeRebalance]] fires on. One aggregate over the
+    * (vec_id, cell) assignment relation: index-relation-bounded (two
+    * small columns), never a corpus read.
+    */
+  def maxLiveCell(spark: SparkSession, path: String): Long = {
+    val snap = IndexStore.snapshot(spark, path)
+    val row = IndexStore.liveRows(snap, "cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Fire [[rebalanceSaved]] once the biggest live cell crosses
+    * `maxCellSize` — the [[KnnGraphIndex.maybeRewire]] debt policy
+    * applied to the TRAINED family, closing the "nothing ever calls
+    * rebalance" gap: [[saveAppend]] assigns under a FROZEN quantizer,
+    * so a drifting delivery stream skews cells without bound, and
+    * since a probe scans whole cells the biggest cell IS the
+    * per-query latency at 100 TB. [[Takedown.maintain]] runs this for
+    * every registered `ivf` surface whose registry also carries a
+    * vector store of record (the corpus the re-clustering needs).
+    * Gauge read and fire share one writer-lock scope, so two
+    * concurrent sweeps cannot both observe the oversized cell and
+    * both pay the split. Returns whether a rebalance ran.
+    */
+  def maybeRebalance(spark: SparkSession, path: String, embs: DataFrame,
+      maxCellSize: Long, maxCellsPerPass: Int = 64): Boolean =
+    IndexStore.withLock(spark, path) {
+      val due = maxLiveCell(spark, path) > maxCellSize
+      if (due) rebalanceSaved(spark, path, embs, maxCellSize,
+        maxCellsPerPass = maxCellsPerPass)
+      due
+    }
+
+  /** FAMILY HEALTH as a (metric, value) relation — the
+    * [[KnnGraphIndex.stats]] mold for the IVF family, the numbers
+    * that decide [[maybeRebalance]]/[[maybeCompact]]: manifest
+    * `version`; `cells` (live cells), `cell_min`/`cell_max` (the live
+    * occupancy envelope over non-empty cells — `cell_max` is the
+    * per-probe latency bound, and a wide min/max spread is the skew
+    * gauge); `live_rows` (live assignment rows = the index's corpus
+    * coverage); `segments`/`tombstone_segments` (compaction debt).
+    * Cost is one aggregate over the two-column assignment relation —
+    * index-relation-bounded, never a corpus read. q_index_stats
+    * value-checks every number.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val occ = IndexStore.liveRows(snap, "cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), min("n").as("lo"),
+        max("n").as("hi"), sum("n").as("rows"))
+      .head()
+    def longAt(i: Int): Long = if (occ.isNullAt(i)) 0L else occ.getLong(i)
+    Seq(
+      "cell_max" -> longAt(2),
+      "cell_min" -> longAt(1),
+      "cells" -> longAt(0),
+      "live_rows" -> longAt(3),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
+  }
+
   /** Incrementally assign `newEmbs` with the frozen quantizer and append
     * their cells to a saved index — only the delta is scanned/written
     * (one appended segment; an empty delivery publishes nothing, so an

@@ -466,11 +466,24 @@ object KnnGraphIndex {
         // standing set, publish a hubs-only refresh (otherwise the
         // staleness insert's delta-bounded election documents would
         // outlive every rewire that found the edges converged).
+        // Drift is judged on the ORDERED MEMBERSHIP (the (deg desc,
+        // id) id sequence — everything a reader observes, since
+        // [[hubEntryFrame]] serves rank-prefixes of it), not on exact
+        // deg values: a bare deg change that reorders nothing (one
+        // insert tick bumping a standing hub) would otherwise mint a
+        // manifest version per rewire on an effectively idle index,
+        // pure GC/retention churn.
         val full = electHubs(liveEndpointDeltas(snap, liveDegrees(snap),
           noIds), hubCount, gen = snap.version + 1)
-        val cur = liveHubs(snap).select("vec_id", "deg")
-        val drift = full.select("vec_id", "deg").exceptAll(cur)
-          .unionByName(cur.exceptAll(full.select("vec_id", "deg")))
+        val wRank = Window.orderBy(col("deg").desc, col("vec_id").asc)
+        def seqOf(hs: DataFrame): DataFrame = hs
+          .select("vec_id", "deg")
+          .withColumn("rn", row_number().over(wRank))
+          .select("rn", "vec_id")
+        val fullSeq = seqOf(full)
+        val curSeq = seqOf(liveHubs(snap))
+        val drift = fullSeq.exceptAll(curSeq)
+          .unionByName(curSeq.exceptAll(fullSeq))
         if (drift.isEmpty) snap.version
         else {
           val seg = IndexStore.newSegmentName()
@@ -658,12 +671,18 @@ object KnnGraphIndex {
     * the live degrees (KnnGraphIndexSpec pins the law).
     */
   def maybeRewire(spark: SparkSession, path: String, maxDebt: Int = 8,
-      iters: Int = 1): Boolean = {
-    val (d, t) = debt(spark, path)
-    val due = d + t > maxDebt
-    if (due) { rewire(spark, path, iters); () }
-    due
-  }
+      iters: Int = 1): Boolean =
+    // gauge read and fire share one writer-lock scope (reentrant into
+    // rewire's own lock): two concurrent maintenance sweeps reading the
+    // sidecar unlocked could both observe due debt and both pay a full
+    // warm-descent pass — now the second sweep re-reads AFTER the first
+    // one's rewire cleared the counters and no-ops
+    IndexStore.withLock(spark, path) {
+      val (d, t) = debt(spark, path)
+      val due = d + t > maxDebt
+      if (due) { rewire(spark, path, iters); () }
+      due
+    }
 
   /** INDEX HEALTH as a relation — the numbers that DECIDE maintenance
     * (when [[maybeRewire]]/[[maybeCompact]] should fire) and that an
@@ -729,6 +748,59 @@ object KnnGraphIndex {
         "version" -> snap.version,
       ).toDF("metric", "value")
     } finally { vecs.unpersist(); edges.unpersist(); () }
+  }
+
+  /** MEASURED serving quality — the number [[maybeRewire]]'s proxy
+    * debt counters stand in for: serve a BOUNDED deterministic sample
+    * of the index's own live vectors (the `sampleN` smallest
+    * `xxhash64(vec_id)` ranks — stable across runs and engines, no
+    * RNG) through the beam walk, score the same sample EXACTLY by
+    * brute force over the live corpus, and report recall@k (self-hits
+    * excluded on both sides — a corpus row trivially finds itself).
+    * One row: (n_queries, n_truth, n_hit, n_covered, recall) —
+    * `recall` the aggregate hit fraction, `n_covered` the queries
+    * recovering ≥1 true neighbor (the family floor's criterion; on
+    * high-dimensional near-random corpora aggregate recall@k of a
+    * sparse graph sits well below per-query coverage). Cost is
+    * |sample| × corpus scorings plus |sample| walks — maintenance-
+    * window work by design, NEVER a serving-path read; run it on the
+    * [[Takedown.maintain]] cadence to calibrate `maxDebt` empirically
+    * (debt thresholds that keep measured recall above the SLO are the
+    * right ones — q_recall_probe pins the floor this library's own
+    * fixtures hold).
+    */
+  def recallProbe(spark: SparkSession, path: String, sampleN: Int = 16,
+      k: Int = 3, beamWidth: Int = 16, hops: Int = 4,
+      entryPoints: Int = 16): DataFrame = {
+    val snap = IndexStore.snapshot(spark, path)
+    val corpus = liveVectors(snap).select("vec_id", "embedding")
+    val sample = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
+      .localCheckpoint(true)
+    val got = searchSnap(snap, sample, k + 1, beamWidth, hops,
+        entryPoints, hubEntries = false)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val wG = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val gotK = got.withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= k).select("query_id", "neighbor_id")
+    val wT = Window.partitionBy("query_id").orderBy(col("rank"))
+    val truth = EmbeddingSearch.bruteForceTopKFor(corpus, sample, k + 1)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(wT)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id")
+    val hits = gotK.join(truth, Seq("query_id", "neighbor_id"))
+      .persist()
+    try {
+      val hit = hits.count()
+      val covered = hits.select("query_id").distinct().count()
+      val nTruth = truth.count()
+      val nQ = sample.count()
+      import spark.implicits._
+      Seq((nQ, nTruth, hit, covered,
+        if (nTruth == 0) 1.0 else hit.toDouble / nTruth))
+        .toDF("n_queries", "n_truth", "n_hit", "n_covered", "recall")
+    } finally { hits.unpersist(); () }
   }
 
   /** Serve external queries by beam descent over the live graph —

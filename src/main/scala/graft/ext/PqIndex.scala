@@ -56,11 +56,18 @@ object PqIndex {
       sampleFraction: Double = 0.25, maxIter: Int = 10,
       maxSample: Int = 100000): Model = {
     val prepared = EmbeddingSearch.prepared(embs)
-    // one pass collects the (bounded) normalized training sample
+    // one pass collects the (bounded) normalized training sample IN
+    // vec_id ORDER: the codebooks become a function of the sample SET,
+    // not of scan/join row order (Lloyd's farthest-point init indexes
+    // into this array) — what lets [[retrain]] promise byte-equality
+    // with a from-scratch build over the same live corpus, however
+    // differently ordered its plan delivers it. orderBy + limit plans
+    // as TakeOrdered — no global sort materializes
     val sample = (if (sampleFraction < 1.0)
         prepared.sample(sampleFraction, seed) else prepared)
-      .select(unit(col("v"), col("nrm")).as("vn")).limit(maxSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+      .select(col("vec_id"), unit(col("v"), col("nrm")).as("vn"))
+      .orderBy("vec_id").limit(maxSample)
+      .collect().map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
@@ -116,8 +123,11 @@ object PqIndex {
       writeCodebooks(model, path, seg)
       model.encoded.select("vec_id", "code")
         .write.parquet(s"$path/$seg/codes")
+      // tagged "train": this commit carries freshly-trained codebooks,
+      // which is what [[stats]]'s codebook_age counts from (compaction
+      // rewrites the relation but not the codebooks' content)
       IndexStore.publishReplace(spark, path, seg,
-        Seq("codebooks", "codes"), retainVersions)
+        Seq("codebooks", "codes"), retainVersions, op = "train")
       ()
     }
   }
@@ -170,7 +180,7 @@ object PqIndex {
       snap.read("codebooks").get.coalesce(1)
         .write.parquet(s"$path/$seg/codebooks")
       IndexStore.publishReplace(spark, path, seg,
-        Seq("codebooks", "codes"), retainVersions)
+        Seq("codebooks", "codes"), retainVersions, op = "compact")
       ()
     }
 
@@ -180,6 +190,71 @@ object PqIndex {
     val due = IndexStore.segmentCount(spark, path) > maxSegments
     if (due) compact(spark, path)
     due
+  }
+
+  /** QUANTIZER REFRESH — the drift-migration path the frozen-codebook
+    * lifecycle was missing: codebooks are trained once at [[build]]
+    * and [[saveAppend]] encodes every later delivery against them, so
+    * on a drifting corpus the subspace centroids describe data that no
+    * longer arrives and recall decays with no remedy short of a cold
+    * rebuild OUTSIDE the index lifecycle (losing history and
+    * takedowns). `retrain` trains a NEW codebook set over the LIVE
+    * corpus (the rows the current manifest answers for — tombstones
+    * honored, with `embs` the vector source of truth), re-encodes
+    * those rows into a fresh segment, and publishes as an atomic
+    * manifest swap tagged "train"; the previous version stays
+    * readable via [[loadAt]] within the GC retention window — the
+    * rollback path. Post-retrain the index answers EXACTLY as a
+    * from-scratch [[build]] over the live corpus (same seed/sample
+    * discipline), which is how q_pq_retrain value-checks it. Cost:
+    * one bounded-sample train + one corpus-sized distributed encode —
+    * a maintenance-window pass, not a per-delivery one.
+    */
+  def retrain(spark: SparkSession, path: String, embs: DataFrame,
+      m: Int = 4, k: Int = 32, seed: Long = 42L,
+      sampleFraction: Double = 0.25, maxIter: Int = 10,
+      maxSample: Int = 100000, retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val live = embs
+        .join(IndexStore.liveRows(snap, "codes").select("vec_id"),
+          "vec_id")
+        .select("vec_id", "embedding")
+      save(build(live, m, k, seed, sampleFraction, maxIter, maxSample),
+        path, retainVersions)
+    }
+
+  /** FAMILY HEALTH as a (metric, value) relation ([[IvfIndex.stats]]'s
+    * mold for the trained-codebook family): manifest `version`;
+    * `codebook_age` — versions since the last commit tagged "train"
+    * ([[save]]/[[retrain]]), i.e. how many appends/deletes/compactions
+    * the frozen quantizer has outlived, the gauge that decides when
+    * [[retrain]] is due on a drifting corpus (for an index whose
+    * retained history predates op tags the age reads against the
+    * oldest RETAINED version — a documented lower bound);
+    * `live_codes` (corpus coverage); `subspaces` (the codebook
+    * geometry m); `segments`/`tombstone_segments` (compaction debt).
+    * Metadata- and code-relation-bounded — never a corpus read.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val vs = IndexStore.versions(spark, path)
+    val lastTrain = vs.filter(v =>
+      IndexStore.opAt(spark, path, v) == "train")
+      .sorted.lastOption.getOrElse(vs.min)
+    val liveCodes = IndexStore.liveRows(snap, "codes").count()
+    val m = snap.read("codebooks").get
+      .agg(countDistinct("subspace")).head().getLong(0)
+    Seq(
+      "codebook_age" -> (snap.version - lastTrain),
+      "live_codes" -> liveCodes,
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "subspaces" -> m,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
   }
 
   /** Load a saved index. `embs` is the corpus table the index was built

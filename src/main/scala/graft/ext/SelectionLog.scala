@@ -113,6 +113,145 @@ object SelectionLog {
       (sid, body(vector))
     }
 
+  // ---- FEDERATED lineage: one record spanning several registries ----
+
+  /** Pin EVERY root's surfaces (nested [[Takedown.withPinned]] scopes,
+    * highest-precedence root first — the [[CorpusStore.readFederated]]
+    * ordering) and run `body` with the per-root vectors while all
+    * leases are held.
+    */
+  private def withPinnedAll[A](spark: SparkSession, roots: Seq[String],
+      ttlMs: Long)(
+      body: Seq[(String, Seq[(Surface, Long)])] => A): A = {
+    def nest(rem: Seq[String],
+        acc: Seq[(String, Seq[(Surface, Long)])]): A = rem match {
+      case Seq() => body(acc)
+      case r +: tail =>
+        Takedown.withPinned(spark, r, ttlMs)(vector =>
+          nest(tail, acc :+ (r -> vector)))
+    }
+    nest(roots, Seq.empty)
+  }
+
+  /** Durably record a FEDERATED selection — a selection made through
+    * `readFederated`/`searchFederated` across several registry roots
+    * (a corrections overlay over production) previously had no single
+    * durable record: [[record]] pins ONE root, so the audit story
+    * stopped at the federation boundary. One atomic entry (landed
+    * under the FIRST root, the federation's precedence head) stores
+    * every root's full vector — per pin: root index, kind, path,
+    * version, incarnation — plus the root list itself, so
+    * [[replayFederated]] can re-resolve the whole federation or fail
+    * loudly naming the root/surface that no longer honors it. Call
+    * inside the lease scope that produced the vectors ([[runFederated]]
+    * does).
+    */
+  def recordFederated(spark: SparkSession,
+      vectors: Seq[(String, Seq[(Surface, Long)])]): String = {
+    require(vectors.nonEmpty, "cannot record an empty federated selection")
+    require(vectors.forall(_._2.nonEmpty),
+      "every federated root needs ≥ 1 pinned surface")
+    val root = vectors.head._1
+    val sid = "f-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val fs = fsOf(spark, root)
+    val staging = new Path(selectionsDir(root), s"$sid-staging")
+    val landed = new Path(selectionsDir(root), sid)
+    fs.mkdirs(staging)
+    val header = "roots|" + vectors.map(_._1).mkString("|")
+    val lines = header +: vectors.zipWithIndex.flatMap {
+      case ((_, vector), i) => vector.map { case (s, v) =>
+        s"$i|${s.kind}|${s.path}|$v|" +
+          IndexStore.incarnation(spark, s.path)
+      }
+    }
+    val out = fs.create(new Path(staging, "vector_fed"), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(staging, landed),
+      s"could not publish federated selection record $sid (rename failed)")
+    sid
+  }
+
+  /** The recorded per-root pins of one federated selection, in the
+    * recorded precedence order. Fails if the sid never landed under
+    * `root` (the federation's first root) or is not federated.
+    */
+  def pinsFederated(spark: SparkSession, root: String,
+      sid: String): Seq[(String, Seq[Pin])] = {
+    val fs = fsOf(spark, root)
+    val f = new Path(selectionsDir(root), s"$sid/vector_fed")
+    require(fs.exists(f),
+      s"no recorded FEDERATED selection '$sid' under $root")
+    val in = fs.open(f)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val all = txt.trim.split("\n").toSeq
+    val roots = all.head.split("\\|").toSeq match {
+      case "roots" +: rs if rs.nonEmpty => rs
+      case _ => sys.error(s"malformed federated selection header: ${all.head}")
+    }
+    val byRoot = all.tail.map { line =>
+      line.split("\\|", 5) match {
+        case Array(i, kind, path, v, inc) =>
+          i.toInt -> Pin(Surface(kind, path), v.toLong, inc)
+        case _ => sys.error(s"malformed federated selection line: $line")
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    roots.zipWithIndex.map { case (r, i) =>
+      r -> byRoot.getOrElse(i,
+        sys.error(s"federated selection $sid has no pins for root $r"))
+    }
+  }
+
+  /** Pin EVERY federation root at one commit point each, durably
+    * record the combined vector under the FIRST root, and run the
+    * selection — [[run]] extended across the federation boundary. The
+    * record lands while every root's leases are held, so all recorded
+    * versions are readable at least until `body` returns.
+    */
+  def runFederated[A](spark: SparkSession, roots: Seq[String],
+      ttlMs: Long = 6 * 3600 * 1000L)(
+      body: Seq[(String, Seq[(Surface, Long)])] => A): (String, A) = {
+    require(roots.nonEmpty, "runFederated needs ≥ 1 registry root")
+    withPinnedAll(spark, roots, ttlMs) { vectors =>
+      val sid = recordFederated(spark, vectors)
+      (sid, body(vectors))
+    }
+  }
+
+  /** Replay a recorded FEDERATED selection: verify every root's every
+    * surface incarnation, then run `body` with the recorded per-root
+    * vectors under TTL leases on ALL pinned versions. Fails loudly —
+    * naming the registry root and surface — when any root was rebuilt
+    * since the record or any recorded version fell out of retention;
+    * a partial federation must never silently replay as a smaller one.
+    */
+  def replayFederated[A](spark: SparkSession, root: String, sid: String,
+      ttlMs: Long = 6 * 3600 * 1000L)(
+      body: Seq[(String, Seq[(Surface, Long)])] => A): A = {
+    val byRoot = pinsFederated(spark, root, sid)
+    byRoot.foreach { case (r, ps) => ps.foreach { p =>
+      val cur = IndexStore.incarnation(spark, p.surface.path)
+      require(cur == p.incarnation,
+        s"federated selection $sid (registry $r) pinned " +
+          s"${p.surface.kind}@${p.surface.path} at incarnation " +
+          s"'${p.incarnation}' but the root is now '$cur' — it was " +
+          "rebuilt since the selection; replay would read different data")
+    }}
+    val vectors = byRoot.map { case (r, ps) =>
+      r -> ps.map(p => p.surface -> p.version)
+    }
+    val flat = byRoot.flatMap(_._2)
+    def nest(rem: Seq[Pin]): A = rem match {
+      case Seq() => body(vectors)
+      case p +: tail =>
+        IndexStore.withLease(spark, p.surface.path, p.version, ttlMs)(_ =>
+          nest(tail))
+    }
+    nest(flat)
+  }
+
   /** Replay a recorded selection: verify every surface's incarnation,
     * then run `body` with the recorded vector under per-surface TTL
     * leases at the recorded versions. Fails loudly — naming the surface

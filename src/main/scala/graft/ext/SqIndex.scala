@@ -114,8 +114,10 @@ object SqIndex {
       writeRanges(model, path, seg)
       model.encoded.select("vec_id", "code")
         .write.parquet(s"$path/$seg/codes")
+      // tagged "train": this commit carries freshly-fit ranges — what
+      // [[stats]]'s codec_age counts from ([[PqIndex.save]]'s contract)
       IndexStore.publishReplace(spark, path, seg,
-        Seq("ranges", "codes"), retainVersions)
+        Seq("ranges", "codes"), retainVersions, op = "train")
       ()
     }
   }
@@ -163,7 +165,7 @@ object SqIndex {
       snap.read("ranges").get.coalesce(1)
         .write.parquet(s"$path/$seg/ranges")
       IndexStore.publishReplace(spark, path, seg,
-        Seq("ranges", "codes"), retainVersions)
+        Seq("ranges", "codes"), retainVersions, op = "compact")
       ()
     }
 
@@ -173,6 +175,53 @@ object SqIndex {
     val due = IndexStore.segmentCount(spark, path) > maxSegments
     if (due) compact(spark, path)
     due
+  }
+
+  /** CODEC REFRESH ([[PqIndex.retrain]]'s contract for the affine
+    * codec): re-fit the per-dimension ranges over the LIVE corpus,
+    * re-encode the live rows into a fresh segment, publish as an
+    * atomic swap tagged "train" with the previous version retained
+    * ([[loadAt]] = rollback). Frozen ranges clip drifting data —
+    * a dimension that moved outside [lo, hi] saturates at 0/255 and
+    * its quantization error stops being bounded by (hi−lo)/255; the
+    * refresh restores the trained-on-what-arrives posture at the cost
+    * of one aggregate + one distributed encode. Post-retrain answers
+    * ≡ a from-scratch [[build]] over the live corpus.
+    */
+  def retrain(spark: SparkSession, path: String, embs: DataFrame,
+      retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val live = embs
+        .join(IndexStore.liveRows(snap, "codes").select("vec_id"),
+          "vec_id")
+        .select("vec_id", "embedding")
+      save(build(live), path, retainVersions)
+    }
+
+  /** FAMILY HEALTH as a (metric, value) relation ([[PqIndex.stats]]'s
+    * mold): `version`; `codec_age` — versions since the last
+    * commit tagged "train" ([[save]]/[[retrain]]), the
+    * when-is-a-refresh-due gauge (pre-op-tag retained histories read
+    * against the oldest retained version — a documented lower bound);
+    * `live_codes`; `segments`/`tombstone_segments`. Metadata- and
+    * code-relation-bounded.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val vs = IndexStore.versions(spark, path)
+    val lastTrain = vs.filter(v =>
+      IndexStore.opAt(spark, path, v) == "train")
+      .sorted.lastOption.getOrElse(vs.min)
+    Seq(
+      "codec_age" -> (snap.version - lastTrain),
+      "live_codes" -> IndexStore.liveRows(snap, "codes").count(),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
   }
 
   def load(spark: SparkSession, path: String, embs: DataFrame): Model =

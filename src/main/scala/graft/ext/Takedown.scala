@@ -296,16 +296,33 @@ object Takedown {
     * GCs to `retainVersions` — with versions under an active reader
     * lease ([[withPinned]], [[SelectionLog.replay]]) surviving
     * regardless, so maintenance can never pull a pinned selection's
-    * segments out from under it. Returns the surfaces that compacted
-    * or rewired. Safe to run concurrently with readers (compaction is
-    * a pointer swap) and crash-safe: every step is an ordinary
-    * manifest commit.
+    * segments out from under it. `maxIvfCell > 0` additionally arms
+    * the TRAINED-family quality pass: ivf surfaces whose biggest live
+    * cell crossed it rebalance ([[IvfIndex.maybeRebalance]]), with
+    * vectors resolved from the registry's own store of record.
+    * Returns the surfaces that compacted, rewired, or rebalanced.
+    * Safe to run concurrently with readers (compaction is a pointer
+    * swap) and crash-safe: every step is an ordinary manifest commit.
+    * One failing surface does NOT abort the sweep — see the fault
+    * isolation note in the body.
     */
   def maintain(spark: SparkSession, root: String, maxSegments: Int = 8,
-      retainVersions: Int = 2, maxGraphDebt: Int = 8): Seq[Surface] = {
+      retainVersions: Int = 2, maxGraphDebt: Int = 8,
+      maxIvfCell: Long = 0L): Seq[Surface] = {
     val ss = surfaces(spark, root)
+    // Per-surface faults are ISOLATED: one corrupted index must not
+    // block layout/quality/GC for every other registered surface (a
+    // fleet-wide maintenance outage from one bad root). Each step runs
+    // under Try; the sweep completes, GC still runs everywhere, and
+    // the collected failures are re-thrown at the end naming every
+    // failing surface — fail-loud, but only after the healthy fleet
+    // was maintained.
+    val failures = scala.collection.mutable.ListBuffer[(Surface, Throwable)]()
+    def tryStep(s: Surface)(step: => Boolean): Boolean =
+      scala.util.Try(step).fold(
+        { e => failures += ((s, e)); false }, identity)
     val compacted = ss.filter { s =>
-      s.kind match {
+      tryStep(s)(s.kind match {
         case "store"   => CorpusStore.maybeCompact(spark, s.path, maxSegments)
         case "bm25"    => TextSearch.maybeCompact(spark, s.path, maxSegments)
         case "dedup"   => DedupIndex.maybeCompact(spark, s.path, maxSegments)
@@ -317,29 +334,80 @@ object Takedown {
         case "graph"   => KnnGraphIndex.maybeCompact(spark, s.path, maxSegments)
         case "binary"  => BinaryIndex.maybeCompact(spark, s.path, maxSegments)
         case other     => sys.error(s"unknown surface kind '$other'")
-      }
+      })
     }
     // quality pass AFTER the layout pass: compact may clear part of
     // the debt (its full hub election), and rewire over a scrubbed
     // layout re-wires exactly the sub-k survivors
     val rewired = ss.filter(s => s.kind == "graph" &&
-      KnnGraphIndex.maybeRewire(spark, s.path, maxGraphDebt))
-    ss.foreach(s => IndexStore.withLock(spark, s.path) {
-      IndexStore.gc(spark, s.path, retainVersions)
+      tryStep(s)(KnnGraphIndex.maybeRewire(spark, s.path, maxGraphDebt)))
+    // trained-family quality pass: IVF cell rebalance past the
+    // occupancy threshold ([[IvfIndex.maybeRebalance]] — frozen-
+    // quantizer appends skew cells unboundedly, and the biggest cell
+    // is the per-probe latency). The re-clustering needs vectors; the
+    // registry's OWN store of record supplies them ([[vectorStore]] —
+    // the first registered `store` surface carrying (vec_id,
+    // embedding)), so the sweep stays self-contained. Off by default
+    // (maxIvfCell = 0): the threshold is an operator SLO, not a
+    // universal constant. Skipped with no error when no vector store
+    // is registered — a rebalance without a corpus is impossible, and
+    // the health row still shows the skew ([[IvfIndex.stats]]).
+    val rebalanced =
+      if (maxIvfCell <= 0L || !ss.exists(_.kind == "ivf")) Seq.empty
+      else vectorStore(spark, ss) match {
+        case None => Seq.empty
+        case Some(embs) => ss.filter(s => s.kind == "ivf" &&
+          tryStep(s)(IvfIndex.maybeRebalance(spark, s.path, embs,
+            maxIvfCell)))
+      }
+    ss.foreach(s => tryStep(s) {
+      IndexStore.withLock(spark, s.path) {
+        IndexStore.gc(spark, s.path, retainVersions)
+      }
+      false
     })
-    (compacted ++ rewired).distinct
+    if (failures.nonEmpty)
+      throw new RuntimeException(
+        s"maintain($root) completed with ${failures.size} failing " +
+          "surface(s) — every other surface was maintained and GC'd: " +
+          failures.map { case (s, e) =>
+            s"${s.kind}@${s.path}: ${e.getMessage}"
+          }.mkString("; "),
+        failures.head._2)
+    (compacted ++ rewired ++ rebalanced).distinct
   }
+
+  /** The registry's vector source of truth: the first registered
+    * `store` surface whose live rows carry (vec_id, embedding) — what
+    * the trained-family quality passes re-cluster from. None when no
+    * registered store is vector-shaped.
+    */
+  private def vectorStore(spark: SparkSession,
+      ss: Seq[Surface]): Option[DataFrame] =
+    ss.filter(_.kind == "store").iterator.map { s =>
+      scala.util.Try(CorpusStore.read(spark, s.path)).toOption
+    }.collectFirst {
+      case Some(df) if df.columns.contains("vec_id") &&
+        df.columns.contains("embedding") =>
+        df.select("vec_id", "embedding")
+    }
 
   /** REGISTRY-WIDE health: one row per registered surface with the
     * manifest version, segment count (the compaction-debt gauge
     * [[maintain]] fires on), tombstone-segment count (un-applied
     * takedown debt), and — for graph surfaces — [[KnnGraphIndex
     * .debt]]'s quality counters (what [[KnnGraphIndex.maybeRewire]]
-    * fires on). Metadata-bounded: manifest lines + one sidecar read
-    * per surface, never a relation scan — the dashboard an operator
-    * polls to decide when the next [[maintain]] sweep is due.
-    * Per-surface DEEP health (degree histograms, dangling edges) is
-    * [[KnnGraphIndex.stats]].
+    * fires on) — and, for the trained codebook families (pq, sq),
+    * `codebook_age`: versions since the last "train"-tagged commit,
+    * the [[PqIndex.retrain]]/[[SqIndex.retrain]] drift gauge (0 for
+    * every other kind). Metadata-bounded: manifest lines + op tags +
+    * one sidecar read per surface, never a relation scan — the
+    * dashboard an operator polls to decide when the next [[maintain]]
+    * sweep is due. Per-surface DEEP health (degree histograms and
+    * dangling edges; cell-occupancy envelopes; posting-list
+    * envelopes) is the family `stats` relations —
+    * [[KnnGraphIndex.stats]], [[IvfIndex.stats]], [[PqIndex.stats]],
+    * [[SqIndex.stats]], [[TextSearch.stats]].
     */
   def health(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -350,9 +418,17 @@ object Takedown {
       val (gd, gt) =
         if (s.kind == "graph") KnnGraphIndex.debt(spark, s.path)
         else (0L, 0L)
-      (s.kind, s.path, snap.version, segs, tombs, gd, gt)
+      val cbAge =
+        if (s.kind != "pq" && s.kind != "sq") 0L
+        else {
+          val vs = IndexStore.versions(spark, s.path)
+          snap.version - vs.filter(v =>
+            IndexStore.opAt(spark, s.path, v) == "train")
+            .sorted.lastOption.getOrElse(vs.min)
+        }
+      (s.kind, s.path, snap.version, segs, tombs, gd, gt, cbAge)
     }.toDF("kind", "path", "version", "segments", "tombstone_segments",
-      "graph_debt_deliveries", "graph_debt_tombstones")
+      "graph_debt_deliveries", "graph_debt_tombstones", "codebook_age")
   }
 
   /** Run `body` against a pinned cross-surface vector with a TTL

@@ -284,6 +284,44 @@ object TextSearch {
     due
   }
 
+  /** FAMILY HEALTH as a (metric, value) relation ([[IvfIndex.stats]]'s
+    * mold for the sparse-retrieval family): manifest `version`;
+    * `segments`/`tombstone_segments` (compaction debt);
+    * `df_partial_segments` — segments carrying lexicon df partials,
+    * i.e. how many per-delivery partial rows every [[load]] re-sums
+    * before a search can score (the summable-partials design's
+    * documented cost, paid until [[compact]] folds them — the BM25
+    * analogue of IVF's cell skew); `n_terms` (live vocabulary: terms
+    * whose summed df > 0); `df_max` (the widest posting list — the
+    * worst per-term scoring fan-out a query can touch); `n_docs`
+    * (summed corpus size). Lexicon/stats-relation-bounded — the
+    * corpus-sized postings relation is never scanned.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val lex = snap.read("lexicon").get
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+      .agg(count(lit(1)).as("n_terms"), max("df").as("df_max"))
+      .head()
+    def longAt(i: Int): Long = if (lex.isNullAt(i)) 0L else lex.getLong(i)
+    val nDocs = {
+      val r = snap.read("stats").get.agg(sum("n_docs")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    Seq(
+      "df_max" -> longAt(1),
+      "df_partial_segments" -> snap.segments("lexicon").size.toLong,
+      "n_docs" -> nDocs,
+      "n_terms" -> longAt(0),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
+  }
+
   /** Sum the lexicon/stats partials back into search-ready relations. */
   private def fromPartials(postings: DataFrame, lexParts: DataFrame,
       statsParts: DataFrame, tombstones: Option[DataFrame]): Index = Index(

@@ -1059,23 +1059,26 @@ object GraphTextQueries {
 
   /** The two persisted graph roots q_graph_fed_serve federates over,
     * built once per (JVM, dir): production = [[graft.ext.KnnGraphIndex
-    * .buildFrom]] over the memoized descent graph with a %7 takedown;
-    * overlay = every fifth vector re-delivered NEGATED, its own
-    * corpus-linear descent (k=8, the overlay is 1/5 the corpus), a %3
-    * retraction. Exactly the q_graph_federate / q_ann_federate fixture
-    * shape, persisted so the serve window never pays construction
-    * (ScaleProbe's warmBig untimed pass populates this at the replica
-    * scales).
+    * .buildFrom]] over its OWN corpus-linear descent (k=8, iters=3 —
+    * deliberately GATE-PRIVATE rather than the shared
+    * [[sharedDescentGraph]] memo, so Bench can prewarm this fixture
+    * without stealing q_nn_descent's descent-memo pricing; the serve
+    * gate checks fill cardinality, which a k=8 graph serves
+    * identically) with a %7 takedown; overlay = every fifth vector
+    * re-delivered NEGATED, its own descent, a %3 retraction. Exactly
+    * the q_graph_federate / q_ann_federate fixture shape, persisted so
+    * the serve window never pays construction (Bench prewarms this at
+    * sf; ScaleProbe's warmBig untimed pass populates it at the
+    * replica scales).
     */
-  private def sharedFedGraphRoots(s: SparkSession, d: String): String = {
-    // resolve the descent memo BEFORE entering this one (memoDir is a
-    // computeIfAbsent; nested same-map resolution is a recursive update)
-    val descent = sharedDescentGraph(s, d)
+  private[graft] def sharedFedGraphRoots(s: SparkSession,
+      d: String): String =
     graft.Gate.memoDir(s"gfed_serve:$d", "gate_gfsrv_") { dir =>
       val embs = Tables.embeddings(s, d)
-      graft.ext.KnnGraphIndex.buildFrom(
-        embs.select(col("vec_id"), col("embedding")),
-        s.read.parquet(s"$descent/graph"), s"$dir/prod", k = 8)
+      val prodCorpus = embs.select(col("vec_id"), col("embedding"))
+      graft.ext.KnnGraphIndex.buildFrom(prodCorpus,
+        EmbeddingSearch.nnDescent(prodCorpus, k = 8, iters = 3),
+        s"$dir/prod", k = 8)
       graft.ext.KnnGraphIndex.deleteVecs(s, s"$dir/prod",
         embs.filter(col("vec_id") % 7 === 3).select("vec_id"),
         col("vec_id"))
@@ -1090,7 +1093,6 @@ object GraphTextQueries {
         col("vec_id"))
       ()
     }
-  }
 
   /** [[graft.ext.EmbeddingSearch.graphSearchWhere]]: the filtered-ANN
     * contract on the graph-serving path (q_ann_filtered's predicate —
@@ -1418,6 +1420,40 @@ object GraphTextQueries {
       |  UNION ALL SELECT 'tombstone_segments', 1::BIGINT
       |  UNION ALL SELECT 'version', 2::BIGINT)
       |ORDER BY metric""".stripMargin
+
+  // ---- measured serving quality: the sampled-recall probe ----
+
+  /** [[graft.ext.KnnGraphIndex.recallProbe]]: the MEASURED quality
+    * number the proxy debt counters (maybeRewire's deliveries/
+    * tombstones) stand in for — a bounded deterministic sample of the
+    * index's own vectors served through the beam walk and scored
+    * against exact brute force over the live corpus. The fixture is
+    * the memoized DESCENT graph persisted via buildFrom (k=8 — the
+    * q_search_graph serving construction; a k=3 graph is too sparse
+    * to navigate on this near-random corpus), so the probe's sample
+    * is deterministic: 16 hash-ranked sample queries × top-3, and the
+    * walk must clear the family floor: ≥80% of the sampled queries
+    * recover ≥1 of their true top-3 (`n_covered` — the q_search_graph
+    * criterion; the probe reports aggregate recall BESIDE it, and
+    * exact per-pair values are owned by the walk-replay twins).
+    * Documented cost: |sample| × corpus scorings, maintenance-window
+    * work — the number that lets an operator set maybeRewire's
+    * maxDebt empirically instead of by folklore.
+    */
+  private def recallProbeGate(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Gate.tmpDir("gate_rprobe_")
+    val embs = Tables.embeddings(s, d)
+    val graph = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
+    graft.ext.KnnGraphIndex.buildFrom(
+      embs.select(col("vec_id"), col("embedding")), graph, dir, k = 8)
+    graft.ext.KnnGraphIndex.recallProbe(s, dir, sampleN = 16, k = 3)
+      .select(col("n_queries"), col("n_truth"),
+        (col("n_covered") >= col("n_queries") * 0.8).as("recall_ok"))
+  }
+
+  private val recallProbeSql =
+    """SELECT CAST(16 AS BIGINT) AS n_queries,
+      |       CAST(48 AS BIGINT) AS n_truth, true AS recall_ok""".stripMargin
 
   // ---- FEDERATED graph search, value-checked end to end ----
 
@@ -2601,6 +2637,7 @@ object GraphTextQueries {
     Gate("q_graph_hub_persist", graphHubPersist,
       Some(graphHubPersistSql)),
     Gate("q_graph_stats", graphStats, Some(graphStatsSql)),
+    Gate("q_recall_probe", recallProbeGate, Some(recallProbeSql)),
     Gate("q_graph_federate", graphFederate, Some(graphFederateSql)),
     Gate("q_stream_graph_exact", streamGraphExact,
       Some(streamGraphExactSql)),

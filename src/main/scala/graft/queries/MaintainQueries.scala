@@ -365,28 +365,42 @@ object MaintainQueries {
     * relation in closed form — the health numbers an operator
     * dashboards at 100 TB are value-checked, not spec-only.
     */
+  /** The three-surface registry q_corpus_health dashboards, built ONCE
+    * per JVM ([[graft.Gate.memoDir]] — the r14 bench-window-hygiene
+    * ask): the gate exists to price the HEALTH READ (metadata-bounded,
+    * the claim), not the store/BM25/graph construction its r13 window
+    * paid (15.5 s in-suite, almost all fixture). The gate never
+    * mutates the fixture — health is a pure read — so no copy is
+    * taken. Bench prewarms this beside [[sharedRewireSeed]].
+    */
+  private[graft] def sharedHealthFixture(s: SparkSession,
+      d: String): String =
+    graft.Gate.memoDir(s"health_fix:$d", "gate_health_") { dir =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val embs = Tables.embeddings(s, d)
+      val root = s"$dir/root"
+      val store = s"$dir/store"
+      val bm25 = s"$dir/bm25"
+      val gidx = s"$dir/gidx"
+      CorpusStore.build(docs.select(col("doc_id").as("id"), col("text")),
+        col("id"), store)
+      graft.ext.TextSearch.buildAndSave(docs, col("doc_id"), col("text"),
+        bm25, buckets = 4)
+      graft.ext.TextSearch.deleteDocs(s, bm25,
+        docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
+        col("doc_id"))
+      KnnGraphIndex.build(embs.filter(col("vec_id") < 100), gidx,
+        k = 4, iters = 2)
+      KnnGraphIndex.insert(s, gidx,
+        embs.filter(col("vec_id") >= 100 && col("vec_id") < 120))
+      Takedown.register(s, root, Takedown.Surface("store", store))
+      Takedown.register(s, root, Takedown.Surface("bm25", bm25))
+      Takedown.register(s, root, Takedown.Surface("graph", gidx))
+    }
+
   private def corpusHealth(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-      .select(col("doc_id"), col("text"))
-    val embs = Tables.embeddings(s, d)
-    val root = graft.Gate.tmpDir("gate_health_root_")
-    val store = graft.Gate.tmpDir("gate_health_store_")
-    val bm25 = graft.Gate.tmpDir("gate_health_bm25_")
-    val gidx = graft.Gate.tmpDir("gate_health_gidx_")
-    CorpusStore.build(docs.select(col("doc_id").as("id"), col("text")),
-      col("id"), store)
-    graft.ext.TextSearch.buildAndSave(docs, col("doc_id"), col("text"),
-      bm25, buckets = 4)
-    graft.ext.TextSearch.deleteDocs(s, bm25,
-      docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
-      col("doc_id"))
-    KnnGraphIndex.build(embs.filter(col("vec_id") < 100), gidx,
-      k = 4, iters = 2)
-    KnnGraphIndex.insert(s, gidx,
-      embs.filter(col("vec_id") >= 100 && col("vec_id") < 120))
-    Takedown.register(s, root, Takedown.Surface("store", store))
-    Takedown.register(s, root, Takedown.Surface("bm25", bm25))
-    Takedown.register(s, root, Takedown.Surface("graph", gidx))
+    val root = s"${sharedHealthFixture(s, d)}/root"
     Takedown.health(s, root)
       .select(col("kind"), col("version"), col("segments"),
         col("tombstone_segments"), col("graph_debt_deliveries"),
@@ -449,6 +463,332 @@ object MaintainQueries {
         (col("n_ok") >= col("n_queries") * 0.8 && lit(fired))
           .as("search_ok"))
   }
+
+  // ---- the registry maintenance sweep itself, timed + value-checked ----
+
+  /** The multi-surface registry [[graft.ext.Takedown.maintain]] sweeps
+    * in q_maintain_sweep, built ONCE per (JVM, dir): a store of record
+    * and a BM25 index each carrying four append deliveries of segment
+    * debt, and a graph index carrying one insert delivery of quality
+    * debt (below the rewire threshold — the sweep's METADATA reads are
+    * what this fixture stages, not a corpus-linear quality pass). The
+    * gate copies the surfaces (the sweep mutates them) and registers
+    * the copies in a fresh root in-window.
+    */
+  private[graft] def sharedSweepFixture(s: SparkSession,
+      d: String): String =
+    graft.Gate.memoDir(s"sweep_fix:$d", "gate_msweep_") { dir =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+      val embs = Tables.embeddings(s, d)
+      CorpusStore.build(docs.filter(col("id") < 300), col("id"),
+        s"$dir/store")
+      graft.ext.TextSearch.buildAndSave(
+        docs.filter(col("id") < 300), col("id"), col("text"),
+        s"$dir/bm25", buckets = 8)
+      (0 until 4).foreach { i =>
+        CorpusStore.append(s, s"$dir/store",
+          docs.filter(col("id") >= 300 + i * 10 &&
+            col("id") < 310 + i * 10), col("id"))
+        graft.ext.TextSearch.appendDocs(s, s"$dir/bm25",
+          docs.filter(col("id") >= 300 + i * 10 &&
+            col("id") < 310 + i * 10), col("id"), col("text"))
+      }
+      KnnGraphIndex.build(embs.filter(col("vec_id") % 3 =!= 0),
+        s"$dir/graph", k = 8, iters = 2)
+      KnnGraphIndex.insert(s, s"$dir/graph",
+        embs.filter(col("vec_id") % 3 === 0).limit(64))
+    }
+
+  /** [[graft.ext.Takedown.maintain]] over a MULTI-SURFACE root as its
+    * own timed, value-checked gate — the registry sweep claimed
+    * metadata-bounded (plus corpus-linear compaction where segment
+    * debt is due) finally joins the measured families (BASELINE.md
+    * probes it at 10×/30×). Debt is STAGED deterministically by the
+    * memoized fixture: store and BM25 sit above `maxSegments` (they
+    * must compact to one segment), the graph sits below both
+    * thresholds (its pass must be a pure metadata/sidecar read — no
+    * compact, no rewire, segments untouched). The output states the
+    * whole end state in closed form: which kinds swept and every
+    * surface's post-sweep segment count.
+    */
+  private def maintainSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fix = sharedSweepFixture(s, d)
+    val store = graft.Gate.copyDir(s"$fix/store", "gate_msw_store_")
+    val bm25 = graft.Gate.copyDir(s"$fix/bm25", "gate_msw_bm25_")
+    val graph = graft.Gate.copyDir(s"$fix/graph", "gate_msw_graph_")
+    val root = graft.Gate.tmpDir("gate_msw_root_")
+    Takedown.register(s, root, Takedown.Surface("store", store))
+    Takedown.register(s, root, Takedown.Surface("bm25", bm25))
+    Takedown.register(s, root, Takedown.Surface("graph", graph))
+    val swept = Takedown.maintain(s, root, maxSegments = 3)
+      .map(_.kind).toSet
+    Seq(
+      ("bm25", swept.contains("bm25"),
+        graft.ext.IndexStore.segmentCount(s, bm25)),
+      ("graph", swept.contains("graph"),
+        graft.ext.IndexStore.segmentCount(s, graph)),
+      ("store", swept.contains("store"),
+        graft.ext.IndexStore.segmentCount(s, store)),
+    ).toDF("kind", "swept", "segments").orderBy("kind")
+  }
+
+  private val maintainSweepSql =
+    """SELECT * FROM (VALUES
+      |  ('bm25',  true,  CAST(1 AS INTEGER)),
+      |  ('graph', false, CAST(2 AS INTEGER)),
+      |  ('store', true,  CAST(1 AS INTEGER)))
+      |  AS t(kind, swept, segments)
+      |ORDER BY kind""".stripMargin
+
+  // ---- registry-driven IVF cell rebalance (trained-family quality) ----
+
+  /** [[graft.ext.IvfIndex.maybeRebalance]] driven END TO END by the
+    * registry sweep — the trained-family twin of q_graph_maintain_auto:
+    * a two-cell quantizer is frozen at build over 2/3 of the corpus,
+    * the remaining third lands via `saveAppend` (cells only grow under
+    * a frozen quantizer — the documented skew path), and then
+    * [[graft.ext.Takedown.maintain]] — NOT the caller — observes the
+    * oversized cells and fires the split, resolving vectors from the
+    * registry's own store of record. Contract: the sweep reports the
+    * ivf surface, the biggest live cell settles at or under the
+    * threshold (so the NEXT armed sweep no-ops — asserted), and
+    * exhaustive-probe search over the rebalanced index ≡ brute force
+    * over the corpus, hash-checked (a rebalance re-partitions the
+    * corpus into cells; exhaustive probing is partition-invariant, so
+    * any lost/duplicated/mis-assigned vector breaks the equality).
+    */
+  private def ivfRebalanceAuto(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val root = graft.Gate.tmpDir("gate_ivfra_root_")
+    val store = graft.Gate.tmpDir("gate_ivfra_store_")
+    val idx = graft.Gate.tmpDir("gate_ivfra_idx_")
+    CorpusStore.build(embs, col("vec_id"), store)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val model = IvfIndex.build(base, k = 2, sampleFraction = 0.25)
+    IvfIndex.save(model, idx)
+    IvfIndex.saveAppend(model, embs.filter(col("vec_id") % 3 === 0), idx)
+    Takedown.register(s, root, Takedown.Surface("store", store))
+    Takedown.register(s, root, Takedown.Surface("ivf", idx))
+    val threshold = IvfIndex.maxLiveCell(s, idx) * 2 / 3
+    val swept = Takedown.maintain(s, root, maxSegments = 100,
+      maxIvfCell = threshold)
+    val fired = swept.exists(_.kind == "ivf") &&
+      IvfIndex.maxLiveCell(s, idx) <= threshold &&
+      !Takedown.maintain(s, root, maxSegments = 100,
+        maxIvfCell = threshold).exists(_.kind == "ivf")
+    IvfIndex.search(IvfIndex.load(s, idx, embs), col("vec_id") < 10,
+        k = 5, nProbe = Int.MaxValue)
+      .withColumn("swept_ok", lit(fired))
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfRebalanceAutoSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank, true AS swept_ok
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- per-family index health stats, value-checked ----
+
+  /** The NON-GRAPH families' health relations ([[graft.ext.IvfIndex
+    * .stats]], [[graft.ext.PqIndex.stats]], [[graft.ext.SqIndex
+    * .stats]], [[graft.ext.TextSearch.stats]]) under one gate — the
+    * q_graph_stats posture extended to the trained and sparse
+    * families, closing "an operator sees graph quality but flies
+    * blind on the trained indexes". One deterministic lifecycle per
+    * family (build 2/3 → frozen-geometry append of the rest → a %7
+    * takedown; bm25 gets build + append + delete), then every stats
+    * row lands in the output as (family, metric, value): layout
+    * constants (versions, segment/tombstone counts, codebook ages)
+    * in closed form, corpus-derivable numbers (live code/row counts,
+    * BM25's vocabulary size, max document frequency, doc count)
+    * recomputed by the oracle from the documents/embeddings tables,
+    * and the data-trained IVF cell envelope — which no SQL oracle can
+    * re-derive without re-running KMeans — value-checked against an
+    * independent Spark-side recompute from the index's own persisted
+    * relations and emitted as a 0/1 consistency metric.
+    */
+  private def indexStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val delta = embs.filter(col("vec_id") % 3 === 0)
+    val doomed = embs.filter(col("vec_id") % 7 === 2).select("vec_id")
+
+    val ivfDir = graft.Gate.tmpDir("gate_istat_ivf_")
+    val ivfModel = IvfIndex.build(base, k = 4, sampleFraction = 0.25)
+    IvfIndex.save(ivfModel, ivfDir)
+    IvfIndex.saveAppend(ivfModel, delta, ivfDir)
+    IvfIndex.deleteVecs(s, ivfDir, doomed, col("vec_id"))
+    val ivfStats = IvfIndex.stats(s, ivfDir)
+    // the trained envelope, checked against an independent recompute
+    // from the persisted assignment itself
+    val occ = IvfIndex.load(s, ivfDir, embs).assigned
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), min("n"), max("n")).head()
+    val envOk = ivfStats.filter(col("metric").isin(
+        "cells", "cell_min", "cell_max"))
+      .orderBy("metric").select("value").as[Long].collect().toSeq ==
+      Seq(occ.getLong(2), occ.getLong(1), occ.getLong(0))
+    val ivfRows = ivfStats.filter(col("metric").isin(
+        "live_rows", "segments", "tombstone_segments", "version"))
+      .withColumn("family", lit("ivf"))
+      .unionByName(Seq(("ivf", "cell_envelope_ok",
+        if (envOk) 1L else 0L)).toDF("family", "metric", "value")
+        .select("metric", "value", "family"))
+
+    val pqDir = graft.Gate.tmpDir("gate_istat_pq_")
+    val pqModel = graft.ext.PqIndex.build(base, m = 4, k = 16,
+      sampleFraction = 1.0)
+    graft.ext.PqIndex.save(pqModel, pqDir)
+    graft.ext.PqIndex.saveAppend(pqModel, delta, pqDir)
+    graft.ext.PqIndex.deleteVecs(s, pqDir, doomed, col("vec_id"))
+    val pqRows = graft.ext.PqIndex.stats(s, pqDir)
+      .withColumn("family", lit("pq"))
+
+    val sqDir = graft.Gate.tmpDir("gate_istat_sq_")
+    val sqModel = graft.ext.SqIndex.build(base)
+    graft.ext.SqIndex.save(sqModel, sqDir)
+    graft.ext.SqIndex.saveAppend(sqModel, delta, sqDir)
+    graft.ext.SqIndex.deleteVecs(s, sqDir, doomed, col("vec_id"))
+    val sqRows = graft.ext.SqIndex.stats(s, sqDir)
+      .withColumn("family", lit("sq"))
+
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("text"))
+    val bmDir = graft.Gate.tmpDir("gate_istat_bm_")
+    graft.ext.TextSearch.buildAndSave(docs.filter(col("doc_id") < 300),
+      col("doc_id"), col("text"), bmDir, buckets = 8)
+    graft.ext.TextSearch.appendDocs(s, bmDir,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 350),
+      col("doc_id"), col("text"))
+    graft.ext.TextSearch.deleteDocs(s, bmDir,
+      docs.filter(col("doc_id") < 350 && col("doc_id") % 10 === 1)
+        .select("doc_id"), col("doc_id"))
+    val bmRows = graft.ext.TextSearch.stats(s, bmDir)
+      .withColumn("family", lit("bm25"))
+
+    ivfRows.unionByName(pqRows).unionByName(sqRows).unionByName(bmRows)
+      .select("family", "metric", "value")
+      .orderBy("family", "metric")
+  }
+
+  private val indexStatsSql =
+    """WITH survivors AS (SELECT count(*) AS n FROM embeddings
+      |                   WHERE vec_id % 7 <> 2),
+      |toks AS (SELECT doc_id, unnest(list_distinct(
+      |           regexp_split_to_array(lower(trim(text)), '\s+'))) AS term
+      |         FROM documents
+      |         WHERE doc_id < 350 AND doc_id % 10 <> 1),
+      |df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+      |lex AS (SELECT count(*) AS n_terms, max(df) AS df_max FROM df),
+      |nd AS (SELECT count(*) AS n_docs FROM documents
+      |       WHERE doc_id < 350 AND doc_id % 10 <> 1)
+      |SELECT * FROM (
+      |  SELECT 'ivf' AS family, 'cell_envelope_ok' AS metric,
+      |         1::BIGINT AS value
+      |  UNION ALL SELECT 'ivf', 'live_rows', n FROM survivors
+      |  UNION ALL SELECT 'ivf', 'segments', 3
+      |  UNION ALL SELECT 'ivf', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'ivf', 'version', 3
+      |  UNION ALL SELECT 'pq', 'codebook_age', 2
+      |  UNION ALL SELECT 'pq', 'live_codes', n FROM survivors
+      |  UNION ALL SELECT 'pq', 'segments', 3
+      |  UNION ALL SELECT 'pq', 'subspaces', 4
+      |  UNION ALL SELECT 'pq', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'pq', 'version', 3
+      |  UNION ALL SELECT 'sq', 'codec_age', 2
+      |  UNION ALL SELECT 'sq', 'live_codes', n FROM survivors
+      |  UNION ALL SELECT 'sq', 'segments', 3
+      |  UNION ALL SELECT 'sq', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'sq', 'version', 3
+      |  UNION ALL SELECT 'bm25', 'df_max', df_max FROM lex
+      |  UNION ALL SELECT 'bm25', 'df_partial_segments', 3
+      |  UNION ALL SELECT 'bm25', 'n_docs', n_docs FROM nd
+      |  UNION ALL SELECT 'bm25', 'n_terms', n_terms FROM lex
+      |  UNION ALL SELECT 'bm25', 'segments', 3
+      |  UNION ALL SELECT 'bm25', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'bm25', 'version', 3)
+      |ORDER BY family, metric""".stripMargin
+
+  // ---- FEDERATED selection lineage, recorded + replayed ----
+
+  /** [[graft.ext.SelectionLog.runFederated]] /
+    * [[graft.ext.SelectionLog.replayFederated]]: a selection made
+    * through the federation (corrections overlay over production, the
+    * q_store_federate fixture) gets ONE durable lineage record
+    * spanning BOTH registry roots — closing "the audit story stops at
+    * the federation boundary". The gate records the federated read,
+    * lands later deliveries on BOTH stores (overlay gains more
+    * corrections, production gains new documents — the live federated
+    * view provably moves), then replays the recorded selection and
+    * returns the replayed rows: they must equal the PRE-delivery
+    * federated oracle (id + text hash, value-checked), with the
+    * post-delivery world invisible through the recorded pins.
+    */
+  private def selectionReplayFed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text"))
+    val overlayRoot = graft.Gate.tmpDir("gate_srf_oroot_")
+    val prodRoot = graft.Gate.tmpDir("gate_srf_proot_")
+    val overlay = graft.Gate.tmpDir("gate_srf_ostore_")
+    val prod = graft.Gate.tmpDir("gate_srf_pstore_")
+    CorpusStore.build(
+      docs.filter(col("id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" corrected"))),
+      col("id"), overlay)
+    CorpusStore.build(docs, col("id"), prod)
+    Takedown.register(s, overlayRoot,
+      Takedown.Surface("store", overlay))
+    Takedown.register(s, prodRoot, Takedown.Surface("store", prod))
+    val (sid, _) = graft.ext.SelectionLog.runFederated(s,
+      Seq(overlayRoot, prodRoot))(_ => ())
+    // the federation moves on BOTH sides after the record
+    CorpusStore.append(s, overlay,
+      docs.filter(col("id") % 5 === 1)
+        .withColumn("text", concat(col("text"), lit(" corrected"))),
+      col("id"))
+    CorpusStore.append(s, prod,
+      docs.filter(col("id") % 5 === 2)
+        .withColumn("id", col("id") + 100000), col("id"))
+    graft.ext.SelectionLog.replayFederated(s, overlayRoot, sid) {
+      vectors =>
+        val byRoot = vectors.toMap
+        val oAt = byRoot(overlayRoot).head._2
+        val pAt = byRoot(prodRoot).head._2
+        val o = CorpusStore.readAt(s, overlay, oAt)
+          .select("id", "text")
+        val p = CorpusStore.readAt(s, prod, pAt)
+          .select("id", "text")
+          .join(o.select("id"), Seq("id"), "left_anti")
+        o.unionByName(p)
+          .select(col("id"), md5(col("text")).as("h"))
+          .orderBy("id")
+    }
+  }
+
+  private val selectionReplayFedSql =
+    """WITH a AS (SELECT doc_id AS id, text || ' corrected' AS text
+      |           FROM documents WHERE doc_id % 5 = 0),
+      |b AS (SELECT doc_id AS id, text FROM documents),
+      |fed AS (SELECT id, text FROM a
+      |        UNION ALL
+      |        SELECT id, text FROM b
+      |        WHERE id NOT IN (SELECT id FROM a))
+      |SELECT id, md5(text) AS h FROM fed ORDER BY id""".stripMargin
 
   // ---- cross-corpus federation: precedence read over two stores ----
 
@@ -643,5 +983,11 @@ object MaintainQueries {
     Gate("q_graph_insert", graphInsert, Some(graphInsertSql)),
     Gate("q_stream_graph_index", streamGraphIndex,
       Some(streamGraphIndexSql)),
+    Gate("q_maintain_sweep", maintainSweep, Some(maintainSweepSql)),
+    Gate("q_ivf_rebalance_auto", ivfRebalanceAuto,
+      Some(ivfRebalanceAutoSql)),
+    Gate("q_index_stats", indexStats, Some(indexStatsSql)),
+    Gate("q_selection_replay_fed", selectionReplayFed,
+      Some(selectionReplayFedSql)),
   )
 }

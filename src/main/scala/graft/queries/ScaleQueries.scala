@@ -589,6 +589,110 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** [[graft.ext.PqIndex.retrain]] — the quantizer-refresh drift
+    * migration under the driver gate: codebooks train at build over
+    * 2/3 of the corpus, the rest lands under the FROZEN codebooks
+    * (`saveAppend`), a %7 takedown retracts, then `retrain` re-fits
+    * over the live corpus as one committed maintenance pass. Three
+    * contracts in one window: (1) the search rows are EXACT — a
+    * corpus-wide shortlist makes the exact re-rank brute force
+    * regardless of codebooks (the q_pq_topk_exact trick), so the
+    * values hash-check against DuckDB over the surviving corpus;
+    * (2) `retrain_ok` — the retrained SAVED index answers
+    * row-identically to a from-scratch build over the live corpus
+    * (byte-equal codebooks by the deterministic-sample discipline);
+    * (3) `rollback_ok` — the pre-retrain version still answers via
+    * `loadAt` (atomic swap, old version retained = the rollback
+    * path).
+    */
+  private def pqRetrain(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val path = graft.Gate.tmpDir("gate_pqrt_")
+    val model = graft.ext.PqIndex.build(base, m = 8, k = 32,
+      sampleFraction = 1.0)
+    graft.ext.PqIndex.save(model, path)
+    graft.ext.PqIndex.saveAppend(model,
+      embs.filter(col("vec_id") % 3 === 0), path)
+    graft.ext.PqIndex.deleteVecs(s, path,
+      embs.filter(col("vec_id") % 7 === 2).select("vec_id"),
+      col("vec_id"))
+    val preV = graft.ext.IndexStore.snapshot(s, path).version
+    graft.ext.PqIndex.retrain(s, path, embs, m = 8, k = 32,
+      sampleFraction = 1.0)
+    val live = embs.filter(col("vec_id") % 7 =!= 2)
+    val fresh = graft.ext.PqIndex.build(live, m = 8, k = 32,
+      sampleFraction = 1.0)
+    val n = live.count().toInt
+    val got = graft.ext.PqIndex.search(
+      graft.ext.PqIndex.load(s, path, embs), col("vec_id") < 10, k = 5,
+      shortlist = n)
+    val mem = graft.ext.PqIndex.search(fresh, col("vec_id") < 10, k = 5,
+      shortlist = n)
+    val same = got.exceptAll(mem).isEmpty && mem.exceptAll(got).isEmpty
+    val rollback = graft.ext.PqIndex.loadAt(s, path, preV, embs)
+      .encoded.count() > 0
+    got.withColumn("retrain_ok", lit(same))
+      .withColumn("rollback_ok", lit(rollback))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[graft.ext.SqIndex.retrain]] — the affine codec's refresh under
+    * the same three contracts as [[pqRetrain]] (exact rows via
+    * corpus-wide shortlist; retrained-saved ≡ from-scratch — for SQ
+    * automatic, the range fit is an order-free aggregate; rollback via
+    * `loadAt`). Frozen ranges CLIP drifting appends (saturation at
+    * 0/255); the refresh restores bounded quantization error in one
+    * aggregate + one distributed encode.
+    */
+  private def sqRetrain(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val path = graft.Gate.tmpDir("gate_sqrt_")
+    val model = graft.ext.SqIndex.build(base)
+    graft.ext.SqIndex.save(model, path)
+    graft.ext.SqIndex.saveAppend(model,
+      embs.filter(col("vec_id") % 3 === 0), path)
+    graft.ext.SqIndex.deleteVecs(s, path,
+      embs.filter(col("vec_id") % 7 === 2).select("vec_id"),
+      col("vec_id"))
+    val preV = graft.ext.IndexStore.snapshot(s, path).version
+    graft.ext.SqIndex.retrain(s, path, embs)
+    val live = embs.filter(col("vec_id") % 7 =!= 2)
+    val fresh = graft.ext.SqIndex.build(live)
+    val n = live.count().toInt
+    val got = graft.ext.SqIndex.search(
+      graft.ext.SqIndex.load(s, path, embs), col("vec_id") < 10, k = 5,
+      shortlist = n)
+    val mem = graft.ext.SqIndex.search(fresh, col("vec_id") < 10, k = 5,
+      shortlist = n)
+    val same = got.exceptAll(mem).isEmpty && mem.exceptAll(got).isEmpty
+    val rollback = graft.ext.SqIndex.loadAt(s, path, preV, embs)
+      .encoded.count() > 0
+    got.withColumn("retrain_ok", lit(same))
+      .withColumn("rollback_ok", lit(rollback))
+      .orderBy("query_id", "rank")
+  }
+
+  private val retrainSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 2),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |      WHERE vec_id % 7 <> 2),
+      |p AS (SELECT query_id, vec_id,
+      |             list_dot_product(qv, ev)
+      |               / sqrt(list_dot_product(qv, qv)
+      |                      * list_dot_product(ev, ev)) AS cos
+      |      FROM q, e WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY cos DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos,
+      |       CAST(rank AS INTEGER) AS rank, true AS retrain_ok,
+      |       true AS rollback_ok
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The IVF-blocked kNN GRAPH with exhaustive probes: every row
     * queries every cell, so the blocked build ≡ the exact graph
     * row-for-row — the q_knn_graph_blocked recall floor's exact twin
@@ -2269,6 +2373,8 @@ object ScaleQueries {
       Some(knnGraphBlockedExactSql)),
     Gate("q_ivf_rebalance", ivfRebalance, Some(ivfTopKSql)),
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
+    Gate("q_pq_retrain", pqRetrain, Some(retrainSql)),
+    Gate("q_sq_retrain", sqRetrain, Some(retrainSql)),
     Gate("q_binary_topk", binaryTopK, Some(binaryTopKSql)),
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),

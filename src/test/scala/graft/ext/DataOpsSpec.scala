@@ -387,6 +387,19 @@ class DataOpsSpec extends SparkSpec {
     assert(back === l1)
   }
 
+  test("shardPacked fails loudly on duplicate ids (their relative " +
+      "layout would be arbitrary run to run)") {
+    val docs = (0L until 50L).map(i => (i, 10L))
+      .toDF("doc_id", "n_tok")
+    val dup = docs.unionByName(
+      Seq((7L, 11L)).toDF("doc_id", "n_tok"))
+    val e = intercept[IllegalArgumentException] {
+      DataOps.shardPacked(dup, col("doc_id"), col("n_tok"), 100L, "w1")
+        .count()
+    }
+    assert(e.getMessage.contains("UNIQUE ids"))
+  }
+
   test("k-anonymity: class sizes, sensitive diversity, both verdicts") {
     val rows = Seq(
       // class (us, a): 3 rows, 2 sensitive values -> k(3) ok, l(2) ok

@@ -247,6 +247,58 @@ class IvfIndexSpec extends SparkSpec {
     assert(shifted == internal)
   }
 
+  test("maybeRebalance: gauge-driven fire on a saved index, exact " +
+      "answers after, settles below the threshold") {
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val model = IvfIndex.build(base, k = 2) // two fat cells by design
+    val path = graft.Gate.tmpDir("ivf_mreb_")
+    IvfIndex.save(model, path)
+    // frozen-quantizer append: cells only ever grow
+    IvfIndex.saveAppend(model, embs.filter(col("vec_id") % 3 === 0), path)
+    val maxBefore = IvfIndex.maxLiveCell(spark, path)
+    assert(maxBefore >= 50L) // ~200 rows over 2 cells
+    // at/above the gauge: no fire
+    assert(!IvfIndex.maybeRebalance(spark, path, embs, maxBefore))
+    // below it: fires, splits every oversized cell in one pass…
+    val threshold = maxBefore * 2 / 3
+    assert(IvfIndex.maybeRebalance(spark, path, embs, threshold))
+    // …and the halved cells sit under the threshold → next sweep no-ops
+    assert(IvfIndex.maxLiveCell(spark, path) <= threshold)
+    assert(!IvfIndex.maybeRebalance(spark, path, embs, threshold))
+    // exactness: exhaustive probing over the rebalanced SAVED index is
+    // brute force (a rebalance re-partitions, never loses/moves rows
+    // across the partition contract)
+    val got = IvfIndex.search(IvfIndex.load(spark, path, embs),
+        col("vec_id") < 5, k = 3, nProbe = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("stats reports the live cell-occupancy envelope and layout debt") {
+    val embs = Tables.embeddings(spark, sf0001).limit(120)
+    val model = IvfIndex.build(embs, k = 3)
+    val path = graft.Gate.tmpDir("ivf_stats_")
+    IvfIndex.save(model, path)
+    IvfIndex.deleteVecs(spark, path,
+      embs.filter(col("vec_id") % 4 === 1).select("vec_id"), col("vec_id"))
+    val got = IvfIndex.stats(spark, path)
+      .as[(String, Long)].collect().toMap
+    val live = IvfIndex.load(spark, path, embs).assigned
+      .groupBy("cell").count().as[(Int, Long)].collect()
+    assert(got("cells") === live.length.toLong)
+    assert(got("cell_min") === live.map(_._2).min)
+    assert(got("cell_max") === live.map(_._2).max)
+    assert(got("live_rows") === live.map(_._2).sum)
+    assert(got("segments") === 2L) // build + tombstone
+    assert(got("tombstone_segments") === 1L)
+    assert(got("version") === 2L)
+  }
+
   test("IVF with partial probing returns k ranked cells-local neighbors") {
     val embs = Tables.embeddings(spark, sf0001)
     val model = IvfIndex.build(embs, k = 8)

@@ -414,6 +414,16 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("CONFLICTING"))
     // nothing landed: the index is still at its build version
     assert(IndexStore.snapshot(spark, path).version === 1L)
+    // a NULL embedding beside a non-null one under the same id is a
+    // conflict too (countDistinct alone would ignore the null row and
+    // let an arbitrary survivor through)
+    val nullMix = Seq((101L, Some(Array(10f, 0f, 0.5f))),
+        (101L, None))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      KnnGraphIndex.insert(spark, path, nullMix)
+    }
+    assert(e2.getMessage.contains("CONFLICTING"))
     // an exact duplicate (a retried row) collapses and admits once
     val dup = Seq((100L, Array(10f, 0f, 0.5f)),
         (100L, Array(10f, 0f, 0.5f)))
@@ -557,5 +567,35 @@ class KnnGraphIndexSpec extends SparkSpec {
         entryPoints = 2)
       .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
     assert(after(1) === 0L)
+  }
+
+  test("recallProbe: deterministic sample, exact truth, perfect recall " +
+      "on a converged graph, honest recall on a damaged one") {
+    val path = dir()
+    KnnGraphIndex.build(clustered, path, k = 3, iters = 3)
+    val r1 = KnnGraphIndex.recallProbe(spark, path, sampleN = 4, k = 2,
+        beamWidth = 6, entryPoints = 2)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r1._1 === 4L)       // sample size honored
+    assert(r1._2 === 8L)       // 4 queries × k truth rows
+    assert(r1._3 === r1._2)    // converged graph: every truth row served
+    assert(r1._4 === 4L)       // …so every query is covered
+    assert(r1._5 === 1.0)
+    // the probe is deterministic: same index → same numbers
+    assert(KnnGraphIndex.recallProbe(spark, path, sampleN = 4, k = 2,
+      beamWidth = 6, entryPoints = 2)
+      .as[(Long, Long, Long, Long, Double)].head() === r1)
+    // damage the graph (delete half of cluster A, compact scrubs the
+    // dangling references, no rewire) — recall is measured against the
+    // SURVIVORS' truth and must stay a valid ratio
+    KnnGraphIndex.deleteVecs(spark, path,
+      Seq(0L, 2L, 4L).toDF("vec_id"), col("vec_id"))
+    KnnGraphIndex.compact(spark, path)
+    val r2 = KnnGraphIndex.recallProbe(spark, path, sampleN = 4, k = 2,
+        beamWidth = 6, entryPoints = 2)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r2._1 === 4L && r2._2 === 8L)
+    assert(r2._3 <= r2._2 && r2._4 <= r2._1)
+    assert(r2._5 === r2._3.toDouble / r2._2)
   }
 }

@@ -151,6 +151,69 @@ class PqIndexSpec extends SparkSpec {
     assert(shifted == internal)
   }
 
+  test("retrain re-fits over the live corpus: post-retrain search ≡ a " +
+      "from-scratch build, old version still answers via loadAt") {
+    import graft.Tables
+    val embs = Tables.embeddings(spark, sf0001).limit(150)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val path = graft.Gate.tmpDir("pq_retrain_")
+    val model = PqIndex.build(base, m = 4, k = 8, sampleFraction = 1.0)
+    PqIndex.save(model, path)
+    val v1 = IndexStore.snapshot(spark, path).version
+    // drift: append new rows under the FROZEN codebooks, drop a slice
+    PqIndex.saveAppend(model, embs.filter(col("vec_id") % 3 === 0), path)
+    PqIndex.deleteVecs(spark, path,
+      embs.filter(col("vec_id") % 7 === 2).select("vec_id"), col("vec_id"))
+    val preV = IndexStore.snapshot(spark, path).version
+    PqIndex.retrain(spark, path, embs, m = 4, k = 8,
+      sampleFraction = 1.0)
+    assert(IndexStore.snapshot(spark, path).version === preV + 1)
+    // post-retrain ≡ from-scratch build over the LIVE corpus: identical
+    // codebooks (same seed/sample discipline) → identical search rows
+    val live = embs.filter(col("vec_id") % 7 =!= 2)
+    val fresh = PqIndex.build(live, m = 4, k = 8, sampleFraction = 1.0)
+    val q = embs.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val got = PqIndex.searchVectors(
+        PqIndex.load(spark, path, embs), q, k = 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = PqIndex.searchVectors(fresh, q, k = 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    // rollback path: the pre-retrain version is retained and readable
+    val old = PqIndex.loadAt(spark, path, preV, embs)
+    assert(old.encoded.count() > 0)
+    // v1 history may have been GC'd (retention 2), but preV must hold
+    assert(IndexStore.versions(spark, path).contains(preV))
+    assert(v1 === 1L)
+  }
+
+  test("stats: codebook_age counts commits since the last train tag") {
+    import graft.Tables
+    val embs = Tables.embeddings(spark, sf0001).limit(100)
+    val base = embs.filter(col("vec_id") % 2 === 0)
+    val path = graft.Gate.tmpDir("pq_stats_")
+    val model = PqIndex.build(base, m = 4, k = 8, sampleFraction = 1.0)
+    PqIndex.save(model, path)
+    PqIndex.saveAppend(model, embs.filter(col("vec_id") % 2 === 1), path)
+    PqIndex.deleteVecs(spark, path,
+      embs.filter(col("vec_id") % 10 === 3).select("vec_id"),
+      col("vec_id"))
+    def stat(name: String): Long = PqIndex.stats(spark, path)
+      .filter(col("metric") === name).select("value").as[Long].head()
+    // train at v1, then append + delete: age 2
+    assert(stat("codebook_age") === 2L)
+    assert(stat("version") === 3L)
+    assert(stat("subspaces") === 4L)
+    assert(stat("tombstone_segments") === 1L)
+    assert(stat("live_codes") ===
+      embs.filter(col("vec_id") % 10 =!= 3).count())
+    // retrain resets the age to zero
+    PqIndex.retrain(spark, path, embs, m = 4, k = 8, sampleFraction = 1.0)
+    assert(stat("codebook_age") === 0L)
+  }
+
   test("ADC search recovers same-direction neighbors") {
     val model = PqIndex.build(corpus, m = 2, k = 4,
       sampleFraction = 1.0, maxIter = 10)

@@ -97,6 +97,68 @@ class SelectionLogSpec extends SparkSpec {
       s"error must name the unretained version: ${e.getMessage}")
   }
 
+  test("federated record-then-replay spans registries: later deliveries " +
+      "on BOTH roots are invisible to the replay") {
+    // overlay registry (corrections) over a production registry — the
+    // readFederated shape, each with its own store of record
+    val overlayRoot = tmpDir("self_oroot")
+    val prodRoot = tmpDir("self_proot")
+    val overlay = tmpDir("self_ostore")
+    val prod = tmpDir("self_pstore")
+    CorpusStore.build(
+      docs.filter(col("doc_id") === 1L)
+        .withColumn("text", concat(col("text"), lit(" corrected"))),
+      col("doc_id"), overlay)
+    CorpusStore.build(docs, col("doc_id"), prod)
+    Takedown.register(spark, overlayRoot,
+      Takedown.Surface("store", overlay))
+    Takedown.register(spark, prodRoot, Takedown.Surface("store", prod))
+    def fedRead(): Map[Long, String] =
+      CorpusStore.readFederated(spark, Seq(overlay, prod))
+        .select("id", "text").as[(Long, String)].collect().toMap
+    val (sid, original) = SelectionLog.runFederated(spark,
+        Seq(overlayRoot, prodRoot)) { vectors =>
+      assert(vectors.map(_._1) == Seq(overlayRoot, prodRoot))
+      fedRead()
+    }
+    assert(original(1L).endsWith("corrected"))
+    assert(original.keySet === Set(1L, 2L, 3L))
+    // later deliveries on BOTH sides of the federation
+    CorpusStore.append(spark,
+      overlay, docs.filter(col("doc_id") === 2L)
+        .withColumn("text", concat(col("text"), lit(" corrected"))),
+      col("doc_id"))
+    CorpusStore.append(spark, prod,
+      Seq((9L, "zulu yankee")).toDF("doc_id", "text"), col("doc_id"))
+    assert(fedRead().keySet === Set(1L, 2L, 3L, 9L)) // live view moved
+    // …but the replayed federation reads the recorded commit points
+    val replayed = SelectionLog.replayFederated(spark, overlayRoot, sid) {
+      vectors =>
+        val byRoot = vectors.toMap
+        val oAt = byRoot(overlayRoot).head._2
+        val pAt = byRoot(prodRoot).head._2
+        val o = CorpusStore.readAt(spark, overlay, oAt)
+          .select("id", "text")
+        val p = CorpusStore.readAt(spark, prod, pAt)
+          .select("id", "text")
+          .join(o.select("id"), Seq("id"), "left_anti")
+        o.unionByName(p).as[(Long, String)].collect().toMap
+    }
+    assert(replayed === original)
+    // a root rebuilt out-of-band fails the replay NAMING root + surface
+    def wipe(dir: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+    wipe(prod)
+    CorpusStore.build(docs, col("doc_id"), prod)
+    val e = intercept[IllegalArgumentException] {
+      SelectionLog.replayFederated(spark, overlayRoot, sid)(_ => ())
+    }
+    assert(e.getMessage.contains(prodRoot) && e.getMessage.contains(prod))
+  }
+
   test("half-staged records are invisible; unknown sids fail cleanly") {
     val (root, _, _) = setup()
     val fs = new org.apache.hadoop.fs.Path(root)

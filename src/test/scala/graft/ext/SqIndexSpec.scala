@@ -103,6 +103,43 @@ class SqIndexSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("retrain re-fits the ranges over the live corpus: post-retrain " +
+      "search ≡ a from-scratch build, old version answers via loadAt") {
+    import graft.Tables
+    val embs = Tables.embeddings(spark, sf0001).limit(120)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val path = graft.Gate.tmpDir("sq_retrain_")
+    val model = SqIndex.build(base)
+    SqIndex.save(model, path)
+    SqIndex.saveAppend(model, embs.filter(col("vec_id") % 3 === 0), path)
+    SqIndex.deleteVecs(spark, path,
+      embs.filter(col("vec_id") % 7 === 2).select("vec_id"), col("vec_id"))
+    val preV = IndexStore.snapshot(spark, path).version
+    SqIndex.retrain(spark, path, embs)
+    assert(IndexStore.snapshot(spark, path).version === preV + 1)
+    val live = embs.filter(col("vec_id") % 7 =!= 2)
+    val fresh = SqIndex.build(live)
+    val q = embs.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    val got = SqIndex.searchVectors(
+        SqIndex.load(spark, path, embs), q, k = 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = SqIndex.searchVectors(fresh, q, k = 3)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    // the refit actually moved the codec: ranges differ from the stale fit
+    assert(SqIndex.load(spark, path, embs).lo !== model.lo)
+    // rollback: the pre-retrain version is retained and readable
+    assert(SqIndex.loadAt(spark, path, preV, embs).encoded.count() > 0)
+    // stats: codec_age resets on retrain; was 2 before (append + delete)
+    def stat(name: String): Long = SqIndex.stats(spark, path)
+      .filter(col("metric") === name).select("value").as[Long].head()
+    assert(stat("codec_age") === 0L)
+    assert(stat("version") === preV + 1)
+    assert(stat("live_codes") === live.count())
+  }
+
   test("deleteVecs masks at search; compact removes the codes physically") {
     val dir = graft.Gate.tmpDir("sq_del_")
     val model = SqIndex.build(corpus)

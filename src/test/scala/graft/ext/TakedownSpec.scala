@@ -192,6 +192,92 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("maintain() isolates a corrupted surface: healthy surfaces still " +
+      "compact and GC, the failure re-throws naming the bad root") {
+    val (root, bm25, lit) = setup()
+    (10L to 13L).foreach { i =>
+      TextSearch.appendDocs(spark, bm25,
+        Seq((i, s"november oscar papa quebec $i")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    }
+    assert(IndexStore.segmentCount(spark, bm25) > 3)
+    // a registered surface whose root is NOT an index (wiped out-of-band)
+    val broken = tmpDir("td_broken")
+    Takedown.register(spark, root, Takedown.Surface("graph", broken))
+    val e = intercept[RuntimeException] {
+      Takedown.maintain(spark, root, maxSegments = 3)
+    }
+    assert(e.getMessage.contains(broken))
+    assert(e.getMessage.contains("every other surface was maintained"))
+    // the healthy fleet was still maintained despite the bad surface
+    assert(IndexStore.segmentCount(spark, bm25) == 1)
+    assert(IndexStore.segmentCount(spark, lit) == 1)
+  }
+
+  test("maintain(maxIvfCell) fires the trained-family rebalance from " +
+      "the registry's own vector store and answers stay exact") {
+    import graft.Tables
+    val embs = Tables.embeddings(spark, sf0001).limit(200)
+    val root = tmpDir("td_ivfm_root")
+    val store = tmpDir("td_ivfm_store")
+    val ivf = tmpDir("td_ivfm_ivf")
+    CorpusStore.build(embs, col("vec_id"), store)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val model = IvfIndex.build(base, k = 2) // two fat cells
+    IvfIndex.save(model, ivf)
+    IvfIndex.saveAppend(model, embs.filter(col("vec_id") % 3 === 0), ivf)
+    Takedown.register(spark, root, Takedown.Surface("store", store))
+    Takedown.register(spark, root, Takedown.Surface("ivf", ivf))
+    val maxBefore = IvfIndex.maxLiveCell(spark, ivf)
+    // default sweep (maxIvfCell = 0): the pass is OFF — no fire
+    assert(!Takedown.maintain(spark, root, maxSegments = 100)
+      .exists(_.kind == "ivf"))
+    // armed sweep: the REGISTRY, not a caller, fires the rebalance,
+    // resolving vectors from the registered store of record
+    val threshold = maxBefore * 2 / 3
+    val swept = Takedown.maintain(spark, root, maxSegments = 100,
+      maxIvfCell = threshold)
+    assert(swept.exists(_.kind == "ivf"))
+    assert(IvfIndex.maxLiveCell(spark, ivf) <= threshold)
+    // debt paid: the next armed sweep is a no-op
+    assert(!Takedown.maintain(spark, root, maxSegments = 100,
+      maxIvfCell = threshold).exists(_.kind == "ivf"))
+    // exactness survives the registry-driven split
+    val got = IvfIndex.search(IvfIndex.load(spark, ivf, embs),
+      col("vec_id") < 5, k = 3, nProbe = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val brute = EmbeddingSearch.bruteForceTopK(embs, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) ===
+      brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))))
+  }
+
+  test("health() reports codebook_age for the trained codec families") {
+    import graft.Tables
+    val embs = Tables.embeddings(spark, sf0001).limit(100)
+    val root = tmpDir("td_age_root")
+    val pq = tmpDir("td_age_pq")
+    val sq = tmpDir("td_age_sq")
+    val base = embs.filter(col("vec_id") % 2 === 0)
+    val pqm = PqIndex.build(base, m = 4, k = 8, sampleFraction = 1.0)
+    PqIndex.save(pqm, pq)
+    PqIndex.saveAppend(pqm, embs.filter(col("vec_id") % 2 === 1), pq)
+    val sqm = SqIndex.build(base)
+    SqIndex.save(sqm, sq)
+    Takedown.register(spark, root, Takedown.Surface("pq", pq))
+    Takedown.register(spark, root, Takedown.Surface("sq", sq))
+    val h = Takedown.health(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // pq trained at v1, appended at v2 → age 1; sq fresh → age 0
+    assert(h("pq").getAs[Long]("codebook_age") === 1L)
+    assert(h("sq").getAs[Long]("codebook_age") === 0L)
+    // retrain resets the gauge through the same dashboard
+    PqIndex.retrain(spark, pq, embs, m = 4, k = 8, sampleFraction = 1.0)
+    val h2 = Takedown.health(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(h2("pq").getAs[Long]("codebook_age") === 0L)
+  }
+
   test("pinAll resolves one commit point; withPinned leases survive GC") {
     val (root, bm25, lit) = setup()
     val vector = Takedown.pinAll(spark, root)

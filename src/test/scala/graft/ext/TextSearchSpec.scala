@@ -298,6 +298,42 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("stats reports the df-partial debt and posting-list envelope " +
+      "without touching the postings relation") {
+    val dir = tmpDir("tsstats")
+    TextSearch.buildAndSave(corpus, col("doc_id"), col("text"), dir,
+      buckets = 4)
+    TextSearch.appendDocs(spark, dir,
+      Seq((10L, "cat cat cat")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    TextSearch.deleteDocs(spark, dir, Seq(0L).toDF("doc_id"),
+      col("doc_id"))
+    val got = TextSearch.stats(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // recompute the envelope from the loaded (summed) index
+    val ix = TextSearch.load(spark, dir)
+    val lex = ix.lexicon.filter(col("df") > 0)
+      .agg(count(lit(1)), max("df")).head()
+    assert(got("n_terms") === lex.getLong(0))
+    assert(got("df_max") === lex.getLong(1))
+    // n_docs sums the partials: build + append + negative delete
+    assert(got("n_docs") ===
+      ix.stats.select("n_docs").head().getLong(0))
+    assert(got("version") === 3L)
+    // build + append + delete segments; lexicon partials ride the two
+    // content deliveries plus the delete's negative partials
+    assert(got("segments") === 3L)
+    assert(got("df_partial_segments") === 3L)
+    assert(got("tombstone_segments") === 1L)
+    // compaction folds the partials; the gauges reset
+    TextSearch.compact(spark, dir)
+    val after = TextSearch.stats(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(after("df_partial_segments") === 1L)
+    assert(after("tombstone_segments") === 0L)
+    assert(after("n_terms") <= got("n_terms"))
+  }
+
   test("postings are never shuffled: query join broadcasts") {
     val ix = TextSearch.buildIndex(corpus, col("doc_id"), col("text"))
     val plan = TextSearch.search(ix, queries, col("qid"), col("qterms"),
