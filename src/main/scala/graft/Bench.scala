@@ -379,7 +379,8 @@ object Bench {
     // federated lineage (two stores + record/replay), and the recall
     // probe (reads the shared exact-graph memo → post-q_knn_graph)
     "q_ivf_rebalance_auto", "q_index_stats", "q_pq_retrain",
-    "q_sq_retrain", "q_selection_replay_fed", "q_recall_probe",
+    "q_sq_retrain", "q_ivfpq_retrain", "q_selection_replay_fed",
+    "q_recall_probe",
     // and the registry sweep (fixture memo + surface copies in-window)
     "q_maintain_sweep")
 
@@ -441,8 +442,8 @@ object Bench {
     // stats, quantizer refresh (PQ + SQ), federated selection lineage,
     // and the measured serving-quality probe
     "q_ivf_rebalance_auto", "q_index_stats", "q_pq_retrain",
-    "q_sq_retrain", "q_selection_replay_fed", "q_recall_probe",
-    "q_maintain_sweep")
+    "q_sq_retrain", "q_ivfpq_retrain", "q_selection_replay_fed",
+    "q_recall_probe", "q_maintain_sweep")
 
   /** Gates trimmed FROM [[headline]] for the 2 KB stdout budget but
     * still pinned BY NAME: the headline subset exists partly as

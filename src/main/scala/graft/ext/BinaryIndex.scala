@@ -156,6 +156,31 @@ object BinaryIndex {
     due
   }
 
+  /** FAMILY HEALTH as a (metric, value) relation ([[IvfIndex.stats]]'s
+    * mold). The sign-bit codec is training-free, so there is no age
+    * gauge — layout debt and live coverage are the whole story:
+    * `live_codes` (corpus coverage), `dim` (frozen geometry),
+    * `segments`/`tombstone_segments`, `version`. Code-relation- and
+    * metadata-bounded.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val dim = IndexStore.cachedMeta(snap) {
+      snap.read("meta").getOrElse(
+        sys.error(s"no meta relation under ${snap.root}"))
+        .head().getAs[Int]("dim")
+    }
+    Seq(
+      "dim" -> dim.toLong,
+      "live_codes" -> IndexStore.liveRows(snap, "codes").count(),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
+  }
+
   def load(spark: SparkSession, path: String, embs: DataFrame): Model =
     loadSnapshot(IndexStore.snapshot(spark, path), embs)
 

@@ -321,4 +321,23 @@ object CorpusStore {
     if (due) compact(spark, root)
     due
   }
+
+  /** STORE HEALTH as a (metric, value) relation ([[IvfIndex.stats]]'s
+    * mold for the store of record): `live_rows` (what the corpus
+    * currently serves), `segments`/`tombstone_segments` (compaction
+    * and un-applied-takedown debt), `version`. Rows-relation- and
+    * metadata-bounded — the row payloads are pruned to the id column.
+    */
+  def stats(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, root)
+    Seq(
+      "live_rows" ->
+        IndexStore.liveRows(snap, "rows", key = "id").select("id").count(),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
+  }
 }

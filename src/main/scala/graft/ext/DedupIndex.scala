@@ -341,6 +341,29 @@ object DedupIndex {
     due
   }
 
+  /** FAMILY HEALTH as a (metric, value) relation ([[IvfIndex.stats]]'s
+    * mold for the near-dup index): `live_docs` (indexed documents the
+    * bands currently admit against), `df_partial_segments` — segments
+    * carrying shingle-df partials, i.e. how many per-delivery partial
+    * sets every batch probe re-sums for its maxDF pruning until
+    * [[compact]] folds them (the BM25 lexicon gauge) —
+    * `segments`/`tombstone_segments`, `version`. Sizes/df-relation-
+    * and metadata-bounded; the shingle relation is never scanned.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    Seq(
+      "df_partial_segments" -> snap.segments("df").size.toLong,
+      "live_docs" ->
+        IndexStore.liveRows(snap, "sizes", key = "id").count(),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
+  }
+
   def compact(spark: SparkSession, path: String,
       retainVersions: Int = 2): Unit =
     IndexStore.withLock(spark, path) {

@@ -144,8 +144,11 @@ object IvfPqIndex {
       val seg = IndexStore.newSegmentName()
       writeQuantizers(model, path, seg)
       writeCodes(model.encoded, path, seg)
+      // tagged "train": freshly-trained quantizers — what [[stats]]'s
+      // codebook_age counts from (the [[PqIndex.save]] discipline)
       IndexStore.publishReplace(spark, path, seg,
-        Seq("centroids", "codebooks", "codes"), retainVersions)
+        Seq("centroids", "codebooks", "codes"), retainVersions,
+        op = "train")
       ()
     }
   }
@@ -209,7 +212,8 @@ object IvfPqIndex {
       snap.read("codebooks").get.coalesce(1)
         .write.parquet(s"$path/$seg/codebooks")
       IndexStore.publishReplace(spark, path, seg,
-        Seq("centroids", "codebooks", "codes"), retainVersions)
+        Seq("centroids", "codebooks", "codes"), retainVersions,
+        op = "compact")
       ()
     }
 
@@ -219,6 +223,111 @@ object IvfPqIndex {
     val due = IndexStore.segmentCount(spark, path) > maxSegments
     if (due) compact(spark, path)
     due
+  }
+
+  /** QUANTIZER REFRESH for the composite index ([[PqIndex.retrain]]'s
+    * contract): BOTH quantizers — the coarse cells and the residual
+    * codebooks — retrain over the LIVE corpus and every live row
+    * re-encodes into a fresh "train"-tagged manifest swap, previous
+    * version retained (`loadAt` = rollback). The composite retrains as
+    * a UNIT by design: residual codes are coupled to their cell's
+    * centroid, so any incremental cell split would re-encode the moved
+    * members anyway — the skew/drift answer for ivfpq is this refresh,
+    * not [[IvfIndex.rebalance]]'s split (and [[Takedown.maintain]]
+    * fires it off the same cell-occupancy gauge). Post-retrain,
+    * exhaustive-probe/corpus-wide-shortlist search ≡ brute force over
+    * the live corpus (quantizer-independent — the value check);
+    * byte-equality with a from-scratch build is NOT promised: the
+    * distributed KMeans fit and residual sample are seeded but not
+    * row-order-canonicalized (unlike [[PqIndex.build]]'s driver-local
+    * sample).
+    */
+  def retrain(spark: SparkSession, path: String, embs: DataFrame,
+      kCells: Int, m: Int = 4, k: Int = 32, seed: Long = 42L,
+      sampleFraction: Double = 0.25, maxIter: Int = 10,
+      maxSample: Int = 100000, retainVersions: Int = 2): Unit =
+    IndexStore.withLock(spark, path) {
+      val snap = IndexStore.snapshot(spark, path)
+      val live = embs
+        .join(IndexStore.liveRows(snap, "codes").select("vec_id"),
+          "vec_id")
+        .select("vec_id", "embedding")
+      save(build(live, kCells, m, k, seed, sampleFraction, maxIter,
+        maxSample), path, retainVersions)
+    }
+
+  /** The biggest LIVE cell ([[IvfIndex.maxLiveCell]]'s gauge for the
+    * composite layout — what decides when [[retrain]] is due on a
+    * skewing corpus).
+    */
+  def maxLiveCell(spark: SparkSession, path: String): Long = {
+    val snap = IndexStore.snapshot(spark, path)
+    val row = IndexStore.liveRows(snap, "codes")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Fire [[retrain]] once the biggest live cell crosses
+    * `maxCellSize` — the trained-family debt policy for the composite
+    * index: where plain IVF can split cells in place
+    * ([[IvfIndex.maybeRebalance]]), ivfpq's residual coupling makes
+    * the full refresh THE rebalance. The quantizer GEOMETRY (kCells,
+    * m, k) re-derives from the saved quantizers themselves, so a
+    * registry sweep needs no per-index configuration. Gauge and fire
+    * share one writer-lock scope. Returns whether a retrain ran.
+    */
+  def maybeRetrain(spark: SparkSession, path: String, embs: DataFrame,
+      maxCellSize: Long): Boolean =
+    IndexStore.withLock(spark, path) {
+      val due = maxLiveCell(spark, path) > maxCellSize
+      if (due) {
+        val snap = IndexStore.snapshot(spark, path)
+        val kCells = snap.read("centroids").get.count().toInt
+        val geo = snap.read("codebooks").get
+          .agg(countDistinct("subspace"), countDistinct("code_id"))
+          .head()
+        retrain(spark, path, embs, kCells,
+          m = geo.getLong(0).toInt, k = geo.getLong(1).toInt)
+      }
+      due
+    }
+
+  /** FAMILY HEALTH as a (metric, value) relation — [[IvfIndex.stats]]'s
+    * cell-occupancy envelope PLUS [[PqIndex.stats]]'s codebook age, the
+    * two gauges the composite index drifts on: `cell_max` decides
+    * [[maybeRetrain]], `codebook_age` counts versions since the last
+    * "train"-tagged commit (pre-op-tag retained histories read against
+    * the oldest retained version — a documented lower bound).
+    * Code-relation-bounded — never a corpus read.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val occ = IndexStore.liveRows(snap, "codes")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), min("n").as("lo"),
+        max("n").as("hi"), sum("n").as("rows"))
+      .head()
+    def longAt(i: Int): Long = if (occ.isNullAt(i)) 0L else occ.getLong(i)
+    val vs = IndexStore.versions(spark, path)
+    val lastTrain = vs.filter(v =>
+      IndexStore.opAt(spark, path, v) == "train")
+      .sorted.lastOption.getOrElse(vs.min)
+    val m = snap.read("codebooks").get
+      .agg(countDistinct("subspace")).head().getLong(0)
+    Seq(
+      "cell_max" -> longAt(2),
+      "cell_min" -> longAt(1),
+      "cells" -> longAt(0),
+      "codebook_age" -> (snap.version - lastTrain),
+      "live_codes" -> longAt(3),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "subspaces" -> m,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
   }
 
   /** Load a saved index; `embs` re-attaches vectors via vec_id.

@@ -156,6 +156,39 @@ object LiteralIndex {
     due
   }
 
+  /** FAMILY HEALTH as a (metric, value) relation ([[IvfIndex.stats]]'s
+    * mold for the gram index): `gram_width` (the frozen n), `n_grams`
+    * (distinct grams with summed df > 0 — the planning vocabulary) and
+    * `df_max` (the heaviest gram — the worst candidate fan-out a
+    * needle can touch if rare-gram pruning ever picks it), both over
+    * the SUMMED lexicon partials — which, per the documented planning-
+    * staleness contract, still count tombstoned docs until [[compact]];
+    * `lexicon_partial_segments` (the per-sweep re-sum debt);
+    * `segments`/`tombstone_segments`, `version`. Lexicon-relation-
+    * bounded — the token-linear grams relation is never scanned.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.snapshot(spark, path)
+    val (n, _) = metaOf(snap)
+    val lex = snap.read("lexicon").get
+      .groupBy("g").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+      .agg(count(lit(1)).as("n_grams"), max("df").as("df_max"))
+      .head()
+    def longAt(i: Int): Long = if (lex.isNullAt(i)) 0L else lex.getLong(i)
+    Seq(
+      "df_max" -> longAt(1),
+      "gram_width" -> n.toLong,
+      "lexicon_partial_segments" -> snap.segments("lexicon").size.toLong,
+      "n_grams" -> longAt(0),
+      "segments" ->
+        snap.lines.map(_.split("/").head).distinct.size.toLong,
+      "tombstone_segments" -> snap.segments("tombstones").size.toLong,
+      "version" -> snap.version,
+    ).toDF("metric", "value")
+  }
+
   /** Sweep a needle batch against the saved index: the needles' grams
     * look up their corpus df in the (bucket-pruned) lexicon, the
     * `rareGrams` RAREST grams per needle are selected

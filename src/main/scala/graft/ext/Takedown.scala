@@ -298,8 +298,11 @@ object Takedown {
     * regardless, so maintenance can never pull a pinned selection's
     * segments out from under it. `maxIvfCell > 0` additionally arms
     * the TRAINED-family quality pass: ivf surfaces whose biggest live
-    * cell crossed it rebalance ([[IvfIndex.maybeRebalance]]), with
-    * vectors resolved from the registry's own store of record.
+    * cell crossed it rebalance ([[IvfIndex.maybeRebalance]]) and
+    * ivfpq surfaces refresh their quantizers off the same gauge
+    * ([[IvfPqIndex.maybeRetrain]] — residual coupling makes the full
+    * refresh the composite's rebalance), with vectors resolved from
+    * the registry's own store of record.
     * Returns the surfaces that compacted, rewired, or rebalanced.
     * Safe to run concurrently with readers (compaction is a pointer
     * swap) and crash-safe: every step is an ordinary manifest commit.
@@ -353,12 +356,22 @@ object Takedown {
     // is registered — a rebalance without a corpus is impossible, and
     // the health row still shows the skew ([[IvfIndex.stats]]).
     val rebalanced =
-      if (maxIvfCell <= 0L || !ss.exists(_.kind == "ivf")) Seq.empty
+      if (maxIvfCell <= 0L ||
+        !ss.exists(s => s.kind == "ivf" || s.kind == "ivfpq")) Seq.empty
       else vectorStore(spark, ss) match {
         case None => Seq.empty
-        case Some(embs) => ss.filter(s => s.kind == "ivf" &&
-          tryStep(s)(IvfIndex.maybeRebalance(spark, s.path, embs,
-            maxIvfCell)))
+        case Some(embs) => ss.filter {
+          // ivfpq's residual coupling makes the full quantizer refresh
+          // its rebalance ([[IvfPqIndex.maybeRetrain]] — geometry
+          // re-derived from the saved quantizers)
+          case s if s.kind == "ivf" =>
+            tryStep(s)(IvfIndex.maybeRebalance(spark, s.path, embs,
+              maxIvfCell))
+          case s if s.kind == "ivfpq" =>
+            tryStep(s)(IvfPqIndex.maybeRetrain(spark, s.path, embs,
+              maxIvfCell))
+          case _ => false
+        }
       }
     ss.foreach(s => tryStep(s) {
       IndexStore.withLock(spark, s.path) {
@@ -397,10 +410,10 @@ object Takedown {
     * [[maintain]] fires on), tombstone-segment count (un-applied
     * takedown debt), and — for graph surfaces — [[KnnGraphIndex
     * .debt]]'s quality counters (what [[KnnGraphIndex.maybeRewire]]
-    * fires on) — and, for the trained codebook families (pq, sq),
-    * `codebook_age`: versions since the last "train"-tagged commit,
-    * the [[PqIndex.retrain]]/[[SqIndex.retrain]] drift gauge (0 for
-    * every other kind). Metadata-bounded: manifest lines + op tags +
+    * fires on) — and, for the trained codebook families (pq, sq,
+    * ivfpq), `codebook_age`: versions since the last "train"-tagged
+    * commit, the [[PqIndex.retrain]]/[[SqIndex.retrain]]/
+    * [[IvfPqIndex.retrain]] drift gauge (0 for every other kind). Metadata-bounded: manifest lines + op tags +
     * one sidecar read per surface, never a relation scan — the
     * dashboard an operator polls to decide when the next [[maintain]]
     * sweep is due. Per-surface DEEP health (degree histograms and
@@ -419,7 +432,7 @@ object Takedown {
         if (s.kind == "graph") KnnGraphIndex.debt(spark, s.path)
         else (0L, 0L)
       val cbAge =
-        if (s.kind != "pq" && s.kind != "sq") 0L
+        if (s.kind != "pq" && s.kind != "sq" && s.kind != "ivfpq") 0L
         else {
           val vs = IndexStore.versions(spark, s.path)
           snap.version - vs.filter(v =>

@@ -603,23 +603,24 @@ object MaintainQueries {
 
   // ---- per-family index health stats, value-checked ----
 
-  /** The NON-GRAPH families' health relations ([[graft.ext.IvfIndex
-    * .stats]], [[graft.ext.PqIndex.stats]], [[graft.ext.SqIndex
-    * .stats]], [[graft.ext.TextSearch.stats]]) under one gate — the
-    * q_graph_stats posture extended to the trained and sparse
-    * families, closing "an operator sees graph quality but flies
-    * blind on the trained indexes". One deterministic lifecycle per
-    * family (build 2/3 → frozen-geometry append of the rest → a %7
-    * takedown; bm25 gets build + append + delete), then every stats
-    * row lands in the output as (family, metric, value): layout
-    * constants (versions, segment/tombstone counts, codebook ages)
-    * in closed form, corpus-derivable numbers (live code/row counts,
-    * BM25's vocabulary size, max document frequency, doc count)
+  /** EVERY non-graph family's health relation under one gate — ivf,
+    * pq, sq, ivfpq, binary, bm25, literal, dedup, and the corpus
+    * store ([[graft.ext.IvfIndex.stats]] and its eight siblings) —
+    * the q_graph_stats posture extended across the registry, closing
+    * "an operator sees graph quality but flies blind on the trained
+    * indexes". One deterministic lifecycle per family (build 2/3 →
+    * frozen-geometry append of the rest → a takedown slice), then
+    * every stats row lands in the output as (family, metric, value):
+    * layout constants (versions, segment/tombstone counts, codebook
+    * ages, partial-segment debts) in closed form, corpus-derivable
+    * numbers (live code/row/doc counts, BM25's vocabulary and df
+    * envelope, the literal index's gram vocabulary and df envelope —
+    * including its documented tombstone-blind planning staleness)
     * recomputed by the oracle from the documents/embeddings tables,
-    * and the data-trained IVF cell envelope — which no SQL oracle can
-    * re-derive without re-running KMeans — value-checked against an
-    * independent Spark-side recompute from the index's own persisted
-    * relations and emitted as a 0/1 consistency metric.
+    * and the data-trained IVF/IVFPQ cell envelopes — which no SQL
+    * oracle can re-derive without re-running KMeans — value-checked
+    * against an independent Spark-side recompute from the index's own
+    * persisted relations and emitted as 0/1 consistency metrics.
     */
   private def indexStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -681,7 +682,75 @@ object MaintainQueries {
     val bmRows = graft.ext.TextSearch.stats(s, bmDir)
       .withColumn("family", lit("bm25"))
 
+    val ipqDir = graft.Gate.tmpDir("gate_istat_ipq_")
+    val ipqModel = graft.ext.IvfPqIndex.build(base, kCells = 4, m = 4,
+      k = 16, sampleFraction = 0.5)
+    graft.ext.IvfPqIndex.save(ipqModel, ipqDir)
+    graft.ext.IvfPqIndex.saveAppend(ipqModel, delta, ipqDir)
+    graft.ext.IvfPqIndex.deleteVecs(s, ipqDir, doomed, col("vec_id"))
+    val ipqStats = graft.ext.IvfPqIndex.stats(s, ipqDir)
+    val ipqOcc = graft.ext.IvfPqIndex.load(s, ipqDir, embs).encoded
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), min("n"), max("n")).head()
+    val ipqEnvOk = ipqStats.filter(col("metric").isin(
+        "cells", "cell_min", "cell_max"))
+      .orderBy("metric").select("value").as[Long].collect().toSeq ==
+      Seq(ipqOcc.getLong(2), ipqOcc.getLong(1), ipqOcc.getLong(0))
+    val ipqRows = ipqStats.filter(col("metric").isin(
+        "codebook_age", "live_codes", "segments", "subspaces",
+        "tombstone_segments", "version"))
+      .withColumn("family", lit("ivfpq"))
+      .unionByName(Seq(("ivfpq", "cell_envelope_ok",
+        if (ipqEnvOk) 1L else 0L)).toDF("family", "metric", "value")
+        .select("metric", "value", "family"))
+
+    val binDir = graft.Gate.tmpDir("gate_istat_bin_")
+    val binModel = graft.ext.BinaryIndex.build(base)
+    graft.ext.BinaryIndex.save(binModel, binDir)
+    graft.ext.BinaryIndex.saveAppend(binModel, delta, binDir)
+    graft.ext.BinaryIndex.deleteVecs(s, binDir, doomed, col("vec_id"))
+    val binRows = graft.ext.BinaryIndex.stats(s, binDir)
+      .withColumn("family", lit("binary"))
+
+    val storeDir = graft.Gate.tmpDir("gate_istat_store_")
+    CorpusStore.build(base.select(col("vec_id").as("id"),
+      col("embedding")), col("id"), storeDir)
+    CorpusStore.append(s, storeDir, delta.select(col("vec_id").as("id"),
+      col("embedding")), col("id"))
+    CorpusStore.deleteRows(s, storeDir,
+      doomed.select(col("vec_id").as("id")), col("id"))
+    val storeRows = CorpusStore.stats(s, storeDir)
+      .withColumn("family", lit("store"))
+
+    val ddDir = graft.Gate.tmpDir("gate_istat_dd_")
+    DedupIndex.build(docs.filter(col("doc_id") < 300), col("doc_id"),
+      col("text"), ddDir, n = 3)
+    DedupIndex.append(s, ddDir,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 350),
+      col("doc_id"), col("text"))
+    DedupIndex.deleteDocs(s, ddDir,
+      docs.filter(col("doc_id") < 350 && col("doc_id") % 10 === 1)
+        .select("doc_id"), col("doc_id"))
+    val ddRows = DedupIndex.stats(s, ddDir)
+      .withColumn("family", lit("dedup"))
+
+    val rawDocs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val litDir = graft.Gate.tmpDir("gate_istat_lit_")
+    graft.ext.LiteralIndex.buildAndSave(
+      rawDocs.filter(col("doc_id") < 300), col("doc_id"), col("text"),
+      litDir, n = 4, buckets = 8)
+    graft.ext.LiteralIndex.appendDocs(s, litDir,
+      rawDocs.filter(col("doc_id") >= 300 && col("doc_id") < 350),
+      col("doc_id"), col("text"))
+    graft.ext.LiteralIndex.deleteDocs(s, litDir,
+      rawDocs.filter(col("doc_id") < 350 && col("doc_id") % 10 === 1)
+        .select("doc_id"), col("doc_id"))
+    val litRows = graft.ext.LiteralIndex.stats(s, litDir)
+      .withColumn("family", lit("literal"))
+
     ivfRows.unionByName(pqRows).unionByName(sqRows).unionByName(bmRows)
+      .unionByName(ipqRows).unionByName(binRows).unionByName(storeRows)
+      .unionByName(ddRows).unionByName(litRows)
       .select("family", "metric", "value")
       .orderBy("family", "metric")
   }
@@ -696,7 +765,15 @@ object MaintainQueries {
       |df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
       |lex AS (SELECT count(*) AS n_terms, max(df) AS df_max FROM df),
       |nd AS (SELECT count(*) AS n_docs FROM documents
-      |       WHERE doc_id < 350 AND doc_id % 10 <> 1)
+      |       WHERE doc_id < 350 AND doc_id % 10 <> 1),
+      |litg AS (SELECT doc_id, unnest(list_distinct(
+      |           list_transform(range(1, length(text) - 2),
+      |             i -> substring(text, i, 4)))) AS g
+      |         FROM documents
+      |         WHERE doc_id < 350 AND length(text) >= 4),
+      |litdf AS (SELECT g, count(*) AS df FROM litg GROUP BY g),
+      |litlex AS (SELECT count(*) AS n_grams, max(df) AS df_max
+      |           FROM litdf)
       |SELECT * FROM (
       |  SELECT 'ivf' AS family, 'cell_envelope_ok' AS metric,
       |         1::BIGINT AS value
@@ -721,7 +798,35 @@ object MaintainQueries {
       |  UNION ALL SELECT 'bm25', 'n_terms', n_terms FROM lex
       |  UNION ALL SELECT 'bm25', 'segments', 3
       |  UNION ALL SELECT 'bm25', 'tombstone_segments', 1
-      |  UNION ALL SELECT 'bm25', 'version', 3)
+      |  UNION ALL SELECT 'bm25', 'version', 3
+      |  UNION ALL SELECT 'ivfpq', 'cell_envelope_ok', 1
+      |  UNION ALL SELECT 'ivfpq', 'codebook_age', 2
+      |  UNION ALL SELECT 'ivfpq', 'live_codes', n FROM survivors
+      |  UNION ALL SELECT 'ivfpq', 'segments', 3
+      |  UNION ALL SELECT 'ivfpq', 'subspaces', 4
+      |  UNION ALL SELECT 'ivfpq', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'ivfpq', 'version', 3
+      |  UNION ALL SELECT 'binary', 'dim', 64
+      |  UNION ALL SELECT 'binary', 'live_codes', n FROM survivors
+      |  UNION ALL SELECT 'binary', 'segments', 3
+      |  UNION ALL SELECT 'binary', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'binary', 'version', 3
+      |  UNION ALL SELECT 'store', 'live_rows', n FROM survivors
+      |  UNION ALL SELECT 'store', 'segments', 3
+      |  UNION ALL SELECT 'store', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'store', 'version', 3
+      |  UNION ALL SELECT 'dedup', 'df_partial_segments', 3
+      |  UNION ALL SELECT 'dedup', 'live_docs', n_docs FROM nd
+      |  UNION ALL SELECT 'dedup', 'segments', 3
+      |  UNION ALL SELECT 'dedup', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'dedup', 'version', 3
+      |  UNION ALL SELECT 'literal', 'df_max', df_max FROM litlex
+      |  UNION ALL SELECT 'literal', 'gram_width', 4
+      |  UNION ALL SELECT 'literal', 'lexicon_partial_segments', 2
+      |  UNION ALL SELECT 'literal', 'n_grams', n_grams FROM litlex
+      |  UNION ALL SELECT 'literal', 'segments', 3
+      |  UNION ALL SELECT 'literal', 'tombstone_segments', 1
+      |  UNION ALL SELECT 'literal', 'version', 3)
       |ORDER BY family, metric""".stripMargin
 
   // ---- FEDERATED selection lineage, recorded + replayed ----

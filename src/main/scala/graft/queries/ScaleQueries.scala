@@ -674,6 +674,47 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** [[graft.ext.IvfPqIndex.retrain]] — the composite index's
+    * quantizer refresh: BOTH the coarse cells and the residual
+    * codebooks re-fit over the live corpus, every live row re-encodes,
+    * atomic "train"-tagged swap with rollback via `loadAt`. The value
+    * check is the exhaustive twin (nProbe = ∞, corpus-wide shortlist ≡
+    * brute force regardless of quantizers); `retrain_ok` pins the
+    * codebook_age gauge resetting to zero, `rollback_ok` the retained
+    * pre-refresh version. Unlike [[pqRetrain]], byte-equality with a
+    * from-scratch build is NOT claimed (distributed KMeans + residual
+    * sample are seeded but not row-order-canonicalized — documented).
+    */
+  private def ivfPqRetrain(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val path = graft.Gate.tmpDir("gate_ipqrt_")
+    val model = graft.ext.IvfPqIndex.build(base, kCells = 8, m = 8,
+      k = 32, sampleFraction = 0.5)
+    graft.ext.IvfPqIndex.save(model, path)
+    graft.ext.IvfPqIndex.saveAppend(model,
+      embs.filter(col("vec_id") % 3 === 0), path)
+    graft.ext.IvfPqIndex.deleteVecs(s, path,
+      embs.filter(col("vec_id") % 7 === 2).select("vec_id"),
+      col("vec_id"))
+    val preV = graft.ext.IndexStore.snapshot(s, path).version
+    graft.ext.IvfPqIndex.retrain(s, path, embs, kCells = 8, m = 8,
+      k = 32, sampleFraction = 0.5)
+    val live = embs.filter(col("vec_id") % 7 =!= 2)
+    val n = live.count().toInt
+    val got = graft.ext.IvfPqIndex.search(
+      graft.ext.IvfPqIndex.load(s, path, embs), col("vec_id") < 10,
+      k = 5, nProbe = Int.MaxValue, shortlist = n)
+    val ageOk = graft.ext.IvfPqIndex.stats(s, path)
+      .filter(col("metric") === "codebook_age")
+      .select("value").head().getLong(0) == 0L
+    val rollback = graft.ext.IvfPqIndex.loadAt(s, path, preV, embs)
+      .encoded.count() > 0
+    got.withColumn("retrain_ok", lit(ageOk))
+      .withColumn("rollback_ok", lit(rollback))
+      .orderBy("query_id", "rank")
+  }
+
   private val retrainSql =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
       |           FROM embeddings WHERE vec_id < 10 AND vec_id % 7 <> 2),
@@ -2375,6 +2416,7 @@ object ScaleQueries {
     Gate("q_pq_topk", pqTopK, Some(pqTopKSql)),
     Gate("q_pq_retrain", pqRetrain, Some(retrainSql)),
     Gate("q_sq_retrain", sqRetrain, Some(retrainSql)),
+    Gate("q_ivfpq_retrain", ivfPqRetrain, Some(retrainSql)),
     Gate("q_binary_topk", binaryTopK, Some(binaryTopKSql)),
     Gate("q_pq_persist", pqPersist, Some(pqPersistSql)),
     Gate("q_ivf_persist", ivfPersist, Some(ivfPersistSql)),

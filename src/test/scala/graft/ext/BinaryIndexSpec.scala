@@ -129,4 +129,24 @@ class BinaryIndexSpec extends SparkSpec {
     // assert anything again)
     intercept[IllegalArgumentException] { BinaryIndex.build(empty) }
   }
+
+  test("stats reports live coverage and layout debt") {
+    val path = dir()
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val m = BinaryIndex.build(base)
+    BinaryIndex.save(m, path)
+    BinaryIndex.saveAppend(m, corpus.filter(col("vec_id") % 5 === 0),
+      path)
+    BinaryIndex.deleteVecs(spark, path,
+      corpus.filter(col("vec_id") % 3 === 1).select("vec_id"),
+      col("vec_id"))
+    val got = BinaryIndex.stats(spark, path)
+      .as[(String, Long)].collect().toMap
+    assert(got("dim") === 8L)
+    assert(got("live_codes") ===
+      corpus.filter(col("vec_id") % 3 =!= 1).count())
+    assert(got("segments") === 3L)
+    assert(got("tombstone_segments") === 1L)
+    assert(got("version") === 3L)
+  }
 }

@@ -242,4 +242,18 @@ class CorpusStoreSpec extends SparkSpec {
     assert(tick().contains((2L, 3L)))
     assert(seen.toSet == Set((3L, "insert", 2L), (1L, "delete", 3L)))
   }
+
+  test("stats reports the live row count and layout debt") {
+    val root = tmpDir("cs_stats")
+    CorpusStore.build(rows(1, 2, 3), col("doc_id"), root)
+    CorpusStore.append(spark, root, rows(4, 5), col("doc_id"))
+    CorpusStore.deleteRows(spark, root, Seq(2L, 4L).toDF("doc_id"),
+      col("doc_id"))
+    val got = CorpusStore.stats(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(got("live_rows") === 3L)
+    assert(got("segments") === 3L)
+    assert(got("tombstone_segments") === 1L)
+    assert(got("version") === 3L)
+  }
 }

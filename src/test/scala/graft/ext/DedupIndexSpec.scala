@@ -201,4 +201,25 @@ class DedupIndexSpec extends SparkSpec {
       col("id"), col("t"), threshold = 0.3))
     assert(replay == then_)
   }
+
+  test("stats reports live docs and the df-partial debt") {
+    val dir = graft.Gate.tmpDir("dd_stats_")
+    DedupIndex.build(base, col("id"), col("t"), dir, n = 3)
+    DedupIndex.append(spark, dir, batch, col("id"), col("t"))
+    DedupIndex.deleteDocs(spark, dir, Seq(2L, 12L).toDF("id"), col("id"))
+    val got = DedupIndex.stats(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got("live_docs") === 7L) // 4 + 5 − 2
+    // build + append df partials, plus the delete's negative partials
+    assert(got("df_partial_segments") === 3L)
+    assert(got("segments") === 3L)
+    assert(got("tombstone_segments") === 1L)
+    assert(got("version") === 3L)
+    // compaction folds the partials
+    DedupIndex.compact(spark, dir)
+    val after = DedupIndex.stats(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(after("df_partial_segments") === 1L)
+    assert(after("live_docs") === 7L)
+  }
 }

@@ -104,4 +104,47 @@ class IvfPqIndexSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     (0L until 3L).foreach(q => assert(hits(q) == q))
   }
+
+  test("retrain refreshes both quantizers over the live corpus; " +
+      "maybeRetrain fires off the cell gauge; stats tracks the age") {
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+    val path = graft.Gate.tmpDir("ipq_rt_")
+    val model = IvfPqIndex.build(base, kCells = 2, m = 4, k = 16)
+    IvfPqIndex.save(model, path)
+    IvfPqIndex.saveAppend(model,
+      embs.filter(col("vec_id") % 3 === 0), path)
+    IvfPqIndex.deleteVecs(spark, path,
+      embs.filter(col("vec_id") % 7 === 2).select("vec_id"),
+      col("vec_id"))
+    def stat(name: String): Long = IvfPqIndex.stats(spark, path)
+      .filter(col("metric") === name).select("value").as[Long].head()
+    assert(stat("codebook_age") === 2L) // train v1, append v2, delete v3
+    assert(stat("tombstone_segments") === 1L)
+    assert(stat("subspaces") === 4L)
+    val live = embs.filter(col("vec_id") % 7 =!= 2)
+    assert(stat("live_codes") === live.count())
+    val preV = IndexStore.snapshot(spark, path).version
+    // gauge-driven: two fat cells from the frozen coarse quantizer —
+    // the registry-style fire path, geometry re-derived from the index
+    val maxBefore = IvfPqIndex.maxLiveCell(spark, path)
+    assert(!IvfPqIndex.maybeRetrain(spark, path, embs, maxBefore))
+    assert(IvfPqIndex.maybeRetrain(spark, path, embs, maxBefore / 2))
+    assert(IndexStore.snapshot(spark, path).version === preV + 1)
+    assert(stat("codebook_age") === 0L) // the refresh resets the gauge
+    // a retrain re-fits kCells cells — the skew splits
+    assert(stat("cells") > 1L)
+    // exhaustive twin: post-retrain answers ≡ brute force over the
+    // live corpus (quantizer-independent)
+    val got = IvfPqIndex.search(IvfPqIndex.load(spark, path, embs),
+        col("vec_id") < 5, k = 3, nProbe = Int.MaxValue,
+        shortlist = live.count().toInt)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = EmbeddingSearch.bruteForceTopK(live, col("vec_id") < 5, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute)
+    // rollback: the pre-refresh version still answers
+    assert(IvfPqIndex.loadAt(spark, path, preV, embs).encoded.count() > 0)
+  }
 }

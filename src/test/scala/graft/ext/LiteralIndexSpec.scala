@@ -173,4 +173,32 @@ class LiteralIndexSpec extends SparkSpec {
         s"round $round: indexed=$indexed found=$found")
     }
   }
+
+  test("stats reports the gram vocabulary envelope, including the " +
+      "documented tombstone-blind planning staleness") {
+    val dir = graft.Gate.tmpDir("lit_stats_")
+    LiteralIndex.buildAndSave(docs.filter(col("doc_id") < 4),
+      col("doc_id"), col("text"), dir, n = 4, buckets = 4)
+    LiteralIndex.appendDocs(spark, dir,
+      docs.filter(col("doc_id") >= 4), col("doc_id"), col("text"))
+    LiteralIndex.deleteDocs(spark, dir, Seq(2L).toDF("doc_id"),
+      col("doc_id"))
+    val got = LiteralIndex.stats(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // recompute the envelope over ALL delivered docs (the lexicon is
+    // planning-grade: tombstoned docs still count until compact)
+    val grams = docs
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("text")) - 3),
+          i => col("text").substr(i, lit(4))))).as("g"))
+      .groupBy("g").count()
+      .agg(count(lit(1)), max("count")).head()
+    assert(got("n_grams") === grams.getLong(0))
+    assert(got("df_max") === grams.getLong(1))
+    assert(got("gram_width") === 4L)
+    assert(got("lexicon_partial_segments") === 2L)
+    assert(got("segments") === 3L)
+    assert(got("tombstone_segments") === 1L)
+    assert(got("version") === 3L)
+  }
 }
