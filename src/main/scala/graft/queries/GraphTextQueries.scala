@@ -1440,12 +1440,30 @@ object GraphTextQueries {
     * work — the number that lets an operator set maybeRewire's
     * maxDebt empirically instead of by folklore.
     */
+  /** The persisted serving index q_recall_probe measures, built ONCE
+    * per JVM ([[graft.Gate.memoDir]]): the probe never mutates the
+    * index (a pure maintenance-window READ), and the buildFrom persist
+    * of the memoized descent graph is priced by the persisted-index
+    * family gates — the probe's own window prices exactly its
+    * documented cost, |sample| walks + |sample| × corpus scorings.
+    */
+  private[queries] def sharedRecallProbeIndex(s: SparkSession,
+      d: String): String = {
+    // resolve the parent memo BEFORE entering this one (memoDir is a
+    // computeIfAbsent; nested resolution is a same-map recursive update)
+    val descent = sharedDescentGraph(s, d)
+    graft.Gate.memoDir(s"rprobe_idx:$d", "gate_rprobe_") { dir =>
+      val embs = Tables.embeddings(s, d)
+      val graph = s.read.parquet(s"$descent/graph")
+      graft.ext.KnnGraphIndex.buildFrom(
+        embs.select(col("vec_id"), col("embedding")), graph,
+        s"$dir/idx", k = 8)
+      ()
+    }
+  }
+
   private def recallProbeGate(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Gate.tmpDir("gate_rprobe_")
-    val embs = Tables.embeddings(s, d)
-    val graph = s.read.parquet(s"${sharedDescentGraph(s, d)}/graph")
-    graft.ext.KnnGraphIndex.buildFrom(
-      embs.select(col("vec_id"), col("embedding")), graph, dir, k = 8)
+    val dir = s"${sharedRecallProbeIndex(s, d)}/idx"
     graft.ext.KnnGraphIndex.recallProbe(s, dir, sampleN = 16, k = 3)
       .select(col("n_queries"), col("n_truth"),
         (col("n_covered") >= col("n_queries") * 0.8).as("recall_ok"))
