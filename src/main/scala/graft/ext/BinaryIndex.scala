@@ -90,9 +90,10 @@ object BinaryIndex {
     import spark.implicits._
     IndexStore.withLock(spark, path) {
       val seg = IndexStore.newSegmentName()
-      Seq(model.dim).toDF("dim").coalesce(1)
-        .write.parquet(s"$path/$seg/meta")
-      model.codes.write.parquet(s"$path/$seg/codes")
+      IndexStore.writeAll(
+        () => Seq(model.dim).toDF("dim").coalesce(1)
+          .write.parquet(s"$path/$seg/meta"),
+        () => model.codes.write.parquet(s"$path/$seg/codes"))
       IndexStore.publishReplace(spark, path, seg, Seq("meta", "codes"),
         retainVersions)
       ()
@@ -142,8 +143,11 @@ object BinaryIndex {
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val seg = IndexStore.newSegmentName()
-      IndexStore.liveRows(snap, "codes").write.parquet(s"$path/$seg/codes")
-      snap.read("meta").get.coalesce(1).write.parquet(s"$path/$seg/meta")
+      IndexStore.writeAll(
+        () => IndexStore.liveRows(snap, "codes")
+          .write.parquet(s"$path/$seg/codes"),
+        () => snap.read("meta").get.coalesce(1)
+          .write.parquet(s"$path/$seg/meta"))
       IndexStore.publishReplace(spark, path, seg, Seq("meta", "codes"),
         retainVersions)
       ()

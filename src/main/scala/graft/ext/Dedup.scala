@@ -27,9 +27,16 @@ object Dedup {
 
   /** Distinct word-n-gram shingles per document: (id, shingle). */
   def shingleTable(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    docs.select(id.as("id"),
-      explode(array_distinct(
-        TextAnalysis.wordShingles(TextAnalysis.tokens(text), n))).as("sh"))
+    // tokenize into a projected column FIRST: wordShingles slices its
+    // token array once per shingle position inside a transform lambda,
+    // and an inline tokens(text) argument re-ran the regex split at
+    // every position (O(tokens) splits per row — the q_trigram_logprob
+    // finding, here on the dedup family's shared substrate). As an
+    // attribute the split runs once per row; shingle values unchanged.
+    docs.select(id.as("id"), TextAnalysis.tokens(text).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(
+          TextAnalysis.wordShingles(col("__toks"), n))).as("sh"))
 
   /** (id, toks) tokenization projection — the shared upstream of shingle
     * and signature derivations (persist it when a pipeline needs both, so

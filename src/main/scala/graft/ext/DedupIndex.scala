@@ -86,12 +86,14 @@ object DedupIndex {
 
   private def writeDerivatives(sh: DataFrame, sizes: DataFrame,
       dfDelta: DataFrame, buckets: DataFrame, path: String,
-      seg: String): Unit = {
-    sh.write.parquet(s"$path/$seg/shingles")
-    sizes.write.parquet(s"$path/$seg/sizes")
-    dfDelta.write.parquet(s"$path/$seg/df")
-    buckets.write.parquet(s"$path/$seg/buckets")
-  }
+      seg: String): Unit =
+    // independent derivative writes over one persisted shingle table —
+    // overlapped (IndexStore.writeAll, guide §2.6)
+    IndexStore.writeAll(
+      () => sh.write.parquet(s"$path/$seg/shingles"),
+      () => sizes.write.parquet(s"$path/$seg/sizes"),
+      () => dfDelta.write.parquet(s"$path/$seg/df"),
+      () => buckets.write.parquet(s"$path/$seg/buckets"))
 
   /** Append one delivery: encode the delta against the saved geometry and
     * publish its derivatives as a new segment — the old corpus is not
@@ -372,17 +374,18 @@ object DedupIndex {
       def live(rel: String): DataFrame =
         IndexStore.liveRows(snap, rel, key = "id")
       val seg = IndexStore.newSegmentName()
-      writeMeta(spark, m, path, seg)
-      snap.read("df").get
-        .groupBy("sh").agg(sum("cnt").as("cnt"))
-        .filter(col("cnt") > 0)
-        .write.parquet(s"$path/$seg/df")
-      live("shingles").repartition(col("id"))
-        .write.parquet(s"$path/$seg/shingles")
-      live("sizes").repartition(col("id"))
-        .write.parquet(s"$path/$seg/sizes")
-      live("buckets").repartition(col("id"))
-        .write.parquet(s"$path/$seg/buckets")
+      IndexStore.writeAll(
+        () => writeMeta(spark, m, path, seg),
+        () => snap.read("df").get
+          .groupBy("sh").agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") > 0)
+          .write.parquet(s"$path/$seg/df"),
+        () => live("shingles").repartition(col("id"))
+          .write.parquet(s"$path/$seg/shingles"),
+        () => live("sizes").repartition(col("id"))
+          .write.parquet(s"$path/$seg/sizes"),
+        () => live("buckets").repartition(col("id"))
+          .write.parquet(s"$path/$seg/buckets"))
       IndexStore.publishReplace(spark, path, seg,
         Seq("meta", "shingles", "sizes", "df", "buckets"), retainVersions)
       ()

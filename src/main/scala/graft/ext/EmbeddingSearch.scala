@@ -187,11 +187,17 @@ object EmbeddingSearch {
   private def scoreAndRank(e: DataFrame, cand: DataFrame,
       w: org.apache.spark.sql.expressions.WindowSpec,
       k: Int): DataFrame =
+    // neighbor vectors attach FIRST, query vectors LAST: when the
+    // corpus is too big to broadcast these joins shuffle by their key,
+    // and ending on query_id leaves the frame partitioned exactly as
+    // the ranking window needs — the window's Exchange is elided
+    // (guide §2.4). Locally both joins broadcast and the order is
+    // indifferent; the scored values are identical either way.
     cand
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm")), "query_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("v"),
         col("nrm")), "neighbor_id")
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), "query_id")
       .withColumn("cos",
         dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
@@ -312,8 +318,17 @@ object EmbeddingSearch {
         .withColumn("cos",
           dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
         .select(col("query_id"), col("node_id"), col("cos"))
+    // frontier election rides ONE window pass per hop: ordering
+    // unexpanded rows first puts the top-beamWidth unexpanded nodes at
+    // ranks 1..beamWidth (expanded rows sort strictly after every
+    // unexpanded one), so the same rank both SELECTS the frontier and
+    // FLIPS its expansion flag — the old shape re-joined the whole
+    // state against the frontier to flip flags, one state-wide shuffle
+    // join per hop that this election makes redundant (guide §2.4:
+    // share the partitioning one operation already established).
+    // Frontier membership and all scored values are unchanged.
     val wBeam = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("node_id").asc)
+      .orderBy(col("expanded").asc, col("cos").desc, col("node_id").asc)
     // visited state: every scored node, with its expansion flag
     var state = score(q.select("query_id")
         .crossJoin(broadcast(entries)))
@@ -321,21 +336,19 @@ object EmbeddingSearch {
       .localCheckpoint(true)
     var h = 0
     while (h < hops) {
-      val frontier = state.filter(!col("expanded"))
-        .withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= beamWidth)
+      val ranked = state.withColumn("rn", row_number().over(wBeam))
+      val frontier = ranked
+        .filter(!col("expanded") && col("rn") <= beamWidth)
         .select("query_id", "node_id")
       val fresh = frontier.join(und,
           frontier("node_id") === und("src"))
         .select(col("query_id"), col("dst").as("node_id")).distinct()
         .join(state.select("query_id", "node_id"),
           Seq("query_id", "node_id"), "left_anti")
-      state = state
-        .join(frontier.withColumn("f", lit(true)),
-          Seq("query_id", "node_id"), "left")
+      state = ranked
         .withColumn("expanded",
-          col("expanded") || coalesce(col("f"), lit(false)))
-        .drop("f")
+          col("expanded") || (col("rn") <= beamWidth))
+        .drop("rn")
         .unionByName(score(fresh).withColumn("expanded", lit(false)))
         .localCheckpoint(true)
       h += 1

@@ -299,6 +299,42 @@ object IndexStore {
   def withLock[A](spark: SparkSession, root: String)(body: => A): A =
     graft.billing.TableLock.withLock(spark, root)(body)
 
+  /** Bounded daemon pool for [[writeAll]] — sized small: commit writes
+    * are few and each is itself a parallel Spark job.
+    */
+  private lazy val writePool = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"index-commit-write-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    java.util.concurrent.Executors.newFixedThreadPool(4, tf)
+  }
+
+  /** Run a commit's independent relation writes CONCURRENTLY (guide
+    * §2.6 — overlap independent jobs: Spark happily runs several jobs
+    * in one application, and a segment's relation writes touch disjoint
+    * directories over already-materialized frames, so their only
+    * ordering was the driver calling them sequentially; overlapping
+    * them lets one write's task tail back-fill the next's). Blocks
+    * until every write finishes; the first failure rethrows — same
+    * failure semantics as the sequential spelling (a partially-written
+    * segment is never published because the manifest commit follows
+    * this call).
+    */
+  private[ext] def writeAll(writes: (() => Unit)*): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+      writes.map { w =>
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = w() }
+      }.asJava
+    // invokeAll waits for all; get() rethrows the task's exception
+    writePool.invokeAll(tasks).asScala.foreach(_.get())
+  }
+
   /** Publish `seg`'s relations ON TOP of the current manifest (append
     * semantics: deliveries, tombstones). Caller must hold the lock and
     * have finished writing the segment's files.

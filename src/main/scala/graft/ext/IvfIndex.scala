@@ -73,10 +73,11 @@ object IvfIndex {
   }
 
   private def writeSegment(centroids: DataFrame, assigned: DataFrame,
-      path: String, seg: String): Unit = {
-    centroids.coalesce(1).write.parquet(s"$path/$seg/centroids")
-    writeCells(assigned, path, seg)
-  }
+      path: String, seg: String): Unit =
+    // independent relation writes, overlapped (IndexStore.writeAll)
+    IndexStore.writeAll(
+      () => centroids.coalesce(1).write.parquet(s"$path/$seg/centroids"),
+      () => writeCells(assigned, path, seg))
 
   private def writeCells(assigned: DataFrame, path: String,
       seg: String): Unit =

@@ -157,13 +157,15 @@ object IvfPqIndex {
       seg: String): Unit = {
     val spark = model.encoded.sparkSession
     import spark.implicits._
-    model.centroids.coalesce(1).write.parquet(s"$path/$seg/centroids")
     val cb = for {
       (book, j) <- model.codebooks.zipWithIndex
       (cent, c) <- book.zipWithIndex
     } yield (j, c, cent)
-    cb.toDF("subspace", "code_id", "centroid")
-      .coalesce(1).write.parquet(s"$path/$seg/codebooks")
+    IndexStore.writeAll(
+      () => model.centroids.coalesce(1)
+        .write.parquet(s"$path/$seg/centroids"),
+      () => cb.toDF("subspace", "code_id", "centroid")
+        .coalesce(1).write.parquet(s"$path/$seg/codebooks"))
   }
 
   private def writeCodes(encoded: DataFrame, path: String,
@@ -204,13 +206,14 @@ object IvfPqIndex {
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val seg = IndexStore.newSegmentName()
-      IndexStore.liveRows(snap, "codes")
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(s"$path/$seg/codes")
-      snap.read("centroids").get.coalesce(1)
-        .write.parquet(s"$path/$seg/centroids")
-      snap.read("codebooks").get.coalesce(1)
-        .write.parquet(s"$path/$seg/codebooks")
+      IndexStore.writeAll(
+        () => IndexStore.liveRows(snap, "codes")
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(s"$path/$seg/codes"),
+        () => snap.read("centroids").get.coalesce(1)
+          .write.parquet(s"$path/$seg/centroids"),
+        () => snap.read("codebooks").get.coalesce(1)
+          .write.parquet(s"$path/$seg/codebooks"))
       IndexStore.publishReplace(spark, path, seg,
         Seq("centroids", "codebooks", "codes"), retainVersions,
         op = "compact")

@@ -243,16 +243,19 @@ object KnnGraphIndex {
     import spark.implicits._
     IndexStore.withLock(spark, path) {
       val seg = IndexStore.newSegmentName()
-      Seq((k, hubCount)).toDF("k", "hubs").coalesce(1)
-        .write.parquet(s"$path/$seg/meta")
-      embs.select(col("vec_id"), col("embedding"))
-        .write.parquet(s"$path/$seg/vectors")
       val stored = asStored(graph, gen = 1L).localCheckpoint(true)
-      stored.write.parquet(s"$path/$seg/edges")
       val deg = degreeDelta(stored, 1).localCheckpoint(true)
-      deg.write.parquet(s"$path/$seg/degrees")
-      electHubs(deg, hubCount, gen = 1L)
-        .write.parquet(s"$path/$seg/hubs")
+      // the five relation writes are independent actions over
+      // materialized frames — run them concurrently (IndexStore.writeAll)
+      IndexStore.writeAll(
+        () => Seq((k, hubCount)).toDF("k", "hubs").coalesce(1)
+          .write.parquet(s"$path/$seg/meta"),
+        () => embs.select(col("vec_id"), col("embedding"))
+          .write.parquet(s"$path/$seg/vectors"),
+        () => stored.write.parquet(s"$path/$seg/edges"),
+        () => deg.write.parquet(s"$path/$seg/degrees"),
+        () => electHubs(deg, hubCount, gen = 1L)
+          .write.parquet(s"$path/$seg/hubs"))
       val v = IndexStore.publishReplace(spark, path, seg,
         Seq("meta", "vectors", "edges", "degrees", "hubs"), op = "build")
       clearDebt(spark, path, keepTombstones = false)
@@ -311,11 +314,12 @@ object KnnGraphIndex {
           val electFrom = if (snap.segments("degrees").isEmpty) deg
             else liveDegrees(snap).unionByName(deg)
           val seg = IndexStore.newSegmentName()
-          delivery.write.parquet(s"$path/$seg/vectors")
-          newRows.write.parquet(s"$path/$seg/edges")
-          deg.write.parquet(s"$path/$seg/degrees")
-          electHubs(electFrom, hubCount, gen = snap.version + 1)
-            .write.parquet(s"$path/$seg/hubs")
+          IndexStore.writeAll(
+            () => delivery.write.parquet(s"$path/$seg/vectors"),
+            () => newRows.write.parquet(s"$path/$seg/edges"),
+            () => deg.write.parquet(s"$path/$seg/degrees"),
+            () => electHubs(electFrom, hubCount, gen = snap.version + 1)
+              .write.parquet(s"$path/$seg/hubs"))
           val v = publishStamped(spark, path, seg,
             Seq("vectors", "edges", "degrees", "hubs"), snap)
           // warm descent re-converged every neighborhood AND elected
@@ -378,7 +382,10 @@ object KnnGraphIndex {
           val changedRows = asStored(mergedTouched, gen)
             .join(changed, Seq("vec_id"), "left_semi")
             .localCheckpoint(true)
-          val newRows = asStored(newEdges, gen).localCheckpoint(true)
+          // newEdges is already checkpointed inside insertEdges —
+          // asStored is a pure projection over it, so a second eager
+          // materialization here only re-ran a job over identical data
+          val newRows = asStored(newEdges, gen)
           val deg = liveEndpointDeltas(snap, degreesBaseline(snap,
               oldEdges, degreeDelta(newRows, 1)
                 .unionByName(degreeDelta(changedRows, 1))
@@ -410,12 +417,13 @@ object KnnGraphIndex {
                 .unionByName(deg)
             }
           val seg = IndexStore.newSegmentName()
-          delivery.write.parquet(s"$path/$seg/vectors")
-          newRows.unionByName(changedRows)
-            .write.parquet(s"$path/$seg/edges")
-          deg.write.parquet(s"$path/$seg/degrees")
-          electHubs(electFrom, hubCount, gen)
-            .write.parquet(s"$path/$seg/hubs")
+          IndexStore.writeAll(
+            () => delivery.write.parquet(s"$path/$seg/vectors"),
+            () => newRows.unionByName(changedRows)
+              .write.parquet(s"$path/$seg/edges"),
+            () => deg.write.parquet(s"$path/$seg/degrees"),
+            () => electHubs(electFrom, hubCount, gen)
+              .write.parquet(s"$path/$seg/hubs"))
           val v = publishStamped(spark, path, seg,
             Seq("vectors", "edges", "degrees", "hubs"), snap)
           bumpDebt(spark, path, dDeliveries = 1, dTombstones = 0)
@@ -432,10 +440,16 @@ object KnnGraphIndex {
   private def changedNodes(stored: DataFrame,
       oldEdges: DataFrame): DataFrame = {
     val keyCols = Seq("vec_id", "neighbor_id", "rank")
+    // one-pass symmetric difference: (vec_id, neighbor_id, rank) is
+    // unique within each side (rank is a per-node row_number), so a
+    // key present in exactly ONE side groups to count 1 — the same set
+    // the old two-anti-join spelling produced with four shuffle sides;
+    // this is one union + one aggregate (guide §2.4: fewer shuffles)
     stored.select(keyCols.map(col): _*)
-      .join(oldEdges.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(oldEdges.select(keyCols.map(col): _*)
-        .join(stored.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      .unionByName(oldEdges.select(keyCols.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__sides"))
+      .filter(col("__sides") === 1)
       .select("vec_id").distinct()
   }
 
@@ -504,10 +518,11 @@ object KnnGraphIndex {
           else liveEndpointDeltas(snap, liveDegrees(snap), noIds)
             .unionByName(deg)
         val seg = IndexStore.newSegmentName()
-        newRows.write.parquet(s"$path/$seg/edges")
-        deg.write.parquet(s"$path/$seg/degrees")
-        electHubs(electFrom, hubCount, gen = snap.version + 1)
-          .write.parquet(s"$path/$seg/hubs")
+        IndexStore.writeAll(
+          () => newRows.write.parquet(s"$path/$seg/edges"),
+          () => deg.write.parquet(s"$path/$seg/degrees"),
+          () => electHubs(electFrom, hubCount, gen = snap.version + 1)
+            .write.parquet(s"$path/$seg/hubs"))
         publishStamped(spark, path, seg,
           Seq("edges", "degrees", "hubs"), snap)
       }
@@ -570,13 +585,15 @@ object KnnGraphIndex {
             col("rank"), lit(snap.version + 1).as("gen"))
           .localCheckpoint(true)
         val seg = IndexStore.newSegmentName()
-        snap.read("meta").get.coalesce(1).write.parquet(s"$path/$seg/meta")
-        vecs.write.parquet(s"$path/$seg/vectors")
-        edges.write.parquet(s"$path/$seg/edges")
         val deg = degreeDelta(edges, 1).localCheckpoint(true)
-        deg.write.parquet(s"$path/$seg/degrees")
-        electHubs(deg, hubCount, gen = snap.version + 1)
-          .write.parquet(s"$path/$seg/hubs")
+        IndexStore.writeAll(
+          () => snap.read("meta").get.coalesce(1)
+            .write.parquet(s"$path/$seg/meta"),
+          () => vecs.write.parquet(s"$path/$seg/vectors"),
+          () => edges.write.parquet(s"$path/$seg/edges"),
+          () => deg.write.parquet(s"$path/$seg/degrees"),
+          () => electHubs(deg, hubCount, gen = snap.version + 1)
+            .write.parquet(s"$path/$seg/hubs"))
         val v = IndexStore.publishReplace(spark, path, seg,
           Seq("meta", "vectors", "edges", "degrees", "hubs"),
           retainVersions, op = "compact")

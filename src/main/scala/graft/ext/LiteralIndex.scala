@@ -83,11 +83,11 @@ object LiteralIndex {
     IndexStore.withLock(spark, path) {
       val seg = IndexStore.newSegmentName()
       val g = gramsOf(docs, id, text, n, buckets).persist()
-      try {
-        writeGrams(g, path, seg)
-        writeLexicon(g, path, seg)
-        writeMeta(spark, path, seg, n, buckets)
-      } finally g.unpersist()
+      try IndexStore.writeAll(
+        () => writeGrams(g, path, seg),
+        () => writeLexicon(g, path, seg),
+        () => writeMeta(spark, path, seg, n, buckets))
+      finally g.unpersist()
       IndexStore.publishReplace(spark, path, seg,
         Seq("grams", "lexicon", "meta"), retainVersions)
       ()
@@ -111,8 +111,9 @@ object LiteralIndex {
       val g = gramsOf(newDocs, id, text, n, buckets).persist()
       try if (!g.isEmpty) {
         val seg = IndexStore.newSegmentName()
-        writeGrams(g, path, seg)
-        writeLexicon(g, path, seg)
+        IndexStore.writeAll(
+          () => writeGrams(g, path, seg),
+          () => writeLexicon(g, path, seg))
         IndexStore.publishAppend(spark, path, seg,
           Seq("grams", "lexicon"))
         ()
@@ -138,11 +139,11 @@ object LiteralIndex {
       val (n, buckets) = metaOf(snap)
       val seg = IndexStore.newSegmentName()
       val live = IndexStore.liveRows(snap, "grams", key = "id").persist()
-      try {
-        writeGrams(live, path, seg)
-        writeLexicon(live, path, seg)
-        writeMeta(spark, path, seg, n, buckets)
-      } finally live.unpersist()
+      try IndexStore.writeAll(
+        () => writeGrams(live, path, seg),
+        () => writeLexicon(live, path, seg),
+        () => writeMeta(spark, path, seg, n, buckets))
+      finally live.unpersist()
       IndexStore.publishReplace(spark, path, seg,
         Seq("grams", "lexicon", "meta"), retainVersions)
       ()

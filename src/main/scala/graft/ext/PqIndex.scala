@@ -120,9 +120,10 @@ object PqIndex {
     val spark = model.encoded.sparkSession
     IndexStore.withLock(spark, path) {
       val seg = IndexStore.newSegmentName()
-      writeCodebooks(model, path, seg)
-      model.encoded.select("vec_id", "code")
-        .write.parquet(s"$path/$seg/codes")
+      IndexStore.writeAll(
+        () => writeCodebooks(model, path, seg),
+        () => model.encoded.select("vec_id", "code")
+          .write.parquet(s"$path/$seg/codes"))
       // tagged "train": this commit carries freshly-trained codebooks,
       // which is what [[stats]]'s codebook_age counts from (compaction
       // rewrites the relation but not the codebooks' content)
@@ -176,9 +177,11 @@ object PqIndex {
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val seg = IndexStore.newSegmentName()
-      IndexStore.liveRows(snap, "codes").write.parquet(s"$path/$seg/codes")
-      snap.read("codebooks").get.coalesce(1)
-        .write.parquet(s"$path/$seg/codebooks")
+      IndexStore.writeAll(
+        () => IndexStore.liveRows(snap, "codes")
+          .write.parquet(s"$path/$seg/codes"),
+        () => snap.read("codebooks").get.coalesce(1)
+          .write.parquet(s"$path/$seg/codebooks"))
       IndexStore.publishReplace(spark, path, seg,
         Seq("codebooks", "codes"), retainVersions, op = "compact")
       ()

@@ -111,9 +111,10 @@ object SqIndex {
     val spark = model.encoded.sparkSession
     IndexStore.withLock(spark, path) {
       val seg = IndexStore.newSegmentName()
-      writeRanges(model, path, seg)
-      model.encoded.select("vec_id", "code")
-        .write.parquet(s"$path/$seg/codes")
+      IndexStore.writeAll(
+        () => writeRanges(model, path, seg),
+        () => model.encoded.select("vec_id", "code")
+          .write.parquet(s"$path/$seg/codes"))
       // tagged "train": this commit carries freshly-fit ranges — what
       // [[stats]]'s codec_age counts from ([[PqIndex.save]]'s contract)
       IndexStore.publishReplace(spark, path, seg,
@@ -161,9 +162,11 @@ object SqIndex {
     IndexStore.withLock(spark, path) {
       val snap = IndexStore.snapshot(spark, path)
       val seg = IndexStore.newSegmentName()
-      IndexStore.liveRows(snap, "codes").write.parquet(s"$path/$seg/codes")
-      snap.read("ranges").get.coalesce(1)
-        .write.parquet(s"$path/$seg/ranges")
+      IndexStore.writeAll(
+        () => IndexStore.liveRows(snap, "codes")
+          .write.parquet(s"$path/$seg/codes"),
+        () => snap.read("ranges").get.coalesce(1)
+          .write.parquet(s"$path/$seg/ranges"))
       IndexStore.publishReplace(spark, path, seg,
         Seq("ranges", "codes"), retainVersions, op = "compact")
       ()

@@ -93,7 +93,15 @@ object TextAnalysis {
     */
   def trigramLogProbs(docs: DataFrame, idCol: String, textCol: String,
       l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
-    val t = tokens(col(textCol))
+    // materialize the token array ONCE per row before the positional
+    // lambda: with `t` spelled inline, every element_at(t, i) inside
+    // the transform re-evaluated the whole regex split — O(tokens)
+    // splits per row, the measured 10.5 s of q_trigram_logprob's 12.6 s
+    // window at sf0.1 (the scan-killer the native ShingleHashes
+    // expression documents, here in HOF form). As a projected column
+    // the split runs once and element_at is an O(1) array access;
+    // values are bit-identical.
+    val t = col("__ts")
     val tris0 = transform(sequence(lit(1), size(t) - 2), i =>
       struct(element_at(t, i).as("u"), element_at(t, i + 1).as("v"),
         element_at(t, i + 2).as("w")))
@@ -101,13 +109,20 @@ object TextAnalysis {
     // indices for docs under three tokens
     val tris = when(size(t) >= 3, tris0)
       .otherwise(array().cast("array<struct<u:string,v:string,w:string>>"))
-    val tg = docs.select(col(idCol).as("id"), explode(tris).as("g"))
+    val tg = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .select(col("id"), explode(tris).as("g"))
       .select(col("id"), col("g.u").as("u"), col("g.v").as("v"),
         col("g.w").as("w"))
     val nf = tg.groupBy("id", "u", "v", "w").agg(count(lit(1)).as("n"))
     val tc = nf.groupBy("u", "v", "w").agg(sum("n").as("t3"))
+    // the bigram/unigram branches evaluate the token array O(1) times
+    // per row (zip_with over two slices / one explode), so the inline
+    // spelling is fine there — only the positional trigram lambda
+    // needed the projected column
+    val ti = tokens(col(textCol))
     val pairs = zip_with(
-      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      slice(ti, lit(1), size(ti) - 1), slice(ti, lit(2), size(ti) - 1),
       (p, c) => struct(p.as("prev"), c.as("cur")))
     val bc = docs.select(explode(pairs).as("b"))
       .groupBy(col("b.prev").as("prev"), col("b.cur").as("cur"))

@@ -103,15 +103,22 @@ object TextSearch {
     */
   private def writeSegment(ix: Index, root: String, seg: String,
       buckets: Int, withMeta: Boolean): Seq[String] = {
-    ix.postings.withColumn("bucket", bucketOf(col("term"), buckets))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$root/$seg/postings")
-    ix.lexicon.withColumn("bucket", bucketOf(col("term"), buckets))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$root/$seg/lexicon")
-    ix.stats.select("n_docs", "dl_sum").coalesce(1)
-      .write.parquet(s"$root/$seg/stats")
-    if (withMeta) writeMeta(ix.postings.sparkSession, root, seg, buckets)
+    // independent relation writes over one persisted tf aggregate —
+    // overlapped (IndexStore.writeAll, guide §2.6) instead of run
+    // back-to-back on the driver
+    IndexStore.writeAll(
+      Seq(
+        () => ix.postings.withColumn("bucket", bucketOf(col("term"), buckets))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$root/$seg/postings"),
+        () => ix.lexicon.withColumn("bucket", bucketOf(col("term"), buckets))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$root/$seg/lexicon"),
+        () => ix.stats.select("n_docs", "dl_sum").coalesce(1)
+          .write.parquet(s"$root/$seg/stats")) ++
+      (if (withMeta)
+        Seq(() => writeMeta(ix.postings.sparkSession, root, seg, buckets))
+      else Seq.empty): _*)
     Seq("postings", "lexicon", "stats") ++
       (if (withMeta) Seq("meta") else Seq.empty)
   }
@@ -222,10 +229,11 @@ object TextSearch {
         .agg((-count(lit(1))).as("n_docs"), (-sum("dl")).as("dl_sum"))
       val tomb = dead.select("id").distinct()
       val seg = IndexStore.newSegmentName()
-      negLex.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$path/$seg/lexicon")
-      negStats.coalesce(1).write.parquet(s"$path/$seg/stats")
-      tomb.coalesce(1).write.parquet(s"$path/$seg/tombstones")
+      IndexStore.writeAll(
+        () => negLex.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$path/$seg/lexicon"),
+        () => negStats.coalesce(1).write.parquet(s"$path/$seg/stats"),
+        () => tomb.coalesce(1).write.parquet(s"$path/$seg/tombstones"))
       // scoped to the postings deliveries present NOW: a later re-add
       // of a deleted doc is live immediately (its positive df/stats
       // partials pair with its unmasked postings — the sums net right)
