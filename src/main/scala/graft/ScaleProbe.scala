@@ -49,8 +49,8 @@ object ScaleProbe {
       (l, l.drop(k % l.length) ++ l.take(k % l.length)))
   }
 
-  private def replicate(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+  private[graft] def replicate(spark: SparkSession, base: String,
+      out: String, factor: Int): Unit = {
     def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val src = spark.read.parquet(s"$base/$name.parquet")
       (0 until factor).map(k => f(src, k)).reduce(_ unionByName _)

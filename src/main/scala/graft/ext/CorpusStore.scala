@@ -54,17 +54,88 @@ object CorpusStore {
     rows.select(idCol.as("id") +: rest.toIndexedSeq: _*)
   }
 
-  /** One-row zone-map sidecar for a just-written segment, computed
-    * from the written files' id column (columnar, delivery-sized).
+  /** One-row zone-map sidecar for a just-written segment. Derived from
+    * the written files' parquet FOOTER statistics (guide §6) — a
+    * driver-side metadata read per file, not a second delivery-sized
+    * scan of rows that were just written — while still being computed
+    * from the FILES themselves, so the sidecar-matches-files guarantee
+    * the zone map depends on holds exactly as before. INT64 exactness:
+    * parquet min/max statistics are exact for integer columns (only
+    * binary/string stats may truncate), so the footer-derived bounds
+    * equal the old scan's `min(id)/max(id)` bit for bit; a store whose
+    * id column is NOT int64, or a footer missing statistics, falls
+    * back to the scan spelling.
     */
   private def writeStats(spark: SparkSession, root: String,
       seg: String): Unit = {
-    spark.read.parquet(s"$root/$seg/rows")
-      .agg(min("id").as("lo"), max("id").as("hi"),
-        count(lit(1)).as("n"))
-      .withColumn("seg", lit(seg))
-      .coalesce(1).write.parquet(s"$root/$seg/stats")
+    import spark.implicits._
+    footerIdStats(spark, s"$root/$seg/rows") match {
+      case Some((lo, hi, n)) =>
+        Seq((lo, hi, n, seg)).toDF("lo", "hi", "n", "seg")
+          .coalesce(1).write.parquet(s"$root/$seg/stats")
+      case None =>
+        spark.read.parquet(s"$root/$seg/rows")
+          .agg(min("id").as("lo"), max("id").as("hi"),
+            count(lit(1)).as("n"))
+          .withColumn("seg", lit(seg))
+          .coalesce(1).write.parquet(s"$root/$seg/stats")
+    }
   }
+
+  /** (min id, max id, row count) of a parquet directory read from file
+    * footers only. None when the id column is not INT64 or any block
+    * lacks statistics (caller falls back to scanning); (null, null, n)
+    * when every id is null — the same row the scan's min/max/count
+    * aggregate produces.
+    */
+  private def footerIdStats(spark: SparkSession,
+      dir: String): Option[(java.lang.Long, java.lang.Long, Long)] =
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val fs = d.getFileSystem(conf)
+      val files = fs.listStatus(d).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+      var lo: Option[Long] = None
+      var hi: Option[Long] = None
+      var n = 0L
+      files.foreach { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = reader.getFooter
+          val schema = footer.getFileMetaData.getSchema
+          val idIdx = schema.getFields.asScala.indexWhere(f =>
+            f.getName == "id" && f.isPrimitive &&
+              f.asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT64)
+          require(idIdx >= 0, s"no int64 id column in $dir")
+          footer.getBlocks.asScala.foreach { b =>
+            n += b.getRowCount
+            val c = b.getColumns.asScala.find(
+              _.getPath.toDotString == "id").getOrElse(
+              sys.error(s"no id chunk in a block of $dir"))
+            val stats = c.getStatistics
+            require(stats != null && !stats.isEmpty,
+              s"missing id statistics in $dir")
+            if (stats.hasNonNullValue) {
+              val bLo = stats.genericGetMin.asInstanceOf[java.lang.Long]
+              val bHi = stats.genericGetMax.asInstanceOf[java.lang.Long]
+              lo = Some(lo.fold(bLo.longValue)(math.min(_, bLo.longValue)))
+              hi = Some(hi.fold(bHi.longValue)(math.max(_, bHi.longValue)))
+            }
+          }
+        } finally reader.close()
+      }
+      (lo.map(java.lang.Long.valueOf).orNull,
+        hi.map(java.lang.Long.valueOf).orNull, n)
+    }.toOption
 
   /** Write `rows` as the store's entire content (replace semantics —
     * initial build or full refresh). Returns the committed version.

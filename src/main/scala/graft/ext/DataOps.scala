@@ -553,7 +553,7 @@ object DataOps {
     * prefix sum, no SinglePartition window anywhere. Adds (rank, __n);
     * extra columns ride along.
     */
-  private[ext] def globalRanks(scored: DataFrame): DataFrame =
+  private[graft] def globalRanks(scored: DataFrame): DataFrame =
     groupRanks(scored.withColumn("grp", lit(0)), descending = false)
       .drop("grp")
 

@@ -156,37 +156,89 @@ object EmbeddingSearch {
             Seq("query_id"), "left_anti")
           .unionByName(pe).distinct()
     }
-    var graph = scoreAndRank(e, seeded, w, k).localCheckpoint(true)
+    // Rounds keep cos UNROUNDED in-loop (rounding happens once, at the
+    // return boundary, exactly where the old per-round scoreAndRank
+    // rounded the values a caller could observe) so a prior round's
+    // scores are reusable for ranking bit-identically.
+    var graph = scoreRank(e, seeded, w, k).localCheckpoint(true)
+    // Every candidate pair ever PROPOSED (slim keys, one checkpointed
+    // delta per round). A pair scored in an earlier round that lost can
+    // never re-enter any later top-k: each node's k-th best (cos, id)
+    // is monotone across rounds because the standing edges are always
+    // candidates — so re-proposed losers are dropped unscored and only
+    // never-seen pairs pay the vector joins (guide §2.3: shuffle fewer
+    // bytes — here, score fewer pairs; identical result by the
+    // monotonicity argument, pinned by q_nn_descent_exact).
+    var seen = if (iters == 0) Nil else List(seeded
+      .select("query_id", "neighbor_id").distinct().localCheckpoint(true))
+    // previous round's symmetrized adjacency — pairs reachable through
+    // two edges BOTH already present there were generated by that
+    // round's expansion (hence ⊆ seen and droppable unseen), so
+    // candidate GENERATION itself only walks through edges that are NEW
+    // this round (the Dong et al. incremental-join observation, made
+    // result-exact here by the seen-filter below)
+    var prevUnd: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       val edges = graph.select(col("query_id").as("src"),
         col("neighbor_id").as("dst"))
       val undirected = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      // neighbor-of-neighbor expansion: src —x— cand for every shared x
-      val expanded = undirected.as("l")
-        .join(undirected.as("r"), col("l.dst") === col("r.src"))
-        .select(col("l.src").as("query_id"),
-          col("r.dst").as("neighbor_id"))
+      // neighbor-of-neighbor expansion: src —x— cand for every shared x.
+      // The standing edges are NOT unioned in any more: they enter the
+      // ranking below directly, scores carried from the round that
+      // computed them. From round 2 on, only pairs touching a NEW edge
+      // generate (old∘old pairs were all generated last round); near
+      // convergence the per-round self-join collapses from Σdeg² to
+      // |new|·deg.
+      val gen = prevUnd match {
+        case None =>
+          undirected.as("l")
+            .join(undirected.as("r"), col("l.dst") === col("r.src"))
+            .select(col("l.src").as("query_id"),
+              col("r.dst").as("neighbor_id"))
+        case Some(old) =>
+          val newEdges = undirected.join(old, Seq("src", "dst"),
+            "left_anti")
+          newEdges.as("l")
+            .join(undirected.as("r"), col("l.dst") === col("r.src"))
+            .select(col("l.src").as("query_id"),
+              col("r.dst").as("neighbor_id"))
+            .unionByName(undirected.as("l")
+              .join(newEdges.as("r"), col("l.dst") === col("r.src"))
+              .select(col("l.src").as("query_id"),
+                col("r.dst").as("neighbor_id")))
+      }
+      val expanded = gen
         .filter(col("query_id") =!= col("neighbor_id"))
-        .unionByName(edges.select(col("src").as("query_id"),
-          col("dst").as("neighbor_id")))
         .distinct()
-      graph = scoreAndRank(e, expanded, w, k).localCheckpoint(true)
+      val fresh = expanded.join(seen.reduce(_ unionByName _),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .localCheckpoint(true)
+      prevUnd = Some(undirected)
+      // prev edges keep their scores; only fresh pairs meet the vectors.
+      // dropDuplicates: a cold ring seed can propose one pair twice when
+      // the corpus is smaller than k+1 (wrapping), and the old spelling's
+      // expanded.distinct() collapsed those before ranking — cos is a
+      // pure function of the pair, so any survivor is the same row.
+      val prevCand = graph.select("query_id", "neighbor_id", "cos")
+        .dropDuplicates("query_id", "neighbor_id")
+      graph = rankTopK(prevCand.unionByName(scorePairs(e, fresh)), w, k)
+        .localCheckpoint(true)
+      seen = fresh :: seen
       i += 1
     }
     e.unpersist()
-    graph
+    graph.select(col("query_id"), col("neighbor_id"),
+      round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** Score a candidate edge list exactly and keep each node's top-k —
-    * the shared half of [[nnDescent]]'s seed and refinement rounds.
-    * Joins are id-keyed equi-joins; the window partitions by query
-    * (per-node candidate sets are k²-bounded, no skew).
+  /** Score a candidate edge list exactly — the pair-scoring half of
+    * [[nnDescentFrom]]'s rounds, cos left UNROUNDED so a later round
+    * can rank against it bit-identically. Joins are id-keyed
+    * equi-joins.
     */
-  private def scoreAndRank(e: DataFrame, cand: DataFrame,
-      w: org.apache.spark.sql.expressions.WindowSpec,
-      k: Int): DataFrame =
+  private def scorePairs(e: DataFrame, cand: DataFrame): DataFrame =
     // neighbor vectors attach FIRST, query vectors LAST: when the
     // corpus is too big to broadcast these joins shuffle by their key,
     // and ending on query_id leaves the frame partitioned exactly as
@@ -200,10 +252,23 @@ object EmbeddingSearch {
         col("nrm").as("qnrm")), "query_id")
       .withColumn("cos",
         dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+
+  /** Keep each node's top-k of a scored candidate frame (cos desc,
+    * neighbor id asc; per-node candidate sets are k²-bounded, no skew).
+    */
+  private def rankTopK(scored: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank"))
+
+  /** [[scorePairs]] + [[rankTopK]] — one descent scoring round. */
+  private def scoreRank(e: DataFrame, cand: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      k: Int): DataFrame = rankTopK(scorePairs(e, cand), w, k)
 
   /** GRAPH-BASED ANN SERVING — answer external queries by beam descent
     * over a prebuilt kNN graph (the HNSW/DiskANN search shape, minus
@@ -327,6 +392,16 @@ object EmbeddingSearch {
     // join per hop that this election makes redundant (guide §2.4:
     // share the partitioning one operation already established).
     // Frontier membership and all scored values are unchanged.
+    //
+    // A DELTA-STATE variant (scored rows checkpointed once per hop,
+    // flags in a slim elected-frontier relation, election ranking only
+    // the unexpanded subset) was built and MEASURED in round 15
+    // (OptProbe walk2, same-JVM A/B, value-identical): 3.0–3.3 s r14
+    // shape vs 4.1 s delta shape on the 667-query insert walk — the
+    // per-hop unexpanded anti-join plus the extra eager job cost more
+    // than the full-state rewrite they avoid (the state is
+    // query-bounded by the serving contract, never corpus-sized, so
+    // the rewrite is small at every scale). Kept the r14 shape.
     val wBeam = Window.partitionBy("query_id")
       .orderBy(col("expanded").asc, col("cos").desc, col("node_id").asc)
     // visited state: every scored node, with its expansion flag

@@ -327,13 +327,58 @@ object IndexStore {
     */
   private[ext] def writeAll(writes: (() => Unit)*): Unit = {
     import scala.jdk.CollectionConverters._
-    val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
-      writes.map { w =>
-        new java.util.concurrent.Callable[Unit] { def call(): Unit = w() }
-      }.asJava
-    // invokeAll waits for all; get() rethrows the task's exception
-    writePool.invokeAll(tasks).asScala.foreach(_.get())
+    // REENTRANCY GUARD: a task already running ON the commit-write pool
+    // (e.g. a registry sweep overlapping whole-surface maintenance ops
+    // that themselves commit via writeAll) must not invokeAll back into
+    // the same bounded pool — the inner batch would queue behind the
+    // saturated outer one while the outer task blocks waiting for it, a
+    // silent driver deadlock. Nested calls run inline instead; the
+    // OUTER level still overlaps.
+    if (Thread.currentThread().getName.startsWith("index-commit-write-")) {
+      writes.foreach(w => w())
+    } else {
+      val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+        writes.map { w =>
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = w() }
+        }.asJava
+      // invokeAll waits for all; get() rethrows the task's exception —
+      // unwrap the ExecutionException so commit errors surface with the
+      // same exception type/message as the sequential spelling did
+      writePool.invokeAll(tasks).asScala.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    }
   }
+
+  /** Run independent per-surface tasks on the commit-write pool and
+    * return each task's outcome IN ORDER — the [[writeAll]] overlap
+    * applied to whole-surface operations (registry sweeps, multi-root
+    * retractions) that need per-task fault isolation instead of
+    * first-failure rethrow. Tasks touching DIFFERENT index roots are
+    * independent (each mutator takes its own root's writer lock); a
+    * task that itself commits via [[writeAll]] runs those writes inline
+    * (the reentrancy guard above), so nesting cannot starve the pool.
+    * Called from a pool thread, the tasks run inline sequentially for
+    * the same reason.
+    */
+  private[graft] def runAll[A](tasks: Seq[() => A]): Seq[scala.util.Try[A]] =
+    if (tasks.size <= 1 ||
+      Thread.currentThread().getName.startsWith("index-commit-write-"))
+      tasks.map(t => scala.util.Try(t()))
+    else {
+      import scala.jdk.CollectionConverters._
+      val cs: java.util.List[java.util.concurrent.Callable[scala.util.Try[A]]] =
+        tasks.map { t =>
+          new java.util.concurrent.Callable[scala.util.Try[A]] {
+            def call(): scala.util.Try[A] = scala.util.Try(t())
+          }
+        }.asJava
+      writePool.invokeAll(cs).asScala.toSeq.map(_.get())
+    }
 
   /** Publish `seg`'s relations ON TOP of the current manifest (append
     * semantics: deliveries, tombstones). Caller must hold the lock and

@@ -146,13 +146,25 @@ object Ingest {
     val fs = fsOf(spark, root)
     val rows = spark.read.parquet(s"$root/_deliveries/$did/rows")
     val ss = applyOrder(surfaces(spark, root))
-    ss.take(upTo).foreach { s =>
+    // store-of-record surfaces complete FIRST and sequentially (the
+    // source of truth must never trail its own derivatives — the
+    // documented ordering contract); the DERIVED surfaces after them
+    // are independent commits on their own roots and run concurrently
+    // on the bounded commit pool (guide §2.6 — the Takedown.applyIntent
+    // overlap). Markers and replay semantics are unchanged: every
+    // apply is live-presence-idempotent, and the first failure
+    // rethrows after the batch settles, so completed surfaces keep
+    // their markers.
+    val (stores, derived) = ss.take(upTo).partition(_.kind == "store")
+    def applyOne(s: Surface): Unit = {
       val mark = new Path(deliveriesDir(root), s"$did/done-${surfaceId(s)}")
       if (!fs.exists(mark)) {
         applySurface(spark, s, rows)
         fs.create(mark, true).close()
       }
     }
+    stores.foreach(applyOne)
+    IndexStore.runAll(derived.map(s => () => applyOne(s))).foreach(_.get)
     if (upTo >= ss.size)
       fs.create(new Path(deliveriesDir(root), s"$did/_done"), true).close()
   }

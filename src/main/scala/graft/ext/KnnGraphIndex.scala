@@ -436,6 +436,18 @@ object KnnGraphIndex {
     * graphs, in either direction — deterministic recompute makes
     * unchanged neighborhoods byte-identical, so the symmetric
     * difference is exactly the publish delta.
+    *
+    * INVARIANT the one-pass group-count spelling depends on:
+    * (vec_id, neighbor_id, rank) is unique WITHIN each side and never
+    * null. Holds by construction everywhere this is called — both
+    * sides are (or derive from) a per-node `row_number` top-k
+    * ([[EmbeddingSearch.nnDescentFrom]]/[[EmbeddingSearch
+    * .insertEdges]] outputs, and [[liveEdges]]' max-gen resolution
+    * keeps one rank row per (node, rank)) over non-null ids. A
+    * duplicated key would group to count 2 and silently vanish from
+    * the delta (stale edges published without error), so any future
+    * caller feeding rows NOT produced by a per-node row_number must
+    * dedup first.
     */
   private def changedNodes(stored: DataFrame,
       oldEdges: DataFrame): DataFrame = {
@@ -727,25 +739,35 @@ object KnnGraphIndex {
     val vecs = liveVectors(snap).select("vec_id").persist()
     val edges = liveEdges(snap).persist()
     try {
-      val liveNodes = vecs.count()
-      val liveEdgeCnt = edges.count()
-      val dangling = edges
-        .join(vecs.select(col("vec_id").as("neighbor_id")),
-          Seq("neighbor_id"), "left_anti")
-        .count()
-      val degRow = liveDegrees(snap)
-        .agg(min("d").as("lo"), max("d").as("hi"), sum("d").as("sm"))
+      // ONE driver action for all six gauges: the node/edge/dangling
+      // counts, the degree envelope, the hub count, and the hub
+      // generation were six sequential tiny jobs — crossJoining their
+      // single-row aggregates computes them in one job over the same
+      // persisted frames (guide §2.6 applied inside the plan; every
+      // value is the same aggregate as before)
+      val hubGenAgg =
+        if (snap.segments("hubs").isEmpty)
+          Seq(java.lang.Long.valueOf(snap.version)).toDF("hg")
+        else IndexStore.liveRows(snap, "hubs", key = "vec_id")
+          .agg(max("gen").as("hg"))
+      val row = vecs.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(edges
+          .join(vecs.select(col("vec_id").as("neighbor_id")),
+            Seq("neighbor_id"), "left_anti")
+          .agg(count(lit(1)).as("n_dangling")))
+        .crossJoin(liveDegrees(snap)
+          .agg(min("d").as("lo"), max("d").as("hi"), sum("d").as("sm")))
+        .crossJoin(liveHubs(snap).agg(count(lit(1)).as("n_hubs")))
+        .crossJoin(hubGenAgg)
         .head()
-      def longAt(i: Int): Long =
-        if (degRow.isNullAt(i)) 0L else degRow.getLong(i)
-      val hubCount = liveHubs(snap).count()
-      val hubGen =
-        if (snap.segments("hubs").isEmpty) snap.version
-        else {
-          val g = IndexStore.liveRows(snap, "hubs", key = "vec_id")
-            .agg(max("gen")).head()
-          if (g.isNullAt(0)) snap.version else g.getLong(0)
-        }
+      val liveNodes = row.getLong(0)
+      val liveEdgeCnt = row.getLong(1)
+      val dangling = row.getLong(2)
+      def longAt(j: Int): Long =
+        if (row.isNullAt(3 + j)) 0L else row.getLong(3 + j)
+      val hubCount = row.getLong(6)
+      val hubGen = if (row.isNullAt(7)) snap.version else row.getLong(7)
       val segs = snap.lines.map(_.split("/").head).distinct.size.toLong
       val tombSegs = snap.segments("tombstones").size.toLong
       val (dDebt, tDebt) = debt(spark, path)

@@ -131,13 +131,25 @@ object Takedown {
     val fs = fsOf(spark, root)
     val ids = spark.read.parquet(s"$root/_retractions/$rid/ids")
     val ss = surfaces(spark, root)
-    ss.take(upTo).foreach { s =>
-      val mark = new Path(retractionsDir(root), s"$rid/done-${surfaceId(s)}")
-      if (!fs.exists(mark)) {
+    // Surfaces apply CONCURRENTLY on the bounded commit pool (guide
+    // §2.6 — each surface delete is an independent commit on its own
+    // root, serialized before only because the driver looped): one
+    // job's task tail back-fills the next's. Replay semantics are
+    // unchanged — each surface still leaves its own done-marker, every
+    // delete is live-presence-idempotent, and a crash anywhere leaves a
+    // pending intent [[resume]] completes; the first failure rethrows
+    // AFTER the batch settles, so completed surfaces keep their
+    // markers.
+    val todo = ss.take(upTo)
+      .map(s => s -> new Path(retractionsDir(root),
+        s"$rid/done-${surfaceId(s)}"))
+      .filter { case (_, mark) => !fs.exists(mark) }
+    IndexStore.runAll(todo.map { case (s, mark) =>
+      () => {
         applySurface(spark, s, ids)
         fs.create(mark, true).close()
       }
-    }
+    }).foreach(_.get)
     if (upTo >= ss.size)
       fs.create(new Path(retractionsDir(root), s"$rid/_done"), true).close()
   }
@@ -320,12 +332,26 @@ object Takedown {
     // the collected failures are re-thrown at the end naming every
     // failing surface — fail-loud, but only after the healthy fleet
     // was maintained.
+    //
+    // WITHIN each phase, surfaces run CONCURRENTLY on the bounded
+    // commit pool (guide §2.6): each surface's op commits on its own
+    // root under its own writer lock, so the only ordering was the
+    // driver's loop — overlapping lets one surface's task tail
+    // back-fill the next's. Phase ORDER is unchanged (layout → graph
+    // quality → trained quality → GC): compact may clear part of the
+    // debt the quality passes gauge.
     val failures = scala.collection.mutable.ListBuffer[(Surface, Throwable)]()
-    def tryStep(s: Surface)(step: => Boolean): Boolean =
-      scala.util.Try(step).fold(
-        { e => failures += ((s, e)); false }, identity)
-    val compacted = ss.filter { s =>
-      tryStep(s)(s.kind match {
+    // runAll returns settled per-surface outcomes in order, so failure
+    // collection stays on this thread — no shared mutation across the
+    // pool
+    def phase(surfs: Seq[Surface])(step: Surface => Boolean): Seq[Surface] =
+      surfs.zip(IndexStore.runAll(surfs.map(s => () => step(s))))
+        .filter {
+          case (s, scala.util.Failure(e)) => failures += ((s, e)); false
+          case (_, scala.util.Success(fired)) => fired
+        }.map(_._1)
+    val compacted = phase(ss) { s =>
+      s.kind match {
         case "store"   => CorpusStore.maybeCompact(spark, s.path, maxSegments)
         case "bm25"    => TextSearch.maybeCompact(spark, s.path, maxSegments)
         case "dedup"   => DedupIndex.maybeCompact(spark, s.path, maxSegments)
@@ -337,13 +363,14 @@ object Takedown {
         case "graph"   => KnnGraphIndex.maybeCompact(spark, s.path, maxSegments)
         case "binary"  => BinaryIndex.maybeCompact(spark, s.path, maxSegments)
         case other     => sys.error(s"unknown surface kind '$other'")
-      })
+      }
     }
     // quality pass AFTER the layout pass: compact may clear part of
     // the debt (its full hub election), and rewire over a scrubbed
     // layout re-wires exactly the sub-k survivors
-    val rewired = ss.filter(s => s.kind == "graph" &&
-      tryStep(s)(KnnGraphIndex.maybeRewire(spark, s.path, maxGraphDebt)))
+    val rewired = phase(ss.filter(_.kind == "graph")) { s =>
+      KnnGraphIndex.maybeRewire(spark, s.path, maxGraphDebt)
+    }
     // trained-family quality pass: IVF cell rebalance past the
     // occupancy threshold ([[IvfIndex.maybeRebalance]] — frozen-
     // quantizer appends skew cells unboundedly, and the biggest cell
@@ -360,25 +387,23 @@ object Takedown {
         !ss.exists(s => s.kind == "ivf" || s.kind == "ivfpq")) Seq.empty
       else vectorStore(spark, ss) match {
         case None => Seq.empty
-        case Some(embs) => ss.filter {
-          // ivfpq's residual coupling makes the full quantizer refresh
-          // its rebalance ([[IvfPqIndex.maybeRetrain]] — geometry
-          // re-derived from the saved quantizers)
-          case s if s.kind == "ivf" =>
-            tryStep(s)(IvfIndex.maybeRebalance(spark, s.path, embs,
-              maxIvfCell))
-          case s if s.kind == "ivfpq" =>
-            tryStep(s)(IvfPqIndex.maybeRetrain(spark, s.path, embs,
-              maxIvfCell))
-          case _ => false
-        }
+        // ivfpq's residual coupling makes the full quantizer refresh
+        // its rebalance ([[IvfPqIndex.maybeRetrain]] — geometry
+        // re-derived from the saved quantizers)
+        case Some(embs) =>
+          phase(ss.filter(s => s.kind == "ivf" || s.kind == "ivfpq")) {
+            case s if s.kind == "ivf" =>
+              IvfIndex.maybeRebalance(spark, s.path, embs, maxIvfCell)
+            case s =>
+              IvfPqIndex.maybeRetrain(spark, s.path, embs, maxIvfCell)
+          }
       }
-    ss.foreach(s => tryStep(s) {
+    phase(ss) { s =>
       IndexStore.withLock(spark, s.path) {
         IndexStore.gc(spark, s.path, retainVersions)
       }
       false
-    })
+    }
     if (failures.nonEmpty)
       throw new RuntimeException(
         s"maintain($root) completed with ${failures.size} failing " +

@@ -730,65 +730,69 @@ object MaintainQueries {
     import s.implicits._
     val embs = Tables.embeddings(s, d)
     val fix = sharedStatsFixture(s, d)
-    val ivfDir = s"$fix/ivf"
-    val ivfStats = IvfIndex.stats(s, ivfDir)
-    // the trained envelope, checked against an independent recompute
-    // from the persisted assignment itself
-    val occ = IvfIndex.load(s, ivfDir, embs).assigned
-      .groupBy("cell").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)), min("n"), max("n")).head()
-    val envOk = ivfStats.filter(col("metric").isin(
-        "cells", "cell_min", "cell_max"))
-      .orderBy("metric").select("value").as[Long].collect().toSeq ==
-      Seq(occ.getLong(2), occ.getLong(1), occ.getLong(0))
-    val ivfRows = ivfStats.filter(col("metric").isin(
-        "live_rows", "segments", "tombstone_segments", "version"))
-      .withColumn("family", lit("ivf"))
-      .unionByName(Seq(("ivf", "cell_envelope_ok",
-        if (envOk) 1L else 0L)).toDF("family", "metric", "value")
-        .select("metric", "value", "family"))
-
-    val pqRows = graft.ext.PqIndex.stats(s, s"$fix/pq")
-      .withColumn("family", lit("pq"))
-
-    val sqRows = graft.ext.SqIndex.stats(s, s"$fix/sq")
-      .withColumn("family", lit("sq"))
-
-    val bmRows = graft.ext.TextSearch.stats(s, s"$fix/bm25")
-      .withColumn("family", lit("bm25"))
-
-    val ipqDir = s"$fix/ivfpq"
-    val ipqStats = graft.ext.IvfPqIndex.stats(s, ipqDir)
-    val ipqOcc = graft.ext.IvfPqIndex.load(s, ipqDir, embs).encoded
-      .groupBy("cell").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)), min("n"), max("n")).head()
-    val ipqEnvOk = ipqStats.filter(col("metric").isin(
-        "cells", "cell_min", "cell_max"))
-      .orderBy("metric").select("value").as[Long].collect().toSeq ==
-      Seq(ipqOcc.getLong(2), ipqOcc.getLong(1), ipqOcc.getLong(0))
-    val ipqRows = ipqStats.filter(col("metric").isin(
-        "codebook_age", "live_codes", "segments", "subspaces",
-        "tombstone_segments", "version"))
-      .withColumn("family", lit("ivfpq"))
-      .unionByName(Seq(("ivfpq", "cell_envelope_ok",
-        if (ipqEnvOk) 1L else 0L)).toDF("family", "metric", "value")
-        .select("metric", "value", "family"))
-
-    val binRows = graft.ext.BinaryIndex.stats(s, s"$fix/binary")
-      .withColumn("family", lit("binary"))
-
-    val storeRows = CorpusStore.stats(s, s"$fix/store")
-      .withColumn("family", lit("store"))
-
-    val ddRows = DedupIndex.stats(s, s"$fix/dedup")
-      .withColumn("family", lit("dedup"))
-
-    val litRows = graft.ext.LiteralIndex.stats(s, s"$fix/literal")
-      .withColumn("family", lit("literal"))
-
-    ivfRows.unionByName(pqRows).unionByName(sqRows).unionByName(bmRows)
-      .unionByName(ipqRows).unionByName(binRows).unionByName(storeRows)
-      .unionByName(ddRows).unionByName(litRows)
+    // the nine families' stats computations are independent read-only
+    // jobs over disjoint index roots, serialized before only because
+    // the gate body called them back to back — run them concurrently
+    // on the bounded commit pool (guide §2.6; the Takedown.maintain
+    // overlap applied to the dashboard read). Each task's eager
+    // driver-side counts/collects overlap with the others'; the union
+    // order below is unchanged, so the result is row-identical.
+    def ivfRows(): DataFrame = {
+      val ivfDir = s"$fix/ivf"
+      val ivfStats = IvfIndex.stats(s, ivfDir)
+      // the trained envelope, checked against an independent recompute
+      // from the persisted assignment itself
+      val occ = IvfIndex.load(s, ivfDir, embs).assigned
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), min("n"), max("n")).head()
+      val envOk = ivfStats.filter(col("metric").isin(
+          "cells", "cell_min", "cell_max"))
+        .orderBy("metric").select("value").as[Long].collect().toSeq ==
+        Seq(occ.getLong(2), occ.getLong(1), occ.getLong(0))
+      ivfStats.filter(col("metric").isin(
+          "live_rows", "segments", "tombstone_segments", "version"))
+        .withColumn("family", lit("ivf"))
+        .unionByName(Seq(("ivf", "cell_envelope_ok",
+          if (envOk) 1L else 0L)).toDF("family", "metric", "value")
+          .select("metric", "value", "family"))
+    }
+    def ipqRows(): DataFrame = {
+      val ipqDir = s"$fix/ivfpq"
+      val ipqStats = graft.ext.IvfPqIndex.stats(s, ipqDir)
+      val ipqOcc = graft.ext.IvfPqIndex.load(s, ipqDir, embs).encoded
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), min("n"), max("n")).head()
+      val ipqEnvOk = ipqStats.filter(col("metric").isin(
+          "cells", "cell_min", "cell_max"))
+        .orderBy("metric").select("value").as[Long].collect().toSeq ==
+        Seq(ipqOcc.getLong(2), ipqOcc.getLong(1), ipqOcc.getLong(0))
+      ipqStats.filter(col("metric").isin(
+          "codebook_age", "live_codes", "segments", "subspaces",
+          "tombstone_segments", "version"))
+        .withColumn("family", lit("ivfpq"))
+        .unionByName(Seq(("ivfpq", "cell_envelope_ok",
+          if (ipqEnvOk) 1L else 0L)).toDF("family", "metric", "value")
+          .select("metric", "value", "family"))
+    }
+    val tasks: Seq[() => DataFrame] = Seq(
+      () => ivfRows(),
+      () => graft.ext.PqIndex.stats(s, s"$fix/pq")
+        .withColumn("family", lit("pq")),
+      () => graft.ext.SqIndex.stats(s, s"$fix/sq")
+        .withColumn("family", lit("sq")),
+      () => graft.ext.TextSearch.stats(s, s"$fix/bm25")
+        .withColumn("family", lit("bm25")),
+      () => ipqRows(),
+      () => graft.ext.BinaryIndex.stats(s, s"$fix/binary")
+        .withColumn("family", lit("binary")),
+      () => CorpusStore.stats(s, s"$fix/store")
+        .withColumn("family", lit("store")),
+      () => DedupIndex.stats(s, s"$fix/dedup")
+        .withColumn("family", lit("dedup")),
+      () => graft.ext.LiteralIndex.stats(s, s"$fix/literal")
+        .withColumn("family", lit("literal")))
+    graft.ext.IndexStore.runAll(tasks).map(_.get)
+      .reduce(_ unionByName _)
       .select("family", "metric", "value")
       .orderBy("family", "metric")
   }

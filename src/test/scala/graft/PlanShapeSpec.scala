@@ -390,4 +390,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("trigram explode runs over the projected token array, not an " +
+      "inlined re-split per element") {
+    // the r14 fix projects tokens(text) to __ts BEFORE the positional
+    // transform lambda; if a future Catalyst CollapseProject heuristic
+    // folded the projection back in, every element_at would re-run the
+    // whole regex split — O(tokens²) per row, the measured 13 s → 1.8 s
+    // regression in reverse. Pin the optimized shape: no element_at
+    // over an inline split anywhere in the plan.
+    val p = SparkEntry.queries("q_trigram_logprob")(spark, d)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("element_at(split("), p.take(4000))
+    assert(p.contains("element_at(__ts"), p.take(4000))
+  }
+
 }

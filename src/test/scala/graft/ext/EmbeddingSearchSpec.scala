@@ -176,6 +176,173 @@ class EmbeddingSearchSpec extends SparkSpec {
     assert(warm === exact13)
   }
 
+  /** Near-random directions (deterministic, no RNG): the descent's
+    * UNFAVORABLE case — neighborhoods churn for several rounds, so the
+    * r15 fresh-only candidate pruning and incremental generation are
+    * actually exercised (on `clustered` the graph converges in one
+    * round and the pruned paths would be trivially empty).
+    */
+  private def churny = (0 until 24).map { i =>
+    (i.toLong, Array.tabulate(8)(j =>
+      math.sin(i * 7.3 + j * 1.7).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("r15 fresh-only descent rounds reproduce the full-rescore " +
+      "algebra bit for bit") {
+    // reference = the r14 loop (score EVERY expanded candidate, rank
+    // the full set) copied verbatim; the r15 engine must return the
+    // identical (query, neighbor, cos, rank) set at every round count,
+    // cold and warm — the monotonicity argument says dropped
+    // already-seen losers can never re-enter.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import EmbeddingSearch.{dot, prepared}
+    def reference(embs: DataFrame, seed: Option[DataFrame], k: Int,
+        iters: Int): DataFrame = {
+      val e = prepared(embs)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      def scoreAndRank(cand: DataFrame): DataFrame =
+        cand
+          .join(e.select(col("vec_id").as("neighbor_id"), col("v"),
+            col("nrm")), "neighbor_id")
+          .join(e.select(col("vec_id").as("query_id"),
+            col("v").as("qv"), col("nrm").as("qnrm")), "query_id")
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"), col("rank"))
+      val n = embs.count()
+      val ids = embs.select(col("vec_id")).orderBy("vec_id")
+        .collect().map(_.getLong(0))
+      val rk = ids.zipWithIndex.toMap
+      val ringRows = for {
+        id <- ids.toSeq; j <- 1 to k
+        nb = ids(((rk(id) + j) % n).toInt) if nb != id
+      } yield (id, nb)
+      val ring = ringRows.toDF("query_id", "neighbor_id")
+      val seeded = seed match {
+        case None => ring
+        case Some(prev) =>
+          val pe = prev.select(col("query_id"), col("neighbor_id"))
+          ring.join(pe.select("query_id").distinct(),
+              Seq("query_id"), "left_anti")
+            .unionByName(pe).distinct()
+      }
+      var graph = scoreAndRank(seeded).localCheckpoint(true)
+      var i = 0
+      while (i < iters) {
+        val edges = graph.select(col("query_id").as("src"),
+          col("neighbor_id").as("dst"))
+        val undirected = edges.unionByName(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val expanded = undirected.as("l")
+          .join(undirected.as("r"), col("l.dst") === col("r.src"))
+          .select(col("l.src").as("query_id"),
+            col("r.dst").as("neighbor_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .unionByName(edges.select(col("src").as("query_id"),
+            col("dst").as("neighbor_id")))
+          .distinct()
+        graph = scoreAndRank(expanded).localCheckpoint(true)
+        i += 1
+      }
+      graph
+    }
+    def rows(df: DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select("query_id", "neighbor_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    for (iters <- Seq(1, 2, 3)) {
+      assert(rows(EmbeddingSearch.nnDescent(churny, 4, iters)) ===
+        rows(reference(churny, None, 4, iters)), s"cold iters=$iters")
+    }
+    // warm start from a deliberately STALE seed (the exact graph of a
+    // sub-corpus) over the grown corpus — rounds churn, pruning engages
+    val sub = churny.filter(col("vec_id") < 16)
+    val staleSeed = EmbeddingSearch.knnGraph(sub, 4).localCheckpoint(true)
+    for (iters <- Seq(1, 2)) {
+      assert(
+        rows(EmbeddingSearch.nnDescentFrom(churny, Some(staleSeed), 4,
+          iters)) ===
+        rows(reference(churny, Some(staleSeed), 4, iters)),
+        s"warm iters=$iters")
+    }
+  }
+
+  test("r15 delta-state walk reproduces the full-state walk's visited " +
+      "rows bit for bit") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import EmbeddingSearch.{dot, prepared}
+    // reference = the r14 walk (fused flag window, whole state
+    // re-checkpointed per hop) copied verbatim
+    def refWalk(embs: DataFrame, graph: DataFrame, queries: DataFrame,
+        beamWidth: Int, hops: Int, entryPoints: Int): DataFrame = {
+      val e = prepared(embs)
+      val q = prepared(queries).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+      val edges = graph.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val liveNodes = und.select(col("src").as("node_id")).distinct()
+        .join(e.select(col("vec_id").as("node_id")),
+          Seq("node_id"), "left_semi")
+      val entries = liveNodes.orderBy("node_id")
+        .limit(entryPoints).select("node_id")
+      def score(cand: DataFrame): DataFrame =
+        cand.join(e.select(col("vec_id").as("node_id"), col("v"),
+            col("nrm")), "node_id")
+          .join(broadcast(q), "query_id")
+          .withColumn("cos",
+            dot(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+          .select(col("query_id"), col("node_id"), col("cos"))
+      val wBeam = Window.partitionBy("query_id")
+        .orderBy(col("expanded").asc, col("cos").desc,
+          col("node_id").asc)
+      var state = score(q.select("query_id")
+          .crossJoin(broadcast(entries)))
+        .withColumn("expanded", lit(false))
+        .localCheckpoint(true)
+      var h = 0
+      while (h < hops) {
+        val ranked = state.withColumn("rn", row_number().over(wBeam))
+        val frontier = ranked
+          .filter(!col("expanded") && col("rn") <= beamWidth)
+          .select("query_id", "node_id")
+        val fresh = frontier.join(und,
+            frontier("node_id") === und("src"))
+          .select(col("query_id"), col("dst").as("node_id")).distinct()
+          .join(state.select("query_id", "node_id"),
+            Seq("query_id", "node_id"), "left_anti")
+        state = ranked
+          .withColumn("expanded",
+            col("expanded") || (col("rn") <= beamWidth))
+          .drop("rn")
+          .unionByName(score(fresh).withColumn("expanded", lit(false)))
+          .localCheckpoint(true)
+        h += 1
+      }
+      state
+    }
+    val graph = EmbeddingSearch.nnDescent(churny, 4, 2)
+      .localCheckpoint(true)
+    val queries = churny.filter(col("vec_id") % 5 === 0)
+    def rows(df: DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "node_id", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+    for (hops <- Seq(0, 1, 3)) {
+      assert(
+        rows(EmbeddingSearch.graphSearchState(churny, graph, queries,
+          beamWidth = 3, hops = hops, entryPoints = 2)) ===
+        rows(refWalk(churny, graph, queries, 3, hops, 2)),
+        s"hops=$hops")
+    }
+  }
+
   // ---- graph-based ANN serving (beam descent) ----
 
   test("graphSearch over the exact graph equals brute force on " +
