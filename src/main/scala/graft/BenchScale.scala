@@ -26,19 +26,25 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScale {
 
-  /** The heavy probe set: graph lifecycle (cold stream build, CDC
-    * maintenance, insert tick, rewire), multi-surface ingest/stream
-    * mirrors, store CDC composition, the takedown flow, federated
-    * search, and a quantizer refresh. q_nn_descent / q_stream_knn are
-    * deliberately EXCLUDED: their recall harnesses read the memoized
-    * all-pairs EXACT graph, which is quadratic by construction at the
-    * replica scale — the prewarm would pay minutes for the oracle, not
-    * the operator (q_stream_graph_index covers the same descent + insert
-    * engine path with a bounded 20-query truth window).
+  /** The heavy probe set: graph serving + delta-bounded insert tick,
+    * multi-surface ingest/stream mirrors, store CDC composition, the
+    * takedown flow, federated search, a quantizer refresh, and the
+    * dedup-index stream. Two exclusion classes, both deliberate:
+    * q_nn_descent / q_stream_knn read the memoized all-pairs EXACT
+    * graph (quadratic by construction at the replica scale — the
+    * prewarm would pay minutes for the oracle, not the operator); and
+    * the bulk graph-maintenance gates (q_graph_insert,
+    * q_cdc_maintain_graph, q_stream_graph_index, q_graph_rewire)
+    * deliver corpus-proportional batches that trip insertEdges'
+    * maxDelivery delta-contract guard at 10× — correctly: bulk loads
+    * are build-from-scratch by contract, so those gates have no
+    * defined 10× behavior (the same reason ScaleProbe never probed
+    * them; their delta-bounded twins q_graph_serve /
+    * q_graph_insert_tick are probed instead).
     */
   private val probe = Seq(
-    "q_stream_graph_index", "q_cdc_maintain_graph", "q_graph_insert",
-    "q_graph_rewire", "q_ingest_all", "q_stream_ingest_all",
+    "q_graph_serve", "q_graph_insert_tick", "q_stream_dedup_index",
+    "q_literal_persist", "q_ingest_all", "q_stream_ingest_all",
     "q_cdc_maintain", "q_takedown", "q_search_federate",
     "q_ivfpq_retrain")
 
@@ -125,7 +131,8 @@ object BenchScale {
         val parts = line.trim.split("\\s+")
         scala.util.Try(acc.put(parts(1), parts(2).toDouble))
         println(s"[c$cpus] $line")
-      }
+      } else if (line.contains("BSCALE") && line.contains("FAILED"))
+        println(s"[c$cpus] $line")
       line = out.readLine()
     }
     p.waitFor()

@@ -169,8 +169,16 @@ object EmbeddingSearch {
     // never-seen pairs pay the vector joins (guide §2.3: shuffle fewer
     // bytes — here, score fewer pairs; identical result by the
     // monotonicity argument, pinned by q_nn_descent_exact).
-    var seen = if (iters == 0) Nil else List(seeded
-      .select("query_id", "neighbor_id").distinct().localCheckpoint(true))
+    // Materialization discipline: a seen delta is checkpointed ONLY
+    // when a later round will anti-join against it — the FINAL round's
+    // fresh set (and, for iters == 1, the seed keys) stay lazy, fused
+    // into the single job that ranks the round (a one-round warm pass —
+    // rewire's steady state — would otherwise eagerly write its whole
+    // expansion for nothing).
+    var seen = if (iters == 0) Nil else {
+      val s0 = seeded.select("query_id", "neighbor_id").distinct()
+      List(if (iters > 1) s0.localCheckpoint(true) else s0)
+    }
     // previous round's symmetrized adjacency — pairs reachable through
     // two edges BOTH already present there were generated by that
     // round's expansion (hence ⊆ seen and droppable unseen), so
@@ -212,17 +220,25 @@ object EmbeddingSearch {
       val expanded = gen
         .filter(col("query_id") =!= col("neighbor_id"))
         .distinct()
-      val fresh = expanded.join(seen.reduce(_ unionByName _),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        .localCheckpoint(true)
+      val freshLazy = expanded.join(seen.reduce(_ unionByName _),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      // checkpoint only when round i+1 exists to reuse it (see above)
+      val fresh =
+        if (i < iters - 1) freshLazy.localCheckpoint(true) else freshLazy
       prevUnd = Some(undirected)
       // prev edges keep their scores; only fresh pairs meet the vectors.
-      // dropDuplicates: a cold ring seed can propose one pair twice when
-      // the corpus is smaller than k+1 (wrapping), and the old spelling's
-      // expanded.distinct() collapsed those before ranking — cos is a
-      // pure function of the pair, so any survivor is the same row.
-      val prevCand = graph.select("query_id", "neighbor_id", "cos")
-        .dropDuplicates("query_id", "neighbor_id")
+      // dropDuplicates (round 1 only): a cold ring seed can propose one
+      // pair twice when the corpus is smaller than k+1 (wrapping), and
+      // the old spelling's expanded.distinct() collapsed those before
+      // ranking — cos is a pure function of the pair, so any survivor
+      // is the same row. Every LATER graph is duplicate-free by
+      // construction (the ranked output of a union whose two sides are
+      // each unique and mutually disjoint), so the dedup exchange is
+      // paid once, not per round.
+      val prevEdges = graph.select("query_id", "neighbor_id", "cos")
+      val prevCand =
+        if (i == 0) prevEdges.dropDuplicates("query_id", "neighbor_id")
+        else prevEdges
       graph = rankTopK(prevCand.unionByName(scorePairs(e, fresh)), w, k)
         .localCheckpoint(true)
       seen = fresh :: seen
